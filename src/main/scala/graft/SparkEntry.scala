@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (normative inventory).
+  * Each family object contributes (queries, oracle) map pairs; keys match
+  * SURVEY §2 exactly and every aggregate/computed column is aliased
+  * identically in the Spark builder and the DuckDB oracle SQL.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggQueries.queries("q20_agg_pricing")(spark, "/root/testdata/sf0.001")
+
+  private val families: Seq[(Map[String, (SparkSession, String) => DataFrame],
+    Map[String, String])] = Seq(
+    (ScanFilterQueries.queries, ScanFilterQueries.oracle),
+    (JoinQueries.queries, JoinQueries.oracle),
+    (AggQueries.queries, AggQueries.oracle),
+    (SortSetQueries.queries, SortSetQueries.oracle)
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    families.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    families.map(_._2).reduce(_ ++ _)
 }

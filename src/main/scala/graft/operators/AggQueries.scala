@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregations q20–q27.
+  *
+  * Scale notes: all aggregates are algebraic (sum/count/min/max over
+  * decimal) so Spark's HashAggregate runs a map-side partial pass before
+  * the shuffle — the reduce side only sees one row per (group × partition).
+  * DECIMAL(38,6) sums are exact and associative, so partial aggregation is
+  * safe at any partition count (the [D2] rule is also the 1000-executor
+  * correctness rule). `collect_list` is always wrapped in `array_sort`
+  * because collect order is partition-dependent.
+  */
+object AggQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          decAvg(col("l_extendedprice")).as("avg_price"),
+          decAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q21_agg_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_ord"))
+        .orderBy("o_orderstatus")),
+
+    // Oracle-omitted (SURVEY §2.4): HLL estimate has no exact SQL analog;
+    // bounds vs the exact count are asserted in AggSpec.
+    "q22_agg_hll" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // DSL note: rollup-after-join trips Spark's ambiguous-self-join check
+    // (Expand duplicates the grouping attrs); the SQL front-end resolves it
+    // cleanly and also exercises the parser entry point.
+    "q23_rollup" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation")
+      t(s, dir, "region").createOrReplaceTempView("graft_region")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS n_cust
+          |FROM graft_customer
+          |JOIN graft_nation ON c_nationkey = n_nationkey
+          |JOIN graft_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q24_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q25_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_returnflag"), col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q26_agg_filtered" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "purchase", col("value")).cast(Dec))
+            .as("purchase_value"),
+          count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    "q27_collect_sorted" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("order_ids"))
+        .orderBy("c_mktsegment"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+        |  SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q21_agg_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_ord
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q23_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q25_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS n,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q26_agg_filtered" ->
+      """SELECT user_id,
+        |  SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))) AS purchase_value,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    "q27_collect_sorted" ->
+      """SELECT c_mktsegment, list_sort(list(o_orderkey)) AS order_ids
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 joins q10–q16 (q17–q19 live in TemporalJoinQueries).
+  *
+  * Scale notes: dimension tables (region/nation, and customer vs a much
+  * larger fact) are explicitly `broadcast()` so the star joins never
+  * shuffle the fact side; the orders⋈lineitem join is a plain equi-join on
+  * the natural key so Spark picks shuffle-hash/sort-merge and AQE can
+  * re-plan from runtime stats. No collect-to-driver anywhere.
+  */
+object JoinQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_join_bcast_dims" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name")),
+
+    "q11_join_sortmerge" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")),
+
+    "q12_join_left" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(decSum(col("o_totalprice")), lit(0).cast(Dec))
+            .as("sum_price"))
+        .orderBy("c_custkey")),
+
+    "q13_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    "q14_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q15_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q16_join_cross" -> ((s, dir) =>
+      t(s, dir, "region").select("r_name")
+        .crossJoin(t(s, dir, "orders").select("o_orderstatus").distinct())
+        .orderBy("r_name", "o_orderstatus"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q10_join_bcast_dims" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |       SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name ASC NULLS FIRST""".stripMargin,
+
+    "q11_join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q12_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |       COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6))),
+        |                CAST(0 AS DECIMAL(38,6))) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q13_join_full" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |       COALESCE(c.n_cust, 0) AS n_cust,
+        |       COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey ASC NULLS FIRST""".stripMargin,
+
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q16_join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) o
+        |ORDER BY r_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+  )
+}
