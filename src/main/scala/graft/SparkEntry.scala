@@ -19,7 +19,10 @@ object SparkEntry {
     (ScanFilterQueries.queries, ScanFilterQueries.oracle),
     (JoinQueries.queries, JoinQueries.oracle),
     (AggQueries.queries, AggQueries.oracle),
-    (SortSetQueries.queries, SortSetQueries.oracle)
+    (SortSetQueries.queries, SortSetQueries.oracle),
+    (WindowQueries.queries, WindowQueries.oracle),
+    (ScalarQueries.queries, ScalarQueries.oracle),
+    (EventQueries.queries, EventQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.expr
 
 /** Explicit schemas for the ten driver-generated parquet tables
   * (FIXTURES.md). Pinning the StructType (instead of relying on footer
@@ -36,7 +37,9 @@ object Tables {
       "l_discount" -> DoubleType, "l_tax" -> DoubleType,
       "l_returnflag" -> StringType, "l_linestatus" -> StringType,
       "l_shipdate" -> TimestampType),
-    "events" -> st("event_id" -> LongType, "ts" -> TimestampType,
+    // ts is parquet TIMESTAMP(NANOS) — illegal for Spark 4's reader as a
+    // timestamp; read the raw int64 nanos and truncate to µs in load().
+    "events" -> st("event_id" -> LongType, "ts" -> LongType,
       "user_id" -> LongType, "event_type" -> StringType,
       "value" -> DoubleType, "props" -> StringType),
     "documents" -> st("doc_id" -> LongType, "text" -> StringType,
@@ -46,6 +49,16 @@ object Tables {
       "label" -> IntegerType)
   )
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // Spark 4 refuses TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL);
+      // read nanos as long and floor-divide to µs — the exact truncation
+      // DuckDB applies when it reads the same file, so values compare equal.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    }
+  }
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 scalar function families q40–q42 + §2.3 temporal joins q17–q19.
+  *
+  * Scale notes: all scalar projections stay inside whole-stage codegen
+  * (built-in functions only, no UDFs). q17's interval join is an equi-join
+  * on user_id with the time-range predicate as a post-join filter — the
+  * shuffle key is the user, so it scales with user cardinality, not with
+  * the cross product. q18's as-of join is the union-tag + running `last()`
+  * window form: one shuffle by user, one in-partition sort, no per-row
+  * subquery.
+  */
+object ScalarQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_datetime" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          tsOut(date_trunc("month", col("o_orderdate"))).as("order_month"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          tsOut(col("o_orderdate") + expr("INTERVAL 3 MONTH")).as("plus3"),
+          datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate"))
+            .as("days_to_y2k"))
+        .orderBy("o_orderkey")),
+
+    "q41_math" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_disc_shift"),
+          (col("l_quantity") % 7.0).as("qty_mod"),
+          round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 4).as("ln_price"),
+          round(pow(col("l_quantity"), 1.5), 4).as("qty_pow"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q42_array_ops" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          slice(col("embedding"), 1, 5).as("first5"),
+          round(sqrt(expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE)," +
+              " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
+            .as("l2_norm"))
+        .orderBy("vec_id")),
+
+    "q17_join_range" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val signup = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("signup_ts"))
+      val purchase = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      signup.join(purchase,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("signup_id"), col("purchase_id"), col("user_id"),
+          tsOut(col("signup_ts")).as("signup_ts"),
+          tsOut(col("purchase_ts")).as("purchase_ts"))
+        .orderBy("signup_id", "purchase_id")
+    }),
+
+    "q18_join_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Purchases sort before clicks at equal ts (tag 0 < tag 1), so the
+      // strictly-preceding frame never sees an equal-ts click — exactly
+      // the `c.ts < p.ts` semantics of the correlated oracle.
+      val e = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("tag", when(col("event_type") === "purchase", 0)
+          .otherwise(1))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_click_ts",
+          last(when(col("tag") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          tsOut(col("ts")).as("purchase_ts"),
+          tsOut(col("last_click_ts")).as("last_click_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q19_subquery_corr" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val nav = c.groupBy(col("c_nationkey").as("nk"))
+        .agg((decSum(col("c_acctbal")).cast("double") / count(lit(1)))
+          .as("nation_avg"))
+      c.join(nav, col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"),
+          col("nation_avg"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_datetime" ->
+      """SELECT o_orderkey,
+        |       date_trunc('month', o_orderdate) AS order_month,
+        |       CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+        |       CAST(date_part('month', o_orderdate) AS INT) AS o_month,
+        |       CAST(date_part('day', o_orderdate) AS INT) AS o_day,
+        |       o_orderdate + INTERVAL 3 MONTH AS plus3,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q41_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       ABS(l_discount - 0.05) AS abs_disc_shift,
+        |       l_quantity % 7.0 AS qty_mod,
+        |       ROUND(SQRT(l_extendedprice), 4) AS sqrt_price,
+        |       ROUND(LN(l_extendedprice), 4) AS ln_price,
+        |       ROUND(POWER(l_quantity, 1.5), 4) AS qty_pow
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
+
+    "q42_array_ops" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS n_dims,
+        |       embedding[1:5] AS first5,
+        |       ROUND(SQRT(list_sum(list_transform(embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
+
+    "q17_join_range" ->
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        |       s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+        |FROM events s JOIN events p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        |ORDER BY signup_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST""".stripMargin,
+
+    "q18_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+        |       (SELECT max(c.ts) FROM events c
+        |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |          AND c.ts < p.ts) AS last_click_ts
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id ASC NULLS FIRST""".stripMargin,
+
+    "q19_subquery_corr" ->
+      """SELECT c.c_custkey, c.c_acctbal, c.c_nationkey, nav.nation_avg
+        |FROM customer c
+        |JOIN (SELECT c_nationkey,
+        |             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS nation_avg
+        |      FROM customer GROUP BY c_nationkey) nav
+        |  ON c.c_nationkey = nav.c_nationkey
+        |WHERE c.c_acctbal > nav.nation_avg
+        |ORDER BY c.c_custkey ASC NULLS FIRST""".stripMargin
+  )
+}

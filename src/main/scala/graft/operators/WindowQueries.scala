@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 window functions q30–q35.
+  *
+  * Scale notes: every window partitions on a real key (segment, customer,
+  * user) so WindowExec parallelizes across groups after one hash
+  * partition + in-partition sort; no global-window (empty partitionBy)
+  * patterns, which would serialize onto one task at 100 TB. Window
+  * orderings always carry a unique tie-break column ([D1]) so rank and
+  * frame contents are deterministic.
+  */
+object WindowQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "q31_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          tsOut(col("o_orderdate")).as("o_orderdate"),
+          sum(col("o_totalprice").cast(Dec)).over(w).as("run_sum"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "q32_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, 3)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast(Dec)).over(w).cast("double") /
+            count(lit(1)).over(w), 4).as("mov_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q33_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          lag(col("ts"), 1).over(w).as("prev_ts"),
+          lead(col("ts"), 1).over(w).as("next_ts"))
+        .select(col("user_id"), col("event_id"),
+          tsOut(col("ts")).as("ts"),
+          tsOut(col("prev_ts")).as("prev_ts"),
+          tsOut(col("next_ts")).as("next_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q34_ntile_pct" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("tile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_acctbal", "c_custkey")
+    }),
+
+    "q35_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          first(col("c_custkey")).over(w).as("poorest_cust"),
+          last(col("c_custkey")).over(w).as("richest_cust"))
+        .orderBy("c_mktsegment", "c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_rank_topk" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) x
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "q31_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+        |FROM orders
+        |ORDER BY o_custkey ASC NULLS FIRST, o_orderdate ASC NULLS FIRST,
+        |         o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q32_moving_avg" ->
+      """SELECT user_id, event_id,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |             / COUNT(*) OVER w, 4) AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+
+    "q33_lag_lead" ->
+      """SELECT user_id, event_id, ts,
+        |       LAG(ts) OVER w AS prev_ts,
+        |       LEAD(ts) OVER w AS next_ts,
+        |       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+
+    "q34_ntile_pct" ->
+      """SELECT c_custkey, c_acctbal,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS tile,
+        |       PERCENT_RANK() OVER w AS pct_rank,
+        |       CUME_DIST() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST)
+        |ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q35_first_last" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       FIRST_VALUE(c_custkey) OVER w AS poorest_cust,
+        |       LAST_VALUE(c_custkey) OVER w AS richest_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin
+  )
+}
