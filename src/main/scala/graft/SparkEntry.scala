@@ -22,7 +22,10 @@ object SparkEntry {
     (SortSetQueries.queries, SortSetQueries.oracle),
     (WindowQueries.queries, WindowQueries.oracle),
     (ScalarQueries.queries, ScalarQueries.oracle),
-    (EventQueries.queries, EventQueries.oracle)
+    (EventQueries.queries, EventQueries.oracle),
+    (TextQueries.queries, TextQueries.oracle),
+    (VectorQueries.queries, VectorQueries.oracle),
+    (SketchQueries.queries, SketchQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

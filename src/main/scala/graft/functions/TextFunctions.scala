@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / hashing primitives for the LLM-pipeline operators, built purely
+  * from Spark's higher-order functions so everything stays inside
+  * whole-stage codegen (no Scala UDFs on the hot path) AND is
+  * reproducible in ANSI SQL by the DuckDB oracle.
+  *
+  * The polynomial rolling hash (x31 mod 1e9+7) is deliberately engine
+  * -portable: only 64-bit integer ops, no overflow (max intermediate
+  * ~3.2e10), identical in any SQL engine with BIGINT arithmetic.
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct token set (order irrelevant downstream). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Polynomial rolling hash of a string column:
+    * fold(chars, 7, (acc, c) -> (acc*31 + ascii(c)) % 1e9+7). */
+  def charHash(s: String): String =
+    s"aggregate(sequence(1, length($s)), CAST(7 AS BIGINT), " +
+      s"(acc, i) -> (acc * 31 + ascii(substring($s, i, 1))) % $HashMod)"
+
+  /** Rolling hash of every element of a string-array column `arr`. */
+  def tokenHashes(arr: String): String =
+    s"transform($arr, t -> ${charHash("t")})"
+
+  /** nHashes MinHash signatures over a BIGINT-array column `hs`:
+    * mh_k = min((h*(2k+1) + 7777k) mod 1e9+7). */
+  def minHashes(hs: String, nHashes: Int): String =
+    s"transform(sequence(0, ${nHashes - 1}), k -> " +
+      s"array_min(transform($hs, h -> (h * (2*k + 1) + 7777 * k) % $HashMod)))"
+
+  /** LSH band (band-index, band-key) structs from a minhash array `mh`. */
+  def bandKeys(mh: String, bands: Int, rows: Int): String =
+    s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
+      s"array_join(transform(slice($mh, b * $rows + 1, $rows), " +
+      s"x -> CAST(x AS STRING)), ',') AS bkey))"
+
+  /** Deterministic double-precision cosine similarity of two float-array
+    * columns: explicit left-fold dot product and norms, identical
+    * association order to the oracle's range-indexed formulation. */
+  def cosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** The same primitives for the DuckDB oracle side. */
+  object Sql {
+    def tokens(text: String): String =
+      s"list_filter(string_split($text, ' '), t -> t != '')"
+
+    def tokenSet(text: String): String = s"list_distinct(${tokens(text)})"
+
+    def charHash(s: String): String =
+      s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+        s"list_transform(range(1, len($s) + 1), " +
+        s"i -> CAST(ascii(substring($s, i, 1)) AS BIGINT))), " +
+        s"(a, b) -> (a * 31 + b) % $HashMod)"
+
+    def cosine(a: String, b: String): String = {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, len($x) + 1), " +
+          s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    }
+  }
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.Sql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.10 text operators: exact/near dedup (q60/q61), explode/top-k (q64),
+  * corpus stats (q65) — plus the training-data-pipeline extensions:
+  * n-gram-profile language ID (q71), quality scoring (q72), token
+  * counting (q73), rolling-hash fingerprinting (q74).
+  *
+  * Scale notes: all per-document scoring is pure projection (codegen, no
+  * shuffle). q61's exact-Jaccard self-join is blocked on `lang`; it exists
+  * as the deterministic oracle target — the scale path for 100 TB dedup is
+  * the MinHash/LSH pipeline in SketchQueries (q66), which replaces the
+  * O(n²/blocks) comparison with banded bucket joins.
+  */
+object TextQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", TextFunctions.tokenSet(col("text")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies", "text")
+        .orderBy("keep_id")),
+
+    // Token sets are compared as SORTED HASH arrays via the codegen merge
+    // -intersect expression (graft_sorted_intersect): |A∪B| = |A|+|B|-|A∩B|.
+    // Hash collisions would skew counts; OperatorSpec asserts the corpus
+    // vocabulary is collision-free under the rolling hash.
+    "q61_dedup_near" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = withToks(t(s, dir, "documents"))
+        .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
+        .select(col("doc_id"), col("lang"), col("hs"))
+      val a = d.select(col("doc_id").as("id_lo"), col("lang"),
+        col("hs").as("hs_a"))
+      val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
+        col("hs").as("hs_b"))
+      a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
+        .withColumn("inter",
+          expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
+        .withColumn("jac",
+          col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+        .filter(col("jac") >= 0.6)
+        .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
+        .orderBy("id_lo", "id_hi")
+    }),
+
+    "q64_text_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(20)),
+
+    "q65_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_toks", size(TextFunctions.tokens(col("text"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          decAvg(col("n_chars")).as("avg_chars"),
+          decAvg(col("n_toks")).as("avg_toks"))
+        .orderBy("lang")),
+
+    "q71_lang_id" -> ((s, dir) => {
+      val doctok = withToks(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      val prof = doctok.groupBy(col("lang").as("plang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("plang").orderBy(col("cnt").desc, col("tok").asc)))
+        .filter(col("rk") <= 20)
+        .select("plang", "tok")
+      val score = doctok.select("doc_id", "tok")
+        .join(prof, "tok")
+        .groupBy("doc_id", "plang")
+        .agg(count(lit(1)).as("score"))
+      val pred = score
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)))
+        .filter(col("rk") === 1)
+        .select(col("doc_id").as("p_doc_id"), col("plang").as("pred_lang"),
+          col("score"))
+      t(s, dir, "documents").select("doc_id", "lang")
+        .join(pred, col("doc_id") === col("p_doc_id"))
+        .select("doc_id", "lang", "pred_lang", "score")
+        .orderBy("doc_id")
+    }),
+
+    "q72_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("tk", TextFunctions.tokens(col("text")))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("tk"))).cast("long"))
+        .withColumn("sum_len", expr(
+          "CAST(aggregate(transform(tk, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)"))
+        .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+          round(col("n_uniq").cast("double") / col("n_tok"), 4).as("ttr"),
+          round(col("sum_len").cast("double") / col("n_tok"), 4).as("avg_tok_len"),
+          round(least(lit(1.0), col("n_tok") / 50.0) *
+            (col("n_uniq").cast("double") / col("n_tok")), 4).as("quality"))
+        .orderBy("doc_id")),
+
+    "q73_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
+          ceil(col("n_chars") / 4.0).cast("long").as("bpe_est"))
+        .orderBy("doc_id")),
+
+    "q74_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(TextFunctions.charHash("text")).as("fp"),
+          (expr(TextFunctions.charHash("text")) * 2654435761L).as("fp_spread"))
+        .orderBy("doc_id"))
+  )
+
+  private val sqlToks = Sql.tokens("text")
+  private val sqlTokSet = Sql.tokenSet("text")
+
+  val oracle: Map[String, String] = Map(
+    "q60_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
+        |FROM documents GROUP BY text ORDER BY keep_id ASC NULLS FIRST""".stripMargin,
+
+    "q61_dedup_near" ->
+      s"""WITH d AS (SELECT doc_id, lang, $sqlTokSet AS toks FROM documents)
+         |SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+         |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |             / len(list_distinct(a.toks || b.toks)), 4) AS jac4
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(list_distinct(a.toks || b.toks)) >= 0.6
+         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    "q64_text_explode" ->
+      s"""SELECT word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($sqlToks) AS word FROM documents) w
+         |GROUP BY word
+         |ORDER BY cnt DESC NULLS LAST, word ASC NULLS FIRST LIMIT 20""".stripMargin,
+
+    "q65_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+         |  ROUND(CAST(SUM(CAST(len($sqlToks) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_toks
+         |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
+    "q71_lang_id" ->
+      s"""WITH doctok AS (
+         |  SELECT doc_id, lang, unnest($sqlTokSet) AS tok FROM documents
+         |), prof AS (
+         |  SELECT plang, tok FROM (
+         |    SELECT lang AS plang, tok, COUNT(*) AS cnt
+         |    FROM doctok GROUP BY lang, tok) g
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY plang
+         |    ORDER BY cnt DESC NULLS LAST, tok ASC NULLS FIRST) <= 20
+         |), score AS (
+         |  SELECT d.doc_id, p.plang, COUNT(*) AS score
+         |  FROM doctok d JOIN prof p ON d.tok = p.tok
+         |  GROUP BY d.doc_id, p.plang
+         |), pred AS (
+         |  SELECT doc_id, plang AS pred_lang, score FROM score
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC NULLS LAST, plang ASC NULLS FIRST) = 1
+         |)
+         |SELECT d.doc_id, d.lang, p.pred_lang, p.score
+         |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q72_quality_score" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(len($sqlToks) AS BIGINT) AS n_tok,
+         |         CAST(len($sqlTokSet) AS BIGINT) AS n_uniq,
+         |         CAST(list_sum(list_transform($sqlToks, t -> len(t))) AS BIGINT) AS sum_len
+         |  FROM documents)
+         |SELECT doc_id, n_tok, n_uniq,
+         |       ROUND(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS ttr,
+         |       ROUND(CAST(sum_len AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+         |       ROUND(least(CAST(1 AS DOUBLE), n_tok / 50.0)
+         |             * (CAST(n_uniq AS DOUBLE) / n_tok), 4) AS quality
+         |FROM q ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q73_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len($sqlToks) AS BIGINT) AS n_ws,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+         |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
+         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q74_fingerprint" ->
+      s"""SELECT doc_id, ${Sql.charHash("text")} AS fp,
+         |       ${Sql.charHash("text")} * 2654435761 AS fp_spread
+         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+/** §5.4 determinism harness: every declared query must produce identical
+  * rows no matter how the data is partitioned — the local stand-in for
+  * "same answer on 8 threads and on 1000 executors". Catches
+  * partition-order-dependent float sums, unordered limits, and
+  * collect_list without array_sort before the driver's gate does.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  test("all queries are invariant to shuffle partition count") {
+    val narrow = spark.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", "1")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val base = fn(spark, Sf).collect().map(_.toString).toSeq
+        val single = fn(narrow, Sf).collect().map(_.toString).toSeq
+        if (base != single) Some(name) else None
+    }
+    assert(failures.isEmpty, s"nondeterministic queries: $failures")
+  }
+
+  test("every query returns rows at sf0.001 (except known-empty)") {
+    val mayBeEmpty = Set("q15_join_anti", "q39_except", "q69_embed_neardup")
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !mayBeEmpty(name) && fn(spark, Sf).isEmpty => name
+    }
+    assert(empty.isEmpty, s"unexpectedly empty: $empty")
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Operator-semantics unit tests that the SQL oracle can't express:
+  * HLL error bounds, session invariants, aggregator merge paths,
+  * IVF search structure, dedup idempotence. */
+class OperatorSpec extends SparkSpec {
+
+  test("q22 HLL estimate within documented error of exact distinct") {
+    val approx = SparkEntry.queries("q22_agg_hll")(spark, Sf)
+      .head.getLong(0).toDouble
+    val exact = Tables.load(spark, Sf, "lineitem")
+      .select(countDistinct(col("l_partkey"))).head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("q52 sessions partition events and respect the 30-min gap") {
+    val sessions = SparkEntry.queries("q52_win_session")(spark, Sf).collect()
+    val events = Tables.load(spark, Sf, "events")
+      .select("user_id", "ts").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getTimestamp(1).getTime).sorted).toMap
+    // session_start/last_ts are timestamp_ntz -> LocalDateTime
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // session counts per user sum to the user's event count
+    val perUser = sessions.groupBy(_.getLong(0))
+    perUser.foreach { case (user, rows) =>
+      assert(rows.map(_.getLong(3)).sum == events(user).length.toLong)
+    }
+    // inter-session gap >= 30 min: next session_start - prev last_ts
+    perUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(ms(_, 1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = ms(b, 1) - ms(a, 2)
+          assert(gapMs >= 30 * 60 * 1000L, s"gap $gapMs ms")
+        case _ =>
+      }
+    }
+  }
+
+  test("rolling hash is collision-free on the corpus vocabulary (all SFs)") {
+    import graft.functions.TextFunctions
+    graft.functions.GraftFunctions.register(spark)
+    for (sf <- Seq(Sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val toks = Tables.load(spark, sf, "documents")
+        .select(explode(TextFunctions.tokenSet(col("text"))).as("tok"))
+        .distinct()
+      val n = toks.count()
+      val nh = toks.select(expr(TextFunctions.charHash("tok")).as("h"))
+        .distinct().count()
+      assert(n == nh, s"hash collision in vocabulary at $sf")
+    }
+  }
+
+  test("q60 exact dedup is idempotent") {
+    val once = SparkEntry.queries("q60_dedup_exact")(spark, Sf)
+    val again = once.groupBy("text")
+      .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n"))
+    assert(again.filter(col("n") > 1).isEmpty)
+    assert(once.count() == once.select("text").distinct().count())
+  }
+
+  test("q31 last cumulative value equals the customer's total") {
+    val run = SparkEntry.queries("q31_running_sum")(spark, Sf)
+      .groupBy("o_custkey").agg(max(col("run_sum")).as("last_run"))
+    val tot = Tables.load(spark, Sf, "orders").groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(Dets.Dec)).as("total"))
+    val joined = run.join(tot, "o_custkey")
+      .filter(col("last_run") =!= col("total"))
+    assert(joined.isEmpty)
+  }
+
+  test("centroid aggregator: partial merge equals single-partition result") {
+    import graft.functions.CentroidAggregator
+    val agg = new CentroidAggregator(3)
+    val vecs = Seq(Array(1.0f, 2.0f, 3.0f), Array(2.0f, 3.0f, 4.0f),
+      Array(-1.0f, 0.5f, 0.25f))
+    val whole = vecs.foldLeft(agg.zero)(agg.reduce)
+    val split = agg.merge(
+      vecs.take(1).foldLeft(agg.zero)(agg.reduce),
+      vecs.drop(1).foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(whole).toSeq == agg.finish(split).toSeq)
+    assert(agg.finish(whole).toSeq == Seq(0.6667, 1.8333, 2.4167))
+  }
+
+  test("q70 IVF returns 3 ranked neighbors per probe") {
+    val rows = SparkEntry.queries("q70_ann_ivf")(spark, Sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.size == 10)
+    byProbe.values.foreach { rs =>
+      assert(rs.length == 3)
+      val cos = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cos.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("q66 LSH candidates contain every very-similar pair from q61") {
+    // Jaccard >= 0.9 pairs collide in at least one band with 16/4/4 MinHash
+    // with overwhelming probability (1-(1-s^4)^4 ~ 0.9997 at s=0.9).
+    val exact = SparkEntry.queries("q61_dedup_near")(spark, Sf)
+      .filter(col("jac4") >= 0.9)
+      .select("id_lo", "id_hi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q66_minhash_lsh")(spark, Sf)
+      .select("id_lo", "id_hi").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- lsh
+    assert(missed.size <= math.max(1, exact.size / 20),
+      s"LSH missed ${missed.size} of ${exact.size} high-sim pairs")
+  }
+
+  test("multimodal feature extraction preserves rows and batch shape") {
+    import graft.sources.Multimodal
+    import spark.implicits._
+    val rows = (0L until 100L).map { i =>
+      Multimodal.MediaRow(i, Array.fill((i % 7 + 1).toInt * 10)(i.toByte),
+        "img", 640, 480)
+    }
+    val ds = spark.createDataset(rows).repartition(5)
+    val feats = Multimodal.extractFeatures(ds).collect()
+    assert(feats.length == 100)
+    assert(feats.forall(_.feature.length == 8))
+    assert(feats.forall(f => f.thumb_w == 64 && f.thumb_h == 48))
+    // deterministic: same bytes -> same features
+    val f0 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(f0.map(_.feature.toSeq).toSeq ==
+      feats.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** §5.2: the physical-mapping claims in SURVEY §2/§4 are enforced, not
+  * aspirational — broadcast joins stay broadcast, top-k stays
+  * TakeOrderedAndProject, parquet scans keep pushed filters and pruned
+  * schemas. These are the properties that make the plans survive a 100×
+  * scale-up, so regressions here are scale bugs even when results match.
+  */
+class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("q10 star-dim join broadcasts both dimensions") {
+    val p = planOf("q10_join_bcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must not shuffle the fact side")
+  }
+
+  test("q36 global top-k compiles to TakeOrderedAndProject") {
+    val p = planOf("q36_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q02 ships shipdate/returnflag predicates to the parquet reader") {
+    val p = planOf("q02_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("l_returnflag"), "returnflag filter should be pushed")
+  }
+
+  test("q01 prunes the parquet read schema to the projected columns") {
+    val p = planOf("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("p_brand"), "unprojected columns must not be read")
+  }
+
+  test("q20 aggregates partially before the shuffle (map-side combine)") {
+    val p = planOf("q20_agg_pricing")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final HashAggregate")
+  }
+
+  test("q62 broadcasts the probe side (corpus never shuffles)") {
+    val p = planOf("q62_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("queries and oracleSql keys line up") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
+    val omitted = q -- o
+    assert(omitted.forall(Set("q22_agg_hll", "q70_ann_ivf")),
+      s"unexpected oracle-omitted queries: $omitted")
+  }
+}

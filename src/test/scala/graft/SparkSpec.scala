@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for specs; sf0.001 keeps each suite in seconds. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName(getClass.getSimpleName)
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    // One shared JVM-wide session across suites; don't stop it between
+    // suites (sbt runs them sequentially in the forked JVM).
+    super.afterAll()
+  }
+}

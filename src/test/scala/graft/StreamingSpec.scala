@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** §2.9 streaming-only semantics over the same event-time expressions the
+  * batch queries use: micro-batched file source, watermark late-drop,
+  * and mapGroupsWithState custom state. All public APIs (no test-only
+  * internals), so the same topology runs on a real cluster.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def chunkEventsDir(): String = {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val events = Tables.load(spark, Sf, "events").orderBy("ts", "event_id")
+    val n = events.count().toInt
+    val chunk = math.max(1, n / 3)
+    val rows = events.collect()
+    rows.grouped(chunk).zipWithIndex.foreach { case (part, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toSeq, 1), events.schema)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/chunk_$i")
+      // one file per chunk dir; move files up so the stream source sees a
+      // flat directory of parquet files in chunk order
+      val f = Files.list(Paths.get(s"$dir/chunk_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(f), Paths.get(s"$dir/part_$i.parquet"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/part_$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    dir
+  }
+
+  test("streamed tumbling-window counts converge to the q50 batch result") {
+    val dir = chunkEventsDir()
+    val schema = Tables.load(spark, Sf, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part_*.parquet")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(Dets.tsOut(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("t_tumble")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2))
+    val streamed = spark.table("t_tumble").collect().map(key).toSet
+    val batch = SparkEntry.queries("q50_win_tumbling")(spark, Sf)
+      .select("window_start", "event_type", "n").collect().map(key).toSet
+    assert(streamed == batch)
+  }
+
+  test("watermark drops late data in append mode") {
+    val dir = Files.createTempDirectory("graft_late_").toString
+    import spark.implicits._
+    def write(name: String, mtime: Long, rows: Seq[(Timestamp, String)]): Unit = {
+      rows.toDF("ts", "k").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stage")
+      val f = Files.list(Paths.get(s"$dir/stage")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(f), Paths.get(s"$dir/$name.parquet"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, k STRING")
+        .parquet(s"$dir/*.parquet")
+      val agg = stream.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string").as("ws"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // phase 1: events at 10:00/10:05 and 12:00 -> watermark persists at 11:50,
+    // the 10:00 window closes and is emitted with n=2
+    write("a", 1000000L, Seq((ts("2024-01-01 10:00:00"), "x"),
+      (ts("2024-01-01 10:05:00"), "x")))
+    write("b", 2000000L, Seq((ts("2024-01-01 12:00:00"), "x")))
+    runOnce()
+    // phase 2: a 10:30 row arrives BEHIND the persisted watermark (late by
+    // 80 min vs the 10-min bound) and must be dropped; 14:00 advances the
+    // watermark so the 12:00 window closes with n=1
+    write("c", 3000000L, Seq((ts("2024-01-01 10:30:00"), "x")))
+    write("d", 4000000L, Seq((ts("2024-01-01 14:00:00"), "x")))
+    runOnce()
+
+    val emitted = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(emitted.get("2024-01-01 10:00:00").contains(2L), emitted.toString)
+    assert(emitted.get("2024-01-01 12:00:00").contains(1L), emitted.toString)
+  }
+
+  test("mapGroupsWithState maintains per-user running counts") {
+    val dir = chunkEventsDir()
+    val schema = Tables.load(spark, Sf, "events").schema
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part_*.parquet")
+      .selectExpr("user_id", "event_id")
+      .as[(Long, Long)]
+    val counted = stream.groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.length
+          state.update(next)
+          (user, next)
+      }
+    val q = counted.toDF("user_id", "n").writeStream.format("memory")
+      .queryName("t_state").outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per user == total batch count
+    val finalCounts = spark.table("t_state").groupBy("user_id")
+      .agg(max(col("n")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.load(spark, Sf, "events").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == batch)
+  }
+}
