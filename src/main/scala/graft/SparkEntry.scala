@@ -25,7 +25,8 @@ object SparkEntry {
     (EventQueries.queries, EventQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
-    (SketchQueries.queries, SketchQueries.oracle)
+    (SketchQueries.queries, SketchQueries.oracle),
+    (TfidfQueries.queries, TfidfQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

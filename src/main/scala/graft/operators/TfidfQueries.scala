@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.functions.TextFunctions.Sql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF scoring (q75) and word-bigram shingle Jaccard (q76) — the
+  * remaining text-relevance / n-gram-dedup operators from the inventory.
+  *
+  * Scale notes: q75 is two hash aggregations (term frequency per doc,
+  * document frequency per term) joined on the term — both partial
+  * -aggregate map-side; the corpus-size scalar joins in via a broadcast
+  * single-row aggregate, never a driver-side collect. q76 reuses the
+  * sorted-hash merge-intersect expression; shingle sets are ~doc-length
+  * sized, and the same-lang blocking + LSH (q66) is the scale path.
+  */
+object TfidfQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Word bigram shingles of a (filtered) token array column. */
+  private val bigramsExpr =
+    "transform(sequence(1, size(tk) - 1), " +
+      "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf4").desc, col("tok").asc)
+      tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("tfidf4",
+          round(col("cnt") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf4"))
+        .orderBy("doc_id")
+    }),
+
+    "q76_ngram_jaccard" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+        .withColumn("tk", TextFunctions.tokens(col("text")))
+        .filter(size(col("tk")) >= 2)
+        .withColumn("grams", array_distinct(expr(bigramsExpr)))
+        .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("grams"))))
+        .select(col("doc_id"), col("lang"), col("hs"))
+      val a = d.select(col("doc_id").as("id_lo"), col("lang"),
+        col("hs").as("hs_a"))
+      val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
+        col("hs").as("hs_b"))
+      a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
+        .withColumn("inter",
+          expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
+        .withColumn("jac",
+          col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+        .filter(col("jac") >= 0.25)
+        .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
+        .orderBy("id_lo", "id_hi")
+    })
+  )
+
+  private val sqlToks = Sql.tokens("text")
+
+  val oracle: Map[String, String] = Map(
+    "q75_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+         |), tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+         |), df AS (
+         |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id, tok AS top_term,
+         |       ROUND(cnt * LN(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf4
+         |FROM tf JOIN df USING (tok) CROSS JOIN n
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+         |  ORDER BY ROUND(cnt * LN(CAST(n_docs AS DOUBLE) / df), 4) DESC NULLS LAST,
+         |           tok ASC NULLS FIRST) = 1
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q76_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         list_distinct(list_transform(range(1, len(tk)),
+         |           i -> tk[i] || ' ' || tk[i + 1])) AS grams
+         |  FROM (SELECT doc_id, lang, $sqlToks AS tk FROM documents) x
+         |  WHERE len(tk) >= 2
+         |)
+         |SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+         |       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |             / len(list_distinct(a.grams || b.grams)), 4) AS jac4
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / len(list_distinct(a.grams || b.grams)) >= 0.25
+         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Lake ETL surface — the engine's COPY/UNLOAD analog (SURVEY §2.1).
+  *
+  * Scale notes: partitioned writes lay the lake out for partition-pruned
+  * reads (the Spectrum/date-prefix pattern); `maxRecordsPerFile` bounds
+  * file sizes so a 100 TB unload produces splittable files instead of a
+  * few giant ones. Reads always take an explicit schema — inference
+  * would both scan twice and introduce nondeterminism.
+  */
+object LakeWriter {
+
+  /** UNLOAD-style partitioned parquet export. */
+  def unloadPartitioned(df: DataFrame, out: String, partitionCols: Seq[String],
+    maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(out)
+
+  /** COPY-style CSV ingest (header, explicit schema, strict mode). */
+  def copyCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("mode", "FAILFAST").csv(path)
+
+  def unloadCsv(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(out)
+
+  /** COPY-style JSON-lines ingest. */
+  def copyJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def unloadJson(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").json(out)
+}
