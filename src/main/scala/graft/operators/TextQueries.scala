@@ -49,6 +49,10 @@ object TextQueries {
       val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
         col("hs").as("hs_b"))
       a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
+        // J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prune skips the
+        // merge-intersect for most pairs without changing the result set.
+        .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
+          greatest(size(col("hs_a")), size(col("hs_b"))) >= 0.6)
         .withColumn("inter",
           expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
         .withColumn("jac",

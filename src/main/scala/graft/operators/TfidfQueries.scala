@@ -59,6 +59,9 @@ object TfidfQueries {
       val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
         col("hs").as("hs_b"))
       a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
+        // Jaccard upper bound min/max-size prune (see q61).
+        .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
+          greatest(size(col("hs_a")), size(col("hs_b"))) >= 0.25)
         .withColumn("inter",
           expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
         .withColumn("jac",
