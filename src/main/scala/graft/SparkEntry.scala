@@ -26,7 +26,8 @@ object SparkEntry {
     (TextQueries.queries, TextQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
     (SketchQueries.queries, SketchQueries.oracle),
-    (TfidfQueries.queries, TfidfQueries.oracle)
+    (TfidfQueries.queries, TfidfQueries.oracle),
+    (StatsQueries.queries, StatsQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers.
+  *
+  * At 100 TB a handful of hot keys (one giant customer, one near-dup
+  * mega-cluster) can pin an entire aggregation or join on one reducer.
+  * For ALGEBRAIC aggregates (counts, exact decimal sums, min/max) the
+  * standard fix is two-phase salted aggregation: spread each hot key
+  * over `salts` sub-keys, partially aggregate, then aggregate the
+  * partials. Correctness requires associative+commutative aggregates —
+  * which is exactly what the [D2] decimal-sum convention guarantees, so
+  * salting never changes results here (asserted in SkewSpec).
+  *
+  * Joins against skewed keys are left to AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default); this helper
+  * covers the aggregation side AQE doesn't rewrite.
+  */
+object Skew {
+
+  /** Deterministic pseudo-random salt in [0, salts) derived from a row's
+    * value columns (never from rand() — reruns must agree). */
+  private def saltCol(cols: Seq[Column], salts: Int): Column =
+    pmod(xxhash64(cols: _*), lit(salts))
+
+  /** Two-phase salted sum/count: groupBy(keys :+ salt) partial, then
+    * final groupBy(keys). `sums` maps output name -> column to decimal-sum. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+    sums: Map[String, Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      saltCol(sums.values.toSeq ++ keys.map(col), salts))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sums.map { case (name, c) =>
+          sum(c.cast(graft.Dets.Dec)).as(name)
+        }.toSeq: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n"),
+        sums.keys.map(name => sum(col(name)).as(name)).toSeq: _*)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates (q43–q44), the Redshift analytics-SQL family
+  * the reference pushes down (STDDEV/VARIANCE/CORR/PERCENTILE).
+  *
+  * Determinism design: Spark's native stddev/corr accumulate doubles in
+  * partition order — low bits drift with partitioning, which would break
+  * both the oracle hash and cluster determinism. Instead the moments
+  * (Σx, Σx², Σxy) are exact DECIMAL(38,6) sums (x ≤ 2dp so x², xy ≤ 4dp
+  * are exact), and variance/correlation are derived in one fixed double
+  * formula — bit-identical at any partition count and in DuckDB.
+  * Median uses explicit percentile_disc semantics (rank-based, no
+  * interpolation-formula drift between engines).
+  */
+object StatsQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_moment_stats" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        decSum(col("l_quantity")).cast("double").as("sx"),
+        decSum(col("l_quantity") * col("l_quantity")).cast("double").as("sx2"),
+        decSum(col("l_extendedprice")).cast("double").as("sy"),
+        decSum(col("l_extendedprice") * col("l_extendedprice")).cast("double")
+          .as("sy2"),
+        decSum(col("l_quantity") * col("l_extendedprice")).cast("double")
+          .as("sxy"))
+      g.select(col("l_returnflag"), col("n"),
+          round(col("sx") / col("n"), 4).as("mean_qty"),
+          round((col("sx2") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1), 4).as("var_qty"),
+          round(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)), 4).as("std_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sx2") - col("sx") * col("sx") / col("n")) *
+              (col("sy2") - col("sy") * col("sy") / col("n"))), 4)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q44_median_disc" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      o.select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("o_orderstatus")))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q43_moment_stats" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       ROUND(sx / n, 4) AS mean_qty,
+        |       ROUND((sx2 - sx * sx / n) / (n - 1), 4) AS var_qty,
+        |       ROUND(SQRT((sx2 - sx * sx / n) / (n - 1)), 4) AS std_qty,
+        |       ROUND((sxy - sx * sy / n)
+        |             / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 4)
+        |         AS corr_qty_price
+        |FROM g ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q44_median_disc" ->
+      """SELECT o_orderstatus, o_totalprice AS median_price FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders) x
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -49,6 +49,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       p.take(2000))
   }
 
+  test("q17 interval join hashes on the equi key (no nested loop)") {
+    val p = planOf("q17_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride on the user_id equi-join\n" + p.take(2000))
+  }
+
+  test("q66 LSH candidate join is a hash/merge join on (band, key)") {
+    val p = planOf("q66_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("queries and oracleSql keys line up") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
