@@ -105,6 +105,34 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.get("2024-01-01 12:00:00").contains(1L), emitted.toString)
   }
 
+  test("streamed session windows agree with the q52 batch sessions") {
+    val dir = chunkEventsDir()
+    val schema = Tables.load(spark, Sf, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part_*.parquet")
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        Dets.tsOut(col("session_window.start")).as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("t_sess")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2))
+    val streamed = spark.table("t_sess").collect().map(key).toSet
+    val batch = SparkEntry.queries("q52_win_session")(spark, Sf)
+      .select("user_id", "session_start", "n_events").collect().map(key).toSet
+    // append mode only emits sessions closed below the final watermark:
+    // streamed is a subset, but must cover nearly all sessions
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions disagree: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= (batch.size * 9) / 10,
+      s"only ${streamed.size} of ${batch.size} sessions emitted")
+  }
+
   test("mapGroupsWithState maintains per-user running counts") {
     val dir = chunkEventsDir()
     val schema = Tables.load(spark, Sf, "events").schema
