@@ -95,12 +95,18 @@ object AggQueries {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
 
+    // Emitted as a comma-joined string (integers render identically in
+    // both engines) so the driver's value hash sees a scalar, not an
+    // engine-specific array representation.
     "q27_collect_sorted" -> ((s, dir) =>
       t(s, dir, "orders")
         .filter(col("o_totalprice") > 400000)
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(array_sort(collect_list(col("o_orderkey"))).as("order_ids"))
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("ids_arr"))
+        .select(col("c_mktsegment"),
+          expr("array_join(transform(ids_arr, x -> CAST(x AS STRING)), ',')")
+            .as("order_ids"))
         .orderBy("c_mktsegment"))
   )
 
@@ -156,7 +162,8 @@ object AggQueries {
         |FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin,
 
     "q27_collect_sorted" ->
-      """SELECT c_mktsegment, list_sort(list(o_orderkey)) AS order_ids
+      """SELECT c_mktsegment,
+        |       array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 400000
         |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin

@@ -43,11 +43,16 @@ object ScalarQueries {
           round(pow(col("l_quantity"), 1.5), 4).as("qty_pow"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Leading elements emitted as float scalar columns (bit-exact across
+    // engines) rather than an array cell the driver's hash may render
+    // engine-specifically.
     "q42_array_ops" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).as("n_dims"),
-          slice(col("embedding"), 1, 5).as("first5"),
+          element_at(col("embedding"), 1).as("e1"),
+          element_at(col("embedding"), 2).as("e2"),
+          element_at(col("embedding"), 3).as("e3"),
           round(sqrt(expr(
             "aggregate(embedding, CAST(0 AS DOUBLE)," +
               " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
@@ -130,7 +135,7 @@ object ScalarQueries {
     "q42_array_ops" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS INT) AS n_dims,
-        |       embedding[1:5] AS first5,
+        |       embedding[1] AS e1, embedding[2] AS e2, embedding[3] AS e3,
         |       ROUND(SQRT(list_sum(list_transform(embedding,
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin,

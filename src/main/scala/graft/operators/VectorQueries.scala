@@ -50,6 +50,9 @@ object VectorQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // The aggregator produces the centroid array; it is emitted exploded
+    // to (label, dim, c) rows of scalar doubles — hash-safe across
+    // engines and directly comparable to the oracle's per-dimension CTE.
     "q63_centroid_agg" -> ((s, dir) => {
       val centroid = udaf(new CentroidAggregator(64),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
@@ -57,7 +60,11 @@ object VectorQueries {
         .groupBy("label")
         .agg(centroid(col("embedding")).as("centroid"),
           count(lit(1)).as("n"))
-        .orderBy("label")
+        .select(col("label"), col("n"),
+          posexplode(col("centroid")).as(Seq("pos", "c")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          col("c"), col("n"))
+        .orderBy("label", "dim")
     }),
 
     "q69_embed_neardup" -> ((s, dir) => {
@@ -136,12 +143,12 @@ object VectorQueries {
         |), per AS (
         |  SELECT label, dim,
         |         ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
-        |               / COUNT(*), 4) AS v
+        |               / COUNT(*), 4) AS c
         |  FROM flat GROUP BY label, dim
         |), cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
-        |SELECT per.label, list(v ORDER BY dim) AS centroid, MIN(cnt.n) AS n
+        |SELECT per.label, per.dim, per.c, cnt.n
         |FROM per JOIN cnt ON per.label = cnt.label
-        |GROUP BY per.label ORDER BY per.label ASC NULLS FIRST""".stripMargin,
+        |ORDER BY per.label ASC NULLS FIRST, per.dim ASC NULLS FIRST""".stripMargin,
 
     "q69_embed_neardup" ->
       s"""SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
