@@ -27,7 +27,8 @@ object SparkEntry {
     (VectorQueries.queries, VectorQueries.oracle),
     (SketchQueries.queries, SketchQueries.oracle),
     (TfidfQueries.queries, TfidfQueries.oracle),
-    (StatsQueries.queries, StatsQueries.oracle)
+    (StatsQueries.queries, StatsQueries.oracle),
+    (PivotQueries.queries, PivotQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
