@@ -133,6 +133,25 @@ class StreamingSpec extends SparkSpec {
       s"only ${streamed.size} of ${batch.size} sessions emitted")
   }
 
+  test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
+    val dir = Files.createTempDirectory("graft_dedup_").toString
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // duplicate event ids within the watermark window must collapse
+    Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:30"), 1L),
+      (ts("2024-01-01 10:01:00"), 2L), (ts("2024-01-01 10:20:00"), 3L))
+      .toDF("ts", "id").coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema("ts TIMESTAMP, id BIGINT")
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = stream.writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("t_dedup").collect().map(_.getLong(1)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), ids.toString)
+  }
+
   test("mapGroupsWithState maintains per-user running counts") {
     val dir = chunkEventsDir()
     val schema = Tables.load(spark, Sf, "events").schema
