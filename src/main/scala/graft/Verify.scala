@@ -14,6 +14,7 @@ object Verify {
       // Write µs-int64 timestamps (not INT96) so the driver's pyarrow read
       // of our dump has the exact same timestamp unit as DuckDB's output.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
