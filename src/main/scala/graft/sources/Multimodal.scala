@@ -60,6 +60,12 @@ object Multimodal {
       if (w <= 0 || h <= 0) (0, 0)
       else if (w >= h) (maxSide, math.max(1, (h.toLong * maxSide / w).toInt))
       else (math.max(1, (w.toLong * maxSide / h).toInt), maxSide)
+
+    /** "Frame sample": timestamps (ms) of evenly spaced frames, always
+      * including frame 0, never exceeding the duration. */
+    def frameSampleMs(durationMs: Long, everyMs: Long): Array[Long] =
+      if (durationMs <= 0 || everyMs <= 0) Array(0L)
+      else (0L until durationMs by everyMs).toArray
   }
 
   /** Batched partition-local decode: the Spark-side shape of a media

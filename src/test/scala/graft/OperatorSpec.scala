@@ -129,5 +129,9 @@ class OperatorSpec extends SparkSpec {
     val f0 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
     assert(f0.map(_.feature.toSeq).toSeq ==
       feats.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+    // frame sampling: bounded, 0-anchored, evenly spaced
+    val frames = Multimodal.FakeDecoder.frameSampleMs(10000, 3000)
+    assert(frames.toSeq == Seq(0L, 3000L, 6000L, 9000L))
+    assert(Multimodal.FakeDecoder.frameSampleMs(0, 1000).toSeq == Seq(0L))
   }
 }
