@@ -39,11 +39,18 @@ object TextFunctions {
     s"transform(sequence(0, ${nHashes - 1}), k -> " +
       s"array_min(transform($hs, h -> (h * (2*k + 1) + 7777 * k) % $HashMod)))"
 
-  /** LSH band (band-index, band-key) structs from a minhash array `mh`. */
+  /** Band-key fold modulus: keys stay < 1e15 so a*31+x never overflows
+    * int64. Collisions only ADD candidate pairs (later exact-verified),
+    * and the oracle folds identically, so results are unaffected. */
+  val BandMod = 1000000000000000L
+
+  /** LSH band (band-index, band-key) structs from a minhash array `mh`.
+    * Keys are arithmetic folds (x31 mod 1e15) of each band's minhashes —
+    * longs join/shuffle far cheaper than concatenated strings. */
   def bandKeys(mh: String, bands: Int, rows: Int): String =
     s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
-      s"array_join(transform(slice($mh, b * $rows + 1, $rows), " +
-      s"x -> CAST(x AS STRING)), ',') AS bkey))"
+      s"aggregate(slice($mh, b * $rows + 1, $rows), CAST(0 AS BIGINT), " +
+      s"(a, x) -> (a * 31 + x) % $BandMod) AS bkey))"
 
   /** Deterministic double-precision cosine similarity of two float-array
     * columns: explicit left-fold dot product and norms, identical

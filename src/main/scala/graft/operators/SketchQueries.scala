@@ -95,7 +95,8 @@ object SketchQueries {
          |  GROUP BY doc_id, k
          |), bands AS (
          |  SELECT doc_id, k // $Rows AS band,
-         |         string_agg(CAST(mhv AS VARCHAR), ',' ORDER BY k) AS bkey
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mhv ORDER BY k)),
+         |                     (a, b) -> (a * 31 + b) % ${TextFunctions.BandMod}) AS bkey
          |  FROM mh GROUP BY doc_id, k // $Rows
          |), cand AS (
          |  SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.Dets
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Reusable Structured Streaming topologies over the events schema —
+  * the same event-time expressions the batch queries (q50–q52) gate on,
+  * plus a custom stateful sessionizer (flatMapGroupsWithState), the
+  * §2.9 "custom state" operator.
+  *
+  * Scale notes: all topologies key state by user/window so state is
+  * hash-partitioned across executors; watermarks bound state size (late
+  * rows are dropped, closed sessions are evicted on emission). Nothing
+  * here holds unbounded per-key buffers.
+  */
+object EventStreams {
+
+  /** Epoch-aligned tumbling counts + exact decimal sums per event type. */
+  def tumblingCounts(events: DataFrame, window: String,
+    watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Dets.decSum(col("value")).as("sum_value"))
+      .select(Dets.tsOut(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+    last_ts: Timestamp, n_events: Long)
+
+  /** Custom stateful sessionizer: closes a user's session when the gap
+    * exceeds `gapMs` (or the event-time timeout fires) and emits it.
+    * Semantics match `session_window(ts, gap)` / the q52 islands oracle:
+    * a gap of exactly `gapMs` starts a new session.
+    *
+    * Requires append mode + event-time watermark on the input. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long)
+  : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          if (sorted.isEmpty && state.hasTimedOut) {
+            cur.foreach { s =>
+              closed += ClosedSession(user, new Timestamp(s.start),
+                new Timestamp(s.last), s.n)
+            }
+            state.remove()
+          } else {
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close once the watermark passes session end + gap
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+          }
+          closed.result().iterator
+      }
+  }
+}

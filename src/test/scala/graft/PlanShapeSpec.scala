@@ -61,6 +61,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       p.take(2000))
   }
 
+  test("SURVEY §2 inventory and the declared query map agree") {
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val mentioned = "`(q[0-9]{2}_[a-z0-9_]+)`".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val declared = SparkEntry.queries.keySet
+    assert((declared -- mentioned).isEmpty,
+      s"declared but missing from SURVEY: ${declared -- mentioned}")
+    assert((mentioned -- declared).isEmpty,
+      s"SURVEY mentions undeclared queries: ${mentioned -- declared}")
+  }
+
   test("queries and oracleSql keys line up") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -40,19 +40,18 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/part_*.parquet")
-    val agg = stream
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(Dets.tsOut(col("window.start")).as("window_start"),
-        col("event_type"), col("n"))
+    val agg = graft.streaming.EventStreams
+      .tumblingCounts(stream, "1 hour", "10 minutes")
     val q = agg.writeStream.format("memory").queryName("t_tumble")
       .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     def key(r: org.apache.spark.sql.Row) =
-      (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2))
+      (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2),
+        r.getDecimal(3))
     val streamed = spark.table("t_tumble").collect().map(key).toSet
     val batch = SparkEntry.queries("q50_win_tumbling")(spark, Sf)
-      .select("window_start", "event_type", "n").collect().map(key).toSet
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(key).toSet
     assert(streamed == batch)
   }
 
@@ -131,6 +130,34 @@ class StreamingSpec extends SparkSpec {
       s"streamed sessions disagree: ${(streamed -- batch).take(3)}")
     assert(streamed.size >= (batch.size * 9) / 10,
       s"only ${streamed.size} of ${batch.size} sessions emitted")
+  }
+
+  test("custom flatMapGroupsWithState sessionizer agrees with q52 sessions") {
+    import graft.streaming.EventStreams
+    val dir = chunkEventsDir()
+    val schema = Tables.load(spark, Sf, "events").schema
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part_*.parquet")
+      .select(col("user_id"), col("ts")).as[EventStreams.SessionEvent]
+    val sessions = EventStreams.sessionize(stream, 30 * 60 * 1000L)
+    val q = sessions.toDF().writeStream.format("memory").queryName("t_css")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("t_css").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    def ms(ldt: java.time.LocalDateTime): Long =
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val batch = SparkEntry.queries("q52_win_session")(spark, Sf)
+      .select("user_id", "session_start", "last_ts", "n_events").collect()
+      .map(r => (r.getLong(0), ms(r.getAs[java.time.LocalDateTime](1)),
+        ms(r.getAs[java.time.LocalDateTime](2)), r.getLong(3))).toSet
+    assert(streamed.subsetOf(batch),
+      s"sessionizer disagrees: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= (batch.size * 8) / 10,
+      s"only ${streamed.size} of ${batch.size} sessions closed")
   }
 
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
