@@ -49,6 +49,34 @@ object Tables {
       "label" -> IntegerType)
   )
 
+  /** Redistribute a scan across the cluster before CPU-heavy per-row work
+    * (tokenization, hashing, vector math, join fan-out). A scan whose
+    * split count is below the cluster parallelism — one coalesced file,
+    * one row group — would otherwise run ALL downstream narrow compute in
+    * that same handful of tasks. Hash-partitioning on the table's key is
+    * deterministic under retries and costs one shuffle of the raw rows;
+    * when the scan already has enough splits (the many-file production
+    * case) this returns the input untouched, so pipelines can apply it
+    * unconditionally.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    if (sys.env.contains("GRAFT_NO_SPREAD")) return df
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df
+    else df.repartition(want, org.apache.spark.sql.functions.col(key))
+  }
+
+  /** Primary keys of the tables whose pipelines do heavy per-row compute
+    * and therefore load via [[loadSpread]]. */
+  private val spreadKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** [[load]] + [[spread]] for the compute-heavy corpus tables; other
+    * tables load unchanged. */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    spreadKeys.get(name).map(spread(df, _)).getOrElse(df)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // Spark 4 refuses TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL);

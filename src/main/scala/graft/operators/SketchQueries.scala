@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object SketchQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
+    Tables.loadSpread(s, dir, n)
 
   private val NumHashes = 16
   private val Bands = 4

@@ -22,7 +22,7 @@ object TextQueries {
   import Dets._
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
+    Tables.loadSpread(s, dir, n)
 
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", TextFunctions.tokenSet(col("text")))

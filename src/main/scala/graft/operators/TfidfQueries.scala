@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TfidfQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
+    Tables.loadSpread(s, dir, n)
 
   /** Word bigram shingles of a (filtered) token array column. */
   private val bigramsExpr =

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
+    Tables.loadSpread(s, dir, n)
 
   /** cos = dot(a,b)/(sqrt(n2a)*sqrt(n2b)) with precomputed squared norms. */
   private def cosWith(a: String, b: String, n2a: String, n2b: String): Column =
