@@ -28,7 +28,8 @@ object SparkEntry {
     (SketchQueries.queries, SketchQueries.oracle),
     (TfidfQueries.queries, TfidfQueries.oracle),
     (StatsQueries.queries, StatsQueries.oracle),
-    (PivotQueries.queries, PivotQueries.oracle)
+    (PivotQueries.queries, PivotQueries.oracle),
+    (PipelineQueries.queries, PipelineQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.Sql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline ETL operators beyond per-document scoring:
+  * near-dup CLUSTER resolution (q77 — pairs alone don't dedup a corpus;
+  * you need connected components and a keep decision), deterministic
+  * train/val/test hash-splitting (q78), token-budget sequence packing
+  * (q79), stratified per-group sampling (q80), and latest-wins upsert
+  * compaction of an event log into a snapshot (q81 — the classic
+  * incremental-ETL merge the reference microservice performs between its
+  * staging and serving layers).
+  *
+  * Scale notes:
+  *  - q77 is iterative min-label propagation over the near-dup edge list:
+  *    every iteration is one shuffle join edges⋈labels + a partial-agg
+  *    min — the standard large-graph connected-components loop. Labels
+  *    are localCheckpoint'ed per iteration so lineage (and thus planning
+  *    time) stays O(1) in the iteration count, and convergence is
+  *    detected with a single exact integer aggregate (sum of labels,
+  *    strictly decreasing until fixpoint). Dense near-dup clusters
+  *    converge in a handful of iterations; a 100 TB corpus would swap the
+  *    edge list for q66's LSH candidates and keep this loop unchanged.
+  *  - q78/q79/q80 are pure projection + window work: they shuffle once on
+  *    the partition key (lang) and stay inside whole-stage codegen. The
+  *    split/sample hashes are the engine-portable rolling hashes from
+  *    TextFunctions, so assignment is reproducible across engines and
+  *    cluster sizes — the property a training pipeline actually needs
+  *    from a splitter.
+  *  - q81 is one window over the event log partitioned by user: at scale
+  *    this is the merge step of incremental compaction (dedup-by-key,
+  *    latest wins), shuffling each key group once.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.loadSpread(s, dir, n)
+
+  private val PackBudget = 2048L
+  private val SampleK = 20
+  private val Spread = 2654435761L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Connected components over the q61 near-dup pairs: cluster_id is the
+    // min doc_id reachable through the near-dup relation; keep = 1 on the
+    // cluster representative. Singletons keep themselves.
+    "q77_dedup_cluster" -> ((s, dir) => {
+      val e0 = TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi")
+      val edges = e0.union(e0.select(col("id_hi").as("id_lo"),
+        col("id_lo").as("id_hi"))).persist()
+      val dbg = sys.env.contains("GRAFT_Q77_DEBUG")
+      def tick[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        if (dbg) println(f"[q77] $label%-12s ${(System.nanoTime - t0) / 1e9}%.2f s")
+        r
+      }
+      var labels = tick("init")(t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint(true))
+      var prevSum = -1L
+      var curSum = labels.agg(sum("lab")).head.getLong(0)
+      var iter = 0
+      while (curSum != prevSum && iter < 50) {
+        // labels is one row per doc — broadcast it so each iteration is a
+        // map-only pass over the cached edge list plus a partial-agg min
+        // (no edge shuffle or re-sort per round). Past ~10^8 docs the
+        // broadcast stops fitting: swap to a hash join against edges
+        // pre-partitioned by id_lo, keeping the loop otherwise unchanged.
+        val nbrMin = edges.join(broadcast(labels),
+            edges("id_lo") === labels("doc_id"))
+          .groupBy(col("id_hi").as("nbr_id"))
+          .agg(min("lab").as("nmin"))
+        val next = tick(s"iter $iter")(labels.join(broadcast(nbrMin),
+            labels("doc_id") === nbrMin("nbr_id"), "left")
+          .select(labels("doc_id"),
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          .localCheckpoint(true))
+        labels = next
+        prevSum = curSum
+        curSum = labels.agg(sum("lab")).head.getLong(0)
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select(col("doc_id"), col("lab").as("cluster_id"),
+          when(col("doc_id") === col("lab"), 1).otherwise(0)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic content-hash split: the same document lands in the
+    // same split on any engine, any cluster size, any run.
+    "q78_train_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bucket", expr(TextFunctions.charHash("text")) % 10)
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // Token-budget packing: contiguous doc_id-ordered sharding per lang
+    // where bin b holds the docs whose preceding cumulative token count
+    // fits below b × budget — the deterministic "pack documents into
+    // training sequences" assignment.
+    "q79_pack_tokens" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(TextFunctions.tokens(col("text"))).cast("long"))
+        .withColumn("cum_before",
+          coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr(s"cum_before DIV $PackBudget").as("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified deterministic sample: K docs per lang, ordered by a
+    // multiplicative-spread hash of the key (pseudo-random but exactly
+    // reproducible), doc_id tie-break.
+    "q80_sample_stratified" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("h", pmod(col("doc_id") * Spread,
+          lit(TextFunctions.HashMod)))
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("h").asc, col("doc_id").asc)))
+        .filter(col("rk") <= SampleK)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")),
+
+    // Latest-wins upsert: compact the append-only event log to one row
+    // per user — the newest event by (ts, event_id).
+    "q81_upsert_latest" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), Dets.tsOut(col("ts")).as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q77_dedup_cluster" ->
+      s"""WITH RECURSIVE ${TextQueries.nearDupEdgeSql},
+         |ed AS (SELECT id_lo AS src, id_hi AS dst FROM e
+         |       UNION SELECT id_hi, id_lo FROM e),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node
+         |)
+         |SELECT node AS doc_id, MIN(lab) AS cluster_id,
+         |       CAST(CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM reach GROUP BY node
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q78_train_split" ->
+      s"""SELECT doc_id, ${Sql.charHash("text")} % 10 AS bucket,
+         |       CASE WHEN ${Sql.charHash("text")} % 10 < 8 THEN 'train'
+         |            WHEN ${Sql.charHash("text")} % 10 = 8 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q79_pack_tokens" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tok,
+         |       CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+         |         ORDER BY doc_id ASC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) // $PackBudget AS bin
+         |FROM q ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q80_sample_stratified" ->
+      s"""SELECT lang, doc_id,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |         ORDER BY (doc_id * $Spread) % ${TextFunctions.HashMod} ASC,
+         |                  doc_id ASC) AS INT) AS rk
+         |FROM documents
+         |QUALIFY rk <= $SampleK
+         |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
+
+    "q81_upsert_latest" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_type,
+        |       value AS last_value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -27,6 +27,44 @@ object TextQueries {
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", TextFunctions.tokenSet(col("text")))
 
+  /** Exact near-dup pairs (id_lo < id_hi, same lang, token-set Jaccard ≥
+    * `minJac`) with the unrounded `jac` — the q61 result and the edge set
+    * q77's cluster resolution propagates over. */
+  def nearDupPairs(s: SparkSession, dir: String, minJac: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = withToks(t(s, dir, "documents"))
+      .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
+      .select(col("doc_id"), col("lang"), col("hs"))
+    val a = d.select(col("doc_id").as("id_lo"), col("lang"),
+      col("hs").as("hs_a"))
+    val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
+      col("hs").as("hs_b"))
+    a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
+      // J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prune skips the
+      // merge-intersect for most pairs without changing the result set.
+      .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
+        greatest(size(col("hs_a")), size(col("hs_b"))) >= minJac)
+      .withColumn("inter",
+        expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select(col("id_lo"), col("id_hi"), col("jac"))
+  }
+
+  /** Oracle-side CTE text for the same edge set (jac ≥ 0.6), shared by the
+    * q61 and q77 oracles so both replay one definition. */
+  val nearDupEdgeSql: String =
+    s"""d AS (SELECT doc_id, lang, ${Sql.tokenSet("text")} AS toks FROM documents),
+       |e AS (
+       |  SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+       |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |         / len(list_distinct(a.toks || b.toks)) AS jac
+       |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |        / len(list_distinct(a.toks || b.toks)) >= 0.6
+       |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -39,28 +77,10 @@ object TextQueries {
     // -intersect expression (graft_sorted_intersect): |A∪B| = |A|+|B|-|A∩B|.
     // Hash collisions would skew counts; OperatorSpec asserts the corpus
     // vocabulary is collision-free under the rolling hash.
-    "q61_dedup_near" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val d = withToks(t(s, dir, "documents"))
-        .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
-        .select(col("doc_id"), col("lang"), col("hs"))
-      val a = d.select(col("doc_id").as("id_lo"), col("lang"),
-        col("hs").as("hs_a"))
-      val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
-        col("hs").as("hs_b"))
-      a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
-        // J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prune skips the
-        // merge-intersect for most pairs without changing the result set.
-        .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
-          greatest(size(col("hs_a")), size(col("hs_b"))) >= 0.6)
-        .withColumn("inter",
-          expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-        .withColumn("jac",
-          col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-        .filter(col("jac") >= 0.6)
+    "q61_dedup_near" -> ((s, dir) =>
+      nearDupPairs(s, dir, 0.6)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
-        .orderBy("id_lo", "id_hi")
-    }),
+        .orderBy("id_lo", "id_hi")),
 
     "q64_text_explode" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -143,13 +163,8 @@ object TextQueries {
         |FROM documents GROUP BY text ORDER BY keep_id ASC NULLS FIRST""".stripMargin,
 
     "q61_dedup_near" ->
-      s"""WITH d AS (SELECT doc_id, lang, $sqlTokSet AS toks FROM documents)
-         |SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
-         |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |             / len(list_distinct(a.toks || b.toks)), 4) AS jac4
-         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |      / len(list_distinct(a.toks || b.toks)) >= 0.6
+      s"""WITH $nearDupEdgeSql
+         |SELECT id_lo, id_hi, ROUND(jac, 4) AS jac4 FROM e
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
 
     "q64_text_explode" ->
