@@ -45,48 +45,68 @@ object PipelineQueries {
   private val SampleK = 20
   private val Spread = 2654435761L
 
+  /** Connected components by iterative min-label propagation: every node
+    * ends labelled with the smallest `id` reachable through `pairs`
+    * (undirected). `nodes` must have a long `id` column, `pairs` long
+    * `id_lo`/`id_hi` columns; returns (id, lab).
+    *
+    * Each round is one pass over the cached doubled edge list joined to
+    * the current label table plus a partial-agg min; labels are
+    * localCheckpoint'ed so lineage (and planning time) stays O(1) in the
+    * round count, and convergence is detected with a single exact
+    * integer aggregate (sum of labels, strictly decreasing until
+    * fixpoint). The label table is one row per node — broadcast it while
+    * it fits (≲10^8 nodes); past that, swap to a hash join against edges
+    * pre-partitioned by id_lo and keep the loop unchanged. Set
+    * GRAFT_CC_DEBUG for per-round timings.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_lo"), col("id_hi"))
+      .union(pairs.select(col("id_hi").as("id_lo"), col("id_lo").as("id_hi")))
+      .persist()
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def tick[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (dbg) println(f"[cc] $label%-10s ${(System.nanoTime - t0) / 1e9}%.2f s")
+      r
+    }
+    var labels = tick("init")(
+      nodes.select(col("id"), col("id").as("lab")).localCheckpoint(true))
+    def labSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lab"), lit(0L))).head.getLong(0)
+    var prevSum = -1L
+    var curSum = labSum(labels)
+    var iter = 0
+    while (curSum != prevSum && iter < 50) {
+      val nbrMin = edges.join(broadcast(labels),
+          edges("id_lo") === labels("id"))
+        .groupBy(col("id_hi").as("nbr_id"))
+        .agg(min("lab").as("nmin"))
+      val next = tick(s"round $iter")(labels.join(broadcast(nbrMin),
+          labels("id") === nbrMin("nbr_id"), "left")
+        .select(labels("id"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .localCheckpoint(true))
+      labels = next
+      prevSum = curSum
+      curSum = labSum(labels)
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Connected components over the q61 near-dup pairs: cluster_id is the
     // min doc_id reachable through the near-dup relation; keep = 1 on the
     // cluster representative. Singletons keep themselves.
     "q77_dedup_cluster" -> ((s, dir) => {
-      val e0 = TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi")
-      val edges = e0.union(e0.select(col("id_hi").as("id_lo"),
-        col("id_lo").as("id_hi"))).persist()
-      val dbg = sys.env.contains("GRAFT_Q77_DEBUG")
-      def tick[A](label: String)(f: => A): A = {
-        val t0 = System.nanoTime(); val r = f
-        if (dbg) println(f"[q77] $label%-12s ${(System.nanoTime - t0) / 1e9}%.2f s")
-        r
-      }
-      var labels = tick("init")(t(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("lab")).localCheckpoint(true))
-      var prevSum = -1L
-      var curSum = labels.agg(sum("lab")).head.getLong(0)
-      var iter = 0
-      while (curSum != prevSum && iter < 50) {
-        // labels is one row per doc — broadcast it so each iteration is a
-        // map-only pass over the cached edge list plus a partial-agg min
-        // (no edge shuffle or re-sort per round). Past ~10^8 docs the
-        // broadcast stops fitting: swap to a hash join against edges
-        // pre-partitioned by id_lo, keeping the loop otherwise unchanged.
-        val nbrMin = edges.join(broadcast(labels),
-            edges("id_lo") === labels("doc_id"))
-          .groupBy(col("id_hi").as("nbr_id"))
-          .agg(min("lab").as("nmin"))
-        val next = tick(s"iter $iter")(labels.join(broadcast(nbrMin),
-            labels("doc_id") === nbrMin("nbr_id"), "left")
-          .select(labels("doc_id"),
-            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
-          .localCheckpoint(true))
-        labels = next
-        prevSum = curSum
-        curSum = labels.agg(sum("lab")).head.getLong(0)
-        iter += 1
-      }
-      edges.unpersist()
-      labels.select(col("doc_id"), col("lab").as("cluster_id"),
-          when(col("doc_id") === col("lab"), 1).otherwise(0)
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("id"))
+      val pairs = TextQueries.nearDupPairs(s, dir, 0.6)
+        .select(col("id_lo"), col("id_hi"))
+      connectedComponents(nodes, pairs)
+        .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+          when(col("id") === col("lab"), 1).otherwise(0)
             .cast("int").as("keep"))
         .orderBy("doc_id")
     }),

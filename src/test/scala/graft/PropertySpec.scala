@@ -59,6 +59,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(1, 40)
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, es.filter(e => e._1 != e._2))
+    for ((n, es) <- cases(graphGen, 6)) {
+      // model: union-find with min-id roots
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb)
+          parent(math.max(ra, rb)) = lo }
+      }
+      val model = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n.toLong).toDF("id")
+      val pairs = es.toDF("id_lo", "id_hi")
+      val got = graft.operators.PipelineQueries
+        .connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == model, s"n=$n edges=${es.size}")
+    }
+  }
+
   test("dot product is symmetric and matches model on float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
