@@ -48,6 +48,22 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate quantiles (GK sketch via percentile_approx) — the
+    // single-pass, mergeable path for 100 TB where the exact rank form
+    // (q44) would need a full sort per group. Oracle-omitted like q22:
+    // sketch merge order isn't cross-engine reproducible; StatsSpec
+    // bound-checks it against the exact percentiles instead.
+    "q45_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("p25"),
+          col("qs").getItem(1).as("p50"),
+          col("qs").getItem(2).as("p75"))
+        .orderBy("l_returnflag")),
+
     "q44_median_disc" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val w = Window.partitionBy("o_orderstatus")

@@ -21,6 +21,18 @@ object LakeWriter {
       .partitionBy(partitionCols: _*)
       .parquet(out)
 
+  /** Bucketed managed-table write: pre-shuffles once on `bucketCol` so
+    * later equi-joins between tables bucketed the same way need NO
+    * exchange at all — the co-located-join layout for repeatedly-joined
+    * 100 TB fact tables (Redshift DISTKEY analog). Requires a table name
+    * (bucketing metadata lives in the catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+    nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** COPY-style CSV ingest (header, explicit schema, strict mode). */
   def copyCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true")

@@ -26,6 +26,33 @@ class LakeWriterSpec extends SparkSpec {
     assert(back.count() == expected)
   }
 
+  test("bucketed tables join with zero exchanges") {
+    import graft.sources.LakeWriter
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = Tables.load(spark, Sf, "orders")
+      val li = Tables.load(spark, Sf, "lineitem")
+      LakeWriter.writeBucketed(orders.select("o_orderkey", "o_orderpriority"),
+        "b_orders", "o_orderkey", 8, Some("o_orderkey"))
+      LakeWriter.writeBucketed(
+        li.select(col("l_orderkey"), col("l_quantity")),
+        "b_lineitem", "l_orderkey", 8, Some("l_orderkey"))
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed equi-join should be co-located:\n" + plan.take(2000))
+      assert(plan.contains("SelectedBucketsCount"), plan.take(2000))
+      val expected = orders.join(li,
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("CSV round-trip preserves rows under explicit schema") {
     val out = Files.createTempDirectory("graft_csv_").toString + "/cust"
     val cust = Tables.load(spark, Sf, "customer")

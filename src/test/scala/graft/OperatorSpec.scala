@@ -17,6 +17,25 @@ class OperatorSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("q45 approx quantiles bracket the exact percentiles") {
+    val li = Tables.load(spark, Sf, "lineitem")
+    val rows = SparkEntry.queries("q45_approx_quantile")(spark, Sf).collect()
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val prices = li.filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      for ((p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+        val approx = r.getDouble(i + 1)
+        // GK with accuracy 10000 => rank error <= n/10000; generous 1% band
+        val lo = prices(math.max(0, (prices.length * (p - 0.01)).toInt))
+        val hi = prices(math.min(prices.length - 1,
+          (prices.length * (p + 0.01)).toInt))
+        assert(approx >= lo && approx <= hi,
+          s"$flag p$p approx=$approx outside [$lo,$hi]")
+      }
+    }
+  }
+
   test("q52 sessions partition events and respect the 30-min gap") {
     val sessions = SparkEntry.queries("q52_win_session")(spark, Sf).collect()
     val events = Tables.load(spark, Sf, "events")
