@@ -153,12 +153,10 @@ object PipelineQueries {
         .orderBy("lang", "rk")),
 
     // Latest-wins upsert: compact the append-only event log to one row
-    // per user — the newest event by (ts, event_id).
+    // per user — the newest event by (ts, event_id). Same semantics as
+    // the incremental foreachBatch path (EventStreams.upsertSnapshot).
     "q81_upsert_latest" -> ((s, dir) =>
-      Tables.load(s, dir, "events")
-        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
-          .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)))
-        .filter(col("rn") === 1)
+      graft.streaming.EventStreams.latestWins(Tables.load(s, dir, "events"))
         .select(col("user_id"), Dets.tsOut(col("ts")).as("last_ts"),
           col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy("user_id"))

@@ -160,6 +160,33 @@ class StreamingSpec extends SparkSpec {
       s"only ${streamed.size} of ${batch.size} sessions closed")
   }
 
+  test("foreachBatch upsert snapshot converges to batch latest-wins") {
+    import graft.streaming.EventStreams
+    val dir = chunkEventsDir()
+    val snap = Files.createTempDirectory("graft_snap_").toString
+    val schema = Tables.load(spark, Sf, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.upsertSnapshot(stream, snap)
+    q.awaitTermination(120000)
+    // AvailableNow isn't used here (foreachBatch+default trigger runs
+    // continuously); stop once all input files are consumed
+    q.processAllAvailable()
+    q.stop()
+    val got = EventStreams.readSnapshot(spark, snap).get
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = EventStreams.latestWins(Tables.load(spark, Sf, "events"))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // every user present exactly once
+    val users = EventStreams.readSnapshot(spark, snap).get
+      .groupBy("user_id").count().filter(col("count") > 1).count()
+    assert(users == 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val dir = Files.createTempDirectory("graft_dedup_").toString
     import spark.implicits._
