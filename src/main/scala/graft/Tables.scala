@@ -77,6 +77,16 @@ object Tables {
     spreadKeys.get(name).map(spread(df, _)).getOrElse(df)
   }
 
+  /** Register every table as a temp view so `spark.sql("SELECT ...")`
+    * works directly against the lake — the analog of the reference's
+    * SQL-template entry point (its REST layer interpolates dimensions
+    * into SQL and pushes it to the warehouse; here Catalyst is the
+    * warehouse). Also registers the custom graft_* expressions. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    schemas.keys.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // Spark 4 refuses TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL);

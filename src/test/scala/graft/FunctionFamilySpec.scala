@@ -8,6 +8,26 @@ import org.apache.spark.sql.functions._
   * doubles are deliberately kept out of the oracle gate (§2.5 note). */
 class FunctionFamilySpec extends SparkSpec {
 
+  test("SQL front door: registered views answer ad-hoc spark.sql queries") {
+    Tables.registerViews(spark, Sf)
+    val agg = spark.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(cast(l_quantity AS decimal(38,6))) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    assert(agg.count() == 3)
+    val joined = spark.sql(
+      """SELECT r_name, count(*) AS n_cust
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(joined.agg(org.apache.spark.sql.functions.sum("n_cust")).head.getLong(0) ==
+      Tables.load(spark, Sf, "customer").count())
+    // custom expressions usable from SQL after registration
+    val dot = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS d FROM embeddings LIMIT 1")
+    assert(dot.head.getDouble(0) > 0.0)
+  }
+
   test("map functions: map_from_arrays / element_at / map_keys") {
     import spark.implicits._
     val df = Seq((Array("a", "b"), Array(1, 2))).toDF("ks", "vs")
