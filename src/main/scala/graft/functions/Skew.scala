@@ -40,4 +40,29 @@ object Skew {
       .agg(sum(col("__n")).as("n"),
         sums.keys.map(name => sum(col(name)).as(name)).toSeq: _*)
   }
+
+  /** Two-phase per-group top-k for LOW-CARDINALITY groups. The direct
+    * window form (`row_number over partitionBy(group)`) funnels ALL rows
+    * of a group through one task — with 5 groups over 100 TB that is 5
+    * reducers doing everything. Phase 1 takes top-k within each
+    * (group, salt) — `salts`× the parallelism, each reducer seeing
+    * ~1/salts of a group; phase 2 re-ranks the k×salts survivors per
+    * group, which is tiny. Top-k is selection, not aggregation, so any
+    * row in the true global top-k survives its salt bucket's local
+    * top-k — results are identical to the direct form (asserted in
+    * SkewSpec). `order` must be a total order for determinism.
+    */
+  def saltedTopK(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+    k: Int, salts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = df.columns.map(col).toSeq
+    val salted = df.withColumn("__salt", saltCol(keyCols, salts))
+    val w1 = Window.partitionBy((groupCols :+ "__salt").map(col): _*)
+      .orderBy(order: _*)
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k).drop("__rn", "__salt")
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    survivors.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+  }
 }

@@ -45,6 +45,25 @@ object LakeWriter {
   def copyJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** Tolerant COPY (the MAXERROR-style ingest): malformed lines don't
+    * abort the load — they land in a `_corrupt_record` column so the
+    * pipeline can split good rows from a quarantine stream and bound the
+    * error count explicitly. Returns (good rows, corrupt raw lines). */
+  def copyJsonPermissive(spark: SparkSession, path: String,
+    schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path).cache()
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
+
   def unloadJson(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").json(out)
 }

@@ -64,6 +64,30 @@ class LakeWriterSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("permissive JSON copy quarantines malformed lines without aborting") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_badjson_").toString
+    val lines = Seq(
+      """{"id": 1, "name": "ok-one"}""",
+      """{"id": 2, "name": "ok-two"}""",
+      """{"id": "NOT-A-NUMBER", "name": "bad-type"}""",
+      """{{{ totally broken""",
+      """{"id": 5, "name": "ok-three"}""")
+    Files.write(java.nio.file.Paths.get(s"$dir/part0.json"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val (good, bad) = LakeWriter.copyJsonPermissive(spark, dir, schema)
+    assert(good.count() == 3)
+    assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 5L))
+    assert(bad.count() == 2)
+    // FAILFAST on the same input aborts — the two modes are distinct
+    intercept[Exception] {
+      LakeWriter.copyJson(spark, dir, schema).collect()
+    }
+  }
+
   test("JSON round-trip preserves rows under explicit schema") {
     val out = Files.createTempDirectory("graft_json_").toString + "/part"
     val part = Tables.load(spark, Sf, "part")

@@ -20,6 +20,40 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted top-k equals the direct window form (q30 shape)") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, Sf, "orders")
+      .join(Tables.load(spark, Sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    val order = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val direct = o.withColumn("rk", row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(order: _*)))
+      .filter(col("rk") <= 3)
+      .select("c_mktsegment", "o_orderkey", "rk")
+      .collect().map(_.toString).toSet
+    val salted = graft.functions.Skew
+      .saltedTopK(o, Seq("c_mktsegment"), order, k = 3, salts = 16)
+      .select("c_mktsegment", "o_orderkey", "rk")
+      .collect().map(_.toString).toSet
+    assert(salted == direct)
+  }
+
+  test("distributed global row_number equals the single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, Sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val order = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val direct = o.withColumn("rn",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("o_orderkey", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = graft.functions.GlobalRank.rowNumber(o, order, parts = 8)
+      .select("o_orderkey", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == direct)
+  }
+
   test("salted aggregation equals direct on a single hot key") {
     import spark.implicits._
     val hot = (1 to 50000).map(i => ("hot", i.toDouble)) ++
