@@ -32,28 +32,52 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pipeline shape for scale: the band join carries ONLY (doc_id, band,
-    // key) — candidate dedup is a distinct over two longs, and token-hash
-    // arrays are re-attached afterwards via two broadcast joins for the
-    // exact-Jaccard verify (codegen merge-intersect on sorted hashes).
+    // key); cross-band duplicate candidates are eliminated WITHOUT a
+    // distinct shuffle by the first-matching-band rule — a pair is kept
+    // only in the lowest band where the two signatures collide, so every
+    // pair surfaces exactly once and the whole candidate+verify path is
+    // map-side (broadcast lookups), with the final ORDER BY as the only
+    // shuffle. At 100 TB the per-doc lookup tables (band keys, sorted
+    // token hashes) would be attached via a co-partitioned join on doc_id
+    // instead of broadcast; the first-band rule is unchanged.
     "q66_minhash_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // The per-doc sketch table feeds five consumers (the band explode
+      // and four broadcast lookup sides); persist it so the minhash chain
+      // runs once, not per consumer. It is one row per doc of fixed-size
+      // sketches — tiny relative to the corpus at any scale.
       val d = t(s, dir, "documents")
         .withColumn("toks", TextFunctions.tokenSet(col("text")))
         .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
         .withColumn("mh", expr(TextFunctions.minHashes("hs", NumHashes)))
-        .select(col("doc_id"), col("hs"), col("mh"))
+        .withColumn("bks", expr(
+          s"transform(${TextFunctions.bandKeys("mh", Bands, Rows)}, x -> x.bkey)"))
+        .select(col("doc_id"), col("hs"), col("bks"))
+        .persist()
       val banded = d.select(col("doc_id"),
-          explode(expr(TextFunctions.bandKeys("mh", Bands, Rows))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          posexplode(col("bks")).as(Seq("band", "bkey")))
       val cand = banded.select(col("doc_id").as("id_lo"), col("band"), col("bkey"))
         .join(banded.select(col("doc_id").as("id_hi"),
           col("band").as("band_b"), col("bkey").as("bkey_b")),
           col("band") === col("band_b") && col("bkey") === col("bkey_b")
             && col("id_lo") < col("id_hi"))
-        .select("id_lo", "id_hi").distinct()
+        .select("id_lo", "id_hi", "band")
+      val ka = d.select(col("doc_id").as("id_lo"), col("bks").as("bks_a"))
+      val kb = d.select(col("doc_id").as("id_hi"), col("bks").as("bks_b"))
+      // Unrolled CASE, not a HOF: Spark evaluates lambda functions
+      // interpreted, which would dominate at 30M candidate rows; the CASE
+      // stays inside whole-stage codegen. A colliding pair always matches
+      // its last band if no earlier one, hence the ELSE arm.
+      val firstMatch = expr((0 until Bands - 1)
+        .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
+        .mkString("CASE ", " ", s" ELSE ${Bands - 1} END"))
+      val firstBand = cand
+        .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
+        .filter(col("band") === firstMatch)
+        .select("id_lo", "id_hi")
       val ha = d.select(col("doc_id").as("id_lo"), col("hs").as("hs_a"))
       val hb = d.select(col("doc_id").as("id_hi"), col("hs").as("hs_b"))
-      cand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
+      firstBand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
         .withColumn("inter",
           expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
         .withColumn("jac",

@@ -40,14 +40,28 @@ object Q66Profile {
           sum(expr("count * (count - 1) / 2")).as("raw_pairs"))
         .show(false)
     }
-    val cand = banded.select(col("doc_id").as("id_lo"), col("band"), col("bkey"))
+    val rawJoin = banded.select(col("doc_id").as("id_lo"), col("band"), col("bkey"))
       .join(banded.select(col("doc_id").as("id_hi"),
         col("band").as("band_b"), col("bkey").as("bkey_b")),
         col("band") === col("band_b") && col("bkey") === col("bkey_b")
           && col("id_lo") < col("id_hi"))
-      .select("id_lo", "id_hi").distinct()
+      .select("id_lo", "id_hi", "band")
+    time("raw join only")(println(s"  raw=${rawJoin.count()}"))
+    val cand = rawJoin.select("id_lo", "id_hi").distinct()
     cand.persist()
     time("candidates (join+distinct)")(println(s"  cand=${cand.count()}"))
+    val dk = d.withColumn("bks", expr(
+      s"transform(${TextFunctions.bandKeys("mh", 4, 4)}, x -> x.bkey)"))
+    val ka = dk.select(col("doc_id").as("id_lo"), col("bks").as("bks_a"))
+    val kb = dk.select(col("doc_id").as("id_hi"), col("bks").as("bks_b"))
+    val firstMatch = expr((0 until 3)
+      .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
+      .mkString("CASE ", " ", " ELSE 3 END"))
+    val fb = rawJoin
+      .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
+      .filter(col("band") === firstMatch)
+      .select("id_lo", "id_hi")
+    time("first-band filter")(println(s"  fb=${fb.count()}"))
     val ha = d.select(col("doc_id").as("id_lo"), col("hs").as("hs_a"))
     val hb = d.select(col("doc_id").as("id_hi"), col("hs").as("hs_b"))
     val out = cand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
@@ -56,7 +70,7 @@ object Q66Profile {
       .withColumn("jac",
         col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jac") >= 0.5)
-    time("exact verify")(println(s"  pairs=${out.count()}"))
+    time("exact verify (from distinct)")(println(s"  pairs=${out.count()}"))
     s.stop()
   }
 }
