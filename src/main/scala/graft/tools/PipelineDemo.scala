@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{PipelineQueries, TextQueries}
+import graft.sources.LakeWriter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline over the documents corpus, built
+  * entirely from library operators — the shape a pretraining data job
+  * takes at 100 TB, runnable here at any SF:
+  *
+  *   1. load + spread the corpus
+  *   2. quality-score and filter (q72 semantics)
+  *   3. near-dup cluster resolution, keep one doc per cluster (q77)
+  *   4. deterministic train/val/test content-hash split (q78)
+  *   5. token-budget packing into sequence bins per split (q79 shape)
+  *   6. partitioned parquet lake write (split=... directories)
+  *
+  * `runMain graft.tools.PipelineDemo [sfDir] [outDir]`
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pipe_").toString)
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val total = docs.count()
+
+    // 2. quality filter: enough tokens and lexical diversity
+    val scored = docs
+      .withColumn("tk", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("ttr", size(array_distinct(col("tk"))).cast("double") /
+        col("n_tok"))
+      .filter(col("n_tok") >= 5 && col("ttr") >= 0.3)
+      .drop("tk")
+    val kept_q = scored.count()
+
+    // 3. near-dup clusters -> keep the representative doc per cluster
+    val nodes = scored.select(col("doc_id").as("id"))
+    val pairs = TextQueries.nearDupPairs(s, dir, 0.6)
+      .join(nodes.select(col("id").as("id_lo")), "id_lo")
+      .join(nodes.select(col("id").as("id_hi")), "id_hi")
+    val labels = PipelineQueries.connectedComponents(nodes, pairs)
+    val keepers = scored.join(
+      labels.filter(col("id") === col("lab")).select(col("id").as("doc_id")),
+      "doc_id")
+    val kept_d = keepers.count()
+
+    // 4. deterministic content-hash split
+    val split = keepers
+      .withColumn("bucket", expr(TextFunctions.charHash("text")) % 10)
+      .withColumn("split", when(col("bucket") < 8, "train")
+        .when(col("bucket") === 8, "val").otherwise("test"))
+
+    // 5. token-budget packing per (split, lang)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("split", "lang").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = split
+      .withColumn("n_tok", size(TextFunctions.tokens(col("text"))).cast("long"))
+      .withColumn("bin",
+        expr("coalesce(sum(n_tok) OVER (PARTITION BY split, lang " +
+          "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 " +
+          "PRECEDING), 0) DIV 2048"))
+      .select("doc_id", "lang", "split", "bin", "n_tok", "text")
+
+    // 6. lake write partitioned by split (prunable per-consumer)
+    LakeWriter.unloadPartitioned(packed, out, Seq("split"))
+
+    val back = s.read.parquet(out)
+    val counts = back.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"[pipeline] total=$total qualityKept=$kept_q dedupKept=$kept_d " +
+      s"splits=$counts out=$out")
+    assert(counts.values.sum == kept_d)
+    s.stop()
+  }
+}
