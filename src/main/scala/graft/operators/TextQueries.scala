@@ -35,6 +35,9 @@ object TextQueries {
     val d = withToks(t(s, dir, "documents"))
       .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
       .select(col("doc_id"), col("lang"), col("hs"))
+      // both self-join sides read this chain; persist so tokenization +
+      // hashing run once (one small row of sorted hashes per doc)
+      .persist()
     val a = d.select(col("doc_id").as("id_lo"), col("lang"),
       col("hs").as("hs_a"))
     val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),

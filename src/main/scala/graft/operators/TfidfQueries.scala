@@ -54,6 +54,9 @@ object TfidfQueries {
         .withColumn("grams", array_distinct(expr(bigramsExpr)))
         .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("grams"))))
         .select(col("doc_id"), col("lang"), col("hs"))
+        // both self-join sides read this chain; persist so the shingle
+        // hashing runs once (one small row of sorted hashes per doc)
+        .persist()
       val a = d.select(col("doc_id").as("id_lo"), col("lang"),
         col("hs").as("hs_a"))
       val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
