@@ -61,6 +61,15 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       p.take(2000))
   }
 
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if fn(spark, Sf).queryExecution.executedPlan
+        .toString.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product (unbounded at scale) in: $offenders")
+  }
+
   test("SURVEY §2 inventory and the declared query map agree") {
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
