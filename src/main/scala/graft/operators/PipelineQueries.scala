@@ -82,10 +82,21 @@ object PipelineQueries {
           edges("id_lo") === labels("id"))
         .groupBy(col("id_hi").as("nbr_id"))
         .agg(min("lab").as("nmin"))
-      val next = tick(s"round $iter")(labels.join(broadcast(nbrMin),
-          labels("id") === nbrMin("nbr_id"), "left")
-        .select(labels("id"),
-          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+      // materialize the edge pass ONCE per round; the jump join below
+      // would otherwise recompute it to build its broadcast side
+      val prop = tick(s"round $iter edges")(
+        labels.join(broadcast(nbrMin), labels("id") === nbrMin("nbr_id"), "left")
+          .select(labels("id"),
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          .localCheckpoint(true))
+      // pointer jumping: follow lab -> lab(lab) so labels skip toward the
+      // root in O(log diameter) rounds instead of O(diameter); label-only
+      // join, no edge scan
+      val jump = prop.select(col("id").as("jid"), col("lab").as("jlab"))
+      val next = tick(s"round $iter jump")(prop.join(broadcast(jump),
+          prop("lab") === col("jid"), "left")
+        .select(prop("id"),
+          least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"))
         .localCheckpoint(true))
       labels = next
       prevSum = curSum
