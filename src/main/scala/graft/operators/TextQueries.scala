@@ -27,22 +27,31 @@ object TextQueries {
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", TextFunctions.tokenSet(col("text")))
 
-  /** Exact near-dup pairs (id_lo < id_hi, same lang, token-set Jaccard ≥
-    * `minJac`) with the unrounded `jac` — the q61 result and the edge set
-    * q77's cluster resolution propagates over. */
-  def nearDupPairs(s: SparkSession, dir: String, minJac: Double): DataFrame = {
+  /** Per-doc sorted token-hash table (doc_id, lang, hs), persisted: every
+    * pair pipeline reads it from both self-join sides, so tokenization +
+    * hashing run once (one small row of sorted hashes per doc). */
+  def hashedDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val d = withToks(t(s, dir, "documents"))
+    withToks(t(s, dir, "documents"))
       .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
       .select(col("doc_id"), col("lang"), col("hs"))
-      // both self-join sides read this chain; persist so tokenization +
-      // hashing run once (one small row of sorted hashes per doc)
       .persist()
+  }
+
+  /** Same-lang candidate pairs (id_lo < id_hi) with both hash arrays. */
+  private def langPairs(d: DataFrame): DataFrame = {
     val a = d.select(col("doc_id").as("id_lo"), col("lang"),
       col("hs").as("hs_a"))
     val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
       col("hs").as("hs_b"))
     a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
+  }
+
+  /** Exact near-dup pairs (id_lo < id_hi, same lang, token-set Jaccard ≥
+    * `minJac`) with the unrounded `jac` — the q61 result and the edge set
+    * q77's cluster resolution propagates over. */
+  def nearDupPairs(s: SparkSession, dir: String, minJac: Double): DataFrame = {
+    langPairs(hashedDocs(s, dir))
       // J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prune skips the
       // merge-intersect for most pairs without changing the result set.
       .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
@@ -84,6 +93,22 @@ object TextQueries {
       nearDupPairs(s, dir, 0.6)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
         .orderBy("id_lo", "id_hi")),
+
+    // Containment catches what Jaccard misses: a short doc quoted whole
+    // inside a long one has high |A∩B|/|A| but low Jaccard. No size-ratio
+    // prune applies (the smaller side can always be fully contained), so
+    // this is the full blocked pair scan with the codegen intersect.
+    "q82_containment" -> ((s, dir) => {
+      val pairs = langPairs(hashedDocs(s, dir))
+        .withColumn("inter",
+          expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
+        .withColumn("c_lo", col("inter") / size(col("hs_a")))
+        .withColumn("c_hi", col("inter") / size(col("hs_b")))
+        .filter(greatest(col("c_lo"), col("c_hi")) >= 0.9)
+      pairs.select(col("id_lo"), col("id_hi"),
+          round(col("c_lo"), 4).as("c_lo4"), round(col("c_hi"), 4).as("c_hi4"))
+        .orderBy("id_lo", "id_hi")
+    }),
 
     "q64_text_explode" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -168,6 +193,20 @@ object TextQueries {
     "q61_dedup_near" ->
       s"""WITH $nearDupEdgeSql
          |SELECT id_lo, id_hi, ROUND(jac, 4) AS jac4 FROM e
+         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    "q82_containment" ->
+      s"""WITH d AS (SELECT doc_id, lang, $sqlTokSet AS toks FROM documents)
+         |SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+         |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |             / len(a.toks), 4) AS c_lo4,
+         |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |             / len(b.toks), 4) AS c_hi4
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE greatest(
+         |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks),
+         |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(b.toks))
+         |      >= 0.9
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
 
     "q64_text_explode" ->
