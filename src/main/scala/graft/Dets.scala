@@ -28,6 +28,14 @@ object Dets {
   /** [D3] round float-derived scalars to 4dp. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Division that yields NULL on a zero divisor — DuckDB's x/0 result,
+    * and the only survivable form under Spark 4's default ANSI mode
+    * (where / throws DIVIDE_BY_ZERO). Use for every division whose
+    * divisor depends on data: empty token sets, zero vectors, and
+    * single-row groups exist at 100 TB even though the fixtures lack
+    * them, and a crashed stage is the worst possible semantics. */
+  def safeDiv(a: Column, b: Column): Column = when(b =!= 0, a / b)
+
   /** [D4] emitted timestamps: cast to TIMESTAMP_NTZ (session tz is UTC, so
     * wall-clock is preserved) — parquet then stores naive µs exactly like
     * DuckDB's TIMESTAMP output, so the driver's hash sees identical values. */

@@ -80,8 +80,8 @@ object SketchQueries {
       firstBand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
         .withColumn("inter",
           expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-        .withColumn("jac",
-          col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+        .withColumn("jac", graft.Dets.safeDiv(col("inter"),
+          size(col("hs_a")) + size(col("hs_b")) - col("inter")))
         .filter(col("jac") >= 0.5)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
         .orderBy("id_lo", "id_hi")

@@ -35,15 +35,17 @@ object StatsQueries {
           .as("sy2"),
         decSum(col("l_quantity") * col("l_extendedprice")).cast("double")
           .as("sxy"))
+      // safeDiv guards: a single-row group (n-1 = 0) or a zero-variance
+      // group (corr denominator 0) yields NULL, matching DuckDB's x/0.
       g.select(col("l_returnflag"), col("n"),
           round(col("sx") / col("n"), 4).as("mean_qty"),
-          round((col("sx2") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1), 4).as("var_qty"),
-          round(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1)), 4).as("std_qty"),
-          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          round(safeDiv(col("sx2") - col("sx") * col("sx") / col("n"),
+            col("n") - 1), 4).as("var_qty"),
+          round(sqrt(safeDiv(col("sx2") - col("sx") * col("sx") / col("n"),
+            col("n") - 1)), 4).as("std_qty"),
+          round(safeDiv(col("sxy") - col("sx") * col("sy") / col("n"),
             sqrt((col("sx2") - col("sx") * col("sx") / col("n")) *
-              (col("sy2") - col("sy") * col("sy") / col("n"))), 4)
+              (col("sy2") - col("sy") * col("sy") / col("n")))), 4)
             .as("corr_qty_price"))
         .orderBy("l_returnflag")
     }),

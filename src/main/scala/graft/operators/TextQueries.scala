@@ -54,12 +54,12 @@ object TextQueries {
     langPairs(hashedDocs(s, dir))
       // J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prune skips the
       // merge-intersect for most pairs without changing the result set.
-      .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
-        greatest(size(col("hs_a")), size(col("hs_b"))) >= minJac)
+      .filter(safeDiv(least(size(col("hs_a")), size(col("hs_b"))).cast("double"),
+        greatest(size(col("hs_a")), size(col("hs_b")))) >= minJac)
       .withColumn("inter",
         expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-      .withColumn("jac",
-        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .withColumn("jac", safeDiv(col("inter"),
+        size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jac") >= minJac)
       .select(col("id_lo"), col("id_hi"), col("jac"))
   }
@@ -102,8 +102,8 @@ object TextQueries {
       val pairs = langPairs(hashedDocs(s, dir))
         .withColumn("inter",
           expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-        .withColumn("c_lo", col("inter") / size(col("hs_a")))
-        .withColumn("c_hi", col("inter") / size(col("hs_b")))
+        .withColumn("c_lo", safeDiv(col("inter"), size(col("hs_a"))))
+        .withColumn("c_hi", safeDiv(col("inter"), size(col("hs_b"))))
         .filter(greatest(col("c_lo"), col("c_hi")) >= 0.9)
       pairs.select(col("id_lo"), col("id_hi"),
           round(col("c_lo"), 4).as("c_lo4"), round(col("c_hi"), 4).as("c_hi4"))
@@ -160,10 +160,11 @@ object TextQueries {
         .withColumn("sum_len", expr(
           "CAST(aggregate(transform(tk, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)"))
         .select(col("doc_id"), col("n_tok"), col("n_uniq"),
-          round(col("n_uniq").cast("double") / col("n_tok"), 4).as("ttr"),
-          round(col("sum_len").cast("double") / col("n_tok"), 4).as("avg_tok_len"),
+          round(safeDiv(col("n_uniq").cast("double"), col("n_tok")), 4).as("ttr"),
+          round(safeDiv(col("sum_len").cast("double"), col("n_tok")), 4)
+            .as("avg_tok_len"),
           round(least(lit(1.0), col("n_tok") / 50.0) *
-            (col("n_uniq").cast("double") / col("n_tok")), 4).as("quality"))
+            safeDiv(col("n_uniq").cast("double"), col("n_tok")), 4).as("quality"))
         .orderBy("doc_id")),
 
     "q73_token_count" -> ((s, dir) =>

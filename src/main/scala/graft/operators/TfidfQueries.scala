@@ -63,12 +63,13 @@ object TfidfQueries {
         col("hs").as("hs_b"))
       a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
         // Jaccard upper bound min/max-size prune (see q61).
-        .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
-          greatest(size(col("hs_a")), size(col("hs_b"))) >= 0.25)
+        .filter(graft.Dets.safeDiv(
+          least(size(col("hs_a")), size(col("hs_b"))).cast("double"),
+          greatest(size(col("hs_a")), size(col("hs_b")))) >= 0.25)
         .withColumn("inter",
           expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-        .withColumn("jac",
-          col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+        .withColumn("jac", graft.Dets.safeDiv(col("inter"),
+          size(col("hs_a")) + size(col("hs_b")) - col("inter")))
         .filter(col("jac") >= 0.25)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
         .orderBy("id_lo", "id_hi")

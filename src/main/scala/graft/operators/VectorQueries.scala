@@ -29,7 +29,8 @@ object VectorQueries {
 
   /** cos = dot(a,b)/(sqrt(n2a)*sqrt(n2b)) with precomputed squared norms. */
   private def cosWith(a: String, b: String, n2a: String, n2b: String): Column =
-    expr(s"graft_dot($a, $b)") / (sqrt(col(n2a)) * sqrt(col(n2b)))
+    graft.Dets.safeDiv(expr(s"graft_dot($a, $b)"),
+      sqrt(col(n2a)) * sqrt(col(n2b)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sim_topk" -> ((s, dir) => {

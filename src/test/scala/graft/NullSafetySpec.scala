@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The driver fixtures contain zero NULLs, so the oracle gate never
+  * exercises null paths — but production data will. These tests pin the
+  * library's null semantics: no exceptions, no silent corruption, and
+  * the scale-safe forms stay equal to their direct counterparts in the
+  * presence of nulls. */
+class NullSafetySpec extends SparkSpec {
+
+  test("text primitives: null and empty text yield null/empty, never throw") {
+    import spark.implicits._
+    val df = Seq(Some("a b a"), Some(""), Some("   "), None)
+      .toDF("text")
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("tset", TextFunctions.tokenSet(col("text")))
+      .withColumn("fp", expr(TextFunctions.charHash("text")))
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val byText = rows.map(r => Option(r.getString(0)) -> r).toMap
+    assert(byText(Some("a b a")).getSeq[String](1) == Seq("a", "b", "a"))
+    assert(byText(Some("")).getSeq[String](1).isEmpty)
+    assert(byText(Some("   ")).getSeq[String](1).isEmpty)
+    assert(byText(None).isNullAt(1) && byText(None).isNullAt(2) &&
+      byText(None).isNullAt(3))
+  }
+
+  test("safeDiv yields NULL on zero divisors (DuckDB x/0), never throws") {
+    import spark.implicits._
+    // Spark 4 runs ANSI mode by default: a plain `/` THROWS on divisor 0.
+    // Every data-dependent division in the operators goes through safeDiv,
+    // which returns NULL exactly like the DuckDB oracle's x/0.
+    val df = Seq((1L, ""), (2L, "w x"), (3L, " "))
+      .toDF("doc_id", "text")
+      .withColumn("tk", TextFunctions.tokens(col("text")))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("ttr",
+        Dets.safeDiv(size(array_distinct(col("tk"))).cast("double"),
+          col("n_tok")))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows(0).getLong(3) == 0 && rows(0).isNullAt(4)) // 0/0 -> null
+    assert(rows(1).getLong(3) == 2 && rows(1).getDouble(4) == 1.0)
+    assert(rows(2).getLong(3) == 0 && rows(2).isNullAt(4))
+  }
+
+  test("latestWins: null timestamps lose to real ones, never crash") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")), 10L),
+      (1L, None, 11L),
+      (2L, None, 20L) // user with ONLY null ts still yields one row
+    ).toDF("user_id", "ts", "event_id")
+    val out = graft.streaming.EventStreams.latestWins(df)
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 10L) // real ts beat the null
+    assert(out(1).getLong(0) == 2L && out(1).isNullAt(1))
+  }
+
+  test("saltedTopK equals direct window when order values include nulls") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      (s"g${i % 3}", if (i % 7 == 0) None else Some(i * 1.5), i.toLong)
+    }.toDF("g", "v", "id")
+    val order = Seq(col("v").desc_nulls_last, col("id").asc)
+    val direct = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(order: _*)))
+      .filter(col("rk") <= 5).collect().map(_.toString).toSet
+    val salted = graft.functions.Skew.saltedTopK(df, Seq("g"), order, 5, 8)
+      .collect().map(_.toString).toSet
+    assert(salted == direct)
+  }
+}
