@@ -50,9 +50,11 @@ object ScalarQueries {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).as("n_dims"),
-          element_at(col("embedding"), 1).as("e1"),
-          element_at(col("embedding"), 2).as("e2"),
-          element_at(col("embedding"), 3).as("e3"),
+          // try_element_at: ANSI element_at throws on arrays shorter than
+          // the index; NULL here matches DuckDB's list[i] on short lists
+          try_element_at(col("embedding"), lit(1)).as("e1"),
+          try_element_at(col("embedding"), lit(2)).as("e2"),
+          try_element_at(col("embedding"), lit(3)).as("e3"),
           round(sqrt(expr(
             "aggregate(embedding, CAST(0 AS DOUBLE)," +
               " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)

@@ -36,7 +36,10 @@ object ScanFilterQueries {
     "q03_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          // try_cast: ANSI cast throws on a malformed value; NULL keeps a
+          // 100 TB ingest alive (DuckDB's CAST would error on dirty data —
+          // a documented divergence; identical on any parseable value)
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
         .orderBy("event_id")),
 
     "q04_case_segment" -> ((s, dir) =>
