@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   */
 
 /** dot(a, b): Σ (double)a[i] * (double)b[i], left fold, i < min(|a|,|b|).
-  * Accepts float or double array children. */
+  * Accepts float or double array children. NULL input arrays yield NULL
+  * (nullSafeEval); NULL ELEMENTS are read as 0 by the primitive accessor
+  * — deterministic, but unlike the HOF form which null-propagates. Strip
+  * null elements upstream if they can occur. */
 case class FloatVecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 

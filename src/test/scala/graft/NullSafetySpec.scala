@@ -59,6 +59,21 @@ class NullSafetySpec extends SparkSpec {
     assert(out(1).getLong(0) == 2L && out(1).isNullAt(1))
   }
 
+  test("codegen vector expressions null-propagate on null input arrays") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(3.0f, 4.0f))),
+      (Some(Array(1.0f)), Some(Array(2.0f, 5.0f)))
+    ).toDF("a", "b")
+      .withColumn("d", expr("graft_dot(a, b)"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(2) == 11.0)
+    assert(rows(1).isNullAt(2))           // null array -> null, no crash
+    assert(rows(2).getDouble(2) == 2.0)   // length mismatch -> min length
+  }
+
   test("saltedTopK equals direct window when order values include nulls") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
