@@ -128,8 +128,11 @@ object TextQueries {
         .orderBy("lang")),
 
     "q71_lang_id" -> ((s, dir) => {
+      // doctok feeds both the profile build and the scoring join; persist
+      // so tokenize+explode run once
       val doctok = withToks(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .persist()
       val prof = doctok.groupBy(col("lang").as("plang"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(

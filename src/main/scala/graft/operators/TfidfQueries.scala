@@ -32,7 +32,10 @@ object TfidfQueries {
       val docs = t(s, dir, "documents")
       val tok = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
+      // tf feeds both the df-count and the final join; persist so the
+      // tokenize+explode+agg chain runs once
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .persist()
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
