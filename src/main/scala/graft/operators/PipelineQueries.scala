@@ -44,6 +44,8 @@ object PipelineQueries {
   private val PackBudget = 2048L
   private val SampleK = 20
   private val Spread = 2654435761L
+  private val ChunkWidth = 100
+  private val ChunkStride = 90
 
   /** Connected components by iterative min-label propagation: every node
     * ends labelled with the smallest `id` reachable through `pairs`
@@ -122,6 +124,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Chunking: fixed token windows (width 100, stride 90 = 10-token
+    // overlap) per doc — the "split long documents into training
+    // sequences" op. Emits scalar columns only: chunk ordinal, token
+    // count, and a rolling fingerprint of the chunk's token hashes (the
+    // oracle folds identically), not the chunk text itself.
+    "q83_chunk_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("tk", TextFunctions.tokens(col("text")))
+        .withColumn("n_tok", size(col("tk")))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("tk"),
+          posexplode(expr(s"sequence(0, n_tok - 1, $ChunkStride)"))
+            .as(Seq("chunk_id", "start")))
+        .withColumn("chunk", expr(s"slice(tk, start + 1, $ChunkWidth)"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_in_chunk"),
+          expr("aggregate(" +
+            s"transform(chunk, t -> ${TextFunctions.charHash("t")}), " +
+            "CAST(0 AS BIGINT), " +
+            s"(a, h) -> (a * 31 + h) % ${TextFunctions.BandMod})").as("fp"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Deterministic content-hash split: the same document lands in the
     // same split on any engine, any cluster size, any run.
     "q78_train_split" -> ((s, dir) =>
@@ -187,6 +211,26 @@ object PipelineQueries {
          |       CAST(CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS INT) AS keep
          |FROM reach GROUP BY node
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q83_chunk_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${Sql.tokens("text")} AS tk,
+         |         len(${Sql.tokens("text")}) AS n_tok
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, tk,
+         |         unnest(range(0, n_tok, $ChunkStride)) AS start
+         |  FROM t WHERE n_tok > 0
+         |)
+         |SELECT doc_id, CAST(start // $ChunkStride AS INT) AS chunk_id,
+         |       CAST(len(tk[start + 1 : start + $ChunkWidth]) AS INT)
+         |         AS n_in_chunk,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(tk[start + 1 : start + $ChunkWidth],
+         |           t -> ${Sql.charHash("t")})),
+         |         (a, h) -> (a * 31 + h) % ${TextFunctions.BandMod}) AS fp
+         |FROM s
+         |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
 
     "q78_train_split" ->
       s"""SELECT doc_id, ${Sql.charHash("text")} % 10 AS bucket,
