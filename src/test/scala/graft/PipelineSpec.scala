@@ -58,6 +58,28 @@ class PipelineSpec extends SparkSpec {
     assert(chk == 0)
   }
 
+  test("q83 chunks: contiguous ids, bounded width, exact tail coverage") {
+    val c = q("q83_chunk_tokens").cache()
+    assert(c.filter(col("n_in_chunk") < 1 || col("n_in_chunk") > 100)
+      .count() == 0)
+    val perDoc = c.groupBy("doc_id").agg(
+      min("chunk_id").as("mn"), max("chunk_id").as("mx"),
+      count(lit(1)).as("k"))
+    // ids are 0..k-1 with no gaps
+    assert(perDoc.filter(col("mn") =!= 0 || col("mx") =!= col("k") - 1)
+      .count() == 0)
+    // the last chunk ends exactly at the doc's token count
+    val docs = Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), size(graft.functions.TextFunctions
+        .tokens(col("text"))).as("n_tok"))
+    val last = c.join(perDoc, "doc_id").filter(col("chunk_id") === col("mx"))
+    val viol = last.join(docs, "doc_id")
+      .filter(col("chunk_id") * 90 + col("n_in_chunk") =!= col("n_tok"))
+      .count()
+    assert(viol == 0)
+    c.unpersist()
+  }
+
   test("q80 sample: at most K per stratum, ranks contiguous from 1") {
     val s = q("q80_sample_stratified").cache()
     val perLang = s.groupBy("lang").agg(count(lit(1)).as("n"),
