@@ -24,6 +24,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell_eq(a, b) -> bool:
+    import decimal
+    import struct
+
     import numpy as np
     if isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
         la = list(a) if a is not None else None
@@ -33,8 +36,13 @@ def cell_eq(a, b) -> bool:
         return all(cell_eq(x, y) for x, y in zip(la, lb))
     if pd.isna(a) or pd.isna(b):
         return bool(pd.isna(a)) and bool(pd.isna(b))
-    if isinstance(a, float) or isinstance(b, float):
-        return float(a) == float(b)
+    # The driver's hash is representation-sensitive: a decimal.Decimal on
+    # one side and a float on the other hash differently even when equal,
+    # and floats must match BITWISE (no tolerance). Mirror that here.
+    if isinstance(a, decimal.Decimal) != isinstance(b, decimal.Decimal):
+        return False
+    if isinstance(a, (float, np.floating)) or isinstance(b, (float, np.floating)):
+        return struct.pack("d", float(a)) == struct.pack("d", float(b))
     return str(a) == str(b)
 
 

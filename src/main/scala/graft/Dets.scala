@@ -20,6 +20,16 @@ object Dets {
     * Spark's sum over DECIMAL(38,6) yields DECIMAL(38,6) — same as DuckDB. */
   def decSum(c: Column): Column = sum(c.cast(Dec))
 
+  /** [D2] exact decimal sum emitted as DOUBLE. Decimal columns must never
+    * reach the output: the oracle harness fetches DuckDB DECIMAL as
+    * float64 while Spark parquet keeps decimal objects, so the value hash
+    * diverges on representation even when the numbers are equal. Both
+    * engines' decimal→double casts are correctly rounded (verified
+    * bit-identical), so casting the exact sum at the very end keeps the
+    * order-independence of decimal aggregation AND a portable wire type.
+    * Oracle side must mirror with CAST(SUM(...) AS DOUBLE). */
+  def decSumD(c: Column): Column = decSum(c).cast("double")
+
   /** [D2] deterministic average: exact decimal sum, one double division,
     * rounded to 4dp. Identical formulation on the oracle side. */
   def decAvg(c: Column): Column =

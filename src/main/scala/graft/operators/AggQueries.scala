@@ -26,11 +26,11 @@ object AggQueries {
         .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          decSum(col("l_quantity")).as("sum_qty"),
-          decSum(col("l_extendedprice")).as("sum_base_price"),
-          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          decSumD(col("l_quantity")).as("sum_qty"),
+          decSumD(col("l_extendedprice")).as("sum_base_price"),
+          decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
-          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")) *
             (lit(1) + col("l_tax"))).as("sum_charge"),
           decAvg(col("l_quantity")).as("avg_qty"),
           decAvg(col("l_extendedprice")).as("avg_price"),
@@ -71,7 +71,7 @@ object AggQueries {
     "q24_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(decSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(decSumD(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     "q25_grouping_sets" -> ((s, dir) =>
@@ -80,7 +80,7 @@ object AggQueries {
           Seq(Seq(col("l_returnflag")), Seq(col("l_returnflag"), col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
         .agg(
-          decSum(col("l_quantity")).as("sum_qty"),
+          decSumD(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"),
           grouping(col("l_linestatus")).cast("int").as("g_status"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -90,7 +90,7 @@ object AggQueries {
         .groupBy("user_id")
         .agg(
           sum(when(col("event_type") === "purchase", col("value")).cast(Dec))
-            .as("purchase_value"),
+            .cast("double").as("purchase_value"),
           count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")),
@@ -113,10 +113,10 @@ object AggQueries {
   val oracle: Map[String, String] = Map(
     "q20_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
         |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
@@ -141,14 +141,14 @@ object AggQueries {
 
     "q24_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS n
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q25_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, COUNT(*) AS n,
         |       CAST(GROUPING(l_linestatus) AS INT) AS g_status
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
@@ -156,7 +156,7 @@ object AggQueries {
 
     "q26_agg_filtered" ->
       """SELECT user_id,
-        |  SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))) AS purchase_value,
+        |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS purchase_value,
         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
         |  COUNT(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin,

@@ -23,7 +23,7 @@ object EventQueries {
     "q50_win_tumbling" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), decSumD(col("value")).as("sum_value"))
         .select(tsOut(col("window.start")).as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
@@ -31,7 +31,7 @@ object EventQueries {
     "q51_win_sliding" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-        .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), decSumD(col("value")).as("sum_value"))
         .select(tsOut(col("window.start")).as("window_start"),
           col("n"), col("sum_value"))
         .orderBy("window_start")),
@@ -51,7 +51,7 @@ object EventQueries {
     "q50_win_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       COUNT(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
@@ -62,7 +62,7 @@ object EventQueries {
       """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
         |                      - CAST(k AS BIGINT) * 900000000) AS window_start,
         |       COUNT(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) ks
         |GROUP BY 1
         |ORDER BY window_start ASC NULLS FIRST""".stripMargin,

@@ -26,7 +26,7 @@ object JoinQueries {
         .join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), decSumD(col("c_acctbal")).as("sum_bal"))
         .orderBy("r_name")),
 
     "q11_join_sortmerge" -> ((s, dir) =>
@@ -34,7 +34,7 @@ object JoinQueries {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("o_orderpriority")),
@@ -45,7 +45,7 @@ object JoinQueries {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(decSum(col("o_totalprice")), lit(0).cast(Dec))
+          coalesce(decSumD(col("o_totalprice")), lit(0d))
             .as("sum_price"))
         .orderBy("c_custkey")),
 
@@ -86,7 +86,7 @@ object JoinQueries {
   val oracle: Map[String, String] = Map(
     "q10_join_bcast_dims" ->
       """SELECT r_name, COUNT(*) AS n_cust,
-        |       SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -94,15 +94,15 @@ object JoinQueries {
 
     "q11_join_sortmerge" ->
       """SELECT o_orderpriority,
-        |       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
         |       COUNT(*) AS n_lines
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q12_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |       COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6))),
-        |                CAST(0 AS DECIMAL(38,6))) AS sum_price
+        |       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE),
+        |                0.0) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
 

@@ -29,8 +29,8 @@ object PivotQueries {
     "q29_unpivot" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(decSum(col("l_extendedprice")).as("price"),
-          decSum(col("l_quantity")).as("qty"))
+        .agg(decSumD(col("l_extendedprice")).as("price"),
+          decSumD(col("l_quantity")).as("qty"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("price"), col("qty")), "measure", "value")
         .orderBy("l_returnflag", "measure"))
@@ -48,8 +48,8 @@ object PivotQueries {
     "q29_unpivot" ->
       """WITH g AS (
         |  SELECT l_returnflag,
-        |         SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS price,
-        |         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS price,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, 'price' AS measure, price AS value FROM g
         |UNION ALL

@@ -50,7 +50,7 @@ object ScanFilterQueries {
             .when(col("c_acctbal") < 5000, "mid")
             .otherwise("high"))
         .groupBy("band")
-        .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), decSumD(col("c_acctbal")).as("sum_bal"))
         .orderBy("band")),
 
     "q05_pred_compound" -> ((s, dir) =>
@@ -95,7 +95,7 @@ object ScanFilterQueries {
       """SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 1000 THEN 'low'
         |            WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
         |       COUNT(*) AS n_cust,
-        |       SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY band ASC NULLS FIRST""".stripMargin,
 
     "q05_pred_compound" ->

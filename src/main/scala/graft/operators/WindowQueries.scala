@@ -39,7 +39,8 @@ object WindowQueries {
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           tsOut(col("o_orderdate")).as("o_orderdate"),
-          sum(col("o_totalprice").cast(Dec)).over(w).as("run_sum"))
+          sum(col("o_totalprice").cast(Dec)).over(w).cast("double")
+            .as("run_sum"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
@@ -103,10 +104,10 @@ object WindowQueries {
 
     "q31_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |       SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
         |         PARTITION BY o_custkey
         |         ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
         |FROM orders
         |ORDER BY o_custkey ASC NULLS FIRST, o_orderdate ASC NULLS FIRST,
         |         o_orderkey ASC NULLS FIRST""".stripMargin,

@@ -25,7 +25,7 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), Dets.decSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Dets.decSumD(col("value")).as("sum_value"))
       .select(Dets.tsOut(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 

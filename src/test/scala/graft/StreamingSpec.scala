@@ -47,7 +47,7 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2),
-        r.getDecimal(3))
+        r.getDouble(3))
     val streamed = spark.table("t_tumble").collect().map(key).toSet
     val batch = SparkEntry.queries("q50_win_tumbling")(spark, Sf)
       .select("window_start", "event_type", "n", "sum_value")
