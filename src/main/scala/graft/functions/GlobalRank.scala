@@ -26,8 +26,14 @@ object GlobalRank {
   def rowNumber(df: DataFrame, order: Seq[Column], parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    // localCheckpoint materializes the ranged partitioning ONCE: the range
+    // sampler re-seeds per action, so without it the counts job and the
+    // offset-join job could see different split points and the offsets
+    // would mismatch the local ranks. Cutting lineage pins both jobs to
+    // the same physical partitions.
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = ranged.withColumn("__lrn",
       row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
     val counts = local.groupBy("__pid").count().collect()

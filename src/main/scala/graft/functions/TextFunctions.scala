@@ -24,10 +24,15 @@ object TextFunctions {
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Polynomial rolling hash of a string column:
-    * fold(chars, 7, (acc, c) -> (acc*31 + ascii(c)) % 1e9+7). */
+    * fold(chars, 7, (acc, c) -> (acc*31 + ascii(c)) % 1e9+7).
+    * Empty strings must short-circuit to the seed: Spark's
+    * sequence(1, 0) yields the DESCENDING [1, 0] (the fold would run
+    * twice), while DuckDB's range(1, 1) is empty — the guard pins both
+    * engines to fp=7 (pinned in NullSafetySpec). */
   def charHash(s: String): String =
-    s"aggregate(sequence(1, length($s)), CAST(7 AS BIGINT), " +
-      s"(acc, i) -> (acc * 31 + ascii(substring($s, i, 1))) % $HashMod)"
+    s"CASE WHEN length($s) = 0 THEN CAST(7 AS BIGINT) " +
+      s"ELSE aggregate(sequence(1, length($s)), CAST(7 AS BIGINT), " +
+      s"(acc, i) -> (acc * 31 + ascii(substring($s, i, 1))) % $HashMod) END"
 
   /** Rolling hash of every element of a string-array column `arr`. */
   def tokenHashes(arr: String): String =

@@ -179,8 +179,12 @@ object PipelineQueries {
     // reproducible), doc_id tie-break.
     "q80_sample_stratified" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("h", pmod(col("doc_id") * Spread,
-          lit(TextFunctions.HashMod)))
+        // Reduce mod 1e9+7 BEFORE the multiply: residue (<2^30) * Spread
+        // (<2^32) stays under 2^63, whereas doc_id * Spread overflows
+        // int64 (an ANSI-mode throw) once doc_id exceeds ~3.47e9 — ids a
+        // 100 TB corpus absolutely reaches.
+        .withColumn("h", pmod(pmod(col("doc_id"), lit(TextFunctions.HashMod))
+          * Spread, lit(TextFunctions.HashMod)))
         .withColumn("rk", row_number().over(Window.partitionBy("lang")
           .orderBy(col("h").asc, col("doc_id").asc)))
         .filter(col("rk") <= SampleK)
@@ -254,7 +258,7 @@ object PipelineQueries {
     "q80_sample_stratified" ->
       s"""SELECT lang, doc_id,
          |       CAST(ROW_NUMBER() OVER (PARTITION BY lang
-         |         ORDER BY (doc_id * $Spread) % ${TextFunctions.HashMod} ASC,
+         |         ORDER BY ((doc_id % ${TextFunctions.HashMod}) * $Spread) % ${TextFunctions.HashMod} ASC,
          |                  doc_id ASC) AS INT) AS rk
          |FROM documents
          |QUALIFY rk <= $SampleK

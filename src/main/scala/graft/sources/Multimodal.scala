@@ -85,8 +85,12 @@ object Multimodal {
   /** Size partitions by payload bytes (not rows): target ~`targetMB` of
     * media per task so a 100 TB corpus doesn't produce 4 GB tasks. */
   def repartitionByBytes(df: DataFrame, targetMB: Int): DataFrame = {
-    val totalBytes = df.select(sum(length(col("payload")))).head.getLong(0)
-    val parts = math.max(1, (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt)
-    df.repartition(parts)
+    // sum() is NULL on an empty frame or all-null payloads — coalesce to
+    // 0 and skip the shuffle entirely in that case.
+    val totalBytes = df.select(coalesce(sum(length(col("payload"))), lit(0L)))
+      .head.getLong(0)
+    if (totalBytes == 0L) df
+    else df.repartition(math.max(1,
+      (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt))
   }
 }

@@ -111,8 +111,7 @@ object EventStreams {
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val root = new java.io.File(snapshotRoot)
     root.mkdirs()
-    def gens = root.listFiles().filter(_.getName.startsWith("gen_"))
-      .map(_.getName.stripPrefix("gen_").toLong).sorted
+    def gens = completedGens(root)
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val cur = gens.lastOption
@@ -128,13 +127,20 @@ object EventStreams {
     }.outputMode(OutputMode.Append).start()
   }
 
+  /** A generation is current only once its `_SUCCESS` marker exists
+    * (Spark's file committer writes it after all tasks commit) — a batch
+    * that crashes mid-write leaves a partial gen_N dir that must never be
+    * read as the snapshot, or its missing rows are silently lost. */
+  private def completedGens(root: java.io.File): Array[Long] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith("gen_") &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("gen_").toLong).sorted
+
   /** Read the current snapshot generation (empty None if no batch ran). */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
     snapshotRoot: String): Option[DataFrame] = {
-    val root = new java.io.File(snapshotRoot)
-    val gs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("gen_"))
-      .map(_.getName.stripPrefix("gen_").toLong).sorted
+    val gs = completedGens(new java.io.File(snapshotRoot))
     gs.lastOption.map(g => spark.read.parquet(s"$snapshotRoot/gen_$g"))
   }
 }

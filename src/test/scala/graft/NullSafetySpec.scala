@@ -25,6 +25,21 @@ class NullSafetySpec extends SparkSpec {
     assert(byText(Some("   ")).getSeq[String](1).isEmpty)
     assert(byText(None).isNullAt(1) && byText(None).isNullAt(2) &&
       byText(None).isNullAt(3))
+    // Empty text must fingerprint to the fold seed (7), matching DuckDB's
+    // empty range(1,1): Spark's sequence(1,0) is the DESCENDING [1,0], so
+    // an unguarded fold would run twice and yield 6727.
+    assert(byText(Some("")).getLong(3) == 7L)
+    assert(byText(Some("a b a")).getLong(3) ==
+      "a b a".foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L))
+  }
+
+  test("repartitionByBytes: empty or all-null payloads short-circuit") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    assert(graft.sources.Multimodal.repartitionByBytes(empty, 64).count() == 0)
+    val allNull = Seq((1L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    assert(graft.sources.Multimodal.repartitionByBytes(allNull, 64).count() == 1)
   }
 
   test("safeDiv yields NULL on zero divisors (DuckDB x/0), never throws") {

@@ -185,6 +185,14 @@ class StreamingSpec extends SparkSpec {
     val users = EventStreams.readSnapshot(spark, snap).get
       .groupBy("user_id").count().filter(col("count") > 1).count()
     assert(users == 0)
+    // a crashed batch leaves a gen dir WITHOUT _SUCCESS — it must be
+    // invisible to readers (the completed snapshot stays current)
+    val partial = new java.io.File(snap, "gen_999")
+    partial.mkdirs()
+    val after = EventStreams.readSnapshot(spark, snap).get
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == want)
   }
 
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
