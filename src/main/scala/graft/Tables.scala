@@ -88,6 +88,11 @@ object Tables {
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Every pipeline entry point loads through here — registering the
+    // graft_* expressions once per call keeps them available to any query
+    // without per-operator boilerplate (createOrReplaceTempFunction is
+    // idempotent and cheap).
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       // Spark 4 refuses TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL);
       // read nanos as long and floor-divide to µs — the exact truncation

@@ -16,9 +16,12 @@ object TextFunctions {
 
   val HashMod = 1000000007L
 
-  /** Whitespace tokens with empties dropped. */
+  /** Whitespace tokens with empties dropped. array_remove (a native
+    * codegen expression) drops the empty strings that consecutive /
+    * leading / trailing spaces produce — same result as a filter lambda,
+    * but HOF lambdas evaluate interpreted per element. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    array_remove(split(text, " "), "")
 
   /** Distinct token set (order irrelevant downstream). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))

@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the graft_* text-hash expressions.
+  *
+  * Each method is the compiled equivalent of a higher-order-function
+  * formulation in [[TextFunctions]] (which remains the documentation of
+  * record and the source of the DuckDB oracle SQL). Spark evaluates HOF
+  * lambdas interpreted — one virtual call per element — which dominates
+  * the runtime of every corpus pipeline; these kernels run the same folds
+  * as tight JVM loops and are called from generated code as a single
+  * static invocation per row (the expressions stay inside whole-stage
+  * codegen). PropertySpec asserts kernel == HOF on randomized inputs.
+  *
+  * Numeric semantics are IDENTICAL to the HOF/oracle forms: same fold
+  * seeds, same left-to-right order, same moduli, and Unicode code points
+  * (Spark's `ascii`/`length`/`substring` are code-point based — verified
+  * against `ascii(substring(s, i, 1))` this session).
+  */
+object TextHash {
+
+  val Mod: Long = TextFunctions.HashMod
+  val BandMod: Long = TextFunctions.BandMod
+
+  /** fold over code points: acc = (acc*31 + cp) % Mod, seed 7.
+    * Empty string → 7 (the guarded-CASE semantics in
+    * TextFunctions.charHash). Decodes UTF-8 in place — no allocation. */
+  def charHash(s: UTF8String): Long = foldFrom(7L, s)
+
+  /** charHash of the two-token bigram "a b" without materializing the
+    * concatenated string: the poly hash is a sequential fold, so
+    * hash("a b") = fold(fold(fold(7, a), ' '), b). */
+  private def bigramHash(a: UTF8String, b: UTF8String): Long = {
+    var acc = foldFrom(7L, a)
+    acc = (acc * 31 + ' '.toInt) % Mod
+    foldFrom(acc, b)
+  }
+
+  private def foldFrom(seed: Long, s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var acc = seed
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < bytes.length) {
+        cp = (cp << 6) | (bytes(i + j) & 0x3F)
+        j += 1
+      }
+      acc = (acc * 31 + cp) % Mod
+      i += len
+    }
+    acc
+  }
+
+  /** transform(arr, t -> charHash(t)): null elements stay null. */
+  def tokenHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out(i) = charHash(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hashes of the n-1 word bigrams "tk[i] tk[i+1]" (order preserved,
+    * not distinct). A null token nulls the bigrams it touches — same as
+    * concat-then-hash null propagation in the HOF form. */
+  def bigramHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1))
+        out(i) = bigramHash(arr.getUTF8String(i), arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** nHashes MinHash signatures: mh_k = min over h of
+    * (h*(2k+1) + 7777k) % Mod. Null elements are skipped (array_min
+    * semantics); an empty/all-null input yields all-null signatures. */
+  def minHash(hs: ArrayData, nHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    val out = new Array[Any](nHashes)
+    var k = 0
+    while (k < nHashes) {
+      val mul = 2L * k + 1
+      val add = 7777L * k
+      var best = Long.MaxValue
+      var seen = false
+      var i = 0
+      while (i < n) {
+        if (!hs.isNullAt(i)) {
+          val v = (hs.getLong(i) * mul + add) % Mod
+          if (v < best) best = v
+          seen = true
+        }
+        i += 1
+      }
+      if (seen) out(k) = best
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Band keys: fold each rows-sized slice of the signature with
+    * (a*31 + x) % BandMod, seed 0. A null signature element nulls its
+    * band's key (the HOF aggregate's null propagation). */
+  def bandKeys(mh: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var ok = true
+      var r = 0
+      while (r < rows && ok) {
+        val idx = b * rows + r
+        if (idx >= mh.numElements() || mh.isNullAt(idx)) ok = false
+        else acc = (acc * 31 + mh.getLong(idx)) % BandMod
+        r += 1
+      }
+      if (ok) out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash of a token-hash array: spread each hash, vote ±1 per bit,
+    * set bit k iff the vote is strictly positive. Identical to the q67
+    * explode/group formulation (a null element votes −1 on every bit —
+    * the CASE's ELSE arm under a NULL condition). */
+  def simHash(hs: ArrayData, bits: Int, spread: Long): Long = {
+    val votes = new Array[Int](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) {
+        var k = 0
+        while (k < bits) { votes(k) -= 1; k += 1 }
+      } else {
+        val h2 = hs.getLong(i) * spread
+        var k = 0
+        while (k < bits) {
+          if (((h2 >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < bits) {
+      if (votes(k) > 0) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+
+  /** Σ length(t) over a token array (code-point lengths, int result) —
+    * the q72 aggregate. Null element → null total (boxed). */
+  def sumCharLengths(arr: ArrayData): Integer = {
+    val n = arr.numElements()
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    Integer.valueOf(s)
+  }
+
+  /** Rolling fingerprint of a token array: fold charHash(t) with
+    * (a*31 + h) % BandMod, seed 0 — the q83 chunk fingerprint. Null
+    * element → null (boxed); empty → 0. */
+  def chunkFingerprint(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      acc = (acc * 31 + charHash(arr.getUTF8String(i))) % BandMod
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}

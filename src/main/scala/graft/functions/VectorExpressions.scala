@@ -150,11 +150,50 @@ case class SortedLongIntersectCard(left: Expression, right: Expression)
 /** Session-scoped registration so the expressions are usable from
   * `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.IntegerType
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Skip if already present: createOrReplaceTempFunction WARN-logs every
+    // replacement, and register is called from every Tables.load.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_chunk_fp")))
+      return
     reg.createOrReplaceTempFunction("graft_dot",
       (es: Seq[Expression]) => FloatVecDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect",
       (es: Seq[Expression]) => SortedLongIntersectCard(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_charhash",
+      (es: Seq[Expression]) => CharPolyHash(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_hashes",
+      (es: Seq[Expression]) => TokenPolyHashes(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bigram_hashes",
+      (es: Seq[Expression]) => BigramPolyHashes(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      (es: Seq[Expression]) =>
+        MinHashSigs(es(0), intLit(es(1), "graft_minhash nHashes")), "built-in")
+    reg.createOrReplaceTempFunction("graft_band_keys",
+      (es: Seq[Expression]) => BandKeysFold(es(0),
+        intLit(es(1), "graft_band_keys bands"),
+        intLit(es(2), "graft_band_keys rows")), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      (es: Seq[Expression]) => SimHashBits(es(0),
+        intLit(es(1), "graft_simhash bits"), es(2) match {
+          case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash spread must be an integer literal, got $other")
+        }), "built-in")
+    reg.createOrReplaceTempFunction("graft_sum_lengths",
+      (es: Seq[Expression]) => SumCharLengths(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_chunk_fp",
+      (es: Seq[Expression]) => ChunkFingerprint(es(0)), "built-in")
   }
 }

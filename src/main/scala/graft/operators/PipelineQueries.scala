@@ -140,17 +140,14 @@ object PipelineQueries {
         .withColumn("chunk", expr(s"slice(tk, start + 1, $ChunkWidth)"))
         .select(col("doc_id"), col("chunk_id"),
           size(col("chunk")).as("n_in_chunk"),
-          expr("aggregate(" +
-            s"transform(chunk, t -> ${TextFunctions.charHash("t")}), " +
-            "CAST(0 AS BIGINT), " +
-            s"(a, h) -> (a * 31 + h) % ${TextFunctions.BandMod})").as("fp"))
+          expr("graft_chunk_fp(chunk)").as("fp"))
         .orderBy("doc_id", "chunk_id")),
 
     // Deterministic content-hash split: the same document lands in the
     // same split on any engine, any cluster size, any run.
     "q78_train_split" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("bucket", expr(TextFunctions.charHash("text")) % 10)
+        .withColumn("bucket", expr("graft_charhash(text)") % 10)
         .select(col("doc_id"), col("bucket"),
           when(col("bucket") < 8, "train")
             .when(col("bucket") === 8, "val")

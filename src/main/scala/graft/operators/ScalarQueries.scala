@@ -55,9 +55,9 @@ object ScalarQueries {
           try_element_at(col("embedding"), lit(1)).as("e1"),
           try_element_at(col("embedding"), lit(2)).as("e2"),
           try_element_at(col("embedding"), lit(3)).as("e3"),
-          round(sqrt(expr(
-            "aggregate(embedding, CAST(0 AS DOUBLE)," +
-              " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
+          // graft_dot(e, e) is the same left-to-right Σx² fold as the
+          // aggregate-lambda form, but codegen'd
+          round(sqrt(expr("graft_dot(embedding, embedding)")), 4)
             .as("l2_norm"))
         .orderBy("vec_id")),
 

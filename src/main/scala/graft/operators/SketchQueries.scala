@@ -48,10 +48,9 @@ object SketchQueries {
       // sketches — tiny relative to the corpus at any scale.
       val d = t(s, dir, "documents")
         .withColumn("toks", TextFunctions.tokenSet(col("text")))
-        .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
-        .withColumn("mh", expr(TextFunctions.minHashes("hs", NumHashes)))
-        .withColumn("bks", expr(
-          s"transform(${TextFunctions.bandKeys("mh", Bands, Rows)}, x -> x.bkey)"))
+        .withColumn("hs", array_sort(expr("graft_token_hashes(toks)")))
+        .withColumn("mh", expr(s"graft_minhash(hs, $NumHashes)"))
+        .withColumn("bks", expr(s"graft_band_keys(mh, $Bands, $Rows)"))
         .select(col("doc_id"), col("hs"), col("bks"))
         .persist()
       val banded = d.select(col("doc_id"),
@@ -87,20 +86,18 @@ object SketchQueries {
         .orderBy("id_lo", "id_hi")
     }),
 
+    // Pure per-row projection: graft_simhash votes all 61 bits in one
+    // codegen pass over the token hashes — the previous explode form
+    // materialized |tokens| × 61 rows per doc through two shuffles. The
+    // empty-token filter preserves the explode semantics (a doc with no
+    // tokens emitted no rows, so it was absent from the result).
     "q67_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .withColumn("toks", TextFunctions.tokenSet(col("text")))
-        .withColumn("hs", expr(TextFunctions.tokenHashes("toks")))
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .withColumn("h2", col("h") * Spread)
-        .select(col("doc_id"), col("h2"),
-          explode(expr(s"sequence(0, ${SimBits - 1})")).as("k"))
-        .groupBy("doc_id", "k")
-        .agg(sum(expr("CASE WHEN (shiftright(h2, k) & 1) = 1 THEN 1 ELSE -1 END"))
-          .as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END"))
-          .as("simhash"))
+        .withColumn("hs", expr("graft_token_hashes(toks)"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          expr(s"graft_simhash(hs, $SimBits, ${Spread}L)").as("simhash"))
         .orderBy("doc_id"))
   )
 

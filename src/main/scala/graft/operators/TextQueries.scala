@@ -33,7 +33,7 @@ object TextQueries {
   def hashedDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     withToks(t(s, dir, "documents"))
-      .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
+      .withColumn("hs", array_sort(expr("graft_token_hashes(toks)")))
       .select(col("doc_id"), col("lang"), col("hs"))
       .persist()
   }
@@ -160,8 +160,7 @@ object TextQueries {
         .withColumn("tk", TextFunctions.tokens(col("text")))
         .withColumn("n_tok", size(col("tk")).cast("long"))
         .withColumn("n_uniq", size(array_distinct(col("tk"))).cast("long"))
-        .withColumn("sum_len", expr(
-          "CAST(aggregate(transform(tk, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)"))
+        .withColumn("sum_len", expr("CAST(graft_sum_lengths(tk) AS BIGINT)"))
         .select(col("doc_id"), col("n_tok"), col("n_uniq"),
           round(safeDiv(col("n_uniq").cast("double"), col("n_tok")), 4).as("ttr"),
           round(safeDiv(col("sum_len").cast("double"), col("n_tok")), 4)
@@ -181,8 +180,8 @@ object TextQueries {
     "q74_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          expr(TextFunctions.charHash("text")).as("fp"),
-          (expr(TextFunctions.charHash("text")) * 2654435761L).as("fp_spread"))
+          expr("graft_charhash(text)").as("fp"),
+          (expr("graft_charhash(text)") * 2654435761L).as("fp_spread"))
         .orderBy("doc_id"))
   )
 

@@ -22,10 +22,6 @@ object TfidfQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
-  /** Word bigram shingles of a (filtered) token array column. */
-  private val bigramsExpr =
-    "transform(sequence(1, size(tk) - 1), " +
-      "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_tfidf" -> ((s, dir) => {
@@ -51,11 +47,16 @@ object TfidfQueries {
 
     "q76_ngram_jaccard" -> ((s, dir) => {
       GraftFunctions.register(s)
+      // graft_bigram_hashes folds each "a b" shingle directly to its hash
+      // (no concatenated-string materialization, no interpreted lambdas);
+      // distinct-of-hashes equals hashes-of-distinct-grams because the
+      // rolling hash is collision-free on the corpus shingles (asserted in
+      // OperatorSpec, and the q76 oracle replays the gram-set form).
       val d = t(s, dir, "documents")
         .withColumn("tk", TextFunctions.tokens(col("text")))
         .filter(size(col("tk")) >= 2)
-        .withColumn("grams", array_distinct(expr(bigramsExpr)))
-        .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("grams"))))
+        .withColumn("hs",
+          array_sort(array_distinct(expr("graft_bigram_hashes(tk)"))))
         .select(col("doc_id"), col("lang"), col("hs"))
         // both self-join sides read this chain; persist so the shingle
         // hashing runs once (one small row of sorted hashes per doc)

@@ -58,7 +58,7 @@ object PipelineDemo {
 
     // 4. deterministic content-hash split
     val split = keepers
-      .withColumn("bucket", expr(TextFunctions.charHash("text")) % 10)
+      .withColumn("bucket", expr("graft_charhash(text)") % 10)
       .withColumn("split", when(col("bucket") < 8, "train")
         .when(col("bucket") === 8, "val").otherwise("test"))
 

@@ -23,15 +23,13 @@ object Q66Profile {
     }
     val d = Tables.loadSpread(s, dir, "documents")
       .withColumn("toks", TextFunctions.tokenSet(col("text")))
-      .withColumn("hs", array_sort(expr(TextFunctions.tokenHashes("toks"))))
-      .withColumn("mh", expr(TextFunctions.minHashes("hs", 16)))
+      .withColumn("hs", array_sort(expr("graft_token_hashes(toks)")))
+      .withColumn("mh", expr("graft_minhash(hs, 16)"))
       .select(col("doc_id"), col("hs"), col("mh"))
     d.persist()
     time("minhash (docs)")(println(s"  docs=${d.count()}"))
     val banded = d.select(col("doc_id"),
-        explode(expr(TextFunctions.bandKeys("mh", 4, 4))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.bkey").as("bkey"))
+        posexplode(expr("graft_band_keys(mh, 4, 4)")).as(Seq("band", "bkey")))
     banded.persist()
     time("band keys")(println(s"  band rows=${banded.count()}"))
     time("bucket histogram") {
@@ -50,8 +48,7 @@ object Q66Profile {
     val cand = rawJoin.select("id_lo", "id_hi").distinct()
     cand.persist()
     time("candidates (join+distinct)")(println(s"  cand=${cand.count()}"))
-    val dk = d.withColumn("bks", expr(
-      s"transform(${TextFunctions.bandKeys("mh", 4, 4)}, x -> x.bkey)"))
+    val dk = d.withColumn("bks", expr("graft_band_keys(mh, 4, 4)"))
     val ka = dk.select(col("doc_id").as("id_lo"), col("bks").as("bks_a"))
     val kb = dk.select(col("doc_id").as("id_hi"), col("bks").as("bks_b"))
     val firstMatch = expr((0 until 3)

@@ -101,4 +101,91 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(0) == model && r.getDouble(1) == model)
     }
   }
+
+  test("codegen text-hash kernels equal their HOF formulations") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // Random token lists incl. multi-byte UTF-8 and an empty-string text;
+    // the HOF forms are the semantics of record (and what the DuckDB
+    // oracles replay), the graft_* kernels must match them exactly.
+    val word = Gen.oneOf("alpha", "Beta7", "émile", "données", "日本語",
+      "x", "zz-top", "€uro", "mixedCase", "under_score")
+    val toksGen = Gen.listOfN(12, word)
+    for (toks <- cases(toksGen, 10)) {
+      val text = toks.mkString(" ")
+      val df = Seq((text, toks)).toDF("text", "tk")
+        .withColumn("fp_hof", expr(TextFunctions.charHash("text")))
+        .withColumn("fp_gen", expr("graft_charhash(text)"))
+        .withColumn("th_hof", expr(TextFunctions.tokenHashes("tk")))
+        .withColumn("th_gen", expr("graft_token_hashes(tk)"))
+        .withColumn("mh_hof", expr(TextFunctions.minHashes("th_hof", 16)))
+        .withColumn("mh_gen", expr("graft_minhash(th_gen, 16)"))
+        .withColumn("bk_hof", expr(
+          s"transform(${TextFunctions.bandKeys("mh_hof", 4, 4)}, x -> x.bkey)"))
+        .withColumn("bk_gen", expr("graft_band_keys(mh_gen, 4, 4)"))
+        .withColumn("bg_hof", expr(
+          "transform(transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))), " +
+            s"t -> ${TextFunctions.charHash("t")})"))
+        .withColumn("bg_gen", expr("graft_bigram_hashes(tk)"))
+        .withColumn("sl_hof", expr(
+          "aggregate(transform(tk, t -> length(t)), 0, (a, x) -> a + x)"))
+        .withColumn("sl_gen", expr("graft_sum_lengths(tk)"))
+        .withColumn("cf_hof", expr(
+          s"aggregate(transform(tk, t -> ${TextFunctions.charHash("t")}), " +
+            s"CAST(0 AS BIGINT), (a, h) -> (a * 31 + h) % ${TextFunctions.BandMod})"))
+        .withColumn("cf_gen", expr("graft_chunk_fp(tk)"))
+      val r = df.head
+      assert(r.getLong(r.fieldIndex("fp_hof")) == r.getLong(r.fieldIndex("fp_gen")))
+      assert(r.getSeq[Long](r.fieldIndex("th_hof")) ==
+        r.getSeq[Long](r.fieldIndex("th_gen")))
+      assert(r.getSeq[Long](r.fieldIndex("mh_hof")) ==
+        r.getSeq[Long](r.fieldIndex("mh_gen")))
+      assert(r.getSeq[Long](r.fieldIndex("bk_hof")) ==
+        r.getSeq[Long](r.fieldIndex("bk_gen")))
+      assert(r.getSeq[Long](r.fieldIndex("bg_hof")) ==
+        r.getSeq[Long](r.fieldIndex("bg_gen")))
+      assert(r.getInt(r.fieldIndex("sl_hof")) == r.getInt(r.fieldIndex("sl_gen")))
+      assert(r.getLong(r.fieldIndex("cf_hof")) == r.getLong(r.fieldIndex("cf_gen")))
+    }
+    // empty text: both pin the seed fingerprint 7 / empty aggregates
+    val e = Seq(("", Seq.empty[String])).toDF("text", "tk")
+      .withColumn("fp_hof", expr(TextFunctions.charHash("text")))
+      .withColumn("fp_gen", expr("graft_charhash(text)"))
+      .withColumn("mh_gen", expr("graft_minhash(graft_token_hashes(tk), 4)"))
+      .withColumn("sl_gen", expr("graft_sum_lengths(tk)"))
+      .withColumn("cf_gen", expr("graft_chunk_fp(tk)")).head
+    assert(e.getLong(e.fieldIndex("fp_hof")) == 7L)
+    assert(e.getLong(e.fieldIndex("fp_gen")) == 7L)
+    assert(e.getSeq[Any](e.fieldIndex("mh_gen")) == Seq(null, null, null, null))
+    assert(e.getInt(e.fieldIndex("sl_gen")) == 0)
+    assert(e.getLong(e.fieldIndex("cf_gen")) == 0L)
+  }
+
+  test("simhash projection equals the explode/group-by formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val gen = Gen.listOfN(15, Gen.identifier.suchThat(_.nonEmpty))
+    for ((toks, i) <- cases(gen, 6).zipWithIndex) {
+      val df = Seq((i.toLong, toks.distinct)).toDF("doc_id", "toks")
+        .withColumn("hs", expr("graft_token_hashes(toks)"))
+      df.persist()
+      val proj = df.filter(size(col("hs")) > 0)
+        .select(col("doc_id"), expr("graft_simhash(hs, 61, 2654435761L)").as("sh"))
+        .head.getLong(1)
+      val exploded = df.select(col("doc_id"), explode(col("hs")).as("h"))
+        .withColumn("h2", col("h") * 2654435761L)
+        .select(col("doc_id"), col("h2"), explode(expr("sequence(0, 60)")).as("k"))
+        .groupBy("doc_id", "k")
+        .agg(sum(expr("CASE WHEN (shiftright(h2, k) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), k) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+        .head.getLong(1)
+      df.unpersist()
+      assert(proj == exploded)
+    }
+  }
 }
