@@ -151,13 +151,41 @@ case class SortedLongIntersectCard(left: Expression, right: Expression)
   * `expr("graft_dot(a, b)")` / SQL. Idempotent. */
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.expressions.Literal
-  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.types.{IntegerType, LongType}
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Name → expression builder for the whole graft function family —
+    * single source of truth for both registration paths (the runtime
+    * registry fallback below and the SparkSessionExtensions injector). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => FloatVecDot(es(0), es(1))),
+    "graft_sorted_intersect" -> (es => SortedLongIntersectCard(es(0), es(1))),
+    "graft_charhash" -> (es => CharPolyHash(es(0))),
+    "graft_token_hashes" -> (es => TokenPolyHashes(es(0))),
+    "graft_bigram_hashes" -> (es => BigramPolyHashes(es(0))),
+    "graft_minhash" -> (es =>
+      MinHashSigs(es(0), intLit(es(1), "graft_minhash nHashes"))),
+    "graft_band_keys" -> (es => BandKeysFold(es(0),
+      intLit(es(1), "graft_band_keys bands"),
+      intLit(es(2), "graft_band_keys rows"))),
+    "graft_simhash" -> (es => SimHashBits(es(0),
+      intLit(es(1), "graft_simhash bits"),
+      longLit(es(2), "graft_simhash spread"))),
+    "graft_sum_lengths" -> (es => SumCharLengths(es(0))),
+    "graft_chunk_fp" -> (es => ChunkFingerprint(es(0)))
+  )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -166,34 +194,8 @@ object GraftFunctions {
     if (reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("graft_chunk_fp")))
       return
-    reg.createOrReplaceTempFunction("graft_dot",
-      (es: Seq[Expression]) => FloatVecDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_sorted_intersect",
-      (es: Seq[Expression]) => SortedLongIntersectCard(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_charhash",
-      (es: Seq[Expression]) => CharPolyHash(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_token_hashes",
-      (es: Seq[Expression]) => TokenPolyHashes(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_bigram_hashes",
-      (es: Seq[Expression]) => BigramPolyHashes(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash",
-      (es: Seq[Expression]) =>
-        MinHashSigs(es(0), intLit(es(1), "graft_minhash nHashes")), "built-in")
-    reg.createOrReplaceTempFunction("graft_band_keys",
-      (es: Seq[Expression]) => BandKeysFold(es(0),
-        intLit(es(1), "graft_band_keys bands"),
-        intLit(es(2), "graft_band_keys rows")), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      (es: Seq[Expression]) => SimHashBits(es(0),
-        intLit(es(1), "graft_simhash bits"), es(2) match {
-          case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
-          case Literal(v: Int, IntegerType) => v.toLong
-          case other => throw new IllegalArgumentException(
-            s"graft_simhash spread must be an integer literal, got $other")
-        }), "built-in")
-    reg.createOrReplaceTempFunction("graft_sum_lengths",
-      (es: Seq[Expression]) => SumCharLengths(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_chunk_fp",
-      (es: Seq[Expression]) => ChunkFingerprint(es(0)), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

@@ -29,14 +29,20 @@ object TextQueries {
 
   /** Per-doc sorted token-hash table (doc_id, lang, hs), persisted: every
     * pair pipeline reads it from both self-join sides, so tokenization +
-    * hashing run once (one small row of sorted hashes per doc). */
-  def hashedDocs(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    withToks(t(s, dir, "documents"))
-      .withColumn("hs", array_sort(expr("graft_token_hashes(toks)")))
-      .select(col("doc_id"), col("lang"), col("hs"))
-      .persist()
-  }
+    * hashing run once (one small row of sorted hashes per doc). Cached
+    * per (session, dir) because three pipelines (q61, q77, q82) start
+    * from it — within one session they share a single materialization. */
+  private val hashedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def hashedDocs(s: SparkSession, dir: String): DataFrame =
+    hashedCache.computeIfAbsent((s, dir), { _ =>
+      graft.functions.GraftFunctions.register(s)
+      withToks(t(s, dir, "documents"))
+        .withColumn("hs", array_sort(expr("graft_token_hashes(toks)")))
+        .select(col("doc_id"), col("lang"), col("hs"))
+        .persist()
+    })
 
   /** Same-lang candidate pairs (id_lo < id_hi) with both hash arrays. */
   private def langPairs(d: DataFrame): DataFrame = {

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.functions.{GraftFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming topologies over a document stream — the online halves of
+  * the batch corpus pipelines (q60/q66's dedup family).
+  *
+  * Scale notes: state is keyed by a single 64-bit signature, so the
+  * dedup state store is one long per distinct signature inside the
+  * watermark horizon — bounded by arrival rate × horizon, not corpus
+  * size, and hash-partitioned across executors like any keyed state.
+  */
+object DocStreams {
+
+  /** Online near-duplicate filter: drops an arriving document whose
+    * MinHash signature key was already seen within the watermark
+    * horizon, keeping the first arrival. Two documents collide exactly
+    * when ALL `nHashes` MinHash signatures match — the deterministic
+    * streaming analog of the batch LSH candidate rule with every row in
+    * one band (high precision: matches are near-certain duplicates; a
+    * lower-similarity pair is left for the periodic batch q77 pass —
+    * the standard online-filter + offline-compaction split).
+    *
+    * The signature folds to ONE long key via the band-key fold
+    * (bands=1, rows=nHashes), so the state row is a single long, not an
+    * array. Requires an event-time column `tsCol` for the watermark.
+    */
+  def nearDupFilter(docs: DataFrame, tsCol: String, textCol: String,
+    watermark: String, nHashes: Int = 16): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val keyed = docs.withWatermark(tsCol, watermark)
+      .withColumn("__sig_key",
+        expr(s"graft_band_keys(graft_minhash(graft_token_hashes(" +
+          s"array_distinct(array_remove(split($textCol, ' '), ''))), " +
+          s"$nHashes), 1, $nHashes)[0]"))
+    // an empty document has a null signature key; null keys would all
+    // collide as one state-store entry, so empties bypass the dedup
+    // branch and pass through unfiltered
+    keyed.filter(col("__sig_key").isNotNull)
+      .dropDuplicatesWithinWatermark("__sig_key")
+      .unionByName(keyed.filter(col("__sig_key").isNull))
+      .drop("__sig_key")
+  }
+
+  /** Batch model of [[nearDupFilter]]'s steady state: the documents that
+    * survive when the whole corpus is replayed oldest-first — first
+    * arrival (min ts, doc_id tie-break) per signature key. Used by specs
+    * to assert stream/batch convergence, and usable directly as the
+    * backfill compaction for a corpus at rest. */
+  def nearDupKeepSet(docs: DataFrame, tsCol: String, idCol: String,
+    textCol: String, nHashes: Int = 16): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.withColumn("__sig_key",
+      expr(s"graft_band_keys(graft_minhash(graft_token_hashes(" +
+        s"array_distinct(array_remove(split($textCol, ' '), ''))), " +
+        s"$nHashes), 1, $nHashes)[0]"))
+    val w = Window.partitionBy("__sig_key")
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    keyed.filter(col("__sig_key").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sig_key")
+      .unionByName(keyed.filter(col("__sig_key").isNull).drop("__sig_key"))
+  }
+}

@@ -195,6 +195,51 @@ class StreamingSpec extends SparkSpec {
     assert(after == want)
   }
 
+  test("streaming near-dup filter keeps first arrival per signature") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_neardup_").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // file 1: three distinct docs; file 2: one exact dup of doc 1 (same
+    // token multiset => same minhash signature), one reordered dup of
+    // doc 2 (same token SET => same signature), one new doc, one empty
+    val f1 = Seq(
+      (1L, "the quick brown fox", ts("2024-01-01 10:00:00")),
+      (2L, "lazy dogs sleep here", ts("2024-01-01 10:00:10")),
+      (3L, "completely different text", ts("2024-01-01 10:00:20")))
+    val f2 = Seq(
+      (4L, "the quick brown fox", ts("2024-01-01 10:01:00")),
+      (5L, "here sleep lazy dogs", ts("2024-01-01 10:01:10")),
+      (6L, "a brand new document", ts("2024-01-01 10:01:20")),
+      (7L, "", ts("2024-01-01 10:01:30")))
+    Seq(f1, f2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/chunk_$i")
+      val f = Files.list(Paths.get(s"$dir/chunk_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(f), Paths.get(s"$dir/part_$i.parquet"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/part_$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 60000L))
+    }
+    val schema = (f1.toDF("doc_id", "text", "ts")).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = graft.streaming.DocStreams
+      .nearDupFilter(stream, "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("t_neardup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 4 (exact dup) and 5 (token-set dup) drop; the empty doc passes
+    assert(kept == Set(1L, 2L, 3L, 6L, 7L))
+    // and the batch model agrees
+    val model = graft.streaming.DocStreams
+      .nearDupKeepSet((f1 ++ f2).toDF("doc_id", "text", "ts"),
+        "ts", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(model == kept)
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val dir = Files.createTempDirectory("graft_dedup_").toString
     import spark.implicits._
