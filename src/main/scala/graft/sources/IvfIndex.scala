@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.functions.{CentroidAggregator, GraftFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index over an embedding table.
+  *
+  * q70 builds its coarse quantizer inline on every run; for repeated
+  * probe workloads the centroids and the cell assignment are the index —
+  * build once, save as parquet, and every later search pays only
+  * (a) a broadcast of |cells| centroids and (b) a scan of the `nprobe`
+  * selected cells. Layout:
+  *
+  *   <root>/centroids/   (cell:int, cent:array<float>, cn2:double)
+  *   <root>/assigned/    the input rows + their cell id, written
+  *                       partitioned BY cell so a probe's fine search
+  *                       reads only nprobe directories (partition
+  *                       pruning does the cell selection — at 100 TB
+  *                       this is the difference between scanning the
+  *                       corpus and scanning ~nprobe/cells of it).
+  *
+  * Cells here are seeded from the `label` column (the corpus's natural
+  * coarse structure, same as q70); a production build would Lloyd-iterate
+  * from a sampled k-means++ seeding — the index layout and search path
+  * are identical either way.
+  */
+object IvfIndex {
+
+  private def cosW(a: String, b: String, n2a: String, n2b: String): Column =
+    graft.Dets.safeDiv(expr(s"graft_dot($a, $b)"),
+      sqrt(col(n2a)) * sqrt(col(n2b)))
+
+  /** Build and persist the index from an embedding table with columns
+    * (idCol, vecCol, cellCol). */
+  def build(emb: DataFrame, root: String, idCol: String = "vec_id",
+    vecCol: String = "embedding", cellCol: String = "label"): Unit = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroid = udaf(new CentroidAggregator(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val cents = emb.groupBy(col(cellCol).cast("int").as("cell"))
+      .agg(centroid(col(vecCol)).as("cent"))
+      .withColumn("cn2", expr("graft_dot(cent, cent)"))
+    cents.write.mode("overwrite").parquet(s"$root/centroids")
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col(cellCol).cast("int").as("cell"))
+      .withColumn("n2", expr(s"graft_dot(embedding, embedding)"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assigned")
+  }
+
+  /** Top-k cosine search against a persisted index: rank cells by
+    * centroid cosine, fine-search the top `nprobe` cells only. `probes`
+    * needs (probe_id, pe). Returns (probe_id, vec_id, cos4, rn). */
+  def search(spark: SparkSession, root: String, probes: DataFrame,
+    nprobe: Int, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$root/centroids")
+    val p = probes
+      .withColumn("pn2", expr("graft_dot(pe, pe)"))
+    val wCell = Window.partitionBy("probe_id")
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val cellSel = broadcast(p).crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosW("pe", "cent", "pn2", "cn2"), 4))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nprobe)
+      .select(col("probe_id").as("c_probe_id"), col("pe"), col("pn2"),
+        col("cell"))
+    // the cell filter lands on the partition column of `assigned`, so the
+    // fine scan is partition-pruned to the nprobe selected directories
+    val assigned = spark.read.parquet(s"$root/assigned")
+    val wTop = Window.partitionBy("probe_id")
+      .orderBy(col("cos4").desc, col("vec_id").asc)
+    cellSel.join(assigned, cellSel("cell") === assigned("cell") &&
+        col("vec_id") =!= col("c_probe_id"))
+      .select(col("c_probe_id").as("probe_id"), col("pe"), col("pn2"),
+        col("vec_id"), col("embedding"), col("n2"))
+      .withColumn("cos4", round(cosW("pe", "embedding", "pn2", "n2"), 4))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .select("probe_id", "vec_id", "cos4", "rn")
+  }
+}

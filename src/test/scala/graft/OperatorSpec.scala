@@ -119,6 +119,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index search equals the inline q70 result") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    val emb = Tables.load(spark, Sf, "embeddings")
+    graft.sources.IvfIndex.build(emb, root)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val got = graft.sources.IvfIndex.search(spark, root, probes, 2, 3)
+      .orderBy("probe_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val want = SparkEntry.queries("q70_ann_ivf")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    // and the fine scan is partition-pruned: the cell filter must reach
+    // the assigned/ scan as a partition filter, not a post-scan filter
+    val plan = graft.sources.IvfIndex.search(spark, root, probes, 2, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("partition"),
+      s"expected partition-pruned scan, got:\n$plan")
+  }
+
   test("q66 LSH candidates contain every very-similar pair from q61") {
     // Jaccard >= 0.9 pairs collide in at least one band with 16/4/4 MinHash
     // with overwhelming probability (1-(1-s^4)^4 ~ 0.9997 at s=0.9).
