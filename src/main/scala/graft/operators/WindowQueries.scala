@@ -21,16 +21,20 @@ object WindowQueries {
     Tables.load(s, dir, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q30_rank_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .orderBy("c_mktsegment", "rn")
-    }),
+    // Runs through the custom TopKPerGroup operator (plans/TopKPlan.scala):
+    // map-side partial top-k bounds the shuffle to k rows per (group,
+    // partition) and neither side ever full-sorts a group — the window
+    // row_number formulation (the oracle's SQL) shuffles and sorts
+    // everything. Total order (price desc, orderkey asc) => identical
+    // rows either way, which the oracle gate verifies.
+    "q30_rank_topk" -> ((s, dir) =>
+      graft.plans.GraftOps.topKPerGroup(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("c_mktsegment")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("c_mktsegment", "rn")),
 
     "q31_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
