@@ -182,9 +182,9 @@ object PipelineQueries {
         // 100 TB corpus absolutely reaches.
         .withColumn("h", pmod(pmod(col("doc_id"), lit(TextFunctions.HashMod))
           * Spread, lit(TextFunctions.HashMod)))
-        .withColumn("rk", row_number().over(Window.partitionBy("lang")
-          .orderBy(col("h").asc, col("doc_id").asc)))
-        .filter(col("rk") <= SampleK)
+        .transform(d => graft.plans.GraftOps.topKPerGroup(d,
+          Seq(col("lang")),
+          Seq(col("h").asc, col("doc_id").asc), SampleK, rankName = "rk"))
         .select(col("lang"), col("doc_id"), col("rk"))
         .orderBy("lang", "rk")),
 

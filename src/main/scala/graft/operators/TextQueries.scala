@@ -139,20 +139,22 @@ object TextQueries {
       val doctok = withToks(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
         .persist()
-      val prof = doctok.groupBy(col("lang").as("plang"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("plang").orderBy(col("cnt").desc, col("tok").asc)))
-        .filter(col("rk") <= 20)
+      // both top-k's run through TopKPerGroup: the language-profile one is
+      // skew-prone (few groups — a window sends every token count of a
+      // language to one task), the per-doc argmax needs no full sort
+      val prof = graft.plans.GraftOps.topKPerGroup(
+        doctok.groupBy(col("lang").as("plang"), col("tok"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq(col("plang")),
+        Seq(col("cnt").desc, col("tok").asc), 20, rankName = "rk")
         .select("plang", "tok")
       val score = doctok.select("doc_id", "tok")
         .join(prof, "tok")
         .groupBy("doc_id", "plang")
         .agg(count(lit(1)).as("score"))
-      val pred = score
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)))
-        .filter(col("rk") === 1)
+      val pred = graft.plans.GraftOps.topKPerGroup(score,
+        Seq(col("doc_id")),
+        Seq(col("score").desc, col("plang").asc), 1, rankName = "rk")
         .select(col("doc_id").as("p_doc_id"), col("plang").as("pred_lang"),
           col("score"))
       t(s, dir, "documents").select("doc_id", "lang")

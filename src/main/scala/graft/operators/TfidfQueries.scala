@@ -34,13 +34,16 @@ object TfidfQueries {
         .persist()
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf4").desc, col("tok").asc)
-      tf.join(df, "tok").crossJoin(broadcast(n))
-        .withColumn("tfidf4",
-          round(col("cnt") * log(col("n_docs").cast("double") / col("df")), 4))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      // per-doc argmax via TopKPerGroup (k=1): the partial pass leaves one
+      // row per (doc, partition) — no full shuffle+sort of every scored
+      // (doc, term) pair as the window formulation would do
+      graft.plans.GraftOps.topKPerGroup(
+        tf.join(df, "tok").crossJoin(broadcast(n))
+          .withColumn("tfidf4",
+            round(col("cnt") * log(col("n_docs").cast("double") / col("df")), 4))
+          .select("doc_id", "tok", "tfidf4"),
+        Seq(col("doc_id")),
+        Seq(col("tfidf4").desc, col("tok").asc), 1)
         .select(col("doc_id"), col("tok").as("top_term"), col("tfidf4"))
         .orderBy("doc_id")
     }),

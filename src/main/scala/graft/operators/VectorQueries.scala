@@ -40,13 +40,17 @@ object VectorQueries {
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
-      val w = Window.partitionBy("probe_id")
-        .orderBy(col("cos4").desc, col("vec_id").asc)
-      broadcast(probes)
-        .join(emb, col("vec_id") =!= col("probe_id"))
-        .withColumn("cos4", round(cosWith("pe", "embedding", "pn2", "n2"), 4))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
+      // TopKPerGroup instead of a window: the window form shuffles ALL
+      // |probes|x|corpus| scored pairs onto |probes| tasks and sorts them;
+      // the partial top-k pass cuts each scan partition to <=5 rows per
+      // probe before any exchange, so the shuffle is O(probes * parts).
+      graft.plans.GraftOps.topKPerGroup(
+        broadcast(probes)
+          .join(emb, col("vec_id") =!= col("probe_id"))
+          .withColumn("cos4", round(cosWith("pe", "embedding", "pn2", "n2"), 4))
+          .select("probe_id", "vec_id", "cos4"),
+        Seq(col("probe_id")),
+        Seq(col("cos4").desc, col("vec_id").asc), 5)
         .select("probe_id", "vec_id", "cos4", "rn")
         .orderBy("probe_id", "rn")
     }),
@@ -106,15 +110,15 @@ object VectorQueries {
         .filter(col("crk") <= 2)
         .select(col("probe_id").as("c_probe_id"), col("pe"),
           col("pn2"), col("cell"))
-      val wTop = Window.partitionBy("probe_id")
-        .orderBy(col("cos4").desc, col("vec_id").asc)
-      cells.join(emb, col("cell") === col("label") &&
-          col("vec_id") =!= col("c_probe_id"))
-        .select(col("c_probe_id").as("probe_id"), col("pe"), col("pn2"),
-          col("vec_id"), col("embedding"), col("n2"))
-        .withColumn("cos4", round(cosWith("pe", "embedding", "pn2", "n2"), 4))
-        .withColumn("rn", row_number().over(wTop).cast("long"))
-        .filter(col("rn") <= 3)
+      graft.plans.GraftOps.topKPerGroup(
+        cells.join(emb, col("cell") === col("label") &&
+            col("vec_id") =!= col("c_probe_id"))
+          .select(col("c_probe_id").as("probe_id"), col("pe"), col("pn2"),
+            col("vec_id"), col("embedding"), col("n2"))
+          .withColumn("cos4", round(cosWith("pe", "embedding", "pn2", "n2"), 4))
+          .select("probe_id", "vec_id", "cos4"),
+        Seq(col("probe_id")),
+        Seq(col("cos4").desc, col("vec_id").asc), 3)
         .select("probe_id", "vec_id", "cos4", "rn")
         .orderBy("probe_id", "rn")
     })

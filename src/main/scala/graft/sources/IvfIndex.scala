@@ -69,15 +69,18 @@ object IvfIndex {
     // the cell filter lands on the partition column of `assigned`, so the
     // fine scan is partition-pruned to the nprobe selected directories
     val assigned = spark.read.parquet(s"$root/assigned")
-    val wTop = Window.partitionBy("probe_id")
-      .orderBy(col("cos4").desc, col("vec_id").asc)
-    cellSel.join(assigned, cellSel("cell") === assigned("cell") &&
-        col("vec_id") =!= col("c_probe_id"))
-      .select(col("c_probe_id").as("probe_id"), col("pe"), col("pn2"),
-        col("vec_id"), col("embedding"), col("n2"))
-      .withColumn("cos4", round(cosW("pe", "embedding", "pn2", "n2"), 4))
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= k)
+    // fine ranking through TopKPerGroup: each pruned-cell scan partition
+    // is cut to <=k rows per probe before the exchange, instead of
+    // shuffling every scored candidate onto |probes| window tasks
+    graft.plans.GraftOps.topKPerGroup(
+      cellSel.join(assigned, cellSel("cell") === assigned("cell") &&
+          col("vec_id") =!= col("c_probe_id"))
+        .select(col("c_probe_id").as("probe_id"), col("pe"), col("pn2"),
+          col("vec_id"), col("embedding"), col("n2"))
+        .withColumn("cos4", round(cosW("pe", "embedding", "pn2", "n2"), 4))
+        .select("probe_id", "vec_id", "cos4"),
+      Seq(col("probe_id")),
+      Seq(col("cos4").desc, col("vec_id").asc), k)
       .select("probe_id", "vec_id", "cos4", "rn")
   }
 }
