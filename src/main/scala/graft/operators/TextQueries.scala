@@ -53,10 +53,22 @@ object TextQueries {
     a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
   }
 
+  /** The verified pair table is ALSO shared: q61 emits it directly and
+    * q77 propagates labels over it as its edge set, so within a session
+    * the O(pairs) intersect scan runs once, not once per consumer. */
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double), DataFrame]()
+
   /** Exact near-dup pairs (id_lo < id_hi, same lang, token-set Jaccard ≥
     * `minJac`) with the unrounded `jac` — the q61 result and the edge set
     * q77's cluster resolution propagates over. */
-  def nearDupPairs(s: SparkSession, dir: String, minJac: Double): DataFrame = {
+  def nearDupPairs(s: SparkSession, dir: String, minJac: Double): DataFrame =
+    pairsCache.computeIfAbsent((s, dir, minJac), { _ =>
+      nearDupPairsUncached(s, dir, minJac).persist()
+    })
+
+  private def nearDupPairsUncached(s: SparkSession, dir: String,
+    minJac: Double): DataFrame = {
     langPairs(hashedDocs(s, dir))
       // J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prune skips the
       // merge-intersect for most pairs without changing the result set.
