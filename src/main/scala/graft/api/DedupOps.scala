@@ -1,0 +1,129 @@
+package graft.api
+
+import graft.Dets.safeDiv
+import graft.functions.{GraftFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-facing deduplication operators over ARBITRARY DataFrames — exact,
+  * sketch-based (MinHash/LSH, SimHash), and full cluster resolution.
+  * These back the hash-verified q60/q66/q67/q77 queries; see
+  * [[graft.operators.SketchQueries]] / [[graft.operators.PipelineQueries]]
+  * for the verified bindings and the DuckDB-oracle replays.
+  *
+  * Scale intent: [[TextOps.nearDupPairs]] is the exact O(pairs-per-block)
+  * comparison; [[minhashLshPairs]] is the 100 TB path — candidates come
+  * from banded signature collisions (an equi-join on band keys), so the
+  * quadratic comparison never happens, and only candidates pay the exact
+  * verify. [[clusterResolve]] turns any pair set into per-row cluster ids
+  * and a keep/drop decision.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups by a content column: one row per distinct
+    * content value with the smallest id as `keep_id` and the copy count.
+    * One hash aggregation — map-side partial, no joins. */
+  def exactGroups(docs: DataFrame, idCol: String, contentCol: String)
+  : DataFrame =
+    docs.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH near-dup pairs: shingle → `numHashes` MinHash sketch →
+    * `bands` band keys → candidate pairs from per-band key collisions →
+    * exact token-set Jaccard verify at `minJac`. Returns
+    * (id_lo, id_hi, jac) for verified pairs only.
+    *
+    * Pipeline shape for scale: the band join carries ONLY (id, band,
+    * key); cross-band duplicate candidates are eliminated WITHOUT a
+    * distinct shuffle by the first-matching-band rule — a pair is kept
+    * only in the lowest band where the two signatures collide, so every
+    * pair surfaces exactly once. The per-doc lookup tables attach via
+    * broadcast here; at corpus scale they would attach via a
+    * co-partitioned join on the id, first-band rule unchanged. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+    minJac: Double, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    GraftFunctions.register(docs.sparkSession)
+    // one row of fixed-size sketches per doc, feeding five consumers (the
+    // band explode and four broadcast lookup sides) — persist so the
+    // minhash chain runs once
+    val d = docs
+      .withColumn("__toks", TextFunctions.tokenSet(col(textCol)))
+      .withColumn("hs", array_sort(expr("graft_token_hashes(__toks)")))
+      .withColumn("mh", expr(s"graft_minhash(hs, $numHashes)"))
+      .withColumn("bks", expr(s"graft_band_keys(mh, $bands, $rows)"))
+      .select(col(idCol).as("id"), col("hs"), col("bks"))
+      .persist()
+    val banded = d.select(col("id"),
+      posexplode(col("bks")).as(Seq("band", "bkey")))
+    val cand = banded.select(col("id").as("id_lo"), col("band"), col("bkey"))
+      .join(banded.select(col("id").as("id_hi"),
+        col("band").as("band_b"), col("bkey").as("bkey_b")),
+        col("band") === col("band_b") && col("bkey") === col("bkey_b")
+          && col("id_lo") < col("id_hi"))
+      .select("id_lo", "id_hi", "band")
+    val ka = d.select(col("id").as("id_lo"), col("bks").as("bks_a"))
+    val kb = d.select(col("id").as("id_hi"), col("bks").as("bks_b"))
+    // unrolled CASE, not a HOF lambda: higher-order functions evaluate
+    // interpreted per element, which would dominate on the candidate set;
+    // the CASE stays inside whole-stage codegen. A colliding pair always
+    // matches its last band if no earlier one, hence the ELSE arm.
+    val firstMatch = expr((0 until bands - 1)
+      .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
+      .mkString("CASE ", " ", s" ELSE ${bands - 1} END"))
+    val firstBand = cand
+      .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
+      .filter(col("band") === firstMatch)
+      .select("id_lo", "id_hi")
+    val ha = d.select(col("id").as("id_lo"), col("hs").as("hs_a"))
+    val hb = d.select(col("id").as("id_hi"), col("hs").as("hs_b"))
+    firstBand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
+      .withColumn("inter",
+        expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
+      .withColumn("jac", safeDiv(col("inter"),
+        size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select("id_lo", "id_hi", "jac")
+  }
+
+  /** SimHash fingerprint per row, appended as `simhash`: every distinct
+    * token votes its spread hash's bits, the fingerprint collects the
+    * majority bit per position. Near-dup detection is then Hamming
+    * distance on fingerprints. One codegen pass over the token hashes
+    * (`graft_simhash`) — pure projection, no shuffle. Rows with no
+    * tokens are dropped (no fingerprint is defined for them). */
+  def simhash(docs: DataFrame, textCol: String, bits: Int = 61,
+    spread: Long = 2654435761L): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__toks", TextFunctions.tokenSet(col(textCol)))
+      .withColumn("__hs", expr("graft_token_hashes(__toks)"))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("simhash", expr(s"graft_simhash(__hs, $bits, ${spread}L)"))
+      .drop("__toks", "__hs")
+  }
+
+  /** Connected components over an undirected pair set: every node ends
+    * labelled with the smallest reachable `id`. Delegates to the
+    * iterative min-label-propagation + pointer-jumping loop (see
+    * [[graft.operators.PipelineQueries.connectedComponents]] for the
+    * per-round mechanics and scale notes). `nodes` needs an `id` column,
+    * `pairs` needs `id_lo`/`id_hi`. Returns (id, lab). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    graft.operators.PipelineQueries.connectedComponents(nodes, pairs)
+
+  /** Full cluster resolution: label every row of `docs` with the cluster
+    * it belongs to under `pairs` (any near-dup pair set — exact, LSH, or
+    * embedding-based) and a keep/drop decision. Returns `docs`'s id
+    * column plus (cluster_id, keep) where keep = 1 on the cluster
+    * representative (the minimum id, so exactly one keeper per cluster,
+    * singletons keep themselves). Filtering `keep = 1` IS corpus-level
+    * near-dedup. */
+  def clusterResolve(docs: DataFrame, idCol: String, pairs: DataFrame)
+  : DataFrame =
+    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+      .select(col("id").as(idCol), col("lab").as("cluster_id"),
+        when(col("id") === col("lab"), 1).otherwise(0)
+          .cast("int").as("keep"))
+}

@@ -41,11 +41,45 @@ object TextFunctions {
   def tokenHashes(arr: String): String =
     s"transform($arr, t -> ${charHash("t")})"
 
+  /** Per-slot affine constants for the MinHash family
+    * mh_k = min((h · mhMul(k) + mhAdd(k)) mod 1e9+7).
+    *
+    * The slot permutations must be mutually INDEPENDENT, not just
+    * individually wrapping: the previous a_k = C·(k+1) mod p family made
+    * every slot a scalar multiple of slot 0's permutation, which
+    * correlated the per-slot argmins — a jac-0.78 pair agreed on only
+    * 6/16 slots (expected ~12.4) and LSH recall collapsed (16% of
+    * high-sim pairs missed at 16/4 banding). splitmix64 of the slot
+    * index gives constants with no shared structure; the measured slot
+    * agreement matches the Jaccard similarity as MinHash theory requires.
+    *
+    * mhMul ∈ [1, p-1] and h < p keep the product under 2^60 (no int64
+    * overflow, engine-portable). The constants are pure functions of k:
+    * the oracle SQL embeds them as literals (SketchQueries builds its
+    * VALUES list from these same methods). */
+  def mhMul(k: Int): Long =
+    java.lang.Long.remainderUnsigned(mix64(k + 1L), HashMod - 1) + 1
+
+  def mhAdd(k: Int): Long =
+    java.lang.Long.remainderUnsigned(mix64(k + 1001L), HashMod)
+
+  /** splitmix64 finalizer — the standard public-domain mixer. */
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** nHashes MinHash signatures over a BIGINT-array column `hs`:
-    * mh_k = min((h*(2k+1) + 7777k) mod 1e9+7). */
+    * mh_k = min((h · mhMul(k) + mhAdd(k)) mod 1e9+7). The constants are
+    * unrolled as literals (one array element per slot) so no mixing
+    * arithmetic runs per row. */
   def minHashes(hs: String, nHashes: Int): String =
-    s"transform(sequence(0, ${nHashes - 1}), k -> " +
-      s"array_min(transform($hs, h -> (h * (2*k + 1) + 7777 * k) % $HashMod)))"
+    (0 until nHashes).map { k =>
+      s"array_min(transform($hs, h -> " +
+        s"(h * ${mhMul(k)}L + ${mhAdd(k)}L) % $HashMod))"
+    }.mkString("array(", ", ", ")")
 
   /** Band-key fold modulus: keys stay < 1e15 so a*31+x never overflows
     * int64. Collisions only ADD candidate pairs (later exact-verified),

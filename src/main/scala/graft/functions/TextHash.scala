@@ -90,15 +90,20 @@ object TextHash {
   }
 
   /** nHashes MinHash signatures: mh_k = min over h of
-    * (h*(2k+1) + 7777k) % Mod. Null elements are skipped (array_min
-    * semantics); an empty/all-null input yields all-null signatures. */
+    * (h * mhMul(k) + mhAdd(k)) % Mod — the splitmix64-derived affine
+    * family from [[TextFunctions.mhMul]]. The per-slot constants must be
+    * mutually independent (see that scaladoc for how the earlier
+    * structured families collapsed LSH recall). mhMul < Mod and h < Mod
+    * keep the product under 2^60 (no int64 overflow, engine-portable).
+    * Null elements are skipped (array_min semantics); an empty/all-null
+    * input yields all-null signatures. */
   def minHash(hs: ArrayData, nHashes: Int): ArrayData = {
     val n = hs.numElements()
     val out = new Array[Any](nHashes)
     var k = 0
     while (k < nHashes) {
-      val mul = 2L * k + 1
-      val add = 7777L * k
+      val mul = TextFunctions.mhMul(k)
+      val add = TextFunctions.mhAdd(k)
       var best = Long.MaxValue
       var seen = false
       var i = 0

@@ -113,16 +113,11 @@ object PipelineQueries {
     // Connected components over the q61 near-dup pairs: cluster_id is the
     // min doc_id reachable through the near-dup relation; keep = 1 on the
     // cluster representative. Singletons keep themselves.
-    "q77_dedup_cluster" -> ((s, dir) => {
-      val nodes = t(s, dir, "documents").select(col("doc_id").as("id"))
-      val pairs = TextQueries.nearDupPairs(s, dir, 0.6)
-        .select(col("id_lo"), col("id_hi"))
-      connectedComponents(nodes, pairs)
-        .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
-          when(col("id") === col("lab"), 1).otherwise(0)
-            .cast("int").as("keep"))
-        .orderBy("doc_id")
-    }),
+    "q77_dedup_cluster" -> ((s, dir) =>
+      graft.api.DedupOps.clusterResolve(
+        t(s, dir, "documents"), "doc_id",
+        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+        .orderBy("doc_id")),
 
     // Chunking: fixed token windows (width 100, stride 90 = 10-token
     // overlap) per doc — the "split long documents into training
@@ -130,62 +125,37 @@ object PipelineQueries {
     // count, and a rolling fingerprint of the chunk's token hashes (the
     // oracle folds identically), not the chunk text itself.
     "q83_chunk_tokens" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("tk", TextFunctions.tokens(col("text")))
-        .withColumn("n_tok", size(col("tk")))
-        .filter(col("n_tok") > 0)
-        .select(col("doc_id"), col("tk"),
-          posexplode(expr(s"sequence(0, n_tok - 1, $ChunkStride)"))
-            .as(Seq("chunk_id", "start")))
-        .withColumn("chunk", expr(s"slice(tk, start + 1, $ChunkWidth)"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("chunk")).as("n_in_chunk"),
-          expr("graft_chunk_fp(chunk)").as("fp"))
+      graft.api.PipelineOps.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", ChunkWidth, ChunkStride)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          col("n_in_chunk"), col("fp"))
         .orderBy("doc_id", "chunk_id")),
 
     // Deterministic content-hash split: the same document lands in the
     // same split on any engine, any cluster size, any run.
     "q78_train_split" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("bucket", expr("graft_charhash(text)") % 10)
-        .select(col("doc_id"), col("bucket"),
-          when(col("bucket") < 8, "train")
-            .when(col("bucket") === 8, "val")
-            .otherwise("test").as("split"))
+      graft.api.PipelineOps.trainSplit(t(s, dir, "documents"), "text")
+        .select("doc_id", "bucket", "split")
         .orderBy("doc_id")),
 
     // Token-budget packing: contiguous doc_id-ordered sharding per lang
     // where bin b holds the docs whose preceding cumulative token count
     // fits below b × budget — the deterministic "pack documents into
     // training sequences" assignment.
-    "q79_pack_tokens" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy(col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
-        .withColumn("n_tok",
-          size(TextFunctions.tokens(col("text"))).cast("long"))
-        .withColumn("cum_before",
-          coalesce(sum("n_tok").over(w), lit(0L)))
-        .select(col("doc_id"), col("lang"), col("n_tok"),
-          expr(s"cum_before DIV $PackBudget").as("bin"))
-        .orderBy("doc_id")
-    }),
+    "q79_pack_tokens" -> ((s, dir) =>
+      graft.api.PipelineOps.packTokens(
+        t(s, dir, "documents"), "lang", "doc_id", "text", PackBudget)
+        .select("doc_id", "lang", "n_tok", "bin")
+        .orderBy("doc_id")),
 
     // Stratified deterministic sample: K docs per lang, ordered by a
     // multiplicative-spread hash of the key (pseudo-random but exactly
     // reproducible), doc_id tie-break.
     "q80_sample_stratified" -> ((s, dir) =>
-      t(s, dir, "documents")
-        // Reduce mod 1e9+7 BEFORE the multiply: residue (<2^30) * Spread
-        // (<2^32) stays under 2^63, whereas doc_id * Spread overflows
-        // int64 (an ANSI-mode throw) once doc_id exceeds ~3.47e9 — ids a
-        // 100 TB corpus absolutely reaches.
-        .withColumn("h", pmod(pmod(col("doc_id"), lit(TextFunctions.HashMod))
-          * Spread, lit(TextFunctions.HashMod)))
-        .transform(d => graft.plans.GraftOps.topKPerGroup(d,
-          Seq(col("lang")),
-          Seq(col("h").asc, col("doc_id").asc), SampleK, rankName = "rk"))
-        .select(col("lang"), col("doc_id"), col("rk"))
+      graft.api.PipelineOps.stratifiedSample(
+        t(s, dir, "documents"), "lang", "doc_id", SampleK)
+        // the oracle emits rk as INT (pre-TopK output schema) — keep it
+        .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
         .orderBy("lang", "rk")),
 
     // Latest-wins upsert: compact the append-only event log to one row

@@ -40,64 +40,19 @@ object SketchQueries {
     // shuffle. At 100 TB the per-doc lookup tables (band keys, sorted
     // token hashes) would be attached via a co-partitioned join on doc_id
     // instead of broadcast; the first-band rule is unchanged.
-    "q66_minhash_lsh" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      // The per-doc sketch table feeds five consumers (the band explode
-      // and four broadcast lookup sides); persist it so the minhash chain
-      // runs once, not per consumer. It is one row per doc of fixed-size
-      // sketches — tiny relative to the corpus at any scale.
-      val d = t(s, dir, "documents")
-        .withColumn("toks", TextFunctions.tokenSet(col("text")))
-        .withColumn("hs", array_sort(expr("graft_token_hashes(toks)")))
-        .withColumn("mh", expr(s"graft_minhash(hs, $NumHashes)"))
-        .withColumn("bks", expr(s"graft_band_keys(mh, $Bands, $Rows)"))
-        .select(col("doc_id"), col("hs"), col("bks"))
-        .persist()
-      val banded = d.select(col("doc_id"),
-          posexplode(col("bks")).as(Seq("band", "bkey")))
-      val cand = banded.select(col("doc_id").as("id_lo"), col("band"), col("bkey"))
-        .join(banded.select(col("doc_id").as("id_hi"),
-          col("band").as("band_b"), col("bkey").as("bkey_b")),
-          col("band") === col("band_b") && col("bkey") === col("bkey_b")
-            && col("id_lo") < col("id_hi"))
-        .select("id_lo", "id_hi", "band")
-      val ka = d.select(col("doc_id").as("id_lo"), col("bks").as("bks_a"))
-      val kb = d.select(col("doc_id").as("id_hi"), col("bks").as("bks_b"))
-      // Unrolled CASE, not a HOF: Spark evaluates lambda functions
-      // interpreted, which would dominate at 30M candidate rows; the CASE
-      // stays inside whole-stage codegen. A colliding pair always matches
-      // its last band if no earlier one, hence the ELSE arm.
-      val firstMatch = expr((0 until Bands - 1)
-        .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
-        .mkString("CASE ", " ", s" ELSE ${Bands - 1} END"))
-      val firstBand = cand
-        .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
-        .filter(col("band") === firstMatch)
-        .select("id_lo", "id_hi")
-      val ha = d.select(col("doc_id").as("id_lo"), col("hs").as("hs_a"))
-      val hb = d.select(col("doc_id").as("id_hi"), col("hs").as("hs_b"))
-      firstBand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
-        .withColumn("inter",
-          expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-        .withColumn("jac", graft.Dets.safeDiv(col("inter"),
-          size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-        .filter(col("jac") >= 0.5)
+    "q66_minhash_lsh" -> ((s, dir) =>
+      graft.api.DedupOps.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text", 0.5, NumHashes, Bands)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
-        .orderBy("id_lo", "id_hi")
-    }),
+        .orderBy("id_lo", "id_hi")),
 
     // Pure per-row projection: graft_simhash votes all 61 bits in one
     // codegen pass over the token hashes — the previous explode form
-    // materialized |tokens| × 61 rows per doc through two shuffles. The
-    // empty-token filter preserves the explode semantics (a doc with no
-    // tokens emitted no rows, so it was absent from the result).
+    // materialized |tokens| × 61 rows per doc through two shuffles.
     "q67_simhash" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("toks", TextFunctions.tokenSet(col("text")))
-        .withColumn("hs", expr("graft_token_hashes(toks)"))
-        .filter(size(col("hs")) > 0)
-        .select(col("doc_id"),
-          expr(s"graft_simhash(hs, $SimBits, ${Spread}L)").as("simhash"))
+      graft.api.DedupOps.simhash(
+        t(s, dir, "documents"), "text", SimBits, Spread)
+        .select("doc_id", "simhash")
         .orderBy("doc_id"))
   )
 
@@ -110,9 +65,14 @@ object SketchQueries {
          |), th AS (
          |  SELECT doc_id, ${Sql.charHash("tok")} AS h
          |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) u
+         |), ks(k, mul, addc) AS (
+         |  VALUES ${(0 until NumHashes).map(k =>
+              s"(${k}, ${TextFunctions.mhMul(k)}, ${TextFunctions.mhAdd(k)})")
+              .mkString(", ")}
          |), mh AS (
-         |  SELECT doc_id, k, MIN((h * (2*k + 1) + 7777 * k) % $HashMod) AS mhv
-         |  FROM th CROSS JOIN (SELECT unnest(range(0, $NumHashes)) AS k) ks
+         |  SELECT doc_id, k,
+         |         MIN((h * CAST(mul AS BIGINT) + addc) % $HashMod) AS mhv
+         |  FROM th CROSS JOIN ks
          |  GROUP BY doc_id, k
          |), bands AS (
          |  SELECT doc_id, k // $Rows AS band,

@@ -27,31 +27,21 @@ object TextQueries {
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", TextFunctions.tokenSet(col("text")))
 
-  /** Per-doc sorted token-hash table (doc_id, lang, hs), persisted: every
-    * pair pipeline reads it from both self-join sides, so tokenization +
-    * hashing run once (one small row of sorted hashes per doc). Cached
-    * per (session, dir) because three pipelines (q61, q77, q82) start
-    * from it — within one session they share a single materialization. */
+  /** Per-doc sorted token-hash table (id, block, hs) from
+    * [[graft.api.TextOps.tokenHashTable]] bound to the documents schema,
+    * persisted: every pair pipeline reads it from both self-join sides,
+    * so tokenization + hashing run once (one small row of sorted hashes
+    * per doc). Cached per (session, dir) because three pipelines (q61,
+    * q77, q82) start from it — within one session they share a single
+    * materialization. */
   private val hashedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def hashedDocs(s: SparkSession, dir: String): DataFrame =
     hashedCache.computeIfAbsent((s, dir), { _ =>
-      graft.functions.GraftFunctions.register(s)
-      withToks(t(s, dir, "documents"))
-        .withColumn("hs", array_sort(expr("graft_token_hashes(toks)")))
-        .select(col("doc_id"), col("lang"), col("hs"))
-        .persist()
+      graft.api.TextOps.tokenHashTable(
+        t(s, dir, "documents"), "doc_id", "text", "lang").persist()
     })
-
-  /** Same-lang candidate pairs (id_lo < id_hi) with both hash arrays. */
-  private def langPairs(d: DataFrame): DataFrame = {
-    val a = d.select(col("doc_id").as("id_lo"), col("lang"),
-      col("hs").as("hs_a"))
-    val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
-      col("hs").as("hs_b"))
-    a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
-  }
 
   /** The verified pair table is ALSO shared: q61 emits it directly and
     * q77 propagates labels over it as its edge set, so within a session
@@ -64,23 +54,8 @@ object TextQueries {
     * q77's cluster resolution propagates over. */
   def nearDupPairs(s: SparkSession, dir: String, minJac: Double): DataFrame =
     pairsCache.computeIfAbsent((s, dir, minJac), { _ =>
-      nearDupPairsUncached(s, dir, minJac).persist()
+      graft.api.TextOps.nearDupPairs(hashedDocs(s, dir), minJac).persist()
     })
-
-  private def nearDupPairsUncached(s: SparkSession, dir: String,
-    minJac: Double): DataFrame = {
-    langPairs(hashedDocs(s, dir))
-      // J(A,B) <= min(|A|,|B|)/max(|A|,|B|): size-ratio prune skips the
-      // merge-intersect for most pairs without changing the result set.
-      .filter(safeDiv(least(size(col("hs_a")), size(col("hs_b"))).cast("double"),
-        greatest(size(col("hs_a")), size(col("hs_b")))) >= minJac)
-      .withColumn("inter",
-        expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-      .withColumn("jac", safeDiv(col("inter"),
-        size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-      .filter(col("jac") >= minJac)
-      .select(col("id_lo"), col("id_hi"), col("jac"))
-  }
 
   /** Oracle-side CTE text for the same edge set (jac ≥ 0.6), shared by the
     * q61 and q77 oracles so both replay one definition. */
@@ -97,9 +72,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .groupBy("text")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.api.DedupOps.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .select("keep_id", "n_copies", "text")
         .orderBy("keep_id")),
 
@@ -116,17 +89,11 @@ object TextQueries {
     // inside a long one has high |A∩B|/|A| but low Jaccard. No size-ratio
     // prune applies (the smaller side can always be fully contained), so
     // this is the full blocked pair scan with the codegen intersect.
-    "q82_containment" -> ((s, dir) => {
-      val pairs = langPairs(hashedDocs(s, dir))
-        .withColumn("inter",
-          expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-        .withColumn("c_lo", safeDiv(col("inter"), size(col("hs_a"))))
-        .withColumn("c_hi", safeDiv(col("inter"), size(col("hs_b"))))
-        .filter(greatest(col("c_lo"), col("c_hi")) >= 0.9)
-      pairs.select(col("id_lo"), col("id_hi"),
+    "q82_containment" -> ((s, dir) =>
+      graft.api.TextOps.containmentPairs(hashedDocs(s, dir), 0.9)
+        .select(col("id_lo"), col("id_hi"),
           round(col("c_lo"), 4).as("c_lo4"), round(col("c_hi"), 4).as("c_hi4"))
-        .orderBy("id_lo", "id_hi")
-    }),
+        .orderBy("id_lo", "id_hi")),
 
     "q64_text_explode" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -146,62 +113,29 @@ object TextQueries {
         .orderBy("lang")),
 
     "q71_lang_id" -> ((s, dir) => {
-      // doctok feeds both the profile build and the scoring join; persist
-      // so tokenize+explode run once
-      val doctok = withToks(t(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-        .persist()
-      // both top-k's run through TopKPerGroup: the language-profile one is
-      // skew-prone (few groups — a window sends every token count of a
-      // language to one task), the per-doc argmax needs no full sort
-      val prof = graft.plans.GraftOps.topKPerGroup(
-        doctok.groupBy(col("lang").as("plang"), col("tok"))
-          .agg(count(lit(1)).as("cnt")),
-        Seq(col("plang")),
-        Seq(col("cnt").desc, col("tok").asc), 20, rankName = "rk")
-        .select("plang", "tok")
-      val score = doctok.select("doc_id", "tok")
-        .join(prof, "tok")
-        .groupBy("doc_id", "plang")
-        .agg(count(lit(1)).as("score"))
-      val pred = graft.plans.GraftOps.topKPerGroup(score,
-        Seq(col("doc_id")),
-        Seq(col("score").desc, col("plang").asc), 1, rankName = "rk")
-        .select(col("doc_id").as("p_doc_id"), col("plang").as("pred_lang"),
-          col("score"))
+      val pred = graft.api.TextOps.languageId(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
       t(s, dir, "documents").select("doc_id", "lang")
-        .join(pred, col("doc_id") === col("p_doc_id"))
+        .join(pred, col("doc_id") === col("id"))
         .select("doc_id", "lang", "pred_lang", "score")
         .orderBy("doc_id")
     }),
 
     "q72_quality_score" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("tk", TextFunctions.tokens(col("text")))
-        .withColumn("n_tok", size(col("tk")).cast("long"))
-        .withColumn("n_uniq", size(array_distinct(col("tk"))).cast("long"))
-        .withColumn("sum_len", expr("CAST(graft_sum_lengths(tk) AS BIGINT)"))
-        .select(col("doc_id"), col("n_tok"), col("n_uniq"),
-          round(safeDiv(col("n_uniq").cast("double"), col("n_tok")), 4).as("ttr"),
-          round(safeDiv(col("sum_len").cast("double"), col("n_tok")), 4)
-            .as("avg_tok_len"),
-          round(least(lit(1.0), col("n_tok") / 50.0) *
-            safeDiv(col("n_uniq").cast("double"), col("n_tok")), 4).as("quality"))
+      graft.api.TextOps.qualityScore(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tok", "n_uniq", "ttr", "avg_tok_len", "quality")
         .orderBy("doc_id")),
 
     "q73_token_count" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws"),
-          regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
-          ceil(col("n_chars") / 4.0).cast("long").as("bpe_est"))
+      graft.api.TextOps.tokenCounts(t(s, dir, "documents"), "text",
+        charCountCol = Some("n_chars"))
+        .select("doc_id", "n_ws", "n_alpha", "bpe_est")
         .orderBy("doc_id")),
 
     "q74_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("graft_charhash(text)").as("fp"),
-          (expr("graft_charhash(text)") * 2654435761L).as("fp_spread"))
+      graft.api.TextOps.fingerprint(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("fp"),
+          (col("fp") * 2654435761L).as("fp_spread"))
         .orderBy("doc_id"))
   )
 

@@ -24,63 +24,22 @@ object TfidfQueries {
 
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q75_tfidf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      // tf feeds both the df-count and the final join; persist so the
-      // tokenize+explode+agg chain runs once
-      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .persist()
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      // per-doc argmax via TopKPerGroup (k=1): the partial pass leaves one
-      // row per (doc, partition) — no full shuffle+sort of every scored
-      // (doc, term) pair as the window formulation would do
-      graft.plans.GraftOps.topKPerGroup(
-        tf.join(df, "tok").crossJoin(broadcast(n))
-          .withColumn("tfidf4",
-            round(col("cnt") * log(col("n_docs").cast("double") / col("df")), 4))
-          .select("doc_id", "tok", "tfidf4"),
-        Seq(col("doc_id")),
-        Seq(col("tfidf4").desc, col("tok").asc), 1)
-        .select(col("doc_id"), col("tok").as("top_term"), col("tfidf4"))
-        .orderBy("doc_id")
-    }),
+    "q75_tfidf" -> ((s, dir) =>
+      graft.api.TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("top_term"),
+          col("tfidf").as("tfidf4"))
+        .orderBy("doc_id")),
 
-    "q76_ngram_jaccard" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      // graft_bigram_hashes folds each "a b" shingle directly to its hash
-      // (no concatenated-string materialization, no interpreted lambdas);
-      // distinct-of-hashes equals hashes-of-distinct-grams because the
-      // rolling hash is collision-free on the corpus shingles (asserted in
-      // OperatorSpec, and the q76 oracle replays the gram-set form).
-      val d = t(s, dir, "documents")
-        .withColumn("tk", TextFunctions.tokens(col("text")))
-        .filter(size(col("tk")) >= 2)
-        .withColumn("hs",
-          array_sort(array_distinct(expr("graft_bigram_hashes(tk)"))))
-        .select(col("doc_id"), col("lang"), col("hs"))
-        // both self-join sides read this chain; persist so the shingle
-        // hashing runs once (one small row of sorted hashes per doc)
-        .persist()
-      val a = d.select(col("doc_id").as("id_lo"), col("lang"),
-        col("hs").as("hs_a"))
-      val b = d.select(col("doc_id").as("id_hi"), col("lang").as("lang_b"),
-        col("hs").as("hs_b"))
-      a.join(b, col("lang") === col("lang_b") && col("id_lo") < col("id_hi"))
-        // Jaccard upper bound min/max-size prune (see q61).
-        .filter(graft.Dets.safeDiv(
-          least(size(col("hs_a")), size(col("hs_b"))).cast("double"),
-          greatest(size(col("hs_a")), size(col("hs_b")))) >= 0.25)
-        .withColumn("inter",
-          expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-        .withColumn("jac", graft.Dets.safeDiv(col("inter"),
-          size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-        .filter(col("jac") >= 0.25)
+    // graft_bigram_hashes folds each "a b" shingle directly to its hash
+    // (no concatenated-string materialization, no interpreted lambdas);
+    // distinct-of-hashes equals hashes-of-distinct-grams because the
+    // rolling hash is collision-free on the corpus shingles (asserted in
+    // OperatorSpec, and the q76 oracle replays the gram-set form).
+    "q76_ngram_jaccard" -> ((s, dir) =>
+      graft.api.TextOps.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang", 0.25)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
-        .orderBy("id_lo", "id_hi")
-    })
+        .orderBy("id_lo", "id_hi"))
   )
 
   private val sqlToks = Sql.tokens("text")

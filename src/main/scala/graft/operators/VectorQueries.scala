@@ -34,57 +34,32 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sim_topk" -> ((s, dir) => {
-      GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
-        .withColumn("n2", expr("graft_dot(embedding, embedding)"))
       val probes = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("n2").as("pn2"))
-      // TopKPerGroup instead of a window: the window form shuffles ALL
-      // |probes|x|corpus| scored pairs onto |probes| tasks and sorts them;
-      // the partial top-k pass cuts each scan partition to <=5 rows per
-      // probe before any exchange, so the shuffle is O(probes * parts).
-      graft.plans.GraftOps.topKPerGroup(
-        broadcast(probes)
-          .join(emb, col("vec_id") =!= col("probe_id"))
-          .withColumn("cos4", round(cosWith("pe", "embedding", "pn2", "n2"), 4))
-          .select("probe_id", "vec_id", "cos4"),
-        Seq(col("probe_id")),
-        Seq(col("cos4").desc, col("vec_id").asc), 5)
-        .select("probe_id", "vec_id", "cos4", "rn")
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.api.VectorOps.cosineTopK(emb, "vec_id", "embedding", probes, 5)
+        .select(col("probe_id"), col("id").as("vec_id"),
+          col("cos").as("cos4"), col("rn"))
         .orderBy("probe_id", "rn")
     }),
 
     // The aggregator produces the centroid array; it is emitted exploded
     // to (label, dim, c) rows of scalar doubles — hash-safe across
     // engines and directly comparable to the oracle's per-dimension CTE.
-    "q63_centroid_agg" -> ((s, dir) => {
-      val centroid = udaf(new CentroidAggregator(64),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-      t(s, dir, "embeddings")
-        .groupBy("label")
-        .agg(centroid(col("embedding")).as("centroid"),
-          count(lit(1)).as("n"))
-        .select(col("label"), col("n"),
+    "q63_centroid_agg" -> ((s, dir) =>
+      graft.api.VectorOps.centroids(
+        t(s, dir, "embeddings"), "label", "embedding", 64)
+        .select(col("group").as("label"), col("n"),
           posexplode(col("centroid")).as(Seq("pos", "c")))
         .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
           col("c"), col("n"))
-        .orderBy("label", "dim")
-    }),
+        .orderBy("label", "dim")),
 
-    "q69_embed_neardup" -> ((s, dir) => {
-      GraftFunctions.register(s)
-      val emb = t(s, dir, "embeddings")
-        .withColumn("n2", expr("graft_dot(embedding, embedding)"))
-      val a = emb.select(col("vec_id").as("id_lo"), col("embedding").as("pe"),
-        col("n2").as("pn2"))
-      val b = emb.select(col("vec_id").as("id_hi"), col("embedding"), col("n2"))
-      broadcast(a).join(b, col("id_lo") < col("id_hi"))
-        .withColumn("cos4", round(cosWith("pe", "embedding", "pn2", "n2"), 4))
-        .filter(col("cos4") >= 0.35)
-        .select("id_lo", "id_hi", "cos4")
-        .orderBy("id_lo", "id_hi")
-    }),
+    "q69_embed_neardup" -> ((s, dir) =>
+      graft.api.VectorOps.cosinePairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)
+        .select(col("id_lo"), col("id_hi"), col("cos").as("cos4"))
+        .orderBy("id_lo", "id_hi")),
 
     // Oracle-omitted: two-stage ANN (coarse quantizer over label centroids,
     // then fine search in the top-2 cells). Structure is asserted in

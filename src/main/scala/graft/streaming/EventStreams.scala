@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import graft.Dets
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -81,16 +81,19 @@ object EventStreams {
       }
   }
 
-  /** One row per user: the newest event by (ts, event_id) — q81's
-    * latest-wins semantics, shared by batch and incremental paths. */
-  def latestWins(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    events
-      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
-        .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+  /** One row per key: the newest by `order` — q81's latest-wins
+    * semantics, shared by batch and incremental paths. Defaults bind to
+    * the events schema (per user, newest (ts, event_id)). Runs through
+    * the bounded-heap top-k operator: an argmax per key needs no full
+    * sort of each key's history. `order` must be total (include a unique
+    * id) for a deterministic winner. */
+  def latestWins(events: DataFrame,
+    keys: Seq[Column] = Seq(col("user_id")),
+    order: Seq[Column] =
+      Seq(col("ts").desc_nulls_last, col("event_id").desc_nulls_last))
+  : DataFrame =
+    graft.plans.GraftOps.topKPerGroup(events, keys, order, 1, rankName = "__rn")
+      .drop("__rn")
 
   /** Incremental latest-wins compaction: merges each micro-batch into a
     * parquet snapshot keyed by user_id (the staging→serving upsert an

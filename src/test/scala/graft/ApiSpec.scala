@@ -1,0 +1,192 @@
+package graft
+
+import graft.api.{DedupOps, PipelineOps, TextOps, VectorOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The `graft.api` facade is schema-agnostic: every op here runs against
+  * a DataFrame whose column names share NOTHING with the testdata tables
+  * (the verified q6x/q7x/q8x bindings cover the documents/embeddings
+  * schemas; this suite proves the ops are a library, not table-bound
+  * queries). Expectations are computed brute-force in Scala.
+  */
+class ApiSpec extends SparkSpec {
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (101L, "the quick brown fox jumps over the lazy dog", "en"),
+      (102L, "the quick brown fox jumps over the lazy cat", "en"),
+      (103L, "entirely different words here altogether now", "en"),
+      (104L, "le renard brun rapide saute par dessus le chien", "fr"),
+      (105L, "le renard brun rapide saute par dessus le chat", "fr"),
+      (106L, "", "en")
+    ).toDF("key", "body", "tongue")
+  }
+
+  private def jaccard(a: String, b: String): Double = {
+    val sa = a.split(" ").filter(_.nonEmpty).toSet
+    val sb = b.split(" ").filter(_.nonEmpty).toSet
+    if (sa.isEmpty || sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("nearDupPairs on a foreign schema matches brute-force Jaccard") {
+    val hashed = TextOps.tokenHashTable(corpus, "key", "body", "tongue")
+    val got = TextOps.nearDupPairs(hashed, 0.5)
+      .select("id_lo", "id_hi", "jac")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2)))
+    val want = (for {
+      (ia, ta, la) <- rows; (ib, tb, lb) <- rows
+      if la == lb && ia < ib
+      j = jaccard(ta, tb) if j >= 0.5
+    } yield (ia, ib,
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("containmentPairs finds a quoted subset across blocks off") {
+    val one = corpus.withColumn("g", lit(1))
+    val hashed = TextOps.tokenHashTable(
+      one.filter(col("key").isin(101L, 103L)), "key", "body", "g")
+    // 103's tokens are disjoint from 101's: no containment
+    assert(TextOps.containmentPairs(hashed, 0.5).count() == 0)
+    import spark.implicits._
+    val quoted = Seq(
+      (1L, "alpha beta gamma", 0),
+      (2L, "alpha beta gamma plus much longer tail of words", 0))
+      .toDF("key", "body", "g")
+    val h2 = TextOps.tokenHashTable(quoted, "key", "body", "g")
+    val r = TextOps.containmentPairs(h2, 0.9).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("c_lo") == 1.0) // short side fully contained
+  }
+
+  test("languageId predicts the self-labeled language on clean strata") {
+    val pred = TextOps.languageId(
+      corpus.filter(length(col("body")) > 0), "key", "body", "tongue")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc shares more profile tokens with its own language
+    assert(pred(101L) == "en" && pred(104L) == "fr" && pred(105L) == "fr")
+  }
+
+  test("qualityScore and tokenCounts append per-row signals") {
+    val q = TextOps.qualityScore(corpus, "body")
+      .select("key", "n_tok", "n_uniq", "quality")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(q(101L)._1 == 9 && q(101L)._2 == 8) // "the" repeats
+    assert(q(106L) == ((0L, 0L, None))) // empty text: null quality, no throw
+    val c = TextOps.tokenCounts(corpus, "body")
+      .filter(col("key") === 101L).head()
+    assert(c.getAs[Long]("n_ws") == 9)
+    assert(c.getAs[Long]("bpe_est") == 11) // ceil(44/4.0)
+  }
+
+  test("minhashLshPairs candidates verify to a subset of exact pairs") {
+    val exact = TextOps.nearDupPairs(
+      TextOps.tokenHashTable(corpus, "key", "body", "tongue"), 0.5)
+      .select("id_lo", "id_hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bands of 2 rows: a jac-0.8 pair misses all bands with prob
+    // (1-0.8^2)^8 ≈ 3e-4 — and the minhash family is fixed, so the
+    // outcome is deterministic, not flaky
+    val lsh = DedupOps.minhashLshPairs(corpus, "key", "body", 0.5,
+      numHashes = 16, bands = 8)
+      .select("id_lo", "id_hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the verify step guarantees soundness (no false positives)
+    assert(lsh.subsetOf(exact) && lsh == exact)
+  }
+
+  test("clusterResolve keeps exactly one representative per cluster") {
+    val pairs = TextOps.nearDupPairs(
+      TextOps.tokenHashTable(corpus, "key", "body", "tongue"), 0.5)
+      .select("id_lo", "id_hi")
+    val labels = DedupOps.clusterResolve(corpus, "key", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(labels.length == corpus.count())
+    // {101,102} and {104,105} cluster; min id keeps
+    val byId = labels.map(l => l._1 -> ((l._2, l._3))).toMap
+    assert(byId(101L) == ((101L, 1)) && byId(102L) == ((101L, 0)))
+    assert(byId(104L) == ((104L, 1)) && byId(105L) == ((104L, 0)))
+    assert(byId(103L) == ((103L, 1)) && byId(106L) == ((106L, 1)))
+  }
+
+  test("trainSplit buckets are content-determined and exhaustive") {
+    val s = PipelineOps.trainSplit(corpus, "body", buckets = 10,
+      trainBuckets = 8, valBuckets = 1)
+      .select("key", "bucket", "split").collect()
+    assert(s.forall { r =>
+      val b = r.getLong(1)
+      val exp = if (b < 8) "train" else if (b == 8) "val" else "test"
+      b >= 0 && b < 10 && r.getString(2) == exp
+    })
+    // identical content -> identical bucket, both runs
+    val again = PipelineOps.trainSplit(corpus, "body").select("key", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s.forall(r => again(r.getLong(0)) == r.getLong(1)))
+  }
+
+  test("stratifiedSample takes k per stratum deterministically") {
+    val got = PipelineOps.stratifiedSample(corpus, "tongue", "key", 2)
+      .groupBy("tongue").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("en" -> 2L, "fr" -> 2L))
+  }
+
+  test("chunkTokens windows cover every token with the given stride") {
+    val r = PipelineOps.chunkTokens(corpus, "key", "body", 4, 3)
+      .filter(col("id") === 101L)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    // 9 tokens, width 4, stride 3 -> starts 0,3,6 with sizes 4,4,3
+    assert(r.toSeq == Seq((0, 4), (1, 4), (2, 3)))
+    // empty doc emits nothing
+    assert(PipelineOps.chunkTokens(corpus, "key", "body", 4, 3)
+      .filter(col("id") === 106L).count() == 0)
+  }
+
+  test("latestWins compacts an arbitrary log schema") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("acct", "seq", "v")
+    val got = PipelineOps.latestWins(log,
+      Seq(col("acct")), Seq(col("seq").desc))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "b"), (2L, "c")))
+  }
+
+  test("cosineTopK and cosinePairs rank by exact cosine") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vid", "v")
+    val probes = vecs.filter(col("vid") === 1L)
+      .select(col("vid").as("probe_id"), col("v").as("pe"))
+    val top = VectorOps.cosineTopK(vecs, "vid", "v", probes, 2)
+      .orderBy("rn").collect().map(_.getLong(1))
+    assert(top.toSeq == Seq(2L, 4L)) // 2 closest, then 4 beats orthogonal 3
+    val pairs = VectorOps.cosinePairs(vecs, "vid", "v", 0.9)
+      .select("id_lo", "id_hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("centroids averages per group") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("g1", Array(1f, 3f)), ("g1", Array(3f, 5f)), ("g2", Array(2f, 2f)))
+      .toDF("grp", "v")
+    val got = VectorOps.centroids(vecs, "grp", "v", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Double](1).toSeq, r.getLong(2)))).toMap
+    assert(got("g1") == ((Seq(2.0, 4.0), 2L)))
+    assert(got("g2") == ((Seq(2.0, 2.0), 1L)))
+  }
+}
