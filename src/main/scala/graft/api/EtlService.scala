@@ -1,0 +1,139 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import graft.Dets.{decAvg, decSumD}
+import graft.sources.LakeWriter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's ETL-microservice surface, re-expressed Spark-first: a
+  * service object whose "endpoints" are parameterized analytic queries
+  * over a star schema, plus the load (COPY) and export (UNLOAD) legs
+  * around them. The reference interpolates request parameters into SQL
+  * template strings and pushes them to the warehouse; here every
+  * parameter binds as a typed `Column` predicate on a declarative plan,
+  * which is both injection-proof and optimizer-visible — a date range
+  * lands in the parquet scan's PushedFilters (asserted in
+  * EtlServiceSpec), so at 100 TB a one-month endpoint call reads one
+  * month of row groups, not the table.
+  *
+  * The service is schema-light: endpoints take the DataFrames they query
+  * (pre-registered via [[load]] or passed directly), so the same
+  * endpoints run against raw lake files, bucketed managed tables, or
+  * temp views without code changes.
+  */
+final class EtlService(spark: SparkSession) {
+
+  private val views = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** COPY leg: register a lake file set as a named service table.
+    * `format` ∈ parquet|csv|json; explicit schema always (inference
+    * scans twice and is nondeterministic). */
+  def load(name: String, path: String, schema: StructType,
+    format: String = "parquet"): DataFrame = {
+    val df = format match {
+      case "parquet" => spark.read.schema(schema).parquet(path)
+      case "csv" => LakeWriter.copyCsv(spark, path, schema)
+      case "json" => LakeWriter.copyJson(spark, path, schema)
+      case other => throw new IllegalArgumentException(
+        s"unsupported load format: $other")
+    }
+    views.put(name, df)
+    df
+  }
+
+  /** Register an already-built DataFrame as a service table. */
+  def register(name: String, df: DataFrame): Unit = views.put(name, df)
+
+  def table(name: String): DataFrame = views.getOrElse(name,
+    throw new IllegalArgumentException(s"table not loaded: $name"))
+
+  /** UNLOAD leg: export an endpoint result to the lake, partitioned for
+    * pruned read-back. */
+  def export(df: DataFrame, out: String, partitionCols: Seq[String] = Nil): Unit =
+    if (partitionCols.isEmpty) df.write.mode("overwrite").parquet(out)
+    else LakeWriter.unloadPartitioned(df, out, partitionCols)
+
+  // ---- parameterized endpoints (the reference's HTTP query surface) ----
+
+  /** Optional equality filter: absent parameter = no predicate at all
+    * (not a pass-through literal), so the optimizer sees only real
+    * constraints. */
+  private def eqOpt(c: String, v: Option[String]): Column =
+    v.map(col(c) === _).getOrElse(lit(true))
+
+  /** Revenue rollup between order dates, optionally narrowed to one
+    * market segment — the classic date-range endpoint. The date range
+    * binds on the `orders` scan; the join to `lineitem` broadcasts or
+    * shuffles per AQE. */
+  def revenueByOrderDate(orders: DataFrame, lineitem: DataFrame,
+    from: Timestamp, until: Timestamp, segment: Option[String] = None,
+    customer: Option[DataFrame] = None): DataFrame = {
+    require(!until.before(from), "until must be >= from")
+    val o0 = orders.filter(col("o_orderdate") >= lit(from) &&
+      col("o_orderdate") < lit(until))
+    val o = (segment, customer) match {
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "segment filter needs the customer table")
+      case (Some(seg), Some(c)) => o0.join(
+        broadcast(c.filter(col("c_mktsegment") === seg).select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      case _ => o0
+    }
+    o.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("month")
+  }
+
+  /** Per-nation account health for one region (dimension-parameter
+    * endpoint): customer/supplier counts and balances. Dims broadcast. */
+  def nationSummary(customer: DataFrame, nation: DataFrame, region: DataFrame,
+    regionName: Option[String] = None): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(eqOpt("r_name", regionName))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_cust"),
+        decSumD(col("c_acctbal")).as("sum_bal"),
+        decAvg(col("c_acctbal")).as("avg_bal"))
+      .orderBy("region", "nation")
+
+  /** Top-k customers by open-order value within a date range — the
+    * ranked-list endpoint. Bounded result via the per-group top-k
+    * operator (k rows total, never a full sort). */
+  def topCustomers(orders: DataFrame, customer: DataFrame,
+    from: Timestamp, until: Timestamp, k: Int): DataFrame = {
+    require(k > 0 && k <= 10000, "k must be in (0, 10000]")
+    val spend = orders
+      .filter(col("o_orderdate") >= lit(from) &&
+        col("o_orderdate") < lit(until))
+      .groupBy("o_custkey")
+      .agg(decSumD(col("o_totalprice")).as("spend"),
+        count(lit(1)).as("n_orders"))
+    graft.plans.GraftOps.topKPerGroup(spend, Seq(lit(1)),
+      Seq(col("spend").desc, col("o_custkey").asc), k, rankName = "rank")
+      .join(customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("rank"), col("o_custkey").as("custkey"), col("c_name"),
+        col("spend"), col("n_orders"))
+      .orderBy("rank")
+  }
+
+  /** Event activity in a half-open time window, bucketed hourly per
+    * event type — the operational-metrics endpoint. */
+  def eventActivity(events: DataFrame, from: Timestamp, until: Timestamp,
+    eventType: Option[String] = None): DataFrame =
+    events
+      .filter(col("ts") >= lit(from) && col("ts") < lit(until) &&
+        eqOpt("event_type", eventType))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), decSumD(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+}

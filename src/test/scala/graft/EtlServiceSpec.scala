@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.api.EtlService
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The parameterized-endpoint facade: results must equal the direct
+  * DataFrame formulation, and — the part the reference's string-template
+  * SQL can't guarantee — the bound parameters must reach the parquet
+  * scan as pushed filters, so a narrow endpoint call stays narrow at any
+  * data size. */
+class EtlServiceSpec extends SparkSpec {
+
+  private lazy val svc = new EtlService(spark)
+  private def t(n: String): DataFrame = Tables.load(spark, Sf, n)
+
+  private val from = Timestamp.valueOf("1995-01-01 00:00:00")
+  private val until = Timestamp.valueOf("1996-01-01 00:00:00")
+
+  test("revenueByOrderDate matches the direct formulation") {
+    val got = svc.revenueByOrderDate(t("orders"), t("lineitem"), from, until)
+      .collect()
+    val want = t("orders")
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .join(t("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(graft.Dets.decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), countDistinct("o_orderkey").as("n_orders"))
+      .orderBy("month").collect()
+    assert(got.toSeq == want.toSeq && got.length == 12)
+  }
+
+  test("date-range parameters reach the orders parquet scan") {
+    val p = svc.revenueByOrderDate(t("orders"), t("lineitem"), from, until)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate,"), p.take(3000))
+  }
+
+  test("segment narrowing requires and uses the customer table") {
+    intercept[IllegalArgumentException] {
+      svc.revenueByOrderDate(t("orders"), t("lineitem"), from, until,
+        segment = Some("BUILDING"))
+    }
+    val seg = svc.revenueByOrderDate(t("orders"), t("lineitem"), from, until,
+      segment = Some("BUILDING"), customer = Some(t("customer")))
+      .agg(sum("n_orders")).head.getLong(0)
+    val all = svc.revenueByOrderDate(t("orders"), t("lineitem"), from, until)
+      .agg(sum("n_orders")).head.getLong(0)
+    assert(seg > 0 && seg < all)
+  }
+
+  test("nationSummary region parameter filters; absent parameter keeps all") {
+    val one = svc.nationSummary(t("customer"), t("nation"), t("region"),
+      regionName = Some("ASIA")).collect()
+    assert(one.nonEmpty && one.forall(_.getAs[String]("region") == "ASIA"))
+    val all = svc.nationSummary(t("customer"), t("nation"), t("region"))
+    assert(all.select("region").distinct.count() == 5)
+  }
+
+  test("topCustomers returns k ranked rows with ranks 1..k") {
+    val k = 7
+    val got = svc.topCustomers(t("orders"), t("customer"), from, until, k)
+      .collect()
+    assert(got.length == k)
+    assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to k).toSeq)
+    val spends = got.map(_.getAs[Double]("spend")).toSeq
+    assert(spends == spends.sorted.reverse)
+    intercept[IllegalArgumentException] {
+      svc.topCustomers(t("orders"), t("customer"), from, until, 0)
+    }
+  }
+
+  test("eventActivity honors the optional event-type parameter") {
+    val ev = t("events")
+    val lo = Timestamp.valueOf("2024-01-01 00:00:00")
+    val hi = Timestamp.valueOf("2024-01-08 00:00:00")
+    val typed = svc.eventActivity(ev, lo, hi, Some("click")).collect()
+    assert(typed.nonEmpty && typed.forall(_.getAs[String]("event_type") == "click"))
+    val n = svc.eventActivity(ev, lo, hi)
+      .agg(sum("n")).head.getLong(0)
+    val direct = ev.filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).count()
+    assert(n == direct)
+  }
+
+  test("load + export round-trip through the lake") {
+    val out = java.nio.file.Files.createTempDirectory("etl_svc").toString
+    val res = svc.nationSummary(t("customer"), t("nation"), t("region"))
+    svc.export(res, s"$out/summary", partitionCols = Seq("region"))
+    val back = svc.load("summary_back", s"$out/summary",
+      res.schema, format = "parquet")
+    // partitionBy moves the partition column last on disk; compare sets
+    assert(back.count() == res.count())
+    assert(svc.table("summary_back").columns.toSet == res.columns.toSet)
+  }
+}
