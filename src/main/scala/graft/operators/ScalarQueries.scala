@@ -61,21 +61,15 @@ object ScalarQueries {
             .as("l2_norm"))
         .orderBy("vec_id")),
 
+    // Routed through the streaming module's interval join: the SAME code
+    // runs as a stream-stream join (watermark-bounded state) and as this
+    // batch query (watermarks are batch no-ops) — StreamingSpec asserts
+    // the streamed results converge to this oracle-gated batch output.
     "q17_join_range" -> ((s, dir) => {
       val e = t(s, dir, "events")
-      val signup = e.filter(col("event_type") === "signup")
-        .select(col("event_id").as("signup_id"), col("user_id"),
-          col("ts").as("signup_ts"))
-      val purchase = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-      signup.join(purchase,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("signup_ts") &&
-          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("signup_id"), col("purchase_id"), col("user_id"),
-          tsOut(col("signup_ts")).as("signup_ts"),
-          tsOut(col("purchase_ts")).as("purchase_ts"))
+      graft.streaming.EventStreams.attributionJoin(
+        e.filter(col("event_type") === "signup"),
+        e.filter(col("event_type") === "purchase"))
         .orderBy("signup_id", "purchase_id")
     }),
 

@@ -130,6 +130,32 @@ object EventStreams {
     }.outputMode(OutputMode.Append).start()
   }
 
+  /** Interval join of two event streams: every (signup, purchase) of the
+    * same user with the purchase inside [signup_ts, signup_ts + horizon]
+    * — q17's range-join semantics, shared by the batch query (where the
+    * watermarks are no-ops) and the streaming topology (where they bound
+    * the join state: a buffered signup can be evicted once the purchase
+    * watermark passes its horizon, so state never grows with the log).
+    *
+    * Scale notes: Spark plans this as a stream-stream join keyed on
+    * user_id — state is hash-partitioned across executors, and the time
+    * -range predicate is what lets the state manager compute eviction
+    * bounds; an unconstrained stream join would buffer forever. */
+  def attributionJoin(signups: DataFrame, purchases: DataFrame,
+    horizon: String = "1 HOUR", watermark: String = "2 hours"): DataFrame = {
+    val s = signups.select(col("event_id").as("signup_id"), col("user_id"),
+      col("ts").as("signup_ts")).withWatermark("signup_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    s.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("signup_id"), col("purchase_id"), col("user_id"),
+        Dets.tsOut(col("signup_ts")).as("signup_ts"),
+        Dets.tsOut(col("purchase_ts")).as("purchase_ts"))
+  }
+
   /** A generation is current only once its `_SUCCESS` marker exists
     * (Spark's file committer writes it after all tasks commit) — a batch
     * that crashes mid-write leaves a partial gen_N dir that must never be
