@@ -77,10 +77,12 @@ final class EtlService(spark: SparkSession) {
     val o = (segment, customer) match {
       case (Some(_), None) => throw new IllegalArgumentException(
         "segment filter needs the customer table")
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "customer table given without a segment — drop it or pass segment")
       case (Some(seg), Some(c)) => o0.join(
         broadcast(c.filter(col("c_mktsegment") === seg).select("c_custkey")),
         col("o_custkey") === col("c_custkey"))
-      case _ => o0
+      case (None, None) => o0
     }
     o.join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
@@ -117,10 +119,13 @@ final class EtlService(spark: SparkSession) {
       .groupBy("o_custkey")
       .agg(decSumD(col("o_totalprice")).as("spend"),
         count(lit(1)).as("n_orders"))
+    // left join: a spender missing from the customer dim (partial dim
+    // load, wider order range than the snapshot) must still hold its
+    // rank — an inner join would silently leave a gap in ranks 1..k
     graft.plans.GraftOps.topKPerGroup(spend, Seq(lit(1)),
       Seq(col("spend").desc, col("o_custkey").asc), k, rankName = "rank")
       .join(customer.select(col("c_custkey"), col("c_name")),
-        col("o_custkey") === col("c_custkey"))
+        col("o_custkey") === col("c_custkey"), "left")
       .select(col("rank"), col("o_custkey").as("custkey"), col("c_name"),
         col("spend"), col("n_orders"))
       .orderBy("rank")

@@ -25,9 +25,15 @@ object PipelineOps {
     * the rest "test". */
   def trainSplit(docs: DataFrame, textCol: String, buckets: Int = 10,
     trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame = {
+    require(buckets > 0 && trainBuckets >= 0 && valBuckets >= 0 &&
+      trainBuckets + valBuckets <= buckets,
+      s"need trainBuckets + valBuckets <= buckets, got " +
+        s"$trainBuckets + $valBuckets vs $buckets")
     GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("bucket", expr(s"graft_charhash($textCol)") % buckets)
+      // call_function binds the column by value, not by splicing its
+      // name into SQL text — works for any column name
+      .withColumn("bucket", call_function("graft_charhash", col(textCol)) % buckets)
       .withColumn("split",
         when(col("bucket") < trainBuckets, "train")
           .when(col("bucket") < trainBuckets + valBuckets, "val")
@@ -60,6 +66,7 @@ object PipelineOps {
     * running sum is a single window pass. */
   def packTokens(docs: DataFrame, groupCol: String, orderCol: String,
     textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy(groupCol).orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

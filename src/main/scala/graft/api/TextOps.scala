@@ -155,7 +155,8 @@ object TextOps {
     * with BIGINT arithmetic reproduces it exactly. */
   def fingerprint(docs: DataFrame, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    docs.withColumn("fp", expr(s"graft_charhash($textCol)"))
+    // call_function binds the column by value — any column name works
+    docs.withColumn("fp", call_function("graft_charhash", col(textCol)))
   }
 
   /** Highest-TF-IDF term per document: tokenize, count term frequency per

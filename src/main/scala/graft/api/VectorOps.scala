@@ -26,7 +26,9 @@ object VectorOps {
     * every pair op below. */
   def withNorm(corpus: DataFrame, vecCol: String): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    corpus.withColumn("n2", expr(s"graft_dot($vecCol, $vecCol)"))
+    // call_function binds the column by value — any column name works
+    corpus.withColumn("n2",
+      call_function("graft_dot", col(vecCol), col(vecCol)))
   }
 
   /** Exact top-`k` cosine neighbours in `corpus` for every row of

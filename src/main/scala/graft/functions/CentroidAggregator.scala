@@ -23,9 +23,13 @@ class CentroidAggregator(dim: Int)
       .unscaledValue().longValueExact()
 
   override def reduce(b: (Array[Long], Long), a: Array[Float]): (Array[Long], Long) = {
+    // a silent `min(dim, a.length)` bound would truncate wider vectors
+    // into a wrong-but-plausible centroid; mismatches must fail loudly
+    require(a.length == dim,
+      s"CentroidAggregator(dim=$dim) got a ${a.length}-dim vector")
     val sums = b._1
     var i = 0
-    while (i < dim && i < a.length) { sums(i) += micros(a(i)); i += 1 }
+    while (i < dim) { sums(i) += micros(a(i)); i += 1 }
     (sums, b._2 + 1)
   }
 

@@ -57,6 +57,21 @@ object TextQueries {
       graft.api.TextOps.nearDupPairs(hashedDocs(s, dir), minJac).persist()
     })
 
+  /** Release this session's cached hash/pair tables (unpersist + drop
+    * the map entries). The static caches otherwise pin both the
+    * DataFrames' storage and the SparkSession itself for the JVM's
+    * lifetime — fine for a one-shot Verify/Bench run, wrong for a
+    * long-lived host that cycles sessions; such hosts must call this
+    * when done with a session. */
+  def clearCaches(s: SparkSession): Unit = {
+    hashedCache.forEach { (k, v) =>
+      if (k._1 eq s) { v.unpersist(); hashedCache.remove(k) }
+    }
+    pairsCache.forEach { (k, v) =>
+      if (k._1 eq s) { v.unpersist(); pairsCache.remove(k) }
+    }
+  }
+
   /** Oracle-side CTE text for the same edge set (jac ≥ 0.6), shared by the
     * q61 and q77 oracles so both replay one definition. */
   val nearDupEdgeSql: String =

@@ -156,7 +156,12 @@ object GraftOps {
       val e = org.apache.spark.sql.graft.DatasetBridge.expression(spark, c)
       e.transformUp {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          analyzed.output.find(a => a.name == u.name).getOrElse(
+          // the plan's own resolver: case sensitivity per
+          // spark.sql.caseSensitive, qualified names (t.col) handled,
+          // ambiguity is an error — identical to how any built-in
+          // operator would bind the column
+          analyzed.resolve(u.nameParts,
+            spark.sessionState.analyzer.resolver).getOrElse(
             throw new IllegalArgumentException(
               s"column ${u.name} not in ${analyzed.output.map(_.name)}"))
       }

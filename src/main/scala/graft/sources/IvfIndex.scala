@@ -33,11 +33,15 @@ object IvfIndex {
       sqrt(col(n2a)) * sqrt(col(n2b)))
 
   /** Build and persist the index from an embedding table with columns
-    * (idCol, vecCol, cellCol). */
+    * (idCol, vecCol, cellCol). `dim` must match the vector width — the
+    * centroid aggregator averages exactly `dim` components (a shorter
+    * buffer would silently truncate wider vectors). */
   def build(emb: DataFrame, root: String, idCol: String = "vec_id",
-    vecCol: String = "embedding", cellCol: String = "label"): Unit = {
+    vecCol: String = "embedding", cellCol: String = "label",
+    dim: Int = 64): Unit = {
+    require(dim > 0, "dim must be positive")
     GraftFunctions.register(emb.sparkSession)
-    val centroid = udaf(new CentroidAggregator(64),
+    val centroid = udaf(new CentroidAggregator(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     val cents = emb.groupBy(col(cellCol).cast("int").as("cell"))
       .agg(centroid(col(vecCol)).as("cent"))

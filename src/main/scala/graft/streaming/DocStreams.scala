@@ -31,10 +31,7 @@ object DocStreams {
     watermark: String, nHashes: Int = 16): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val keyed = docs.withWatermark(tsCol, watermark)
-      .withColumn("__sig_key",
-        expr(s"graft_band_keys(graft_minhash(graft_token_hashes(" +
-          s"array_distinct(array_remove(split($textCol, ' '), ''))), " +
-          s"$nHashes), 1, $nHashes)[0]"))
+      .withColumn("__sig_key", sigKey(textCol, nHashes))
     // an empty document has a null signature key; null keys would all
     // collide as one state-store entry, so empties bypass the dedup
     // branch and pass through unfiltered
@@ -49,14 +46,23 @@ object DocStreams {
     * arrival (min ts, doc_id tie-break) per signature key. Used by specs
     * to assert stream/batch convergence, and usable directly as the
     * backfill compaction for a corpus at rest. */
+  /** The whole-signature dedup key: MinHash the distinct whitespace
+    * tokens, fold all slots into ONE band key. Column-composed
+    * (call_function binds columns by value), so any text column name
+    * works. */
+  private def sigKey(textCol: String, nHashes: Int) =
+    element_at(call_function("graft_band_keys",
+      call_function("graft_minhash",
+        call_function("graft_token_hashes",
+          array_distinct(array_remove(split(col(textCol), " "), ""))),
+        lit(nHashes)),
+      lit(1), lit(nHashes)), 1)
+
   def nearDupKeepSet(docs: DataFrame, tsCol: String, idCol: String,
     textCol: String, nHashes: Int = 16): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val keyed = docs.withColumn("__sig_key",
-      expr(s"graft_band_keys(graft_minhash(graft_token_hashes(" +
-        s"array_distinct(array_remove(split($textCol, ' '), ''))), " +
-        s"$nHashes), 1, $nHashes)[0]"))
+    val keyed = docs.withColumn("__sig_key", sigKey(textCol, nHashes))
     val w = Window.partitionBy("__sig_key")
       .orderBy(col(tsCol).asc, col(idCol).asc)
     keyed.filter(col("__sig_key").isNotNull)

@@ -21,7 +21,7 @@ object MhDebug {
     df.select("id", "mh").collect().foreach(r =>
       println(s"mh ${r.getLong(0)}: ${r.getSeq[Long](1).mkString(",")}"))
     df.select("id", "bk8").collect().foreach(r =>
-      println(s"bk8 ${r.getLong(0)}: ${r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).mkString(",")}"))
+      println(s"bk8 ${r.getLong(0)}: ${r.getSeq[Long](1).mkString(",")}"))
     spark.stop()
   }
 }

@@ -132,12 +132,16 @@ class OperatorSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(got.toSeq == want.toSeq)
-    // and the fine scan is partition-pruned: the cell filter must reach
-    // the assigned/ scan as a partition filter, not a post-scan filter
-    val plan = graft.sources.IvfIndex.search(spark, root, probes, 2, 3)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("partition"),
-      s"expected partition-pruned scan, got:\n$plan")
+    // and the fine scan is partition-pruned: the selected-cells side must
+    // drive a DYNAMIC pruning subquery on the assigned/ scan's partition
+    // column ("PartitionFilters:" alone would be vacuous — every
+    // partitioned scan prints an empty one)
+    val q2 = graft.sources.IvfIndex.search(spark, root, probes, 2, 3)
+    q2.collect()
+    val plan = q2.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      s"expected a dynamic cell-pruning subquery on the fine scan, got:\n" +
+        plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
   test("q66 LSH candidates contain every very-similar pair from q61") {
