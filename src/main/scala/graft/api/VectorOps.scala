@@ -68,6 +68,80 @@ object VectorOps {
       .select("id_lo", "id_hi", "cos")
   }
 
+  /** Random-hyperplane LSH near-dup pairs — the 100 TB path where
+    * [[cosinePairs]]' O(n²) scan is impossible. Each vector gets `bands`
+    * sign-pattern keys (one long per band of `planesPerBand` hyperplane
+    * sign bits); candidates come from an equi-join on (band, key) —
+    * vectors in the same bucket have all `planesPerBand` signs equal, an
+    * event whose probability rises steeply with cosine — and only
+    * candidates pay the exact verify at `minCos`. Cross-band duplicate
+    * candidates are eliminated WITHOUT a distinct shuffle by the
+    * first-matching-band rule (as in the MinHash LSH pipeline).
+    *
+    * The hyperplanes are splitmix64-seeded Gaussian draws — pure
+    * functions of (seed, plane, dim), so the same pairs emerge on any
+    * engine, any cluster size, any run. Recall tuning: P(candidate) =
+    * 1-(1-(1-θ/π)^planesPerBand)^bands for angle θ; more bands = more
+    * recall, more candidates. Sign bits are computed by `graft_dot`
+    * against literal plane vectors — all codegen, no shuffle until the
+    * band join. */
+  def cosineLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+    dim: Int, minCos: Double, planesPerBand: Int = 8, bands: Int = 4,
+    seed: Long = 42L): DataFrame = {
+    require(dim > 0 && planesPerBand > 0 && planesPerBand <= 62 && bands > 0,
+      "need dim > 0, 0 < planesPerBand <= 62, bands > 0")
+    GraftFunctions.register(corpus.sparkSession)
+    val planes = gaussianPlanes(bands * planesPerBand, dim, seed)
+    def bandKey(b: Int): Column =
+      (0 until planesPerBand).map { i =>
+        val dot = call_function("graft_dot", col(vecCol),
+          typedLit(planes(b * planesPerBand + i)))
+        when(dot >= 0d, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val d = withNorm(corpus, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"), col("n2"),
+        array((0 until bands).map(bandKey): _*).as("bks"))
+      .persist()
+    val banded = d.select(col("id"), posexplode(col("bks")).as(Seq("band", "bkey")))
+    val cand = banded.select(col("id").as("id_lo"), col("band"), col("bkey"))
+      .join(banded.select(col("id").as("id_hi"), col("band").as("band_b"),
+        col("bkey").as("bkey_b")),
+        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("id_lo") < col("id_hi"))
+      .select("id_lo", "id_hi", "band")
+    // keep a colliding pair only in the LOWEST band where it collides —
+    // unrolled CASE (codegen), no distinct
+    val firstMatch = expr((0 until bands - 1)
+      .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
+      .mkString("CASE ", " ", s" ELSE ${bands - 1} END"))
+    val ka = d.select(col("id").as("id_lo"), col("bks").as("bks_a"))
+    val kb = d.select(col("id").as("id_hi"), col("bks").as("bks_b"))
+    val va = d.select(col("id").as("id_lo"), col("__v").as("v_a"),
+      col("n2").as("n2_a"))
+    val vb = d.select(col("id").as("id_hi"), col("__v").as("v_b"),
+      col("n2").as("n2_b"))
+    cand
+      .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
+      .filter(col("band") === firstMatch)
+      .join(broadcast(va), "id_lo").join(broadcast(vb), "id_hi")
+      .withColumn("cos", round(cosWith("v_a", "v_b", "n2_a", "n2_b"), 4))
+      .filter(col("cos") >= minCos)
+      .select("id_lo", "id_hi", "cos")
+  }
+
+  /** Deterministic Gaussian hyperplanes: Box–Muller over splitmix64
+    * uniforms, seeded per (plane, dim) — identical on every run/engine. */
+  private def gaussianPlanes(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    import graft.functions.TextFunctions.mix64
+    def unit(x: Long): Double = // uniform in (0, 1]
+      ((x >>> 11) + 1).toDouble / (1L << 53).toDouble
+    Array.tabulate(n, dim) { (p, i) =>
+      val u1 = unit(mix64(seed + p.toLong * 1000003L + i))
+      val u2 = unit(mix64(seed + p.toLong * 1000003L + i + 500000L))
+      (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
+    }
+  }
+
   /** Per-group mean vector via the typed [[CentroidAggregator]] UDAF
     * (vector-add merge — commutative, so partial aggregation across
     * partitions is exact). Returns (group, centroid, n). */

@@ -63,8 +63,9 @@ object TextFunctions {
   def mhAdd(k: Int): Long =
     java.lang.Long.remainderUnsigned(mix64(k + 1001L), HashMod)
 
-  /** splitmix64 finalizer — the standard public-domain mixer. */
-  private def mix64(x0: Long): Long = {
+  /** splitmix64 finalizer — the standard public-domain mixer. Also the
+    * seed stream for VectorOps' deterministic LSH hyperplanes. */
+  private[graft] def mix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

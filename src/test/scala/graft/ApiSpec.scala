@@ -178,6 +178,38 @@ class ApiSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("cosineLshPairs recovers clustered near-dups without the n^2 scan") {
+    import spark.implicits._
+    // 4 well-separated Gaussian base directions, 8 noisy copies each:
+    // same-cluster cosines land ~0.98+, cross-cluster near 0. Fixed seed
+    // => the assertion is deterministic, not flaky.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = for {
+      c <- 0 until 4
+      base = gauss()
+      i <- 0 until 8
+    } yield {
+      val noise = gauss()
+      (c * 100L + i,
+        base.zip(noise).map { case (b, n) => b + 0.07f * n })
+    }
+    val vecs = rows.toDF("vid", "v")
+    val exact = VectorOps.cosinePairs(vecs, "vid", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.cosineLshPairs(vecs, "vid", "v", dim, 0.9,
+      planesPerBand = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-verify step guarantees soundness; banding must recover
+    // virtually all true pairs at this similarity
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty && lsh.size >= (exact.size * 9) / 10,
+      s"LSH found ${lsh.size} of ${exact.size} pairs")
+    // and no cross-cluster pair survives the verify
+    assert(lsh.forall { case (a, b) => a / 100 == b / 100 })
+  }
+
   test("centroids averages per group") {
     import spark.implicits._
     val vecs = Seq(
