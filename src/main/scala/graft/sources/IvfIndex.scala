@@ -87,4 +87,79 @@ object IvfIndex {
       Seq(col("cos4").desc, col("vec_id").asc), k)
       .select("probe_id", "vec_id", "cos4", "rn")
   }
+
+  /** Deterministic spherical Lloyd iteration: learn `k` cells from the
+    * data instead of borrowing a label column. Returns (id, cell) —
+    * feed it to [[build]] via `cellCol`.
+    *
+    * Seeding is farthest-first (the deterministic core of k-means++):
+    * start from the row with the smallest multiplicative-spread hash of
+    * its id, then k-1 times pick the vector whose nearest chosen seed is
+    * farthest (min over seeds of cosine, id tie-break). Hash-scatter
+    * seeding is NOT enough — two seeds landing in one true cluster
+    * splits it while two other clusters merge, and Lloyd cannot recover
+    * (observed in the spec before this). Each of the k seeding steps and
+    * each Lloyd iteration is one scan with ≤k dot products per row — the
+    * standard IVF training profile; train on a sample when the corpus is
+    * too large even for that (the layout and search path don't change).
+    * The k seed vectors live on the driver (k × dim floats — the
+    * quantizer itself, not data): bounded and tiny.
+    *
+    * Assignment broadcasts the centroid table and takes the max-cosine
+    * centroid through the bounded-heap argmax (one pass, no shuffle of
+    * scored pairs); recomputation uses exact decimal-mean centroids; an
+    * emptied cell simply disappears (k shrinks, never crashes). */
+  def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
+    k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k > 0 && iters >= 0 && dim > 0, "need k > 0, iters >= 0, dim > 0")
+    GraftFunctions.register(emb.sparkSession)
+    val spread = 2654435761L
+    val mod = graft.functions.TextFunctions.HashMod
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n2", expr("graft_dot(v, v)"))
+      .localCheckpoint(true)
+    def seedCos(s: Array[Float]): Column = {
+      val sn2 = s.foldLeft(0d)((a, x) => a + x.toDouble * x)
+      graft.Dets.safeDiv(call_function("graft_dot", col("v"), typedLit(s)),
+        sqrt(col("n2")) * math.sqrt(sn2))
+    }
+    val first = base
+      .withColumn("__h", pmod(pmod(col("id"), lit(mod)) * spread, lit(mod)))
+      .orderBy(col("__h").asc, col("id").asc).select("v")
+      .head().getSeq[Float](0).toArray
+    val seedBuf = scala.collection.mutable.ArrayBuffer(first)
+    while (seedBuf.size < k) {
+      val nearest = seedBuf.map(seedCos).reduce(greatest(_, _))
+      seedBuf += base.withColumn("__near", nearest)
+        .orderBy(col("__near").asc, col("id").asc).select("v")
+        .head().getSeq[Float](0).toArray
+    }
+    val sess = emb.sparkSession
+    var cents = sess.createDataFrame(
+      seedBuf.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, v.map(_.toDouble))
+      }).toDF("cell", "cent")
+      .withColumn("cn2", expr("graft_dot(cent, cent)"))
+      .localCheckpoint(true)
+    val centroid = udaf(new CentroidAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    def assign(c: DataFrame): DataFrame =
+      graft.plans.GraftOps.topKPerGroup(
+        base.crossJoin(broadcast(c))
+          .withColumn("__cos", cosW("v", "cent", "n2", "cn2"))
+          .select(col("id"), col("v"), col("cell"), col("__cos")),
+        Seq(col("id")),
+        // 4dp + cell tie-break: bit-identical ranking on any engine
+        Seq(round(col("__cos"), 4).desc, col("cell").asc), 1, rankName = "__r")
+    var it = 0
+    while (it < iters) {
+      cents = assign(cents)
+        .groupBy("cell")
+        .agg(centroid(col("v").cast("array<float>")).as("cent"))
+        .withColumn("cn2", expr("graft_dot(cent, cent)"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    assign(cents).select(col("id"), col("cell"))
+  }
 }

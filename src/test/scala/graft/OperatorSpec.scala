@@ -144,6 +144,48 @@ class OperatorSpec extends SparkSpec {
         plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("kmeans cells learn the cluster structure and drive IVF search") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = for {
+      c <- 0 until 4; base = gauss(); i <- 0 until 12
+    } yield (c * 100L + i,
+      base.zip(gauss()).map { case (b, n) => b + 0.05f * n })
+    val vecs = rows.toDF("vec_id", "embedding")
+    val cells = graft.sources.IvfIndex.kmeansCells(
+      vecs, "vec_id", "embedding", k = 4, iters = 3, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // deterministic across runs
+    val again = graft.sources.IvfIndex.kmeansCells(
+      vecs, "vec_id", "embedding", k = 4, iters = 3, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == again)
+    // Lloyd iterations must separate the 4 true clusters: every true
+    // cluster maps to exactly one learned cell
+    val byTrue = cells.groupBy(_._1 / 100).map { case (t, m) =>
+      t -> m.values.toSet
+    }
+    assert(byTrue.values.forall(_.size == 1), byTrue.toString)
+    assert(byTrue.values.flatten.toSet.size == 4)
+    // and the persisted index over the learned cells answers probes from
+    // the right cluster: top-3 of a probe are its own cluster's members
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_km_").toString
+    val withCell = vecs.join(
+      graft.sources.IvfIndex.kmeansCells(
+        vecs, "vec_id", "embedding", k = 4, iters = 3, dim = dim),
+      col("vec_id") === col("id")).drop("id")
+    graft.sources.IvfIndex.build(withCell, root, cellCol = "cell", dim = dim)
+    val probes = vecs.filter(col("vec_id").isin(5L, 105L, 205L, 305L))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val got = graft.sources.IvfIndex.search(spark, root, probes, 1, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 12)
+    assert(got.forall { case (p, v) => p / 100 == v / 100 },
+      s"cross-cluster neighbour: ${got.filter { case (p, v) => p / 100 != v / 100 }.toSeq}")
+  }
+
   test("q66 LSH candidates contain every very-similar pair from q61") {
     // Jaccard >= 0.9 pairs collide in at least one band with 16/4/4 MinHash
     // with overwhelming probability (1-(1-s^4)^4 ~ 0.9997 at s=0.9).
