@@ -29,7 +29,8 @@ object SparkEntry {
     (TfidfQueries.queries, TfidfQueries.oracle),
     (StatsQueries.queries, StatsQueries.oracle),
     (PivotQueries.queries, PivotQueries.oracle),
-    (PipelineQueries.queries, PipelineQueries.oracle)
+    (PipelineQueries.queries, PipelineQueries.oracle),
+    (ServiceQueries.queries, ServiceQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
