@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // java.sql.Timestamp literals (e.g. endpoint date-range parameters)
+  // parse in the JVM default zone; pin it so wall-clock bounds mean the
+  // same instant as the oracle's naive TIMESTAMP literals on any machine
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -55,6 +55,34 @@ object DedupOps {
       .withColumn("bks", expr(s"graft_band_keys(mh, $bands, $rows)"))
       .select(col(idCol).as("id"), col("hs"), col("bks"))
       .persist()
+    val firstBand = bandCollisionPairs(d, bands)
+    val ha = d.select(col("id").as("id_lo"), col("hs").as("hs_a"))
+    val hb = d.select(col("id").as("id_hi"), col("hs").as("hs_b"))
+    firstBand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
+      .withColumn("inter",
+        expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
+      .withColumn("jac", safeDiv(col("inter"),
+        size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      .filter(col("jac") >= minJac)
+      .select("id_lo", "id_hi", "jac")
+  }
+
+  /** The shared LSH candidate step: given one row per item of
+    * (`id`, `bks` = array of per-band bucket keys), return every
+    * (id_lo, id_hi) whose keys collide in at least one band — emitted
+    * EXACTLY once, in the lowest colliding band, so no distinct shuffle
+    * is needed. Used by the MinHash pipeline here and the hyperplane
+    * pipeline in [[VectorOps.cosineLshPairs]].
+    *
+    * The band join carries only (id, band, key); the per-id key arrays
+    * re-attach via broadcast for the first-band filter — at corpus
+    * scale, attach them via a co-partitioned join on the id instead
+    * (the first-band rule is unchanged). The CASE is unrolled, not a
+    * HOF lambda: higher-order functions evaluate interpreted per
+    * element, which would dominate on the candidate set; the CASE stays
+    * inside whole-stage codegen. A colliding pair always matches its
+    * last band if no earlier one, hence the ELSE arm. */
+  private[api] def bandCollisionPairs(d: DataFrame, bands: Int): DataFrame = {
     val banded = d.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     val cand = banded.select(col("id").as("id_lo"), col("band"), col("bkey"))
@@ -65,26 +93,13 @@ object DedupOps {
       .select("id_lo", "id_hi", "band")
     val ka = d.select(col("id").as("id_lo"), col("bks").as("bks_a"))
     val kb = d.select(col("id").as("id_hi"), col("bks").as("bks_b"))
-    // unrolled CASE, not a HOF lambda: higher-order functions evaluate
-    // interpreted per element, which would dominate on the candidate set;
-    // the CASE stays inside whole-stage codegen. A colliding pair always
-    // matches its last band if no earlier one, hence the ELSE arm.
     val firstMatch = expr((0 until bands - 1)
       .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
       .mkString("CASE ", " ", s" ELSE ${bands - 1} END"))
-    val firstBand = cand
+    cand
       .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
       .filter(col("band") === firstMatch)
       .select("id_lo", "id_hi")
-    val ha = d.select(col("id").as("id_lo"), col("hs").as("hs_a"))
-    val hb = d.select(col("id").as("id_hi"), col("hs").as("hs_b"))
-    firstBand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
-      .withColumn("inter",
-        expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
-      .withColumn("jac", safeDiv(col("inter"),
-        size(col("hs_a")) + size(col("hs_b")) - col("inter")))
-      .filter(col("jac") >= minJac)
-      .select("id_lo", "id_hi", "jac")
   }
 
   /** SimHash fingerprint per row, appended as `simhash`: every distinct

@@ -84,7 +84,14 @@ object VectorOps {
     * 1-(1-(1-θ/π)^planesPerBand)^bands for angle θ; more bands = more
     * recall, more candidates. Sign bits are computed by `graft_dot`
     * against literal plane vectors — all codegen, no shuffle until the
-    * band join. */
+    * band join.
+    *
+    * The per-id lookup tables (keys, vectors) attach via broadcast here,
+    * which holds while one copy of (id, vector, norm) fits an executor;
+    * past that, attach them via a co-partitioned join on the id instead
+    * — the banding, first-band rule, and verify are unchanged. The
+    * banded sketch table is persisted for its two consumers and released
+    * with the session (same lifecycle as [[DedupOps.minhashLshPairs]]). */
   def cosineLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
     dim: Int, minCos: Double, planesPerBand: Int = 8, bands: Int = 4,
     seed: Long = 42L): DataFrame = {
@@ -102,27 +109,11 @@ object VectorOps {
       .select(col(idCol).as("id"), col(vecCol).as("__v"), col("n2"),
         array((0 until bands).map(bandKey): _*).as("bks"))
       .persist()
-    val banded = d.select(col("id"), posexplode(col("bks")).as(Seq("band", "bkey")))
-    val cand = banded.select(col("id").as("id_lo"), col("band"), col("bkey"))
-      .join(banded.select(col("id").as("id_hi"), col("band").as("band_b"),
-        col("bkey").as("bkey_b")),
-        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-          col("id_lo") < col("id_hi"))
-      .select("id_lo", "id_hi", "band")
-    // keep a colliding pair only in the LOWEST band where it collides —
-    // unrolled CASE (codegen), no distinct
-    val firstMatch = expr((0 until bands - 1)
-      .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
-      .mkString("CASE ", " ", s" ELSE ${bands - 1} END"))
-    val ka = d.select(col("id").as("id_lo"), col("bks").as("bks_a"))
-    val kb = d.select(col("id").as("id_hi"), col("bks").as("bks_b"))
     val va = d.select(col("id").as("id_lo"), col("__v").as("v_a"),
       col("n2").as("n2_a"))
     val vb = d.select(col("id").as("id_hi"), col("__v").as("v_b"),
       col("n2").as("n2_b"))
-    cand
-      .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
-      .filter(col("band") === firstMatch)
+    DedupOps.bandCollisionPairs(d, bands)
       .join(broadcast(va), "id_lo").join(broadcast(vb), "id_hi")
       .withColumn("cos", round(cosWith("v_a", "v_b", "n2_a", "n2_b"), 4))
       .filter(col("cos") >= minCos)

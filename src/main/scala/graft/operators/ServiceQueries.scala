@@ -16,8 +16,17 @@ object ServiceQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private val From = Timestamp.valueOf("1995-01-01 00:00:00")
-  private val Until = Timestamp.valueOf("1996-01-01 00:00:00")
+  /** UTC-pinned bounds: Timestamp.valueOf would parse in the JVM default
+    * zone and silently shift the range boundary (vs the oracle's naive
+    * TIMESTAMP literals) on a non-UTC machine. build.sbt pins
+    * -Duser.timezone=UTC too; this makes the binding safe even without
+    * the flag (e.g. a user's own launcher). */
+  private def utcTs(s: String): Timestamp =
+    Timestamp.from(java.time.LocalDateTime.parse(s)
+      .toInstant(java.time.ZoneOffset.UTC))
+
+  private val From = utcTs("1995-01-01T00:00:00")
+  private val Until = utcTs("1996-01-01T00:00:00")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Date-range revenue endpoint, narrowed to one market segment: the

@@ -118,21 +118,40 @@ object IvfIndex {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n2", expr("graft_dot(v, v)"))
       .localCheckpoint(true)
+    require(!base.isEmpty, "kmeansCells needs a non-empty embedding table")
+    // superseded localCheckpoints (base, per-iteration cents) are
+    // reclaimed by the ContextCleaner once unreferenced — no manual
+    // unpersist needed, but do not hold references to returned frames
+    // longer than necessary on a large training corpus
     def seedCos(s: Array[Float]): Column = {
       val sn2 = s.foldLeft(0d)((a, x) => a + x.toDouble * x)
       graft.Dets.safeDiv(call_function("graft_dot", col("v"), typedLit(s)),
         sqrt(col("n2")) * math.sqrt(sn2))
     }
-    val first = base
+    val firstRow = base
       .withColumn("__h", pmod(pmod(col("id"), lit(mod)) * spread, lit(mod)))
-      .orderBy(col("__h").asc, col("id").asc).select("v")
-      .head().getSeq[Float](0).toArray
-    val seedBuf = scala.collection.mutable.ArrayBuffer(first)
-    while (seedBuf.size < k) {
-      val nearest = seedBuf.map(seedCos).reduce(greatest(_, _))
-      seedBuf += base.withColumn("__near", nearest)
-        .orderBy(col("__near").asc, col("id").asc).select("v")
-        .head().getSeq[Float](0).toArray
+      .orderBy(col("__h").asc, col("id").asc).select("id", "v")
+      .head()
+    val seedIds = scala.collection.mutable.Set(firstRow.getLong(0))
+    val seedBuf =
+      scala.collection.mutable.ArrayBuffer(firstRow.getSeq[Float](1).toArray)
+    var exhausted = false
+    while (seedBuf.size < k && !exhausted) {
+      // a zero-norm vector has NULL cosine to every seed; without the
+      // coalesce it would sort NULLS FIRST and be re-picked as EVERY
+      // remaining seed, collapsing the quantizer to one usable cell.
+      // Treating NULL as +1 (nearest possible) makes zero vectors the
+      // least attractive seed instead.
+      val nearest = coalesce(
+        seedBuf.toSeq.map(seedCos).reduce(greatest(_, _)), lit(1d))
+      val next = base.withColumn("__near", nearest)
+        .orderBy(col("__near").asc, col("id").asc).select("id", "v")
+        .head()
+      // fewer distinct useful rows than k: stop early with fewer cells
+      // rather than silently duplicating seeds
+      if (seedIds.add(next.getLong(0)))
+        seedBuf += next.getSeq[Float](1).toArray
+      else exhausted = true
     }
     val sess = emb.sparkSession
     var cents = sess.createDataFrame(
