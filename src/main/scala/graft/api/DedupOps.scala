@@ -37,11 +37,16 @@ object DedupOps {
     * key); cross-band duplicate candidates are eliminated WITHOUT a
     * distinct shuffle by the first-matching-band rule — a pair is kept
     * only in the lowest band where the two signatures collide, so every
-    * pair surfaces exactly once. The per-doc lookup tables attach via
-    * broadcast here; at corpus scale they would attach via a
-    * co-partitioned join on the id, first-band rule unchanged. */
+    * pair surfaces exactly once. `broadcastLookups = true` (default)
+    * attaches the per-doc lookup tables (band keys, sorted hashes) by
+    * broadcast — right while one copy fits an executor; pass false once
+    * the corpus outgrows that and they attach via shuffled equi-joins on
+    * the id instead (hash-co-partitioned, no broadcast anywhere; the
+    * first-band rule and the result are unchanged — asserted in
+    * ApiSpec). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-    minJac: Double, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    minJac: Double, numHashes: Int = 16, bands: Int = 4,
+    broadcastLookups: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     GraftFunctions.register(docs.sparkSession)
@@ -55,10 +60,11 @@ object DedupOps {
       .withColumn("bks", expr(s"graft_band_keys(mh, $bands, $rows)"))
       .select(col(idCol).as("id"), col("hs"), col("bks"))
       .persist()
-    val firstBand = bandCollisionPairs(d, bands)
+    val firstBand = bandCollisionPairs(d, bands, broadcastLookups)
+    val att = attach(broadcastLookups)
     val ha = d.select(col("id").as("id_lo"), col("hs").as("hs_a"))
     val hb = d.select(col("id").as("id_hi"), col("hs").as("hs_b"))
-    firstBand.join(broadcast(ha), "id_lo").join(broadcast(hb), "id_hi")
+    firstBand.join(att(ha), "id_lo").join(att(hb), "id_hi")
       .withColumn("inter",
         expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
       .withColumn("jac", safeDiv(col("inter"),
@@ -82,7 +88,9 @@ object DedupOps {
     * element, which would dominate on the candidate set; the CASE stays
     * inside whole-stage codegen. A colliding pair always matches its
     * last band if no earlier one, hence the ELSE arm. */
-  private[api] def bandCollisionPairs(d: DataFrame, bands: Int): DataFrame = {
+  private[api] def bandCollisionPairs(d: DataFrame, bands: Int,
+    broadcastLookups: Boolean = true): DataFrame = {
+    val att = attach(broadcastLookups)
     val banded = d.select(col("id"),
       posexplode(col("bks")).as(Seq("band", "bkey")))
     val cand = banded.select(col("id").as("id_lo"), col("band"), col("bkey"))
@@ -97,10 +105,16 @@ object DedupOps {
       .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
       .mkString("CASE ", " ", s" ELSE ${bands - 1} END"))
     cand
-      .join(broadcast(ka), "id_lo").join(broadcast(kb), "id_hi")
+      .join(att(ka), "id_lo").join(att(kb), "id_hi")
       .filter(col("band") === firstMatch)
       .select("id_lo", "id_hi")
   }
+
+  /** Broadcast the lookup side, or leave it to shuffle co-partitioned on
+    * the join key (and hint AGAINST broadcast so AQE cannot promote a
+    * "small" side that will not stay small at scale). */
+  private def attach(bcast: Boolean): DataFrame => DataFrame =
+    if (bcast) broadcast else _.hint("shuffle_merge")
 
   /** SimHash fingerprint per row, appended as `simhash`: every distinct
     * token votes its spread hash's bits, the fingerprint collects the

@@ -86,15 +86,16 @@ object VectorOps {
     * against literal plane vectors — all codegen, no shuffle until the
     * band join.
     *
-    * The per-id lookup tables (keys, vectors) attach via broadcast here,
-    * which holds while one copy of (id, vector, norm) fits an executor;
-    * past that, attach them via a co-partitioned join on the id instead
-    * — the banding, first-band rule, and verify are unchanged. The
+    * With `broadcastLookups = true` (default) the per-id lookup tables
+    * (keys, vectors) attach via broadcast — right while one copy of
+    * (id, vector, norm) fits an executor; pass false once the corpus
+    * outgrows that and they attach via shuffled equi-joins on the id
+    * (the banding, first-band rule, and result are unchanged). The
     * banded sketch table is persisted for its two consumers and released
     * with the session (same lifecycle as [[DedupOps.minhashLshPairs]]). */
   def cosineLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
     dim: Int, minCos: Double, planesPerBand: Int = 8, bands: Int = 4,
-    seed: Long = 42L): DataFrame = {
+    seed: Long = 42L, broadcastLookups: Boolean = true): DataFrame = {
     require(dim > 0 && planesPerBand > 0 && planesPerBand <= 62 && bands > 0,
       "need dim > 0, 0 < planesPerBand <= 62, bands > 0")
     GraftFunctions.register(corpus.sparkSession)
@@ -113,8 +114,10 @@ object VectorOps {
       col("n2").as("n2_a"))
     val vb = d.select(col("id").as("id_hi"), col("__v").as("v_b"),
       col("n2").as("n2_b"))
-    DedupOps.bandCollisionPairs(d, bands)
-      .join(broadcast(va), "id_lo").join(broadcast(vb), "id_hi")
+    val att: DataFrame => DataFrame =
+      if (broadcastLookups) broadcast else _.hint("shuffle_merge")
+    DedupOps.bandCollisionPairs(d, bands, broadcastLookups)
+      .join(att(va), "id_lo").join(att(vb), "id_hi")
       .withColumn("cos", round(cosWith("v_a", "v_b", "n2_a", "n2_b"), 4))
       .filter(col("cos") >= minCos)
       .select("id_lo", "id_hi", "cos")

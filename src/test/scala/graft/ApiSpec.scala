@@ -103,6 +103,30 @@ class ApiSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh == exact)
   }
 
+  test("LSH pipelines give identical pairs with shuffled lookup joins") {
+    // the co-partitioned (100 TB) attach path must be result-identical
+    // to the broadcast path, and must plan NO broadcast of the lookups
+    val bc = DedupOps.minhashLshPairs(corpus, "key", "body", 0.5,
+      numHashes = 16, bands = 8)
+      .select("id_lo", "id_hi")
+    val sh = DedupOps.minhashLshPairs(corpus, "key", "body", 0.5,
+      numHashes = 16, bands = 8, broadcastLookups = false)
+      .select("id_lo", "id_hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(bc) == pairs(sh) && pairs(bc).nonEmpty)
+    // the four lookup attaches must become sort-merge joins; only the
+    // band-key self-join may still broadcast (AQE's call on a tiny
+    // fixture — at scale both its sides are the full banded corpus)
+    def nBroadcast(df: org.apache.spark.sql.DataFrame) =
+      "BroadcastHashJoin".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    val planStr = sh.queryExecution.executedPlan.toString
+    assert(nBroadcast(sh) < nBroadcast(bc), "lookup sides still broadcast")
+    assert("SortMergeJoin".r.findAllIn(planStr).length >= 4,
+      s"expected >=4 shuffled lookup joins:\n${planStr.take(1500)}")
+  }
+
   test("clusterResolve keeps exactly one representative per cluster") {
     val pairs = TextOps.nearDupPairs(
       TextOps.tokenHashTable(corpus, "key", "body", "tongue"), 0.5)
