@@ -77,8 +77,40 @@ object StatsQueries {
         .filter(col("rn") === expr("(n + 1) div 2"))
         .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // EXACT distributed-histogram quartiles: value-level histogram (a
+    // map-side-combinable hash agg — rows collapse to distinct values
+    // before any shuffle), cumulative counts over the small per-group
+    // value domain, then the smallest value whose cumulative count
+    // reaches ceil(k·n/4). Deterministic and oracle-able where the q45
+    // sketch is not, and the 100 TB exact-quantile path when the value
+    // domain is bounded (prices in cents): the window pass runs over
+    // distinct values, never the raw rows — unlike q44's full per-group
+    // row sort. Integer threshold arithmetic ((n·k+3) div 4) is exact on
+    // both engines.
+    "q46_quantile_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+      cum.crossJoin(broadcast(quartiles(s)))
+        .filter(col("cum") >= expr("(n * quartile + 3) div 4"))
+        .groupBy(col("l_returnflag"), col("quartile"))
+        .agg(min(col("l_extendedprice")).as("val"))
+        .orderBy("l_returnflag", "quartile")
     })
   )
+
+  private def quartiles(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(1, 2, 3).toDF("quartile")
+  }
 
   val oracle: Map[String, String] = Map(
     "q43_moment_stats" ->
@@ -98,6 +130,24 @@ object StatsQueries {
         |             / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 4)
         |         AS corr_qty_price
         |FROM g ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q46_quantile_hist" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_extendedprice, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(cnt) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist
+        |), qs(quartile) AS (VALUES (1), (2), (3))
+        |SELECT l_returnflag, quartile, MIN(l_extendedprice) AS val
+        |FROM cum CROSS JOIN qs
+        |WHERE cum >= (n * quartile + 3) // 4
+        |GROUP BY l_returnflag, quartile
+        |ORDER BY l_returnflag ASC NULLS FIRST, quartile ASC NULLS FIRST""".stripMargin,
 
     "q44_median_disc" ->
       """SELECT o_orderstatus, o_totalprice AS median_price FROM (
