@@ -47,66 +47,122 @@ object PipelineQueries {
   private val ChunkWidth = 100
   private val ChunkStride = 90
 
-  /** Connected components by iterative min-label propagation: every node
-    * ends labelled with the smallest `id` reachable through `pairs`
-    * (undirected). `nodes` must have a long `id` column, `pairs` long
-    * `id_lo`/`id_hi` columns; returns (id, lab).
+  /** Connected components by star contraction: every node ends labelled
+    * with the smallest `id` reachable through `pairs` (undirected).
+    * `nodes` must have a long `id` column, `pairs` long `id_lo`/`id_hi`
+    * columns; returns (id, lab).
     *
-    * Each round is one pass over the cached doubled edge list joined to
-    * the current label table plus a partial-agg min; labels are
-    * localCheckpoint'ed so lineage (and planning time) stays O(1) in the
-    * round count, and convergence is detected with a single exact
-    * integer aggregate (sum of labels, strictly decreasing until
-    * fixpoint). The label table is one row per node — broadcast it while
-    * it fits (≲10^8 nodes); past that, swap to a hash join against edges
-    * pre-partitioned by id_lo and keep the loop unchanged. Set
-    * GRAFT_CC_DEBUG for per-round timings.
+    * Each round hooks every active vertex to the minimum of itself and
+    * its neighbours (`m`), composes that hook into the running
+    * vertex→representative map, and CONTRACTS the edge set to
+    * (m(lo), m(hi)) with self-loops dropped and duplicates merged. The
+    * component minimum is a fixpoint of `m`, so labels only ever move
+    * down toward it, and the contracted graph loses its non-minimal
+    * local structure each round — on clique-heavy near-dup graphs the
+    * edge set collapses almost entirely after one round, so only round
+    * 0 pays a full pass over the pair table (the old
+    * propagate-and-jump loop re-scanned every edge every round). Path
+    * graphs halve per round (the pointer-jump bound, verified in
+    * PropertySpec against union-find). Termination: every contracted
+    * edge's max endpoint is ≤ some pre-contraction edge's MIN endpoint,
+    * so the edge set's frontier strictly descends until empty.
+    *
+    * Scale shape: the representative map holds only vertices that
+    * appear in some pair (near-dup participants, not the corpus);
+    * `nodes` is touched exactly once, by the final left join. Joins
+    * carry no broadcast hints — AQE broadcasts the hook/rep tables
+    * while they fit and falls back to shuffle joins past that, so the
+    * loop needs no rewrite at 10^9+ vertices. Once contraction shrinks
+    * the live graph under `localCutover` edges it is collected and
+    * finished with driver-side union-find — the cluster-level residue
+    * of a 100 TB dedup graph is a few MB, and solving it locally
+    * replaces O(log d) more rounds of job overhead with one collect
+    * (bounded by the cutover, not the data). Set GRAFT_CC_DEBUG for
+    * per-round timings.
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_lo"), col("id_hi"))
-      .union(pairs.select(col("id_hi").as("id_lo"), col("id_lo").as("id_hi")))
-      .persist()
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+    localCutover: Long = 500000): DataFrame = {
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     def tick[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       if (dbg) println(f"[cc] $label%-10s ${(System.nanoTime - t0) / 1e9}%.2f s")
       r
     }
-    var labels = tick("init")(
-      nodes.select(col("id"), col("id").as("lab")).localCheckpoint(true))
-    def labSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lab"), lit(0L))).head.getLong(0)
-    var prevSum = -1L
-    var curSum = labSum(labels)
+    // canonical lo<hi edges; near-dup producers already emit unique
+    // ordered pairs, so no distinct here — the first contraction dedups
+    var e = tick("init")(pairs
+      .select(least(col("id_lo"), col("id_hi")).as("lo"),
+        greatest(col("id_lo"), col("id_hi")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .localCheckpoint(true))
+    // rep: pair-participating vertex -> current contracted representative
+    var rep: DataFrame = null
+    var nEdges = e.count()
     var iter = 0
-    while (curSum != prevSum && iter < 50) {
-      val nbrMin = edges.join(broadcast(labels),
-          edges("id_lo") === labels("id"))
-        .groupBy(col("id_hi").as("nbr_id"))
-        .agg(min("lab").as("nmin"))
-      // materialize the edge pass ONCE per round; the jump join below
-      // would otherwise recompute it to build its broadcast side
-      val prop = tick(s"round $iter edges")(
-        labels.join(broadcast(nbrMin), labels("id") === nbrMin("nbr_id"), "left")
-          .select(labels("id"),
-            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
-          .localCheckpoint(true))
-      // pointer jumping: follow lab -> lab(lab) so labels skip toward the
-      // root in O(log diameter) rounds instead of O(diameter); label-only
-      // join, no edge scan
-      val jump = prop.select(col("id").as("jid"), col("lab").as("jlab"))
-      val next = tick(s"round $iter jump")(prop.join(broadcast(jump),
-          prop("lab") === col("jid"), "left")
-        .select(prop("id"),
-          least(col("lab"), coalesce(col("jlab"), col("lab"))).as("lab"))
+    while (nEdges > localCutover && iter < 50) {
+      // hook: m(x) = min(x, min neighbour of x) over the live edge set
+      val m = tick(s"round $iter hook")(e
+        .select(col("lo").as("x"), col("hi").as("y"))
+        .union(e.select(col("hi").as("x"), col("lo").as("y")))
+        .groupBy("x").agg(min("y").as("my"))
+        .select(col("x"), least(col("x"), col("my")).as("m"))
         .localCheckpoint(true))
-      labels = next
-      prevSum = curSum
-      curSum = labSum(labels)
+      // compose the hook into the global representative map; vertices
+      // whose representative went edge-less keep their label (left join)
+      rep = tick(s"round $iter rep")(
+        (if (rep == null) m.select(col("x").as("id"), col("m").as("lab"))
+        else rep.join(m, rep("lab") === m("x"), "left")
+          .select(rep("id"), coalesce(col("m"), rep("lab")).as("lab")))
+          .localCheckpoint(true))
+      // contract: rewrite both endpoints through m, drop self-loops,
+      // merge parallel edges — the only full edge pass of the round
+      val mlo = m.select(col("x").as("lo"), col("m").as("ml"))
+      val mhi = m.select(col("x").as("hi"), col("m").as("mh"))
+      e = tick(s"round $iter contract")(e
+        .join(mlo, "lo").join(mhi, "hi")
+        .select(least(col("ml"), col("mh")).as("lo"),
+          greatest(col("ml"), col("mh")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint(true))
+      nEdges = e.count()
       iter += 1
     }
-    edges.unpersist()
-    labels
+    if (nEdges > 0) {
+      // residual graph fits on the driver: min-root union-find with path
+      // compression, then one small mapping composed into rep
+      val local = tick("local uf") {
+        val es = e.select(col("lo"), col("hi")).collect()
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        es.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { row =>
+          verts(row.getLong(0)) = 0L; verts(row.getLong(1)) = 0L
+        }
+        verts.keys.foreach(v => verts(v) = find(v))
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        verts.toSeq.toDF("x", "m")
+      }
+      rep =
+        if (rep == null) local.select(col("x").as("id"), col("m").as("lab"))
+        else rep.join(local, rep("lab") === local("x"), "left")
+          .select(rep("id"), coalesce(col("m"), rep("lab")).as("lab"))
+    }
+    val n = nodes.select(col("id"))
+    if (rep == null) n.select(col("id"), col("id").as("lab"))
+    else n.join(rep.select(col("id"), col("lab")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lab"), col("id")).as("lab"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
