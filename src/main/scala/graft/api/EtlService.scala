@@ -134,11 +134,67 @@ final class EtlService(spark: SparkSession) {
   /** Event activity in a half-open time window, bucketed hourly per
     * event type — the operational-metrics endpoint. */
   def eventActivity(events: DataFrame, from: Timestamp, until: Timestamp,
-    eventType: Option[String] = None): DataFrame =
+    eventType: Option[String] = None): DataFrame = {
+    require(!until.before(from), "until must be >= from")
     events
       .filter(col("ts") >= lit(from) && col("ts") < lit(until) &&
         eqOpt("event_type", eventType))
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), decSumD(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")
+  }
+
+  /** Per-nation supplier shipping summary within a ship-date range,
+    * optionally narrowed to one nation — the supply-side endpoint. The
+    * date range binds on the lineitem scan; both dims broadcast. */
+  def supplierRevenue(lineitem: DataFrame, supplier: DataFrame,
+    nation: DataFrame, from: Timestamp, until: Timestamp,
+    nationName: Option[String] = None): DataFrame = {
+    require(!until.before(from), "until must be >= from")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.filter(eqOpt("n_name", nationName))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        decSumD(col("l_quantity")).as("qty"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy("nation")
+  }
+
+  /** Revenue share by part type within a ship-date range, optionally one
+    * brand — the category-mix endpoint (TPC-H promo-share shape,
+    * generalized to every type). The share divides exact decimal sums —
+    * the window total is an unbounded frame over the post-aggregation
+    * rows (one per part type), so the window input is tiny no matter the
+    * fact-table size — and only the final division happens in double. */
+  def partTypeShare(lineitem: DataFrame, part: DataFrame,
+    from: Timestamp, until: Timestamp,
+    brand: Option[String] = None): DataFrame = {
+    require(!until.before(from), "until must be >= from")
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(broadcast(part.filter(eqOpt("p_brand", brand))
+        .select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type").as("part_type"))
+      .agg(graft.Dets.decSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_dec"),
+        count(lit(1)).as("n_lines"))
+    rev
+      .withColumn("__tot",
+        sum(col("rev_dec")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("part_type"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("n_lines"),
+        round(col("rev_dec").cast("double") / col("__tot").cast("double"), 4)
+          .as("share"))
+      .orderBy("part_type")
+  }
 }

@@ -49,6 +49,43 @@ object ServiceQueries {
       svc.nationSummary(t(s, dir, "customer"), t(s, dir, "nation"),
         t(s, dir, "region"), regionName = Some("ASIA"))
         .orderBy("region", "nation")
+    }),
+
+    // Ranked-list endpoint: top-25 customers by order value in the range,
+    // ranked through the bounded-heap top-k operator (k rows cross the
+    // exchange, never a full sort).
+    "q86_svc_topcust" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.topCustomers(t(s, dir, "orders"), t(s, dir, "customer"),
+        From, Until, k = 25)
+    }),
+
+    // Operational-metrics endpoint: hourly event activity in a ten-day
+    // window, no type filter (exercises the absent-parameter path).
+    "q87_svc_activity" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.eventActivity(t(s, dir, "events"),
+        utcTs("2024-01-10T00:00:00"), utcTs("2024-01-20T00:00:00"))
+        .select(Dets.tsOut(col("hour")).as("hour"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Supply-side endpoint: per-nation supplier revenue/quantity for a
+    // year of ship dates, dims broadcast.
+    "q88_svc_supplier" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.supplierRevenue(t(s, dir, "lineitem"), t(s, dir, "supplier"),
+        t(s, dir, "nation"),
+        utcTs("1996-01-01T00:00:00"), utcTs("1997-01-01T00:00:00"))
+    }),
+
+    // Category-mix endpoint: revenue share by part type across a year of
+    // ship dates (exact decimal share, one double division at the end).
+    "q89_svc_partshare" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.partTypeShare(t(s, dir, "lineitem"), t(s, dir, "part"),
+        utcTs("1995-06-01T00:00:00"), utcTs("1996-06-01T00:00:00"))
     })
   )
 
@@ -74,6 +111,58 @@ object ServiceQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY n_name, r_name
-        |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin
+        |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin,
+
+    "q86_svc_topcust" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend,
+        |    COUNT(*) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT r."rank", r.custkey, c_name, r.spend, r.n_orders FROM (
+        |  SELECT ROW_NUMBER() OVER (
+        |      ORDER BY spend DESC NULLS LAST, o_custkey ASC) AS "rank",
+        |    o_custkey AS custkey, spend, n_orders
+        |  FROM spend QUALIFY "rank" <= 25) r
+        |LEFT JOIN customer ON r.custkey = c_custkey
+        |ORDER BY r."rank" ASC NULLS FIRST""".stripMargin,
+
+    "q87_svc_activity" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY 1, 2
+        |ORDER BY hour ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "q88_svc_supplier" ->
+      """SELECT n_name AS nation,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+        |  COUNT(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY nation ASC NULLS FIRST""".stripMargin,
+
+    "q89_svc_partshare" ->
+      """WITH rev AS (
+        |  SELECT p_type AS part_type,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_dec,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |    AND l_shipdate < TIMESTAMP '1996-06-01'
+        |  GROUP BY 1)
+        |SELECT part_type, CAST(rev_dec AS DOUBLE) AS revenue, n_lines,
+        |  ROUND(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE), 4) AS share
+        |FROM rev
+        |ORDER BY part_type ASC NULLS FIRST""".stripMargin
   )
 }

@@ -86,6 +86,41 @@ class EtlServiceSpec extends SparkSpec {
     assert(n == direct)
   }
 
+  test("supplierRevenue pushes the ship-date range to the lineitem scan") {
+    val got = svc.supplierRevenue(t("lineitem"), t("supplier"), t("nation"),
+      from, until, nationName = Some("NATION_3"))
+    val rows = got.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("nation") == "NATION_3")
+    val p = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p.take(3000))
+    // every nation with at least one supplier that shipped in range
+    val want = t("lineitem")
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select("s_nationkey").distinct.count()
+    val all = svc.supplierRevenue(t("lineitem"), t("supplier"), t("nation"),
+      from, until)
+    assert(all.count() == want && want > 1)
+  }
+
+  test("partTypeShare shares sum to 1 and brand narrowing filters") {
+    val got = svc.partTypeShare(t("lineitem"), t("part"), from, until)
+      .collect()
+    assert(got.length == 6)
+    val tot = got.map(_.getAs[Double]("share")).sum
+    assert(math.abs(tot - 1.0) < 1e-3, s"shares sum to $tot")
+    got.foreach { r =>
+      assert(r.getAs[Double]("revenue") > 0 && r.getAs[Long]("n_lines") > 0)
+    }
+    val one = svc.partTypeShare(t("lineitem"), t("part"), from, until,
+      brand = Some("Brand#1"))
+    // a single brand still spans types, but its shares are of the brand's
+    // own total, so they also sum to ~1
+    val oneTot = one.collect().map(_.getAs[Double]("share")).sum
+    assert(math.abs(oneTot - 1.0) < 1e-3)
+  }
+
   test("load + export round-trip through the lake") {
     val out = java.nio.file.Files.createTempDirectory("etl_svc").toString
     val res = svc.nationSummary(t("customer"), t("nation"), t("region"))
