@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,57 @@ import org.apache.spark.sql.functions._
   * (asserted against the single-partition window form in SkewSpec).
   */
 object GlobalRank {
+
+  /** Append global per-group running-sum (`cum`) and group-total (`n`)
+    * columns for `weightCol` ordered by `orderCol`, without a per-group
+    * single-task window: a few heavy groups would otherwise pull the
+    * whole table through a handful of sort tasks. Range-partition on
+    * (group, order) so every task holds a contiguous slice of one or
+    * more groups, run the running sum locally per (partition, group),
+    * and shift by the earlier partitions' per-group totals (one tiny
+    * driver collect, bounded by partitions × groups). (group, order)
+    * pairs must be unique rows — the natural shape after a value
+    * histogram groupBy — so `cum` is independent of where the range
+    * boundaries fall. */
+  def cumSum(df: DataFrame, groupCol: String, orderCol: String,
+    weightCol: String, parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val np = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    // one materialization: the sampler behind repartitionByRange re-seeds
+    // per action, so the totals job and the final join must see the same
+    // physical partitions (same reasoning as rowNumber below)
+    val ranged = df.repartitionByRange(np, col(groupCol).asc, col(orderCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = ranged.withColumn("__lcum",
+      sum(col(weightCol)).over(Window.partitionBy(col("__pid"), col(groupCol))
+        .orderBy(col(orderCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = local.groupBy("__pid", groupCol)
+      .agg(max("__lcum").as("__t")).collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val offRows = totals.map { case (pid, g, _) =>
+      val off = totals.collect { case (p2, g2, t) if g2 == g && p2 < pid => t }.sum
+      val n = totals.collect { case (_, g2, t) if g2 == g => t }.sum
+      Row(pid, g, off, n)
+    }
+    val gField = df.schema(groupCol)
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        gField.copy(name = "__g"),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    local.join(broadcast(offDf),
+        local("__pid") === offDf("__pid") && local(groupCol) === offDf("__g"))
+      .withColumn("cum", (col("__lcum") + col("__off")).cast("long"))
+      .drop(offDf("__pid"))
+      .drop("__pid", "__g", "__lcum", "__off")
+  }
 
   /** Append a global `rn` column: row_number over `order` without a
     * single-partition window. */

@@ -66,51 +66,54 @@ object StatsQueries {
           col("qs").getItem(2).as("p75"))
         .orderBy("l_returnflag")),
 
+    // percentile_disc median without the per-group single-task window
+    // sort the oracle SQL spells: the ((n+1) div 2)-th row ordered by
+    // (price, key) carries the smallest price whose value-histogram
+    // cumulative count reaches (n+1) div 2 — the tie-break never changes
+    // the picked PRICE — so the median runs over distinct values with a
+    // range-partitioned cumulative sum (GlobalRank.cumSum), parallel in
+    // the partition count instead of the group count.
     "q44_median_disc" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      o.select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy("o_orderstatus")))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+      val hist = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_totalprice"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.functions.GlobalRank
+        .cumSum(hist, "o_orderstatus", "o_totalprice", "cnt")
+        .groupBy("o_orderstatus")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"),
+          col("o_totalprice"))).as("median_price"))
         .orderBy("o_orderstatus")
     }),
 
     // EXACT distributed-histogram quartiles: value-level histogram (a
     // map-side-combinable hash agg — rows collapse to distinct values
-    // before any shuffle), cumulative counts over the small per-group
-    // value domain, then the smallest value whose cumulative count
-    // reaches ceil(k·n/4). Deterministic and oracle-able where the q45
-    // sketch is not, and the 100 TB exact-quantile path when the value
-    // domain is bounded (prices in cents): the window pass runs over
-    // distinct values, never the raw rows — unlike q44's full per-group
-    // row sort. Integer threshold arithmetic ((n·k+3) div 4) is exact on
+    // before any shuffle), a range-partitioned global cumulative count
+    // over the value domain (GlobalRank.cumSum — parallel in the
+    // partition count, not the 3 return flags), then the smallest value
+    // whose cumulative count reaches ceil(k·n/4), selected with three
+    // conditional mins in ONE pass (no quartile cross join) and
+    // unpivoted. Deterministic and oracle-able where the q45 sketch is
+    // not; integer threshold arithmetic ((n·k+3) div 4) is exact on
     // both engines.
     "q46_quantile_hist" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cum", sum("cnt").over(w))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
-      cum.crossJoin(broadcast(quartiles(s)))
-        .filter(col("cum") >= expr("(n * quartile + 3) div 4"))
-        .groupBy(col("l_returnflag"), col("quartile"))
-        .agg(min(col("l_extendedprice")).as("val"))
+      graft.functions.GlobalRank
+        .cumSum(hist, "l_returnflag", "l_extendedprice", "cnt")
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("cum") >= expr("(n * 1 + 3) div 4"),
+            col("l_extendedprice"))).as("q1"),
+          min(when(col("cum") >= expr("(n * 2 + 3) div 4"),
+            col("l_extendedprice"))).as("q2"),
+          min(when(col("cum") >= expr("(n * 3 + 3) div 4"),
+            col("l_extendedprice"))).as("q3"))
+        .selectExpr("l_returnflag",
+          "stack(3, 1, q1, 2, q2, 3, q3) AS (quartile, val)")
         .orderBy("l_returnflag", "quartile")
     })
   )
-
-  private def quartiles(s: SparkSession): DataFrame = {
-    import s.implicits._
-    Seq(1, 2, 3).toDF("quartile")
-  }
 
   val oracle: Map[String, String] = Map(
     "q43_moment_stats" ->

@@ -54,6 +54,27 @@ class SkewSpec extends SparkSpec {
     assert(dist == direct)
   }
 
+  test("range-partitioned cumSum equals the per-group window form") {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.load(spark, Sf, "orders")
+      .groupBy(col("o_orderstatus"), col("o_totalprice"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val direct = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n",
+        sum("cnt").over(Window.partitionBy("o_orderstatus")))
+      .select("o_orderstatus", "o_totalprice", "cum", "n")
+      .collect().map(_.toString).toSet
+    val dist = graft.functions.GlobalRank
+      .cumSum(hist, "o_orderstatus", "o_totalprice", "cnt", parts = 8)
+      .select("o_orderstatus", "o_totalprice", "cum", "n")
+      .collect().map(_.toString).toSet
+    assert(dist == direct)
+  }
+
   test("salted aggregation equals direct on a single hot key") {
     import spark.implicits._
     val hot = (1 to 50000).map(i => ("hot", i.toDouble)) ++
