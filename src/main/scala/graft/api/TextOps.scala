@@ -2,7 +2,7 @@ package graft.api
 
 import graft.Dets.safeDiv
 import graft.functions.{GraftFunctions, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** User-facing text-analysis and text-dedup operators over ARBITRARY
@@ -201,5 +201,70 @@ object TextOps {
       // hashing runs once (one small row of sorted hashes per doc)
       .persist()
     nearDupPairs(hashed, minJac)
+  }
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct token `n`-grams also occur anywhere in `evalDocs` (the
+    * held-out benchmark/eval suite), and whether any do. Returns the
+    * corpus `idCol` plus (n_grams, n_hits, contaminated) where n_grams
+    * counts the document's n-gram POSITIONS (len−n+1) and n_hits its
+    * DISTINCT overlapping grams.
+    *
+    * Scale shape: the eval gram set is built once, deduplicated, and
+    * broadcast — benchmark suites are MBs, corpora are TBs, so the
+    * corpus side stays a narrow scan→explode→broadcast-semi path with
+    * no corpus-sized shuffle before the per-doc count (whose input is
+    * only the HITS, a tiny fraction of the gram stream). Gram hashing
+    * is the codegen `graft_ngram_hashes` window fold over
+    * `graft_token_hashes` — engine-portable 64-bit arithmetic, so the
+    * contamination verdict is reproducible on any engine. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+    evalDocs: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, "n-gram width must be >= 2")
+    GraftFunctions.register(docs.sparkSession)
+    def grams(df: DataFrame, c: String) = df.withColumn("__g",
+      call_function("graft_ngram_hashes",
+        call_function("graft_token_hashes", TextFunctions.tokens(col(c))),
+        lit(n)))
+    val evalG = grams(evalDocs, evalTextCol)
+      .select(explode(col("__g")).as("g")).distinct()
+    val corpus = grams(docs, textCol)
+      .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
+        col("__g"))
+    val hits = corpus
+      .select(col(idCol), explode(col("__g")).as("g"))
+      .join(broadcast(evalG), "g")
+      .groupBy(idCol)
+      .agg(countDistinct(col("g")).as("n_hits"))
+    corpus.drop("__g")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1).otherwise(0)
+          .cast("int").as("contaminated"))
+  }
+
+  /** Intra-document repetition scoring (the Gopher-style quality
+    * signal): fraction of the document's word bigrams / trigrams that
+    * are duplicates of an earlier occurrence. Returns `idCol` plus
+    * (n_tok, dup2_frac, dup3_frac), fractions rounded to 4dp and NULL
+    * when the document is too short to have any such n-gram — pure
+    * per-row expression work (codegen window folds + array_distinct),
+    * no joins, no shuffle beyond the caller's. */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    def dupFrac(g: String): Column = {
+      val sz = size(col(g))
+      when(sz > 0, round(
+        lit(1) - size(array_distinct(col(g))).cast("double") / sz, 4))
+    }
+    docs
+      .withColumn("__hs",
+        call_function("graft_token_hashes", TextFunctions.tokens(col(textCol))))
+      .withColumn("__g2", call_function("graft_ngram_hashes", col("__hs"), lit(2)))
+      .withColumn("__g3", call_function("graft_ngram_hashes", col("__hs"), lit(3)))
+      .select(col(idCol), size(col("__hs")).cast("long").as("n_tok"),
+        dupFrac("__g2").as("dup2_frac"), dupFrac("__g3").as("dup3_frac"))
   }
 }

@@ -65,8 +65,10 @@ object GlobalRank {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType, nullable = false))))
+    // <=> : a NULL group (legal in SQL GROUP BY) must still find its
+    // offset row rather than silently vanishing from the output
     local.join(broadcast(offDf),
-        local("__pid") === offDf("__pid") && local(groupCol) === offDf("__g"))
+        local("__pid") === offDf("__pid") && local(groupCol) <=> offDf("__g"))
       .withColumn("cum", (col("__lcum") + col("__off")).cast("long"))
       .drop(offDf("__pid"))
       .drop("__pid", "__g", "__lcum", "__off")

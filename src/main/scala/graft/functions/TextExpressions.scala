@@ -136,6 +136,24 @@ case class SimHashBits(child: Expression, bits: Int, spread: Long)
     copy(child = c)
 }
 
+/** graft_ngram_hashes(hs, n): windowed rolling-fold hashes of every
+  * contiguous n-gram of a bigint array. */
+case class NGramFold(child: Expression, n: Int) extends ArrayInExpr {
+  override protected def expects: DataType = LongType
+  override protected def fname: String = "graft_ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextHash.ngramHashes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextHash.ngramHashes($a, $n)")
+
+  override protected def withNewChildInternal(c: Expression): NGramFold =
+    copy(child = c)
+}
+
 /** Shared shape for kernels that return a boxed value (null = SQL NULL
   * even when the input array itself is non-null, e.g. a null element). */
 private[functions] trait BoxedKernelExpr extends ArrayInExpr {

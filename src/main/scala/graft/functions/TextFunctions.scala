@@ -95,6 +95,18 @@ object TextFunctions {
       s"aggregate(slice($mh, b * $rows + 1, $rows), CAST(0 AS BIGINT), " +
       s"(a, x) -> (a * 31 + x) % $BandMod) AS bkey))"
 
+  /** HOF formulation of the contiguous n-gram window hashes over a
+    * BIGINT-array column: one (a*31 + h) % BandMod fold per window
+    * position, seed 0 — the semantics of record for the codegen
+    * `graft_ngram_hashes` kernel (PropertySpec pins kernel == HOF).
+    * Interpreted lambdas: tests and oracle mirrors only, never the
+    * corpus hot path. */
+  def ngramHashes(hs: String, n: Int): String =
+    s"CASE WHEN size($hs) < $n THEN CAST(array() AS array<bigint>) " +
+      s"ELSE transform(sequence(1, size($hs) - ${n - 1}), " +
+      s"i -> aggregate(slice($hs, i, $n), CAST(0 AS BIGINT), " +
+      s"(a, h) -> (a * 31 + h) % $BandMod)) END"
+
   /** Deterministic double-precision cosine similarity of two float-array
     * columns: explicit left-fold dot product and norms, identical
     * association order to the oracle's range-indexed formulation. */
@@ -124,5 +136,16 @@ object TextFunctions {
           s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     }
+
+    def tokenHashes(arr: String): String =
+      s"list_transform($arr, t -> ${charHash("t")})"
+
+    /** Mirror of [[TextFunctions.ngramHashes]]: DuckDB range(1, k) is
+      * empty for k <= 1, so short arrays yield an empty gram list with
+      * no CASE guard needed. */
+    def ngramHashes(hs: String, n: Int): String =
+      s"list_transform(range(1, greatest(len($hs) - ${n - 1}, 0) + 1), " +
+        s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"$hs[i : i + ${n - 1}]), (a, h) -> (a * 31 + h) % $BandMod))"
   }
 }

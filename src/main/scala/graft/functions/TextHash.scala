@@ -188,6 +188,31 @@ object TextHash {
     Integer.valueOf(s)
   }
 
+  /** Hashes of the len−n+1 contiguous n-gram windows of a bigint hash
+    * array (token hashes in, one rolling fold (a*31 + h) % BandMod,
+    * seed 0, per window position). A null element nulls every gram
+    * whose window covers it; len < n → empty array. O(len·n) — n is a
+    * small constant (2, 3, 8), so no modular-inverse rolling update. */
+  def ngramHashes(hs: ArrayData, n: Int): ArrayData = {
+    val len = hs.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      var acc = 0L
+      var ok = true
+      var j = i
+      while (ok && j < i + n) {
+        if (hs.isNullAt(j)) ok = false
+        else acc = (acc * 31 + hs.getLong(j)) % BandMod
+        j += 1
+      }
+      if (ok) out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling fingerprint of a token array: fold charHash(t) with
     * (a*31 + h) % BandMod, seed 0 — the q83 chunk fingerprint. Null
     * element → null (boxed); empty → 0. */

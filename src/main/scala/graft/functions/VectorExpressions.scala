@@ -184,7 +184,9 @@ object GraftFunctions {
       intLit(es(1), "graft_simhash bits"),
       longLit(es(2), "graft_simhash spread"))),
     "graft_sum_lengths" -> (es => SumCharLengths(es(0))),
-    "graft_chunk_fp" -> (es => ChunkFingerprint(es(0)))
+    "graft_chunk_fp" -> (es => ChunkFingerprint(es(0))),
+    "graft_ngram_hashes" -> (es =>
+      NGramFold(es(0), intLit(es(1), "graft_ngram_hashes n")))
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

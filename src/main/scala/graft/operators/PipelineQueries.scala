@@ -46,6 +46,7 @@ object PipelineQueries {
   private val Spread = 2654435761L
   private val ChunkWidth = 100
   private val ChunkStride = 90
+  private val DecontamN = 8
 
   /** Connected components by star contraction: every node ends labelled
     * with the smallest `id` reachable through `pairs` (undirected).
@@ -221,7 +222,26 @@ object PipelineQueries {
       graft.streaming.EventStreams.latestWins(Tables.load(s, dir, "events"))
         .select(col("user_id"), Dets.tsOut(col("ts")).as("last_ts"),
           col("event_type").as("last_type"), col("value").as("last_value"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Benchmark decontamination: src0 documents play the held-out eval
+    // suite; every other document is scored by its distinct 8-gram
+    // overlap with that suite. The eval gram set broadcasts (benchmarks
+    // are MBs, corpora are TBs).
+    "q90_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.api.TextOps.decontaminate(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", DecontamN)
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition (the Gopher-style duplicate-ngram
+    // quality signal): per-row expression work only.
+    "q91_repetition" -> ((s, dir) =>
+      graft.api.TextOps.repetitionScore(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -293,6 +313,47 @@ object PipelineQueries {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
-        |ORDER BY user_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    "q90_decontam" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source,
+         |    ${Sql.ngramHashes(Sql.tokenHashes(Sql.tokens("text")), DecontamN)} AS gr
+         |  FROM documents
+         |), ev AS (
+         |  SELECT DISTINCT unnest(gr) AS g FROM g WHERE source = 'src0'
+         |), corp AS (
+         |  SELECT doc_id, gr FROM g WHERE source <> 'src0'
+         |), hits AS (
+         |  SELECT doc_id, COUNT(DISTINCT cg.g) AS n_hits
+         |  FROM (SELECT doc_id, unnest(gr) AS g FROM corp) cg
+         |  JOIN ev ON cg.g = ev.g
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(len(c.gr) AS BIGINT) AS n_grams,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         |    AS contaminated
+         |FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |ORDER BY c.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q91_repetition" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${Sql.tokenHashes(Sql.tokens("text"))} AS hs
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_tok,
+         |    ${Sql.ngramHashes("hs", 2)} AS b2,
+         |    ${Sql.ngramHashes("hs", 3)} AS b3
+         |  FROM h)
+         |SELECT doc_id, n_tok,
+         |  CASE WHEN len(b2) = 0 THEN NULL
+         |       ELSE ROUND(1 - CAST(len(list_distinct(b2)) AS DOUBLE) / len(b2), 4)
+         |  END AS dup2_frac,
+         |  CASE WHEN len(b3) = 0 THEN NULL
+         |       ELSE ROUND(1 - CAST(len(list_distinct(b3)) AS DOUBLE) / len(b3), 4)
+         |  END AS dup3_frac
+         |FROM g
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 }

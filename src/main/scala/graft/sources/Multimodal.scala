@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * libraries): [[FakeDecoder]] derives deterministic pseudo-features from
   * the payload bytes. Everything around it — schema, encoders, batch
   * iteration shape, partition sizing — is real and tested in
-  * MultimodalSpec, so swapping in a real JNI/ffmpeg decoder changes one
+  * OperatorSpec/NullSafetySpec, so swapping in a real JNI/ffmpeg decoder changes one
   * function.
   *
   * Scale notes: payloads never pass through a shuffle — decode is a

@@ -49,6 +49,47 @@ class ApiSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("decontaminate flags exactly the docs sharing an n-gram with eval") {
+    import spark.implicits._
+    // eval doc shares a verbatim 4-token span with 101/102 but not 103
+    val eval = Seq((1L, "quick brown fox jumps across nothing")).toDF("e", "t")
+    val got = TextOps.decontaminate(
+      corpus.filter(col("key") =!= 106L), "key", "body", eval, "t", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).sortBy(_._1)
+    def grams(s: String, n: Int) =
+      s.split(" ").filter(_.nonEmpty).sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+    val ev = grams("quick brown fox jumps across nothing", 4).toSet
+    val rows = corpus.filter(col("key") =!= 106L).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = rows.map { case (id, t) =>
+      val g = grams(t, 4)
+      val hits = g.toSet.intersect(ev).size.toLong
+      (id, g.size.toLong, hits, if (hits > 0) 1 else 0)
+    }.sortBy(_._1).toSeq
+    assert(got.toSeq == want)
+    assert(got.count(_._4 == 1) == 2) // 101 and 102 only
+  }
+
+  test("repetitionScore measures duplicate n-gram fractions per row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab ba ab ba ab -> 2 distinct of 5
+      (2L, "one two three four"), // all distinct
+      (3L, "solo"),             // no bigrams -> NULL fracs
+      (4L, "")
+    ).toDF("k", "txt")
+    val got = TextOps.repetitionScore(df, "k", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(_._1)
+    assert(got(0) == ((1L, 6L, Some(0.6), Some(0.5))))
+    assert(got(1) == ((2L, 4L, Some(0.0), Some(0.0))))
+    assert(got(2) == ((3L, 1L, None, None)))
+    assert(got(3) == ((4L, 0L, None, None)))
+  }
+
   test("containmentPairs finds a quoted subset across blocks off") {
     val one = corpus.withColumn("g", lit(1))
     val hashed = TextOps.tokenHashTable(

@@ -136,6 +136,11 @@ class PropertySpec extends SparkSpec {
           s"aggregate(transform(tk, t -> ${TextFunctions.charHash("t")}), " +
             s"CAST(0 AS BIGINT), (a, h) -> (a * 31 + h) % ${TextFunctions.BandMod})"))
         .withColumn("cf_gen", expr("graft_chunk_fp(tk)"))
+        .withColumn("n2_hof", expr(TextFunctions.ngramHashes("th_hof", 2)))
+        .withColumn("n2_gen", expr("graft_ngram_hashes(th_gen, 2)"))
+        .withColumn("n8_hof", expr(TextFunctions.ngramHashes("th_hof", 8)))
+        .withColumn("n8_gen", expr("graft_ngram_hashes(th_gen, 8)"))
+        .withColumn("n99_gen", expr("graft_ngram_hashes(th_gen, 99)"))
       val r = df.head
       assert(r.getLong(r.fieldIndex("fp_hof")) == r.getLong(r.fieldIndex("fp_gen")))
       assert(r.getSeq[Long](r.fieldIndex("th_hof")) ==
@@ -148,6 +153,13 @@ class PropertySpec extends SparkSpec {
         r.getSeq[Long](r.fieldIndex("bg_gen")))
       assert(r.getInt(r.fieldIndex("sl_hof")) == r.getInt(r.fieldIndex("sl_gen")))
       assert(r.getLong(r.fieldIndex("cf_hof")) == r.getLong(r.fieldIndex("cf_gen")))
+      assert(r.getSeq[Long](r.fieldIndex("n2_hof")) ==
+        r.getSeq[Long](r.fieldIndex("n2_gen")))
+      assert(r.getSeq[Long](r.fieldIndex("n8_hof")) ==
+        r.getSeq[Long](r.fieldIndex("n8_gen")))
+      assert(r.getSeq[Long](r.fieldIndex("n8_gen")).size == math.max(0, 12 - 7))
+      // n wider than the array: empty, not an error
+      assert(r.getSeq[Long](r.fieldIndex("n99_gen")).isEmpty)
     }
     // empty text: both pin the seed fingerprint 7 / empty aggregates
     val e = Seq(("", Seq.empty[String])).toDF("text", "tk")
