@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,54 +24,54 @@ object GlobalRank {
   /** Append global per-group running-sum (`cum`) and group-total (`n`)
     * columns for `weightCol` ordered by `orderCol`, without a per-group
     * single-task window: a few heavy groups would otherwise pull the
-    * whole table through a handful of sort tasks. Range-partition on
-    * (group, order) so every task holds a contiguous slice of one or
-    * more groups, run the running sum locally per (partition, group),
-    * and shift by the earlier partitions' per-group totals (one tiny
-    * driver collect, bounded by partitions × groups). (group, order)
-    * pairs must be unique rows — the natural shape after a value
-    * histogram groupBy — so `cum` is independent of where the range
-    * boundaries fall. */
+    * whole table through a handful of sort tasks. The value domain is
+    * cut into `buckets` equal-width slices between the global min and
+    * max of `orderCol` — the bucket id is a PURE FUNCTION of the value,
+    * so unlike `repartitionByRange`'s sampled boundaries every job sees
+    * the same partitioning with no checkpoint and no driver-side offset
+    * collect. The running sum runs locally per (group, bucket) task;
+    * cross-bucket offsets and group totals come from a window over the
+    * tiny (groups × buckets) bucket-total table, broadcast back.
+    *
+    * Requirements: `orderCol` numeric and non-null, (group, order)
+    * unique rows — the natural shape after a value histogram groupBy.
+    * Equal-width buckets skew with pathological value distributions
+    * (all mass in one slice degrades toward the single-task window,
+    * never past it); value histograms of prices/counts spread fine. */
   def cumSum(df: DataFrame, groupCol: String, orderCol: String,
-    weightCol: String, parts: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val np = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    // one materialization: the sampler behind repartitionByRange re-seeds
-    // per action, so the totals job and the final join must see the same
-    // physical partitions (same reasoning as rowNumber below)
-    val ranged = df.repartitionByRange(np, col(groupCol).asc, col(orderCol).asc)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val local = ranged.withColumn("__lcum",
-      sum(col(weightCol)).over(Window.partitionBy(col("__pid"), col(groupCol))
-        .orderBy(col(orderCol).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = local.groupBy("__pid", groupCol)
-      .agg(max("__lcum").as("__t")).collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
-    val offRows = totals.map { case (pid, g, _) =>
-      val off = totals.collect { case (p2, g2, t) if g2 == g && p2 < pid => t }.sum
-      val n = totals.collect { case (_, g2, t) if g2 == g => t }.sum
-      Row(pid, g, off, n)
-    }
-    val gField = df.schema(groupCol)
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows.toIndexedSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__pid",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        gField.copy(name = "__g"),
-        org.apache.spark.sql.types.StructField("__off",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    weightCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bounds = df.agg(min(col(orderCol)).cast("double"),
+      max(col(orderCol)).cast("double")).head()
+    if (bounds.isNullAt(0))
+      return df.withColumn("cum", lit(0L)).withColumn("n", lit(0L))
+    val lo = bounds.getDouble(0)
+    val width = (bounds.getDouble(1) - lo) / buckets
+    val b = if (width == 0) lit(0)
+      else least(lit(buckets - 1), greatest(lit(0),
+        floor((col(orderCol).cast("double") - lo) / width).cast("int")))
+    // both the local window and the bucket totals hang off this ONE
+    // exchange (identical subtree -> ReuseExchange)
+    val shuffled = df.withColumn("__b", b)
+      .repartition(col(groupCol), col("__b"))
+    val withCum = shuffled.withColumn("__lcum",
+      sum(col(weightCol)).over(
+        Window.partitionBy(col(groupCol), col("__b"))
+          .orderBy(col(orderCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = shuffled.groupBy(col(groupCol).as("__g"), col("__b"))
+      .agg(sum(col(weightCol)).as("__bt"))
+      .withColumn("__off", coalesce(
+        sum("__bt").over(Window.partitionBy("__g").orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("__bt").over(Window.partitionBy("__g")))
+      .select(col("__g"), col("__b").as("__ob"), col("__off"), col("n"))
     // <=> : a NULL group (legal in SQL GROUP BY) must still find its
     // offset row rather than silently vanishing from the output
-    local.join(broadcast(offDf),
-        local("__pid") === offDf("__pid") && local(groupCol) <=> offDf("__g"))
+    withCum.join(broadcast(offs),
+        withCum(groupCol) <=> offs("__g") && withCum("__b") === offs("__ob"))
       .withColumn("cum", (col("__lcum") + col("__off")).cast("long"))
-      .drop(offDf("__pid"))
-      .drop("__pid", "__g", "__lcum", "__off")
+      .drop("__b", "__g", "__ob", "__lcum", "__off", "__bt")
   }
 
   /** Append a global `rn` column: row_number over `order` without a

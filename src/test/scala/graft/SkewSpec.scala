@@ -69,10 +69,17 @@ class SkewSpec extends SparkSpec {
       .select("o_orderstatus", "o_totalprice", "cum", "n")
       .collect().map(_.toString).toSet
     val dist = graft.functions.GlobalRank
-      .cumSum(hist, "o_orderstatus", "o_totalprice", "cnt", parts = 8)
+      .cumSum(hist, "o_orderstatus", "o_totalprice", "cnt", buckets = 8)
       .select("o_orderstatus", "o_totalprice", "cum", "n")
       .collect().map(_.toString).toSet
     assert(dist == direct)
+    // degenerate domains: single distinct value, and a single bucket
+    val one = hist.filter(col("o_totalprice") === hist
+      .agg(min("o_totalprice")).head.getDouble(0))
+    val oneCum = graft.functions.GlobalRank
+      .cumSum(one, "o_orderstatus", "o_totalprice", "cnt").collect()
+    assert(oneCum.nonEmpty && oneCum.forall(r =>
+      r.getAs[Long]("cum") == r.getAs[Long]("n")))
   }
 
   test("salted aggregation equals direct on a single hot key") {
