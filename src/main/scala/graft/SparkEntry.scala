@@ -29,6 +29,7 @@ object SparkEntry {
     (TfidfQueries.queries, TfidfQueries.oracle),
     (StatsQueries.queries, StatsQueries.oracle),
     (PivotQueries.queries, PivotQueries.oracle),
+    (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (ServiceQueries.queries, ServiceQueries.oracle)
   )

@@ -59,6 +59,36 @@ object PipelineOps {
       .drop("__h")
   }
 
+  /** Deterministic weighted mixture sample — the domain-mixing step of a
+    * training-data pipeline: stratum `g` contributes floor(weights(g) ×
+    * total) rows, chosen by the same multiplicative-spread hash order as
+    * [[stratifiedSample]] (reproducible on any engine / cluster size).
+    * Strata absent from `weights` contribute nothing. Returns the
+    * sampled rows plus their in-stratum rank `rk`. One bounded-heap
+    * top-k pass at k = max quota, then the per-stratum quota filter —
+    * no stratum is ever sorted whole. */
+  def mixtureSample(df: DataFrame, strataCol: String, keyCol: String,
+    weights: Map[String, Double], total: Int): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    require(weights.nonEmpty && weights.values.forall(w => w >= 0 && w <= 1),
+      "weights must be non-empty fractions in [0, 1]")
+    val quotas = weights.map { case (k, w) => k -> (w * total).toLong }
+    val maxQuota = quotas.values.max
+    require(maxQuota >= 1, "largest quota rounds to zero rows")
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
+      when(col(strataCol) === k, lit(q)).otherwise(acc)
+    }
+    val mod = TextFunctions.HashMod
+    val spread = 2654435761L
+    graft.plans.GraftOps.topKPerGroup(
+      df.withColumn("__h",
+        pmod(pmod(col(keyCol), lit(mod)) * spread, lit(mod))),
+      Seq(col(strataCol)),
+      Seq(col("__h").asc, col(keyCol).asc), maxQuota.toInt, rankName = "rk")
+      .filter(col("rk") <= quota)
+      .drop("__h")
+  }
+
   /** Token-budget packing: per `groupCol`, walk rows in `orderCol` order
     * and assign each to the bin its preceding cumulative token count
     * fills — the deterministic "pack documents into training sequences"

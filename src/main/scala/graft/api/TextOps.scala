@@ -244,6 +244,51 @@ object TextOps {
           .cast("int").as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the scale path for [[decontaminate]]
+    * when even the deduplicated eval gram SET is awkward to broadcast as
+    * rows: the eval grams are folded into a Bloom filter (`fpp` false-
+    * positive rate, ~1.4 MB per million grams at 0.1%) and the corpus
+    * gram stream probes it with no join at all. One-sided error: every
+    * truly contaminated document is flagged (no false negatives — the
+    * property decontamination actually needs); a ~fpp fraction of clean
+    * grams can inflate n_hits. Same output columns as [[decontaminate]];
+    * spec-asserted superset equivalence (no relational oracle — Bloom
+    * bit layout isn't engine-portable).
+    *
+    * The probe is a Scala UDF — the deliberate exception to the no-UDF
+    * rule, as Spark exposes no public might_contain expression; the
+    * filter object serializes once into the task closure. */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+    evalDocs: DataFrame, evalTextCol: String, n: Int = 8,
+    fpp: Double = 0.001): DataFrame = {
+    require(n >= 2, "n-gram width must be >= 2")
+    GraftFunctions.register(docs.sparkSession)
+    def grams(df: DataFrame, c: String) = df.withColumn("__g",
+      call_function("graft_ngram_hashes",
+        call_function("graft_token_hashes", TextFunctions.tokens(col(c))),
+        lit(n)))
+    val evalG = grams(evalDocs, evalTextCol)
+      .select(explode(col("__g")).as("g")).distinct()
+    // expected-items sizing needs one count over the (small) eval set
+    val nGrams = math.max(1L, evalG.count())
+    val bf = evalG.stat.bloomFilter("g", nGrams, fpp)
+    val mightContain = udf((h: Long) => bf.mightContainLong(h))
+    val corpus = grams(docs, textCol)
+      .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
+        col("__g"))
+    val hits = corpus
+      .select(col(idCol), explode(col("__g")).as("g"))
+      .filter(mightContain(col("g")))
+      .groupBy(idCol)
+      .agg(countDistinct(col("g")).as("n_hits"))
+    corpus.drop("__g")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1).otherwise(0)
+          .cast("int").as("contaminated"))
+  }
+
   /** Intra-document repetition scoring (the Gopher-style quality
     * signal): fraction of the document's word bigrams / trigrams that
     * are duplicates of an earlier occurrence. Returns `idCol` plus

@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operational-analytics operators over the event log and order history —
+  * the reporting queries the reference's microservice serves from its
+  * aggregation endpoints: exact per-group mode (q47), activity-
+  * concentration entropy (q48), ordered conversion funnels (q53) and
+  * cohort retention (q54).
+  *
+  * Scale notes:
+  *  - q47 is a hash aggregation to (group, value) counts — map-side
+  *    combinable, so the shuffle carries distinct values, not rows —
+  *    followed by the bounded-heap top-1, never a full per-group sort.
+  *  - q48 aggregates to (type, hour) buckets first; the entropy terms
+  *    are computed per bucket and decimal-summed (order-independent), so
+  *    the only data-sized pass is the initial partial agg.
+  *  - q53's three funnel stages are successive aggregate→equi-join
+  *    rounds on user_id: each stage's output is one row per qualifying
+  *    user (monotonically shrinking), and AQE broadcasts it back against
+  *    the event scan once it fits — no window over the raw log.
+  *  - q54 reduces the log to distinct (user, day) pairs before any join;
+  *    the cohort table is one row per user. Both are tiny relative to
+  *    the log at any scale; the final rollup groups (cohort, offset).
+  */
+object AnalyticsQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact per-group mode: the most frequent order priority per order
+    // status, ties broken toward the smaller priority string. The
+    // count table is a partial-aggregated hash agg; the argmax runs
+    // through the bounded-heap top-k operator (k=1), so no group is
+    // ever sorted whole.
+    "q47_mode" -> ((s, dir) => {
+      val cnt = t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      graft.plans.GraftOps.topKPerGroup(cnt,
+        Seq(col("o_orderstatus")),
+        Seq(col("cnt").desc, col("o_orderpriority").asc), 1, rankName = "rk")
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Shannon entropy of each event type's hourly activity distribution
+    // — "how bursty is this signal". Determinism: each bucket's term
+    // -p·ln(p) is one fixed double formula (identical libm inputs on
+    // both engines), quantized to 6dp and decimal-summed so the total
+    // is independent of partition/merge order [D2-style].
+    "q48_entropy" -> ((s, dir) => {
+      val hb = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("nh"))
+      val tot = hb.groupBy("event_type")
+        .agg(sum("nh").as("n"), count(lit(1)).as("n_hours"))
+      hb.join(tot, "event_type")
+        .withColumn("p", col("nh").cast("double") / col("n"))
+        .withColumn("term", round(-col("p") * log(col("p")), 6))
+        .groupBy("event_type")
+        .agg(max("n").as("n_events"), max("n_hours").as("n_hours"),
+          round(sum(col("term").cast(Dec)).cast("double"), 4).as("entropy"))
+        .orderBy("event_type")
+    }),
+
+    // OHLC bars: per (event_type, hour) the first/last event's value
+    // (open/close, ordered by the total (ts, event_id) key) plus
+    // high/low/count — the classic time-bar rollup, and the min_by/
+    // max_by surface. One map-side-combinable hash agg, one shuffle;
+    // values pass through without arithmetic, so no float drift.
+    "q49_ohlc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          max("value").as("high"), min("value").as("low"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), tsOut(col("hr")).as("hr"), col("open"),
+          col("close"), col("high"), col("low"), col("n"))
+        .orderBy("event_type", "hr")),
+
+    // Ordered conversion funnel: users whose first signup precedes a
+    // view precedes a purchase, strictly increasing in time. Stage k
+    // counts users reaching step k; each stage is min(ts) over the
+    // events after the previous stage's timestamp.
+    "q53_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val v1 = e.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p1 = e.filter(col("event_type") === "purchase")
+        .join(v1, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.join(v1, Seq("user_id"), "left").join(p1, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signup"), count(col("t2")).as("n_view"),
+          count(col("t3")).as("n_purchase"))
+        .selectExpr("""stack(3,
+            1, 'signup_first', n_signup,
+            2, 'view_after_signup', n_view,
+            3, 'purchase_after_view', n_purchase) AS (stage, step, n_users)""")
+        .orderBy("stage")
+    }),
+
+    // Cohort retention: cohort = the day of a user's first event;
+    // n_users = users from that cohort active again k days later
+    // (k = 0..7). The activity table is distinct (user, day), so each
+    // user contributes at most one row per (cohort, offset) and a plain
+    // count is already a distinct-user count.
+    "q54_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val firstDay = e.groupBy("user_id")
+        .agg(date_trunc("day", min("ts")).as("cohort"))
+      val activity = e
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .distinct()
+      activity.join(firstDay, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("cohort")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(tsOut(col("cohort")).as("cohort_day"), col("day_offset"),
+          col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q47_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM c
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY cnt DESC NULLS LAST, o_orderpriority ASC NULLS FIRST) = 1
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q48_entropy" ->
+      """WITH hb AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS nh
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(SUM(nh) AS BIGINT) AS n,
+        |         COUNT(*) AS n_hours
+        |  FROM hb GROUP BY 1
+        |), terms AS (
+        |  SELECT hb.event_type, tot.n, tot.n_hours,
+        |         ROUND(-(CAST(nh AS DOUBLE) / n)
+        |               * ln(CAST(nh AS DOUBLE) / n), 6) AS term
+        |  FROM hb JOIN tot USING (event_type))
+        |SELECT event_type, MAX(n) AS n_events, MAX(n_hours) AS n_hours,
+        |       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 4)
+        |         AS entropy
+        |FROM terms GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "q49_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+        |         value
+        |  FROM events
+        |), o AS (
+        |  SELECT event_type, hr, value AS open FROM b
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |    ORDER BY ts ASC, event_id ASC) = 1
+        |), c AS (
+        |  SELECT event_type, hr, value AS close FROM b
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, hr
+        |    ORDER BY ts DESC, event_id DESC) = 1
+        |), a AS (
+        |  SELECT event_type, hr, MAX(value) AS high, MIN(value) AS low,
+        |         COUNT(*) AS n
+        |  FROM b GROUP BY 1, 2)
+        |SELECT a.event_type, a.hr, o.open, c.close, a.high, a.low, a.n
+        |FROM a JOIN o USING (event_type, hr) JOIN c USING (event_type, hr)
+        |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin,
+
+    "q53_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), v1 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'view' GROUP BY 1
+        |), p1 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN v1 ON e.user_id = v1.user_id AND e.ts > v1.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |), agg AS (
+        |  SELECT COUNT(*) AS n_signup, COUNT(v1.t2) AS n_view,
+        |         COUNT(p1.t3) AS n_purchase
+        |  FROM s1 LEFT JOIN v1 USING (user_id) LEFT JOIN p1 USING (user_id))
+        |SELECT stage, step, n_users FROM (
+        |  SELECT 1 AS stage, 'signup_first' AS step, n_signup AS n_users
+        |  FROM agg
+        |  UNION ALL
+        |  SELECT 2, 'view_after_signup', n_view FROM agg
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_view', n_purchase FROM agg) u
+        |ORDER BY stage ASC NULLS FIRST""".stripMargin,
+
+    "q54_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+        |SELECT f.cohort AS cohort_day,
+        |       CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |WHERE date_diff('day', f.cohort, a.d) <= 7
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -47,6 +47,13 @@ object PipelineQueries {
   private val ChunkWidth = 100
   private val ChunkStride = 90
   private val DecontamN = 8
+  private val MixTotal = 200
+  private val MixWeights = Map(
+    "en" -> 0.4, "de" -> 0.2, "zh" -> 0.2, "fr" -> 0.1, "es" -> 0.1)
+  // oracle CASE arms derived from the same weights the Spark op binds
+  private val MixCase = MixWeights.toSeq.sorted.map { case (k, w) =>
+    s"WHEN '$k' THEN ${(w * MixTotal).toLong}"
+  }.mkString(" ")
 
   /** Connected components by star contraction: every node ends labelled
     * with the smallest `id` reachable through `pairs` (undirected).
@@ -215,6 +222,16 @@ object PipelineQueries {
         .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
         .orderBy("lang", "rk")),
 
+    // Weighted mixture sample: the domain-mixing assignment — each lang
+    // contributes floor(weight × total) docs, chosen in spread-hash
+    // order (same hash family as q80, so the two samplers agree on
+    // ordering). Weights embedded identically in the oracle.
+    "q92_mixture_sample" -> ((s, dir) =>
+      graft.api.PipelineOps.mixtureSample(
+        t(s, dir, "documents"), "lang", "doc_id", MixWeights, MixTotal)
+        .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
+        .orderBy("lang", "rk")),
+
     // Latest-wins upsert: compact the append-only event log to one row
     // per user — the newest event by (ts, event_id). Same semantics as
     // the incremental foreachBatch path (EventStreams.upsertSnapshot).
@@ -305,6 +322,17 @@ object PipelineQueries {
          |                  doc_id ASC) AS INT) AS rk
          |FROM documents
          |QUALIFY rk <= $SampleK
+         |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
+
+    "q92_mixture_sample" ->
+      s"""SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ((doc_id % ${TextFunctions.HashMod}) * $Spread)
+         |               % ${TextFunctions.HashMod} ASC, doc_id ASC) AS rk,
+         |    CASE lang $MixCase ELSE 0 END AS quota
+         |  FROM documents) x
+         |WHERE rk <= quota
          |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
 
     "q81_upsert_latest" ->

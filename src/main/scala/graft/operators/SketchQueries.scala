@@ -29,6 +29,7 @@ object SketchQueries {
   private val Rows = 4
   private val SimBits = 61
   private val Spread = 2654435761L
+  private val HhCap = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pipeline shape for scale: the band join carries ONLY (doc_id, band,
@@ -53,7 +54,32 @@ object SketchQueries {
       graft.api.DedupOps.simhash(
         t(s, dir, "documents"), "text", SimBits, Spread)
         .select("doc_id", "simhash")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Two-pass heavy hitters: a Misra–Gries sketch (the second typed
+    // Aggregator — fixed HhCap counters, one pass, mergeable partials)
+    // proposes ≤ HhCap candidate tokens GUARANTEED to include every
+    // token with frequency > N/(HhCap+1); an exact recount over just
+    // the collected candidates (bounded by HhCap, not the vocabulary)
+    // then applies the integer-exact threshold cnt·(HhCap+1) > N. The
+    // final set is partition-invariant even though the sketch's counter
+    // values aren't — which is what makes it oracle-able. At 100 TB the
+    // token count N would ride along in the sketch pass; here it's one
+    // extra scan for clarity.
+    "q93_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val n = toks.count()
+      val cand = toks.select(col("tok").as[String])
+        .select(new graft.functions.HeavyHittersAggregator(HhCap)
+          .toColumn.name("hh"))
+        .head().map(_._1)
+      toks.filter(col("tok").isin(cand: _*))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (HhCap + 1) > n)
+        .orderBy(col("cnt").desc, col("tok").asc)
+    })
   )
 
   private def sqlTokSet = Sql.tokenSet("text")
@@ -107,6 +133,17 @@ object SketchQueries {
          |SELECT doc_id,
          |       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k)
          |                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+         |FROM bits GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // The sketch is only a candidate proposer; the declared result is
+    // the exact set {token : cnt·(HhCap+1) > N}, which plain SQL states
+    // directly.
+    "q93_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(${Sql.tokens("text")}) AS tok FROM documents)
+         |SELECT tok, COUNT(*) AS cnt
+         |FROM tok GROUP BY tok
+         |HAVING COUNT(*) * ${HhCap + 1} > (SELECT COUNT(*) FROM tok)
+         |ORDER BY cnt DESC NULLS LAST, tok ASC NULLS FIRST""".stripMargin
   )
 }

@@ -286,4 +286,49 @@ class ApiSpec extends SparkSpec {
     assert(got("g1") == ((Seq(2.0, 4.0), 2L)))
     assert(got("g2") == ((Seq(2.0, 2.0), 1L)))
   }
+
+  test("mixtureSample fills per-stratum quotas in spread-hash order") {
+    val weights = Map("en" -> 0.5, "fr" -> 0.5)
+    val got = PipelineOps.mixtureSample(corpus, "tongue", "key", weights, 4)
+      .select("tongue", "key", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force: quota = floor(0.5 * 4) = 2 per stratum, ordered by
+    // the same spread hash the op uses, key tie-break
+    val mod = 1000000007L
+    def h(k: Long) = ((k % mod) * 2654435761L) % mod
+    val want = corpus.collect()
+      .map(r => (r.getString(2), r.getLong(0)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (g, rows) =>
+        rows.toSeq.map(_._2).sortBy(k => (h(k), k)).take(2).zipWithIndex
+          .map { case (k, i) => (g, k, (i + 1).toLong) }
+      }.toSet
+    assert(got == want && got.size == 4)
+    // a stratum absent from the weights contributes nothing
+    val none = PipelineOps.mixtureSample(
+      corpus, "tongue", "key", Map("en" -> 0.5), 2)
+    assert(none.filter(col("tongue") === "fr").count() == 0)
+  }
+
+  test("decontaminateBloom is a no-false-negative superset of exact") {
+    import spark.implicits._
+    val eval = Seq((1L, "quick brown fox jumps across nothing")).toDF("e", "t")
+    val docs = corpus.filter(col("key") =!= 106L)
+    def byId(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    val exact = byId(TextOps.decontaminate(docs, "key", "body", eval, "t", 4))
+    val bloom = byId(TextOps.decontaminateBloom(
+      docs, "key", "body", eval, "t", 4))
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (nGrams, nHits, contaminated)) =>
+      val (bGrams, bHits, bCont) = bloom(id)
+      assert(bGrams == nGrams)
+      // one-sided error: hits can only be inflated by false positives
+      assert(bHits >= nHits)
+      assert(bCont >= contaminated)
+    }
+    // the exact path found real contamination and bloom kept it
+    assert(exact.values.exists(_._3 == 1))
+  }
 }
