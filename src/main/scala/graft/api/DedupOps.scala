@@ -133,6 +133,51 @@ object DedupOps {
       .drop("__toks", "__hs")
   }
 
+  /** SimHash near-dup pairs within Hamming distance `maxDist`: splits
+    * each fingerprint into `maxDist + 1` contiguous bit chunks — by
+    * pigeonhole, two fingerprints within the radius agree EXACTLY on at
+    * least one chunk — so candidates come from per-chunk equality (an
+    * equi-join on (chunk, value) through the shared first-matching-band
+    * machinery), never an all-pairs scan. Candidates are then verified
+    * with the exact popcount distance. Returns (id_lo, id_hi, hd).
+    *
+    * Scale shape: with the default 61-bit fingerprint and radius 3 the
+    * chunks are ~15 bits ≈ 32k buckets, which holds to ~10M docs (bucket
+    * occupancy n/32k keeps the candidate join near-linear). Past that,
+    * widen the fingerprint (two 64-bit words) and keep radius/chunks
+    * proportional — the pigeonhole rule and this pipeline are unchanged;
+    * only the chunk extraction expressions grow. `broadcastLookups` as
+    * in [[minhashLshPairs]]. Rows with no tokens carry no fingerprint
+    * and never pair. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+    maxDist: Int = 3, bits: Int = 61, spread: Long = 2654435761L,
+    broadcastLookups: Boolean = true): DataFrame = {
+    require(maxDist >= 1 && maxDist + 1 <= bits,
+      "need 1 <= maxDist and maxDist + 1 chunks within the bit width")
+    val chunks = maxDist + 1
+    val sh = simhash(docs, textCol, bits, spread)
+      .select(col(idCol).as("id"), col("simhash"))
+      .persist()
+    // chunk c covers `w` bits from `off`; first bits % chunks chunks are
+    // one bit wider so the widths differ by at most one
+    val base = bits / chunks
+    val bkExprs = (0 until chunks).map { c =>
+      val w = base + (if (c < bits % chunks) 1 else 0)
+      val off = c * base + math.min(c, bits % chunks)
+      expr(s"(simhash >> $off) & ${(1L << w) - 1}L")
+    }
+    val cand = bandCollisionPairs(
+      sh.select(col("id"), array(bkExprs: _*).as("bks")),
+      chunks, broadcastLookups)
+    val att = attach(broadcastLookups)
+    val fa = sh.select(col("id").as("id_lo"), col("simhash").as("sh_a"))
+    val fb = sh.select(col("id").as("id_hi"), col("simhash").as("sh_b"))
+    cand.join(att(fa), "id_lo").join(att(fb), "id_hi")
+      .withColumn("hd", expr("bit_count(sh_a ^ sh_b)").cast("int"))
+      .filter(col("hd") <= maxDist)
+      .select("id_lo", "id_hi", "hd")
+  }
+
   /** Connected components over an undirected pair set: every node ends
     * labelled with the smallest reachable `id`. Delegates to the
     * iterative min-label-propagation + pointer-jumping loop (see

@@ -29,6 +29,7 @@ object SketchQueries {
   private val Rows = 4
   private val SimBits = 61
   private val Spread = 2654435761L
+  private val MaxHd = 3
   private val HhCap = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -55,6 +56,17 @@ object SketchQueries {
         t(s, dir, "documents"), "text", SimBits, Spread)
         .select("doc_id", "simhash")
         .orderBy("doc_id")),
+
+    // SimHash fingerprints put to work: Hamming-radius near-dup pairs
+    // via pigeonhole chunking — candidates from an equi-join on one of
+    // maxDist+1 fingerprint chunks (first-matching-chunk dedup, same
+    // machinery as the LSH band join), popcount-verified. The all-pairs
+    // scan the oracle runs never happens here.
+    "q68_simhash_pairs" -> ((s, dir) =>
+      graft.api.DedupOps.simhashPairs(
+        t(s, dir, "documents"), "doc_id", "text", MaxHd, SimBits, Spread)
+        .select("id_lo", "id_hi", "hd")
+        .orderBy("id_lo", "id_hi")),
 
     // Two-pass heavy hitters: a Misra–Gries sketch (the second typed
     // Aggregator — fixed HhCap counters, one pass, mergeable partials)
@@ -83,6 +95,24 @@ object SketchQueries {
   )
 
   private def sqlTokSet = Sql.tokenSet("text")
+
+  /** Shared oracle replay of the SimHash fingerprint pipeline: `sh` is
+    * (doc_id, simhash) for every doc with at least one token. */
+  private val simhashCte =
+    s"""th AS (
+       |  SELECT doc_id, ${Sql.charHash("tok")} * $Spread AS h2
+       |  FROM (SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents) u
+       |), bits AS (
+       |  SELECT doc_id, k,
+       |         SUM(CASE WHEN (h2 >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, $SimBits)) AS k) ks
+       |  GROUP BY doc_id, k
+       |), sh AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k)
+       |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q66_minhash_lsh" ->
@@ -121,19 +151,21 @@ object SketchQueries {
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
 
     "q67_simhash" ->
-      s"""WITH th AS (
-         |  SELECT doc_id, ${Sql.charHash("tok")} * $Spread AS h2
-         |  FROM (SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents) u
-         |), bits AS (
-         |  SELECT doc_id, k,
-         |         SUM(CASE WHEN (h2 >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-         |  FROM th CROSS JOIN (SELECT unnest(range(0, $SimBits)) AS k) ks
-         |  GROUP BY doc_id, k
-         |)
-         |SELECT doc_id,
-         |       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << k)
-         |                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Declared semantics = all pairs within the Hamming radius; the
+    // chunk-candidate scheme is complete for that radius, so the plain
+    // quadratic SQL states the same result.
+    "q68_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+         |       CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT))
+         |            AS INT) AS hd
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= $MaxHd
+         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
 
     // The sketch is only a candidate proposer; the declared result is
     // the exact set {token : cnt·(HhCap+1) > N}, which plain SQL states

@@ -127,11 +127,13 @@ object StatsQueries {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |       ROUND(sx / n, 4) AS mean_qty,
-        |       ROUND((sx2 - sx * sx / n) / (n - 1), 4) AS var_qty,
+        |       -- + 0 on the sign-indeterminate outputs normalizes a
+        |       -- possible -0.0 (Spark's BigDecimal round never emits it)
+        |       ROUND((sx2 - sx * sx / n) / (n - 1), 4) + 0 AS var_qty,
         |       ROUND(SQRT((sx2 - sx * sx / n) / (n - 1)), 4) AS std_qty,
         |       ROUND((sxy - sx * sy / n)
         |             / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 4)
-        |         AS corr_qty_price
+        |         + 0 AS corr_qty_price
         |FROM g ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "q46_quantile_hist" ->

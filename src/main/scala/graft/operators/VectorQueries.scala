@@ -107,7 +107,8 @@ object VectorQueries {
          |           FROM embeddings WHERE vec_id < 10)
          |SELECT probe_id, vec_id, cos4, rn FROM (
          |  SELECT a.probe_id, b.vec_id,
-         |         ROUND($sqlCos, 4) AS cos4,
+         |         -- + 0 normalizes a possible -0.0 (Spark round never emits it)
+         |         ROUND($sqlCos, 4) + 0 AS cos4,
          |         ROW_NUMBER() OVER (PARTITION BY a.probe_id
          |           ORDER BY ROUND($sqlCos, 4) DESC NULLS LAST,
          |                    b.vec_id ASC NULLS FIRST) AS rn
@@ -122,8 +123,10 @@ object VectorQueries {
         |  FROM embeddings
         |), per AS (
         |  SELECT label, dim,
+        |         -- + 0 normalizes -0.0: DuckDB ROUND keeps the IEEE sign,
+        |         -- Spark's BigDecimal round cannot produce it
         |         ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
-        |               / COUNT(*), 4) AS c
+        |               / COUNT(*), 4) + 0 AS c
         |  FROM flat GROUP BY label, dim
         |), cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
         |SELECT per.label, per.dim, per.c, cnt.n

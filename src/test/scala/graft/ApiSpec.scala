@@ -168,6 +168,34 @@ class ApiSpec extends SparkSpec {
       s"expected >=4 shuffled lookup joins:\n${planStr.take(1500)}")
   }
 
+  test("simhashPairs equals the brute-force Hamming scan") {
+    import spark.implicits._
+    // ground truth: all-pairs popcount over the same fingerprints
+    val sh = DedupOps.simhash(corpus, "body")
+      .select(col("key"), col("simhash"))
+    val a = sh.select(col("key").as("id_lo"), col("simhash").as("sa"))
+    val b = sh.select(col("key").as("id_hi"), col("simhash").as("sb"))
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // radius generous enough that the near-identical en/fr pairs land;
+    // 21 chunks of 2-3 bits collide heavily, which stresses exactly what
+    // the pigeonhole scheme must survive (false candidates, no misses)
+    val d = 20
+    val brute = pairSet(a.crossJoin(b).filter(col("id_lo") < col("id_hi"))
+      .withColumn("hd", expr("bit_count(sa ^ sb)").cast("int"))
+      .filter(col("hd") <= d)
+      .select("id_lo", "id_hi", "hd"))
+    val chunked = pairSet(
+      DedupOps.simhashPairs(corpus, "key", "body", maxDist = d))
+    assert(chunked == brute && brute.nonEmpty)
+    assert(!chunked.exists(p => p._1 == 106L || p._2 == 106L),
+      "token-less rows must not pair")
+    // the co-partitioned attach path is result-identical
+    val shuffled = pairSet(DedupOps.simhashPairs(
+      corpus, "key", "body", maxDist = d, broadcastLookups = false))
+    assert(shuffled == brute)
+  }
+
   test("clusterResolve keeps exactly one representative per cluster") {
     val pairs = TextOps.nearDupPairs(
       TextOps.tokenHashTable(corpus, "key", "body", "tongue"), 0.5)
