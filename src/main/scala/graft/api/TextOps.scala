@@ -184,6 +184,59 @@ object TextOps {
       .select(col("__id").as("id"), col("tok").as("top_term"), col("tfidf"))
   }
 
+  /** BM25 relevance ranking against a fixed bag of query `terms`: the
+    * top `k` documents containing at least one term, scored with the
+    * standard Robertson/Sparck-Jones formulation
+    * (idf = ln(1 + (N − df + ½)/(df + ½)), tf saturation `k1`, length
+    * normalization `b`). Returns (id, score4, rank).
+    *
+    * Shape for scale: per-term tf is `size(tk) − size(array_remove(tk,
+    * term))` — native codegen expressions, no explode, no interpreted
+    * lambdas — so scoring is a pure map over the corpus; the corpus
+    * statistics (N, Σdl, per-term df) reduce to ONE row broadcast back;
+    * the final rank is the bounded-heap top-k, partial per partition.
+    * Nothing shuffles more than one row except the k-row result.
+    *
+    * Determinism [D2][D3]: each per-term score is quantized to 6dp and
+    * summed as DECIMAL — order-independent — and the rank orders by that
+    * exact decimal (id tie-break), never by a raw double. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+    terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75)
+  : DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0 && k <= 100000, "k must be in (0, 100000]")
+    val tfBoost = k1 + 1
+    val bComp = 1 - b
+    val base = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val withTf = terms.indices.foldLeft(base) { (d, i) =>
+      d.withColumn(s"tf_$i", (size(col("tk")) -
+        size(array_remove(col("tk"), lit(terms(i))))).cast("long"))
+    }.drop("tk")
+    val stats = withTf.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +: terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
+    val scored = withTf
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val termScores = terms.indices.map { i =>
+      val tfD = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      round(idf * (tfD * lit(tfBoost)) / (tfD + lit(k1) *
+        (lit(bComp) + lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
+        .cast(graft.Dets.Dec)
+    }
+    val dec = scored.withColumn("score_dec", termScores.reduce(_ + _))
+    graft.plans.GraftOps.topKPerGroup(dec, Seq(lit(1)),
+      Seq(col("score_dec").desc, col("id").asc), k, rankName = "rank")
+      .select(col("id"),
+        round(col("score_dec").cast("double"), 4).as("score4"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Word-bigram-shingle Jaccard pairs: same blocking/verify shape as
     * [[nearDupPairs]] but over hashed "a b" shingles
     * (`graft_bigram_hashes` folds each shingle straight to its hash — no

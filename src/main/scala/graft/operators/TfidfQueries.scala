@@ -22,6 +22,10 @@ object TfidfQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
+  private val Bm25Terms = Seq("hash", "join", "scan")
+  private val Bm25K = 50
+  private val K1 = 1.2
+  private val B = 0.75
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_tfidf" -> ((s, dir) =>
@@ -39,7 +43,17 @@ object TfidfQueries {
       graft.api.TextOps.ngramJaccardPairs(
         t(s, dir, "documents"), "doc_id", "text", "lang", 0.25)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
-        .orderBy("id_lo", "id_hi"))
+        .orderBy("id_lo", "id_hi")),
+
+    // BM25 retrieval scoring for a pinned query-term bag: tf per term by
+    // native array arithmetic (no explode), corpus stats as a one-row
+    // broadcast, bounded-heap top-k — the whole query is a map + a
+    // one-row reduce + a k-row merge.
+    "q94_bm25" -> ((s, dir) =>
+      graft.api.TextOps.bm25(
+        t(s, dir, "documents"), "doc_id", "text", Bm25Terms, Bm25K, K1, B)
+        .select(col("id").as("doc_id"), col("score4"), col("rank"))
+        .orderBy("rank"))
   )
 
   private val sqlToks = Sql.tokens("text")
@@ -75,6 +89,47 @@ object TfidfQueries {
          |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
          |      / len(list_distinct(a.grams || b.grams)) >= 0.25
-         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin
+         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    // Same tf/idf/length-normalization expression tree as the Spark op:
+    // per-term scores quantized to 6dp, decimal-summed, ranked by the
+    // exact decimal with doc_id tie-break.
+    "q94_bm25" -> {
+      val tfBoost = K1 + 1
+      val bComp = 1 - B
+      def tf(i: Int) =
+        s"CAST(len(tk) - len(list_filter(tk, x -> x != '${Bm25Terms(i)}')) AS BIGINT)"
+      def si(i: Int) =
+        s"ROUND(LN(1.0 + (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))" +
+          s" * (CAST(tf_$i AS DOUBLE) * $tfBoost)" +
+          s" / (CAST(tf_$i AS DOUBLE) + $K1 * ($bComp + $B * CAST(dl AS DOUBLE) / avgdl)), 6)"
+      val ix = Bm25Terms.indices
+      s"""WITH d AS (
+         |  SELECT doc_id AS id, $sqlToks AS tk FROM documents
+         |), t AS (
+         |  SELECT id, CAST(len(tk) AS BIGINT) AS dl,
+         |         ${ix.map(i => s"${tf(i)} AS tf_$i").mkString(", ")}
+         |  FROM d
+         |), st AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         |         ${ix.map(i =>
+                s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+                .mkString(", ")}
+         |  FROM t
+         |), sc AS (
+         |  SELECT id,
+         |         ${ix.map(i => s"CAST(${si(i)} AS DECIMAL(38,6))")
+                .mkString(" + ")} AS score_dec
+         |  FROM t CROSS JOIN
+         |    (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st) s
+         |  WHERE ${ix.map(i => s"tf_$i > 0").mkString(" OR ")}
+         |)
+         |SELECT id AS doc_id, ROUND(CAST(score_dec AS DOUBLE), 4) AS score4,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC NULLS LAST,
+         |                               id ASC NULLS FIRST) AS INT) AS rank
+         |FROM sc
+         |QUALIFY rank <= $Bm25K
+         |ORDER BY rank ASC NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -168,6 +168,20 @@ class ApiSpec extends SparkSpec {
       s"expected >=4 shuffled lookup joins:\n${planStr.take(1500)}")
   }
 
+  test("bm25 ranks term-bearing docs only, rare terms weigh more") {
+    val r = TextOps.bm25(corpus, "key", "body", Seq("fox", "chien"), 10)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    // only docs containing at least one query term appear
+    assert(r.map(_.getAs[Long]("id")).toSet == Set(101L, 102L, 104L))
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(r.forall(_.getAs[Double]("score4") > 0))
+    // 'chien' is rarer (df 1 vs 2) at equal tf and length, so 104 wins
+    assert(r.head.getAs[Long]("id") == 104L)
+    // 101/102 tie exactly (same tf, same dl) and break by id
+    val Seq(a, b) = r.tail.map(_.getAs[Long]("id")).toSeq
+    assert(a == 101L && b == 102L)
+  }
+
   test("simhashPairs equals the brute-force Hamming scan") {
     import spark.implicits._
     // ground truth: all-pairs popcount over the same fingerprints
