@@ -146,4 +146,45 @@ object VectorOps {
     corpus.groupBy(col(groupCol).as("group"))
       .agg(centroid(col(vecCol)).as("centroid"), count(lit(1)).as("n"))
   }
+
+  /** Scalar min-max quantization of a float-vector column to `levels`+1
+    * integer codes per dimension — the 4× (float32→int8) compression
+    * step of a vector-lake ETL. Two passes: per-dimension corpus
+    * min/max reduce to ONE row (64-group hash agg, map-side partial)
+    * broadcast back, then a pure map emits the code array and the
+    * reconstruction error. Returns (id, codes, rmse4). Min/max are
+    * exact (no float arithmetic), the code rounding and the error fold
+    * are association-pinned, so the result is cluster-size- and
+    * engine-independent. A constant dimension (mx = mn) codes to 0.
+    * Per-element work is HOF-lambda (interpreted) like q42's norms —
+    * acceptable because it is a flat map with no shuffle; a codegen
+    * kernel à la `graft_dot` is the drop-in if this ever dominates a
+    * profile. */
+  def quantizeMinMax(corpus: DataFrame, idCol: String, vecCol: String,
+    dim: Int, levels: Int = 255): DataFrame = {
+    require(dim > 0 && levels > 0, "need positive dim and levels")
+    val flat = corpus.select(
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val stats = flat.groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val packed = stats
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("a"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("b"))
+      .select(expr("transform(a, s -> s.mn)").as("mns"),
+        expr("transform(b, s -> s.mx)").as("mxs"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(packed))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${dim - 1}), i ->
+           |  CASE WHEN mxs[i] = mns[i] THEN 0
+           |  ELSE CAST(round((CAST(v[i] AS DOUBLE) - mns[i])
+           |       / (mxs[i] - mns[i]) * $levels) AS INT) END)""".stripMargin))
+      .withColumn("rmse4", expr(
+        s"""round(sqrt(aggregate(transform(sequence(0, ${dim - 1}), i ->
+           |  pow(CAST(v[i] AS DOUBLE) - (mns[i] + CAST(codes[i] AS DOUBLE)
+           |      / $levels * (mxs[i] - mns[i])), 2D)),
+           |  0D, (a, x) -> a + x)), 4)""".stripMargin))
+      .select(col("id"), col("codes"), col("rmse4"))
+  }
 }

@@ -26,6 +26,7 @@ object TfidfQueries {
   private val Bm25K = 50
   private val K1 = 1.2
   private val B = 0.75
+  private val IdxMinDf = 5L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_tfidf" -> ((s, dir) =>
@@ -44,6 +45,25 @@ object TfidfQueries {
         t(s, dir, "documents"), "doc_id", "text", "lang", 0.25)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
         .orderBy("id_lo", "id_hi")),
+
+    // Inverted-index build: per term, document frequency + the sorted
+    // posting list — the retrieval-side ETL artifact BM25/TF-IDF serve
+    // from. One distinct-reduce and one hash agg, both map-side partial;
+    // sort_array pins posting order [D1]. At 100 TB posting lists stop
+    // being row values: the same (term, doc) reduction is written
+    // term-bucketed/sorted (LakeWriter bucketing) and df alone stays
+    // relational — the declared query keeps the df floor high enough
+    // that emitted lists stay bounded.
+    "q95_inverted_index" -> ((s, dir) => {
+      val posting = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokenSet(col("text"))).as("term"),
+          col("doc_id"))
+      posting.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .filter(col("df") >= IdxMinDf)
+        .orderBy("term")
+    }),
 
     // BM25 retrieval scoring for a pinned query-term bag: tf per term by
     // native array arithmetic (no explode), corpus stats as a one-row
@@ -90,6 +110,17 @@ object TfidfQueries {
          |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
          |      / len(list_distinct(a.grams || b.grams)) >= 0.25
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    "q95_inverted_index" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, unnest(${Sql.tokenSet("text")}) AS term
+         |  FROM documents
+         |)
+         |SELECT term, COUNT(*) AS df,
+         |       list(doc_id ORDER BY doc_id ASC) AS postings
+         |FROM p GROUP BY term
+         |HAVING COUNT(*) >= $IdxMinDf
+         |ORDER BY term ASC NULLS FIRST""".stripMargin,
 
     // Same tf/idf/length-normalization expression tree as the Spark op:
     // per-term scores quantized to 6dp, decimal-summed, ranked by the

@@ -61,6 +61,15 @@ object VectorQueries {
         .select(col("id_lo"), col("id_hi"), col("cos").as("cos4"))
         .orderBy("id_lo", "id_hi")),
 
+    // Scalar int8-style quantization: per-dim corpus min/max (one
+    // broadcast row) + a pure map emitting codes and reconstruction
+    // error — the vector-compression ETL step.
+    "q96_quantize" -> ((s, dir) =>
+      graft.api.VectorOps.quantizeMinMax(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 64)
+        .select(col("id").as("vec_id"), col("codes"), col("rmse4"))
+        .orderBy("vec_id")),
+
     // Oracle-omitted: two-stage ANN (coarse quantizer over label centroids,
     // then fine search in the top-2 cells). Structure is asserted in
     // OperatorSpec; the driver records a rows-only check.
@@ -132,6 +141,40 @@ object VectorQueries {
         |SELECT per.label, per.dim, per.c, cnt.n
         |FROM per JOIN cnt ON per.label = cnt.label
         |ORDER BY per.label ASC NULLS FIRST, per.dim ASC NULLS FIRST""".stripMargin,
+
+    "q96_quantize" -> {
+      val lv = 255
+      val code = (x: String) =>
+        s"CASE WHEN mxs[i + 1] = mns[i + 1] THEN 0 " +
+          s"ELSE CAST(round((CAST($x AS DOUBLE) - mns[i + 1]) " +
+          s"/ (mxs[i + 1] - mns[i + 1]) * $lv) AS INT) END"
+      s"""WITH flat AS (
+         |  SELECT unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS dim
+         |  FROM embeddings
+         |), st AS (
+         |  SELECT dim, MIN(CAST(x AS DOUBLE)) AS mn,
+         |         MAX(CAST(x AS DOUBLE)) AS mx
+         |  FROM flat GROUP BY dim
+         |), pk AS (
+         |  SELECT list(mn ORDER BY dim ASC) AS mns,
+         |         list(mx ORDER BY dim ASC) AS mxs
+         |  FROM st
+         |), q AS (
+         |  SELECT vec_id,
+         |         list_transform(range(0, 64),
+         |           i -> ${code("embedding[i + 1]")}) AS codes,
+         |         embedding, mns, mxs
+         |  FROM embeddings CROSS JOIN pk
+         |)
+         |SELECT vec_id, codes,
+         |       ROUND(SQRT(list_sum(list_transform(range(0, 64), i ->
+         |         POWER(CAST(embedding[i + 1] AS DOUBLE)
+         |           - (mns[i + 1] + CAST(codes[i + 1] AS DOUBLE)
+         |              / $lv * (mxs[i + 1] - mns[i + 1])), 2)))), 4) AS rmse4
+         |FROM q
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin
+    },
 
     "q69_embed_neardup" ->
       s"""SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,

@@ -317,6 +317,24 @@ class ApiSpec extends SparkSpec {
     assert(lsh.forall { case (a, b) => a / 100 == b / 100 })
   }
 
+  test("quantizeMinMax codes hit the range ends and reconstruct") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, -1.0f, 5.0f)),
+      (2L, Array(1.0f, 1.0f, 5.0f)),
+      (3L, Array(0.5f, 0.0f, 5.0f))
+    ).toDF("vid", "vec")
+    val r = VectorOps.quantizeMinMax(vecs, "vid", "vec", 3)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
+    // per-dim min codes to 0, max to 255; the constant dim codes to 0
+    assert(r(1L) == Seq(0, 0, 0))
+    assert(r(2L) == Seq(255, 255, 0))
+    assert(r(3L) == Seq(128, 128, 0)) // midpoint rounds half-up
+    val err = VectorOps.quantizeMinMax(vecs, "vid", "vec", 3)
+      .agg(max(col("rmse4"))).head().getDouble(0)
+    assert(err < 0.01, s"reconstruction error too large: $err")
+  }
+
   test("centroids averages per group") {
     import spark.implicits._
     val vecs = Seq(
