@@ -258,7 +258,30 @@ object PipelineQueries {
     "q91_repetition" -> ((s, dir) =>
       graft.api.TextOps.repetitionScore(
         t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Dataset card: the per-source corpus summary a curated release
+    // ships with — doc/token counts, language spread, exact-duplicate
+    // rate, mean length — plus the ROLLUP grand-total row. One pass;
+    // the two COUNT(DISTINCT)s expand the rollup (3× the input rows
+    // pre-aggregation), which is the standard cost of exact distincts
+    // and still map-side partial-aggregated.
+    "q99_dataset_card" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_toks",
+          size(TextFunctions.tokens(col("text"))).cast("long"))
+        .rollup("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_uniq"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_toks").as("n_tokens"),
+          Dets.decAvg(col("n_chars")).as("avg_chars"))
+        .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+          col("n_docs"), col("n_uniq"),
+          round((col("n_docs") - col("n_uniq")).cast("double")
+            / col("n_docs"), 4).as("dup_rate"),
+          col("n_langs"), col("n_tokens"), col("avg_chars"))
+        .orderBy("source"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -382,6 +405,23 @@ object PipelineQueries {
          |       ELSE ROUND(1 - CAST(len(list_distinct(b3)) AS DOUBLE) / len(b3), 4)
          |  END AS dup3_frac
          |FROM g
-         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q99_dataset_card" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, text, n_chars,
+         |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT COALESCE(source, 'TOTAL') AS source,
+         |       COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT text) AS n_uniq,
+         |       ROUND(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE)
+         |             / COUNT(*), 4) AS dup_rate,
+         |       COUNT(DISTINCT lang) AS n_langs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+         |             / COUNT(*), 4) AS avg_chars
+         |FROM d GROUP BY ROLLUP(source)
+         |ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }

@@ -151,7 +151,33 @@ object TextQueries {
       graft.api.TextOps.fingerprint(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("fp"),
           (col("fp") * 2654435761L).as("fp_spread"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Unigram-LM mean surprisal per doc — the perplexity-style quality
+    // filter (CCNet/Gopher shape) with the corpus itself as the LM:
+    // surprisal(t) = ln(N / tf(t)), doc score = mean over token
+    // OCCURRENCES. Each occurrence's term is quantized to 6dp and
+    // decimal-summed (order-independent, q48's pattern), so the score is
+    // partition-invariant. Two hash aggs (corpus tf, per-doc sum) and
+    // one join of the exploded tokens against the vocabulary-sized tf
+    // table — AQE broadcasts tf while it fits; at 100 TB the vocabulary
+    // is still ~millions of rows, far under the token count, and the
+    // join stays map-side.
+    "q98_surprisal" -> ((s, dir) => {
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = dt.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val n = tf.agg(sum("tf").as("n_total"))
+      dt.join(tf, "tok").crossJoin(broadcast(n))
+        .withColumn("term",
+          round(log(col("n_total").cast("double") / col("tf")), 6).cast(Dec))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("term")).cast("double") / count(lit(1)), 4)
+            .as("surprisal4"))
+        .orderBy("doc_id")
+    })
   )
 
   private val sqlToks = Sql.tokens("text")
@@ -239,6 +265,19 @@ object TextQueries {
     "q74_fingerprint" ->
       s"""SELECT doc_id, ${Sql.charHash("text")} AS fp,
          |       ${Sql.charHash("text")} * 2654435761 AS fp_spread
-         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+         |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q98_surprisal" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+         |), tf AS (SELECT tok, COUNT(*) AS tf FROM dt GROUP BY tok),
+         |n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM tf)
+         |SELECT dt.doc_id, COUNT(*) AS n_tok,
+         |       ROUND(CAST(SUM(CAST(ROUND(ln(n.n_total / tf.tf), 6)
+         |                          AS DECIMAL(38,6))) AS DOUBLE)
+         |             / COUNT(*), 4) AS surprisal4
+         |FROM dt JOIN tf ON dt.tok = tf.tok CROSS JOIN n
+         |GROUP BY dt.doc_id
+         |ORDER BY dt.doc_id ASC NULLS FIRST""".stripMargin
   )
 }

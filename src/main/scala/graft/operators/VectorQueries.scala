@@ -43,6 +43,32 @@ object VectorQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // kNN majority-vote label propagation: predict each probe's label
+    // from its 5 nearest labeled corpus neighbors (the weak-supervision /
+    // label-transfer step of a training-data pipeline). Reuses the
+    // broadcast-probe top-k kernel, then one tiny (probes × labels)
+    // vote count and a bounded-heap argmax — the corpus is scanned once
+    // and never shuffled.
+    "q97_knn_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("label").as("true_label"))
+      val nn = graft.api.VectorOps.cosineTopK(
+        emb.filter(col("vec_id") >= 10), "vec_id", "embedding",
+        probes.select("probe_id", "pe"), 5)
+      val votes = nn
+        .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy("probe_id", "label")
+        .agg(count(lit(1)).as("votes"))
+      graft.plans.GraftOps.topKPerGroup(votes, Seq(col("probe_id")),
+        Seq(col("votes").desc, col("label").asc), 1, rankName = "rk")
+        .join(probes.select("probe_id", "true_label"), "probe_id")
+        .select(col("probe_id"), col("true_label"),
+          col("label").as("pred_label"), col("votes"))
+        .orderBy("probe_id")
+    }),
+
     // The aggregator produces the centroid array; it is emitted exploded
     // to (label, dim, c) rows of scalar doubles — hash-safe across
     // engines and directly comparable to the oracle's per-dimension CTE.
@@ -124,6 +150,26 @@ object VectorQueries {
          |  FROM p a JOIN embeddings b ON b.vec_id != a.probe_id) x
          |WHERE rn <= 5
          |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "q97_knn_label" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe,
+         |                  label AS true_label
+         |           FROM embeddings WHERE vec_id < 10),
+         |nn AS (
+         |  SELECT probe_id, vec_id, label FROM (
+         |    SELECT a.probe_id, b.vec_id, b.label,
+         |           ROW_NUMBER() OVER (PARTITION BY a.probe_id
+         |             ORDER BY ROUND($sqlCos, 4) DESC NULLS LAST,
+         |                      b.vec_id ASC NULLS FIRST) AS rn
+         |    FROM p a JOIN embeddings b ON b.vec_id >= 10) x
+         |  WHERE rn <= 5),
+         |v AS (SELECT probe_id, label, COUNT(*) AS votes
+         |      FROM nn GROUP BY probe_id, label)
+         |SELECT p.probe_id, p.true_label, v.label AS pred_label, v.votes
+         |FROM v JOIN p ON v.probe_id = p.probe_id
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY v.probe_id
+         |  ORDER BY v.votes DESC NULLS LAST, v.label ASC NULLS FIRST) = 1
+         |ORDER BY p.probe_id ASC NULLS FIRST""".stripMargin,
 
     "q63_centroid_agg" ->
       """WITH flat AS (

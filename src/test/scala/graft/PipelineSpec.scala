@@ -100,4 +100,61 @@ class PipelineSpec extends SparkSpec {
     assert(viol == 0)
     u.unpersist()
   }
+
+  test("q97 knn labels: one row per probe, majority vote recomputed") {
+    val pred = q("q97_knn_label").collect()
+    assert(pred.length == 10)
+    assert(pred.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
+    // recompute the argmax on the driver from the top-k neighbor set
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val nn = graft.api.VectorOps.cosineTopK(
+        emb.filter(col("vec_id") >= 10), "vec_id", "embedding", probes, 5)
+      .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+      .select("probe_id", "label").collect()
+      .groupBy(_.getLong(0))
+    pred.foreach { r =>
+      val votes = nn(r.getLong(0)).groupBy(_.getInt(1))
+        .view.mapValues(_.size).toMap
+      val (wantLabel, wantVotes) = votes.toSeq.sortBy {
+        case (l, v) => (-v, l) }.head
+      assert(r.getInt(2) == wantLabel && r.getLong(3) == wantVotes,
+        s"probe ${r.getLong(0)}: got (${r.getInt(2)}, ${r.getLong(3)}), " +
+          s"want ($wantLabel, $wantVotes)")
+    }
+  }
+
+  test("q98 surprisal: token counts tie out and scores are positive") {
+    val sup = q("q98_surprisal").cache()
+    val docs = Tables.load(spark, Sf, "documents")
+    // n_tok must equal the doc's whitespace token count (only docs with
+    // ≥1 token appear)
+    val withN = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .filter(col("n") > 0)
+    assert(sup.count() == withN.count())
+    assert(sup.join(withN, "doc_id")
+      .filter(col("n_tok") =!= col("n")).count() == 0)
+    // ln(N/tf) > 0 whenever the vocabulary has ≥ 2 distinct tokens
+    assert(sup.filter(col("surprisal4") <= 0).count() == 0)
+    sup.unpersist()
+  }
+
+  test("q99 dataset card: TOTAL row reconciles with per-source rows") {
+    val card = q("q99_dataset_card").cache()
+    val srcRows = card.filter(col("source") =!= "TOTAL")
+    val tot = card.filter(col("source") === "TOTAL").head()
+    assert(card.count() == srcRows.count() + 1)
+    val sums = srcRows.agg(sum("n_docs"), sum("n_tokens")).head()
+    assert(tot.getLong(1) == sums.getLong(0)) // n_docs
+    assert(tot.getLong(5) == sums.getLong(1)) // n_tokens
+    assert(tot.getLong(1) ==
+      Tables.load(spark, Sf, "documents").count())
+    // dup_rate within [0,1]; uniq ≤ docs on every row
+    assert(card.filter(col("dup_rate") < 0 || col("dup_rate") > 1)
+      .count() == 0)
+    assert(card.filter(col("n_uniq") > col("n_docs")).count() == 0)
+    card.unpersist()
+  }
 }
