@@ -281,7 +281,30 @@ object PipelineQueries {
           round((col("n_docs") - col("n_uniq")).cast("double")
             / col("n_docs"), 4).as("dup_rate"),
           col("n_langs"), col("n_tokens"), col("avg_chars"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Cross-source near-dup leakage matrix: for every source pair, the
+    // number of near-dup edges (q61's jac ≥ 0.6 relation) crossing it —
+    // the "is collection B already inside collection A" curation
+    // question, asked on near-duplicates because curated corpora rarely
+    // share byte-exact texts (this fixture has zero; q60 proves it).
+    // The corpus-sized work is the shared cached pair table; attaching
+    // sources is two joins against the (doc_id, source) projection and
+    // the matrix itself is |sources|² rows. Diagonal rows
+    // (source_lo = source_hi) count intra-source near-dups.
+    "q100_source_overlap" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select("doc_id", "source")
+      TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi")
+        .join(src.select(col("doc_id").as("id_lo"),
+          col("source").as("s_lo")), "id_lo")
+        .join(src.select(col("doc_id").as("id_hi"),
+          col("source").as("s_hi")), "id_hi")
+        .select(least(col("s_lo"), col("s_hi")).as("source_lo"),
+          greatest(col("s_lo"), col("s_hi")).as("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -422,6 +445,18 @@ object PipelineQueries {
          |       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
          |             / COUNT(*), 4) AS avg_chars
          |FROM d GROUP BY ROLLUP(source)
-         |ORDER BY source ASC NULLS FIRST""".stripMargin
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q100_source_overlap" ->
+      s"""WITH ${TextQueries.nearDupEdgeSql},
+         |sp AS (
+         |  SELECT LEAST(da.source, db.source) AS source_lo,
+         |         GREATEST(da.source, db.source) AS source_hi
+         |  FROM e JOIN documents da ON e.id_lo = da.doc_id
+         |         JOIN documents db ON e.id_hi = db.doc_id)
+         |SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+         |FROM sp GROUP BY source_lo, source_hi
+         |ORDER BY source_lo ASC NULLS FIRST, source_hi ASC NULLS FIRST"""
+        .stripMargin
   )
 }

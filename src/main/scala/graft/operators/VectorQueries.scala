@@ -96,6 +96,35 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("codes"), col("rmse4"))
         .orderBy("vec_id")),
 
+    // Embedding-norm outlier detection: per label, mean/stddev of the
+    // L2 norms from exact decimal moments (q43's partition-invariant
+    // formulation) and the count of vectors beyond 2σ — the embedding
+    // sanity screen (broken encoders produce degenerate norms). Norms
+    // are 6dp-quantized BEFORE the moment sums so every engine and
+    // partition layout folds identical decimals; one corpus pass for
+    // the moments, one broadcast join back for the outlier count.
+    "q101_embed_outliers" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val nrm = t(s, dir, "embeddings").select(col("label"),
+        round(sqrt(expr("graft_dot(embedding, embedding)")), 6).as("x"))
+      val stats = nrm.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(Dets.Dec)).as("sx"),
+          sum((col("x") * col("x")).cast(Dets.Dec)).as("sxx"))
+        .withColumn("mean", col("sx").cast("double") / col("n"))
+        .withColumn("sd", sqrt(greatest(lit(0d),
+          col("sxx").cast("double") / col("n")
+            - col("mean") * col("mean"))))
+      nrm.join(broadcast(stats), "label")
+        .groupBy("label")
+        .agg(max("n").as("n"),
+          round(max("mean"), 4).as("mean4"),
+          round(max("sd"), 4).as("sd4"),
+          sum(when(abs(col("x") - col("mean")) > lit(2d) * col("sd"), 1L)
+            .otherwise(0L)).as("n_out"))
+        .orderBy("label")
+    }),
+
     // Oracle-omitted: two-stage ANN (coarse quantizer over label centroids,
     // then fine search in the top-2 cells). Structure is asserted in
     // OperatorSpec; the driver records a rows-only check.
@@ -170,6 +199,31 @@ object VectorQueries {
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY v.probe_id
          |  ORDER BY v.votes DESC NULLS LAST, v.label ASC NULLS FIRST) = 1
          |ORDER BY p.probe_id ASC NULLS FIRST""".stripMargin,
+
+    "q101_embed_outliers" ->
+      """WITH nrm AS (
+        |  SELECT label,
+        |         ROUND(SQRT(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS x
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT label, COUNT(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM nrm GROUP BY label),
+        |ms AS (
+        |  SELECT label, n, sx / n AS mean,
+        |         SQRT(GREATEST(CAST(0 AS DOUBLE),
+        |           sxx / n - (sx / n) * (sx / n))) AS sd
+        |  FROM st)
+        |SELECT nrm.label, MAX(ms.n) AS n,
+        |       ROUND(MAX(ms.mean), 4) AS mean4,
+        |       ROUND(MAX(ms.sd), 4) AS sd4,
+        |       CAST(SUM(CASE WHEN ABS(nrm.x - ms.mean) > 2 * ms.sd
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM nrm JOIN ms ON nrm.label = ms.label
+        |GROUP BY nrm.label
+        |ORDER BY nrm.label ASC NULLS FIRST""".stripMargin,
 
     "q63_centroid_agg" ->
       """WITH flat AS (

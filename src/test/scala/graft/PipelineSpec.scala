@@ -141,6 +141,25 @@ class PipelineSpec extends SparkSpec {
     sup.unpersist()
   }
 
+  test("q100 overlap matrix: pair counts sum to the near-dup edge count") {
+    val m = q("q100_source_overlap").cache()
+    val edges = operators.TextQueries.nearDupPairs(spark, Sf, 0.6).count()
+    val total = m.agg(sum("n_pairs")).head().getLong(0)
+    assert(total == edges, s"matrix total $total != edge count $edges")
+    assert(m.filter(col("source_lo") > col("source_hi")).count() == 0)
+    m.unpersist()
+  }
+
+  test("q101 outliers: n sums to corpus size, sd nonneg, bound respected") {
+    val o = q("q101_embed_outliers").cache()
+    assert(o.agg(sum("n")).head().getLong(0) ==
+      Tables.load(spark, Sf, "embeddings").count())
+    assert(o.filter(col("sd4") < 0).count() == 0)
+    // Chebyshev: at most n/4 rows can sit beyond 2σ
+    assert(o.filter(col("n_out") > col("n") / 4).count() == 0)
+    o.unpersist()
+  }
+
   test("q99 dataset card: TOTAL row reconciles with per-source rows") {
     val card = q("q99_dataset_card").cache()
     val srcRows = card.filter(col("source") =!= "TOTAL")
