@@ -53,7 +53,9 @@ object TfidfQueries {
     // being row values: the same (term, doc) reduction is written
     // term-bucketed/sorted (LakeWriter bucketing) and df alone stays
     // relational — the declared query keeps the df floor high enough
-    // that emitted lists stay bounded.
+    // that emitted lists stay bounded. Postings are emitted comma-joined
+    // (the q27 pattern: integers render identically in both engines) so
+    // the driver's value hash sees a scalar, not an array.
     "q95_inverted_index" -> ((s, dir) => {
       val posting = t(s, dir, "documents")
         .select(explode(TextFunctions.tokenSet(col("text"))).as("term"),
@@ -62,6 +64,9 @@ object TfidfQueries {
         .agg(count(lit(1)).as("df"),
           sort_array(collect_list(col("doc_id"))).as("postings"))
         .filter(col("df") >= IdxMinDf)
+        .select(col("term"), col("df"),
+          expr("array_join(transform(postings, x -> CAST(x AS STRING)), ',')")
+            .as("postings_csv"))
         .orderBy("term")
     }),
 
@@ -117,7 +122,8 @@ object TfidfQueries {
          |  FROM documents
          |)
          |SELECT term, COUNT(*) AS df,
-         |       list(doc_id ORDER BY doc_id ASC) AS postings
+         |       array_to_string(list(doc_id ORDER BY doc_id ASC), ',')
+         |         AS postings_csv
          |FROM p GROUP BY term
          |HAVING COUNT(*) >= $IdxMinDf
          |ORDER BY term ASC NULLS FIRST""".stripMargin,

@@ -89,11 +89,15 @@ object VectorQueries {
 
     // Scalar int8-style quantization: per-dim corpus min/max (one
     // broadcast row) + a pure map emitting codes and reconstruction
-    // error — the vector-compression ETL step.
+    // error — the vector-compression ETL step. Codes emit comma-joined
+    // (q27 pattern) so the driver's value hash sees a scalar.
     "q96_quantize" -> ((s, dir) =>
       graft.api.VectorOps.quantizeMinMax(
         t(s, dir, "embeddings"), "vec_id", "embedding", 64)
-        .select(col("id").as("vec_id"), col("codes"), col("rmse4"))
+        .select(col("id").as("vec_id"),
+          expr("array_join(transform(codes, x -> CAST(x AS STRING)), ',')")
+            .as("codes_csv"),
+          col("rmse4"))
         .orderBy("vec_id")),
 
     // Embedding-norm outlier detection: per label, mean/stddev of the
@@ -267,7 +271,7 @@ object VectorQueries {
          |         embedding, mns, mxs
          |  FROM embeddings CROSS JOIN pk
          |)
-         |SELECT vec_id, codes,
+         |SELECT vec_id, array_to_string(codes, ',') AS codes_csv,
          |       ROUND(SQRT(list_sum(list_transform(range(0, 64), i ->
          |         POWER(CAST(embedding[i + 1] AS DOUBLE)
          |           - (mns[i + 1] + CAST(codes[i + 1] AS DOUBLE)

@@ -73,7 +73,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("SURVEY §2 inventory and the declared query map agree") {
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
-    val mentioned = "`(q[0-9]{2}_[a-z0-9_]+)`".r
+    val mentioned = "`(q[0-9]{2,}_[a-z0-9_]+)`".r
       .findAllMatchIn(survey).map(_.group(1)).toSet
     val declared = SparkEntry.queries.keySet
     assert((declared -- mentioned).isEmpty,
