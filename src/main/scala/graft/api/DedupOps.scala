@@ -22,11 +22,45 @@ object DedupOps {
 
   /** Exact duplicate groups by a content column: one row per distinct
     * content value with the smallest id as `keep_id` and the copy count.
-    * One hash aggregation — map-side partial, no joins. */
+    *
+    * The aggregation is keyed on the 8-byte rolling content hash plus the
+    * length — NOT the raw content — so the exchange partitions, compares,
+    * and sorts fixed-width keys instead of full documents (at 100 TB the
+    * payload difference is the whole document corpus). Exactness is kept,
+    * not assumed: min/max of the content within each hash group verify
+    * collision-freedom for free inside the same partial aggregation, and
+    * the (astronomically rare) collided groups are re-resolved by raw
+    * content — that second aggregation sees only the collided rows. */
   def exactGroups(docs: DataFrame, idCol: String, contentCol: String)
-  : DataFrame =
-    docs.groupBy(col(contentCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  : DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val hashed = docs.select(col(idCol).as("__id"), col(contentCol).as("__c"),
+      call_function("graft_charhash", col(contentCol)).as("h"),
+      length(col(contentCol)).as("hlen"))
+    val byHash = hashed.groupBy("h", "hlen")
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("__c")).as("c_min"), max(col("__c")).as("c_max"))
+    val clean = byHash.filter(col("c_min") === col("c_max"))
+      .select(col("keep_id"), col("n_copies"), col("c_min").as(contentCol))
+    // Collided groups re-resolve in-array so even the rescue exchange is
+    // keyed on (h, hlen), never on content; the in-group scan is
+    // quadratic but a group is a hash collision — a handful of rows.
+    val rescued = hashed
+      .join(broadcast(byHash.filter(col("c_min") =!= col("c_max"))
+        .select("h", "hlen")), Seq("h", "hlen"))
+      .groupBy("h", "hlen")
+      .agg(collect_list(struct(col("__id"), col("__c"))).as("rows"))
+      .select(explode(expr(
+        """transform(array_distinct(transform(rows, r -> r.__c)),
+          |  t -> struct(
+          |    array_min(transform(filter(rows, r -> r.__c = t),
+          |      r -> r.__id)) AS keep_id,
+          |    CAST(size(filter(rows, r -> r.__c = t)) AS BIGINT)
+          |      AS n_copies,
+          |    t AS c))""".stripMargin)).as("g"))
+      .select(col("g.keep_id"), col("g.n_copies"), col("g.c").as(contentCol))
+    clean.unionByName(rescued)
+  }
 
   /** MinHash + LSH near-dup pairs: shingle → `numHashes` MinHash sketch →
     * `bands` band keys → candidate pairs from per-band key collisions →

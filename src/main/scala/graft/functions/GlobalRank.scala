@@ -76,7 +76,16 @@ object GlobalRank {
 
   /** Append a global `rn` column: row_number over `order` without a
     * single-partition window. */
-  def rowNumber(df: DataFrame, order: Seq[Column], parts: Int = 0): DataFrame = {
+  def rowNumber(df: DataFrame, order: Seq[Column], parts: Int = 0): DataFrame =
+    rowNumberWithTotal(df, order, parts)._1
+
+  /** [[rowNumber]] plus the total row count, which the ranking job has
+    * already paid for (it is the sum of the per-partition counts) — the
+    * driver-side N lets callers derive ntile/percent_rank/cume_dist from
+    * `rn` by pure arithmetic instead of a second pass or a
+    * single-partition global aggregate. */
+  def rowNumberWithTotal(df: DataFrame, order: Seq[Column], parts: Int = 0)
+  : (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
     // localCheckpoint materializes the ranged partitioning ONCE: the range
@@ -96,8 +105,9 @@ object GlobalRank {
     }.sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }.toSeq
     import spark.implicits._
     val offDf = offsets.toDF("__pid", "__off")
-    local.join(broadcast(offDf), "__pid")
+    val ranked = local.join(broadcast(offDf), "__pid")
       .withColumn("rn", (col("__lrn") + col("__off")).cast("long"))
       .drop("__pid", "__lrn", "__off")
+    (ranked, counts.map(_._2).sum)
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Dets, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Operational-analytics operators over the event log and order history —
@@ -90,17 +91,36 @@ object AnalyticsQueries {
     // view precedes a purchase, strictly increasing in time. Stage k
     // counts users reaching step k; each stage is min(ts) over the
     // events after the previous stage's timestamp.
+    //
+    // Single scan, single shuffle: running mins over the per-user
+    // time-ordered window stage the same t1/t2/t3 the self-join form
+    // computes. At each row the running min of signup timestamps equals
+    // the user's GLOBAL first-signup t1 whenever t1 <= row ts, and the
+    // strict `>` makes the boundary row agree, so marking a view
+    // qualified iff ts > running-t1 is exactly "ts > t1" — same argument
+    // one level up for purchases vs the qualified-view running min. The
+    // three Window ops share one partitioning+sort (one exchange), and
+    // the per-user groupBy reuses that partitioning (no second shuffle)
+    // — vs three events scans, three shuffles, and two joins before.
     "q53_funnel" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-      val s1 = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val v1 = e.filter(col("event_type") === "view")
-        .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val p1 = e.filter(col("event_type") === "purchase")
-        .join(v1, Seq("user_id")).filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      s1.join(v1, Seq("user_id"), "left").join(p1, Seq("user_id"), "left")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("event_type").isin("signup", "view", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t1r",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2c",
+          when(col("event_type") === "view" && col("ts") > col("t1r"),
+            col("ts")))
+        .withColumn("t2r", min(col("t2c")).over(w))
+        .withColumn("t3c",
+          when(col("event_type") === "purchase" && col("ts") > col("t2r"),
+            col("ts")))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+          min(col("t2c")).as("t2"), min(col("t3c")).as("t3"))
+        .filter(col("t1").isNotNull)
         .agg(count(lit(1)).as("n_signup"), count(col("t2")).as("n_view"),
           count(col("t3")).as("n_purchase"))
         .selectExpr("""stack(3,

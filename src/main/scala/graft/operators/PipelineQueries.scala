@@ -275,8 +275,13 @@ object PipelineQueries {
           countDistinct(col("text")).as("n_uniq"),
           countDistinct(col("lang")).as("n_langs"),
           sum("n_toks").as("n_tokens"),
-          Dets.decAvg(col("n_chars")).as("avg_chars"))
-        .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+          Dets.decAvg(col("n_chars")).as("avg_chars"),
+          // grouping() tags the rollup total — a genuine NULL source
+          // group (or one literally named 'TOTAL') must stay
+          // distinguishable (it is only valid inside the agg list)
+          grouping(col("source")).as("g_src"))
+        .select(when(col("g_src") === 1, lit("TOTAL"))
+          .otherwise(col("source")).as("source"),
           col("n_docs"), col("n_uniq"),
           round((col("n_docs") - col("n_uniq")).cast("double")
             / col("n_docs"), 4).as("dup_rate"),
@@ -435,7 +440,8 @@ object PipelineQueries {
          |  SELECT source, lang, text, n_chars,
          |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks
          |  FROM documents)
-         |SELECT COALESCE(source, 'TOTAL') AS source,
+         |SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
+         |            ELSE source END AS source,
          |       COUNT(*) AS n_docs,
          |       COUNT(DISTINCT text) AS n_uniq,
          |       ROUND(CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE)

@@ -129,9 +129,11 @@ object VectorQueries {
         .orderBy("label")
     }),
 
-    // Oracle-omitted: two-stage ANN (coarse quantizer over label centroids,
-    // then fine search in the top-2 cells). Structure is asserted in
-    // OperatorSpec; the driver records a rows-only check.
+    // Two-stage ANN (coarse quantizer over label centroids, then fine
+    // search in the top-2 cells). The whole pipeline is deterministic —
+    // decimal-mean centroids [D2], 4dp-rounded cosines, id tie-breaks —
+    // so the oracle replays it exactly in SQL (gated since round 3;
+    // structure additionally asserted in OperatorSpec).
     "q70_ann_ivf" -> ((s, dir) => {
       GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
@@ -285,6 +287,51 @@ object VectorQueries {
          |       ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) AS cos4
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) >= 0.35
-         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin
+         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    // Exact replay of the IVF pipeline: per-label decimal-mean centroids
+    // (CentroidAggregator's micros-sum → ROUND(sum/n, 4), the q63 CTE),
+    // coarse rank of the 4dp probe-centroid cosines with cell tie-break,
+    // fine 4dp cosines in the two selected cells with vec_id tie-break.
+    "q70_ann_ivf" -> {
+      val coarseCos = Sql.cosine("p.pe", "c.cent")
+      val fineCos = Sql.cosine("p.pe", "b.embedding")
+      s"""WITH flat AS (
+         |  SELECT label, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS dim
+         |  FROM embeddings
+         |), per AS (
+         |  SELECT label, dim,
+         |         ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+         |               / COUNT(*), 4) + 0 AS c
+         |  FROM flat GROUP BY label, dim
+         |), cents AS (
+         |  SELECT label AS cell, list(c ORDER BY dim ASC) AS cent
+         |  FROM per GROUP BY label
+         |), p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pe
+         |  FROM embeddings WHERE vec_id < 10
+         |), coarse AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT p.probe_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+         |             ORDER BY ROUND($coarseCos, 4) DESC NULLS LAST,
+         |                      c.cell ASC NULLS FIRST) AS crk
+         |    FROM p CROSS JOIN cents c) x
+         |  WHERE crk <= 2
+         |)
+         |SELECT probe_id, vec_id, cos4, rn FROM (
+         |  SELECT co.probe_id, b.vec_id,
+         |         ROUND($fineCos, 4) + 0 AS cos4,
+         |         ROW_NUMBER() OVER (PARTITION BY co.probe_id
+         |           ORDER BY ROUND($fineCos, 4) DESC NULLS LAST,
+         |                    b.vec_id ASC NULLS FIRST) AS rn
+         |  FROM coarse co
+         |  JOIN p ON p.probe_id = co.probe_id
+         |  JOIN embeddings b ON b.label = co.cell
+         |                   AND b.vec_id != co.probe_id) f
+         |WHERE rn <= 3
+         |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+    }
   )
 }

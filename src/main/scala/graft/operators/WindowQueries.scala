@@ -74,13 +74,35 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Global ntile/percent_rank/cume_dist WITHOUT the no-PARTITION
+    // window (which would pull the whole table through one task at
+    // scale): GlobalRank.rowNumber range-partitions, ranks locally, and
+    // offsets by per-partition counts; because the order is total
+    // (custkey tie-break) rank == row_number, so the three functions are
+    // pure arithmetic on (rn, N) — ntile's uneven-bucket rule included.
+    // N rides along from the counts the ranking already collected.
+    // PlanShapeSpec asserts no SinglePartition exchange in this plan.
     "q34_ntile_pct" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).cast("long").as("tile"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"))
+      val (ranked, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal").asc, col("c_custkey").asc))
+      val tiles = 4L
+      val q = n / tiles
+      val r = n % tiles
+      // first r tiles take q+1 rows, the rest q (SQL NTILE's rule);
+      // `div` = integer division (Column./ would be double division)
+      val tile =
+        if (q == 0) col("rn")
+        else when(col("rn") <= r * (q + 1),
+          expr(s"(rn - 1) div ${q + 1} + 1"))
+          .otherwise(expr(s"$r + (rn - 1 - ${r * (q + 1)}) div $q + 1"))
+      val pctRank =
+        if (n <= 1) lit(0d)
+        else (col("rn") - 1).cast("double") / lit(n - 1).cast("double")
+      ranked.select(col("c_custkey"), col("c_acctbal"),
+        tile.cast("long").as("tile"),
+        pctRank.as("pct_rank"),
+        (col("rn").cast("double") / lit(n).cast("double")).as("cume"))
         .orderBy("c_acctbal", "c_custkey")
     }),
 

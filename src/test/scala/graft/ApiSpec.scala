@@ -31,6 +31,24 @@ class ApiSpec extends SparkSpec {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
 
+  test("exactGroups resolves content-hash collisions exactly") {
+    import spark.implicits._
+    // "Aa" and "BB" collide under the 31-poly rolling hash (65*31 + 97
+    // == 66*31 + 66) and share a length, forcing the rescue path; the
+    // result must still group by true content.
+    assert(graft.functions.TextHash.charHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("Aa")) ==
+      graft.functions.TextHash.charHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("BB")),
+      "fixture strings must collide for this test to exercise the rescue")
+    val docs = Seq((1L, "Aa"), (2L, "BB"), (3L, "Aa"), (4L, "plain"))
+      .toDF("k", "c")
+    val got = graft.api.DedupOps.exactGroups(docs, "k", "c")
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 2L, "Aa"), (2L, 1L, "BB"), (4L, 1L, "plain")))
+  }
+
   test("nearDupPairs on a foreign schema matches brute-force Jaccard") {
     val hashed = TextOps.tokenHashTable(corpus, "key", "body", "tongue")
     val got = TextOps.nearDupPairs(hashed, 0.5)

@@ -49,6 +49,28 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       p.take(2000))
   }
 
+  test("q34 global ranking has no single-partition exchange or window") {
+    val p = planOf("q34_ntile_pct")
+    assert(!p.contains("SinglePartition"),
+      "global ntile/pct_rank must not funnel through one task\n" + p.take(2000))
+  }
+
+  test("q60 exact-dedup exchange is keyed on the content hash, not text") {
+    val plan = SparkEntry.queries("q60_dedup_exact")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.exists(_.contains("hashpartitioning(h#")),
+      "expected an exchange keyed on h\n" + exchanges.mkString("\n"))
+    assert(!exchanges.exists(_.contains("hashpartitioning(text#")),
+      "the exchange must not be keyed on raw text\n" + exchanges.mkString("\n"))
+  }
+
+  test("q53 funnel scans events once") {
+    val p = planOf("q53_funnel")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected one events scan, saw $scans\n" + p.take(2000))
+  }
+
   test("q17 interval join hashes on the equi key (no nested loop)") {
     val p = planOf("q17_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -88,7 +110,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
     val omitted = q -- o
     assert(omitted.forall(
-      Set("q22_agg_hll", "q70_ann_ivf", "q45_approx_quantile")),
+      Set("q22_agg_hll", "q45_approx_quantile")),
       s"unexpected oracle-omitted queries: $omitted")
   }
 }
