@@ -22,10 +22,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal values keep the whole line well under ~2 KB so a
-    // tail-window capture of stdout still contains the complete JSON
+    // The driver keeps only a ~3 KB tail of stdout; with 94 queries the
+    // full-name map overflows it and the line arrives unparseable
+    // (BENCH_r02 `parsed: null`). Short keys ("q44" for
+    // "q44_median_disc" — the numeric id is unique) plus 3-decimal
+    // values keep the whole line ~1.4 KB, well inside the window.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -124,8 +124,11 @@ object VectorOps {
   }
 
   /** Deterministic Gaussian hyperplanes: Box–Muller over splitmix64
-    * uniforms, seeded per (plane, dim) — identical on every run/engine. */
-  private def gaussianPlanes(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    * uniforms, seeded per (plane, dim) — identical on every run/engine.
+    * `private[graft]` so the q102 oracle can embed the same planes as
+    * SQL literals (the same replay pattern q66 uses for the MinHash
+    * constants). */
+  private[graft] def gaussianPlanes(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
     import graft.functions.TextFunctions.mix64
     def unit(x: Long): Double = // uniform in (0, 1]
       ((x >>> 11) + 1).toDouble / (1L << 53).toDouble

@@ -41,18 +41,21 @@ object GlobalRank {
   def cumSum(df: DataFrame, groupCol: String, orderCol: String,
     weightCol: String, buckets: Int = 256): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val bounds = df.agg(min(col(orderCol)).cast("double"),
-      max(col(orderCol)).cast("double")).head()
-    if (bounds.isNullAt(0))
-      return df.withColumn("cum", lit(0L)).withColumn("n", lit(0L))
-    val lo = bounds.getDouble(0)
-    val width = (bounds.getDouble(1) - lo) / buckets
-    val b = if (width == 0) lit(0)
-      else least(lit(buckets - 1), greatest(lit(0),
-        floor((col(orderCol).cast("double") - lo) / width).cast("int")))
+    // The global min/max attach as a broadcast one-row aggregate, NOT a
+    // driver-side head(): a separate bounds action would recompute the
+    // whole upstream lineage (typically a source-scanning histogram
+    // groupBy) a second time, doubling the scans — as an attached
+    // subtree the heavy exchange is shared and the source is read once.
+    val bounds = df.agg(min(col(orderCol)).cast("double").as("__lo"),
+      max(col(orderCol)).cast("double").as("__hi"))
+    val b = when(col("__lo").isNull || col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(lit(buckets - 1), greatest(lit(0),
+        floor((col(orderCol).cast("double") - col("__lo"))
+          / ((col("__hi") - col("__lo")) / buckets)).cast("int"))))
     // both the local window and the bucket totals hang off this ONE
     // exchange (identical subtree -> ReuseExchange)
-    val shuffled = df.withColumn("__b", b)
+    val shuffled = df.crossJoin(broadcast(bounds))
+      .withColumn("__b", b).drop("__lo", "__hi")
       .repartition(col(groupCol), col("__b"))
     val withCum = shuffled.withColumn("__lcum",
       sum(col(weightCol)).over(

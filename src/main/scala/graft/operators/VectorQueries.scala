@@ -129,6 +129,19 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // The 100 TB near-dup path declared as its own gated query: random-
+    // hyperplane LSH bands replace q69's O(n²) pair scan with an
+    // equi-join on (band, sign-pattern key); only candidates pay the
+    // exact cosine verify. Deterministic end-to-end — splitmix64-seeded
+    // Gaussian planes are pure functions of (seed, plane, dim) — so the
+    // oracle embeds the same planes as literals and replays the banding
+    // (the q66 MinHash-constant pattern).
+    "q102_embed_lsh" -> ((s, dir) =>
+      graft.api.VectorOps.cosineLshPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 0.35)
+        .select(col("id_lo"), col("id_hi"), col("cos").as("cos4"))
+        .orderBy("id_lo", "id_hi")),
+
     // Two-stage ANN (coarse quantizer over label centroids, then fine
     // search in the top-2 cells). The whole pipeline is deterministic —
     // decimal-mean centroids [D2], 4dp-rounded cosines, id tie-breaks —
@@ -170,6 +183,17 @@ object VectorQueries {
   )
 
   private val sqlCos = Sql.cosine("a.pe", "b.embedding")
+
+  /** The q102 LSH planes, embedded in the oracle as exact doubles:
+    * Float.toString would NOT round-trip through DuckDB's double parse
+    * (0.1f as double is 0.10000000149011612, not 0.1), and graft_dot
+    * widens each float to double before multiplying — so the literals
+    * must be the float values' exact double images. */
+  private def lshPlanesValues: String =
+    graft.api.VectorOps.gaussianPlanes(32, 64, 42L).zipWithIndex
+      .map { case (p, i) =>
+        s"($i, [${p.map(_.toDouble.toString).mkString(", ")}])"
+      }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
     "q62_sim_topk" ->
@@ -286,6 +310,32 @@ object VectorQueries {
       s"""SELECT a.vec_id AS id_lo, b.vec_id AS id_hi,
          |       ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) AS cos4
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) >= 0.35
+         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    // Band keys replayed from the embedded planes: bit i of band b's key
+    // is the sign of dot(v, plane[b*8+i]); candidates are DISTINCT
+    // same-(band, key) pairs (set-equal to the first-matching-band rule);
+    // verify at the same 4dp-rounded cosine threshold.
+    "q102_embed_lsh" ->
+      s"""WITH planes(pid, p) AS (VALUES
+         |$lshPlanesValues
+         |), keys AS (
+         |  SELECT e.vec_id AS id, pid // 8 AS band,
+         |         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+         |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+         |              THEN 1 << (pid % 8) ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM embeddings e CROSS JOIN planes pl
+         |  GROUP BY e.vec_id, pid // 8
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_lo, b.id AS id_hi
+         |  FROM keys a JOIN keys b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+         |)
+         |SELECT c.id_lo, c.id_hi,
+         |       ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) AS cos4
+         |FROM cand c JOIN embeddings a ON c.id_lo = a.vec_id
+         |            JOIN embeddings b ON c.id_hi = b.vec_id
          |WHERE ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) >= 0.35
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
 
