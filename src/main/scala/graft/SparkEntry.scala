@@ -31,7 +31,8 @@ object SparkEntry {
     (PivotQueries.queries, PivotQueries.oracle),
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
-    (ServiceQueries.queries, ServiceQueries.oracle)
+    (ServiceQueries.queries, ServiceQueries.oracle),
+    (CurationQueries.queries, CurationQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,268 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.Sql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.12 corpus-curation operators (round 3) — the second tier of
+  * training-data pipeline ops on the `documents` table:
+  *
+  *  - q103 bigram-LM surprisal (the 2-gram extension of q98's unigram
+  *    perplexity filter),
+  *  - q104 rule-based quality gating (Gopher-style bounds as an
+  *    auditable flag bitmask),
+  *  - q105 per-source length quantiles (distributed exact percentiles
+  *    via GlobalRank.cumSum — the q46 machinery on a second domain),
+  *  - q106 top-k n-grams per source (the bounded-heap TopKPerGroup
+  *    operator on corpus n-gram counts),
+  *  - q107 temperature-scaled mixture planning (per-source sampling
+  *    weights and epoch counts for a token budget).
+  *
+  * Scale notes: every per-document score is a pure projection over the
+  * token array (codegen, zero shuffle). Bigrams/trigrams are built
+  * ARRAY-LOCALLY with `transform(sequence(...))` over adjacent
+  * positions — no per-token window, no (doc, pos) shuffle; the only
+  * exchanges are the hash aggs on n-gram keys, which collapse
+  * occurrences to the (bounded) vocabulary before any join, exactly
+  * like q98. q105 inherits cumSum's range-bucketed parallelism; q106
+  * bounds its shuffle to k rows per (source, partition).
+  */
+object CurationQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.loadSpread(s, dir, n)
+
+  /** Adjacent-pair (w1, w2) bigrams, built inside the token array.
+    * Spark's `sequence(1, 0)` is the DESCENDING [1, 0] — not empty —
+    * so docs with < 2 tokens must be filtered before the transform
+    * (DuckDB's `range` is empty there; the filter makes both engines
+    * drop bigram-less docs identically). */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", TextFunctions.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bigram-LM mean surprisal per doc: surprisal(w1 w2) =
+    // ln(cf(w1) / bf(w1, w2)) with cf the count of w1 as a bigram
+    // context (= sum of bf over its continuations — NOT the unigram
+    // count, which also counts doc-final tokens that condition
+    // nothing). Two hash aggs collapse token occurrences to distinct
+    // bigrams before the occurrence join; per-occurrence terms are
+    // 6dp-quantized and decimal-summed (q98's [D2] pattern) so the
+    // score is partition-invariant.
+    "q103_bigram_surprisal" -> ((s, dir) => {
+      val bg = bigrams(t(s, dir, "documents"))
+      val bf = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
+      val cf = bf.groupBy("w1").agg(sum("bf").as("cf"))
+      bg.join(bf, Seq("w1", "w2")).join(cf, Seq("w1"))
+        .withColumn("term",
+          round(log(col("cf").cast("double") / col("bf")), 6).cast(Dec))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("term")).cast("double") / count(lit(1)), 4)
+            .as("surprisal4"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style rule gate: token-count bounds, mean-token-length
+    // band, minimum stopword share, minimum type-token ratio — each
+    // rule integer-exact (cross-multiplied, no float ratios) and
+    // surfaced as a bit in `flags` so a curation run can report WHY a
+    // doc was dropped, not just that it was.
+    "q104_quality_rules" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          expr("aggregate(toks, CAST(0 AS BIGINT), " +
+            "(acc, t) -> acc + length(t))").as("sum_len"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"),
+          size(expr("filter(toks, t -> t = 'the' OR t = 'a')"))
+            .cast("long").as("n_stop"))
+      d.select(col("doc_id"), col("n_tok"),
+          (col("n_tok") >= 20 && col("n_tok") <= 100000).as("r_len"),
+          (col("sum_len") >= col("n_tok") * 3 &&
+            col("sum_len") <= col("n_tok") * 8).as("r_wordlen"),
+          (col("n_stop") * 50 >= col("n_tok")).as("r_stop"),
+          (col("n_types") * 5 >= col("n_tok")).as("r_ttr"))
+        .select(col("doc_id"), col("n_tok"),
+          (when(col("r_len"), 1).otherwise(0)
+            + when(col("r_wordlen"), 2).otherwise(0)
+            + when(col("r_stop"), 4).otherwise(0)
+            + when(col("r_ttr"), 8).otherwise(0)).cast("int").as("flags"),
+          when(col("r_len") && col("r_wordlen") && col("r_stop")
+            && col("r_ttr"), 1).otherwise(0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact per-source length percentiles (p50/p90 of n_chars) via the
+    // distributed histogram cumsum — the q46 quartile machinery reused
+    // on a second (table, group, order) binding. The value histogram
+    // collapses hard here (n_chars domain is bounded); thresholds use
+    // the same integer ceil arithmetic as q46.
+    "q105_len_quantiles" -> ((s, dir) => {
+      val hist = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.functions.GlobalRank.cumSum(hist, "source", "n_chars", "cnt")
+        .groupBy("source")
+        .agg(
+          min(when(col("cum") * 2 >= col("n"), col("n_chars"))).as("p50"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("n_chars")))
+            .as("p90"))
+        .orderBy("source")
+    }),
+
+    // Top-3 trigrams per source by corpus count (tie-break: trigram
+    // text asc — total order). Trigrams are array-local strings; the
+    // count agg collapses to the trigram vocabulary map-side, and the
+    // custom TopKPerGroup operator bounds the final shuffle to k rows
+    // per (source, partition) — no full window sort anywhere.
+    "q106_topk_ngrams" -> ((s, dir) => {
+      val tri = t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
+          .as("tri"))
+      val cnt = tri.groupBy("source", "tri").agg(count(lit(1)).as("cnt"))
+      graft.plans.GraftOps.topKPerGroup(cnt, Seq(col("source")),
+          Seq(col("cnt").desc, col("tri").asc), 3)
+        .orderBy("source", "rn")
+    }),
+
+    // Temperature-scaled (τ = 0.5) data-mixture plan: per-source
+    // sampling weight w_i = sqrt(c_i) / Σ sqrt(c_j) over token counts,
+    // and the epochs of source i a budget of Σ c_j tokens implies
+    // (epochs_i = budget · w_i / c_i — upsampling small sources, the
+    // standard low-resource rebalance). The per-source sqrt is
+    // 6dp-quantized to a decimal so the Σ is order-independent; the
+    // one-row totals attach via broadcast. safeDiv: a source whose
+    // docs are all empty has c_i = 0 at scale — its epochs are NULL,
+    // not a crashed stage.
+    "q107_mixture_plan" -> ((s, dir) => {
+      val c = t(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .groupBy("source")
+        .agg(sum(size(col("toks")).cast("long")).as("n_tokens"))
+        .withColumn("sq",
+          round(sqrt(col("n_tokens").cast("double")), 6).cast(Dec))
+      val tot = c.agg(sum(col("sq")).cast("double").as("tot"),
+        sum(col("n_tokens")).as("budget"))
+      c.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(safeDiv(col("sq").cast("double"), col("tot")), 4)
+            .as("weight4"),
+          round(safeDiv(
+            col("budget").cast("double") * col("sq").cast("double"),
+            col("tot") * col("n_tokens").cast("double")), 4).as("epochs4"))
+        .orderBy("source")
+    })
+  )
+
+  private val sqlToks = Sql.tokens("text")
+
+  val oracle: Map[String, String] = Map(
+    // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
+    // empty for n <= 1 so bigram-less docs drop with no guard.
+    "q103_bigram_surprisal" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |         unnest(toks[2:len(toks)]) AS w2
+         |  FROM d WHERE len(toks) >= 2
+         |), bf AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY w1, w2),
+         |cf AS (SELECT w1, SUM(bf) AS cf FROM bf GROUP BY w1)
+         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         |       ROUND(CAST(SUM(CAST(ROUND(ln(CAST(cf.cf AS DOUBLE) / bf.bf), 6)
+         |                          AS DECIMAL(38,6))) AS DOUBLE)
+         |             / COUNT(*), 4) AS surprisal4
+         |FROM bg JOIN bf USING (w1, w2) JOIN cf USING (w1)
+         |GROUP BY bg.doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q104_quality_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |         -- COALESCE: list_sum([]) is NULL in DuckDB, while the
+         |         -- Spark side's aggregate() starts from a 0 seed
+         |         CAST(COALESCE(list_sum(list_transform(toks,
+         |              t -> length(t))), 0) AS BIGINT) AS sum_len,
+         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         |         CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+         |              AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents) d
+         |), r AS (
+         |  SELECT doc_id, n_tok,
+         |         (n_tok >= 20 AND n_tok <= 100000) AS r_len,
+         |         (sum_len >= n_tok * 3 AND sum_len <= n_tok * 8) AS r_wordlen,
+         |         (n_stop * 50 >= n_tok) AS r_stop,
+         |         (n_types * 5 >= n_tok) AS r_ttr
+         |  FROM m)
+         |SELECT doc_id, n_tok,
+         |       CAST(CASE WHEN r_len THEN 1 ELSE 0 END
+         |            + CASE WHEN r_wordlen THEN 2 ELSE 0 END
+         |            + CASE WHEN r_stop THEN 4 ELSE 0 END
+         |            + CASE WHEN r_ttr THEN 8 ELSE 0 END AS INTEGER) AS flags,
+         |       CAST(CASE WHEN r_len AND r_wordlen AND r_stop AND r_ttr
+         |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM r ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q105_len_quantiles" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, COUNT(*) AS cnt
+        |  FROM documents GROUP BY source, n_chars
+        |), c AS (
+        |  SELECT source, n_chars,
+        |         SUM(cnt) OVER (PARTITION BY source
+        |           ORDER BY n_chars ASC) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM h)
+        |SELECT source,
+        |       MIN(CASE WHEN cum * 2 >= n THEN n_chars END) AS p50,
+        |       MIN(CASE WHEN cum * 10 >= n * 9 THEN n_chars END) AS p90
+        |FROM c GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "q106_topk_ngrams" ->
+      s"""WITH d AS (SELECT source, $sqlToks AS toks FROM documents),
+         |tri AS (
+         |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+         |  FROM d
+         |), c AS (SELECT source, tri, COUNT(*) AS cnt FROM tri
+         |         GROUP BY source, tri)
+         |SELECT source, tri, cnt, rn FROM (
+         |  SELECT source, tri, cnt,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY cnt DESC NULLS LAST, tri ASC NULLS FIRST) AS rn
+         |  FROM c) x
+         |WHERE rn <= 3
+         |ORDER BY source ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "q107_mixture_plan" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), c2 AS (
+         |  SELECT source, n_tokens,
+         |         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+         |              AS DECIMAL(38,6)) AS sq
+         |  FROM c
+         |), t AS (SELECT CAST(SUM(sq) AS DOUBLE) AS tot,
+         |                CAST(SUM(n_tokens) AS BIGINT) AS budget FROM c2)
+         |SELECT source, n_tokens,
+         |       ROUND(CAST(sq AS DOUBLE) / tot, 4) AS weight4,
+         |       ROUND(CAST(budget AS DOUBLE) * CAST(sq AS DOUBLE)
+         |             / (tot * CAST(n_tokens AS DOUBLE)), 4) AS epochs4
+         |FROM c2 CROSS JOIN t ORDER BY source ASC NULLS FIRST""".stripMargin
+  )
+}

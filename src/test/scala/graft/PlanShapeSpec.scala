@@ -83,6 +83,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       p.take(2000))
   }
 
+  test("q106 per-source top-k runs through TopKPerGroupExec, not a window") {
+    val p = planOf("q106_topk_ngrams")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("Window"),
+      "trigram top-k must use the bounded-heap operator, not a window sort")
+  }
+
+  test("q103 bigrams are array-local (no per-token window shuffle)") {
+    val p = planOf("q103_bigram_surprisal")
+    assert(!p.contains("Window"),
+      "bigram pairing must happen inside the token array, not via lead()\n"
+        + p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, Sf).queryExecution.executedPlan
