@@ -150,6 +150,27 @@ object AnalyticsQueries {
         .select(tsOut(col("cohort")).as("cohort_day"), col("day_offset"),
           col("n_users"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Clickstream transition matrix + top-3 next events per state: a
+    // lag window per user (partitioned on user_id — per-user histories
+    // are small at any corpus size, so the window parallelizes in the
+    // user count) reduced to (prev, next) counts, then the bounded-heap
+    // TopKPerGroup. (ts, event_id) is a total order, so lag is
+    // deterministic under ties.
+    "q108_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val cnt = tr.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      graft.plans.GraftOps.topKPerGroup(cnt, Seq(col("prev_type")),
+          Seq(col("cnt").desc, col("event_type").asc), 3)
+        .orderBy("prev_type", "rn")
     })
   )
 
@@ -241,6 +262,24 @@ object AnalyticsQueries {
         |FROM a JOIN f USING (user_id)
         |WHERE date_diff('day', f.cohort, a.d) <= 7
         |GROUP BY 1, 2
-        |ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST""".stripMargin
+        |ORDER BY cohort_day ASC NULLS FIRST, day_offset ASC NULLS FIRST""".stripMargin,
+
+    "q108_event_transitions" ->
+      """WITH tr AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS prev_type,
+        |         event_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS cnt FROM tr
+        |  WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, cnt, rn FROM (
+        |  SELECT prev_type, event_type, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY prev_type
+        |           ORDER BY cnt DESC NULLS LAST, event_type ASC NULLS FIRST)
+        |           AS rn
+        |  FROM c) x
+        |WHERE rn <= 3
+        |ORDER BY prev_type ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
   )
 }

@@ -195,6 +195,28 @@ object PipelineQueries {
           col("n_in_chunk"), col("fp"))
         .orderBy("doc_id", "chunk_id")),
 
+    // Sub-document dedup audit: per source, how many of its q83 chunks
+    // are fingerprint-duplicates of another chunk in the same source —
+    // the chunk-granularity redundancy a doc-level dedup (q60/q66)
+    // cannot see. One equi-join of chunks to the (doc_id, source)
+    // projection (co-keyed shuffle) and one hash agg with an exact
+    // COUNT(DISTINCT fp); the chunk table never carries text, only
+    // 8-byte fingerprints.
+    "q109_chunk_dedup" -> ((s, dir) => {
+      val ch = graft.api.PipelineOps.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text", ChunkWidth, ChunkStride)
+      val src = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      ch.join(src, "id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("fp")).as("n_unique"),
+          round(lit(1d)
+            - countDistinct(col("fp")).cast("double") / count(lit(1)), 4)
+            .as("dup_rate4"))
+        .orderBy("source")
+    }),
+
     // Deterministic content-hash split: the same document lands in the
     // same split on any engine, any cluster size, any run.
     "q78_train_split" -> ((s, dir) =>
@@ -346,6 +368,28 @@ object PipelineQueries {
          |         (a, h) -> (a * 31 + h) % ${TextFunctions.BandMod}) AS fp
          |FROM s
          |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
+
+    "q109_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, ${Sql.tokens("text")} AS tk,
+         |         len(${Sql.tokens("text")}) AS n_tok
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, source, tk,
+         |         unnest(range(0, n_tok, $ChunkStride)) AS start
+         |  FROM t WHERE n_tok > 0
+         |), ch AS (
+         |  SELECT source,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(tk[start + 1 : start + $ChunkWidth],
+         |             t -> ${Sql.charHash("t")})),
+         |           (a, h) -> (a * 31 + h) % ${TextFunctions.BandMod}) AS fp
+         |  FROM s)
+         |SELECT source, COUNT(*) AS n_chunks,
+         |       COUNT(DISTINCT fp) AS n_unique,
+         |       ROUND(1 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4)
+         |         AS dup_rate4
+         |FROM ch GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "q78_train_split" ->
       s"""SELECT doc_id, ${Sql.charHash("text")} % 10 AS bucket,

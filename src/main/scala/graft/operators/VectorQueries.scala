@@ -142,6 +142,20 @@ object VectorQueries {
         .select(col("id_lo"), col("id_hi"), col("cos").as("cos4"))
         .orderBy("id_lo", "id_hi")),
 
+    // SemDeDup-style semantic dedup keep-list: q102's LSH pair graph
+    // resolved to connected components (the q77 star-contraction
+    // machinery on the embedding modality), canonical keep = min id
+    // per cluster. The pair build never goes quadratic and the
+    // component solve is bounded by the edge cutover, so the whole
+    // pipeline is the 100 TB shape end-to-end.
+    "q110_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = graft.api.VectorOps.cosineLshPairs(
+        emb, "vec_id", "embedding", 64, 0.35).select("id_lo", "id_hi")
+      graft.api.DedupOps.clusterResolve(emb, "vec_id", pairs)
+        .orderBy("vec_id")
+    }),
+
     // Two-stage ANN (coarse quantizer over label centroids, then fine
     // search in the top-2 cells). The whole pipeline is deterministic —
     // decimal-mean centroids [D2], 4dp-rounded cosines, id tie-breaks —
@@ -194,6 +208,31 @@ object VectorQueries {
       .map { case (p, i) =>
         s"($i, [${p.map(_.toDouble.toString).mkString(", ")}])"
       }.mkString(",\n")
+
+  /** The full LSH pair replay as a CTE chain ending in
+    * `vpair(id_lo, id_hi, cos4)` — shared by the q102 (pairs) and q110
+    * (component closure) oracles so both gate the SAME pipeline. */
+  private def lshPairCteSql: String =
+    s"""planes(pid, p) AS (VALUES
+       |$lshPlanesValues
+       |), keys AS (
+       |  SELECT e.vec_id AS id, pid // 8 AS band,
+       |         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+       |              THEN 1 << (pid % 8) ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pid // 8
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_lo, b.id AS id_hi
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+       |), vpair AS (
+       |  SELECT c.id_lo, c.id_hi,
+       |         ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) AS cos4
+       |  FROM cand c JOIN embeddings a ON c.id_lo = a.vec_id
+       |              JOIN embeddings b ON c.id_hi = b.vec_id
+       |  WHERE ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) >= 0.35
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q62_sim_topk" ->
@@ -318,26 +357,26 @@ object VectorQueries {
     // same-(band, key) pairs (set-equal to the first-matching-band rule);
     // verify at the same 4dp-rounded cosine threshold.
     "q102_embed_lsh" ->
-      s"""WITH planes(pid, p) AS (VALUES
-         |$lshPlanesValues
-         |), keys AS (
-         |  SELECT e.vec_id AS id, pid // 8 AS band,
-         |         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
-         |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
-         |              THEN 1 << (pid % 8) ELSE 0 END) AS BIGINT) AS bkey
-         |  FROM embeddings e CROSS JOIN planes pl
-         |  GROUP BY e.vec_id, pid // 8
-         |), cand AS (
-         |  SELECT DISTINCT a.id AS id_lo, b.id AS id_hi
-         |  FROM keys a JOIN keys b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
-         |)
-         |SELECT c.id_lo, c.id_hi,
-         |       ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) AS cos4
-         |FROM cand c JOIN embeddings a ON c.id_lo = a.vec_id
-         |            JOIN embeddings b ON c.id_hi = b.vec_id
-         |WHERE ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) >= 0.35
+      s"""WITH $lshPairCteSql
+         |SELECT id_lo, id_hi, cos4 FROM vpair
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    // Same verified pair graph closed to components (the q77 recursive
+    // replay) — keep-list semantics over the embedding modality.
+    "q110_semdedup" ->
+      s"""WITH RECURSIVE $lshPairCteSql,
+         |ed AS (SELECT id_lo AS src, id_hi AS dst FROM vpair
+         |       UNION SELECT id_hi, id_lo FROM vpair),
+         |reach(node, lab) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node
+         |)
+         |SELECT node AS vec_id, MIN(lab) AS cluster_id,
+         |       CAST(CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS INT)
+         |         AS keep
+         |FROM reach GROUP BY node
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
 
     // Exact replay of the IVF pipeline: per-label decimal-mean centroids
     // (CentroidAggregator's micros-sum → ROUND(sum/n, 4), the q63 CTE),
