@@ -75,6 +75,61 @@ object TextOps {
       .filter(greatest(col("c_lo"), col("c_hi")) >= minCont)
       .select("id_lo", "id_hi", "c_lo", "c_hi")
 
+  /** [[containmentPairs]]' 100 TB form — same result set, never a
+    * blocked quadratic scan. Prefix filtering (the classic
+    * similarity-join bound): if max(|A∩B|/|A|, |A∩B|/|B|) ≥ t, then
+    * the direction-qualifying side X misses at most ⌊(1−t)·|X|⌋ of its
+    * tokens in the other doc, so at least one of X's
+    * ⌊(1−t)·|X|⌋ + 1 RAREST tokens (global order: df asc, hash asc —
+    * total, deterministic) appears in the other doc. Candidates are
+    * therefore prefix(X) ⨝ postings(Y) on (block, token) — exact
+    * recall by construction, no false negatives — and only candidates
+    * pay the sorted-merge intersect verify.
+    *
+    * Scale shape: the per-doc prefix window parallelizes in the doc
+    * count (token sets are small); the candidate join keys on RARE
+    * tokens, so postings lists stay short except where true duplicate
+    * mass makes the output itself large (output-sensitive, the best
+    * possible). The verify joins attach the two hash arrays by id —
+    * co-keyed shuffles, broadcast under AQE when they fit. */
+  def containmentPairsPrefix(hashed: DataFrame, minCont: Double)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posts = hashed.select(col("id"), col("block"),
+      size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    val dfreq = posts.groupBy("block", "h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("df").asc, col("h").asc)
+    // Prefix size from the INTEGER intersection bound: a direction
+    // qualifies iff inter ≥ ⌈t·n⌉, so at most n − ⌈t·n⌉ tokens may be
+    // missing and the prefix needs n − ⌈t·n⌉ + 1. Never compute
+    // ⌊(1−t)·n⌋ in floating point: (1 − 0.9)·30 = 2.9999…96 in
+    // doubles, which undersizes the prefix by one and silently loses
+    // recall. The 1e-9 nudge guards the same rounding on t·n itself
+    // (0.9·30 = 27.000…004 would otherwise ceil to 28).
+    val prefix = posts.join(dfreq, Seq("block", "h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("n") - ceil(lit(minCont) * col("n") - lit(1e-9)) + lit(1))
+      .select(col("id").as("id_x"), col("block"), col("h"))
+    val cand = prefix
+      .join(posts.select(col("id").as("id_y"), col("block"), col("h")),
+        Seq("block", "h"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_lo"),
+        greatest(col("id_x"), col("id_y")).as("id_hi"))
+      .distinct()
+    val la = hashed.select(col("id").as("id_lo"), col("hs").as("hs_a"))
+    val lb = hashed.select(col("id").as("id_hi"), col("hs").as("hs_b"))
+    cand.join(la, "id_lo").join(lb, "id_hi")
+      .withColumn("inter",
+        expr("graft_sorted_intersect(hs_a, hs_b)").cast("double"))
+      .withColumn("c_lo", safeDiv(col("inter"), size(col("hs_a"))))
+      .withColumn("c_hi", safeDiv(col("inter"), size(col("hs_b"))))
+      .filter(greatest(col("c_lo"), col("c_hi")) >= minCont)
+      .select("id_lo", "id_hi", "c_lo", "c_hi")
+  }
+
   private def blockedPairs(hashed: DataFrame): DataFrame = {
     val a = hashed.select(col("id").as("id_lo"), col("block"),
       col("hs").as("hs_a"))

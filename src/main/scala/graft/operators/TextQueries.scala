@@ -110,6 +110,16 @@ object TextQueries {
           round(col("c_lo"), 4).as("c_lo4"), round(col("c_hi"), 4).as("c_hi4"))
         .orderBy("id_lo", "id_hi")),
 
+    // q82's 100 TB form, gated against the SAME oracle: prefix-filtered
+    // candidate generation (rarest ⌊0.1·|X|⌋+1 tokens joined against the
+    // inverted index — exact recall by the prefix-filter bound, never a
+    // blocked quadratic scan), identical verify, identical result set.
+    "q111_containment_prefix" -> ((s, dir) =>
+      graft.api.TextOps.containmentPairsPrefix(hashedDocs(s, dir), 0.9)
+        .select(col("id_lo"), col("id_hi"),
+          round(col("c_lo"), 4).as("c_lo4"), round(col("c_hi"), 4).as("c_hi4"))
+        .orderBy("id_lo", "id_hi")),
+
     "q64_text_explode" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("word"))
@@ -183,6 +193,23 @@ object TextQueries {
   private val sqlToks = Sql.tokens("text")
   private val sqlTokSet = Sql.tokenSet("text")
 
+  /** One containment specification for two implementations: q82 (exact
+    * blocked scan) and q111 (prefix-filtered candidates) both gate
+    * against this quadratic replay. */
+  private def containmentOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $sqlTokSet AS toks FROM documents)
+       |SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+       |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |             / len(a.toks), 4) AS c_lo4,
+       |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |             / len(b.toks), 4) AS c_hi4
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE greatest(
+       |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks),
+       |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(b.toks))
+       |      >= 0.9
+       |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q60_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
@@ -193,19 +220,12 @@ object TextQueries {
          |SELECT id_lo, id_hi, ROUND(jac, 4) AS jac4 FROM e
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
 
-    "q82_containment" ->
-      s"""WITH d AS (SELECT doc_id, lang, $sqlTokSet AS toks FROM documents)
-         |SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
-         |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |             / len(a.toks), 4) AS c_lo4,
-         |       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |             / len(b.toks), 4) AS c_hi4
-         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE greatest(
-         |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks),
-         |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(b.toks))
-         |      >= 0.9
-         |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+    "q82_containment" -> containmentOracleSql,
+
+    // Same specification: q111 is result-identical to q82 by the
+    // prefix-filter recall guarantee, so the algorithm-independent
+    // quadratic replay gates both.
+    "q111_containment_prefix" -> containmentOracleSql,
 
     "q64_text_explode" ->
       s"""SELECT word, COUNT(*) AS cnt

@@ -125,6 +125,24 @@ class ApiSpec extends SparkSpec {
     assert(r.head.getAs[Double]("c_lo") == 1.0) // short side fully contained
   }
 
+  test("containmentPairsPrefix is result-identical to the exact scan") {
+    // the prefix-filter bound guarantees exact recall, so the 100 TB
+    // form must return precisely the quadratic scan's pair set — on
+    // the real documents fixture, where near-dup mass makes the
+    // candidate space non-trivial
+    val hashed = TextOps.tokenHashTable(
+      Tables.loadSpread(spark, Sf, "documents"), "doc_id", "text", "lang")
+      .persist()
+    try {
+      val exact = TextOps.containmentPairs(hashed, 0.9)
+        .orderBy("id_lo", "id_hi").collect().toSeq
+      val pref = TextOps.containmentPairsPrefix(hashed, 0.9)
+        .orderBy("id_lo", "id_hi").collect().toSeq
+      assert(pref.nonEmpty, "fixture should contain containment pairs")
+      assert(pref == exact)
+    } finally hashed.unpersist()
+  }
+
   test("languageId predicts the self-labeled language on clean strata") {
     val pred = TextOps.languageId(
       corpus.filter(length(col("body")) > 0), "key", "body", "tongue")
