@@ -32,7 +32,8 @@ object SparkEntry {
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (ServiceQueries.queries, ServiceQueries.oracle),
-    (CurationQueries.queries, CurationQueries.oracle)
+    (CurationQueries.queries, CurationQueries.oracle),
+    (CorpusStatsQueries.queries, CorpusStatsQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -22,10 +22,10 @@ object TfidfQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
-  private val Bm25Terms = Seq("hash", "join", "scan")
-  private val Bm25K = 50
-  private val K1 = 1.2
-  private val B = 0.75
+  private[operators] val Bm25Terms = Seq("hash", "join", "scan")
+  private[operators] val Bm25K = 50
+  private[operators] val K1 = 1.2
+  private[operators] val B = 0.75
   private val IdxMinDf = 5L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -131,42 +131,51 @@ object TfidfQueries {
     // Same tf/idf/length-normalization expression tree as the Spark op:
     // per-term scores quantized to 6dp, decimal-summed, ranked by the
     // exact decimal with doc_id tie-break.
-    "q94_bm25" -> {
-      val tfBoost = K1 + 1
-      val bComp = 1 - B
-      def tf(i: Int) =
-        s"CAST(len(tk) - len(list_filter(tk, x -> x != '${Bm25Terms(i)}')) AS BIGINT)"
-      def si(i: Int) =
-        s"ROUND(LN(1.0 + (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))" +
-          s" * (CAST(tf_$i AS DOUBLE) * $tfBoost)" +
-          s" / (CAST(tf_$i AS DOUBLE) + $K1 * ($bComp + $B * CAST(dl AS DOUBLE) / avgdl)), 6)"
-      val ix = Bm25Terms.indices
-      s"""WITH d AS (
-         |  SELECT doc_id AS id, $sqlToks AS tk FROM documents
-         |), t AS (
-         |  SELECT id, CAST(len(tk) AS BIGINT) AS dl,
-         |         ${ix.map(i => s"${tf(i)} AS tf_$i").mkString(", ")}
-         |  FROM d
-         |), st AS (
-         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
-         |         ${ix.map(i =>
-                s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
-                .mkString(", ")}
-         |  FROM t
-         |), sc AS (
-         |  SELECT id,
-         |         ${ix.map(i => s"CAST(${si(i)} AS DECIMAL(38,6))")
-                .mkString(" + ")} AS score_dec
-         |  FROM t CROSS JOIN
-         |    (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st) s
-         |  WHERE ${ix.map(i => s"tf_$i > 0").mkString(" OR ")}
-         |)
-         |SELECT id AS doc_id, ROUND(CAST(score_dec AS DOUBLE), 4) AS score4,
-         |       CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC NULLS LAST,
-         |                               id ASC NULLS FIRST) AS INT) AS rank
-         |FROM sc
-         |QUALIFY rank <= $Bm25K
+    "q94_bm25" ->
+      s"""WITH $bm25RankCteSql
+         |SELECT id AS doc_id, score4, rank FROM bmr
+         |WHERE rank <= $Bm25K
          |ORDER BY rank ASC NULLS FIRST""".stripMargin
-    }
   )
+
+  /** CTE chain ending in `bmr(id, score4, rank)` — the exact BM25 ranking
+    * replay (decimal-summed 6dp per-term scores, score-then-id total
+    * order). Shared by the q94 oracle and q115's hybrid-RRF oracle so
+    * both gate one definition. */
+  private[operators] def bm25RankCteSql: String = {
+    val tfBoost = K1 + 1
+    val bComp = 1 - B
+    def tf(i: Int) =
+      s"CAST(len(tk) - len(list_filter(tk, x -> x != '${Bm25Terms(i)}')) AS BIGINT)"
+    def si(i: Int) =
+      s"ROUND(LN(1.0 + (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))" +
+        s" * (CAST(tf_$i AS DOUBLE) * $tfBoost)" +
+        s" / (CAST(tf_$i AS DOUBLE) + $K1 * ($bComp + $B * CAST(dl AS DOUBLE) / avgdl)), 6)"
+    val ix = Bm25Terms.indices
+    s"""d AS (
+       |  SELECT doc_id AS id, $sqlToks AS tk FROM documents
+       |), t AS (
+       |  SELECT id, CAST(len(tk) AS BIGINT) AS dl,
+       |         ${ix.map(i => s"${tf(i)} AS tf_$i").mkString(", ")}
+       |  FROM d
+       |), st AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |         ${ix.map(i =>
+              s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+              .mkString(", ")}
+       |  FROM t
+       |), sc AS (
+       |  SELECT id,
+       |         ${ix.map(i => s"CAST(${si(i)} AS DECIMAL(38,6))")
+              .mkString(" + ")} AS score_dec
+       |  FROM t CROSS JOIN
+       |    (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st) s
+       |  WHERE ${ix.map(i => s"tf_$i > 0").mkString(" OR ")}
+       |), bmr AS (
+       |  SELECT id, ROUND(CAST(score_dec AS DOUBLE), 4) AS score4,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC NULLS LAST,
+       |                                 id ASC NULLS FIRST) AS INT) AS rank
+       |  FROM sc
+       |)""".stripMargin
+  }
 }

@@ -97,6 +97,18 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         + p.take(2000))
   }
 
+  test("q113 per-source top-100 runs through TopKPerGroupExec, not a window") {
+    val p = planOf("q113_zipf_slope")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("Window"),
+      "zipf rank must use the bounded-heap operator, not a window sort")
+  }
+
+  test("q114 global top-20 compiles to TakeOrderedAndProject") {
+    val p = planOf("q114_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if fn(spark, Sf).queryExecution.executedPlan
