@@ -171,6 +171,28 @@ object CurationQueries {
 
   private val sqlToks = Sql.tokens("text")
 
+  /** CTE chain ending in `qr(doc_id, n_tok, r_len, r_wordlen, r_stop,
+    * r_ttr)` — the q104 rule evaluation, shared with q116's composed
+    * curation run so both gate one rule definition. */
+  private[operators] def qualityRuleCteSql: String =
+    s"""qm AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+       |         -- COALESCE: list_sum([]) is NULL in DuckDB, while the
+       |         -- Spark side's aggregate() starts from a 0 seed
+       |         CAST(COALESCE(list_sum(list_transform(toks,
+       |              t -> length(t))), 0) AS BIGINT) AS sum_len,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       |         CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+       |              AS BIGINT) AS n_stop
+       |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents) qd
+       |), qr AS (
+       |  SELECT doc_id, n_tok,
+       |         (n_tok >= 20 AND n_tok <= 100000) AS r_len,
+       |         (sum_len >= n_tok * 3 AND sum_len <= n_tok * 8) AS r_wordlen,
+       |         (n_stop * 50 >= n_tok) AS r_stop,
+       |         (n_types * 5 >= n_tok) AS r_ttr
+       |  FROM qm)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
     // empty for n <= 1 so bigram-less docs drop with no guard.
@@ -191,23 +213,7 @@ object CurationQueries {
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "q104_quality_rules" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
-         |         -- COALESCE: list_sum([]) is NULL in DuckDB, while the
-         |         -- Spark side's aggregate() starts from a 0 seed
-         |         CAST(COALESCE(list_sum(list_transform(toks,
-         |              t -> length(t))), 0) AS BIGINT) AS sum_len,
-         |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
-         |         CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a'))
-         |              AS BIGINT) AS n_stop
-         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents) d
-         |), r AS (
-         |  SELECT doc_id, n_tok,
-         |         (n_tok >= 20 AND n_tok <= 100000) AS r_len,
-         |         (sum_len >= n_tok * 3 AND sum_len <= n_tok * 8) AS r_wordlen,
-         |         (n_stop * 50 >= n_tok) AS r_stop,
-         |         (n_types * 5 >= n_tok) AS r_ttr
-         |  FROM m)
+      s"""WITH $qualityRuleCteSql
          |SELECT doc_id, n_tok,
          |       CAST(CASE WHEN r_len THEN 1 ELSE 0 END
          |            + CASE WHEN r_wordlen THEN 2 ELSE 0 END
@@ -215,7 +221,7 @@ object CurationQueries {
          |            + CASE WHEN r_ttr THEN 8 ELSE 0 END AS INTEGER) AS flags,
          |       CAST(CASE WHEN r_len AND r_wordlen AND r_stop AND r_ttr
          |            THEN 1 ELSE 0 END AS INTEGER) AS keep
-         |FROM r ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+         |FROM qr ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "q105_len_quantiles" ->
       """WITH h AS (

@@ -331,8 +331,77 @@ object PipelineQueries {
         .groupBy("source_lo", "source_hi")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_lo", "source_hi")
+    }),
+
+    // End-to-end curation run: the composed keep-list a corpus release
+    // actually ships — quality rules (q104), exact-dup keeper (q60),
+    // near-dup cluster representative (q77), and benchmark
+    // decontamination (q90) evaluated per document, each surfaced as
+    // its own flag so the run reports WHY a doc dropped, keep = all
+    // pass. src0 plays the held-out eval suite and is never kept
+    // (f_eval tags it; its f_clean defaults clean since it is not
+    // scored against itself). Every stage is the already-gated
+    // operator's own API; the composition adds only doc_id equi-joins,
+    // so the scale shape is the union of the stages' shapes.
+    "q116_curation_run" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qual = CurationQueries.queries("q104_quality_rules")(s, dir)
+        .select(col("doc_id"), col("keep").as("f_quality"))
+      val exactKeep = graft.api.DedupOps.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(1).as("f_exact"))
+      val nearKeep = graft.api.DedupOps.clusterResolve(docs, "doc_id",
+          TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+        .select(col("doc_id"), col("keep").as("f_near"))
+      val clean = graft.api.TextOps.decontaminate(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text", DecontamN)
+        .select(col("doc_id"),
+          (lit(1) - col("contaminated")).cast("int").as("f_clean"))
+      docs.select(col("doc_id"), col("source"))
+        .join(qual, "doc_id")
+        .join(exactKeep, Seq("doc_id"), "left")
+        .join(nearKeep, "doc_id")
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("source") === "src0", 1).otherwise(0)
+            .cast("int").as("f_eval"),
+          col("f_quality"),
+          coalesce(col("f_exact"), lit(0)).cast("int").as("f_exact"),
+          col("f_near"),
+          coalesce(col("f_clean"), lit(1)).cast("int").as("f_clean"),
+          when(col("source") =!= "src0" && col("f_quality") === 1 &&
+            coalesce(col("f_exact"), lit(0)) === 1 &&
+            col("f_near") === 1 &&
+            coalesce(col("f_clean"), lit(1)) === 1, 1).otherwise(0)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
     })
   )
+
+  /** CTE chain ending in `ct(doc_id, n_grams, n_hits, contaminated)` —
+    * the q90 decontamination replay (src0 as the held-out eval suite),
+    * shared with q116's composed curation run so both gate one
+    * definition. */
+  private def decontamCteSql: String =
+    s"""g AS (
+       |  SELECT doc_id, source,
+       |    ${Sql.ngramHashes(Sql.tokenHashes(Sql.tokens("text")), DecontamN)} AS gr
+       |  FROM documents
+       |), ev AS (
+       |  SELECT DISTINCT unnest(gr) AS g FROM g WHERE source = 'src0'
+       |), corp AS (
+       |  SELECT doc_id, gr FROM g WHERE source <> 'src0'
+       |), hits AS (
+       |  SELECT doc_id, COUNT(DISTINCT cg.g) AS n_hits
+       |  FROM (SELECT doc_id, unnest(gr) AS g FROM corp) cg
+       |  JOIN ev ON cg.g = ev.g
+       |  GROUP BY doc_id
+       |), ct AS (
+       |  SELECT c.doc_id, CAST(len(c.gr) AS BIGINT) AS n_grams,
+       |    COALESCE(h.n_hits, 0) AS n_hits,
+       |    CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+       |      AS contaminated
+       |  FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q77_dedup_cluster" ->
@@ -439,25 +508,9 @@ object PipelineQueries {
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
 
     "q90_decontam" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, source,
-         |    ${Sql.ngramHashes(Sql.tokenHashes(Sql.tokens("text")), DecontamN)} AS gr
-         |  FROM documents
-         |), ev AS (
-         |  SELECT DISTINCT unnest(gr) AS g FROM g WHERE source = 'src0'
-         |), corp AS (
-         |  SELECT doc_id, gr FROM g WHERE source <> 'src0'
-         |), hits AS (
-         |  SELECT doc_id, COUNT(DISTINCT cg.g) AS n_hits
-         |  FROM (SELECT doc_id, unnest(gr) AS g FROM corp) cg
-         |  JOIN ev ON cg.g = ev.g
-         |  GROUP BY doc_id)
-         |SELECT c.doc_id, CAST(len(c.gr) AS BIGINT) AS n_grams,
-         |  COALESCE(h.n_hits, 0) AS n_hits,
-         |  CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
-         |    AS contaminated
-         |FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
-         |ORDER BY c.doc_id ASC NULLS FIRST""".stripMargin,
+      s"""WITH $decontamCteSql
+         |SELECT doc_id, n_grams, n_hits, contaminated FROM ct
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "q91_repetition" ->
       s"""WITH h AS (
@@ -507,6 +560,46 @@ object PipelineQueries {
          |SELECT source_lo, source_hi, COUNT(*) AS n_pairs
          |FROM sp GROUP BY source_lo, source_hi
          |ORDER BY source_lo ASC NULLS FIRST, source_hi ASC NULLS FIRST"""
-        .stripMargin
+        .stripMargin,
+
+    // The composed replay: near-dup closure (q77's recursive CTE),
+    // quality rules (q104's shared CTE), exact keepers, and the
+    // decontamination chain (q90's shared CTE), joined per doc.
+    "q116_curation_run" ->
+      s"""WITH RECURSIVE ${TextQueries.nearDupEdgeSql},
+         |${CurationQueries.qualityRuleCteSql},
+         |$decontamCteSql,
+         |ek AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+         |ed2 AS (SELECT id_lo AS src, id_hi AS dst FROM e
+         |        UNION SELECT id_hi, id_lo FROM e),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT ed2.dst, r.lab FROM reach r JOIN ed2 ON ed2.src = r.node
+         |),
+         |nk AS (SELECT node AS doc_id,
+         |              CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS f_near
+         |       FROM reach GROUP BY node)
+         |SELECT dd.doc_id,
+         |  CAST(CASE WHEN dd.source = 'src0' THEN 1 ELSE 0 END AS INT)
+         |    AS f_eval,
+         |  CAST(CASE WHEN qr.r_len AND qr.r_wordlen AND qr.r_stop
+         |            AND qr.r_ttr THEN 1 ELSE 0 END AS INT) AS f_quality,
+         |  CAST(CASE WHEN ek.keep_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS f_exact,
+         |  CAST(nk.f_near AS INT) AS f_near,
+         |  CAST(COALESCE(1 - ct.contaminated, 1) AS INT) AS f_clean,
+         |  CAST(CASE WHEN dd.source != 'src0'
+         |            AND qr.r_len AND qr.r_wordlen AND qr.r_stop AND qr.r_ttr
+         |            AND ek.keep_id IS NOT NULL
+         |            AND nk.f_near = 1
+         |            AND COALESCE(ct.contaminated, 0) = 0
+         |       THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM documents dd
+         |JOIN qr ON dd.doc_id = qr.doc_id
+         |LEFT JOIN ek ON dd.doc_id = ek.keep_id
+         |JOIN nk ON dd.doc_id = nk.doc_id
+         |LEFT JOIN ct ON dd.doc_id = ct.doc_id
+         |ORDER BY dd.doc_id ASC NULLS FIRST""".stripMargin
   )
 }
