@@ -166,6 +166,33 @@ final class EtlService(spark: SparkSession) {
       .orderBy("nation")
   }
 
+  /** Hybrid document search — the retrieval endpoint: BM25 over a
+    * caller-supplied term bag fused with dense cosine ranks around a
+    * probe embedding by reciprocal-rank fusion (Σ 1/(rrfK + rank)),
+    * top `k` results. `docs` needs (doc_id, text); `embeddings`
+    * (vec_id, embedding) aligned with doc ids. Both rank lists are
+    * `depth`-bounded by their top-k operators (bounded-heap BM25,
+    * broadcast-probe cosine), so fusion touches ≤ 2·depth rows no
+    * matter the corpus size. */
+  def searchDocuments(docs: DataFrame, embeddings: DataFrame,
+    terms: Seq[String], probeId: Long, depth: Int = 50, k: Int = 20,
+    rrfK: Int = 60): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(depth > 0 && k > 0 && k <= depth * 2,
+      "need depth > 0 and 0 < k <= 2*depth")
+    val bm = TextOps.bm25(docs, "doc_id", "text", terms, depth)
+      .select(col("id"), col("rank").as("r_a"))
+    val probes = embeddings.filter(col("vec_id") === probeId)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cos = VectorOps.cosineTopK(
+      embeddings, "vec_id", "embedding", probes, depth)
+      .select(col("id"), col("rn").as("r_b"))
+    VectorOps.rrfFuse(bm, cos, rrfK, k)
+      .select(col("id").as("doc_id"), col("r_a").as("r_bm"),
+        col("r_b").as("r_cos"), col("rrf6"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** Revenue share by part type within a ship-date range, optionally one
     * brand — the category-mix endpoint (TPC-H promo-share shape,
     * generalized to every type). The share divides exact decimal sums —

@@ -51,6 +51,33 @@ object VectorOps {
       Seq(col("cos").desc, col("id").asc), k)
   }
 
+  /** Reciprocal-rank fusion of two bounded rank lists — the standard
+    * lexical ⊕ dense retrieval blend. `a` needs columns (id, r_a), `b`
+    * (id, r_b); fused score = Σ 1/(rrfK + rank) over the lists the id
+    * appears in, rounded to 6dp, top `outK` by (score desc, id asc).
+    * Returns (id, r_a, r_b, rrf6, rank) with absent ranks NULL.
+    *
+    * Both inputs are depth-bounded by construction (they come from
+    * bm25/cosineTopK-style top-k operators), so the full-outer fusion
+    * join and the final rank window touch ≤ 2·depth rows — the
+    * single-partition window is bounded by the parameter, never by
+    * data size. */
+  def rrfFuse(a: DataFrame, b: DataFrame, rrfK: Int, outK: Int)
+  : DataFrame = {
+    require(rrfK > 0 && outK > 0, "rrfK and outK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("rrf6", round(
+        coalesce(lit(1.0) / (lit(rrfK).cast("double")
+          + col("r_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK).cast("double")
+            + col("r_b").cast("double")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf6").desc, col("id").asc)).cast("int"))
+      .filter(col("rank") <= outK)
+      .select("id", "r_a", "r_b", "rrf6", "rank")
+  }
+
   /** All corpus pairs with cosine ≥ `minCos` (id_lo < id_hi) — embedding
     * near-dup detection. Brute-force O(n²) pair scan with the broadcast
     * build side: exact and fine while one side's (id, vector, norm) rows

@@ -4,7 +4,6 @@ import graft.{Dets, Tables}
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions.Sql
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.13 corpus-distribution statistics + hybrid retrieval (round 3):
@@ -138,17 +137,11 @@ object CorpusStatsQueries {
       val cos = graft.api.VectorOps.cosineTopK(
         emb, "vec_id", "embedding", probes, RrfDepth)
         .select(col("id"), col("rn").as("r_cos"))
-      val fused = bm.join(cos, Seq("id"), "full_outer")
-        .withColumn("rrf6", round(
-          coalesce(lit(1.0) / (lit(RrfK).cast("double")
-            + col("r_bm").cast("double")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RrfK).cast("double")
-              + col("r_cos").cast("double")), lit(0.0)), 6))
-      fused.withColumn("rank", row_number().over(
-          Window.orderBy(col("rrf6").desc, col("id").asc)).cast("int"))
-        .filter(col("rank") <= RrfOut)
-        .select(col("id").as("doc_id"), col("r_bm"), col("r_cos"),
-          col("rrf6"), col("rank"))
+      graft.api.VectorOps.rrfFuse(
+          bm.withColumnRenamed("r_bm", "r_a"),
+          cos.withColumnRenamed("r_cos", "r_b"), RrfK, RrfOut)
+        .select(col("id").as("doc_id"), col("r_a").as("r_bm"),
+          col("r_b").as("r_cos"), col("rrf6"), col("rank"))
         .orderBy("rank")
     })
   )
@@ -220,7 +213,7 @@ object CorpusStatsQueries {
 
     "q115_hybrid_rrf" -> {
       val cosSql = Sql.cosine("p.pe", "b.embedding")
-      s"""WITH ${TfidfQueries.bm25RankCteSql},
+      s"""WITH ${TfidfQueries.bm25RankCteSql()},
          |bm AS (SELECT id, rank AS r_bm FROM bmr WHERE rank <= $RrfDepth),
          |p AS (SELECT vec_id AS probe_id, embedding AS pe
          |      FROM embeddings WHERE vec_id = 0),

@@ -86,8 +86,25 @@ object ServiceQueries {
       val svc = new graft.api.EtlService(s)
       svc.partTypeShare(t(s, dir, "lineitem"), t(s, dir, "part"),
         utcTs("1995-06-01T00:00:00"), utcTs("1996-06-01T00:00:00"))
+    }),
+
+    // Retrieval endpoint: hybrid BM25 ⊕ dense-cosine search with a
+    // DIFFERENT parameter binding than q115 (term bag, probe, depth,
+    // k), proving the endpoint parameterization under the same gate.
+    "q117_svc_search" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.searchDocuments(
+        Tables.loadSpread(s, dir, "documents"),
+        Tables.loadSpread(s, dir, "embeddings"),
+        SearchTerms, probeId = SearchProbe, depth = SearchDepth,
+        k = SearchK)
     })
   )
+
+  private val SearchTerms = Seq("data", "stream", "merge")
+  private val SearchProbe = 7L
+  private val SearchDepth = 30
+  private val SearchK = 10
 
   val oracle: Map[String, String] = Map(
     "q84_svc_revenue" ->
@@ -163,6 +180,38 @@ object ServiceQueries {
         |SELECT part_type, CAST(rev_dec AS DOUBLE) AS revenue, n_lines,
         |  ROUND(CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE), 4) AS share
         |FROM rev
-        |ORDER BY part_type ASC NULLS FIRST""".stripMargin
+        |ORDER BY part_type ASC NULLS FIRST""".stripMargin,
+
+    // The q115 fusion replay re-parameterized: shared BM25 CTE with the
+    // endpoint's term bag, cosine ranks around probe 7, depth 30, k 10.
+    "q117_svc_search" -> {
+      val cosSql = graft.functions.TextFunctions.Sql.cosine(
+        "p.pe", "b.embedding")
+      s"""WITH ${TfidfQueries.bm25RankCteSql(SearchTerms)},
+         |bm AS (SELECT id, rank AS r_bm FROM bmr WHERE rank <= $SearchDepth),
+         |p AS (SELECT vec_id AS probe_id, embedding AS pe
+         |      FROM embeddings WHERE vec_id = $SearchProbe),
+         |cr AS (
+         |  SELECT id, rn AS r_cos FROM (
+         |    SELECT b.vec_id AS id,
+         |           ROW_NUMBER() OVER (
+         |             ORDER BY ROUND($cosSql, 4) DESC NULLS LAST,
+         |                      b.vec_id ASC NULLS FIRST) AS rn
+         |    FROM p CROSS JOIN embeddings b
+         |    WHERE b.vec_id != p.probe_id) x
+         |  WHERE rn <= $SearchDepth
+         |), f AS (
+         |  SELECT COALESCE(bm.id, cr.id) AS doc_id, bm.r_bm, cr.r_cos,
+         |         ROUND(COALESCE(1.0 / (60 + CAST(bm.r_bm AS DOUBLE)), 0)
+         |             + COALESCE(1.0 / (60 + CAST(cr.r_cos AS DOUBLE)), 0), 6)
+         |           AS rrf6
+         |  FROM bm FULL OUTER JOIN cr ON bm.id = cr.id)
+         |SELECT doc_id, r_bm, r_cos, rrf6,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY rrf6 DESC NULLS LAST,
+         |                               doc_id ASC NULLS FIRST) AS INT) AS rank
+         |FROM f
+         |QUALIFY rank <= $SearchK
+         |ORDER BY rank ASC NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -132,7 +132,7 @@ object TfidfQueries {
     // per-term scores quantized to 6dp, decimal-summed, ranked by the
     // exact decimal with doc_id tie-break.
     "q94_bm25" ->
-      s"""WITH $bm25RankCteSql
+      s"""WITH ${bm25RankCteSql()}
          |SELECT id AS doc_id, score4, rank FROM bmr
          |WHERE rank <= $Bm25K
          |ORDER BY rank ASC NULLS FIRST""".stripMargin
@@ -140,18 +140,21 @@ object TfidfQueries {
 
   /** CTE chain ending in `bmr(id, score4, rank)` — the exact BM25 ranking
     * replay (decimal-summed 6dp per-term scores, score-then-id total
-    * order). Shared by the q94 oracle and q115's hybrid-RRF oracle so
-    * both gate one definition. */
-  private[operators] def bm25RankCteSql: String = {
-    val tfBoost = K1 + 1
-    val bComp = 1 - B
+    * order), parameterized on the term bag. Shared by the q94 oracle,
+    * q115's hybrid-RRF oracle, and q117's service-endpoint oracle so all
+    * gate one definition. */
+  private[operators] def bm25RankCteSql(
+    terms: Seq[String] = Bm25Terms, k1: Double = K1, b: Double = B)
+  : String = {
+    val tfBoost = k1 + 1
+    val bComp = 1 - b
     def tf(i: Int) =
-      s"CAST(len(tk) - len(list_filter(tk, x -> x != '${Bm25Terms(i)}')) AS BIGINT)"
+      s"CAST(len(tk) - len(list_filter(tk, x -> x != '${terms(i)}')) AS BIGINT)"
     def si(i: Int) =
       s"ROUND(LN(1.0 + (CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5))" +
         s" * (CAST(tf_$i AS DOUBLE) * $tfBoost)" +
-        s" / (CAST(tf_$i AS DOUBLE) + $K1 * ($bComp + $B * CAST(dl AS DOUBLE) / avgdl)), 6)"
-    val ix = Bm25Terms.indices
+        s" / (CAST(tf_$i AS DOUBLE) + $k1 * ($bComp + $b * CAST(dl AS DOUBLE) / avgdl)), 6)"
+    val ix = terms.indices
     s"""d AS (
        |  SELECT doc_id AS id, $sqlToks AS tk FROM documents
        |), t AS (
