@@ -190,6 +190,40 @@ object TextOps {
       .drop("__tk", "__sum_len")
   }
 
+  /** Gopher-style rule gate as a pure projection, appended per row:
+    * `n_tok` plus an integer `flags` bitmask (1 token-count band,
+    * 2 mean-token-length band, 4 stopword share, 8 type-token ratio)
+    * and `keep` = all rules pass. Every rule is integer-exact
+    * (cross-multiplied, no float ratios), so the verdict is
+    * engine-portable. Stateless — the same projection runs on a batch
+    * corpus (q104) or an arriving stream
+    * ([[graft.streaming.DocStreams.curationGate]]). */
+  def qualityRules(docs: DataFrame, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val d = docs
+      .withColumn("__tk", TextFunctions.tokens(col(textCol)))
+      .withColumn("n_tok", size(col("__tk")).cast("long"))
+      .withColumn("__sum_len", expr("CAST(graft_sum_lengths(__tk) AS BIGINT)"))
+      .withColumn("__n_types", size(array_distinct(col("__tk"))).cast("long"))
+      .withColumn("__n_stop",
+        size(expr("filter(__tk, t -> t = 'the' OR t = 'a')")).cast("long"))
+      .withColumn("__r_len", col("n_tok") >= 20 && col("n_tok") <= 100000)
+      .withColumn("__r_wordlen", col("__sum_len") >= col("n_tok") * 3 &&
+        col("__sum_len") <= col("n_tok") * 8)
+      .withColumn("__r_stop", col("__n_stop") * 50 >= col("n_tok"))
+      .withColumn("__r_ttr", col("__n_types") * 5 >= col("n_tok"))
+    d.withColumn("flags",
+        (when(col("__r_len"), 1).otherwise(0)
+          + when(col("__r_wordlen"), 2).otherwise(0)
+          + when(col("__r_stop"), 4).otherwise(0)
+          + when(col("__r_ttr"), 8).otherwise(0)).cast("int"))
+      .withColumn("keep",
+        when(col("__r_len") && col("__r_wordlen") && col("__r_stop")
+          && col("__r_ttr"), 1).otherwise(0).cast("int"))
+      .drop("__tk", "__sum_len", "__n_types", "__n_stop",
+        "__r_len", "__r_wordlen", "__r_stop", "__r_ttr")
+  }
+
   /** Token-count estimators, appended per row: whitespace tokens `n_ws`,
     * alphabetic runs `n_alpha`, and the chars/4 BPE estimate `bpe_est`.
     * `charCountCol` names a precomputed character-count column; when

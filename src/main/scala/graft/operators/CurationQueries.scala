@@ -76,32 +76,13 @@ object CurationQueries {
     // band, minimum stopword share, minimum type-token ratio — each
     // rule integer-exact (cross-multiplied, no float ratios) and
     // surfaced as a bit in `flags` so a curation run can report WHY a
-    // doc was dropped, not just that it was.
-    "q104_quality_rules" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("toks", TextFunctions.tokens(col("text")))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tok"),
-          expr("aggregate(toks, CAST(0 AS BIGINT), " +
-            "(acc, t) -> acc + length(t))").as("sum_len"),
-          size(array_distinct(col("toks"))).cast("long").as("n_types"),
-          size(expr("filter(toks, t -> t = 'the' OR t = 'a')"))
-            .cast("long").as("n_stop"))
-      d.select(col("doc_id"), col("n_tok"),
-          (col("n_tok") >= 20 && col("n_tok") <= 100000).as("r_len"),
-          (col("sum_len") >= col("n_tok") * 3 &&
-            col("sum_len") <= col("n_tok") * 8).as("r_wordlen"),
-          (col("n_stop") * 50 >= col("n_tok")).as("r_stop"),
-          (col("n_types") * 5 >= col("n_tok")).as("r_ttr"))
-        .select(col("doc_id"), col("n_tok"),
-          (when(col("r_len"), 1).otherwise(0)
-            + when(col("r_wordlen"), 2).otherwise(0)
-            + when(col("r_stop"), 4).otherwise(0)
-            + when(col("r_ttr"), 8).otherwise(0)).cast("int").as("flags"),
-          when(col("r_len") && col("r_wordlen") && col("r_stop")
-            && col("r_ttr"), 1).otherwise(0).cast("int").as("keep"))
-        .orderBy("doc_id")
-    }),
+    // doc was dropped, not just that it was. The projection itself is
+    // the shared TextOps.qualityRules — the same stateless expression
+    // tree the streaming curation gate runs on an arriving stream.
+    "q104_quality_rules" -> ((s, dir) =>
+      graft.api.TextOps.qualityRules(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tok", "flags", "keep")
+        .orderBy("doc_id")),
 
     // Exact per-source length percentiles (p50/p90 of n_chars) via the
     // distributed histogram cumsum — the q46 quartile machinery reused

@@ -108,17 +108,32 @@ object IvfIndex {
     * Assignment broadcasts the centroid table and takes the max-cosine
     * centroid through the bounded-heap argmax (one pass, no shuffle of
     * scored pairs); recomputation uses exact decimal-mean centroids; an
-    * emptied cell simply disappears (k shrinks, never crashes). */
+    * emptied cell simply disappears (k shrinks, never crashes).
+    *
+    * `trainOneIn` is the 100 TB training path: seeding and Lloyd
+    * iterations run on the deterministic 1-in-`trainOneIn`
+    * spread-hash sample of the corpus (the quantizer only needs the
+    * density shape, not every row — standard IVF practice), and ONLY
+    * the final assignment scans the full corpus. 1 (default) trains on
+    * everything; the sample is a pure id-hash predicate, so the same
+    * ids train on any engine or cluster size. */
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
-    k: Int, iters: Int, dim: Int): DataFrame = {
+    k: Int, iters: Int, dim: Int, trainOneIn: Int = 1): DataFrame = {
     require(k > 0 && iters >= 0 && dim > 0, "need k > 0, iters >= 0, dim > 0")
+    require(trainOneIn >= 1, "trainOneIn must be >= 1")
     GraftFunctions.register(emb.sparkSession)
     val spread = 2654435761L
     val mod = graft.functions.TextFunctions.HashMod
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val full = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n2", expr("graft_dot(v, v)"))
       .localCheckpoint(true)
-    require(!base.isEmpty, "kmeansCells needs a non-empty embedding table")
+    val base =
+      if (trainOneIn == 1) full
+      else full.filter(
+        pmod(pmod(col("id"), lit(mod)) * spread, lit(mod)) % trainOneIn === 0)
+        .localCheckpoint(true)
+    require(!base.isEmpty,
+      "kmeansCells needs a non-empty (sampled) embedding table")
     // superseded localCheckpoints (base, per-iteration cents) are
     // reclaimed by the ContextCleaner once unreferenced — no manual
     // unpersist needed, but do not hold references to returned frames
@@ -162,9 +177,9 @@ object IvfIndex {
       .localCheckpoint(true)
     val centroid = udaf(new CentroidAggregator(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    def assign(c: DataFrame): DataFrame =
+    def assign(c: DataFrame, over: DataFrame): DataFrame =
       graft.plans.GraftOps.topKPerGroup(
-        base.crossJoin(broadcast(c))
+        over.crossJoin(broadcast(c))
           .withColumn("__cos", cosW("v", "cent", "n2", "cn2"))
           .select(col("id"), col("v"), col("cell"), col("__cos")),
         Seq(col("id")),
@@ -172,13 +187,15 @@ object IvfIndex {
         Seq(round(col("__cos"), 4).desc, col("cell").asc), 1, rankName = "__r")
     var it = 0
     while (it < iters) {
-      cents = assign(cents)
+      // Lloyd trains on the sample; only the final assignment below
+      // pays a full-corpus scan
+      cents = assign(cents, base)
         .groupBy("cell")
         .agg(centroid(col("v").cast("array<float>")).as("cent"))
         .withColumn("cn2", expr("graft_dot(cent, cent)"))
         .localCheckpoint(true)
       it += 1
     }
-    assign(cents).select(col("id"), col("cell"))
+    assign(cents, full).select(col("id"), col("cell"))
   }
 }

@@ -58,6 +58,44 @@ object DocStreams {
         lit(nHashes)),
       lit(1), lit(nHashes)), 1)
 
+  /** Online curation gate — the STATELESS prefix of the batch curation
+    * run (q116) applied to an arriving document stream: the
+    * [[graft.api.TextOps.qualityRules]] projection plus benchmark
+    * decontamination against a static held-out eval suite. The eval
+    * suite's deduplicated n-gram hash set is folded into ONE sorted
+    * array row and attached by a broadcast stream-static equi-join on a
+    * constant key, so contamination is a per-row `array_intersect` —
+    * no state store, no watermark, append-mode safe (benchmarks are
+    * MBs; the one-row gram array broadcasts like any dim). Appends
+    * (n_tok, flags, n_hits, contaminated, keep); `keep` = quality
+    * rules pass ∧ not contaminated. The stateful dedup stages chain
+    * behind it via [[nearDupFilter]] — together they form the online
+    * half of the batch q116 composition, and the batch/stream agreement
+    * is spec-asserted (StreamingSpec). */
+  def curationGate(docs: DataFrame, textCol: String,
+    evalDocs: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    def grams(c: org.apache.spark.sql.Column) =
+      call_function("graft_ngram_hashes",
+        call_function("graft_token_hashes", TextFunctions.tokens(c)), lit(n))
+    val evalSet = evalDocs
+      .select(explode(grams(col(evalTextCol))).as("g"))
+      .agg(sort_array(collect_set(col("g"))).as("__ev"))
+      .withColumn("__one", lit(1))
+    graft.api.TextOps.qualityRules(docs, textCol)
+      .withColumn("__g", grams(col(textCol)))
+      .withColumn("__one", lit(1))
+      .join(broadcast(evalSet), "__one")
+      .withColumn("n_hits",
+        size(array_intersect(col("__g"), col("__ev"))).cast("long"))
+      .withColumn("contaminated",
+        when(col("n_hits") > 0, 1).otherwise(0).cast("int"))
+      .withColumn("keep",
+        when(col("keep") === 1 && col("n_hits") === 0, 1).otherwise(0)
+          .cast("int"))
+      .drop("__g", "__ev", "__one")
+  }
+
   def nearDupKeepSet(docs: DataFrame, tsCol: String, idCol: String,
     textCol: String, nHashes: Int = 16): DataFrame = {
     GraftFunctions.register(docs.sparkSession)

@@ -186,6 +186,31 @@ class OperatorSpec extends SparkSpec {
       s"cross-cluster neighbour: ${got.filter { case (p, v) => p / 100 != v / 100 }.toSeq}")
   }
 
+  test("kmeans sampled training assigns the full corpus from sample-learned cells") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = for {
+      c <- 0 until 4; base = gauss(); i <- 0 until 12
+    } yield (c * 100L + i,
+      base.zip(gauss()).map { case (b, n) => b + 0.05f * n })
+    val vecs = rows.toDF("vec_id", "embedding")
+    // train the quantizer on the deterministic 1-in-3 spread-hash
+    // sample, assign the FULL corpus — the 100 TB training path
+    val cells = graft.sources.IvfIndex.kmeansCells(
+      vecs, "vec_id", "embedding", k = 4, iters = 3, dim = dim,
+      trainOneIn = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells.size == rows.size, "every corpus row must be assigned")
+    // the sample-learned cells still separate the 4 true clusters
+    val byTrue = cells.groupBy(_._1 / 100).map { case (t, m) =>
+      t -> m.values.toSet
+    }
+    assert(byTrue.values.forall(_.size == 1), byTrue.toString)
+    assert(byTrue.values.flatten.toSet.size == 4)
+  }
+
   test("q66 LSH candidates contain every very-similar pair from q61") {
     // Jaccard >= 0.9 pairs collide in at least one band with 16/4/4 MinHash
     // with overwhelming probability (1-(1-s^4)^4 ~ 0.9997 at s=0.9).

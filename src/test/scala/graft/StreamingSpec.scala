@@ -262,6 +262,41 @@ class StreamingSpec extends SparkSpec {
     assert(model == kept)
   }
 
+  test("streaming curation gate agrees with the batch rule+decontam composition") {
+    val dir = Files.createTempDirectory("graft_curate_").toString
+    val docs = Tables.load(spark, Sf, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val eval = docs.filter(col("source") === "src0")
+    corpus.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val gated = graft.streaming.DocStreams
+      .curationGate(stream, "text", eval, "text")
+      .select("doc_id", "n_tok", "flags", "n_hits", "contaminated", "keep")
+    val q = gated.writeStream.format("memory").queryName("t_curate")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5))
+    val streamed = spark.table("t_curate").collect().map(key).toSet
+    // batch composition of the same stages: rule projection + exact
+    // decontamination (distinct-gram hit counts agree with the gate's
+    // array_intersect form by construction)
+    val rules = graft.api.TextOps.qualityRules(corpus, "text")
+      .select(col("doc_id"), col("n_tok"), col("flags"),
+        col("keep").as("q_keep"))
+    val dec = graft.api.TextOps.decontaminate(
+      corpus, "doc_id", "text", eval, "text")
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    val batch = rules.join(dec, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("flags"), col("n_hits"),
+        col("contaminated"),
+        when(col("q_keep") === 1 && col("contaminated") === 0, 1)
+          .otherwise(0).cast("int").as("keep"))
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val dir = Files.createTempDirectory("graft_dedup_").toString
     import spark.implicits._
