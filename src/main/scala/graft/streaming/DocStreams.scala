@@ -58,6 +58,33 @@ object DocStreams {
         lit(nHashes)),
       lit(1), lit(nHashes)), 1)
 
+  /** Online exact-duplicate filter: drops an arriving document whose
+    * exact content was already seen within the watermark horizon,
+    * keeping the first arrival — the streaming sibling of the batch
+    * q60/`DedupOps.exactGroups` keep rule. The state key is the
+    * (content hash, length) pair — 12 bytes per distinct document in
+    * the horizon, never the text itself (the same
+    * shuffle-the-hash-not-the-document rule the batch exchange
+    * follows). Hash collisions at equal length are the only error
+    * mode (astronomically rare; the batch compaction pass re-resolves
+    * them exactly — the standard online-filter + offline-compaction
+    * split, same as [[nearDupFilter]]). Empty documents have a NULL
+    * key and pass through unfiltered. */
+  def exactDupFilter(docs: DataFrame, tsCol: String, textCol: String,
+    watermark: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val keyed = docs.withWatermark(tsCol, watermark)
+      .withColumn("__h",
+        when(length(col(textCol)) > 0,
+          call_function("graft_charhash", col(textCol))))
+      .withColumn("__hlen",
+        when(length(col(textCol)) > 0, length(col(textCol))))
+    keyed.filter(col("__h").isNotNull)
+      .dropDuplicatesWithinWatermark("__h", "__hlen")
+      .unionByName(keyed.filter(col("__h").isNull))
+      .drop("__h", "__hlen")
+  }
+
   /** Online curation gate — the STATELESS prefix of the batch curation
     * run (q116) applied to an arriving document stream: the
     * [[graft.api.TextOps.qualityRules]] projection plus benchmark

@@ -262,6 +262,45 @@ class StreamingSpec extends SparkSpec {
     assert(model == kept)
   }
 
+  test("streaming exact-dup filter keeps first arrival per content") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_exactdup_").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // file 1: two distinct docs; file 2: byte-exact dup of doc 1, a
+    // REORDERED (not byte-equal) variant of doc 2, a new doc, an empty
+    val f1 = Seq(
+      (1L, "alpha beta gamma", ts("2024-01-01 10:00:00")),
+      (2L, "delta epsilon zeta", ts("2024-01-01 10:00:10")))
+    val f2 = Seq(
+      (3L, "alpha beta gamma", ts("2024-01-01 10:01:00")),
+      (4L, "zeta epsilon delta", ts("2024-01-01 10:01:10")),
+      (5L, "eta theta iota", ts("2024-01-01 10:01:20")),
+      (6L, "", ts("2024-01-01 10:01:30")))
+    Seq(f1, f2).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/chunk_$i")
+      val f = Files.list(Paths.get(s"$dir/chunk_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(f), Paths.get(s"$dir/part_$i.parquet"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/part_$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(3000000L + i * 60000L))
+    }
+    val schema = f1.toDF("doc_id", "text", "ts").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = graft.streaming.DocStreams
+      .exactDupFilter(stream, "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("t_exactdup")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("t_exactdup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // only the byte-exact dup (3) drops: the reordered variant is a
+    // DIFFERENT exact content (near-dup is nearDupFilter's job), and
+    // the empty doc passes
+    assert(kept == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
   test("streaming curation gate agrees with the batch rule+decontam composition") {
     val dir = Files.createTempDirectory("graft_curate_").toString
     val docs = Tables.load(spark, Sf, "documents")
