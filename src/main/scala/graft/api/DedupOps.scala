@@ -22,43 +22,49 @@ object DedupOps {
 
   /** Exact duplicate groups by a content column: one row per distinct
     * content value with the smallest id as `keep_id` and the copy count.
+    * A NULL content groups like any other value (one group, as SQL
+    * GROUP BY does).
     *
     * The aggregation is keyed on the 8-byte rolling content hash plus the
     * length — NOT the raw content — so the exchange partitions, compares,
-    * and sorts fixed-width keys instead of full documents (at 100 TB the
-    * payload difference is the whole document corpus). Exactness is kept,
-    * not assumed: min/max of the content within each hash group verify
-    * collision-freedom for free inside the same partial aggregation, and
-    * the (astronomically rare) collided groups are re-resolved by raw
-    * content — that second aggregation sees only the collided rows. */
+    * and sorts fixed-width keys instead of full documents, and each
+    * group's buffer carries the content ONCE (the min, which the output
+    * needs anyway; at 100 TB the payload difference is the whole
+    * document corpus). Collisions are detected by min/max of a SECOND,
+    * independent 64-bit content hash riding in the same partial
+    * aggregation: any divergence routes the whole (h, hlen) group to the
+    * rescue pass, which re-groups exactly by raw content — only the
+    * collided rows (a handful) ever shuffle text as a key. A silent
+    * wrong merge therefore needs two different contents of equal length
+    * colliding on BOTH independent 64-bit hashes simultaneously
+    * (~2^-128 per pair); any single-hash collision is re-resolved
+    * exactly, and the DuckDB gate (GROUP BY content) would surface a
+    * double collision on the fixtures. */
   def exactGroups(docs: DataFrame, idCol: String, contentCol: String)
   : DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val hashed = docs.select(col(idCol).as("__id"), col(contentCol).as("__c"),
       call_function("graft_charhash", col(contentCol)).as("h"),
-      length(col(contentCol)).as("hlen"))
+      length(col(contentCol)).as("hlen"),
+      xxhash64(col(contentCol)).as("h2"))
     val byHash = hashed.groupBy("h", "hlen")
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"),
-        min(col("__c")).as("c_min"), max(col("__c")).as("c_max"))
-    val clean = byHash.filter(col("c_min") === col("c_max"))
+        min(col("__c")).as("c_min"),
+        min(col("h2")).as("h2_min"), max(col("h2")).as("h2_max"))
+    // null-safe compare: the NULL-content group has NULL h/hlen and a
+    // constant h2 (xxhash64 of no input = seed), and must be emitted,
+    // not silently dropped by three-valued logic
+    val clean = byHash.filter(col("h2_min") <=> col("h2_max"))
       .select(col("keep_id"), col("n_copies"), col("c_min").as(contentCol))
-    // Collided groups re-resolve in-array so even the rescue exchange is
-    // keyed on (h, hlen), never on content; the in-group scan is
-    // quadratic but a group is a hash collision — a handful of rows.
+    // Rescue: re-group the collided rows exactly by raw content. The
+    // subset is collision-sized, and grouping collapses copies map-side,
+    // so no single aggregation row ever holds more than one content.
     val rescued = hashed
-      .join(broadcast(byHash.filter(col("c_min") =!= col("c_max"))
+      .join(broadcast(byHash.filter(!(col("h2_min") <=> col("h2_max")))
         .select("h", "hlen")), Seq("h", "hlen"))
-      .groupBy("h", "hlen")
-      .agg(collect_list(struct(col("__id"), col("__c"))).as("rows"))
-      .select(explode(expr(
-        """transform(array_distinct(transform(rows, r -> r.__c)),
-          |  t -> struct(
-          |    array_min(transform(filter(rows, r -> r.__c = t),
-          |      r -> r.__id)) AS keep_id,
-          |    CAST(size(filter(rows, r -> r.__c = t)) AS BIGINT)
-          |      AS n_copies,
-          |    t AS c))""".stripMargin)).as("g"))
-      .select(col("g.keep_id"), col("g.n_copies"), col("g.c").as(contentCol))
+      .groupBy("h", "hlen", "__c")
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("__c").as(contentCol))
     clean.unionByName(rescued)
   }
 

@@ -122,28 +122,14 @@ object CorpusStatsQueries {
     // (q94's term bag) and a pinned dense probe (embedding of vec_id 0,
     // embeddings align 1:1 with doc_ids) each produce a depth-50 rank
     // list; fused score = Σ 1/(60 + rank) over the lists a doc appears
-    // in, top-20 by fused score (doc_id tie-break). Both inputs are
-    // k-row bounded by construction, so the full-outer fusion join and
-    // the final rank window touch ≤ 2k rows — the window's single
-    // partition is bounded, not data-sized.
-    "q115_hybrid_rrf" -> ((s, dir) => {
-      val bm = graft.api.TextOps.bm25(
-        t(s, dir, "documents"), "doc_id", "text",
-        TfidfQueries.Bm25Terms, RrfDepth, TfidfQueries.K1, TfidfQueries.B)
-        .select(col("id"), col("rank").as("r_bm"))
-      val emb = t(s, dir, "embeddings")
-      val probes = emb.filter(col("vec_id") === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val cos = graft.api.VectorOps.cosineTopK(
-        emb, "vec_id", "embedding", probes, RrfDepth)
-        .select(col("id"), col("rn").as("r_cos"))
-      graft.api.VectorOps.rrfFuse(
-          bm.withColumnRenamed("r_bm", "r_a"),
-          cos.withColumnRenamed("r_cos", "r_b"), RrfK, RrfOut)
-        .select(col("id").as("doc_id"), col("r_a").as("r_bm"),
-          col("r_b").as("r_cos"), col("rrf6"), col("rank"))
-        .orderBy("rank")
-    })
+    // in, top-20 by fused score (doc_id tie-break). The whole
+    // composition IS the EtlService retrieval endpoint — one
+    // implementation, two gated parameter bindings (this and q117).
+    "q115_hybrid_rrf" -> ((s, dir) =>
+      new graft.api.EtlService(s).searchDocuments(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        TfidfQueries.Bm25Terms, probeId = 0L, depth = RrfDepth,
+        k = RrfOut, rrfK = RrfK))
   )
 
   private val sqlToks = Sql.tokens("text")

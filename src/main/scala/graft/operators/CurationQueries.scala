@@ -247,9 +247,14 @@ object CurationQueries {
          |), t AS (SELECT CAST(SUM(sq) AS DOUBLE) AS tot,
          |                CAST(SUM(n_tokens) AS BIGINT) AS budget FROM c2)
          |SELECT source, n_tokens,
-         |       ROUND(CAST(sq AS DOUBLE) / tot, 4) AS weight4,
-         |       ROUND(CAST(budget AS DOUBLE) * CAST(sq AS DOUBLE)
-         |             / (tot * CAST(n_tokens AS DOUBLE)), 4) AS epochs4
+         |       -- zero guards mirror the Spark side's safeDiv: an
+         |       -- all-empty source (n_tokens = 0) yields NULL, not NaN
+         |       ROUND(CASE WHEN tot != 0
+         |             THEN CAST(sq AS DOUBLE) / tot END, 4) AS weight4,
+         |       ROUND(CASE WHEN tot * CAST(n_tokens AS DOUBLE) != 0
+         |             THEN CAST(budget AS DOUBLE) * CAST(sq AS DOUBLE)
+         |                  / (tot * CAST(n_tokens AS DOUBLE)) END, 4)
+         |         AS epochs4
          |FROM c2 CROSS JOIN t ORDER BY source ASC NULLS FIRST""".stripMargin
   )
 }

@@ -7,7 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: stage timings for the q111 prefix-filtered containment
   * join — where does the candidate pipeline spend its time at a given
-  * SF? `runMain graft.tools.Q111Profile [sfDir]`. */
+  * SF? `runMain graft.tools.Q111Profile [sfDir]`.
+  *
+  * NOTE: the stages below are a deliberate inline copy of
+  * [[graft.api.TextOps.containmentPairsPrefix]] (threshold 0.9, same
+  * prefix-size arithmetic) so each can be timed in isolation — when
+  * changing the operator, update this profiler to match or its
+  * timings describe a stale pipeline. */
 object Q111Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
