@@ -49,6 +49,19 @@ class ApiSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, "Aa"), (2L, 1L, "BB"), (4L, 1L, "plain")))
   }
 
+  test("exactGroups keeps the NULL-content group (SQL GROUP BY semantics)") {
+    import spark.implicits._
+    // three-valued logic on the collision compare must not silently
+    // drop NULL contents — they form one group like in SQL GROUP BY
+    val docs = Seq((1L, Some("x y z")), (2L, None), (3L, None),
+      (4L, Some("x y z"))).toDF("k", "c")
+    val got = graft.api.DedupOps.exactGroups(docs, "k", "c")
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2))))
+    assert(got.toSeq == Seq((1L, 2L, Some("x y z")), (2L, 2L, None)))
+  }
+
   test("nearDupPairs on a foreign schema matches brute-force Jaccard") {
     val hashed = TextOps.tokenHashTable(corpus, "key", "body", "tongue")
     val got = TextOps.nearDupPairs(hashed, 0.5)
