@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{PipelineQueries, TextQueries}
 import graft.sources.LakeWriter
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data pipeline over the documents corpus, built
@@ -27,11 +26,7 @@ object PipelineDemo {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_pipe_").toString)
-    val s = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val s = graft.GraftSession.local(32)
     s.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.loadSpread(s, dir, "documents")
