@@ -44,6 +44,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered containment equals the exact scan on random corpora") {
+    import spark.implicits._
+    // defends the integer-derived prefix-size bound (n − ceil(t·n) + 1)
+    // against rounding edge cases: thresholds where t·n is integral are
+    // exactly where a float-derived bound goes wrong
+    val vocab = Seq("scan", "merge", "sort", "hash", "join", "table",
+      "row", "key", "fast", "slow", "batch", "spark", "value")
+    val docGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(2, 12), Gen.oneOf("en", "fr")))
+    val rnd = new scala.util.Random(13)
+    for ((shape, round) <- cases(docGen, 2).zipWithIndex;
+         t <- Seq(0.5, 0.8, 0.9)) {
+      val docs = shape.zipWithIndex.map { case ((len, lang), i) =>
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), lang)
+      }.toDF("id", "body", "lang")
+      val hashed = graft.api.TextOps.tokenHashTable(
+        docs, "id", "body", "lang").persist()
+      try {
+        def pairs(df: org.apache.spark.sql.DataFrame) = df
+          .select("id_lo", "id_hi")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(graft.api.TextOps.containmentPairs(hashed, t))
+        val pref = pairs(
+          graft.api.TextOps.containmentPairsPrefix(hashed, t))
+        assert(pref == exact, s"round=$round t=$t: " +
+          s"missing=${exact -- pref} extra=${pref -- exact}")
+      } finally hashed.unpersist()
+    }
+  }
+
   test("minhash signature is invariant to token order") {
     import spark.implicits._
     val gen = Gen.listOfN(20, Gen.identifier.suchThat(_.nonEmpty))
