@@ -18,9 +18,14 @@ class CentroidAggregator(dim: Int)
 
   override def zero: (Array[Long], Long) = (Array.fill(dim)(0L), 0L)
 
-  private def micros(x: Float): Long =
+  private def micros(x: Float): Long = {
+    // BigDecimal.valueOf(NaN) would throw an opaque NumberFormatException
+    // from deep inside the aggregation; name the actual problem instead
+    require(!x.isNaN && !x.isInfinite,
+      s"CentroidAggregator: non-finite component $x in an input vector")
     JBigDecimal.valueOf(x.toDouble).setScale(6, RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
+  }
 
   override def reduce(b: (Array[Long], Long), a: Array[Float]): (Array[Long], Long) = {
     // a silent `min(dim, a.length)` bound would truncate wider vectors
@@ -42,7 +47,10 @@ class CentroidAggregator(dim: Int)
 
   override def finish(r: (Array[Long], Long)): Array[Double] = {
     val n = r._2
-    r._1.map { s =>
+    // SQL AVG semantics for an empty group: NULL, not a NaN-filled
+    // array (0.0/0 would also crash BigDecimal.valueOf)
+    if (n == 0) null
+    else r._1.map { s =>
       val avg = (s.toDouble / 1e6) / n
       JBigDecimal.valueOf(avg).setScale(4, RoundingMode.HALF_UP).doubleValue()
     }

@@ -33,7 +33,9 @@ object GlobalRank {
     * cross-bucket offsets and group totals come from a window over the
     * tiny (groups × buckets) bucket-total table, broadcast back.
     *
-    * Requirements: `orderCol` numeric and non-null, (group, order)
+    * Requirements: `orderCol` numeric, non-null, and non-NaN (a NaN
+    * order value raises a descriptive error rather than silently
+    * missing the bucket join), (group, order)
     * unique rows — the natural shape after a value histogram groupBy.
     * Equal-width buckets skew with pathological value distributions
     * (all mass in one slice degrades toward the single-task window,
@@ -48,7 +50,11 @@ object GlobalRank {
     // subtree the heavy exchange is shared and the source is read once.
     val bounds = df.agg(min(col(orderCol)).cast("double").as("__lo"),
       max(col(orderCol)).cast("double").as("__hi"))
-    val b = when(col("__lo").isNull || col("__hi") === col("__lo"), lit(0))
+    // NaN order values would bucket to NULL and silently vanish in the
+    // offset join below — raise with the actual problem named instead
+    val b = when(isnan(col(orderCol).cast("double")),
+        raise_error(lit(s"GlobalRank.cumSum: NaN in order column $orderCol")))
+      .when(col("__lo").isNull || col("__hi") === col("__lo"), lit(0))
       .otherwise(least(lit(buckets - 1), greatest(lit(0),
         floor((col(orderCol).cast("double") - col("__lo"))
           / ((col("__hi") - col("__lo")) / buckets)).cast("int"))))
@@ -71,9 +77,20 @@ object GlobalRank {
       .select(col("__g"), col("__b").as("__ob"), col("__off"), col("n"))
     // <=> : a NULL group (legal in SQL GROUP BY) must still find its
     // offset row rather than silently vanishing from the output
+    // an integral weight column keeps the documented long `cum`; a
+    // fractional one keeps the sum's exact type — casting 2.9 to 2
+    // while `n` stays exact would make the final bucket's cum != n
+    val cumRaw = col("__lcum") + col("__off")
+    val cum = df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => cumRaw.cast("long")
+      case _ => cumRaw
+    }
     withCum.join(broadcast(offs),
         withCum(groupCol) <=> offs("__g") && withCum("__b") === offs("__ob"))
-      .withColumn("cum", (col("__lcum") + col("__off")).cast("long"))
+      .withColumn("cum", cum)
       .drop("__b", "__g", "__ob", "__lcum", "__off", "__bt")
   }
 

@@ -21,16 +21,26 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic pseudo-random salt in [0, salts) derived from a row's
-    * value columns (never from rand() — reruns must agree). */
+    * columns (never from rand() — reruns must agree). */
   private def saltCol(cols: Seq[Column], salts: Int): Column =
     pmod(xxhash64(cols: _*), lit(salts))
 
   /** Two-phase salted sum/count: groupBy(keys :+ salt) partial, then
-    * final groupBy(keys). `sums` maps output name -> column to decimal-sum. */
+    * final groupBy(keys). `sums` maps output name -> column to
+    * decimal-sum. The salt hashes EVERY input column plus a per-row
+    * ordinal: hashing only keys+values would collapse back onto one
+    * reducer exactly on the worst case (a hot key whose value columns
+    * are constant — 10B identical rows is precisely what needs
+    * spreading). The ordinal makes the salt partition-layout-dependent,
+    * which is safe here: the final aggregate merges the salt partials
+    * with associative+commutative [D2] sums, so the RESULT is identical
+    * for every salt assignment (asserted in SkewSpec). */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
     sums: Map[String, Column]): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
     val salted = df.withColumn("__salt",
-      saltCol(sums.values.toSeq ++ keys.map(col), salts))
+      saltCol(df.columns.map(col).toSeq :+ monotonically_increasing_id(),
+        salts))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__n"),
         sums.map { case (name, c) =>
@@ -54,6 +64,7 @@ object Skew {
     */
   def saltedTopK(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
     k: Int, salts: Int = 64): DataFrame = {
+    require(k >= 1 && salts >= 1, "k and salts must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val keyCols = df.columns.map(col).toSeq
     val salted = df.withColumn("__salt", saltCol(keyCols, salts))

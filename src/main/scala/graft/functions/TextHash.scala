@@ -97,13 +97,26 @@ object TextHash {
     * keep the product under 2^60 (no int64 overflow, engine-portable).
     * Null elements are skipped (array_min semantics); an empty/all-null
     * input yields all-null signatures. */
+  // mhMul/mhAdd are pure functions of the slot index but cost two full
+  // splitmix64 mixes each — memoize per signature width so the per-row
+  // loop reads plain array slots instead of re-mixing constants on the
+  // hottest dedup path (the design intent stated in
+  // TextFunctions.minHashes)
+  private val mhConsts =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def mhTables(n: Int): (Array[Long], Array[Long]) =
+    mhConsts.computeIfAbsent(n, k =>
+      (Array.tabulate(k)(TextFunctions.mhMul),
+        Array.tabulate(k)(TextFunctions.mhAdd)))
+
   def minHash(hs: ArrayData, nHashes: Int): ArrayData = {
     val n = hs.numElements()
+    val (muls, adds) = mhTables(nHashes)
     val out = new Array[Any](nHashes)
     var k = 0
     while (k < nHashes) {
-      val mul = TextFunctions.mhMul(k)
-      val add = TextFunctions.mhAdd(k)
+      val mul = muls(k)
+      val add = adds(k)
       var best = Long.MaxValue
       var seen = false
       var i = 0
@@ -123,8 +136,16 @@ object TextHash {
 
   /** Band keys: fold each rows-sized slice of the signature with
     * (a*31 + x) % BandMod, seed 0. A null signature element nulls its
-    * band's key (the HOF aggregate's null propagation). */
+    * band's key (the HOF aggregate's null propagation). A signature
+    * SHORTER than bands×rows is a caller bug (mis-sized banding would
+    * silently null the tail bands and drop candidates while the HOF
+    * formulation folds the short slice — a divergence, not a
+    * semantics); fail loudly instead. */
   def bandKeys(mh: ArrayData, bands: Int, rows: Int): ArrayData = {
+    if (mh.numElements() < bands.toLong * rows)
+      throw new IllegalArgumentException(
+        s"graft_band_keys: signature has ${mh.numElements()} slots, " +
+          s"need bands*rows = ${bands.toLong * rows}")
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {

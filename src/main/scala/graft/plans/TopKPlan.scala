@@ -145,6 +145,9 @@ object GraftOps {
     * `row_number().over(Window.partitionBy(keys).orderBy(order)) <= k`. */
   def topKPerGroup(df: DataFrame, keys: Seq[Column], order: Seq[Column],
     k: Int, rankName: String = "rn"): DataFrame = {
+    // k <= 0 would reach the executor heap as an empty-heap peek and
+    // die in a codegen comparator NPE with no hint the input was k
+    require(k >= 1, s"topKPerGroup needs k >= 1, got $k")
     val spark = df.sparkSession
     // runtime fallback for sessions built without
     // spark.sql.extensions=graft.plans.GraftExtensions (public API)
