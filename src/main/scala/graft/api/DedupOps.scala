@@ -141,9 +141,13 @@ object DedupOps {
       .select("id_lo", "id_hi", "band")
     val ka = d.select(col("id").as("id_lo"), col("bks").as("bks_a"))
     val kb = d.select(col("id").as("id_hi"), col("bks").as("bks_b"))
-    val firstMatch = expr((0 until bands - 1)
-      .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
-      .mkString("CASE ", " ", s" ELSE ${bands - 1} END"))
+    // bands == 1 would unroll to a WHEN-less CASE (a parse error) —
+    // with a single band the first matching band is trivially 0
+    val firstMatch =
+      if (bands == 1) lit(0)
+      else expr((0 until bands - 1)
+        .map(i => s"WHEN bks_a[$i] = bks_b[$i] THEN $i")
+        .mkString("CASE ", " ", s" ELSE ${bands - 1} END"))
     cand
       .join(att(ka), "id_lo").join(att(kb), "id_hi")
       .filter(col("band") === firstMatch)

@@ -173,14 +173,19 @@ final class EtlService(spark: SparkSession) {
     * (vec_id, embedding) aligned with doc ids. Both rank lists are
     * `depth`-bounded by their top-k operators (bounded-heap BM25,
     * broadcast-probe cosine), so fusion touches ≤ 2·depth rows no
-    * matter the corpus size. */
+    * matter the corpus size. The probe's OWN document is excluded from
+    * both legs — the dense leg cannot rank it (self-cosine is trivially
+    * 1) and leaving it in the lexical leg alone would let it compete
+    * with half its evidence stripped; "find documents like this one"
+    * should never return the document itself. */
   def searchDocuments(docs: DataFrame, embeddings: DataFrame,
     terms: Seq[String], probeId: Long, depth: Int = 50, k: Int = 20,
     rrfK: Int = 60): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(depth > 0 && k > 0 && k <= depth * 2,
       "need depth > 0 and 0 < k <= 2*depth")
-    val bm = TextOps.bm25(docs, "doc_id", "text", terms, depth)
+    val bm = TextOps.bm25(docs.filter(col("doc_id") =!= probeId),
+      "doc_id", "text", terms, depth)
       .select(col("id"), col("rank").as("r_a"))
     val probes = embeddings.filter(col("vec_id") === probeId)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))

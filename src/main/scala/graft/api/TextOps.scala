@@ -95,8 +95,12 @@ object TextOps {
   def containmentPairsPrefix(hashed: DataFrame, minCont: Double)
   : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // posts feeds the df count, the prefix window, and the candidate
+    // postings side — persist so the corpus-wide explode runs once, not
+    // three times (the minhashLshPairs pattern)
     val posts = hashed.select(col("id"), col("block"),
       size(col("hs")).as("n"), explode(col("hs")).as("h"))
+      .persist()
     val dfreq = posts.groupBy("block", "h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id")
       .orderBy(col("df").asc, col("h").asc)
@@ -205,8 +209,13 @@ object TextOps {
       .withColumn("n_tok", size(col("__tk")).cast("long"))
       .withColumn("__sum_len", expr("CAST(graft_sum_lengths(__tk) AS BIGINT)"))
       .withColumn("__n_types", size(array_distinct(col("__tk"))).cast("long"))
+      // codegen form of "count of 'the' + count of 'a'" — an
+      // interpreted filter() lambda on the per-token hot path would
+      // violate this file's no-HOF convention (the bm25 tf trick)
       .withColumn("__n_stop",
-        size(expr("filter(__tk, t -> t = 'the' OR t = 'a')")).cast("long"))
+        ((size(col("__tk")) - size(array_remove(col("__tk"), lit("the"))))
+          + (size(col("__tk")) - size(array_remove(col("__tk"), lit("a")))))
+          .cast("long"))
       .withColumn("__r_len", col("n_tok") >= 20 && col("n_tok") <= 100000)
       .withColumn("__r_wordlen", col("__sum_len") >= col("n_tok") * 3 &&
         col("__sum_len") <= col("n_tok") * 8)
@@ -234,7 +243,8 @@ object TextOps {
       .withColumn("n_ws",
         size(TextFunctions.tokens(col(textCol))).cast("long"))
       .withColumn("n_alpha",
-        regexp_count(col(textCol), lit("[a-z]+")).cast("long"))
+        // case-insensitive: "THE CAT" has 2 alphabetic runs, not 0
+        regexp_count(col(textCol), lit("[A-Za-z]+")).cast("long"))
       .withColumn("bpe_est",
         ceil(charCountCol.map(col).getOrElse(length(col(textCol))) / 4.0)
           .cast("long"))

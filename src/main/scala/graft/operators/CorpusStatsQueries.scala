@@ -199,7 +199,7 @@ object CorpusStatsQueries {
 
     "q115_hybrid_rrf" -> {
       val cosSql = Sql.cosine("p.pe", "b.embedding")
-      s"""WITH ${TfidfQueries.bm25RankCteSql()},
+      s"""WITH ${TfidfQueries.bm25RankCteSql(excludeId = Some(0L))},
          |bm AS (SELECT id, rank AS r_bm FROM bmr WHERE rank <= $RrfDepth),
          |p AS (SELECT vec_id AS probe_id, embedding AS pe
          |      FROM embeddings WHERE vec_id = 0),

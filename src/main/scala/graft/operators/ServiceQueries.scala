@@ -187,7 +187,8 @@ object ServiceQueries {
     "q117_svc_search" -> {
       val cosSql = graft.functions.TextFunctions.Sql.cosine(
         "p.pe", "b.embedding")
-      s"""WITH ${TfidfQueries.bm25RankCteSql(SearchTerms)},
+      s"""WITH ${TfidfQueries.bm25RankCteSql(SearchTerms,
+             excludeId = Some(SearchProbe))},
          |bm AS (SELECT id, rank AS r_bm FROM bmr WHERE rank <= $SearchDepth),
          |p AS (SELECT vec_id AS probe_id, embedding AS pe
          |      FROM embeddings WHERE vec_id = $SearchProbe),

@@ -278,7 +278,7 @@ object TextQueries {
     "q73_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len($sqlToks) AS BIGINT) AS n_ws,
-         |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
          |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
          |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 

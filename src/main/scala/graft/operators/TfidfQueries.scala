@@ -142,9 +142,12 @@ object TfidfQueries {
     * replay (decimal-summed 6dp per-term scores, score-then-id total
     * order), parameterized on the term bag. Shared by the q94 oracle,
     * q115's hybrid-RRF oracle, and q117's service-endpoint oracle so all
-    * gate one definition. */
+    * gate one definition. `excludeId` mirrors searchDocuments' probe-doc
+    * exclusion — it filters BEFORE the corpus stats, exactly like the
+    * Spark side's pre-bm25 filter. */
   private[operators] def bm25RankCteSql(
-    terms: Seq[String] = Bm25Terms, k1: Double = K1, b: Double = B)
+    terms: Seq[String] = Bm25Terms, k1: Double = K1, b: Double = B,
+    excludeId: Option[Long] = None)
   : String = {
     val tfBoost = k1 + 1
     val bComp = 1 - b
@@ -155,8 +158,9 @@ object TfidfQueries {
         s" * (CAST(tf_$i AS DOUBLE) * $tfBoost)" +
         s" / (CAST(tf_$i AS DOUBLE) + $k1 * ($bComp + $b * CAST(dl AS DOUBLE) / avgdl)), 6)"
     val ix = terms.indices
+    val where = excludeId.map(x => s" WHERE doc_id != $x").getOrElse("")
     s"""d AS (
-       |  SELECT doc_id AS id, $sqlToks AS tk FROM documents
+       |  SELECT doc_id AS id, $sqlToks AS tk FROM documents$where
        |), t AS (
        |  SELECT id, CAST(len(tk) AS BIGINT) AS dl,
        |         ${ix.map(i => s"${tf(i)} AS tf_$i").mkString(", ")}

@@ -124,14 +124,19 @@ object IvfIndex {
     GraftFunctions.register(emb.sparkSession)
     val spread = 2654435761L
     val mod = graft.functions.TextFunctions.HashMod
-    val full = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // `full` is only checkpointed when it IS the training base: with
+    // trainOneIn > 1 the full corpus is scanned exactly once (the final
+    // assignment), so materializing every row into block storage up
+    // front would pay a complete extra pass for zero reuse — only the
+    // sampled training base iterates and earns the checkpoint
+    val fullLazy = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n2", expr("graft_dot(v, v)"))
-      .localCheckpoint(true)
     val base =
-      if (trainOneIn == 1) full
-      else full.filter(
+      if (trainOneIn == 1) fullLazy.localCheckpoint(true)
+      else fullLazy.filter(
         pmod(pmod(col("id"), lit(mod)) * spread, lit(mod)) % trainOneIn === 0)
         .localCheckpoint(true)
+    val full = if (trainOneIn == 1) base else fullLazy
     require(!base.isEmpty,
       "kmeansCells needs a non-empty (sampled) embedding table")
     // superseded localCheckpoints (base, per-iteration cents) are

@@ -54,7 +54,7 @@ object DocStreams {
     element_at(call_function("graft_band_keys",
       call_function("graft_minhash",
         call_function("graft_token_hashes",
-          array_distinct(array_remove(split(col(textCol), " "), ""))),
+          TextFunctions.tokenSet(col(textCol))),
         lit(nHashes)),
       lit(1), lit(nHashes)), 1)
 
@@ -73,12 +73,13 @@ object DocStreams {
   def exactDupFilter(docs: DataFrame, tsCol: String, textCol: String,
     watermark: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    // only NULL text bypasses (its hash is NULL and NULL keys would all
+    // collide as one state entry); empty strings are exact duplicates
+    // of each other and dedup like any content — charhash("") is the
+    // non-null seed, matching the batch exactGroups grouping
     val keyed = docs.withWatermark(tsCol, watermark)
-      .withColumn("__h",
-        when(length(col(textCol)) > 0,
-          call_function("graft_charhash", col(textCol))))
-      .withColumn("__hlen",
-        when(length(col(textCol)) > 0, length(col(textCol))))
+      .withColumn("__h", call_function("graft_charhash", col(textCol)))
+      .withColumn("__hlen", length(col(textCol)))
     keyed.filter(col("__h").isNotNull)
       .dropDuplicatesWithinWatermark("__h", "__hlen")
       .unionByName(keyed.filter(col("__h").isNull))

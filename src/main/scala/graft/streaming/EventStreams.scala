@@ -34,10 +34,19 @@ object EventStreams {
   final case class ClosedSession(user_id: Long, session_start: Timestamp,
     last_ts: Timestamp, n_events: Long)
 
-  /** Custom stateful sessionizer: closes a user's session when the gap
-    * exceeds `gapMs` (or the event-time timeout fires) and emits it.
-    * Semantics match `session_window(ts, gap)` / the q52 islands oracle:
-    * a gap of exactly `gapMs` starts a new session.
+  /** Custom stateful sessionizer: merges each user's events into
+    * gap-separated sessions and emits a session once the watermark
+    * passes its end + gap. Semantics match `session_window(ts, gap)` /
+    * the q52 islands oracle: a gap of exactly `gapMs` starts a new
+    * session, and — like session_window — OUT-OF-ORDER events within
+    * the watermark are handled correctly: state holds every open
+    * session (not just the newest), a late event joins the session
+    * whose extended window it overlaps, starts its own if none, and
+    * merges sessions it bridges. A single-session state would silently
+    * fold a late event into the newer session and never move its start
+    * back — diverging from the batch result on any out-of-order input.
+    * State per user is bounded by the number of open sessions inside
+    * the watermark horizon.
     *
     * Requires append mode + event-time watermark on the input. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long)
@@ -46,38 +55,39 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[List[SessionState], ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user, batch, state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          if (sorted.isEmpty && state.hasTimedOut) {
-            cur.foreach { s =>
-              closed += ClosedSession(user, new Timestamp(s.start),
-                new Timestamp(s.last), s.n)
-            }
-            state.remove()
-          } else {
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur = cur match {
-                case Some(s) if t - s.last < gapMs =>
-                  Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(user, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close once the watermark passes session end + gap
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
+        (user, batch, state: GroupState[List[SessionState]]) =>
+          var open = state.getOption.getOrElse(Nil)
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            // the event's window [t, t+gap) overlaps session
+            // [start, last+gap) — strict bounds: an exactly-gap gap
+            // separates (the q52 islands rule)
+            val (hit, miss) = open.partition(s =>
+              t < s.last + gapMs && s.start < t + gapMs)
+            val merged = SessionState(
+              (t +: hit.map(_.start)).min,
+              (t +: hit.map(_.last)).max,
+              hit.map(_.n).sum + 1)
+            open = merged :: miss
           }
-          closed.result().iterator
+          // a session whose end + gap is at or below the watermark can
+          // never absorb another event (all future events are above the
+          // watermark) — emit it, in start order for determinism
+          val wm = state.getCurrentWatermarkMs()
+          val (done, live) = open.partition(s => s.last + gapMs <= wm)
+          val closed = done.sortBy(_.start).map { s =>
+            ClosedSession(user, new Timestamp(s.start),
+              new Timestamp(s.last), s.n)
+          }
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(live)
+            // wake when the earliest open session becomes closable
+            state.setTimeoutTimestamp(live.map(_.last).min + gapMs)
+          }
+          closed.iterator
       }
   }
 
@@ -126,8 +136,21 @@ object EventStreams {
       }
       merged.write.mode("overwrite")
         .parquet(s"$snapshotRoot/gen_${cur.fold(0L)(_ + 1)}")
+      // prune superseded generations — crash safety needs the one just
+      // written plus the completed one it was derived from, nothing
+      // older; without this the lake grows a full snapshot copy per
+      // micro-batch
+      gens.dropRight(2).foreach { g =>
+        deleteRecursively(new java.io.File(root, s"gen_$g"))
+      }
       ()
     }.outputMode(OutputMode.Append).start()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** Interval join of two event streams: every (signup, purchase) of the

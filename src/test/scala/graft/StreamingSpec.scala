@@ -182,6 +182,47 @@ class StreamingSpec extends SparkSpec {
       s"only ${streamed.size} of ${batch.size} sessions closed")
   }
 
+  test("sessionizer gives an out-of-order late event its own session") {
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ooo_").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: event at 10:10; batch 2: a LATE event at 10:00 (at the
+    // 10-minute watermark, so it is processed) — 10 min apart with a
+    // 60 s gap, so it must become its OWN session, not fold into the
+    // newer one; batches 3/4 only push the watermark forward
+    val files = Seq(
+      Seq((1L, ts("2024-01-01 10:10:00"))),
+      Seq((1L, ts("2024-01-01 10:00:00"))),
+      Seq((1L, ts("2024-01-01 11:00:00"))),
+      Seq((1L, ts("2024-01-01 12:00:00"))))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/chunk_$i")
+      val f = Files.list(Paths.get(s"$dir/chunk_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(f), Paths.get(s"$dir/part_$i.parquet"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/part_$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(4000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+      .as[EventStreams.SessionEvent]
+    val q = EventStreams.sessionize(stream, 60 * 1000L)
+      .toDF().writeStream.format("memory").queryName("t_ooo")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val closed = spark.table("t_ooo").collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3))).toSet
+    def ms(s: String) = ts(s).getTime
+    val early = Set(
+      (ms("2024-01-01 10:00:00"), ms("2024-01-01 10:00:00"), 1L),
+      (ms("2024-01-01 10:10:00"), ms("2024-01-01 10:10:00"), 1L))
+    assert(early.subsetOf(closed),
+      s"late event was folded into the newer session: $closed")
+  }
+
   test("foreachBatch upsert snapshot converges to batch latest-wins") {
     import graft.streaming.EventStreams
     val dir = chunkEventsDir()
