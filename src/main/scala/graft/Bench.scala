@@ -33,6 +33,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.operators.TextQueries.clearCaches(spark)
     spark.stop()
   }
 }

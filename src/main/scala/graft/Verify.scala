@@ -47,6 +47,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release the session-keyed hash/pair caches (the documented
+    // lifecycle for hosts that cycle sessions — and the usage example)
+    graft.operators.TextQueries.clearCaches(spark)
     spark.stop()
   }
 }

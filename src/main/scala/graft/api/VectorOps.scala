@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** cos(a, b) from precomputed squared norms. */
-  private def cosWith(a: String, b: String, n2a: String, n2b: String): Column =
+  /** cos(a, b) from precomputed squared norms — THE cosine formulation
+    * every consumer (queries, IVF index) must share: association order
+    * is part of the determinism contract with the oracles. */
+  private[graft] def cosWith(a: String, b: String, n2a: String,
+    n2b: String): Column =
     safeDiv(expr(s"graft_dot($a, $b)"), sqrt(col(n2a)) * sqrt(col(n2b)))
 
   /** `corpus` plus a squared-norm column `n2` — compute once, reuse in

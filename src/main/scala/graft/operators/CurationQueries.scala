@@ -59,7 +59,9 @@ object CurationQueries {
     // 6dp-quantized and decimal-summed (q98's [D2] pattern) so the
     // score is partition-invariant.
     "q103_bigram_surprisal" -> ((s, dir) => {
-      val bg = bigrams(t(s, dir, "documents"))
+      // bg feeds the bf aggregation AND the occurrence join — persist
+      // so the corpus bigram explosion runs once (the q98 pattern)
+      val bg = bigrams(t(s, dir, "documents")).persist()
       val bf = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
       val cf = bf.groupBy("w1").agg(sum("bf").as("cf"))
       bg.join(bf, Seq("w1", "w2")).join(cf, Seq("w1"))

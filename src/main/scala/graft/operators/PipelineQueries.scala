@@ -136,6 +136,14 @@ object PipelineQueries {
       nEdges = e.count()
       iter += 1
     }
+    // the driver-side finish is bounded by the CUTOVER, not the data —
+    // if the iteration cap (not the edge count) ended the loop, refuse
+    // to collect an unbounded edge set and name the pathology instead
+    if (nEdges > localCutover)
+      throw new IllegalStateException(
+        s"connectedComponents: $nEdges edges remain after $iter contraction" +
+          s" rounds (cutover $localCutover) — graph is not contracting;" +
+          " raise localCutover or investigate the edge distribution")
     if (nEdges > 0) {
       // residual graph fits on the driver: min-root union-find with path
       // compression, then one small mapping composed into rep
@@ -307,8 +315,13 @@ object PipelineQueries {
           col("n_docs"), col("n_uniq"),
           round((col("n_docs") - col("n_uniq")).cast("double")
             / col("n_docs"), 4).as("dup_rate"),
-          col("n_langs"), col("n_tokens"), col("avg_chars"))
-        .orderBy("source")),
+          col("n_langs"), col("n_tokens"), col("avg_chars"),
+          col("g_src"))
+        // g_src tie-break: a source literally named 'TOTAL' would
+        // otherwise tie the sort key and make row order
+        // partition-dependent (oracle orders by the GROUPING flag too)
+        .orderBy("source", "g_src")
+        .drop("g_src")),
 
     // Cross-source near-dup leakage matrix: for every source pair, the
     // number of near-dup edges (q61's jac ≥ 0.6 relation) crossing it —
@@ -548,7 +561,7 @@ object PipelineQueries {
          |       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
          |             / COUNT(*), 4) AS avg_chars
          |FROM d GROUP BY ROLLUP(source)
-         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+         |ORDER BY 1 ASC NULLS FIRST, GROUPING(source) ASC""".stripMargin,
 
     "q100_source_overlap" ->
       s"""WITH ${TextQueries.nearDupEdgeSql},

@@ -97,7 +97,7 @@ object ServiceQueries {
         Tables.loadSpread(s, dir, "documents"),
         Tables.loadSpread(s, dir, "embeddings"),
         SearchTerms, probeId = SearchProbe, depth = SearchDepth,
-        k = SearchK)
+        k = SearchK, rrfK = SearchRrfK)
     })
   )
 
@@ -105,6 +105,7 @@ object ServiceQueries {
   private val SearchProbe = 7L
   private val SearchDepth = 30
   private val SearchK = 10
+  private val SearchRrfK = 60
 
   val oracle: Map[String, String] = Map(
     "q84_svc_revenue" ->
@@ -203,8 +204,8 @@ object ServiceQueries {
          |  WHERE rn <= $SearchDepth
          |), f AS (
          |  SELECT COALESCE(bm.id, cr.id) AS doc_id, bm.r_bm, cr.r_cos,
-         |         ROUND(COALESCE(1.0 / (60 + CAST(bm.r_bm AS DOUBLE)), 0)
-         |             + COALESCE(1.0 / (60 + CAST(cr.r_cos AS DOUBLE)), 0), 6)
+         |         ROUND(COALESCE(1.0 / ($SearchRrfK + CAST(bm.r_bm AS DOUBLE)), 0)
+         |             + COALESCE(1.0 / ($SearchRrfK + CAST(cr.r_cos AS DOUBLE)), 0), 6)
          |           AS rrf6
          |  FROM bm FULL OUTER JOIN cr ON bm.id = cr.id)
          |SELECT doc_id, r_bm, r_cos, rrf6,

@@ -174,9 +174,12 @@ object TextQueries {
     // is still ~millions of rows, far under the token count, and the
     // join stays map-side.
     "q98_surprisal" -> ((s, dir) => {
+      // dt feeds the tf aggregation AND the occurrence join — persist
+      // so the corpus tokenize+explode runs once (tfidfTopTerms pattern)
       val dt = t(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .persist()
       val tf = dt.groupBy("tok").agg(count(lit(1)).as("tf"))
       val n = tf.agg(sum("tf").as("n_total"))
       dt.join(tf, "tok").crossJoin(broadcast(n))

@@ -27,10 +27,9 @@ object VectorQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
-  /** cos = dot(a,b)/(sqrt(n2a)*sqrt(n2b)) with precomputed squared norms. */
+  /** The shared cosine-from-precomputed-norms formulation. */
   private def cosWith(a: String, b: String, n2a: String, n2b: String): Column =
-    graft.Dets.safeDiv(expr(s"graft_dot($a, $b)"),
-      sqrt(col(n2a)) * sqrt(col(n2b)))
+    graft.api.VectorOps.cosWith(a, b, n2a, n2b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sim_topk" -> ((s, dir) => {
@@ -165,10 +164,11 @@ object VectorQueries {
       GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
         .withColumn("n2", expr("graft_dot(embedding, embedding)"))
-      val centroid = udaf(new CentroidAggregator(64),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-      val cents = emb.groupBy(col("label").as("cell"))
-        .agg(centroid(col("embedding")).as("cent"))
+      // the library centroid op, not an inline re-implementation — one
+      // aggregation recipe to keep in sync with the oracle
+      val cents = graft.api.VectorOps.centroids(
+          emb, "label", "embedding", 64)
+        .select(col("group").as("cell"), col("centroid").as("cent"))
         .withColumn("cn2", expr("graft_dot(cent, cent)"))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),

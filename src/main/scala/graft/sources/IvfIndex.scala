@@ -29,8 +29,7 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   private def cosW(a: String, b: String, n2a: String, n2b: String): Column =
-    graft.Dets.safeDiv(expr(s"graft_dot($a, $b)"),
-      sqrt(col(n2a)) * sqrt(col(n2b)))
+    graft.api.VectorOps.cosWith(a, b, n2a, n2b)
 
   /** Build and persist the index from an embedding table with columns
     * (idCol, vecCol, cellCol). `dim` must match the vector width — the
