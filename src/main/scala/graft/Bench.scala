@@ -1,13 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // GraftSession also pins the UTC session timezone — without it a
+    // non-UTC box would plan different timestamp predicate boundaries
+    // than the verified runs and benchmark a different workload
+    val spark = GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,8 +20,11 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must read as -1, not as its time-to-failure —
+      // otherwise a regression that throws early looks like a speedup
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The driver keeps only a ~3 KB tail of stdout; with 94 queries the
     // full-name map overflows it and the line arrives unparseable
@@ -31,8 +35,11 @@ object Bench {
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // escape the interpolated path — a quote or backslash in the env
+    // var would otherwise break the one JSON line the driver parses
+    val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfEsc"}""")
     graft.operators.TextQueries.clearCaches(spark)
     spark.stop()
   }

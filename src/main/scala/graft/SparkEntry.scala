@@ -38,10 +38,24 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    families.map(_._1).reduce(_ ++ _)
+    mergedDisjoint(families.map(_._1), "queries")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    families.map(_._2).reduce(_ ++ _)
+    mergedDisjoint(families.map(_._2), "oracleSql")
+
+  /** `++` would silently let a reused query key pair one family's
+    * DataFrame with another family's oracle SQL — with 18 hand-
+    * maintained families, fail loudly at first access instead. */
+  private def mergedDisjoint[V](ms: Seq[Map[String, V]], what: String)
+  : Map[String, V] = {
+    val merged = ms.reduce(_ ++ _)
+    require(merged.size == ms.map(_.size).sum,
+      s"duplicate $what keys across families: " +
+        ms.flatMap(_.keys).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k
+        }.mkString(", "))
+    merged
+  }
 }

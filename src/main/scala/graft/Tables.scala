@@ -95,8 +95,10 @@ object Tables {
     graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       // Spark 4 refuses TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL);
-      // read nanos as long and floor-divide to µs — the exact truncation
-      // DuckDB applies when it reads the same file, so values compare equal.
+      // read nanos as long and `div` to µs — truncation toward zero,
+      // which is exactly DuckDB's ns→µs conversion (verified: DuckDB
+      // maps -1500 ns → -1 µs, not floor's -2), so values compare
+      // equal even for pre-epoch timestamps.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

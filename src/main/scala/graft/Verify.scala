@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -8,17 +7,17 @@ object Verify {
     // args: <sfDir> <outDir> [comma-separated query names — local-iteration
     // filter; the driver always calls with two args = full dump]
     val (sfDir, outDir) = (args(0), args(1))
+    // filter(_.nonEmpty): an interpolated-but-unset shell variable as
+    // the third arg ("") must mean "full dump", not "match nothing"
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2) args(2).split(",").filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // GraftSession pins extensions, UTC, and µs-int64 parquet timestamps
+    // (the driver's pyarrow read then has DuckDB's exact timestamp unit)
+    val spark = GraftSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // Write µs-int64 timestamps (not INT96) so the driver's pyarrow read
-      // of our dump has the exact same timestamp unit as DuckDB's output.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,6 +25,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // fail closed: a query that dies BEFORE its write must not leave
+      // a previous run's parquet behind for the driver to hash as if
+      // this run produced it
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -51,5 +54,11 @@ object Verify {
     // lifecycle for hosts that cycle sessions — and the usage example)
     graft.operators.TextQueries.clearCaches(spark)
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 }
