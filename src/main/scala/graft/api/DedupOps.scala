@@ -93,13 +93,12 @@ object DedupOps {
     // one row of fixed-size sketches per doc, feeding five consumers (the
     // band explode and four broadcast lookup sides) — persist so the
     // minhash chain runs once
-    val d = docs
+    val d = graft.Caches.persistTracked(docs
       .withColumn("__toks", TextFunctions.tokenSet(col(textCol)))
       .withColumn("hs", array_sort(expr("graft_token_hashes(__toks)")))
       .withColumn("mh", expr(s"graft_minhash(hs, $numHashes)"))
       .withColumn("bks", expr(s"graft_band_keys(mh, $bands, $rows)"))
-      .select(col(idCol).as("id"), col("hs"), col("bks"))
-      .persist()
+      .select(col(idCol).as("id"), col("hs"), col("bks")))
     val firstBand = bandCollisionPairs(d, bands, broadcastLookups)
     val att = attach(broadcastLookups)
     val ha = d.select(col("id").as("id_lo"), col("hs").as("hs_a"))
@@ -199,9 +198,9 @@ object DedupOps {
     require(maxDist >= 1 && maxDist + 1 <= bits,
       "need 1 <= maxDist and maxDist + 1 chunks within the bit width")
     val chunks = maxDist + 1
-    val sh = simhash(docs, textCol, bits, spread)
-      .select(col(idCol).as("id"), col("simhash"))
-      .persist()
+    val sh = graft.Caches.persistTracked(
+      simhash(docs, textCol, bits, spread)
+        .select(col(idCol).as("id"), col("simhash")))
     // chunk c covers `w` bits from `off`; first bits % chunks chunks are
     // one bit wider so the widths differ by at most one
     val base = bits / chunks

@@ -97,24 +97,29 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     // posts feeds the df count, the prefix window, and the candidate
     // postings side — persist so the corpus-wide explode runs once, not
-    // three times (the minhashLshPairs pattern)
-    val posts = hashed.select(col("id"), col("block"),
-      size(col("hs")).as("n"), explode(col("hs")).as("h"))
-      .persist()
+    // three times (the minhashLshPairs pattern); tracked so clearCaches
+    // releases it (builders can't unpersist — the action runs later)
+    val posts = graft.Caches.persistTracked(
+      hashed.select(col("id"), col("block"),
+        size(col("hs")).as("n"), explode(col("hs")).as("h")))
     val dfreq = posts.groupBy("block", "h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id")
       .orderBy(col("df").asc, col("h").asc)
     // Prefix size from the INTEGER intersection bound: a direction
     // qualifies iff inter ≥ ⌈t·n⌉, so at most n − ⌈t·n⌉ tokens may be
-    // missing and the prefix needs n − ⌈t·n⌉ + 1. Never compute
-    // ⌊(1−t)·n⌋ in floating point: (1 − 0.9)·30 = 2.9999…96 in
-    // doubles, which undersizes the prefix by one and silently loses
-    // recall. The 1e-9 nudge guards the same rounding on t·n itself
-    // (0.9·30 = 27.000…004 would otherwise ceil to 28).
+    // missing and the prefix needs n − ⌈t·n⌉ + 1. Never compute t·n in
+    // floating point: ⌊(1−t)·n⌋ undersizes ((1 − 0.9)·30 = 2.9999…96),
+    // ⌈t·n⌉ oversizes (0.9·30 = 27.000…004 ceils to 28), and any fixed
+    // epsilon nudge stops dominating the rounding error once n is large
+    // enough (abs err of t·n grows ~1e-16·t·n, crossing 1e-9 near
+    // n ≈ 1e7 — exactly the corpus sizes this path exists for). The
+    // threshold instead becomes its shortest decimal representation
+    // (BigDecimal.valueOf = Double.toString round-trip) and t·n is
+    // DECIMAL arithmetic — exact for any n, so ⌈t·n⌉ is exact.
+    val tDec = lit(java.math.BigDecimal.valueOf(minCont))
     val prefix = posts.join(dfreq, Seq("block", "h"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <=
-        col("n") - ceil(lit(minCont) * col("n") - lit(1e-9)) + lit(1))
+      .filter(col("__rn") <= col("n") - ceil(tDec * col("n")) + lit(1))
       .select(col("id").as("id_x"), col("block"), col("h"))
     val cand = prefix
       .join(posts.select(col("id").as("id_y"), col("block"), col("h")),
@@ -153,10 +158,9 @@ object TextOps {
     * language) and the per-doc argmax needs no full sort. */
   def languageId(docs: DataFrame, idCol: String, textCol: String,
     langCol: String, profileSize: Int = 20): DataFrame = {
-    val doctok = docs
+    val doctok = graft.Caches.persistTracked(docs
       .select(col(idCol).as("__id"), col(langCol).as("__lang"),
-        explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
-      .persist()
+        explode(TextFunctions.tokenSet(col(textCol))).as("tok")))
     val prof = graft.plans.GraftOps.topKPerGroup(
       doctok.groupBy(col("__lang").as("plang"), col("tok"))
         .agg(count(lit(1)).as("cnt")),
@@ -269,8 +273,8 @@ object TextOps {
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
     // tf feeds both the df-count and the final join; persist so the
     // tokenize+explode+agg chain runs once
-    val tf = tok.groupBy("__id", "tok").agg(count(lit(1)).as("cnt"))
-      .persist()
+    val tf = graft.Caches.persistTracked(
+      tok.groupBy("__id", "tok").agg(count(lit(1)).as("cnt")))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     graft.plans.GraftOps.topKPerGroup(
@@ -349,10 +353,9 @@ object TextOps {
       .withColumn("hs",
         array_sort(array_distinct(expr("graft_bigram_hashes(__tk)"))))
       .select(col(idCol).as("id"), col(blockCol).as("block"), col("hs"))
-      // both self-join sides read this chain; persist so the shingle
-      // hashing runs once (one small row of sorted hashes per doc)
-      .persist()
-    nearDupPairs(hashed, minJac)
+    // both self-join sides read this chain; persist so the shingle
+    // hashing runs once (one small row of sorted hashes per doc)
+    nearDupPairs(graft.Caches.persistTracked(hashed), minJac)
   }
 
   /** Benchmark decontamination: per corpus document, how many of its

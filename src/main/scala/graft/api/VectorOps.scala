@@ -136,10 +136,9 @@ object VectorOps {
           typedLit(planes(b * planesPerBand + i)))
         when(dot >= 0d, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val d = withNorm(corpus, vecCol)
+    val d = graft.Caches.persistTracked(withNorm(corpus, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("__v"), col("n2"),
-        array((0 until bands).map(bandKey): _*).as("bks"))
-      .persist()
+        array((0 until bands).map(bandKey): _*).as("bks")))
     val va = d.select(col("id").as("id_lo"), col("__v").as("v_a"),
       col("n2").as("n2_a"))
     val vb = d.select(col("id").as("id_hi"), col("__v").as("v_b"),

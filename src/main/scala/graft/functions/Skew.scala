@@ -28,19 +28,37 @@ object Skew {
   /** Two-phase salted sum/count: groupBy(keys :+ salt) partial, then
     * final groupBy(keys). `sums` maps output name -> column to
     * decimal-sum. The salt hashes EVERY input column plus a per-row
-    * ordinal: hashing only keys+values would collapse back onto one
-    * reducer exactly on the worst case (a hot key whose value columns
-    * are constant — 10B identical rows is precisely what needs
-    * spreading). The ordinal makes the salt partition-layout-dependent,
-    * which is safe here: the final aggregate merges the salt partials
-    * with associative+commutative [D2] sums, so the RESULT is identical
-    * for every salt assignment (asserted in SkewSpec). */
+    * discriminator: hashing only keys+values would collapse back onto
+    * one reducer exactly on the worst case (a hot key whose value
+    * columns are constant — 10B identical rows is precisely what needs
+    * spreading).
+    *
+    * Pass `discriminator` (a caller-side stable unique id, e.g. a
+    * primary-key column) to make the salt fully deterministic per row —
+    * the safe choice for any input with an upstream shuffle. Without
+    * one the discriminator falls back to `monotonically_increasing_id`,
+    * whose value depends on partition layout; a fetch-failure retry
+    * that recomputes only SOME map tasks could then re-salt rows
+    * differently mid-aggregate (SPARK-23207 class: rows double-counted
+    * or dropped). To fail closed rather than silently corrupt, the
+    * fallback pins the salted frame with `localCheckpoint`: retries
+    * replay stored blocks, and losing an executor fails the job loudly
+    * instead of re-deriving different salts. RESULTS are identical for
+    * every salt assignment (associative+commutative [D2] sums; asserted
+    * in SkewSpec). */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
-    sums: Map[String, Column]): DataFrame = {
+    sums: Map[String, Column],
+    discriminator: Option[Column] = None): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val salted = df.withColumn("__salt",
-      saltCol(df.columns.map(col).toSeq :+ monotonically_increasing_id(),
-        salts))
+    val allCols = df.columns.map(col).toSeq
+    val salted = discriminator match {
+      case Some(d) =>
+        df.withColumn("__salt", saltCol(allCols :+ d, salts))
+      case None =>
+        df.withColumn("__salt",
+            saltCol(allCols :+ monotonically_increasing_id(), salts))
+          .localCheckpoint()
+    }
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__n"),
         sums.map { case (name, c) =>

@@ -58,7 +58,8 @@ object TextQueries {
     })
 
   /** Release this session's cached hash/pair tables (unpersist + drop
-    * the map entries). The static caches otherwise pin both the
+    * the map entries) AND every builder-internal persist registered in
+    * [[graft.Caches]]. The static caches otherwise pin both the
     * DataFrames' storage and the SparkSession itself for the JVM's
     * lifetime — fine for a one-shot Verify/Bench run, wrong for a
     * long-lived host that cycles sessions; such hosts must call this
@@ -70,6 +71,7 @@ object TextQueries {
     pairsCache.forEach { (k, v) =>
       if (k._1 eq s) { v.unpersist(); pairsCache.remove(k) }
     }
+    graft.Caches.clear(s)
   }
 
   /** Oracle-side CTE text for the same edge set (jac ≥ 0.6), shared by the
@@ -176,10 +178,9 @@ object TextQueries {
     "q98_surprisal" -> ((s, dir) => {
       // dt feeds the tf aggregation AND the occurrence join — persist
       // so the corpus tokenize+explode runs once (tfidfTopTerms pattern)
-      val dt = t(s, dir, "documents")
+      val dt = graft.Caches.persistTracked(t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .persist()
+          explode(TextFunctions.tokens(col("text"))).as("tok")))
       val tf = dt.groupBy("tok").agg(count(lit(1)).as("tf"))
       val n = tf.agg(sum("tf").as("n_total"))
       dt.join(tf, "tok").crossJoin(broadcast(n))

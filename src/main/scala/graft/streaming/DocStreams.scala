@@ -68,8 +68,9 @@ object DocStreams {
     * follows). Hash collisions at equal length are the only error
     * mode (astronomically rare; the batch compaction pass re-resolves
     * them exactly — the standard online-filter + offline-compaction
-    * split, same as [[nearDupFilter]]). Empty documents have a NULL
-    * key and pass through unfiltered. */
+    * split, same as [[nearDupFilter]]). NULL-text documents pass
+    * through unfiltered (their hash is NULL); empty strings dedup like
+    * any other content. */
   def exactDupFilter(docs: DataFrame, tsCol: String, textCol: String,
     watermark: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)

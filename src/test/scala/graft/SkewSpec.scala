@@ -82,6 +82,21 @@ class SkewSpec extends SparkSpec {
       r.getAs[Long]("cum") == r.getAs[Long]("n")))
   }
 
+  test("salted aggregation with a caller discriminator equals direct") {
+    // the deterministic-salt path: discriminator = the order key, so the
+    // salt is a pure function of row content (retry-safe, no checkpoint)
+    val li = Tables.load(spark, Sf, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(Dets.Dec)).as("sum_px"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    val salted = Skew.saltedAgg(li, Seq("l_returnflag"), salts = 16,
+      Map("sum_px" -> col("l_extendedprice")),
+      discriminator = Some(col("l_orderkey") * 8 + col("l_linenumber")))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    assert(salted == direct)
+  }
+
   test("salted aggregation equals direct on a single hot key") {
     import spark.implicits._
     val hot = (1 to 50000).map(i => ("hot", i.toDouble)) ++
