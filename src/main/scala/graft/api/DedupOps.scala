@@ -83,10 +83,17 @@ object DedupOps {
     * the corpus outgrows that and they attach via shuffled equi-joins on
     * the id instead (hash-co-partitioned, no broadcast anywhere; the
     * first-band rule and the result are unchanged — asserted in
-    * ApiSpec). */
+    * ApiSpec).
+    *
+    * `blockCol` optionally restricts the relation to same-block pairs
+    * (e.g. same language — the blocking [[TextOps.nearDupPairs]]
+    * applies): the block joins INTO the band-collision key, so
+    * cross-block pairs never become candidates and never pay the
+    * verify — not a post-filter. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
     minJac: Double, numHashes: Int = 16, bands: Int = 4,
-    broadcastLookups: Boolean = true): DataFrame = {
+    broadcastLookups: Boolean = true,
+    blockCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     GraftFunctions.register(docs.sparkSession)
@@ -98,8 +105,10 @@ object DedupOps {
       .withColumn("hs", array_sort(expr("graft_token_hashes(__toks)")))
       .withColumn("mh", expr(s"graft_minhash(hs, $numHashes)"))
       .withColumn("bks", expr(s"graft_band_keys(mh, $bands, $rows)"))
-      .select(col(idCol).as("id"), col("hs"), col("bks")))
-    val firstBand = bandCollisionPairs(d, bands, broadcastLookups)
+      .select((Seq(col(idCol).as("id"), col("hs"), col("bks")) ++
+        blockCol.map(c => col(c).as("block"))): _*))
+    val firstBand =
+      bandCollisionPairs(d, bands, broadcastLookups, blockCol.isDefined)
     val att = attach(broadcastLookups)
     val ha = d.select(col("id").as("id_lo"), col("hs").as("hs_a"))
     val hb = d.select(col("id").as("id_hi"), col("hs").as("hs_b"))
@@ -126,17 +135,28 @@ object DedupOps {
     * HOF lambda: higher-order functions evaluate interpreted per
     * element, which would dominate on the candidate set; the CASE stays
     * inside whole-stage codegen. A colliding pair always matches its
-    * last band if no earlier one, hence the ELSE arm. */
+    * last band if no earlier one, hence the ELSE arm.
+    *
+    * With `blocked = true`, `d` must carry a `block` column and it
+    * joins into the collision key — same-block pairs collide in exactly
+    * the bands they would unblocked (block equality is pair-constant,
+    * so the first-band rule is untouched); cross-block pairs are never
+    * produced. */
   private[api] def bandCollisionPairs(d: DataFrame, bands: Int,
-    broadcastLookups: Boolean = true): DataFrame = {
+    broadcastLookups: Boolean = true, blocked: Boolean = false)
+  : DataFrame = {
     val att = attach(broadcastLookups)
-    val banded = d.select(col("id"),
-      posexplode(col("bks")).as(Seq("band", "bkey")))
-    val cand = banded.select(col("id").as("id_lo"), col("band"), col("bkey"))
-      .join(banded.select(col("id").as("id_hi"),
-        col("band").as("band_b"), col("bkey").as("bkey_b")),
-        col("band") === col("band_b") && col("bkey") === col("bkey_b")
-          && col("id_lo") < col("id_hi"))
+    val bandedCols = Seq(col("id")) ++
+      (if (blocked) Seq(col("block")) else Nil)
+    val banded = d.select(bandedCols :+
+      posexplode(col("bks")).as(Seq("band", "bkey")): _*)
+    val joinCond = col("band") === col("band_b") &&
+      col("bkey") === col("bkey_b") && col("id_lo") < col("id_hi") &&
+      (if (blocked) col("block") === col("block_b") else lit(true))
+    val cand = banded
+      .withColumnRenamed("id", "id_lo")
+      .join(banded.toDF(banded.columns.map(_ + "_b").toIndexedSeq: _*)
+        .withColumnRenamed("id_b", "id_hi"), joinCond)
       .select("id_lo", "id_hi", "band")
     val ka = d.select(col("id").as("id_lo"), col("bks").as("bks_a"))
     val kb = d.select(col("id").as("id_hi"), col("bks").as("bks_b"))

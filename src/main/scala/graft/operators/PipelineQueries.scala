@@ -332,19 +332,21 @@ object PipelineQueries {
     // sources is two joins against the (doc_id, source) projection and
     // the matrix itself is |sources|² rows. Diagonal rows
     // (source_lo = source_hi) count intra-source near-dups.
-    "q100_source_overlap" -> ((s, dir) => {
-      val src = t(s, dir, "documents").select("doc_id", "source")
-      TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi")
-        .join(src.select(col("doc_id").as("id_lo"),
-          col("source").as("s_lo")), "id_lo")
-        .join(src.select(col("doc_id").as("id_hi"),
-          col("source").as("s_hi")), "id_hi")
-        .select(least(col("s_lo"), col("s_hi")).as("source_lo"),
-          greatest(col("s_lo"), col("s_hi")).as("source_hi"))
-        .groupBy("source_lo", "source_hi")
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("source_lo", "source_hi")
-    }),
+    "q100_source_overlap" -> ((s, dir) =>
+      sourceOverlap(s, dir,
+        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))),
+
+    // q100 on the 100 TB edge source: identical composition, but the
+    // near-dup relation comes from q66's banded MinHash-LSH candidate
+    // generation (verified at jac ≥ 0.6) instead of the exact blocked
+    // quadratic scan — the edge build is bucket-joins + verify-on-
+    // candidates, never all-pairs. The oracle replays the full LSH
+    // pipeline (lshEdgeCteSql), so the gate is exact, not
+    // recall-assumed.
+    "q119_overlap_lsh" -> ((s, dir) =>
+      sourceOverlap(s, dir,
+        SketchQueries.lshNearDupPairs(s, dir, 0.6, Some("lang"))
+          .select("id_lo", "id_hi"))),
 
     // End-to-end curation run: the composed keep-list a corpus release
     // actually ships — quality rules (q104), exact-dup keeper (q60),
@@ -356,40 +358,82 @@ object PipelineQueries {
     // scored against itself). Every stage is the already-gated
     // operator's own API; the composition adds only doc_id equi-joins,
     // so the scale shape is the union of the stages' shapes.
-    "q116_curation_run" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val qual = CurationQueries.queries("q104_quality_rules")(s, dir)
-        .select(col("doc_id"), col("keep").as("f_quality"))
-      val exactKeep = graft.api.DedupOps.exactGroups(docs, "doc_id", "text")
-        .select(col("keep_id").as("doc_id"), lit(1).as("f_exact"))
-      val nearKeep = graft.api.DedupOps.clusterResolve(docs, "doc_id",
-          TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
-        .select(col("doc_id"), col("keep").as("f_near"))
-      val clean = graft.api.TextOps.decontaminate(
-          docs.filter(col("source") =!= "src0"), "doc_id", "text",
-          docs.filter(col("source") === "src0"), "text", DecontamN)
-        .select(col("doc_id"),
-          (lit(1) - col("contaminated")).cast("int").as("f_clean"))
-      docs.select(col("doc_id"), col("source"))
-        .join(qual, "doc_id")
-        .join(exactKeep, Seq("doc_id"), "left")
-        .join(nearKeep, "doc_id")
-        .join(clean, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("source") === "src0", 1).otherwise(0)
-            .cast("int").as("f_eval"),
-          col("f_quality"),
-          coalesce(col("f_exact"), lit(0)).cast("int").as("f_exact"),
-          col("f_near"),
-          coalesce(col("f_clean"), lit(1)).cast("int").as("f_clean"),
-          when(col("source") =!= "src0" && col("f_quality") === 1 &&
-            coalesce(col("f_exact"), lit(0)) === 1 &&
-            col("f_near") === 1 &&
-            coalesce(col("f_clean"), lit(1)) === 1, 1).otherwise(0)
-            .cast("int").as("keep"))
-        .orderBy("doc_id")
-    })
+    "q116_curation_run" -> ((s, dir) =>
+      curationRun(s, dir,
+        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))),
+
+    // q116 on the 100 TB edge source (the q110 pattern, text modality):
+    // the near-dup stage consumes q66's MinHash-LSH edge set at
+    // jac ≥ 0.6 instead of the exact quadratic scan, so every stage of
+    // the composed run is the scale shape — bucketed candidates, hash
+    // exchanges, broadcast eval grams. Oracle replays the LSH candidate
+    // generation exactly.
+    "q118_curation_lsh" -> ((s, dir) =>
+      curationRun(s, dir,
+        SketchQueries.lshNearDupPairs(s, dir, 0.6, Some("lang"))
+          .select("id_lo", "id_hi")))
   )
+
+  /** q100/q119's composition, parameterized on the near-dup edge
+    * source: attach each edge endpoint's source (two co-keyed joins
+    * against the (doc_id, source) projection) and count edges per
+    * unordered source pair — the "is collection B already inside
+    * collection A" leakage matrix, |sources|² rows. */
+  private def sourceOverlap(s: SparkSession, dir: String,
+    edges: DataFrame): DataFrame = {
+    val src = t(s, dir, "documents").select("doc_id", "source")
+    edges
+      .join(src.select(col("doc_id").as("id_lo"),
+        col("source").as("s_lo")), "id_lo")
+      .join(src.select(col("doc_id").as("id_hi"),
+        col("source").as("s_hi")), "id_hi")
+      .select(least(col("s_lo"), col("s_hi")).as("source_lo"),
+        greatest(col("s_lo"), col("s_hi")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  /** q116/q118's composition, parameterized on the near-dup edge
+    * source (exact blocked scan for the oracle-mirroring form, MinHash-
+    * LSH candidates for the scale form — the same parameterization q110
+    * proved on the embedding modality). Every stage is the already-
+    * gated operator's own API; the composition adds only doc_id
+    * equi-joins, so the scale shape is the union of the stages'
+    * shapes. */
+  private def curationRun(s: SparkSession, dir: String,
+    edges: DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qual = CurationQueries.queries("q104_quality_rules")(s, dir)
+      .select(col("doc_id"), col("keep").as("f_quality"))
+    val exactKeep = graft.api.DedupOps.exactGroups(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), lit(1).as("f_exact"))
+    val nearKeep = graft.api.DedupOps.clusterResolve(docs, "doc_id", edges)
+      .select(col("doc_id"), col("keep").as("f_near"))
+    val clean = graft.api.TextOps.decontaminate(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", DecontamN)
+      .select(col("doc_id"),
+        (lit(1) - col("contaminated")).cast("int").as("f_clean"))
+    docs.select(col("doc_id"), col("source"))
+      .join(qual, "doc_id")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearKeep, "doc_id")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("source") === "src0", 1).otherwise(0)
+          .cast("int").as("f_eval"),
+        col("f_quality"),
+        coalesce(col("f_exact"), lit(0)).cast("int").as("f_exact"),
+        col("f_near"),
+        coalesce(col("f_clean"), lit(1)).cast("int").as("f_clean"),
+        when(col("source") =!= "src0" && col("f_quality") === 1 &&
+          coalesce(col("f_exact"), lit(0)) === 1 &&
+          col("f_near") === 1 &&
+          coalesce(col("f_clean"), lit(1)) === 1, 1).otherwise(0)
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
 
   /** CTE chain ending in `ct(doc_id, n_grams, n_hits, contaminated)` —
     * the q90 decontamination replay (src0 as the held-out eval suite),
@@ -564,55 +608,73 @@ object PipelineQueries {
          |ORDER BY 1 ASC NULLS FIRST, GROUPING(source) ASC""".stripMargin,
 
     "q100_source_overlap" ->
-      s"""WITH ${TextQueries.nearDupEdgeSql},
-         |sp AS (
-         |  SELECT LEAST(da.source, db.source) AS source_lo,
-         |         GREATEST(da.source, db.source) AS source_hi
-         |  FROM e JOIN documents da ON e.id_lo = da.doc_id
-         |         JOIN documents db ON e.id_hi = db.doc_id)
-         |SELECT source_lo, source_hi, COUNT(*) AS n_pairs
-         |FROM sp GROUP BY source_lo, source_hi
-         |ORDER BY source_lo ASC NULLS FIRST, source_hi ASC NULLS FIRST"""
-        .stripMargin,
+      sourceOverlapOracleSql(TextQueries.nearDupEdgeSql),
 
-    // The composed replay: near-dup closure (q77's recursive CTE),
-    // quality rules (q104's shared CTE), exact keepers, and the
-    // decontamination chain (q90's shared CTE), joined per doc.
+    "q119_overlap_lsh" ->
+      sourceOverlapOracleSql(
+        SketchQueries.lshEdgeCteSql(0.6, langBlocked = true)),
+
     "q116_curation_run" ->
-      s"""WITH RECURSIVE ${TextQueries.nearDupEdgeSql},
-         |${CurationQueries.qualityRuleCteSql},
-         |$decontamCteSql,
-         |ek AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text),
-         |ed2 AS (SELECT id_lo AS src, id_hi AS dst FROM e
-         |        UNION SELECT id_hi, id_lo FROM e),
-         |reach(node, lab) AS (
-         |  SELECT doc_id, doc_id FROM d
-         |  UNION
-         |  SELECT ed2.dst, r.lab FROM reach r JOIN ed2 ON ed2.src = r.node
-         |),
-         |nk AS (SELECT node AS doc_id,
-         |              CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS f_near
-         |       FROM reach GROUP BY node)
-         |SELECT dd.doc_id,
-         |  CAST(CASE WHEN dd.source = 'src0' THEN 1 ELSE 0 END AS INT)
-         |    AS f_eval,
-         |  CAST(CASE WHEN qr.r_len AND qr.r_wordlen AND qr.r_stop
-         |            AND qr.r_ttr THEN 1 ELSE 0 END AS INT) AS f_quality,
-         |  CAST(CASE WHEN ek.keep_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
-         |    AS f_exact,
-         |  CAST(nk.f_near AS INT) AS f_near,
-         |  CAST(COALESCE(1 - ct.contaminated, 1) AS INT) AS f_clean,
-         |  CAST(CASE WHEN dd.source != 'src0'
-         |            AND qr.r_len AND qr.r_wordlen AND qr.r_stop AND qr.r_ttr
-         |            AND ek.keep_id IS NOT NULL
-         |            AND nk.f_near = 1
-         |            AND COALESCE(ct.contaminated, 0) = 0
-         |       THEN 1 ELSE 0 END AS INT) AS keep
-         |FROM documents dd
-         |JOIN qr ON dd.doc_id = qr.doc_id
-         |LEFT JOIN ek ON dd.doc_id = ek.keep_id
-         |JOIN nk ON dd.doc_id = nk.doc_id
-         |LEFT JOIN ct ON dd.doc_id = ct.doc_id
-         |ORDER BY dd.doc_id ASC NULLS FIRST""".stripMargin
+      curationRunOracleSql(TextQueries.nearDupEdgeSql),
+
+    "q118_curation_lsh" ->
+      curationRunOracleSql(
+        SketchQueries.lshEdgeCteSql(0.6, langBlocked = true))
   )
+
+  /** q100/q119's shared oracle replay, parameterized on the edge CTE
+    * (exact quadratic / LSH candidate generation) — both edge CTEs end
+    * in `e(id_lo, id_hi, jac)`. */
+  private def sourceOverlapOracleSql(edgeCte: String): String =
+    s"""WITH $edgeCte,
+       |sp AS (
+       |  SELECT LEAST(da.source, db.source) AS source_lo,
+       |         GREATEST(da.source, db.source) AS source_hi
+       |  FROM e JOIN documents da ON e.id_lo = da.doc_id
+       |         JOIN documents db ON e.id_hi = db.doc_id)
+       |SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+       |FROM sp GROUP BY source_lo, source_hi
+       |ORDER BY source_lo ASC NULLS FIRST, source_hi ASC NULLS FIRST"""
+      .stripMargin
+
+  /** q116/q118's composed replay: near-dup closure (q77's recursive CTE
+    * over the parameterized edge set `e`, vertex set `d`), quality
+    * rules (q104's shared CTE), exact keepers, and the decontamination
+    * chain (q90's shared CTE), joined per doc. */
+  private def curationRunOracleSql(edgeCte: String): String =
+    s"""WITH RECURSIVE $edgeCte,
+       |${CurationQueries.qualityRuleCteSql},
+       |$decontamCteSql,
+       |ek AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+       |ed2 AS (SELECT id_lo AS src, id_hi AS dst FROM e
+       |        UNION SELECT id_hi, id_lo FROM e),
+       |reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT ed2.dst, r.lab FROM reach r JOIN ed2 ON ed2.src = r.node
+       |),
+       |nk AS (SELECT node AS doc_id,
+       |              CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS f_near
+       |       FROM reach GROUP BY node)
+       |SELECT dd.doc_id,
+       |  CAST(CASE WHEN dd.source = 'src0' THEN 1 ELSE 0 END AS INT)
+       |    AS f_eval,
+       |  CAST(CASE WHEN qr.r_len AND qr.r_wordlen AND qr.r_stop
+       |            AND qr.r_ttr THEN 1 ELSE 0 END AS INT) AS f_quality,
+       |  CAST(CASE WHEN ek.keep_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+       |    AS f_exact,
+       |  CAST(nk.f_near AS INT) AS f_near,
+       |  CAST(COALESCE(1 - ct.contaminated, 1) AS INT) AS f_clean,
+       |  CAST(CASE WHEN dd.source != 'src0'
+       |            AND qr.r_len AND qr.r_wordlen AND qr.r_stop AND qr.r_ttr
+       |            AND ek.keep_id IS NOT NULL
+       |            AND nk.f_near = 1
+       |            AND COALESCE(ct.contaminated, 0) = 0
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM documents dd
+       |JOIN qr ON dd.doc_id = qr.doc_id
+       |LEFT JOIN ek ON dd.doc_id = ek.keep_id
+       |JOIN nk ON dd.doc_id = nk.doc_id
+       |LEFT JOIN ct ON dd.doc_id = ct.doc_id
+       |ORDER BY dd.doc_id ASC NULLS FIRST""".stripMargin
 }

@@ -32,6 +32,33 @@ object SketchQueries {
   private val MaxHd = 3
   private val HhCap = 64
 
+  /** Session-cached MinHash-LSH near-dup pair table at `minJac` — the
+    * banded-candidate edge set q66 emits and the LSH-edge compositions
+    * (q118/q119) consume (those pass `blockCol = Some("lang")` so the
+    * relation matches q61's same-lang blocking). Cached per
+    * (session, dir, threshold, block) so the shingle→minhash→band→
+    * verify pipeline materializes once per consumer group; released by
+    * [[clearCaches]]. */
+  private val lshPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double, String), DataFrame]()
+
+  def lshNearDupPairs(s: SparkSession, dir: String, minJac: Double,
+    blockCol: Option[String] = None): DataFrame =
+    lshPairsCache.computeIfAbsent(
+      (s, dir, minJac, blockCol.getOrElse("")), { _ =>
+        graft.api.DedupOps.minhashLshPairs(
+          t(s, dir, "documents"), "doc_id", "text", minJac, NumHashes,
+          Bands, blockCol = blockCol)
+          .persist()
+      })
+
+  /** Release this session's cached LSH pair tables (the
+    * [[graft.operators.TextQueries.clearCaches]] discipline). */
+  def clearCaches(s: SparkSession): Unit =
+    lshPairsCache.forEach { (k, v) =>
+      if (k._1 eq s) { v.unpersist(); lshPairsCache.remove(k) }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pipeline shape for scale: the band join carries ONLY (doc_id, band,
     // key); cross-band duplicate candidates are eliminated WITHOUT a
@@ -43,8 +70,7 @@ object SketchQueries {
     // token hashes) would be attached via a co-partitioned join on doc_id
     // instead of broadcast; the first-band rule is unchanged.
     "q66_minhash_lsh" -> ((s, dir) =>
-      graft.api.DedupOps.minhashLshPairs(
-        t(s, dir, "documents"), "doc_id", "text", 0.5, NumHashes, Bands)
+      lshNearDupPairs(s, dir, 0.5)
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
         .orderBy("id_lo", "id_hi")),
 
@@ -114,40 +140,59 @@ object SketchQueries {
        |  FROM bits GROUP BY doc_id
        |)""".stripMargin
 
+  /** CTE chain ending in `e(id_lo, id_hi, jac)` — the full MinHash-LSH
+    * replay (shingle → minhash → band keys → banded candidates → exact
+    * Jaccard verify at `minJac`). Shared by the q66 oracle and the
+    * LSH-edge compositions (q118/q119) so every consumer gates ONE
+    * candidate-generation definition; also defines `d(doc_id, toks)`,
+    * which composed oracles reuse as the vertex set (mirroring
+    * nearDupEdgeSql's shape).
+    *
+    * `langBlocked` replays `blockCol = Some("lang")`: block equality is
+    * pair-constant, so filtering the DISTINCT candidate set by lang is
+    * exactly the Spark side's block-in-the-band-join. */
+  private[operators] def lshEdgeCteSql(minJac: Double,
+    langBlocked: Boolean = false): String = {
+    val blockPred = if (langBlocked) " AND da.lang = db.lang" else ""
+    s"""d AS (
+       |  SELECT doc_id, lang, $sqlTokSet AS toks FROM documents
+       |), th AS (
+       |  SELECT doc_id, ${Sql.charHash("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) u
+       |), ks(k, mul, addc) AS (
+       |  VALUES ${(0 until NumHashes).map(k =>
+            s"(${k}, ${TextFunctions.mhMul(k)}, ${TextFunctions.mhAdd(k)})")
+            .mkString(", ")}
+       |), mh AS (
+       |  SELECT doc_id, k,
+       |         MIN((h * CAST(mul AS BIGINT) + addc) % $HashMod) AS mhv
+       |  FROM th CROSS JOIN ks
+       |  GROUP BY doc_id, k
+       |), bands AS (
+       |  SELECT doc_id, k // $Rows AS band,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mhv ORDER BY k)),
+       |                     (a, b) -> (a * 31 + b) % ${TextFunctions.BandMod}) AS bkey
+       |  FROM mh GROUP BY doc_id, k // $Rows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), e AS (
+       |  SELECT c.id_lo, c.id_hi,
+       |         CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+       |         / len(list_distinct(da.toks || db.toks)) AS jac
+       |  FROM cand c
+       |  JOIN d da ON da.doc_id = c.id_lo
+       |  JOIN d db ON db.doc_id = c.id_hi
+       |  WHERE CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+       |        / len(list_distinct(da.toks || db.toks)) >= $minJac$blockPred
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q66_minhash_lsh" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, $sqlTokSet AS toks FROM documents
-         |), th AS (
-         |  SELECT doc_id, ${Sql.charHash("tok")} AS h
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) u
-         |), ks(k, mul, addc) AS (
-         |  VALUES ${(0 until NumHashes).map(k =>
-              s"(${k}, ${TextFunctions.mhMul(k)}, ${TextFunctions.mhAdd(k)})")
-              .mkString(", ")}
-         |), mh AS (
-         |  SELECT doc_id, k,
-         |         MIN((h * CAST(mul AS BIGINT) + addc) % $HashMod) AS mhv
-         |  FROM th CROSS JOIN ks
-         |  GROUP BY doc_id, k
-         |), bands AS (
-         |  SELECT doc_id, k // $Rows AS band,
-         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(mhv ORDER BY k)),
-         |                     (a, b) -> (a * 31 + b) % ${TextFunctions.BandMod}) AS bkey
-         |  FROM mh GROUP BY doc_id, k // $Rows
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_lo, b.doc_id AS id_hi
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |)
-         |SELECT c.id_lo, c.id_hi,
-         |       ROUND(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
-         |             / len(list_distinct(da.toks || db.toks)), 4) AS jac4
-         |FROM cand c
-         |JOIN d da ON da.doc_id = c.id_lo
-         |JOIN d db ON db.doc_id = c.id_hi
-         |WHERE CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
-         |      / len(list_distinct(da.toks || db.toks)) >= 0.5
+      s"""WITH ${lshEdgeCteSql(0.5)}
+         |SELECT id_lo, id_hi, ROUND(jac, 4) AS jac4 FROM e
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
 
     "q67_simhash" ->

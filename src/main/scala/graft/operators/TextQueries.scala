@@ -71,6 +71,7 @@ object TextQueries {
     pairsCache.forEach { (k, v) =>
       if (k._1 eq s) { v.unpersist(); pairsCache.remove(k) }
     }
+    SketchQueries.clearCaches(s)
     graft.Caches.clear(s)
   }
 

@@ -31,6 +31,36 @@ class PipelineSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("q118/q119 LSH-edge compositions: refinement of the exact forms") {
+    // LSH edges are a SUBSET of the exact jac ≥ 0.6 relation (candidates
+    // filtered by the same verify), so the LSH components REFINE the
+    // exact components. Consequences asserted here, valid for any
+    // corpus: (a) every source-pair edge count in q119 is ≤ q100's;
+    // (b) q118's f_near keep-set contains q116's (each coarse cluster's
+    // min id is also the min of its refined cluster); (c) all other
+    // flags are edge-source-independent and must match row-for-row.
+    val exact = q("q100_source_overlap").withColumnRenamed("n_pairs", "n_x")
+    val lsh = q("q119_overlap_lsh")
+    val over = lsh.join(exact, Seq("source_lo", "source_hi"), "left")
+      .filter(col("n_x").isNull || col("n_pairs") > col("n_x")).count()
+    assert(over == 0, "q119 has a source pair with more edges than q100")
+
+    val c116 = q("q116_curation_run").cache()
+    val c118 = q("q118_curation_lsh").cache()
+    assert(c116.count() == c118.count())
+    val j = c116.select(col("doc_id"), col("f_near").as("near_x"),
+        col("f_quality").as("q_x"), col("f_exact").as("e_x"),
+        col("f_clean").as("c_x"))
+      .join(c118, "doc_id").cache()
+    assert(j.filter(col("near_x") === 1 && col("f_near") === 0).count() == 0,
+      "a doc kept by the exact near-dup stage was dropped by the LSH stage")
+    assert(j.filter(col("q_x") =!= col("f_quality") ||
+      col("e_x") =!= col("f_exact") ||
+      col("c_x") =!= col("f_clean")).count() == 0,
+      "an edge-source-independent flag differs between q116 and q118")
+    j.unpersist(); c116.unpersist(); c118.unpersist()
+  }
+
   test("q78 split: buckets 0-9, split names consistent, assignment total") {
     val s = q("q78_train_split").cache()
     assert(s.filter(col("bucket") < 0 || col("bucket") > 9).count() == 0)
