@@ -206,19 +206,30 @@ object TextOps {
     * engine-portable. Stateless — the same projection runs on a batch
     * corpus (q104) or an arriving stream
     * ([[graft.streaming.DocStreams.curationGate]]). */
-  def qualityRules(docs: DataFrame, textCol: String): DataFrame = {
+  def qualityRules(docs: DataFrame, textCol: String): DataFrame =
+    qualityRulesFromTokens(
+      docs.withColumn("__tk", TextFunctions.tokens(col(textCol))), "__tk")
+      .drop("__tk")
+
+  /** [[qualityRules]] over a PRE-TOKENIZED column — the shared-scan form
+    * for composed pipelines (q116/q118's curation run) where several
+    * stages read one persisted `(id, …, tokens)` projection instead of
+    * each re-tokenizing the corpus. Same rules, same flag bits; the
+    * token column passes through untouched. */
+  def qualityRulesFromTokens(docs: DataFrame, toksCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
+    val tk = col(toksCol)
     val d = docs
-      .withColumn("__tk", TextFunctions.tokens(col(textCol)))
-      .withColumn("n_tok", size(col("__tk")).cast("long"))
-      .withColumn("__sum_len", expr("CAST(graft_sum_lengths(__tk) AS BIGINT)"))
-      .withColumn("__n_types", size(array_distinct(col("__tk"))).cast("long"))
+      .withColumn("n_tok", size(tk).cast("long"))
+      .withColumn("__sum_len",
+        call_function("graft_sum_lengths", tk).cast("long"))
+      .withColumn("__n_types", size(array_distinct(tk)).cast("long"))
       // codegen form of "count of 'the' + count of 'a'" — an
       // interpreted filter() lambda on the per-token hot path would
       // violate this file's no-HOF convention (the bm25 tf trick)
       .withColumn("__n_stop",
-        ((size(col("__tk")) - size(array_remove(col("__tk"), lit("the"))))
-          + (size(col("__tk")) - size(array_remove(col("__tk"), lit("a")))))
+        ((size(tk) - size(array_remove(tk, lit("the"))))
+          + (size(tk) - size(array_remove(tk, lit("a")))))
           .cast("long"))
       .withColumn("__r_len", col("n_tok") >= 20 && col("n_tok") <= 100000)
       .withColumn("__r_wordlen", col("__sum_len") >= col("n_tok") * 3 &&
@@ -233,7 +244,7 @@ object TextOps {
       .withColumn("keep",
         when(col("__r_len") && col("__r_wordlen") && col("__r_stop")
           && col("__r_ttr"), 1).otherwise(0).cast("int"))
-      .drop("__tk", "__sum_len", "__n_types", "__n_stop",
+      .drop("__sum_len", "__n_types", "__n_stop",
         "__r_len", "__r_wordlen", "__r_stop", "__r_ttr")
   }
 
@@ -374,16 +385,28 @@ object TextOps {
     * `graft_token_hashes` — engine-portable 64-bit arithmetic, so the
     * contamination verdict is reproducible on any engine. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-    evalDocs: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    evalDocs: DataFrame, evalTextCol: String, n: Int = 8): DataFrame =
+    decontaminateFromTokens(
+      docs.withColumn("__dtk", TextFunctions.tokens(col(textCol))),
+      idCol, "__dtk",
+      evalDocs.withColumn("__dtk", TextFunctions.tokens(col(evalTextCol))),
+      "__dtk", n)
+
+  /** [[decontaminate]] over PRE-TOKENIZED columns — the shared-scan form
+    * for composed pipelines where the corpus (and typically the eval
+    * suite, a filtered view of the same frame) already carries a
+    * persisted token array. Same gram hashing, same output columns. */
+  def decontaminateFromTokens(docs: DataFrame, idCol: String,
+    toksCol: String, evalDocs: DataFrame, evalToksCol: String,
+    n: Int = 8): DataFrame = {
     require(n >= 2, "n-gram width must be >= 2")
     GraftFunctions.register(docs.sparkSession)
     def grams(df: DataFrame, c: String) = df.withColumn("__g",
       call_function("graft_ngram_hashes",
-        call_function("graft_token_hashes", TextFunctions.tokens(col(c))),
-        lit(n)))
-    val evalG = grams(evalDocs, evalTextCol)
+        call_function("graft_token_hashes", col(c)), lit(n)))
+    val evalG = grams(evalDocs, evalToksCol)
       .select(explode(col("__g")).as("g")).distinct()
-    val corpus = grams(docs, textCol)
+    val corpus = grams(docs, toksCol)
       .select(col(idCol), size(col("__g")).cast("long").as("n_grams"),
         col("__g"))
     val hits = corpus

@@ -62,22 +62,25 @@ object VectorOps {
     *
     * Both inputs are depth-bounded by construction (they come from
     * bm25/cosineTopK-style top-k operators), so the full-outer fusion
-    * join and the final rank window touch ≤ 2·depth rows — the
-    * single-partition window is bounded by the parameter, never by
-    * data size. */
+    * join touches ≤ 2·depth rows. The final rank runs through the
+    * bounded-heap top-k on a constant group (the bm25 global-rank
+    * shape) rather than a no-PARTITION row_number window: the plan is
+    * then self-evidently bounded — each partition contributes at most
+    * `outK` rows to the final exchange — and the driver log stays free
+    * of WindowExec single-partition warnings that are indistinguishable
+    * from a real scale problem in log review. */
   def rrfFuse(a: DataFrame, b: DataFrame, rrfK: Int, outK: Int)
   : DataFrame = {
     require(rrfK > 0 && outK > 0, "rrfK and outK must be positive")
-    import org.apache.spark.sql.expressions.Window
-    a.join(b, Seq("id"), "full_outer")
+    val fused = a.join(b, Seq("id"), "full_outer")
       .withColumn("rrf6", round(
         coalesce(lit(1.0) / (lit(rrfK).cast("double")
           + col("r_a").cast("double")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK).cast("double")
             + col("r_b").cast("double")), lit(0.0)), 6))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf6").desc, col("id").asc)).cast("int"))
-      .filter(col("rank") <= outK)
+    graft.plans.GraftOps.topKPerGroup(fused, Seq(lit(1)),
+      Seq(col("rrf6").desc, col("id").asc), outK, rankName = "rank")
+      .withColumn("rank", col("rank").cast("int"))
       .select("id", "r_a", "r_b", "rrf6", "rank")
   }
 

@@ -59,18 +59,37 @@ object CurationQueries {
     // 6dp-quantized and decimal-summed (q98's [D2] pattern) so the
     // score is partition-invariant.
     "q103_bigram_surprisal" -> ((s, dir) => {
-      // bg feeds the bf aggregation AND the occurrence join — persist
-      // so the corpus bigram explosion runs once (the q98 pattern)
-      val bg = bigrams(t(s, dir, "documents")).persist()
-      val bf = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
-      val cf = bf.groupBy("w1").agg(sum("bf").as("cf"))
-      bg.join(bf, Seq("w1", "w2")).join(cf, Seq("w1"))
+      // Occurrences pre-collapse to (doc_id, bigram, c) with one hash
+      // agg BEFORE any join — within-doc bigram repeats are common in
+      // natural text, so the joined row count drops from corpus
+      // occurrences to per-doc distinct bigrams. The bigram strings are
+      // then DROPPED: all downstream joins/aggs key on 64-bit xxhash64
+      // keys (h2 = hash of the pair, h1 = hash of the context), so the
+      // shuffles move two longs instead of two strings. A merge needs
+      // the full (h1, h2) composite to collide between distinct
+      // bigrams — at vocabulary scale (≤ ~1e9 types) that chance is
+      // negligible, and the sf0.01 oracle hash-compare would surface
+      // one loudly. occ feeds bf AND the surprisal join — persist via
+      // the tracked registry so the explosion runs once and
+      // clearCaches can release it (the q98 pattern).
+      val occ = graft.Caches.persistTracked(
+        bigrams(t(s, dir, "documents"))
+          .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
+            xxhash64(col("w1"), col("w2")).as("h2"))
+          .groupBy("doc_id", "h1", "h2")
+          .agg(count(lit(1)).as("c")))
+      val bf = occ.groupBy("h1", "h2").agg(sum("c").as("bf"))
+      val cf = bf.groupBy("h1").agg(sum("bf").as("cf"))
+      occ.join(bf, Seq("h1", "h2")).join(cf, Seq("h1"))
         .withColumn("term",
           round(log(col("cf").cast("double") / col("bf")), 6).cast(Dec))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("term")).cast("double") / count(lit(1)), 4)
-            .as("surprisal4"))
+        // Σ_occurrences term == Σ_distinct term·c exactly (term is a
+        // 6dp decimal, c integral), so the decimal sum — and the final
+        // double division — match the per-occurrence oracle bit-for-bit
+        .agg(sum(col("c")).as("n_bigrams"),
+          round(sum(col("term") * col("c")).cast("double")
+            / sum(col("c")), 4).as("surprisal4"))
         .orderBy("doc_id")
     }),
 

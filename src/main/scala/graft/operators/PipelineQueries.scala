@@ -41,6 +41,27 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
+  /** Session-cached (doc_id, source, __tk) tokenized projection — the
+    * curation-run compositions' quality and decontamination stages both
+    * start from the token array, and BOTH compositions (q116 exact,
+    * q118 LSH) run in one gate session, so the corpus tokenizes once
+    * per (session, dir) instead of four times. Released by
+    * [[clearCaches]] (the TextQueries cache discipline). */
+  private val docsTokCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def docsTok(s: SparkSession, dir: String): DataFrame =
+    docsTokCache.computeIfAbsent((s, dir), { _ =>
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("__tk")).persist()
+    })
+
+  /** Release this session's cached tokenized projections. */
+  private[operators] def clearCaches(s: SparkSession): Unit =
+    docsTokCache.forEach { (k, v) =>
+      if (k._1 eq s) { v.unpersist(); docsTokCache.remove(k) }
+    }
+
   private val PackBudget = 2048L
   private val SampleK = 20
   private val Spread = 2654435761L
@@ -404,15 +425,22 @@ object PipelineQueries {
   private def curationRun(s: SparkSession, dir: String,
     edges: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
-    val qual = CurationQueries.queries("q104_quality_rules")(s, dir)
+    // The quality and decontamination stages both start from the token
+    // array; they read the session-cached tokenized projection, so the
+    // corpus tokenizes once across both stages AND both compositions
+    // (the exact-dup stage hashes raw text and the near-dup stage
+    // consumes the session-cached pair tables, so neither
+    // re-tokenizes either).
+    val dt = docsTok(s, dir)
+    val qual = graft.api.TextOps.qualityRulesFromTokens(dt, "__tk")
       .select(col("doc_id"), col("keep").as("f_quality"))
     val exactKeep = graft.api.DedupOps.exactGroups(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"), lit(1).as("f_exact"))
     val nearKeep = graft.api.DedupOps.clusterResolve(docs, "doc_id", edges)
       .select(col("doc_id"), col("keep").as("f_near"))
-    val clean = graft.api.TextOps.decontaminate(
-        docs.filter(col("source") =!= "src0"), "doc_id", "text",
-        docs.filter(col("source") === "src0"), "text", DecontamN)
+    val clean = graft.api.TextOps.decontaminateFromTokens(
+        dt.filter(col("source") =!= "src0"), "doc_id", "__tk",
+        dt.filter(col("source") === "src0"), "__tk", DecontamN)
       .select(col("doc_id"),
         (lit(1) - col("contaminated")).cast("int").as("f_clean"))
     docs.select(col("doc_id"), col("source"))

@@ -72,6 +72,7 @@ object TextQueries {
       if (k._1 eq s) { v.unpersist(); pairsCache.remove(k) }
     }
     SketchQueries.clearCaches(s)
+    PipelineQueries.clearCaches(s)
     graft.Caches.clear(s)
   }
 
