@@ -31,6 +31,16 @@ object VectorQueries {
   private def cosWith(a: String, b: String, n2a: String, n2b: String): Column =
     graft.api.VectorOps.cosWith(a, b, n2a, n2b)
 
+  // 16 bands × 4 sign bits: at the q69/q102 operating point (cos 0.35,
+  // θ ≈ 70°) a plane agrees with p ≈ 0.61, so deep bands almost never
+  // collide — 8-bit bands measured 0.10 recall at sf0.1 — while 4-bit
+  // bands at 16 tables measure 0.93 (RecallAuditSpec; 24 tables 0.98).
+  // Shallow-band/many-table is the standard sign-LSH regime for
+  // moderate-cosine thresholds; high-cosine near-dup (0.9+) would
+  // invert the trade (deeper bands, fewer tables).
+  private[graft] val LshPlanesPerBand = 4
+  private[graft] val LshBands = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -137,7 +147,8 @@ object VectorQueries {
     // (the q66 MinHash-constant pattern).
     "q102_embed_lsh" -> ((s, dir) =>
       graft.api.VectorOps.cosineLshPairs(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 0.35)
+        t(s, dir, "embeddings"), "vec_id", "embedding", 64, 0.35,
+        LshPlanesPerBand, LshBands)
         .select(col("id_lo"), col("id_hi"), col("cos").as("cos4"))
         .orderBy("id_lo", "id_hi")),
 
@@ -150,7 +161,8 @@ object VectorQueries {
     "q110_semdedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val pairs = graft.api.VectorOps.cosineLshPairs(
-        emb, "vec_id", "embedding", 64, 0.35).select("id_lo", "id_hi")
+        emb, "vec_id", "embedding", 64, 0.35,
+        LshPlanesPerBand, LshBands).select("id_lo", "id_hi")
       graft.api.DedupOps.clusterResolve(emb, "vec_id", pairs)
         .orderBy("vec_id")
     }),
@@ -204,7 +216,8 @@ object VectorQueries {
     * widens each float to double before multiplying — so the literals
     * must be the float values' exact double images. */
   private def lshPlanesValues: String =
-    graft.api.VectorOps.gaussianPlanes(32, 64, 42L).zipWithIndex
+    graft.api.VectorOps.gaussianPlanes(LshBands * LshPlanesPerBand, 64, 42L)
+      .zipWithIndex
       .map { case (p, i) =>
         s"($i, [${p.map(_.toDouble.toString).mkString(", ")}])"
       }.mkString(",\n")
@@ -216,12 +229,13 @@ object VectorQueries {
     s"""planes(pid, p) AS (VALUES
        |$lshPlanesValues
        |), keys AS (
-       |  SELECT e.vec_id AS id, pid // 8 AS band,
+       |  SELECT e.vec_id AS id, pid // $LshPlanesPerBand AS band,
        |         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
        |                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
-       |              THEN 1 << (pid % 8) ELSE 0 END) AS BIGINT) AS bkey
+       |              THEN 1 << (pid % $LshPlanesPerBand) ELSE 0 END)
+       |           AS BIGINT) AS bkey
        |  FROM embeddings e CROSS JOIN planes pl
-       |  GROUP BY e.vec_id, pid // 8
+       |  GROUP BY e.vec_id, pid // $LshPlanesPerBand
        |), cand AS (
        |  SELECT DISTINCT a.id AS id_lo, b.id AS id_hi
        |  FROM keys a JOIN keys b

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{SketchQueries, TextQueries, VectorQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured recall audits at sf0.1: every bucketed/approximate candidate
+  * generator vs its exact sibling (the SURVEY §9 audit the round-3
+  * verdict called for).
+  *
+  * All the LSH-family generators verify EXACT similarity on their
+  * candidates, so their pair sets are subsets of the exact relation by
+  * construction — asserted here — and recall (|approx| / |exact|) is the
+  * one number that can silently regress when banding parameters, hash
+  * kernels, or blocking change. These tests pin it to a measured floor
+  * at the largest local scale factor; the measured values are recorded
+  * in BENCH_NOTES.md.
+  *
+  * q111 (prefix-filtered containment) is NOT probabilistic — the prefix
+  * bound guarantees every qualifying pair survives candidate generation
+  * — so its audit asserts exact set equality, not a floor.
+  */
+class RecallAuditSpec extends SparkSpec {
+  private val Sf01 = "/root/testdata/sf0.1"
+
+  /** Assert `approx` ⊆ `exact` on (id_lo, id_hi) and return
+    * (|approx|, |exact|, recall). */
+  private def pairRecall(name: String, approx: DataFrame, exact: DataFrame)
+  : (Long, Long, Double) = {
+    val a = approx.select("id_lo", "id_hi").cache()
+    val e = exact.select("id_lo", "id_hi").cache()
+    val na = a.count()
+    val ne = e.count()
+    val extra = a.except(e).count()
+    assert(extra == 0,
+      s"$name: $extra pairs outside the exact relation (must be a subset)")
+    val recall = if (ne == 0) 1.0 else na.toDouble / ne
+    info(f"$name: $na of $ne exact pairs, recall $recall%.4f")
+    a.unpersist(); e.unpersist()
+    (na, ne, recall)
+  }
+
+  test("MinHash-LSH near-dup recall >= 0.9 vs exact scan (sf0.1, jac 0.6, lang-blocked)") {
+    // the q118/q119 operating point: banded candidates + exact verify vs
+    // the exact blocked quadratic, identical threshold and blocking
+    val exact = TextQueries.nearDupPairs(spark, Sf01, 0.6)
+    val lsh = SketchQueries.lshNearDupPairs(spark, Sf01, 0.6, Some("lang"))
+    val (_, ne, recall) = pairRecall("minhash-lsh", lsh, exact)
+    assert(ne > 0, "fixture produced no exact near-dup pairs — audit is vacuous")
+    assert(recall >= 0.9, f"MinHash-LSH recall $recall%.4f below 0.9")
+  }
+
+  test("hyperplane-LSH embedding near-dup recall >= 0.9 vs brute force (sf0.1, cos 0.35)") {
+    val emb = Tables.loadSpread(spark, Sf01, "embeddings")
+    val exact = graft.api.VectorOps.cosinePairs(
+      emb, "vec_id", "embedding", 0.35)
+    // q102's production banding (shallow bands × many tables — the
+    // sign-LSH regime a cos-0.35 threshold requires; see VectorQueries)
+    val lsh = graft.api.VectorOps.cosineLshPairs(
+      emb, "vec_id", "embedding", 64, 0.35,
+      VectorQueries.LshPlanesPerBand, VectorQueries.LshBands)
+    val (_, ne, recall) = pairRecall("hyperplane-lsh", lsh, exact)
+    assert(ne > 0, "fixture produced no exact cosine pairs — audit is vacuous")
+    assert(recall >= 0.9, f"hyperplane-LSH recall $recall%.4f below 0.9")
+  }
+
+  test("prefix-filtered containment == exact scan (sf0.1, cont 0.9) — recall exactly 1.0") {
+    val hashed = graft.api.TextOps.tokenHashTable(
+      Tables.loadSpread(spark, Sf01, "documents"), "doc_id", "text", "lang")
+      .cache()
+    val exact = graft.api.TextOps.containmentPairs(hashed, 0.9)
+    val prefix = graft.api.TextOps.containmentPairsPrefix(hashed, 0.9)
+    val (na, ne, recall) = pairRecall("prefix-containment", prefix, exact)
+    assert(ne > 0, "fixture produced no containment pairs — audit is vacuous")
+    assert(na == ne && recall == 1.0,
+      s"prefix filtering lost pairs: $na of $ne — the bound is broken")
+    hashed.unpersist()
+  }
+
+  test("q70 IVF ANN top-3 overlap vs exact ranks >= 0.3 (sf0.1, 10 probes)") {
+    // q70's two-stage search (label cells, nprobe 2 of 10) vs q62's
+    // exact brute-force ranks. The fixture's embeddings are only weakly
+    // clustered by label (the exact pair histogram tops out at cos
+    // ~0.6), so label-cell IVF is intrinsically lossy here — measured
+    // 0.30 / 0.40 / 0.50 at nprobe 2 / 4 / 5 (RecallProbe). The floor
+    // pins the measured value; the quality-tunable path is the learned
+    // quantizer below.
+    val ann = VectorQueries.queries("q70_ann_ivf")(spark, Sf01)
+      .select("probe_id", "vec_id").cache()
+    val exact = VectorQueries.queries("q62_sim_topk")(spark, Sf01)
+      .filter(col("rn") <= 3).select("probe_id", "vec_id").cache()
+    val nExact = exact.count()
+    assert(nExact == 30, s"expected 10 probes x top-3, got $nExact")
+    val overlap = ann.join(exact, Seq("probe_id", "vec_id")).count()
+    val frac = overlap.toDouble / nExact
+    info(f"ivf-ann: $overlap of $nExact exact top-3 recovered, overlap $frac%.4f")
+    assert(frac >= 0.3, f"IVF top-3 overlap $frac%.4f below 0.3")
+    ann.unpersist(); exact.unpersist()
+  }
+
+  test("IvfIndex with learned k-means cells: top-3 overlap >= 0.7 (sf0.1, k=8, nprobe=4)") {
+    // the persisted-index path with a TRAINED quantizer instead of the
+    // label column: k-means cells align with the data's actual geometry
+    // and roughly double the label-cell overlap (measured 0.77 at k=8
+    // nprobe=4 vs 0.40 for label cells at the same nprobe)
+    val emb = Tables.loadSpread(spark, Sf01, "embeddings")
+    val cells = graft.sources.IvfIndex.kmeansCells(
+      emb, "vec_id", "embedding", 8, 4, 64)
+    val root = java.nio.file.Files
+      .createTempDirectory("ivf_recall").toString
+    graft.sources.IvfIndex.build(
+      emb.join(cells, emb("vec_id") === cells("id")).drop("id", "label")
+        .withColumnRenamed("cell", "label"),
+      root, "vec_id", "embedding", "label", 64)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val ann = graft.sources.IvfIndex.search(spark, root, probes, 4, 3)
+      .select("probe_id", "vec_id")
+    val exact = VectorQueries.queries("q62_sim_topk")(spark, Sf01)
+      .filter(col("rn") <= 3).select("probe_id", "vec_id")
+    val overlap = ann.join(exact, Seq("probe_id", "vec_id")).count()
+    val frac = overlap / 30.0
+    info(f"ivf-kmeans: $overlap of 30 exact top-3 recovered, overlap $frac%.4f")
+    assert(frac >= 0.7, f"k-means IVF top-3 overlap $frac%.4f below 0.7")
+  }
+}
