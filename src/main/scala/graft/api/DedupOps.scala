@@ -89,9 +89,19 @@ object DedupOps {
     * (e.g. same language — the blocking [[TextOps.nearDupPairs]]
     * applies): the block joins INTO the band-collision key, so
     * cross-block pairs never become candidates and never pay the
-    * verify — not a post-filter. */
+    * verify — not a post-filter.
+    *
+    * Recall tuning: with r = numHashes/bands rows per band, the
+    * S-curve's half-recall point sits at (1/bands)^(1/r) — choose
+    * bands so that lands AT or BELOW `minJac`, else pairs near the
+    * threshold are coin flips. The 64/16 defaults put it at 0.5 and
+    * measured 0.99 aggregate recall at jac 0.6 on sf0.1
+    * (RecallAuditSpec; the old 16/4 default measured 0.80 — see
+    * BENCH_NOTES round 4). More bands cost candidate volume, but
+    * candidates carry only (id, band, key) rows and the verify is
+    * candidate-bounded. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-    minJac: Double, numHashes: Int = 16, bands: Int = 4,
+    minJac: Double, numHashes: Int = 64, bands: Int = 16,
     broadcastLookups: Boolean = true,
     blockCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")

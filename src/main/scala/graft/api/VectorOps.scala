@@ -101,23 +101,36 @@ object VectorOps {
       .select("id_lo", "id_hi", "cos")
   }
 
-  /** Random-hyperplane LSH near-dup pairs — the 100 TB path where
-    * [[cosinePairs]]' O(n²) scan is impossible. Each vector gets `bands`
-    * sign-pattern keys (one long per band of `planesPerBand` hyperplane
-    * sign bits); candidates come from an equi-join on (band, key) —
-    * vectors in the same bucket have all `planesPerBand` signs equal, an
-    * event whose probability rises steeply with cosine — and only
-    * candidates pay the exact verify at `minCos`. Cross-band duplicate
-    * candidates are eliminated WITHOUT a distinct shuffle by the
-    * first-matching-band rule (as in the MinHash LSH pipeline).
+  /** Random-hyperplane LSH near-dup pairs — the sub-quadratic path for
+    * [[cosinePairs]]' O(n²) scan. Each vector gets `bands` sign-pattern
+    * keys (one long per band of `planesPerBand` hyperplane sign bits);
+    * candidates come from an equi-join on (band, key) — vectors in the
+    * same bucket have all `planesPerBand` signs equal, an event whose
+    * probability rises steeply with cosine — and only candidates pay
+    * the exact verify at `minCos`. Cross-band duplicate candidates are
+    * eliminated WITHOUT a distinct shuffle by the first-matching-band
+    * rule (as in the MinHash LSH pipeline).
     *
     * The hyperplanes are splitmix64-seeded Gaussian draws — pure
     * functions of (seed, plane, dim), so the same pairs emerge on any
-    * engine, any cluster size, any run. Recall tuning: P(candidate) =
-    * 1-(1-(1-θ/π)^planesPerBand)^bands for angle θ; more bands = more
-    * recall, more candidates. Sign bits are computed by `graft_dot`
-    * against literal plane vectors — all codegen, no shuffle until the
-    * band join.
+    * engine, any cluster size, any run. Sign bits are computed by
+    * `graft_dot` against literal plane vectors — all codegen, no
+    * shuffle until the band join.
+    *
+    * Recall/cost tuning — BOTH depend on the operating threshold, and
+    * sign-LSH cannot escape its ρ exponent: P(candidate) =
+    * 1-(1-(1-θ/π)^planesPerBand)^bands for angle θ, and the best
+    * achievable candidate work at the recall target scales ~n^(1+ρ)
+    * with ρ = ln(1/p₁)/ln(1/p₂), p₁/p₂ the per-plane agreement at the
+    * threshold/at cos 0. High-cosine near-dup (0.9+, ρ ≈ 0.2) affords
+    * deep bands (8 bits × a few tables) with tiny buckets. Moderate
+    * thresholds pay more: at cos 0.35, ρ ≈ 0.71, and the 4 × 16
+    * defaults (measured 0.93 recall at sf0.1, RecallAuditSpec; the old
+    * 8 × 4 defaults measured 0.10) collide uncorrelated pairs at
+    * ~1/16 per band — markedly cheaper than all-pairs only when the
+    * corpus has real structure, NOT a free lunch on isotropic data.
+    * Past that regime, block by an IVF cell
+    * ([[graft.sources.IvfIndex]]) and pair within cells instead.
     *
     * With `broadcastLookups = true` (default) the per-id lookup tables
     * (keys, vectors) attach via broadcast — right while one copy of
@@ -127,7 +140,7 @@ object VectorOps {
     * banded sketch table is persisted for its two consumers and released
     * with the session (same lifecycle as [[DedupOps.minhashLshPairs]]). */
   def cosineLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-    dim: Int, minCos: Double, planesPerBand: Int = 8, bands: Int = 4,
+    dim: Int, minCos: Double, planesPerBand: Int = 4, bands: Int = 16,
     seed: Long = 42L, broadcastLookups: Boolean = true): DataFrame = {
     require(dim > 0 && planesPerBand > 0 && planesPerBand <= 62 && bands > 0,
       "need dim > 0, 0 < planesPerBand <= 62, bands > 0")

@@ -41,25 +41,16 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
-  /** Session-cached (doc_id, source, __tk) tokenized projection — the
+  /** Session-memoized (doc_id, source, __tk) tokenized projection — the
     * curation-run compositions' quality and decontamination stages both
     * start from the token array, and BOTH compositions (q116 exact,
     * q118 LSH) run in one gate session, so the corpus tokenizes once
     * per (session, dir) instead of four times. Released by
-    * [[clearCaches]] (the TextQueries cache discipline). */
-  private val docsTokCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-
+    * [[graft.operators.TextQueries.clearCaches]]. */
   private def docsTok(s: SparkSession, dir: String): DataFrame =
-    docsTokCache.computeIfAbsent((s, dir), { _ =>
+    graft.Caches.memo(s, s"pipeline.docstok:$dir") {
       t(s, dir, "documents").select(col("doc_id"), col("source"),
-        TextFunctions.tokens(col("text")).as("__tk")).persist()
-    })
-
-  /** Release this session's cached tokenized projections. */
-  private[operators] def clearCaches(s: SparkSession): Unit =
-    docsTokCache.forEach { (k, v) =>
-      if (k._1 eq s) { v.unpersist(); docsTokCache.remove(k) }
+        TextFunctions.tokens(col("text")).as("__tk"))
     }
 
   private val PackBudget = 2048L

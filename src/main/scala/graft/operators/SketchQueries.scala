@@ -39,31 +39,20 @@ object SketchQueries {
   private val MaxHd = 3
   private val HhCap = 64
 
-  /** Session-cached MinHash-LSH near-dup pair table at `minJac` — the
+  /** Session-memoized MinHash-LSH near-dup pair table at `minJac` — the
     * banded-candidate edge set q66 emits and the LSH-edge compositions
     * (q118/q119) consume (those pass `blockCol = Some("lang")` so the
-    * relation matches q61's same-lang blocking). Cached per
-    * (session, dir, threshold, block) so the shingle→minhash→band→
-    * verify pipeline materializes once per consumer group; released by
-    * [[clearCaches]]. */
-  private val lshPairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double, String), DataFrame]()
-
+    * relation matches q61's same-lang blocking). Keyed per
+    * (dir, threshold, block) so the shingle→minhash→band→verify
+    * pipeline materializes once per consumer group; released by
+    * [[graft.operators.TextQueries.clearCaches]]. */
   def lshNearDupPairs(s: SparkSession, dir: String, minJac: Double,
     blockCol: Option[String] = None): DataFrame =
-    lshPairsCache.computeIfAbsent(
-      (s, dir, minJac, blockCol.getOrElse("")), { _ =>
-        graft.api.DedupOps.minhashLshPairs(
-          t(s, dir, "documents"), "doc_id", "text", minJac, NumHashes,
-          Bands, blockCol = blockCol)
-          .persist()
-      })
-
-  /** Release this session's cached LSH pair tables (the
-    * [[graft.operators.TextQueries.clearCaches]] discipline). */
-  def clearCaches(s: SparkSession): Unit =
-    lshPairsCache.forEach { (k, v) =>
-      if (k._1 eq s) { v.unpersist(); lshPairsCache.remove(k) }
+    graft.Caches.memo(s,
+      s"sketch.lshpairs:$dir:$minJac:${blockCol.getOrElse("")}") {
+      graft.api.DedupOps.minhashLshPairs(
+        t(s, dir, "documents"), "doc_id", "text", minJac, NumHashes,
+        Bands, blockCol = blockCol)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

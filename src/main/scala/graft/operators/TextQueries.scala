@@ -29,52 +29,31 @@ object TextQueries {
 
   /** Per-doc sorted token-hash table (id, block, hs) from
     * [[graft.api.TextOps.tokenHashTable]] bound to the documents schema,
-    * persisted: every pair pipeline reads it from both self-join sides,
-    * so tokenization + hashing run once (one small row of sorted hashes
-    * per doc). Cached per (session, dir) because three pipelines (q61,
-    * q77, q82) start from it — within one session they share a single
-    * materialization. */
-  private val hashedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * memoized per (session, dir): every pair pipeline reads it from both
+    * self-join sides and three pipelines (q61, q77, q82) start from it,
+    * so tokenization + hashing materialize once per session. */
   def hashedDocs(s: SparkSession, dir: String): DataFrame =
-    hashedCache.computeIfAbsent((s, dir), { _ =>
+    graft.Caches.memo(s, s"text.hashed:$dir") {
       graft.api.TextOps.tokenHashTable(
-        t(s, dir, "documents"), "doc_id", "text", "lang").persist()
-    })
-
-  /** The verified pair table is ALSO shared: q61 emits it directly and
-    * q77 propagates labels over it as its edge set, so within a session
-    * the O(pairs) intersect scan runs once, not once per consumer. */
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double), DataFrame]()
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+    }
 
   /** Exact near-dup pairs (id_lo < id_hi, same lang, token-set Jaccard ≥
     * `minJac`) with the unrounded `jac` — the q61 result and the edge set
-    * q77's cluster resolution propagates over. */
+    * q77's cluster resolution propagates over. The verified pair table
+    * is shared too: within a session the O(pairs) intersect scan runs
+    * once, not once per consumer. */
   def nearDupPairs(s: SparkSession, dir: String, minJac: Double): DataFrame =
-    pairsCache.computeIfAbsent((s, dir, minJac), { _ =>
-      graft.api.TextOps.nearDupPairs(hashedDocs(s, dir), minJac).persist()
-    })
+    graft.Caches.memo(s, s"text.pairs:$dir:$minJac") {
+      graft.api.TextOps.nearDupPairs(hashedDocs(s, dir), minJac)
+    }
 
-  /** Release this session's cached hash/pair tables (unpersist + drop
-    * the map entries) AND every builder-internal persist registered in
-    * [[graft.Caches]]. The static caches otherwise pin both the
-    * DataFrames' storage and the SparkSession itself for the JVM's
-    * lifetime — fine for a one-shot Verify/Bench run, wrong for a
-    * long-lived host that cycles sessions; such hosts must call this
-    * when done with a session. */
-  def clearCaches(s: SparkSession): Unit = {
-    hashedCache.forEach { (k, v) =>
-      if (k._1 eq s) { v.unpersist(); hashedCache.remove(k) }
-    }
-    pairsCache.forEach { (k, v) =>
-      if (k._1 eq s) { v.unpersist(); pairsCache.remove(k) }
-    }
-    SketchQueries.clearCaches(s)
-    PipelineQueries.clearCaches(s)
-    graft.Caches.clear(s)
-  }
+  /** Release this session's cached hash/pair tables, every other
+    * operator family's memoized frames, and every builder-internal
+    * persist — all live in the one [[graft.Caches]] registry.
+    * Long-lived hosts that cycle sessions must call this when done
+    * with a session; Verify/Bench do. */
+  def clearCaches(s: SparkSession): Unit = graft.Caches.clear(s)
 
   /** Oracle-side CTE text for the same edge set (jac ≥ 0.6), shared by the
     * q61 and q77 oracles so both replay one definition. */

@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
   * sf0.1, (b) MinHash recall vs (numHashes, bands), (c) hyperplane-LSH
   * recall vs (planesPerBand, bands), (d) IVF top-3 overlap vs nprobe —
   * so banding parameters are chosen from measurements, not S-curve
-  * guesses. Findings land in BENCH_NOTES.md. */
+  * guesses. Findings land in BENCH_NOTES.md.
+  *
+  * Sections (d)/(e) deliberately re-state the q70 / IvfIndex search
+  * pipelines inline so nprobe and the cell source can be swept — the
+  * shipped pipelines are parameter-pinned; if their tie-breaks or
+  * rounding change, refresh this probe (its numbers are point-in-time
+  * sweeps, the durable floors live in RecallAuditSpec). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -45,6 +51,7 @@ object RecallProbe {
         .count()
       println(f"[probe] minhash nh=$nh bands=$bands: $na of $ne " +
         f"recall ${na.toDouble / ne}%.4f (${(System.nanoTime - t0) / 1e9}%.1f s)")
+      graft.Caches.clear(s) // drop this iteration's sketch persists
     }
 
     // (c) hyperplane recall vs parameters at cos 0.35
@@ -55,6 +62,7 @@ object RecallProbe {
         emb, "vec_id", "embedding", 64, 0.35, ppb, bands).count()
       println(f"[probe] hyperplane ppb=$ppb bands=$bands: $na of $nc " +
         f"recall ${na.toDouble / nc}%.4f (${(System.nanoTime - t0) / 1e9}%.1f s)")
+      graft.Caches.clear(s) // drop this iteration's sketch persists
     }
 
     // (d) IVF overlap vs nprobe (replaying q70's pipeline by hand)

@@ -193,6 +193,37 @@ class ApiSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) && lsh == exact)
   }
 
+  test("minhashLshPairs blockCol: exactly the unblocked relation cut to same-block pairs") {
+    import spark.implicits._
+    // doc 3 is doc 1's text in the OTHER block: the unblocked run must
+    // pair them, the blocked run must never even make them a candidate
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy cat", "en"),
+      (3L, "the quick brown fox jumps over the lazy dog", "fr"),
+      (4L, "le renard brun rapide saute par dessus le chien", "fr"),
+      (5L, "le renard brun rapide saute par dessus le chat", "fr")
+    ).toDF("key", "body", "tongue")
+    val block = Map(1L -> "en", 2L -> "en", 3L -> "fr", 4L -> "fr", 5L -> "fr")
+    def pairs(df: DataFrame) = df.select("id_lo", "id_hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unb = pairs(DedupOps.minhashLshPairs(docs, "key", "body", 0.5,
+      numHashes = 16, bands = 8))
+    val blk = pairs(DedupOps.minhashLshPairs(docs, "key", "body", 0.5,
+      numHashes = 16, bands = 8, blockCol = Some("tongue")))
+    // block equality is pair-constant, so the first-band rule picks the
+    // same band either way: blocked == unblocked ∩ same-block, exactly
+    assert(blk == unb.filter { case (a, b) => block(a) == block(b) })
+    assert(unb.contains((1L, 3L)) && !blk.contains((1L, 3L)),
+      "cross-block dup must pair unblocked and be excluded blocked")
+    assert(blk.contains((1L, 2L)) && blk.contains((4L, 5L)))
+    // and the blocked + co-partitioned (100 TB) attach path agrees
+    val blkSh = pairs(DedupOps.minhashLshPairs(docs, "key", "body", 0.5,
+      numHashes = 16, bands = 8, broadcastLookups = false,
+      blockCol = Some("tongue")))
+    assert(blkSh == blk)
+  }
+
   test("LSH pipelines give identical pairs with shuffled lookup joins") {
     // the co-partitioned (100 TB) attach path must be result-identical
     // to the broadcast path, and must plan NO broadcast of the lookups

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
 class RecallAuditSpec extends SparkSpec {
   private val Sf01 = "/root/testdata/sf0.1"
 
+  override def afterAll(): Unit = {
+    // release the sf0.1-sized memoized pair/hash tables this suite
+    // built — the session is shared JVM-wide across suites, and leaving
+    // them cached would squeeze storage for whatever runs next (later
+    // suites rebuild their own sf0.001 entries lazily if cleared)
+    TextQueries.clearCaches(spark)
+    super.afterAll()
+  }
+
   /** Assert `approx` ⊆ `exact` on (id_lo, id_hi) and return
     * (|approx|, |exact|, recall). */
   private def pairRecall(name: String, approx: DataFrame, exact: DataFrame)
