@@ -35,6 +35,8 @@ object CurationQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
+  private val NovelN = 8
+
   /** Adjacent-pair (w1, w2) bigrams, built inside the token array.
     * Spark's `sequence(1, 0)` is the DESCENDING [1, 0] — not empty —
     * so docs with < 2 tokens must be filtered before the transform
@@ -140,6 +142,39 @@ object CurationQueries {
       graft.plans.GraftOps.topKPerGroup(cnt, Seq(col("source")),
           Seq(col("cnt").desc, col("tri").asc), 3)
         .orderBy("source", "rn")
+    }),
+
+    // Corpus n-gram novelty — the diversity/staleness signal a crawl
+    // pipeline tracks per ingestion batch: of a document's DISTINCT
+    // 8-gram fingerprints, how many appear in NO earlier document
+    // (attribution by min doc_id — deterministic, order-free)?
+    // Boilerplate-heavy or re-crawled docs score near 0. Scale shape:
+    // one distinct-gram explode (64-bit keys), a gram-vocabulary
+    // collapse to first_doc = MIN(doc_id), and an occurrence join keyed
+    // on the gram hash — the q98/q103 vocabulary-collapse-first
+    // pattern; every gram is attributed to exactly ONE document, so
+    // Σ n_novel = |corpus gram vocabulary| (asserted in PipelineSpec).
+    "q121_gram_novelty" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val dg = docs.select(col("doc_id"), array_distinct(
+        call_function("graft_ngram_hashes",
+          call_function("graft_token_hashes",
+            TextFunctions.tokens(col("text"))), lit(NovelN))).as("gr"))
+      val occ = dg.select(col("doc_id"), explode(col("gr")).as("g"))
+      val first = occ.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val nov = occ.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select("doc_id").join(nov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(safeDiv(coalesce(col("n_novel"), lit(0L)).cast("double"),
+            coalesce(col("n_distinct"), lit(0L))), 4).as("novelty4"))
+        .orderBy("doc_id")
     }),
 
     // Temperature-scaled (τ = 0.5) data-mixture plan: per-source
@@ -255,6 +290,28 @@ object CurationQueries {
          |  FROM c) x
          |WHERE rn <= 3
          |ORDER BY source ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "q121_gram_novelty" ->
+      s"""WITH dg AS (
+         |  SELECT doc_id, list_distinct(
+         |    ${Sql.ngramHashes(Sql.tokenHashes(Sql.tokens("text")), NovelN)})
+         |    AS gr
+         |  FROM documents
+         |), occ AS (SELECT doc_id, unnest(gr) AS g FROM dg),
+         |fst AS (SELECT g, MIN(doc_id) AS first_doc FROM occ GROUP BY g),
+         |nv AS (
+         |  SELECT o.doc_id, COUNT(*) AS n_distinct,
+         |         CAST(SUM(CASE WHEN o.doc_id = f.first_doc
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM occ o JOIN fst f ON o.g = f.g GROUP BY o.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(nv.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |       ROUND(CASE WHEN COALESCE(nv.n_distinct, 0) != 0
+         |             THEN CAST(COALESCE(nv.n_novel, 0) AS DOUBLE)
+         |                  / nv.n_distinct END, 4) AS novelty4
+         |FROM documents d LEFT JOIN nv ON d.doc_id = nv.doc_id
+         |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
 
     "q107_mixture_plan" ->
       s"""WITH c AS (

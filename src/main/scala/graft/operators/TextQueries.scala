@@ -38,6 +38,16 @@ object TextQueries {
         t(s, dir, "documents"), "doc_id", "text", "lang")
     }
 
+  /** Memoized n-gram-profile language predictions (id, pred_lang,
+    * score) — q71 emits them joined to the truth labels and q120
+    * aggregates them into the confusion matrix, so the profile build +
+    * scoring join materialize once per session. */
+  private def langPred(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"text.langpred:$dir") {
+      graft.api.TextOps.languageId(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+    }
+
   /** Exact near-dup pairs (id_lo < id_hi, same lang, token-set Jaccard ≥
     * `minJac`) with the unrounded `jac` — the q61 result and the edge set
     * q77's cluster resolution propagates over. The verified pair table
@@ -54,6 +64,29 @@ object TextQueries {
     * Long-lived hosts that cycle sessions must call this when done
     * with a session; Verify/Bench do. */
   def clearCaches(s: SparkSession): Unit = graft.Caches.clear(s)
+
+  /** CTE chain ending in `pred(doc_id, pred_lang, score)` — the q71
+    * language-ID replay (top-20 per-language token profiles, per-doc
+    * shared-token argmax), shared by the q71 and q120 oracles so both
+    * gate one classifier definition. */
+  private def langIdCteSql: String =
+    s"""doctok AS (
+       |  SELECT doc_id, lang, unnest(${Sql.tokenSet("text")}) AS tok FROM documents
+       |), prof AS (
+       |  SELECT plang, tok FROM (
+       |    SELECT lang AS plang, tok, COUNT(*) AS cnt
+       |    FROM doctok GROUP BY lang, tok) g
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY plang
+       |    ORDER BY cnt DESC NULLS LAST, tok ASC NULLS FIRST) <= 20
+       |), score AS (
+       |  SELECT d.doc_id, p.plang, COUNT(*) AS score
+       |  FROM doctok d JOIN prof p ON d.tok = p.tok
+       |  GROUP BY d.doc_id, p.plang
+       |), pred AS (
+       |  SELECT doc_id, plang AS pred_lang, score FROM score
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC NULLS LAST, plang ASC NULLS FIRST) = 1
+       |)""".stripMargin
 
   /** Oracle-side CTE text for the same edge set (jac ≥ 0.6), shared by the
     * q61 and q77 oracles so both replay one definition. */
@@ -120,14 +153,23 @@ object TextQueries {
           decAvg(col("n_toks")).as("avg_toks"))
         .orderBy("lang")),
 
-    "q71_lang_id" -> ((s, dir) => {
-      val pred = graft.api.TextOps.languageId(
-        t(s, dir, "documents"), "doc_id", "text", "lang")
+    "q71_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select("doc_id", "lang")
-        .join(pred, col("doc_id") === col("id"))
+        .join(langPred(s, dir), col("doc_id") === col("id"))
         .select("doc_id", "lang", "pred_lang", "score")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // Language-ID confusion matrix — the QA view over q71's classifier:
+    // per (true lang, predicted lang), how many docs landed there. The
+    // prediction table is the memoized q71 result, so the profile build
+    // and scoring join run once per session for both consumers; the
+    // matrix itself is one hash agg over |langs|² groups.
+    "q120_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents").select("doc_id", "lang")
+        .join(langPred(s, dir), col("doc_id") === col("id"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")),
 
     "q72_quality_score" -> ((s, dir) =>
       graft.api.TextOps.qualityScore(t(s, dir, "documents"), "text")
@@ -225,26 +267,18 @@ object TextQueries {
          |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,
 
     "q71_lang_id" ->
-      s"""WITH doctok AS (
-         |  SELECT doc_id, lang, unnest($sqlTokSet) AS tok FROM documents
-         |), prof AS (
-         |  SELECT plang, tok FROM (
-         |    SELECT lang AS plang, tok, COUNT(*) AS cnt
-         |    FROM doctok GROUP BY lang, tok) g
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY plang
-         |    ORDER BY cnt DESC NULLS LAST, tok ASC NULLS FIRST) <= 20
-         |), score AS (
-         |  SELECT d.doc_id, p.plang, COUNT(*) AS score
-         |  FROM doctok d JOIN prof p ON d.tok = p.tok
-         |  GROUP BY d.doc_id, p.plang
-         |), pred AS (
-         |  SELECT doc_id, plang AS pred_lang, score FROM score
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-         |    ORDER BY score DESC NULLS LAST, plang ASC NULLS FIRST) = 1
-         |)
+      s"""WITH $langIdCteSql
          |SELECT d.doc_id, d.lang, p.pred_lang, p.score
          |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q120_lang_confusion" ->
+      s"""WITH $langIdCteSql
+         |SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+         |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+         |GROUP BY d.lang, p.pred_lang
+         |ORDER BY lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST"""
+        .stripMargin,
 
     "q72_quality_score" ->
       s"""WITH q AS (

@@ -61,6 +61,41 @@ class PipelineSpec extends SparkSpec {
     j.unpersist(); c116.unpersist(); c118.unpersist()
   }
 
+  test("q120 confusion matrix: reconciles with q71 row-for-row") {
+    val conf = q("q120_lang_confusion").cache()
+    val pred = q("q71_lang_id").cache()
+    // total docs in the matrix == docs that received a prediction
+    assert(conf.agg(sum("n_docs")).head.getLong(0) == pred.count())
+    // and each cell is exactly the q71 count for that (lang, pred) pair
+    val recounted = pred.groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_re"))
+    assert(conf.join(recounted, Seq("lang", "pred_lang"), "full_outer")
+      .filter(col("n_docs").isNull || col("n_re").isNull ||
+        col("n_docs") =!= col("n_re")).count() == 0)
+    conf.unpersist(); pred.unpersist()
+  }
+
+  test("q121 novelty: every gram attributed once, bounds hold") {
+    val nv = q("q121_gram_novelty").cache()
+    // each distinct corpus gram is novel for exactly its min-doc_id
+    // owner: Σ n_novel == |gram vocabulary|, recomputed independently
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    graft.functions.GraftFunctions.register(spark)
+    val vocab = docs.select(explode(array_distinct(
+        call_function("graft_ngram_hashes",
+          call_function("graft_token_hashes",
+            graft.functions.TextFunctions.tokens(col("text"))),
+          lit(8)))).as("g"))
+      .distinct().count()
+    assert(nv.agg(sum("n_novel")).head.getLong(0) == vocab)
+    assert(nv.filter(col("n_novel") > col("n_distinct")).count() == 0)
+    // the first doc with any grams owns all of its grams
+    val firstDoc = nv.filter(col("n_distinct") > 0)
+      .orderBy("doc_id").select("doc_id", "novelty4").head
+    assert(firstDoc.getDouble(1) == 1.0)
+    nv.unpersist()
+  }
+
   test("q78 split: buckets 0-9, split names consistent, assignment total") {
     val s = q("q78_train_split").cache()
     assert(s.filter(col("bucket") < 0 || col("bucket") > 9).count() == 0)
