@@ -229,4 +229,38 @@ final class EtlService(spark: SparkSession) {
           .as("share"))
       .orderBy("part_type")
   }
+
+  /** Referential-integrity audit over the relational lake — the data-
+    * quality endpoint an ETL service runs after each load: one row per
+    * check, counting rows that violate a foreign-key or coverage
+    * expectation. Each check is a single anti join on its key with a
+    * map-side-collapsing count, so no check ever materializes (or
+    * shuffles) the violating rows themselves: the dimension-sided
+    * checks broadcast, and the two fact-sized checks (order↔lineitem)
+    * shuffle 8-byte keys only. Six independent one-row jobs — at any
+    * scale each is bounded by one scan of its larger side. */
+  def integrityAudit(orders: DataFrame, lineitem: DataFrame,
+    customer: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
+    def check(name: String, left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame =
+      left.select(col(leftKey))
+        .join(right.select(col(rightKey).as(leftKey)), Seq(leftKey),
+          "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit(name).as("check_name"), col("n_bad"))
+    Seq(
+      check("customers_without_orders", customer, "c_custkey",
+        orders, "o_custkey"),
+      check("lineitems_without_order", lineitem, "l_orderkey",
+        orders, "o_orderkey"),
+      check("orders_without_customer", orders, "o_custkey",
+        customer, "c_custkey"),
+      check("orders_without_lineitems", orders, "o_orderkey",
+        lineitem, "l_orderkey"),
+      check("parts_never_shipped", part, "p_partkey",
+        lineitem, "l_partkey"),
+      check("suppliers_never_shipped", supplier, "s_suppkey",
+        lineitem, "l_suppkey")
+    ).reduce(_ unionByName _).orderBy("check_name")
+  }
 }

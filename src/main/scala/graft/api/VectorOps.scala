@@ -54,6 +54,42 @@ object VectorOps {
       Seq(col("cos").desc, col("id").asc), k)
   }
 
+  /** Per-vector kNN density: the mean rounded cosine to a vector's `k`
+    * nearest neighbours WITHIN its `blockCol` group — the SemDeDup-style
+    * redundancy-pressure signal (dense neighbourhoods ⇒ duplicative
+    * regions worth pruning or downsampling). The blocking column is the
+    * scale contract: density never goes corpus-quadratic because the
+    * pair scan is an equi-join on `blockCol` (a label, an IVF cell id
+    * from [[graft.sources.IvfIndex]], or an LSH bucket), so the cost is
+    * Σ |block|² over blocks the caller already bounded, not |corpus|².
+    * Ranking rounds cosines to 4dp with the neighbour id as tie-break
+    * and runs through the bounded-heap top-k (k rows per group per
+    * partition cross the exchange); the mean decimal-sums the rounded
+    * cosines [D2], so the score is partition-invariant. Returns
+    * (id, blockCol, k_nn, density4) with k_nn < k in undersized blocks. */
+  def knnDensity(emb: DataFrame, idCol: String, vecCol: String,
+    blockCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = graft.Caches.persistTracked(
+      withNorm(emb.select(col(idCol), col(vecCol), col(blockCol)), vecCol))
+    val l = c.select(col(blockCol), col(idCol).as("__a"),
+      col(vecCol).as("__va"), col("n2").as("__na"))
+    val r = c.select(col(blockCol), col(idCol).as("__b"),
+      col(vecCol).as("__vb"), col("n2").as("__nb"))
+    val pairs = l.join(r, Seq(blockCol))
+      .filter(col("__a") =!= col("__b"))
+      .withColumn("cos", round(cosWith("__va", "__vb", "__na", "__nb"), 4))
+      .select(col(blockCol), col("__a"), col("__b"), col("cos"))
+    graft.plans.GraftOps.topKPerGroup(pairs, Seq(col("__a")),
+        Seq(col("cos").desc, col("__b").asc), k)
+      .groupBy(col("__a"), col(blockCol))
+      .agg(count(lit(1)).as("k_nn"),
+        round(sum(col("cos").cast(graft.Dets.Dec)).cast("double")
+          / count(lit(1)), 4).as("density4"))
+      .select(col("__a").as("id"), col(blockCol), col("k_nn"),
+        col("density4"))
+  }
+
   /** Reciprocal-rank fusion of two bounded rank lists — the standard
     * lexical ⊕ dense retrieval blend. `a` needs columns (id, r_a), `b`
     * (id, r_b); fused score = Σ 1/(rrfK + rank) over the lists the id

@@ -171,6 +171,40 @@ object AnalyticsQueries {
       graft.plans.GraftOps.topKPerGroup(cnt, Seq(col("prev_type")),
           Seq(col("cnt").desc, col("event_type").asc), 3)
         .orderBy("prev_type", "rn")
+    }),
+
+    // Per-user inter-event burstiness: gaps between consecutive events
+    // (total order: ts, then event_id) in exact integer microseconds,
+    // summarized as the mean gap in seconds and the coefficient of
+    // variation (CV = σ/μ: ≫1 bursty, ≈1 Poisson-like, ≪1 metronomic)
+    // — the arrival-pattern screen behind bot detection and session
+    // tuning. Determinism: the first moment is an exact BIGINT µs sum;
+    // the squared terms are 6dp-quantized seconds, decimal-summed [D2]
+    // (q113's regression-sum pattern) — both partition-invariant. The
+    // lag window partitions on user_id (parallel in the user count, no
+    // global sort); a user whose gaps are all zero gets a NULL CV
+    // (safeDiv), mirroring the oracle's CASE.
+    "q125_event_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      val meanS = col("sum_us").cast("double") / col("n_gaps") / lit(1e6)
+      val varS = col("m2").cast("double") / col("n_gaps") - meanS * meanS
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("gap_us")).as("n_gaps"),
+          sum(col("gap_us")).as("sum_us"),
+          decSum(round((col("gap_us").cast("double") / lit(1e6))
+            * (col("gap_us").cast("double") / lit(1e6)), 6)).as("m2"))
+        .filter(col("n_gaps") >= 2)
+        .select(col("user_id"), col("n_events"),
+          round(meanS, 4).as("mean_gap4"),
+          round(safeDiv(sqrt(greatest(varS, lit(0.0))), meanS), 4)
+            .as("cv4"))
+        .orderBy("user_id")
     })
   )
 
@@ -280,6 +314,34 @@ object AnalyticsQueries {
         |           AS rn
         |  FROM c) x
         |WHERE rn <= 3
-        |ORDER BY prev_type ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+        |ORDER BY prev_type ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    // The mean/CV expression trees mirror the Spark builder node for
+    // node (same association order), so every double is identical.
+    "q125_event_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS gap_us
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
+        |         SUM(gap_us) AS sum_us,
+        |         SUM(CAST(ROUND((CAST(gap_us AS DOUBLE) / 1000000.0)
+        |             * (CAST(gap_us AS DOUBLE) / 1000000.0), 6)
+        |             AS DECIMAL(38,6))) AS m2
+        |  FROM g GROUP BY user_id HAVING COUNT(gap_us) >= 2)
+        |SELECT user_id, n_events,
+        |       ROUND(CAST(sum_us AS DOUBLE) / n_gaps / 1000000.0, 4)
+        |         AS mean_gap4,
+        |       ROUND(CASE WHEN CAST(sum_us AS DOUBLE) / n_gaps / 1000000.0
+        |                       != 0
+        |             THEN sqrt(greatest(CAST(m2 AS DOUBLE) / n_gaps
+        |                  - (CAST(sum_us AS DOUBLE) / n_gaps / 1000000.0)
+        |                  * (CAST(sum_us AS DOUBLE) / n_gaps / 1000000.0),
+        |                  0.0))
+        |                  / (CAST(sum_us AS DOUBLE) / n_gaps / 1000000.0)
+        |             END, 4) AS cv4
+        |FROM a ORDER BY user_id ASC NULLS FIRST""".stripMargin
   )
 }

@@ -37,6 +37,13 @@ object CurationQueries {
 
   private val NovelN = 8
 
+  /** q122 boilerplate-prefix length (tokens). */
+  private val PrefixK = 8
+
+  /** q123 PMI support floor and list depth. */
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
   /** Adjacent-pair (w1, w2) bigrams, built inside the token array.
     * Spark's `sequence(1, 0)` is the DESCENDING [1, 0] — not empty —
     * so docs with < 2 tokens must be filtered before the transform
@@ -144,6 +151,55 @@ object CurationQueries {
         .orderBy("source", "rn")
     }),
 
+    // Shared-prefix boilerplate detection: documents opening with the
+    // same first-PrefixK tokens (headers, licence stanzas, template
+    // intros — the boilerplate signal a curation pipeline strips or
+    // downweights at document level). The group key is a bounded
+    // string (≤ PrefixK tokens), the hash agg collapses map-side to
+    // distinct prefixes, and only prefixes shared by ≥ 2 docs survive
+    // — output-sized by the amount of boilerplate, not the corpus.
+    "q122_boilerplate_prefix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, PrefixK),
+            " ").as("prefix"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix"))),
+
+    // Adjacent-bigram pointwise mutual information over corpus counts —
+    // collocation mining (tokenizer-merge and phrase audits): pmi =
+    // ln(p(w1,w2) / (p(w1)·p(w2))) with a support floor of PmiMinCount.
+    // Both count tables are vocabulary-sized hash aggs (occurrences
+    // collapse map-side); the two corpus totals attach as one-row
+    // broadcasts; the final top-PmiTopK on (pmi4 desc, w1, w2) compiles
+    // to TakeOrderedAndProject — no global sort. The pmi expression's
+    // association order is mirrored exactly in the oracle (every
+    // product/division is correctly rounded IEEE, so identical trees
+    // give identical doubles).
+    "q123_pmi_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val uni = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("uc"))
+      val bgAll = bigrams(docs).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("bc"))
+      val n1 = broadcast(uni.agg(sum(col("uc")).cast("double").as("n1")))
+      val n2 = broadcast(bgAll.agg(sum(col("bc")).cast("double").as("n2")))
+      bgAll.filter(col("bc") >= PmiMinCount)
+        .join(uni.select(col("w").as("w1"), col("uc").as("uc1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("uc").as("uc2")), Seq("w2"))
+        .crossJoin(n1).crossJoin(n2)
+        .select(col("w1"), col("w2"), col("bc"),
+          round(log(col("bc").cast("double") * col("n1") * col("n1")
+            / (col("n2") * col("uc1") * col("uc2"))), 4).as("pmi4"))
+        .orderBy(col("pmi4").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
+    }),
+
     // Corpus n-gram novelty — the diversity/staleness signal a crawl
     // pipeline tracks per ingestion batch: of a document's DISTINCT
     // 8-gram fingerprints, how many appear in NO earlier document
@@ -248,6 +304,40 @@ object CurationQueries {
          |FROM bg JOIN bf USING (w1, w2) JOIN cf USING (w1)
          |GROUP BY bg.doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q122_boilerplate_prefix" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |         array_to_string(list_slice($sqlToks, 1, $PrefixK), ' ')
+         |           AS prefix
+         |  FROM documents)
+         |SELECT prefix, COUNT(*) AS n_docs,
+         |       COUNT(DISTINCT source) AS n_sources,
+         |       MIN(doc_id) AS first_doc
+         |FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+         |ORDER BY n_docs DESC NULLS LAST, prefix ASC NULLS FIRST""".stripMargin,
+
+    "q123_pmi_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |tk AS (SELECT unnest(toks) AS w FROM d),
+         |uni AS (SELECT w, COUNT(*) AS uc FROM tk GROUP BY w),
+         |bg AS (
+         |  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         |         unnest(toks[2:len(toks)]) AS w2
+         |  FROM d WHERE len(toks) >= 2
+         |), bcnt AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY w1, w2),
+         |t1 AS (SELECT CAST(SUM(uc) AS DOUBLE) AS n1 FROM uni),
+         |t2 AS (SELECT CAST(SUM(bc) AS DOUBLE) AS n2 FROM bcnt)
+         |SELECT b.w1, b.w2, b.bc,
+         |       ROUND(ln(CAST(b.bc AS DOUBLE) * t1.n1 * t1.n1
+         |             / (t2.n2 * u1.uc * u2.uc)), 4) AS pmi4
+         |FROM bcnt b
+         |JOIN uni u1 ON b.w1 = u1.w
+         |JOIN uni u2 ON b.w2 = u2.w, t1, t2
+         |WHERE b.bc >= $PmiMinCount
+         |ORDER BY pmi4 DESC NULLS LAST, w1 ASC NULLS FIRST,
+         |         w2 ASC NULLS FIRST
+         |LIMIT $PmiTopK""".stripMargin,
 
     "q104_quality_rules" ->
       s"""WITH $qualityRuleCteSql

@@ -98,6 +98,15 @@ object ServiceQueries {
         Tables.loadSpread(s, dir, "embeddings"),
         SearchTerms, probeId = SearchProbe, depth = SearchDepth,
         k = SearchK, rrfK = SearchRrfK)
+    }),
+
+    // Data-quality endpoint: referential-integrity audit across the
+    // relational lake — per-check violating-row counts via anti joins
+    // (dims broadcast; the fact-sized checks shuffle 8-byte keys only).
+    "q126_integrity_audit" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.integrityAudit(t(s, dir, "orders"), t(s, dir, "lineitem"),
+        t(s, dir, "customer"), t(s, dir, "part"), t(s, dir, "supplier"))
     })
   )
 
@@ -214,6 +223,33 @@ object ServiceQueries {
          |FROM f
          |QUALIFY rank <= $SearchK
          |ORDER BY rank ASC NULLS FIRST""".stripMargin
-    }
+    },
+
+    "q126_integrity_audit" ->
+      """SELECT check_name, n_bad FROM (
+        |  SELECT 'customers_without_orders' AS check_name, COUNT(*) AS n_bad
+        |  FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitems_without_order', COUNT(*)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_without_customer', COUNT(*)
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_without_lineitems', COUNT(*)
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |  UNION ALL
+        |  SELECT 'parts_never_shipped', COUNT(*)
+        |  FROM part p WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |  UNION ALL
+        |  SELECT 'suppliers_never_shipped', COUNT(*)
+        |  FROM supplier s WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        |) ORDER BY check_name ASC NULLS FIRST""".stripMargin
   )
 }

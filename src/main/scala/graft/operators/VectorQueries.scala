@@ -96,6 +96,20 @@ object VectorQueries {
         .select(col("id_lo"), col("id_hi"), col("cos").as("cos4"))
         .orderBy("id_lo", "id_hi")),
 
+    // Per-vector kNN density within the label block — the SemDeDup
+    // redundancy-pressure score (mean cosine to the 5 nearest same-
+    // label neighbours; dense regions ⇒ duplicative). The label is the
+    // blocking key here; at 100 TB the same API takes an IVF cell id or
+    // LSH bucket column, so the pair scan stays Σ|block|², never
+    // |corpus|². Rank = rounded cosine with id tie-break through the
+    // bounded-heap top-k; the mean decimal-sums rounded cosines [D2].
+    "q124_knn_density" -> ((s, dir) =>
+      graft.api.VectorOps.knnDensity(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", DensityK)
+        .select(col("id").as("vec_id"), col("label"), col("k_nn"),
+          col("density4"))
+        .orderBy("vec_id")),
+
     // Scalar int8-style quantization: per-dim corpus min/max (one
     // broadcast row) + a pure map emitting codes and reconstruction
     // error — the vector-compression ETL step. Codes emit comma-joined
@@ -210,6 +224,9 @@ object VectorQueries {
 
   private val sqlCos = Sql.cosine("a.pe", "b.embedding")
 
+  /** q124's neighbourhood size. */
+  private[graft] val DensityK = 5
+
   /** The q102 LSH planes, embedded in the oracle as exact doubles:
     * Float.toString would NOT round-trip through DuckDB's double parse
     * (0.1f as double is 0.10000000149011612, not 0.1), and graft_dot
@@ -262,6 +279,25 @@ object VectorQueries {
          |  FROM p a JOIN embeddings b ON b.vec_id != a.probe_id) x
          |WHERE rn <= 5
          |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    "q124_knn_density" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS va, a.label AS label, b.vec_id AS vb,
+         |         -- + 0 normalizes a possible -0.0 (Spark round never emits it)
+         |         ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) + 0
+         |           AS cos4
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id != b.vec_id),
+         |rk AS (
+         |  SELECT va, label, cos4,
+         |         ROW_NUMBER() OVER (PARTITION BY va
+         |           ORDER BY cos4 DESC NULLS LAST, vb ASC NULLS FIRST) AS rn
+         |  FROM pr)
+         |SELECT va AS vec_id, label, COUNT(*) AS k_nn,
+         |       ROUND(CAST(SUM(CAST(cos4 AS DECIMAL(38,6))) AS DOUBLE)
+         |             / COUNT(*), 4) AS density4
+         |FROM rk WHERE rn <= $DensityK GROUP BY va, label
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
 
     "q97_knn_label" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe,
