@@ -37,9 +37,7 @@ object Tables {
       "l_discount" -> DoubleType, "l_tax" -> DoubleType,
       "l_returnflag" -> StringType, "l_linestatus" -> StringType,
       "l_shipdate" -> TimestampType),
-    // ts is parquet TIMESTAMP(NANOS) — illegal for Spark 4's reader as a
-    // timestamp; read the raw int64 nanos and truncate to µs in load().
-    "events" -> st("event_id" -> LongType, "ts" -> LongType,
+    "events" -> st("event_id" -> LongType, "ts" -> TimestampType,
       "user_id" -> LongType, "event_type" -> StringType,
       "value" -> DoubleType, "props" -> StringType),
     "documents" -> st("doc_id" -> LongType, "text" -> StringType,
@@ -87,23 +85,49 @@ object Tables {
     schemas.keys.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
   }
 
+  /** The events schema with `ts` as the raw int64, for reading legacy
+    * parquet TIMESTAMP(NANOS) files (which Spark 4's reader refuses as a
+    * timestamp type). */
+  private val eventsNanosSchema: StructType =
+    StructType(schemas("events").map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f                   => f
+    })
+
+  /** Per-path cache of the events footer probe — one driver-side footer
+    * read per distinct path, then free. */
+  private val eventsTsNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True when the parquet footer stores `ts` as TIMESTAMP(NANOS). With
+    * `nanosAsLong` set, schema inference surfaces a NANOS column as
+    * LongType while µs/ms columns infer as a timestamp type — so the
+    * inferred type IS the footer's unit, and the read path branches on
+    * ground truth instead of assuming what the generator wrote. */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    eventsTsNanos.computeIfAbsent(path, { p =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Boolean.box(spark.read.parquet(p).schema.find(_.name == "ts")
+        .exists(_.dataType == LongType))
+    })
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Every pipeline entry point loads through here — registering the
     // graft_* expressions once per call keeps them available to any query
     // without per-operator boilerplate (createOrReplaceTempFunction is
     // idempotent and cheap).
     graft.functions.GraftFunctions.register(spark)
-    if (name == "events") {
-      // Spark 4 refuses TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL);
-      // read nanos as long and `div` to µs — truncation toward zero,
-      // which is exactly DuckDB's ns→µs conversion (verified: DuckDB
-      // maps -1500 ns → -1 µs, not floor's -2), so values compare
-      // equal even for pre-epoch timestamps.
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events" && tsIsNanos(spark, path)) {
+      // Legacy TIMESTAMP(NANOS) fixture: read nanos as long and `div` to
+      // µs — truncation toward zero, which is exactly DuckDB's ns→µs
+      // conversion (verified: DuckDB maps -1500 ns → -1 µs, not floor's
+      // -2), so values compare equal even for pre-epoch timestamps.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+      spark.read.schema(eventsNanosSchema).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
-      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+      spark.read.schema(schemas(name)).parquet(path)
     }
   }
 }

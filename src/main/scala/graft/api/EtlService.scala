@@ -235,10 +235,13 @@ final class EtlService(spark: SparkSession) {
     * check, counting rows that violate a foreign-key or coverage
     * expectation. Each check is a single anti join on its key with a
     * map-side-collapsing count, so no check ever materializes (or
-    * shuffles) the violating rows themselves: the dimension-sided
-    * checks broadcast, and the two fact-sized checks (order↔lineitem)
-    * shuffle 8-byte keys only. Six independent one-row jobs — at any
-    * scale each is bounded by one scan of its larger side. */
+    * shuffles) the violating rows themselves. A left-anti join can only
+    * broadcast its RIGHT side, so just the checks whose right side is a
+    * dimension broadcast (orders_without_customer); the checks probing
+    * against a fact table (orders, lineitem on the right) shuffle — but
+    * both sides are projected to their single 8-byte key first, so the
+    * exchange moves keys, never rows. Six independent one-row jobs — at
+    * any scale each is bounded by one scan of its larger side. */
   def integrityAudit(orders: DataFrame, lineitem: DataFrame,
     customer: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
     def check(name: String, left: DataFrame, leftKey: String,
@@ -262,5 +265,52 @@ final class EtlService(spark: SparkSession) {
       check("suppliers_never_shipped", supplier, "s_suppkey",
         lineitem, "l_suppkey")
     ).reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  /** Market share by (customer region, part type, order year) — the
+    * multi-dimensional reporting endpoint (category mix crossed with
+    * geography over time). Scale shape: the date range binds on the
+    * `orders` scan (PushedFilters); orders⋈lineitem is the one fact-fact
+    * shuffle, on the 8-byte order key with both sides pre-projected to
+    * the columns the rollup needs; part/nation/region broadcast;
+    * customer is key-projected before its join so AQE can broadcast it
+    * when it fits and shuffle bare keys when it doesn't. The share
+    * window partitions over (region, year) on post-aggregation rows —
+    * |regions|·|years|·|types| rows, dimension-bounded no matter the
+    * fact size — and only the final division happens in double. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+    customer: DataFrame, nation: DataFrame, region: DataFrame,
+    part: DataFrame, from: Timestamp, until: Timestamp): DataFrame = {
+    require(!until.before(from), "until must be >= from")
+    val o = orders
+      .filter(col("o_orderdate") >= lit(from) &&
+        col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem
+      .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val rev = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("p_type").as("part_type"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(graft.Dets.decSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_dec"))
+    rev
+      .withColumn("__tot",
+        sum(col("rev_dec")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("region"), col("yr"))))
+      .select(col("region"), col("part_type"), col("yr"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("rev_dec").cast("double") / col("__tot").cast("double"), 4)
+          .as("share"))
+      .orderBy("region", "yr", "part_type")
   }
 }

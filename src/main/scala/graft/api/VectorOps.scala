@@ -63,10 +63,13 @@ object VectorOps {
     * from [[graft.sources.IvfIndex]], or an LSH bucket), so the cost is
     * Σ |block|² over blocks the caller already bounded, not |corpus|².
     * Ranking rounds cosines to 4dp with the neighbour id as tie-break
-    * and runs through the bounded-heap top-k (k rows per group per
-    * partition cross the exchange); the mean decimal-sums the rounded
-    * cosines [D2], so the score is partition-invariant. Returns
-    * (id, blockCol, k_nn, density4) with k_nn < k in undersized blocks. */
+    * and runs through the bounded-heap top-k keyed on (id, block) — so
+    * an id that appears in SEVERAL blocks (multi-probe LSH, overlapping
+    * cells) gets an independent k-heap per block instead of its blocks
+    * competing in one heap; the mean decimal-sums the rounded cosines
+    * [D2], so the score is partition-invariant. Returns
+    * (id, blockCol, k_nn, density4), one row per (id, block) the id
+    * occurs in, with k_nn < k in undersized blocks. */
   def knnDensity(emb: DataFrame, idCol: String, vecCol: String,
     blockCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -80,7 +83,7 @@ object VectorOps {
       .filter(col("__a") =!= col("__b"))
       .withColumn("cos", round(cosWith("__va", "__vb", "__na", "__nb"), 4))
       .select(col(blockCol), col("__a"), col("__b"), col("cos"))
-    graft.plans.GraftOps.topKPerGroup(pairs, Seq(col("__a")),
+    graft.plans.GraftOps.topKPerGroup(pairs, Seq(col("__a"), col(blockCol)),
         Seq(col("cos").desc, col("__b").asc), k)
       .groupBy(col("__a"), col(blockCol))
       .agg(count(lit(1)).as("k_nn"),

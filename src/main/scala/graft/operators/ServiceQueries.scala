@@ -107,6 +107,18 @@ object ServiceQueries {
       val svc = new graft.api.EtlService(s)
       svc.integrityAudit(t(s, dir, "orders"), t(s, dir, "lineitem"),
         t(s, dir, "customer"), t(s, dir, "part"), t(s, dir, "supplier"))
+    }),
+
+    // Multi-dimensional reporting endpoint: part-type market share by
+    // (customer region, order year) over a two-year range — one
+    // fact-fact key shuffle, dims broadcast, share windowed over
+    // dimension-bounded post-aggregation rows.
+    "q127_svc_marketshare" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.marketShare(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"),
+        t(s, dir, "part"),
+        utcTs("1995-01-01T00:00:00"), utcTs("1997-01-01T00:00:00"))
     })
   )
 
@@ -224,6 +236,28 @@ object ServiceQueries {
          |QUALIFY rank <= $SearchK
          |ORDER BY rank ASC NULLS FIRST""".stripMargin
     },
+
+    "q127_svc_marketshare" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, p_type AS part_type,
+        |    CAST(year(o_orderdate) AS INT) AS yr,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev_dec
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT region, part_type, yr, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  ROUND(CAST(rev_dec AS DOUBLE)
+        |        / CAST(SUM(rev_dec) OVER (PARTITION BY region, yr) AS DOUBLE), 4)
+        |    AS share
+        |FROM rev
+        |ORDER BY region ASC NULLS FIRST, yr ASC NULLS FIRST,
+        |         part_type ASC NULLS FIRST""".stripMargin,
 
     "q126_integrity_audit" ->
       """SELECT check_name, n_bad FROM (

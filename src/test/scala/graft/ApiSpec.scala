@@ -471,4 +471,48 @@ class ApiSpec extends SparkSpec {
     // the exact path found real contamination and bloom kept it
     assert(exact.values.exists(_._3 == 1))
   }
+
+  test("knnDensity keeps an independent k-heap per (id, block)") {
+    import spark.implicits._
+    // id 1 sits in BOTH blocks (the multi-probe-LSH / overlapping-cell
+    // shape). A heap keyed on id alone would let its A-neighbours and
+    // B-neighbours compete for the same k slots and leave k_nn = 1 per
+    // block; the contract is an independent top-k within each block.
+    val emb = Seq(
+      (1L, "A", Array(1f, 0f)), (2L, "A", Array(1f, 1f)),
+      (3L, "A", Array(0f, 1f)),
+      (1L, "B", Array(1f, 0f)), (4L, "B", Array(3f, 4f)),
+      (5L, "B", Array(-1f, 0f)), (6L, "B", Array(0f, -1f))
+    ).toDF("vid", "blk", "v")
+    val got = VectorOps.knnDensity(emb, "vid", "v", "blk", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // brute force: per (id, block) rank co-block neighbours by
+    // (round(cos,4) desc, id asc), take 2, mean the rounded cosines
+    // with the same valueOf/HALF_UP rounding the operator uses
+    val rows = Seq((1L, "A", (1.0, 0.0)), (2L, "A", (1.0, 1.0)),
+      (3L, "A", (0.0, 1.0)), (1L, "B", (1.0, 0.0)), (4L, "B", (3.0, 4.0)),
+      (5L, "B", (-1.0, 0.0)), (6L, "B", (0.0, -1.0)))
+    def cos(a: (Double, Double), b: (Double, Double)): Double = {
+      val d = a._1 * b._1 + a._2 * b._2
+      val r = d / (math.sqrt(a._1 * a._1 + a._2 * a._2) *
+        math.sqrt(b._1 * b._1 + b._2 * b._2))
+      java.math.BigDecimal.valueOf(r)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val want = rows.map { case (id, blk, v) =>
+      val top = rows.filter(o => o._2 == blk && o._1 != id)
+        .map(o => (cos(v, o._3), o._1)).sortBy { case (c, oid) => (-c, oid) }
+        .take(2)
+      val mean = top.map(t => BigDecimal(t._1)).sum.toDouble / top.size
+      (id, blk, top.size.toLong, java.math.BigDecimal.valueOf(mean)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.toSet
+    assert(got == want)
+    // every (id, block) got a full heap — the shared-heap bug would
+    // leave id 1 with k_nn = 1 in each block
+    assert(got.forall(_._3 == 2L))
+    assert(got.count(_._1 == 1L) == 2)
+  }
 }
