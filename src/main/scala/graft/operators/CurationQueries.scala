@@ -78,20 +78,26 @@ object CurationQueries {
       // the full (h1, h2) composite to collide between distinct
       // bigrams — at vocabulary scale (≤ ~1e9 types) that chance is
       // negligible, and the sf0.01 oracle hash-compare would surface
-      // one loudly. occ feeds bf AND the surprisal join — persist via
-      // the tracked registry so the explosion runs once and
-      // clearCaches can release it (the q98 pattern).
-      val occ = graft.Caches.persistTracked(
+      // one loudly.
+      val occ =
         bigrams(t(s, dir, "documents"))
           .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
             xxhash64(col("w1"), col("w2")).as("h2"))
           .groupBy("doc_id", "h1", "h2")
-          .agg(count(lit(1)).as("c")))
+          .agg(count(lit(1)).as("c"))
       val bf = occ.groupBy("h1", "h2").agg(sum("c").as("bf"))
-      val cf = bf.groupBy("h1").agg(sum("bf").as("cf"))
-      occ.join(bf, Seq("h1", "h2")).join(cf, Seq("h1"))
-        .withColumn("term",
-          round(log(col("cf").cast("double") / col("bf")), 6).cast(Dec))
+      // Fold the context total into a per-BIGRAM term table before
+      // touching occurrences: bf⋈cf is a vocabulary-sized join (both
+      // sides collapse to distinct bigrams/contexts), so occ pays ONE
+      // occurrence-sized join against it instead of two. The occ agg
+      // subtree appears on both sides of the plan; ReuseExchange
+      // computes its shuffle once (no persist barrier needed — and no
+      // InMemoryRelation blocking AQE's runtime join planning).
+      val term = bf.join(bf.groupBy("h1").agg(sum("bf").as("cf")), Seq("h1"))
+        .select(col("h1"), col("h2"),
+          round(log(col("cf").cast("double") / col("bf")), 6).cast(Dec)
+            .as("term"))
+      occ.join(term, Seq("h1", "h2"))
         .groupBy("doc_id")
         // Σ_occurrences term == Σ_distinct term·c exactly (term is a
         // 6dp decimal, c integral), so the decimal sum — and the final

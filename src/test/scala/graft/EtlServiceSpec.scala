@@ -121,6 +121,27 @@ class EtlServiceSpec extends SparkSpec {
     assert(math.abs(oneTot - 1.0) < 1e-3)
   }
 
+  test("marketShare: shares sum to 1 per (region, year) and the range is pushed down") {
+    val until97 = Timestamp.valueOf("1997-01-01 00:00:00")
+    val got = svc.marketShare(t("lineitem"), t("orders"), t("customer"),
+      t("nation"), t("region"), t("part"), from, until97)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // two order years in range, five regions, six part types — every
+    // (region, yr) group's shares sum to ~1
+    rows.groupBy(r => (r.getAs[String]("region"), r.getAs[Int]("yr")))
+      .foreach { case ((reg, yr), grp) =>
+        val tot = grp.map(_.getAs[Double]("share")).sum
+        assert(math.abs(tot - 1.0) < 1e-3,
+          s"($reg, $yr) shares sum to $tot")
+        assert(grp.forall(_.getAs[Double]("revenue") > 0))
+      }
+    assert(rows.map(_.getAs[Int]("yr")).distinct.toSet == Set(1995, 1996))
+    val p = got.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p.take(3000))
+  }
+
   test("load + export round-trip through the lake") {
     val out = java.nio.file.Files.createTempDirectory("etl_svc").toString
     val res = svc.nationSummary(t("customer"), t("nation"), t("region"))
