@@ -267,6 +267,43 @@ final class EtlService(spark: SparkSession) {
     ).reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** Top-k customers by revenue lost to returned items within an
+    * order-date range — the returned-items report (TPC-H Q10 shape).
+    * Scale shape: the return-flag filter and the date range both land
+    * in PushedFilters on their fact scans BEFORE the one fact-fact key
+    * join; the per-customer rollup decimal-sums exactly; ranking runs
+    * through the bounded-heap top-k on a constant group (k rows cross
+    * the exchange, never a full sort); only the k winners join the
+    * customer/nation dims (left joins — a customer missing from a
+    * partial dim load must keep its rank, not vanish and leave a gap
+    * in 1..k). */
+  def returnedItems(lineitem: DataFrame, orders: DataFrame,
+    customer: DataFrame, nation: DataFrame,
+    from: Timestamp, until: Timestamp, k: Int): DataFrame = {
+    require(k > 0 && k <= 10000, "k must be in (0, 10000]")
+    val o = orders
+      .filter(col("o_orderdate") >= lit(from) &&
+        col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val lost = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("lost_revenue"),
+        count(lit(1)).as("n_lines"))
+    graft.plans.GraftOps.topKPerGroup(lost, Seq(lit(1)),
+        Seq(col("lost_revenue").desc, col("o_custkey").asc), k,
+        rankName = "rank")
+      .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("rank"), col("o_custkey").as("custkey"), col("c_name"),
+        col("n_name").as("nation"), col("lost_revenue"), col("n_lines"))
+      .orderBy("rank")
+  }
+
   /** Market share by (customer region, part type, order year) — the
     * multi-dimensional reporting endpoint (category mix crossed with
     * geography over time). Scale shape: the date range binds on the

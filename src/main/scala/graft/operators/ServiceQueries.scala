@@ -119,6 +119,16 @@ object ServiceQueries {
         t(s, dir, "customer"), t(s, dir, "nation"), t(s, dir, "region"),
         t(s, dir, "part"),
         utcTs("1995-01-01T00:00:00"), utcTs("1997-01-01T00:00:00"))
+    }),
+
+    // Returned-items report (TPC-H Q10 shape): top-20 customers by
+    // revenue lost to l_returnflag = 'R' lines in the 1995 order year —
+    // both filters pushed to the fact scans, bounded-heap ranking,
+    // dims joined after the cut.
+    "q128_svc_returns" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.returnedItems(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        t(s, dir, "customer"), t(s, dir, "nation"), From, Until, k = 20)
     })
   )
 
@@ -258,6 +268,26 @@ object ServiceQueries {
         |FROM rev
         |ORDER BY region ASC NULLS FIRST, yr ASC NULLS FIRST,
         |         part_type ASC NULLS FIRST""".stripMargin,
+
+    "q128_svc_returns" ->
+      """WITH lost AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT r."rank", r.custkey, c_name, n_name AS nation,
+        |       r.lost_revenue, r.n_lines FROM (
+        |  SELECT ROW_NUMBER() OVER (
+        |      ORDER BY lost_revenue DESC NULLS LAST, o_custkey ASC) AS "rank",
+        |    o_custkey AS custkey, lost_revenue, n_lines
+        |  FROM lost QUALIFY "rank" <= 20) r
+        |LEFT JOIN customer ON r.custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY r."rank" ASC NULLS FIRST""".stripMargin,
 
     "q126_integrity_audit" ->
       """SELECT check_name, n_bad FROM (
