@@ -32,6 +32,7 @@ object SparkEntry {
     (AnalyticsQueries.queries, AnalyticsQueries.oracle),
     (PipelineQueries.queries, PipelineQueries.oracle),
     (ServiceQueries.queries, ServiceQueries.oracle),
+    (SourceQueries.queries, SourceQueries.oracle),
     (CurationQueries.queries, CurationQueries.oracle),
     (CorpusStatsQueries.queries, CorpusStatsQueries.oracle)
   )

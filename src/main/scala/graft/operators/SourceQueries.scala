@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import graft.sources.LakeWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.1 COPY/UNLOAD round-trips as ORACLE-GATED queries (round 6 —
+  * previously unit-test-only because no CSV/JSON fixtures ship).
+  *
+  * The gate works without text fixtures: each query UNLOADs a parquet
+  * table to CSV/JSON in a temp dir, COPYs it back with the explicit
+  * schema, and aggregates the re-read rows; the DuckDB oracle runs the
+  * same aggregation on the ORIGINAL parquet. Any write-side formatting
+  * loss or read-side parse drift (doubles through Double.toString,
+  * timestamps through the ISO JSON format, nulls, quoting) breaks the
+  * hash — so the whole text codec path sits under the same per-cell
+  * gate as every relational operator.
+  *
+  * Scale shape: both legs are one pass (write is a narrow map to text,
+  * read is a schema-pinned scan), and the aggregation collapses
+  * map-side. The temp lake is per-invocation and lives under
+  * java.io.tmpdir.
+  */
+object SourceQueries {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CSV round-trip: customer (i64/i32/string/double columns) out and
+    // back, then a per-segment rollup. Java's Double.toString emits the
+    // shortest digits that reparse to the same double, so the decimal
+    // sum over the re-read acctbal matches the parquet oracle exactly.
+    "q129_csv_copy" -> ((s, dir) => {
+      val out = tmp("graft_csv_copy")
+      val cust = Tables.load(s, dir, "customer")
+      LakeWriter.unloadCsv(cust, out)
+      LakeWriter.copyCsv(s, out, Tables.schemas("customer"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          Dets.decSumD(col("c_acctbal")).as("sum_bal"),
+          count_distinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("segment")
+    }),
+
+    // JSON-lines round-trip: orders (timestamp + string + double) out
+    // and back, then a per-(status, year) rollup — gating the ISO
+    // timestamp write/parse leg in particular.
+    "q130_json_copy" -> ((s, dir) => {
+      val out = tmp("graft_json_copy")
+      val orders = Tables.load(s, dir, "orders")
+      LakeWriter.unloadJson(orders, out)
+      LakeWriter.copyJson(s, out, Tables.schemas("orders"))
+        .groupBy(col("o_orderstatus").as("status"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          Dets.decSumD(col("o_totalprice")).as("sum_price"))
+        .orderBy("status", "yr")
+    })
+  )
+
+  // The oracles read the ORIGINAL parquet tables — the round-trip must
+  // be lossless for the hashes to match.
+  val oracle: Map[String, String] = Map(
+    "q129_csv_copy" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY 1
+        |ORDER BY segment ASC NULLS FIRST""".stripMargin,
+
+    "q130_json_copy" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY status ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin
+  )
+}
