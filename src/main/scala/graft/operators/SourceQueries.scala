@@ -58,8 +58,34 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_orders"),
           Dets.decSumD(col("o_totalprice")).as("sum_price"))
         .orderBy("status", "yr")
+    }),
+
+    // MAXERROR-style tolerant COPY: unload orders to JSON, plant
+    // CorruptLines malformed lines in an extra part file, permissive-
+    // copy back. Good rows must survive bit-exact (decimal price sum vs
+    // the parquet oracle) and the quarantine must catch EXACTLY the
+    // planted lines — the oracle pins that as a literal.
+    "q131_json_quarantine" -> ((s, dir) => {
+      val out = tmp("graft_json_quar")
+      val orders = Tables.load(s, dir, "orders")
+      LakeWriter.unloadJson(orders, out)
+      val bad = new java.io.File(out, "part-corrupt.json")
+      val w = new java.io.PrintWriter(bad, "UTF-8")
+      try (1 to CorruptLines).foreach(i => w.println(s"{not json at all #$i"))
+      finally w.close()
+      val (good, corrupt) = LakeWriter.copyJsonPermissive(
+        s, out, Tables.schemas("orders"))
+      good.agg(count(lit(1)).as("n_good"),
+          Dets.decSumD(col("o_totalprice")).as("sum_price"))
+        .crossJoin(broadcast(
+          corrupt.agg(count(lit(1)).as("n_corrupt"))))
+        .select(col("n_good"), col("n_corrupt"), col("sum_price"))
     })
   )
+
+  /** Malformed lines planted by q131 — mirrored as a literal in its
+    * oracle. */
+  private val CorruptLines = 7
 
   // The oracles read the ORIGINAL parquet tables — the round-trip must
   // be lossless for the hashes to match.
@@ -77,6 +103,12 @@ object SourceQueries {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2
-        |ORDER BY status ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin
+        |ORDER BY status ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q131_json_quarantine" ->
+      s"""SELECT COUNT(*) AS n_good,
+         |  CAST($CorruptLines AS BIGINT) AS n_corrupt,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         |FROM orders""".stripMargin
   )
 }
