@@ -219,6 +219,27 @@ object VectorQueries {
         Seq(col("cos4").desc, col("vec_id").asc), 3)
         .select("probe_id", "vec_id", "cos4", "rn")
         .orderBy("probe_id", "rn")
+    }),
+
+    // Product-quantization two-stage search (PqOps): 16 subspaces × 16
+    // codes trained with 4 Lloyd rounds, the corpus encoded to 16
+    // small codes per vector (16× compression), probes ADC-shortlisted
+    // by summed table-looked-up sub-distances and the shortlist
+    // exact-re-ranked — the memory-resident 100 TB ANN path (only
+    // |probes|·shortK raw vectors are ever touched at query time).
+    // k-means is not SQL-expressible, so like q22/q45 this is
+    // oracle-omitted; RecallAuditSpec pins the measured exact-L2
+    // overlap floor and ApiSpec covers the ADC invariants.
+    "q132_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.api.PqOps.pqCodebooks(
+        emb, "vec_id", "embedding", 64, PqM, PqKsub, PqIters)
+      val codes = graft.api.PqOps.pqEncode(emb, "vec_id", "embedding", 64,
+        PqM, cb)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.api.PqOps.pqSearch(codes, cb, emb, "vec_id", "embedding",
+        probes, 64, PqM, PqShortK, 3)
     })
   )
 
@@ -226,6 +247,14 @@ object VectorQueries {
 
   /** q124's neighbourhood size. */
   private[graft] val DensityK = 5
+
+  /** q132's PQ layout: 16 subspaces of 4 dims, 16 codes each, 4 Lloyd
+    * rounds (16 codes per vector vs 64 floats raw — 16× compression),
+    * ADC shortlist of 32 re-ranked exactly to top-3. */
+  private[graft] val PqM = 16
+  private[graft] val PqKsub = 16
+  private[graft] val PqIters = 4
+  private[graft] val PqShortK = 32
 
   /** The q102 LSH planes, embedded in the oracle as exact doubles:
     * Float.toString would NOT round-trip through DuckDB's double parse

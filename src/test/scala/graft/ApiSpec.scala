@@ -472,6 +472,69 @@ class ApiSpec extends SparkSpec {
     assert(exact.values.exists(_._3 == 1))
   }
 
+  test("PqOps: codebook shape, full encoding, duplicate retrieval, determinism") {
+    import spark.implicits._
+    val dim = 8; val m = 4; val ksub = 4
+    // 30 deterministic vectors + id 31 as an exact duplicate of id 7.
+    // The modulus must exceed the id range: an (i*a % p) generator with
+    // p < 31 repeats vectors (period p in i) and plants ACCIDENTAL
+    // duplicates that steal the planted one's rank-1.
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((i * 97 + d * 31) % 101) - 50).toFloat / 25f)
+    val rows = (1 to 30).map(i => (i.toLong, vec(i))) :+ (31L, vec(7))
+    val emb = rows.toDF("vid", "v")
+    val cb = graft.api.PqOps.pqCodebooks(emb, "vid", "v", dim, m, ksub, 2)
+    val cbRows = cb.collect()
+    // one codebook per (subspace, code), codes in range, cells non-empty
+    assert(cbRows.length <= m * ksub && cbRows.nonEmpty)
+    assert(cbRows.map(r => (r.getInt(0), r.getInt(1))).distinct.length
+      == cbRows.length)
+    assert(cbRows.forall { r =>
+      r.getInt(0) >= 0 && r.getInt(0) < m &&
+        r.getInt(1) >= 0 && r.getInt(1) < ksub &&
+        r.getSeq[Double](2).length == dim / m
+    })
+    val codes = graft.api.PqOps.pqEncode(emb, "vid", "v", dim, m, cb)
+    // every vector gets exactly one code per subspace
+    val perId = codes.groupBy("id").count().collect()
+    assert(perId.length == rows.length && perId.forall(_.getLong(1) == m))
+    // ADC: an exact duplicate's summed sub-distances equal the probe's
+    // own quantization error, which lower-bounds EVERY candidate's ADC
+    // (each probe subvector's own code is its argmin centroid) — so the
+    // duplicate's ADC must equal the per-probe MINIMUM (other ids can
+    // tie by landing on the same codes; ranks then break by id)
+    val probes = emb.filter(col("vid").isin(7L, 31L))
+      .select(col("vid").as("probe_id"), col("v").as("pe"))
+    val full = graft.api.PqOps.pqAdcTopK(codes, cb, probes, dim, m,
+        rows.length)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for ((probe, dup) <- Seq((7L, 31L), (31L, 7L))) {
+      val mine = full.filter(_._1 == probe)
+      val minAdc = mine.map(_._3).min
+      val dupAdc = mine.find(_._2 == dup).map(_._3)
+      assert(dupAdc.contains(minAdc),
+        s"probe $probe: dup $dup adc $dupAdc != min $minAdc")
+    }
+    // two-stage search: the exact re-rank scores the duplicate at
+    // L2 = 0, the unique minimum, so it MUST be rank 1 (no tie caveat)
+    val refined = graft.api.PqOps.pqSearch(codes, cb, emb, "vid", "v",
+        probes, dim, m, shortK = 10, k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined(7L) == 31L && refined(31L) == 7L,
+      s"re-ranked top-1 should be the exact duplicate, got $refined")
+    // bit-identical on a second full train+encode+search run
+    // (partition-invariance [D2])
+    val cb2 = graft.api.PqOps.pqCodebooks(emb, "vid", "v", dim, m, ksub, 2)
+    val again = graft.api.PqOps.pqAdcTopK(
+      graft.api.PqOps.pqEncode(emb, "vid", "v", dim, m, cb2),
+      cb2, probes, dim, m, 3).collect().toSeq
+    val first = graft.api.PqOps.pqAdcTopK(codes, cb, probes, dim, m, 3)
+      .collect().toSeq
+    assert(first == again)
+  }
+
   test("knnDensity keeps an independent k-heap per (id, block)") {
     import spark.implicits._
     // id 1 sits in BOTH blocks (the multi-probe-LSH / overlapping-cell
