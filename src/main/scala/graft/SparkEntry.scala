@@ -33,6 +33,7 @@ object SparkEntry {
     (PipelineQueries.queries, PipelineQueries.oracle),
     (ServiceQueries.queries, ServiceQueries.oracle),
     (SourceQueries.queries, SourceQueries.oracle),
+    (MultimodalQueries.queries, MultimodalQueries.oracle),
     (CurationQueries.queries, CurationQueries.oracle),
     (CorpusStatsQueries.queries, CorpusStatsQueries.oracle)
   )
