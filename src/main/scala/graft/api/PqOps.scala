@@ -34,18 +34,24 @@ object PqOps {
     pmod(pmod(c, lit(TextFunctions.HashMod)) * Spread,
       lit(TextFunctions.HashMod))
 
-  /** (id, j, sv) subvector table: vector split into `m` slices of
-    * `dim / m` float components. */
-  private def subvectors(emb: DataFrame, idCol: String, vecCol: String,
-    dim: Int, m: Int): DataFrame = {
+  /** (keys..., j, sv) subvector table: vector split into `m` slices of
+    * `dim / m` components. */
+  private def subvectorsKeyed(df: DataFrame, keyCols: Seq[String],
+    vecCol: String, dim: Int, m: Int): DataFrame = {
     val sub = dim / m
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), explode(expr(
+    df.select(keyCols.map(col) :+ explode(expr(
         s"transform(sequence(0, ${m - 1}), j -> " +
-          s"named_struct('j', CAST(j AS INT), 'sv', slice(v, j*$sub+1, $sub)))"))
-        .as("x"))
-      .select(col("id"), col("x.j").as("j"), col("x.sv").as("sv"))
+          s"named_struct('j', CAST(j AS INT), 'sv', " +
+          s"slice($vecCol, j*$sub+1, $sub)))")).as("x"): _*)
+      .select(keyCols.map(col) :+ col("x.j").as("j") :+
+        col("x.sv").as("sv"): _*)
   }
+
+  /** (id, j, sv) subvector table. */
+  private def subvectors(emb: DataFrame, idCol: String, vecCol: String,
+    dim: Int, m: Int): DataFrame =
+    subvectorsKeyed(emb.select(col(idCol).as("id"), col(vecCol).as("v")),
+      Seq("id"), "v", dim, m)
 
   /** Squared L2 between a subvector and a centroid via three dot
     * products, 6dp-rounded so assignment and ADC rank identically on
@@ -152,8 +158,14 @@ object PqOps {
     idCol: String, vecCol: String, probes: DataFrame,
     dim: Int, m: Int, shortK: Int, k: Int): DataFrame = {
     require(k > 0 && shortK >= k, "need shortK >= k > 0")
-    val short = pqAdcTopK(codes, cb, probes, dim, m, shortK)
-      .select("probe_id", "vec_id")
+    rerank(pqAdcTopK(codes, cb, probes, dim, m, shortK)
+      .select("probe_id", "vec_id"), emb, idCol, vecCol, probes, k)
+  }
+
+  /** Exact squared-L2 re-rank of a (probe_id, vec_id) shortlist against
+    * the raw vectors — |shortlist| rows joined, never the corpus. */
+  private def rerank(short: DataFrame, emb: DataFrame, idCol: String,
+    vecCol: String, probes: DataFrame, k: Int): DataFrame = {
     val cand = short
       .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("__cv")),
         Seq("vec_id"))
@@ -167,5 +179,76 @@ object PqOps {
         Seq(col("l2sq6").asc, col("vec_id").asc), k, rankName = "rank")
       .select("probe_id", "vec_id", "l2sq6", "rank")
       .orderBy("probe_id", "rank")
+  }
+
+  /** IVF+PQ (residual) two-stage search — the composed 100 TB ANN
+    * layout: a coarse quantizer of `kCells` learned cells prunes WHICH
+    * ids are scored (only codes in the probe's `nprobe` nearest cells
+    * participate), and PQ codes the RESIDUAL (vector − cell centroid),
+    * which is tighter-distributed than raw vectors so the same code
+    * budget quantizes finer. ADC runs per (probe, cell) with the
+    * probe's residual against that cell, shortlists `shortK`, and the
+    * exact re-rank finishes to top `k`.
+    *
+    * Scale shape: training (cells + codebooks) is sample-able and
+    * one-off; at query time the probe side broadcasts a
+    * |probes|·nprobe·m·ksub distance table and the (cell, j, code)
+    * equi-join touches only the probed cells' codes — the corpus's raw
+    * vectors surface exclusively in the |probes|·shortK re-rank join.
+    * Everything deterministic [D2]: decimal-mean centroids, 6dp-rounded
+    * distances, (cell, code, id) tie-breaks. */
+  def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+    kCells: Int, cellIters: Int, m: Int, ksub: Int, pqIters: Int,
+    probes: DataFrame, nprobe: Int, shortK: Int, k: Int): DataFrame = {
+    require(nprobe > 0 && k > 0 && shortK >= k,
+      "need nprobe > 0 and shortK >= k > 0")
+    GraftFunctions.register(emb.sparkSession)
+    val cells = graft.sources.IvfIndex.kmeansCells(
+      emb, idCol, vecCol, kCells, cellIters, dim)
+    val embIC = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cells, Seq("id"))
+    val centroid = udaf(new CentroidAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val cents = embIC.groupBy("cell")
+      .agg(centroid(col("v").cast("array<float>")).as("cent"))
+      .localCheckpoint(true)
+    // residual corpus: PQ trains and encodes on (v − centroid(cell))
+    val res = embIC.join(broadcast(cents), Seq("cell"))
+      .select(col("id"), col("cell"),
+        expr("zip_with(v, cent, (x, y) -> CAST(x AS DOUBLE) - y)").as("res"))
+      .localCheckpoint(true)
+    val cb = pqCodebooks(res, "id", "res", dim, m, ksub, pqIters)
+    val codes = pqEncode(res, "id", "res", dim, m, cb)
+      .join(res.select("id", "cell"), Seq("id"))
+    // probe cell selection by exact L2 to the centroids
+    val psel = graft.plans.GraftOps.topKPerGroup(
+      broadcast(probes).crossJoin(broadcast(cents))
+        .withColumn("d2", round(
+          call_function("graft_dot", col("pe"), col("pe"))
+            - lit(2d) * call_function("graft_dot", col("pe"), col("cent"))
+            + call_function("graft_dot", col("cent"), col("cent")), 6))
+        .select(col("probe_id"), col("pe"), col("cell"), col("d2")),
+      Seq(col("probe_id")), Seq(col("d2").asc, col("cell").asc), nprobe,
+      rankName = "__cr")
+    // per-(probe, cell) residual → ADC distance table, broadcast
+    val ptab = subvectorsKeyed(
+      psel.join(broadcast(cents), Seq("cell"))
+        .select(col("probe_id"), col("cell"),
+          expr("zip_with(pe, cent, (x, y) -> CAST(x AS DOUBLE) - y)")
+            .as("pres")),
+      Seq("probe_id", "cell"), "pres", dim, m)
+      .join(broadcast(cb), Seq("j"))
+      .select(col("probe_id"), col("cell"), col("j"), col("code"),
+        l2sq("sv", "cent").as("d"))
+    val scores = codes.join(broadcast(ptab), Seq("cell", "j", "code"))
+      .filter(col("id") =!= col("probe_id"))
+      .groupBy("probe_id", "id")
+      .agg(round(sum(col("d").cast(graft.Dets.Dec)).cast("double"), 6)
+        .as("adc6"))
+    val short = graft.plans.GraftOps.topKPerGroup(scores,
+        Seq(col("probe_id")), Seq(col("adc6").asc, col("id").asc), shortK,
+        rankName = "__r")
+      .select(col("probe_id"), col("id").as("vec_id"))
+    rerank(short, emb, idCol, vecCol, probes, k)
   }
 }

@@ -240,6 +240,26 @@ object VectorQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.api.PqOps.pqSearch(codes, cb, emb, "vec_id", "embedding",
         probes, 64, PqM, PqShortK, 3)
+    }),
+
+    // IVF+PQ residual composition (PqOps.ivfPqSearch): learned coarse
+    // cells prune which codes are scored, PQ codes the residuals
+    // (tighter-distributed than raw vectors at the same code budget),
+    // ADC runs per probed cell, exact re-rank finishes. On this
+    // fixture's weakly-clustered geometry the coarse quantizer is the
+    // recall cap (cell recall ~0.77 at nprobe 4 — the q70/IvfIndex
+    // finding), so the shipped operating point probes 6 of 8 cells:
+    // measured 0.833, matching flat PQ, with the pruning machinery
+    // fully exercised; clustered production data is where nprobe ≪
+    // kCells pays. Oracle-omitted like q132 (k-means); floors in
+    // RecallAuditSpec.
+    "q134_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.api.PqOps.ivfPqSearch(emb, "vec_id", "embedding", 64,
+        IvfPqCells, 4, PqM, PqKsub, PqIters, probes, IvfPqNprobe,
+        IvfPqShortK, 3)
     })
   )
 
@@ -255,6 +275,12 @@ object VectorQueries {
   private[graft] val PqKsub = 16
   private[graft] val PqIters = 4
   private[graft] val PqShortK = 32
+
+  /** q134's IVFPQ layout: 8 learned cells (4 Lloyd rounds), residual
+    * PQ at the q132 code budget, 6 cells probed, shortlist 48. */
+  private[graft] val IvfPqCells = 8
+  private[graft] val IvfPqNprobe = 6
+  private[graft] val IvfPqShortK = 48
 
   /** The q102 LSH planes, embedded in the oracle as exact doubles:
     * Float.toString would NOT round-trip through DuckDB's double parse

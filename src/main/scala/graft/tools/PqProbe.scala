@@ -49,6 +49,31 @@ object PqProbe {
       }
       exact.unpersist()
     }
+
+    // IVFPQ residual sweep: overlap + wall time vs (kCells, nprobe)
+    val embN2 = emb.withColumn("n2", expr("graft_dot(embedding, embedding)"))
+    val probes2 = embN2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val exact2 = graft.plans.GraftOps.topKPerGroup(
+      broadcast(probes2).crossJoin(embN2)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("l2", round(col("pn2") + col("n2")
+          - lit(2d) * expr("graft_dot(pe, embedding)"), 6))
+        .select("probe_id", "vec_id", "l2"),
+      Seq(col("probe_id")), Seq(col("l2").asc, col("vec_id").asc), 3)
+      .select("probe_id", "vec_id").cache()
+    exact2.count()
+    for ((kc, np, sk) <- Seq((8, 6, 48), (8, 8, 48))) {
+      val t0 = System.nanoTime()
+      val ann = graft.api.PqOps.ivfPqSearch(emb, "vec_id", "embedding", 64,
+        kc, 4, 16, 16, 4, probes2.select("probe_id", "pe"), np, sk, 3)
+        .select("probe_id", "vec_id")
+      val ov = ann.join(exact2, Seq("probe_id", "vec_id")).count()
+      println(f"[pqprobe] ivfpq kCells=$kc nprobe=$np shortK=$sk: " +
+        f"$ov of 30 (${ov / 30.0}%.3f) in ${(System.nanoTime - t0) / 1e9}%.1f s")
+    }
+    exact2.unpersist()
     s.stop()
   }
 }

@@ -135,11 +135,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
     val omitted = q -- o
-    // q22/q45: sketch results with engine-specific internals; q132:
-    // k-means training is not SQL-expressible. All three carry spec
-    // bound-checks instead (AggSpec/StatsSpec/RecallAuditSpec+ApiSpec).
+    // q22/q45: sketch results with engine-specific internals;
+    // q132/q134: k-means training is not SQL-expressible. All four
+    // carry spec bound-checks instead (AggSpec/StatsSpec/
+    // RecallAuditSpec+ApiSpec).
     assert(omitted.forall(
-      Set("q22_agg_hll", "q45_approx_quantile", "q132_pq_adc")),
+      Set("q22_agg_hll", "q45_approx_quantile", "q132_pq_adc",
+        "q134_ivfpq")),
       s"unexpected oracle-omitted queries: $omitted")
   }
 }

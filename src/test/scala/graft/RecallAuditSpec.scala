@@ -139,6 +139,37 @@ class RecallAuditSpec extends SparkSpec {
     ann.unpersist(); exact.unpersist()
   }
 
+  test("IVFPQ residual two-stage top-3 overlap vs exact L2 >= 0.7 (sf0.1, 8 cells, nprobe 6)") {
+    // q134's composed pipeline vs the same exact brute force. The
+    // coarse quantizer is the recall cap on this weakly-clustered
+    // fixture (cell recall ~0.77 at nprobe 4, the IvfIndex finding);
+    // probing 6 of 8 cells recovers flat PQ's 0.833 with the pruning
+    // machinery fully exercised.
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.loadSpread(spark, Sf01, "embeddings")
+    val ann = VectorQueries.queries("q134_ivfpq")(spark, Sf01)
+      .select("probe_id", "vec_id").cache()
+    val embN = emb.withColumn("n2", expr("graft_dot(embedding, embedding)"))
+    val probes = embN.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val exact = graft.plans.GraftOps.topKPerGroup(
+      broadcast(probes).crossJoin(embN)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("l2", round(col("pn2") + col("n2")
+          - lit(2d) * expr("graft_dot(pe, embedding)"), 6))
+        .select("probe_id", "vec_id", "l2"),
+      Seq(col("probe_id")), Seq(col("l2").asc, col("vec_id").asc), 3)
+      .select("probe_id", "vec_id").cache()
+    val nExact = exact.count()
+    assert(nExact == 30, s"expected 10 probes x top-3, got $nExact")
+    val overlap = ann.join(exact, Seq("probe_id", "vec_id")).count()
+    val frac = overlap.toDouble / nExact
+    info(f"ivfpq: $overlap of $nExact exact L2 top-3 recovered, overlap $frac%.4f")
+    assert(frac >= 0.7, f"IVFPQ top-3 overlap $frac%.4f below 0.7")
+    ann.unpersist(); exact.unpersist()
+  }
+
   test("IvfIndex with learned k-means cells: top-3 overlap >= 0.7 (sf0.1, k=8, nprobe=4)") {
     // the persisted-index path with a TRAINED quantizer instead of the
     // label column: k-means cells align with the data's actual geometry
