@@ -304,6 +304,32 @@ final class EtlService(spark: SparkSession) {
       .orderBy("rank")
   }
 
+  /** SCD Type-2 history build — the dimension-versioning ETL verb: an
+    * append-only change feed (one row per observed state) becomes the
+    * warehouse's slowly-changing-dimension table, one validity interval
+    * per version: (key, version, valid_from, valid_to, attributes...),
+    * `valid_to` NULL on the current row. Ordering ties on the feed's
+    * sequence column so replays version identically.
+    *
+    * Scale shape: one window over (key) ordered by (ts, seq) — a single
+    * hash exchange on the dimension key and a per-key sort; no joins,
+    * no second pass (lead() closes each interval from the next row).
+    * Dimension keys are many and small, so the window parallelizes
+    * across the exchange like any keyed agg. */
+  def scdHistory(changes: DataFrame, keyCol: String, tsCol: String,
+    seqCol: String, attrCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(seqCol).asc)
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_raw", lead(col(tsCol), 1).over(w))
+      .select(Seq(col(keyCol), col("version"),
+        graft.Dets.tsOut(col(tsCol)).as("valid_from"),
+        graft.Dets.tsOut(col("valid_to_raw")).as("valid_to"),
+        when(col("valid_to_raw").isNull, 1).otherwise(0)
+          .cast("int").as("is_current")) ++ attrCols.map(col): _*)
+  }
+
   /** Market share by (customer region, part type, order year) — the
     * multi-dimensional reporting endpoint (category mix crossed with
     * geography over time). Scale shape: the date range binds on the

@@ -129,6 +129,17 @@ object ServiceQueries {
       val svc = new graft.api.EtlService(s)
       svc.returnedItems(t(s, dir, "lineitem"), t(s, dir, "orders"),
         t(s, dir, "customer"), t(s, dir, "nation"), From, Until, k = 20)
+    }),
+
+    // SCD Type-2 dimension build: the events feed as a change stream —
+    // each user's observed states become validity intervals (version,
+    // valid_from, valid_to, is_current), ties sequenced on event_id so
+    // replays version identically. One keyed window, no joins.
+    "q135_scd2_history" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      svc.scdHistory(t(s, dir, "events"), "user_id", "ts", "event_id",
+          Seq("event_type", "value"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -288,6 +299,21 @@ object ServiceQueries {
         |LEFT JOIN customer ON r.custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY r."rank" ASC NULLS FIRST""".stripMargin,
+
+    "q135_scd2_history" ->
+      """SELECT user_id, version, valid_from, valid_to, is_current,
+        |       event_type, value FROM (
+        |  SELECT user_id,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |    ts AS valid_from,
+        |    LEAD(ts, 1) OVER w AS valid_to,
+        |    CAST(CASE WHEN LEAD(ts, 1) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+        |    event_type, value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts ASC, event_id ASC)) x
+        |ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""".stripMargin,
 
     "q126_integrity_audit" ->
       """SELECT check_name, n_bad FROM (
