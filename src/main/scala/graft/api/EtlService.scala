@@ -304,6 +304,29 @@ final class EtlService(spark: SparkSession) {
       .orderBy("rank")
   }
 
+  /** CDC MERGE apply — the batch `MERGE INTO` verb: apply a changeset
+    * of upserts and deletes to a snapshot. `changes` carries (keyCol,
+    * op ∈ {U, D}, the snapshot's attribute columns for upserts);
+    * matched U rows replace the snapshot row, unmatched U rows insert,
+    * D rows delete, keys absent from the changeset pass through.
+    *
+    * Scale shape: ONE full-outer equi-join on the snapshot key — both
+    * sides pre-projected, no window, no second pass; at 100 TB this is
+    * the standard co-partitionable merge (bucket both sides on the key
+    * and the exchange disappears). The op column decides per row with
+    * plain projections, so the whole apply is codegen. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+    attrCols: Seq[String]): DataFrame = {
+    val ch = changes.select(col(keyCol) +: col("op") +:
+      attrCols.map(c => col(c).as(s"__c_$c")): _*)
+    base.join(ch, Seq(keyCol), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(keyCol) +: attrCols.map(c =>
+        when(col("op") === "U", col(s"__c_$c")).otherwise(col(c)).as(c))
+        :+ when(col("op") === "U", lit(1)).otherwise(lit(0))
+          .cast("int").as("changed"): _*)
+  }
+
   /** SCD Type-2 history build — the dimension-versioning ETL verb: an
     * append-only change feed (one row per observed state) becomes the
     * warehouse's slowly-changing-dimension table, one validity interval

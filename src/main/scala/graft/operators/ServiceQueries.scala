@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.{Dets, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-gated bindings of the [[graft.api.EtlService]] endpoints — the
@@ -129,6 +130,27 @@ object ServiceQueries {
       val svc = new graft.api.EtlService(s)
       svc.returnedItems(t(s, dir, "lineitem"), t(s, dir, "orders"),
         t(s, dir, "customer"), t(s, dir, "nation"), From, Until, k = 20)
+    }),
+
+    // CDC MERGE apply: the latest event per user becomes an upsert
+    // (or, for 'error' finals, a delete) against the customer snapshot
+    // keyed on custkey — one full-outer key join, no window in the
+    // apply itself, op decided by codegen projections.
+    "q136_cdc_merge" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val changes = t(s, dir, "events")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id").as("c_custkey"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          concat(lit("user_"), col("user_id").cast("string")).as("c_name"),
+          col("value").as("c_acctbal"))
+      svc.applyChanges(
+          t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+          changes, "c_custkey", Seq("c_name", "c_acctbal"))
+        .orderBy("c_custkey")
     }),
 
     // SCD Type-2 dimension build: the events feed as a change stream —
@@ -299,6 +321,27 @@ object ServiceQueries {
         |LEFT JOIN customer ON r.custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY r."rank" ASC NULLS FIRST""".stripMargin,
+
+    "q136_cdc_merge" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) x WHERE rn = 1
+        |), ch AS (
+        |  SELECT user_id AS c_custkey,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    'user_' || CAST(user_id AS VARCHAR) AS n_name,
+        |    value AS n_bal
+        |  FROM latest)
+        |SELECT c_custkey,
+        |  CASE WHEN op = 'U' THEN n_name ELSE c_name END AS c_name,
+        |  CASE WHEN op = 'U' THEN n_bal ELSE c_acctbal END AS c_acctbal,
+        |  CAST(CASE WHEN op = 'U' THEN 1 ELSE 0 END AS INTEGER) AS changed
+        |FROM customer FULL OUTER JOIN ch USING (c_custkey)
+        |WHERE op IS NULL OR op != 'D'
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
 
     "q135_scd2_history" ->
       """SELECT user_id, version, valid_from, valid_to, is_current,
