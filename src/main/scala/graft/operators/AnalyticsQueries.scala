@@ -205,10 +205,47 @@ object AnalyticsQueries {
           round(safeDiv(sqrt(greatest(varS, lit(0.0))), meanS), 4)
             .as("cv4"))
         .orderBy("user_id")
+    }),
+
+    // Last-touch revenue attribution: each purchase credits its value
+    // to the most recent PRECEDING non-purchase event of the same user
+    // ('none' when the purchase opens the stream). One keyed window
+    // with an ignore-nulls last over the preceding frame — the
+    // marketing-attribution verb, no self-join.
+    "q138_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("touch"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          decSumD(col("value")).as("attributed"))
+        .orderBy("touch")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q138_attribution" ->
+      """WITH attr AS (
+        |  SELECT event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type != 'purchase'
+        |               THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS attributed
+        |FROM attr WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |ORDER BY touch ASC NULLS FIRST""".stripMargin,
+
     "q47_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt

@@ -59,6 +59,23 @@ object WindowQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Event-time RANGE frame (the interval sibling of q32's ROWS
+    // frame): per user, the trailing 1-hour sum/count at every event.
+    // Spark range frames take ONE numeric order expression, so the
+    // frame orders on epoch µs; ts ties are frame PEERS (identical
+    // window for both rows) in both engines, so tie order cannot
+    // change any value.
+    "q137_range_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), tsOut(col("ts")).as("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(Dec)).over(w).cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q33_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
@@ -146,6 +163,16 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+
+    "q137_range_rolling" ->
+      """SELECT user_id, event_id, ts,
+        |       COUNT(*) OVER w AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |         AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
 
     "q33_lag_lead" ->
