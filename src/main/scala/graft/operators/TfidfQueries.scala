@@ -28,6 +28,9 @@ object TfidfQueries {
   private[operators] val B = 0.75
   private val IdxMinDf = 5L
 
+  /** q139's conjunctive term bag. */
+  private val BoolTerms = Seq("hash", "join", "scan")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_tfidf" -> ((s, dir) =>
       graft.api.TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
@@ -70,6 +73,26 @@ object TfidfQueries {
         .orderBy("term")
     }),
 
+    // Exact boolean AND retrieval — the query-EVAL counterpart of the
+    // q95 index build (BM25 ranks; this answers the strict conjunctive
+    // predicate a filter pipeline needs). Distinct (doc, term) hits for
+    // the pinned bag collapse map-side; a doc qualifies iff its hit
+    // count equals the bag size. No index structure is materialized —
+    // at 100 TB the same count==|terms| reduction runs over the
+    // term-bucketed posting lake q95 describes.
+    "q139_bool_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hits = docs
+        .select(col("doc_id"),
+          explode(TextFunctions.tokenSet(col("text"))).as("w"))
+        .filter(col("w").isin(BoolTerms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === BoolTerms.size)
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(hits.select("doc_id"), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval scoring for a pinned query-term bag: tf per term by
     // native array arithmetic (no explode), corpus stats as a one-row
     // broadcast, bounded-heap top-k — the whole query is a map + a
@@ -84,6 +107,18 @@ object TfidfQueries {
   private val sqlToks = Sql.tokens("text")
 
   val oracle: Map[String, String] = Map(
+    "q139_bool_search" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${Sql.tokenSet("text")}) AS w
+         |  FROM documents
+         |), hit AS (
+         |  SELECT doc_id FROM tk
+         |  WHERE w IN (${BoolTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id HAVING COUNT(*) = ${BoolTerms.size})
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN hit USING (doc_id)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "q75_tfidf" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
