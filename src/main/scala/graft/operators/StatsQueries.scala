@@ -85,6 +85,29 @@ object StatsQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // percentile_cont(0.5) median — q44's interpolating sibling: the
+    // continuous median is the mean of the ((n+1) div 2)-th and
+    // (n div 2 + 1)-th ordered values (equal when n is odd), each
+    // picked from the same distributed value histogram + cumulative
+    // count — still no per-group sort, and the one interpolation is a
+    // single IEEE add+halve, bit-identical on both engines.
+    "q140_median_cont" -> ((s, dir) => {
+      val hist = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_totalprice"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.functions.GlobalRank
+        .cumSum(hist, "o_orderstatus", "o_totalprice", "cnt")
+        .groupBy("o_orderstatus")
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"),
+            col("o_totalprice"))).as("v_lo"),
+          min(when(col("cum") >= expr("n div 2 + 1"),
+            col("o_totalprice"))).as("v_hi"))
+        .select(col("o_orderstatus"),
+          ((col("v_lo") + col("v_hi")) / 2).as("median_cont"))
+        .orderBy("o_orderstatus")
+    }),
+
     // EXACT distributed-histogram quartiles: value-level histogram (a
     // map-side-combinable hash agg — rows collapse to distinct values
     // before any shuffle), a range-partitioned global cumulative count
@@ -153,6 +176,24 @@ object StatsQueries {
         |WHERE cum >= (n * quartile + 3) // 4
         |GROUP BY l_returnflag, quartile
         |ORDER BY l_returnflag ASC NULLS FIRST, quartile ASC NULLS FIRST""".stripMargin,
+
+    "q140_median_cont" ->
+      """WITH hist AS (
+        |  SELECT o_orderstatus, o_totalprice, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         SUM(cnt) OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM hist)
+        |SELECT o_orderstatus,
+        |  (MIN(CASE WHEN cum >= (n + 1) // 2 THEN o_totalprice END)
+        |   + MIN(CASE WHEN cum >= n // 2 + 1 THEN o_totalprice END)) / 2
+        |    AS median_cont
+        |FROM cum GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q44_median_disc" ->
       """SELECT o_orderstatus, o_totalprice AS median_price FROM (
