@@ -80,10 +80,41 @@ object JoinQueries {
     "q16_join_cross" -> ((s, dir) =>
       t(s, dir, "region").select("r_name")
         .crossJoin(t(s, dir, "orders").select("o_orderstatus").distinct())
-        .orderBy("r_name", "o_orderstatus"))
+        .orderBy("r_name", "o_orderstatus")),
+
+    // Fuzzy string matching: near-duplicate part names by Levenshtein ≤ 2
+    // within a brand block. The equi-join on the block key carries the
+    // pair scan (Σ|block|², never |corpus|²), the cheap length prefilter
+    // (|len(a) − len(b)| ≤ 2, a lower bound on edit distance) prunes
+    // before the O(len²) Levenshtein kernel runs, and both the
+    // prefilter and the kernel are codegen'd native functions.
+    "q141_name_editdist" -> ((s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+      val a = p.select(col("p_brand"), col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("p_brand"), col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .orderBy("p_brand", "id_a", "id_b")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "q141_name_editdist" ->
+      """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |WHERE a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a.p_brand ASC NULLS FIRST, id_a ASC NULLS FIRST,
+        |         id_b ASC NULLS FIRST""".stripMargin,
+
     "q10_join_bcast_dims" ->
       """SELECT r_name, COUNT(*) AS n_cust,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
