@@ -96,10 +96,13 @@ object JoinQueries {
         col("p_name").as("name_b"))
       a.join(b, Seq("p_brand"))
         .filter(col("id_a") < col("id_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
-          levenshtein(col("name_a"), col("name_b")) <= 2)
-        .select(col("p_brand"), col("id_a"), col("id_b"),
-          levenshtein(col("name_a"), col("name_b")).as("dist"))
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        // materialize the distance ONCE, then filter on the column —
+        // a levenshtein in both the filter and the projection would
+        // run the O(len²) kernel twice per pair (no CSE across them)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("p_brand"), col("id_a"), col("id_b"), col("dist"))
         .orderBy("p_brand", "id_a", "id_b")
     })
   )
