@@ -207,6 +207,26 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Cumulative user growth — the activation curve: users bucket to
+    // their FIRST-seen day, and the running total of those buckets is
+    // the distinct-users-to-date series. The per-user min and the
+    // per-day count both collapse map-side; the cumulative sum runs
+    // through the range-partitioned GlobalRank.cumSum (constant group)
+    // over the day-bucket table — dimension-bounded rows, no
+    // single-partition window over the corpus.
+    "q142_user_growth" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .select(unix_micros(date_trunc("day", col("first_ts")))
+          .as("day_us"))
+        .groupBy("day_us").agg(count(lit(1)).as("new_users"))
+        .withColumn("g", lit(1))
+      graft.functions.GlobalRank.cumSum(days, "g", "day_us", "new_users")
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("new_users"), col("cum").as("cum_users"))
+        .orderBy("day")
+    }),
+
     // Last-touch revenue attribution: each purchase credits its value
     // to the most recent PRECEDING non-purchase event of the same user
     // ('none' when the purchase opens the stream). One keyed window
@@ -229,6 +249,18 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q142_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        |), d AS (
+        |  SELECT date_trunc('day', first_ts) AS day, COUNT(*) AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day ASC NULLS FIRST""".stripMargin,
+
     "q138_attribution" ->
       """WITH attr AS (
         |  SELECT event_type, value,
