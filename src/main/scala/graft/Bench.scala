@@ -1,6 +1,31 @@
 package graft
 object Bench {
+
+  /** First three fields of /proc/loadavg (1/5/15-min run-queue), or
+    * NaNs off-Linux — lets a reader machine-detect a load-polluted run
+    * (three rounds of recorded benches were dominated by box load). */
+  private def loadavg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq(Double.NaN, Double.NaN, Double.NaN) }
+
+  @volatile private var calibSink = 0L
+
+  /** Fixed single-threaded integer work (~tens of ms idle): wall time
+    * scales with CPU contention, so calib_ms_pre/post calibrate the
+    * box's state independent of any Spark plan. */
+  private def calibMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L
+    var i = 0
+    while (i < 50000000) { x += (x ^ i) * 2654435761L + i; i += 1 }
+    calibSink = x
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadPre = loadavg()
+    val calibPre = calibMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // GraftSession also pins the UTC session timezone — without it a
@@ -39,7 +64,17 @@ object Bench {
     // escape the interpolated path — a quote or backslash in the env
     // var would otherwise break the one JSON line the driver parses
     val sfEsc = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfEsc"}""")
+    // load/calibration telemetry so a load-polluted run is machine-
+    // detectable next to the timings it polluted (idle box ≈ load1 ≪
+    // nproc and calib_ms_pre ≈ calib_ms_post)
+    val loadPost = loadavg()
+    val calibPost = calibMs()
+    def fl(v: Double): String =
+      if (v.isNaN) "null" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val tele = s""""loadavg_pre":[${loadPre.map(fl).mkString(",")}],""" +
+      s""""loadavg_post":[${loadPost.map(fl).mkString(",")}],""" +
+      s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfEsc",$tele}""")
     graft.operators.TextQueries.clearCaches(spark)
     spark.stop()
   }

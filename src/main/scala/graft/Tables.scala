@@ -94,8 +94,11 @@ object Tables {
       case f                   => f
     })
 
-  /** Per-path cache of the events footer probe — one driver-side footer
-    * read per distinct path, then free. */
+  /** Per-(path, mtime) cache of the events footer probe — one
+    * driver-side footer read per distinct fixture state. Keying on the
+    * directory's mtime invalidates the decision when a fixture is
+    * regenerated within one JVM (a test-harness regen would otherwise
+    * keep the stale unit and read the new file wrong). */
   private val eventsTsNanos =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
@@ -103,13 +106,25 @@ object Tables {
     * `nanosAsLong` set, schema inference surfaces a NANOS column as
     * LongType while µs/ms columns infer as a timestamp type — so the
     * inferred type IS the footer's unit, and the read path branches on
-    * ground truth instead of assuming what the generator wrote. */
-  private def tsIsNanos(spark: SparkSession, path: String): Boolean =
-    eventsTsNanos.computeIfAbsent(path, { p =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Boolean.box(spark.read.parquet(p).schema.find(_.name == "ts")
+    * ground truth instead of assuming what the generator wrote. The
+    * probe scopes the conf flip to itself (restores the previous value
+    * after) so a µs-fixture session is left untouched; the NANOS read
+    * path in [[load]] sets it durably because the conf must still be
+    * set when the returned frame EXECUTES, not just at plan time. */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
+    val key = path + "@" + new java.io.File(path).lastModified()
+    eventsTsNanos.computeIfAbsent(key, { _ =>
+      val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "true")
+      try Boolean.box(spark.read.parquet(path).schema.find(_.name == "ts")
         .exists(_.dataType == LongType))
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
     })
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Every pipeline entry point loads through here — registering the

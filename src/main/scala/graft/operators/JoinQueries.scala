@@ -83,29 +83,41 @@ object JoinQueries {
         .orderBy("r_name", "o_orderstatus")),
 
     // Fuzzy string matching: near-duplicate part names by Levenshtein ≤ 2
-    // within a brand block. The equi-join on the block key carries the
-    // pair scan (Σ|block|², never |corpus|²), the cheap length prefilter
-    // (|len(a) − len(b)| ≤ 2, a lower bound on edit distance) prunes
-    // before the O(len²) Levenshtein kernel runs, and both the
-    // prefilter and the kernel are codegen'd native functions.
+    // within a (brand, length-band) block. Brand alone is NOT a bounded
+    // blocking key — |block| grows linearly with the corpus, so Σ|block|²
+    // within a brand is quadratic at 100×. The composite key adds
+    // band = len div 4: since |len(a) − len(b)| ≤ 2 < 4 implies the two
+    // bands differ by at most 1, the b side replicates to bands
+    // {band−1, band, band+1} and the equi-join on (brand, band) with
+    // a's UNIQUE band catches every qualifying pair exactly once — the
+    // same output as brand-only blocking (the oracle is algorithm-
+    // independent) at 3× build-side rows but Σ|block|² bounded by the
+    // rows per (brand, 4-length-window). The cheap length prefilter
+    // (a lower bound on edit distance) still prunes before the O(len²)
+    // Levenshtein kernel, and the distance materializes ONCE — a
+    // levenshtein in both the filter and the projection would run the
+    // kernel twice per pair (no CSE across them).
     "q141_name_editdist" -> ((s, dir) => {
       val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
-      val a = p.select(col("p_brand"), col("p_partkey").as("id_a"),
-        col("p_name").as("name_a"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("id_b"),
-        col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand"))
+      val band = floor(length(col("p_name")) / EditBandWidth).cast("int")
+      val a = p.select(col("p_brand"), band.as("band"),
+        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"),
+          explode(array(band - 1, band, band + 1)).as("band"),
+          col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "band"))
         .filter(col("id_a") < col("id_b") &&
           abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-        // materialize the distance ONCE, then filter on the column —
-        // a levenshtein in both the filter and the projection would
-        // run the O(len²) kernel twice per pair (no CSE across them)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 2)
         .select(col("p_brand"), col("id_a"), col("id_b"), col("dist"))
         .orderBy("p_brand", "id_a", "id_b")
     })
   )
+
+  /** q141's length-band width — must exceed the edit-distance cap (2)
+    * so a qualifying pair's bands differ by at most 1. */
+  private val EditBandWidth = 4
 
   val oracle: Map[String, String] = Map(
     "q141_name_editdist" ->

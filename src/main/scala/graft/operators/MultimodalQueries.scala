@@ -30,9 +30,12 @@ object MultimodalQueries {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"))
+      // coalesce keeps query and oracle unit-invariant if the fixture
+      // ever gains nullable text: a NULL payload would decode to
+      // n_bytes=0 here but NULL through the oracle's octet_length
       val media = docs.select(
           col("doc_id").as("media_id"),
-          encode(col("text"), "UTF-8").as("payload"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
           lit("txt").as("format"),
           (col("n_chars") % 640 + 1).cast("int").as("width"),
           (col("doc_id") % 480 + 1).cast("int").as("height"))
@@ -62,7 +65,7 @@ object MultimodalQueries {
     "q133_media_features" ->
       s"""WITH m AS (
          |  SELECT doc_id AS media_id,
-         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |    CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes,
          |    CAST(n_chars % 640 + 1 AS INTEGER) AS w,
          |    CAST(doc_id % 480 + 1 AS INTEGER) AS h,
          |    n_chars * 10 AS dur

@@ -19,13 +19,34 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: both legs are one pass (write is a narrow map to text,
   * read is a schema-pinned scan), and the aggregation collapses
-  * map-side. The temp lake is per-invocation and lives under
-  * java.io.tmpdir.
+  * map-side. The temp lake is a FIXED per-query directory under
+  * java.io.tmpdir — `mode(overwrite)` replaces it on every invocation
+  * (so repeated gate sweeps don't accumulate table-sized copies) and a
+  * shutdown hook removes it when the JVM exits.
   */
 object SourceQueries {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private val tmpDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.io.File]())
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tmpDirs.forEach(deleteRecursively)))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
+  private def tmp(prefix: String): String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"), prefix)
+    d.mkdirs()
+    tmpDirs.synchronized {
+      if (!tmpDirs.contains(d)) { tmpDirs.add(d); () }
+    }
+    d.toString
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

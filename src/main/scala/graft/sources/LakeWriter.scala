@@ -48,17 +48,23 @@ object LakeWriter {
   /** Tolerant COPY (the MAXERROR-style ingest): malformed lines don't
     * abort the load — they land in a `_corrupt_record` column so the
     * pipeline can split good rows from a quarantine stream and bound the
-    * error count explicitly. Returns (good rows, corrupt raw lines). */
+    * error count explicitly. Returns (good rows, corrupt raw lines).
+    *
+    * The raw permissive read feeds BOTH returned frames, so it persists
+    * via [[graft.Caches.persistTracked]] — session-scoped, released by
+    * `Caches.clear` like every other builder-internal persist (an
+    * untracked `.cache()` here pinned one relation per invocation for
+    * the session's lifetime). */
   def copyJsonPermissive(spark: SparkSession, path: String,
     schema: StructType): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType, nullable = true))
-    val raw = spark.read.schema(withCorrupt)
+    val raw = graft.Caches.persistTracked(spark.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path).cache()
+      .json(path))
     (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       raw.filter(col("_corrupt_record").isNotNull)
         .select(col("_corrupt_record").as("raw_line")))
