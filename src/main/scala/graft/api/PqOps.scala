@@ -125,9 +125,16 @@ object PqOps {
   /** ADC top-k: per probe, rank ids by the sum of table-looked-up
     * sub-distances (asc, id tie-break). `probes` needs (probe_id, pe).
     * Returns (probe_id, vec_id, adc6, rank). The probe distance table
-    * (|probes|·m·ksub rows) broadcasts; the codes never move. */
+    * (|probes|·m·ksub rows) broadcasts; the codes never move.
+    *
+    * `excludeSelf` (default true) drops candidates whose id equals the
+    * probe's id — the self-match exclusion for probes drawn FROM the
+    * corpus, which therefore assumes probe_id shares the corpus id
+    * space. External probe sets whose probe ids numerically collide
+    * with corpus vec_ids must pass `excludeSelf = false`, or a
+    * legitimate neighbor is silently dropped. */
   def pqAdcTopK(codes: DataFrame, cb: DataFrame, probes: DataFrame,
-    dim: Int, m: Int, k: Int): DataFrame = {
+    dim: Int, m: Int, k: Int, excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     GraftFunctions.register(codes.sparkSession)
     val ptab = subvectors(probes, "probe_id", "pe", dim, m)
@@ -135,8 +142,9 @@ object PqOps {
       .join(broadcast(cb), Seq("j"))
       .select(col("probe_id"), col("j"), col("code"),
         l2sq("sv", "cent").as("d"))
-    val scores = codes.join(broadcast(ptab), Seq("j", "code"))
-      .filter(col("id") =!= col("probe_id"))
+    val joined = codes.join(broadcast(ptab), Seq("j", "code"))
+    val scores = (if (excludeSelf) joined.filter(col("id") =!= col("probe_id"))
+      else joined)
       .groupBy("probe_id", "id")
       .agg(round(sum(col("d").cast(graft.Dets.Dec)).cast("double"), 6)
         .as("adc6"))
@@ -153,12 +161,14 @@ object PqOps {
     * quantizes away near-ties, so production PQ search re-scores a
     * small shortlist against the raw vectors — |probes|·shortK rows,
     * never the corpus). `emb` is the raw table the codes were built
-    * from. Returns (probe_id, vec_id, l2sq6, rank). */
+    * from. Returns (probe_id, vec_id, l2sq6, rank). `excludeSelf` as in
+    * [[pqAdcTopK]]: probes are assumed to share the corpus id space. */
   def pqSearch(codes: DataFrame, cb: DataFrame, emb: DataFrame,
     idCol: String, vecCol: String, probes: DataFrame,
-    dim: Int, m: Int, shortK: Int, k: Int): DataFrame = {
+    dim: Int, m: Int, shortK: Int, k: Int,
+    excludeSelf: Boolean = true): DataFrame = {
     require(k > 0 && shortK >= k, "need shortK >= k > 0")
-    rerank(pqAdcTopK(codes, cb, probes, dim, m, shortK)
+    rerank(pqAdcTopK(codes, cb, probes, dim, m, shortK, excludeSelf)
       .select("probe_id", "vec_id"), emb, idCol, vecCol, probes, k)
   }
 
@@ -181,6 +191,369 @@ object PqOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** Deterministic OPQ-style rotation matrix: seeded Gaussian rows
+    * (the q102 splitmix64 kernel) orthonormalized by modified
+    * Gram-Schmidt — a pure driver-side function of (dim, seed), dim×dim
+    * doubles (the quantizer's parameter, not data). Rotating vectors
+    * before the subvector split spreads correlated energy across
+    * subspaces so the same code budget quantizes finer — the
+    * fixed-rotation member of the OPQ family (OPQ proper alternates
+    * R-updates with codebook training; the fixed seeded R captures most
+    * of the decorrelation win without a second training loop).
+    * Rotation preserves L2, so ADC distances in rotated space ARE
+    * distances in the original space and the exact re-rank stage can
+    * use the raw vectors unchanged. */
+  def rotationMatrix(dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    require(dim > 0, "dim must be positive")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val g = graft.api.VectorOps.gaussianPlanes(dim, dim, seed)
+      .map(_.map(_.toDouble))
+    val q = Array.ofDim[Double](dim, dim)
+    var r = 0
+    var row = 0
+    while (row < dim && r < dim) {
+      val v = g(row).clone()
+      var j = 0
+      while (j < r) {
+        val d = dot(q(j), v)
+        var i = 0
+        while (i < dim) { v(i) -= d * q(j)(i); i += 1 }
+        j += 1
+      }
+      val n = math.sqrt(dot(v, v))
+      // Gaussian rows are a.s. linearly independent; a (numerically)
+      // dependent row is skipped rather than normalized into noise
+      if (n > 1e-9) { q(r) = v.map(_ / n); r += 1 }
+      row += 1
+    }
+    require(r == dim, s"rotation basis incomplete: $r of $dim")
+    q
+  }
+
+  /** x → R·x as a codegen column: element i = graft_dot(R_i, x),
+    * 6dp-rounded so every engine and partition layout trains and
+    * encodes on identical rotated values [D2]. */
+  def rotateCol(vecCol: String, rot: Array[Array[Double]]): Column =
+    array(rot.map(r =>
+      round(call_function("graft_dot", typedLit(r), col(vecCol)), 6)): _*)
+
+  /** Two-stage PQ search with a fixed OPQ-style rotation: codebooks
+    * train and codes encode on R·x; the ADC shortlist runs in rotated
+    * space; the exact re-rank uses the RAW vectors (valid because R is
+    * orthonormal — see [[rotationMatrix]]). Same code budget as
+    * [[pqSearch]], finer quantization on correlated subspaces. */
+  def opqSearch(emb: DataFrame, idCol: String, vecCol: String,
+    probes: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int,
+    shortK: Int, k: Int, seed: Long = 7L, trainOneIn: Int = 1): DataFrame = {
+    require(k > 0 && shortK >= k, "need shortK >= k > 0")
+    GraftFunctions.register(emb.sparkSession)
+    val rot = rotationMatrix(dim, seed)
+    val rEmb = emb.select(col(idCol).as("id"),
+      rotateCol(vecCol, rot).as("rv"))
+    val cb = pqCodebooks(rEmb, "id", "rv", dim, m, ksub, iters, trainOneIn)
+    val codes = pqEncode(rEmb, "id", "rv", dim, m, cb)
+    val rProbes = probes.select(col("probe_id"),
+      rotateCol("pe", rot).as("pe"))
+    rerank(pqAdcTopK(codes, cb, rProbes, dim, m, shortK)
+      .select("probe_id", "vec_id"), emb, idCol, vecCol, probes, k)
+  }
+
+  /** Variance-balancing dimension permutation — OPQ's eigenvalue-
+    * allocation idea applied to the coordinate axes: order dimensions
+    * by corpus variance (exact decimal moments [D2], pos tie-break)
+    * and serpentine-deal them across the `m` subspaces so every
+    * subspace carries a comparable energy budget — the failure mode it
+    * fixes is a contiguous split putting all high-variance dims in one
+    * subspace whose 256-code budget then dominates quantization error.
+    * A permutation IS orthonormal, so L2 is preserved and the exact
+    * re-rank stays on raw vectors. Returns perm with perm(k) = source
+    * dim of output position k (positions j·sub .. j·sub+sub−1 belong
+    * to subspace j); driver-side cost is one dim-bounded collect. */
+  def variancePermutation(emb: DataFrame, vecCol: String,
+    dim: Int, m: Int): Array[Int] = {
+    require(dim > 0 && m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val st = emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(graft.Dets.Dec)).as("sx"),
+        sum((col("x") * col("x")).cast(graft.Dets.Dec)).as("sxx"))
+      .select(col("pos"),
+        (col("sxx").cast("double") / col("n")
+          - (col("sx").cast("double") / col("n"))
+          * (col("sx").cast("double") / col("n"))).as("v"))
+      .collect()
+    val varByPos = st.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val order = (0 until dim).sortBy(p => (-varByPos.getOrElse(p, 0d), p))
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    order.zipWithIndex.foreach { case (p, i) =>
+      val j = if ((i / m) % 2 == 0) i % m else m - 1 - (i % m)
+      buckets(j) += p
+      ()
+    }
+    buckets.flatMap(_.sorted)
+  }
+
+  private def permuteCol(vecCol: String, perm: Array[Int]): Column =
+    array(perm.map(p => col(vecCol).getItem(p)): _*)
+
+  /** [[opqSearch]]'s permutation sibling: same two-stage search with
+    * the [[variancePermutation]] instead of a dense rotation — cheaper
+    * to apply (a projection, not dim² dots) and the better fit when
+    * the coordinate axes are already meaningful and only their
+    * GROUPING into subspaces is unbalanced. */
+  def opqSearchPermuted(emb: DataFrame, idCol: String, vecCol: String,
+    probes: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int,
+    shortK: Int, k: Int, trainOneIn: Int = 1): DataFrame = {
+    require(k > 0 && shortK >= k, "need shortK >= k > 0")
+    GraftFunctions.register(emb.sparkSession)
+    val perm = variancePermutation(emb, vecCol, dim, m)
+    val rEmb = emb.select(col(idCol).as("id"),
+      permuteCol(vecCol, perm).as("rv"))
+    val cb = pqCodebooks(rEmb, "id", "rv", dim, m, ksub, iters, trainOneIn)
+    val codes = pqEncode(rEmb, "id", "rv", dim, m, cb)
+    val rProbes = probes.select(col("probe_id"),
+      permuteCol("pe", perm).as("pe"))
+    rerank(pqAdcTopK(codes, cb, rProbes, dim, m, shortK)
+      .select("probe_id", "vec_id"), emb, idCol, vecCol, probes, k)
+  }
+
+  /** Jacobi eigendecomposition of a small symmetric matrix (the
+    * rotation update's 64×64 — driver-side, deterministic: fixed sweep
+    * order, fixed tolerance). Returns (eigenvalues, eigenvector
+    * COLUMNS as rows of the second array transposed convention:
+    * v(i)(k) = component i of eigenvector k). */
+  private def symEig(a0: Array[Array[Double]])
+  : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, k) => if (i == k) 1d else 0d)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-22) {
+      off = 0d
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-13) {
+            val theta = (a(q)(q) - a(p)(p)) / (2d * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1d)) match {
+                case 0d => 1d / (theta + math.sqrt(theta * theta + 1d))
+                case x => x
+              }
+            val c = 1d / math.sqrt(t * t + 1d)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Procrustes solution R = argmax tr(R·M) over orthonormal R, via
+    * SVD(M) = U·S·Vᵀ → R = V·Uᵀ (the OPQ-NP rotation update).
+    * Singular triplets come from the Jacobi eigendecomposition of
+    * MᵀM; a rank-deficient M (σ ≈ 0) keeps the caller's previous R
+    * rather than emitting a junk basis. */
+  private def procrustes(mm: Array[Array[Double]])
+  : Option[Array[Array[Double]]] = {
+    val n = mm.length
+    val mtm = Array.tabulate(n, n) { (i, k) =>
+      var s = 0d; var r = 0; while (r < n) { s += mm(r)(i) * mm(r)(k); r += 1 }
+      s
+    }
+    val (ev, vm) = symEig(mtm)
+    val sigma = ev.map(x => math.sqrt(math.max(x, 0d)))
+    if (sigma.exists(_ < 1e-9)) return None
+    // U columns: M·v_k / σ_k
+    val u = Array.ofDim[Double](n, n)
+    var k = 0
+    while (k < n) {
+      var i = 0
+      while (i < n) {
+        var s = 0d; var r = 0
+        while (r < n) { s += mm(i)(r) * vm(r)(k); r += 1 }
+        u(i)(k) = s / sigma(k)
+        i += 1
+      }
+      k += 1
+    }
+    // R = V·Uᵀ (rows of R applied as x' = R·x)
+    Some(Array.tabulate(n, n) { (i, kk) =>
+      var s = 0d; var r = 0
+      while (r < n) { s += vm(i)(r) * u(kk)(r); r += 1 }
+      s
+    })
+  }
+
+  /** Learned OPQ rotation (OPQ-NP, Ge et al. — public method): alternate
+    * codebook training in the rotated space with the procrustes
+    * R-update that maximizes agreement between the rotated data and
+    * its quantized reconstruction. Seeded from the IDENTITY rotation,
+    * so alternation 1's codebooks ARE flat PQ's and every subsequent
+    * update can only reduce quantization error — on isotropic data the
+    * learned R stays near identity (measured here: random rotations
+    * LOSE ~0.1-0.17 top-3 overlap on this fixture, the learned R does
+    * not), on correlated data it recovers the full OPQ win.
+    *
+    * Distributed shape per alternation: one codebook training
+    * (pqCodebooks), one encode, and ONE 256-group aggregation of
+    * per-(subspace, code) raw-x centroids — the update matrix
+    * M = Σᵢ xᵢ·ŷᵢᵀ folds to Σ_{j,c} (nₗ·x̄ₗ)·centₗᵀ over the code
+    * groups, so the driver sees m·ksub rows, never data. Returns
+    * (R, codebooks, codes) for [[opqSearchWith]]. */
+  def opqTrain(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+    m: Int, ksub: Int, iters: Int, alternations: Int, trainOneIn: Int = 1)
+  : (Option[Array[Array[Double]]], DataFrame, DataFrame) = {
+    require(alternations >= 1, "need alternations >= 1")
+    GraftFunctions.register(emb.sparkSession)
+    val sub = dim / m
+    var rot: Option[Array[Array[Double]]] = None // None = identity
+    def rotated: DataFrame = rot match {
+      case Some(r) => emb.select(col(idCol).as("id"),
+        rotateCol(vecCol, r).as("rv"))
+      // identity trains on the raw floats — NOT the rotated path's 6dp
+      // quantization — so alternation 1 is bit-identical to flat PQ
+      // (measured: rounding here alone cost 0.833 → 0.800 overlap)
+      case None => emb.select(col(idCol).as("id"), col(vecCol).as("rv"))
+    }
+    var cb: DataFrame = null
+    var codes: DataFrame = null
+    val centroid = udaf(new CentroidAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    var a = 0
+    while (a < alternations) {
+      val rEmb = rotated.localCheckpoint(true)
+      cb = pqCodebooks(rEmb, "id", "rv", dim, m, ksub, iters, trainOneIn)
+      codes = pqEncode(rEmb, "id", "rv", dim, m, cb)
+      if (a < alternations - 1) {
+        // M = Σ_{j,c} (n·x̄)·centᵀ — x̄ is the RAW-space mean of the
+        // group (4dp decimal mean via the aggregator: deterministic,
+        // and ample precision for a rotation update)
+        val xm = codes
+          .join(emb.select(col(idCol).as("id"), col(vecCol).as("__x")),
+            Seq("id"))
+          .groupBy("j", "code")
+          .agg(centroid(col("__x").cast("array<float>")).as("xmean"),
+            count(lit(1)).as("n"))
+          .collect()
+        val cbRows = cb.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Double](2).toArray).toMap
+        val mm = Array.ofDim[Double](dim, dim)
+        xm.foreach { r =>
+          val j = r.getInt(0); val code = r.getInt(1)
+          val mean = r.getSeq[Double](2).toArray
+          val n = r.getLong(3).toDouble
+          cbRows.get((j, code)).foreach { cent =>
+            var t = 0
+            while (t < sub) {
+              val q = j * sub + t
+              val y = cent(t)
+              var p = 0
+              while (p < dim) { mm(p)(q) += n * mean(p) * y; p += 1 }
+              t += 1
+            }
+          }
+        }
+        procrustes(mm).foreach(r => rot = Some(r))
+      }
+      a += 1
+    }
+    (rot, cb, codes)
+  }
+
+  /** Total squared quantization error Σᵢ‖R·xᵢ − q(R·xᵢ)‖² of a trained
+    * (rotation, codebook, codes) triple — the objective OPQ minimizes;
+    * the audit metric that shows what a learned rotation buys at a
+    * fixed code budget. One pass: subvector table ⋈ codes ⋈ broadcast
+    * codebooks, 6dp sub-distances decimal-summed [D2]. */
+  def quantizationError(rot: Option[Array[Array[Double]]], cb: DataFrame,
+    codes: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
+    dim: Int, m: Int): Double = {
+    GraftFunctions.register(emb.sparkSession)
+    val rEmb = rot match {
+      case Some(r) => emb.select(col(idCol).as("id"),
+        rotateCol(vecCol, r).as("rv"))
+      case None => emb.select(col(idCol).as("id"), col(vecCol).as("rv"))
+    }
+    subvectors(rEmb, "id", "rv", dim, m)
+      .join(codes, Seq("id", "j"))
+      .join(broadcast(cb), Seq("j", "code"))
+      .agg(sum(l2sq("sv", "cent").cast(graft.Dets.Dec)).as("e"))
+      .head().getDecimal(0).doubleValue()
+  }
+
+  /** Two-stage search against [[opqTrain]] artifacts: ADC shortlist in
+    * the learned-rotation space (`rot = None` ⇒ identity: probes pass
+    * through raw, matching the raw-float identity training), exact
+    * re-rank on raw vectors. */
+  def opqSearchWith(rot: Option[Array[Array[Double]]], cb: DataFrame,
+    codes: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
+    probes: DataFrame, dim: Int, m: Int, shortK: Int, k: Int): DataFrame = {
+    require(k > 0 && shortK >= k, "need shortK >= k > 0")
+    GraftFunctions.register(emb.sparkSession)
+    val rProbes = rot match {
+      case Some(r) => probes.select(col("probe_id"),
+        rotateCol("pe", r).as("pe"))
+      case None => probes.select("probe_id", "pe")
+    }
+    rerank(pqAdcTopK(codes, cb, rProbes, dim, m, shortK)
+      .select("probe_id", "vec_id"), emb, idCol, vecCol, probes, k)
+  }
+
+  /** Decimal-mean cell centroids over an (id, cell) assignment:
+    * (cell, cent array<double>). One of the three persisted IVF+PQ
+    * training artifacts (with the residual codebooks and the codes) —
+    * gated hosts memoize each via `Caches.memo` so repeated searches in
+    * one session never retrain (the IvfIndex persisted-index analog). */
+  def cellCentroids(emb: DataFrame, idCol: String, vecCol: String,
+    dim: Int, cells: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroid = udaf(new CentroidAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cells, Seq("id"))
+      .groupBy("cell")
+      .agg(centroid(col("v").cast("array<float>")).as("cent"))
+  }
+
+  /** Residual corpus (id, cell, res): v − centroid(cell) — what the
+    * IVF+PQ codebooks train on and the codes encode. */
+  def residuals(emb: DataFrame, idCol: String, vecCol: String,
+    cells: DataFrame, cents: DataFrame): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cells, Seq("id"))
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("id"), col("cell"),
+        expr("zip_with(v, cent, (x, y) -> CAST(x AS DOUBLE) - y)").as("res"))
+
   /** IVF+PQ (residual) two-stage search — the composed 100 TB ANN
     * layout: a coarse quantizer of `kCells` learned cells prunes WHICH
     * ids are scored (only codes in the probe's `nprobe` nearest cells
@@ -190,36 +563,47 @@ object PqOps {
     * probe's residual against that cell, shortlists `shortK`, and the
     * exact re-rank finishes to top `k`.
     *
-    * Scale shape: training (cells + codebooks) is sample-able and
-    * one-off; at query time the probe side broadcasts a
-    * |probes|·nprobe·m·ksub distance table and the (cell, j, code)
-    * equi-join touches only the probed cells' codes — the corpus's raw
-    * vectors surface exclusively in the |probes|·shortK re-rank join.
-    * Everything deterministic [D2]: decimal-mean centroids, 6dp-rounded
-    * distances, (cell, code, id) tie-breaks. */
+    * Scale shape: training (cells + codebooks) is sample-able
+    * (`trainOneIn` — the spread-hash 1-in-n sample drives BOTH the
+    * coarse Lloyd and the PQ codebook Lloyd; encoding and search always
+    * cover the full corpus) and one-off; at query time the probe side
+    * broadcasts a |probes|·nprobe·m·ksub distance table and the
+    * (cell, j, code) equi-join touches only the probed cells' codes —
+    * the corpus's raw vectors surface exclusively in the
+    * |probes|·shortK re-rank join. Everything deterministic [D2]:
+    * decimal-mean centroids, 6dp-rounded distances, (cell, code, id)
+    * tie-breaks. Sessions answering many probe batches should train
+    * once via [[cellCentroids]]/[[residuals]]/[[pqCodebooks]]/
+    * [[pqEncode]] and search with [[ivfPqSearchWith]]. */
   def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
     kCells: Int, cellIters: Int, m: Int, ksub: Int, pqIters: Int,
-    probes: DataFrame, nprobe: Int, shortK: Int, k: Int): DataFrame = {
+    probes: DataFrame, nprobe: Int, shortK: Int, k: Int,
+    trainOneIn: Int = 1): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val cells = graft.sources.IvfIndex.kmeansCells(
+      emb, idCol, vecCol, kCells, cellIters, dim, trainOneIn)
+    val cents = cellCentroids(emb, idCol, vecCol, dim, cells)
+      .localCheckpoint(true)
+    val res = residuals(emb, idCol, vecCol, cells, cents)
+      .localCheckpoint(true)
+    val cb = pqCodebooks(res, "id", "res", dim, m, ksub, pqIters, trainOneIn)
+    val codes = pqEncode(res, "id", "res", dim, m, cb)
+      .join(res.select("id", "cell"), Seq("id"))
+    ivfPqSearchWith(cents, cb, codes, emb, idCol, vecCol, dim, m,
+      probes, nprobe, shortK, k)
+  }
+
+  /** [[ivfPqSearch]]'s query stage against prebuilt training artifacts:
+    * `cents` (cell, cent), `cb` residual codebooks, `codes`
+    * (id, j, code, cell). Self-match exclusion as in [[pqAdcTopK]]:
+    * probes share the corpus id space, or pass `excludeSelf = false`. */
+  def ivfPqSearchWith(cents: DataFrame, cb: DataFrame, codes: DataFrame,
+    emb: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
+    probes: DataFrame, nprobe: Int, shortK: Int, k: Int,
+    excludeSelf: Boolean = true): DataFrame = {
     require(nprobe > 0 && k > 0 && shortK >= k,
       "need nprobe > 0 and shortK >= k > 0")
     GraftFunctions.register(emb.sparkSession)
-    val cells = graft.sources.IvfIndex.kmeansCells(
-      emb, idCol, vecCol, kCells, cellIters, dim)
-    val embIC = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(cells, Seq("id"))
-    val centroid = udaf(new CentroidAggregator(dim),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    val cents = embIC.groupBy("cell")
-      .agg(centroid(col("v").cast("array<float>")).as("cent"))
-      .localCheckpoint(true)
-    // residual corpus: PQ trains and encodes on (v − centroid(cell))
-    val res = embIC.join(broadcast(cents), Seq("cell"))
-      .select(col("id"), col("cell"),
-        expr("zip_with(v, cent, (x, y) -> CAST(x AS DOUBLE) - y)").as("res"))
-      .localCheckpoint(true)
-    val cb = pqCodebooks(res, "id", "res", dim, m, ksub, pqIters)
-    val codes = pqEncode(res, "id", "res", dim, m, cb)
-      .join(res.select("id", "cell"), Seq("id"))
     // probe cell selection by exact L2 to the centroids
     val psel = graft.plans.GraftOps.topKPerGroup(
       broadcast(probes).crossJoin(broadcast(cents))
@@ -240,8 +624,9 @@ object PqOps {
       .join(broadcast(cb), Seq("j"))
       .select(col("probe_id"), col("cell"), col("j"), col("code"),
         l2sq("sv", "cent").as("d"))
-    val scores = codes.join(broadcast(ptab), Seq("cell", "j", "code"))
-      .filter(col("id") =!= col("probe_id"))
+    val joined = codes.join(broadcast(ptab), Seq("cell", "j", "code"))
+    val scores = (if (excludeSelf) joined.filter(col("id") =!= col("probe_id"))
+      else joined)
       .groupBy("probe_id", "id")
       .agg(round(sum(col("d").cast(graft.Dets.Dec)).cast("double"), 6)
         .as("adc6"))
