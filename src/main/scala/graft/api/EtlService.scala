@@ -279,20 +279,44 @@ final class EtlService(spark: SparkSession) {
     * in 1..k). */
   def returnedItems(lineitem: DataFrame, orders: DataFrame,
     customer: DataFrame, nation: DataFrame,
-    from: Timestamp, until: Timestamp, k: Int): DataFrame = {
-    require(k > 0 && k <= 10000, "k must be in (0, 10000]")
+    from: Timestamp, until: Timestamp, k: Int): DataFrame =
+    returnedItemsReport(
+      returnedLossAgg(lineitem, orders, from, until), customer, nation, k)
+
+  /** [[returnedItems]]'s keyed partial: (o_custkey, lost_dec, n_lines)
+    * with the revenue still DECIMAL. Exposed because the partial is
+    * associative — decimal sums and counts re-aggregate exactly — so
+    * the micro-batch reporting cadence
+    * ([[graft.streaming.EventStreams.aggSnapshot]]) can fold one
+    * partial per arriving fact batch and derive the report at any
+    * point with [[returnedItemsReport]]. */
+  def returnedLossAgg(lineitem: DataFrame, orders: DataFrame,
+    from: Timestamp, until: Timestamp): DataFrame = {
     val o = orders
       .filter(col("o_orderdate") >= lit(from) &&
         col("o_orderdate") < lit(until))
       .select("o_orderkey", "o_custkey")
     val li = lineitem.filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    val lost = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
-      .agg(decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("lost_revenue"),
+      .agg(graft.Dets.decSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("lost_dec"),
         count(lit(1)).as("n_lines"))
-    graft.plans.GraftOps.topKPerGroup(lost, Seq(lit(1)),
+  }
+
+  /** Finish a (re-)aggregated [[returnedLossAgg]] partial to the ranked
+    * report. Ranks on the DOUBLE image of the loss (custkey tie-break)
+    * exactly like the one-shot path, so incremental and batch runs
+    * produce identical rows. */
+  def returnedItemsReport(lost: DataFrame, customer: DataFrame,
+    nation: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= 10000, "k must be in (0, 10000]")
+    graft.plans.GraftOps.topKPerGroup(
+        lost.withColumn("lost_revenue", col("lost_dec").cast("double"))
+          .drop("lost_dec"),
+        Seq(lit(1)),
         Seq(col("lost_revenue").desc, col("o_custkey").asc), k,
         rankName = "rank")
       .join(customer.select("c_custkey", "c_name", "c_nationkey"),
@@ -366,6 +390,18 @@ final class EtlService(spark: SparkSession) {
     * fact size — and only the final division happens in double. */
   def marketShare(lineitem: DataFrame, orders: DataFrame,
     customer: DataFrame, nation: DataFrame, region: DataFrame,
+    part: DataFrame, from: Timestamp, until: Timestamp): DataFrame =
+    marketShareReport(marketShareAgg(
+      lineitem, orders, customer, nation, region, part, from, until))
+
+  /** [[marketShare]]'s keyed partial: (region, part_type, yr, rev_dec)
+    * with the revenue still DECIMAL. Associative like
+    * [[returnedLossAgg]] — the micro-batch reporting cadence folds one
+    * partial per arriving fact batch
+    * ([[graft.streaming.EventStreams.aggSnapshot]]) and derives the
+    * share report at any point with [[marketShareReport]]. */
+  def marketShareAgg(lineitem: DataFrame, orders: DataFrame,
+    customer: DataFrame, nation: DataFrame, region: DataFrame,
     part: DataFrame, from: Timestamp, until: Timestamp): DataFrame = {
     require(!until.before(from), "until must be >= from")
     val o = orders
@@ -374,7 +410,7 @@ final class EtlService(spark: SparkSession) {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = lineitem
       .select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
-    val rev = li
+    li
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part.select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
@@ -389,6 +425,12 @@ final class EtlService(spark: SparkSession) {
       .agg(graft.Dets.decSum(
           col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("rev_dec"))
+  }
+
+  /** Finish a (re-)aggregated [[marketShareAgg]] partial to the share
+    * report — the window runs over dimension-bounded post-aggregation
+    * rows and only the final division happens in double. */
+  def marketShareReport(rev: DataFrame): DataFrame =
     rev
       .withColumn("__tot",
         sum(col("rev_dec")).over(org.apache.spark.sql.expressions.Window
@@ -398,5 +440,4 @@ final class EtlService(spark: SparkSession) {
         round(col("rev_dec").cast("double") / col("__tot").cast("double"), 4)
           .as("share"))
       .orderBy("region", "yr", "part_type")
-  }
 }

@@ -121,31 +121,100 @@ object EventStreams {
     * generation dirs keeps the same semantics dependency-free.
     */
   def upsertSnapshot(events: DataFrame, snapshotRoot: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    foldSnapshot(events, snapshotRoot) { (prev, batch) =>
+      prev match {
+        case Some(p) =>
+          latestWins(p.unionByName(batch.select(p.columns.map(col): _*)))
+        case None => latestWins(batch)
+      }
+    }
+
+  /** The generation-compaction kernel shared by [[upsertSnapshot]] and
+    * [[aggSnapshot]]: each micro-batch folds the previous snapshot
+    * generation with the new rows via `fold` and writes a NEW
+    * generation directory before retargeting — never rewriting the
+    * generation it read, so a crashed batch leaves the previous
+    * snapshot intact (`_SUCCESS`-gated, see [[completedGens]]).
+    * Superseded generations are pruned: crash safety needs the one
+    * just written plus the completed one it derived from, nothing
+    * older — without the prune the lake grows a full snapshot copy
+    * per micro-batch. `fold` must be associative-by-construction
+    * (latest-wins argmax, keyed decimal re-sum) so per-batch folding
+    * equals recomputing over the full log. */
+  def foldSnapshot(stream: DataFrame, snapshotRoot: String)(
+    fold: (Option[DataFrame], DataFrame) => DataFrame)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     val root = new java.io.File(snapshotRoot)
     root.mkdirs()
     def gens = completedGens(root)
-    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val cur = gens.lastOption
-      val merged = cur match {
-        case Some(g) =>
-          val prev = spark.read.parquet(s"$snapshotRoot/gen_$g")
-          latestWins(prev.unionByName(batch.select(prev.columns.map(col): _*)))
-        case None => latestWins(batch)
-      }
-      merged.write.mode("overwrite")
+      val prev = cur.map(g => spark.read.parquet(s"$snapshotRoot/gen_$g"))
+      fold(prev, batch).write.mode("overwrite")
         .parquet(s"$snapshotRoot/gen_${cur.fold(0L)(_ + 1)}")
-      // prune superseded generations — crash safety needs the one just
-      // written plus the completed one it was derived from, nothing
-      // older; without this the lake grows a full snapshot copy per
-      // micro-batch
       gens.dropRight(2).foreach { g =>
         deleteRecursively(new java.io.File(root, s"gen_$g"))
       }
       ()
     }.outputMode(OutputMode.Append).start()
   }
+
+  /** Incremental keyed-aggregate compaction — the micro-batch reporting
+    * cadence: `aggOf` maps each arriving fact micro-batch to a keyed
+    * partial whose non-key columns are all re-summable (decimal sums,
+    * counts), and each batch folds `prev ∪ partial` back down with one
+    * `groupBy(keys).sum`. Exactness: decimal sums and counts are
+    * associative, so the snapshot equals the one-shot aggregate over
+    * everything ingested so far — a report finisher (share window,
+    * top-k) derives the exact batch report from the snapshot at any
+    * point. Scale shape: each micro-batch pays one keyed shuffle of
+    * partial rows (dimension-bounded, never the fact rows), and the
+    * snapshot stays aggregate-sized. */
+  def aggSnapshot(stream: DataFrame, snapshotRoot: String,
+    keys: Seq[String])(aggOf: DataFrame => DataFrame)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    foldSnapshot(stream, snapshotRoot) { (prev, batch) =>
+      val part = aggOf(batch)
+      prev match {
+        case Some(p) =>
+          val valCols = p.columns.filterNot(keys.contains).toSeq
+          p.unionByName(part.select(p.columns.map(col): _*))
+            .groupBy(keys.map(col): _*)
+            .agg(sum(col(valCols.head)).as(valCols.head),
+              valCols.tail.map(c => sum(col(c)).as(c)): _*)
+        case None => part
+      }
+    }
+
+  /** Streaming market-share: lineitem micro-batches (the COPY cadence —
+    * each batch is a fresh fact-file load) fold into the keyed revenue
+    * snapshot via the SAME join+rollup stage the batch endpoint uses
+    * ([[graft.api.EtlService.marketShareAgg]]); derive the report at
+    * any point with `marketShareReport(readSnapshot(...).get)`. Static
+    * dims join against each micro-batch inside foreachBatch. */
+  def marketShareStream(lineitemStream: DataFrame, orders: DataFrame,
+    customer: DataFrame, nation: DataFrame, region: DataFrame,
+    part: DataFrame, from: Timestamp, until: Timestamp,
+    snapshotRoot: String): org.apache.spark.sql.streaming.StreamingQuery =
+    aggSnapshot(lineitemStream, snapshotRoot,
+      Seq("region", "part_type", "yr")) { b =>
+      new graft.api.EtlService(b.sparkSession).marketShareAgg(
+        b, orders, customer, nation, region, part, from, until)
+    }
+
+  /** Streaming returned-items loss ledger: the per-customer lost-revenue
+    * partials fold per micro-batch
+    * ([[graft.api.EtlService.returnedLossAgg]]); finish to the ranked
+    * report with `returnedItemsReport(readSnapshot(...).get, ...)`. */
+  def returnedItemsStream(lineitemStream: DataFrame, orders: DataFrame,
+    from: Timestamp, until: Timestamp, snapshotRoot: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    aggSnapshot(lineitemStream, snapshotRoot, Seq("o_custkey")) { b =>
+      new graft.api.EtlService(b.sparkSession).returnedLossAgg(
+        b, orders, from, until)
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

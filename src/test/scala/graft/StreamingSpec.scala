@@ -13,9 +13,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 class StreamingSpec extends SparkSpec {
 
-  private def chunkEventsDir(): String = {
+  private def chunkEventsDir(): String =
+    chunkTableDir("events", Seq("ts", "event_id"))
+
+  /** Write `table` as ~3 parquet files in `sortCols` order with
+    * ascending mtimes, so a maxFilesPerTrigger=1 stream replays it as
+    * three micro-batches. */
+  private def chunkTableDir(table: String, sortCols: Seq[String]): String = {
     val dir = Files.createTempDirectory("graft_stream_").toString
-    val events = Tables.load(spark, Sf, "events").orderBy("ts", "event_id")
+    val events = Tables.load(spark, Sf, table)
+      .orderBy(sortCols.map(col): _*)
     val n = events.count().toInt
     val chunk = math.max(1, n / 3)
     val rows = events.collect()
@@ -256,6 +263,64 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == want)
+  }
+
+  private def utc(s: String): Timestamp =
+    Timestamp.from(java.time.LocalDateTime.parse(s)
+      .toInstant(java.time.ZoneOffset.UTC))
+
+  test("streamed market-share snapshot reproduces the q127 batch report") {
+    import graft.streaming.EventStreams
+    val dir = chunkTableDir("lineitem", Seq("l_orderkey", "l_linenumber"))
+    val snap = Files.createTempDirectory("graft_ms_snap_").toString
+    val schema = Tables.load(spark, Sf, "lineitem").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.marketShareStream(stream,
+      Tables.load(spark, Sf, "orders"), Tables.load(spark, Sf, "customer"),
+      Tables.load(spark, Sf, "nation"), Tables.load(spark, Sf, "region"),
+      Tables.load(spark, Sf, "part"),
+      utc("1995-01-01T00:00:00"), utc("1997-01-01T00:00:00"), snap)
+    q.processAllAvailable()
+    q.stop()
+    val svc = new graft.api.EtlService(spark)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1),
+      r.getInt(2), r.getDouble(3), r.getDouble(4))
+    val got = svc.marketShareReport(
+        EventStreams.readSnapshot(spark, snap).get)
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("q127_svc_marketshare")(spark, Sf)
+      .collect().map(key).toSet
+    // bit-exact agreement, doubles included: the snapshot's re-summed
+    // decimals equal the one-shot decimals, so the double casts match
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("streamed returned-items ledger reproduces the q128 batch report") {
+    import graft.streaming.EventStreams
+    val dir = chunkTableDir("lineitem", Seq("l_orderkey", "l_linenumber"))
+    val snap = Files.createTempDirectory("graft_ri_snap_").toString
+    val schema = Tables.load(spark, Sf, "lineitem").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.returnedItemsStream(stream,
+      Tables.load(spark, Sf, "orders"),
+      utc("1995-01-01T00:00:00"), utc("1996-01-01T00:00:00"), snap)
+    q.processAllAvailable()
+    q.stop()
+    val svc = new graft.api.EtlService(spark)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+      r.getString(2), r.getString(3), r.getDouble(4), r.getLong(5))
+    val got = svc.returnedItemsReport(
+        EventStreams.readSnapshot(spark, snap).get,
+        Tables.load(spark, Sf, "customer"), Tables.load(spark, Sf, "nation"),
+        k = 20)
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("q128_svc_returns")(spark, Sf)
+      .collect().map(key).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
   test("streaming near-dup filter keeps first arrival per signature") {
