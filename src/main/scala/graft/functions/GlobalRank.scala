@@ -98,6 +98,50 @@ object GlobalRank {
       .drop("__b", "__g", "__ob", "__lcum", "__off", "__bt")
   }
 
+  /** Append a per-group STRICT-prefix running-max column (`pmax` = max
+    * of `valueCol` over rows whose `orderCol` is strictly smaller; NULL
+    * when none precede) — the dominance-sweep primitive (q143 skyline),
+    * distributed with the [[cumSum]] bucket scheme instead of a
+    * single-task global window: local strict-prefix max per (group,
+    * bucket), cross-bucket offsets from a window over the tiny
+    * (groups × buckets) bucket-max table, broadcast back.
+    *
+    * Requirements as [[cumSum]]: `orderCol` numeric/non-NaN and one row
+    * per (group, order) — the natural shape after a per-value groupBy
+    * (strictness then equals the ROWS ... 1 PRECEDING local frame). */
+  def prefixMax(df: DataFrame, groupCol: String, orderCol: String,
+    valueCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val bounds = df.agg(min(col(orderCol)).cast("double").as("__lo"),
+      max(col(orderCol)).cast("double").as("__hi"))
+    val b = when(isnan(col(orderCol).cast("double")),
+        raise_error(lit(s"GlobalRank.prefixMax: NaN in order column $orderCol")))
+      .when(col("__lo").isNull || col("__hi") === col("__lo"), lit(0))
+      .otherwise(least(lit(buckets - 1), greatest(lit(0),
+        floor((col(orderCol).cast("double") - col("__lo"))
+          / ((col("__hi") - col("__lo")) / buckets)).cast("int"))))
+    val shuffled = df.crossJoin(broadcast(bounds))
+      .withColumn("__b", b).drop("__lo", "__hi")
+      .repartition(col(groupCol), col("__b"))
+    val withLoc = shuffled.withColumn("__lpm",
+      max(col(valueCol)).over(
+        Window.partitionBy(col(groupCol), col("__b"))
+          .orderBy(col(orderCol).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val offs = shuffled.groupBy(col(groupCol).as("__g"), col("__b"))
+      .agg(max(col(valueCol)).as("__bm"))
+      .withColumn("__om",
+        max("__bm").over(Window.partitionBy("__g").orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__g"), col("__b").as("__ob"), col("__om"))
+    withLoc.join(broadcast(offs),
+        withLoc(groupCol) <=> offs("__g") && withLoc("__b") === offs("__ob"))
+      // greatest skips nulls (and is null only when BOTH are): exactly
+      // "no strictly-smaller row anywhere" => NULL
+      .withColumn("pmax", greatest(col("__lpm"), col("__om")))
+      .drop("__b", "__g", "__ob", "__lpm", "__om")
+  }
+
   /** Append a global `rn` column: row_number over `order` without a
     * single-partition window. */
   def rowNumber(df: DataFrame, order: Seq[Column], parts: Int = 0): DataFrame =

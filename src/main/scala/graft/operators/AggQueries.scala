@@ -74,6 +74,30 @@ object AggQueries {
         .agg(decSumD(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Hierarchy DERIVED from a string: p_type's three tokens
+    // (category/finish/material) become a rollup dimension — the
+    // "parse-then-rollup" reporting shape. SQL front-end like q23 (the
+    // rollup-after-join Expand trips the DSL's ambiguous-self-join
+    // check); split_part is 1-based with identical semantics in both
+    // engines, the revenue is the exact decimal sum, and part
+    // broadcasts against the fact scan.
+    "q150_type_hierarchy" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("graft_part")
+      s.sql(
+        """SELECT split_part(p_type, ' ', 1) AS category,
+          |       split_part(p_type, ' ', 2) AS finish,
+          |       split_part(p_type, ' ', 3) AS material,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          |                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+          |       COUNT(*) AS n_lines
+          |FROM graft_lineitem
+          |JOIN graft_part ON l_partkey = p_partkey
+          |GROUP BY ROLLUP (category, finish, material)
+          |ORDER BY category ASC NULLS FIRST, finish ASC NULLS FIRST,
+          |         material ASC NULLS FIRST""".stripMargin)
+    }),
+
     "q25_grouping_sets" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupingSets(
@@ -145,6 +169,19 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q150_type_hierarchy" ->
+      """SELECT split_part(p_type, ' ', 1) AS category,
+        |       split_part(p_type, ' ', 2) AS finish,
+        |       split_part(p_type, ' ', 3) AS material,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY ROLLUP (category, finish, material)
+        |ORDER BY category ASC NULLS FIRST, finish ASC NULLS FIRST,
+        |         material ASC NULLS FIRST""".stripMargin,
 
     "q25_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Dets, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -245,6 +245,175 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_purchases"),
           decSumD(col("value")).as("attributed"))
         .orderBy("touch")
+    }),
+
+    // RFM segmentation — the classic CRM cut: per customer Recency
+    // (last order date), Frequency (order count), Monetary (exact
+    // decimal spend), each quartile-scored 1..4. The three global
+    // ranks run through GlobalRank.rowNumber (range-partitioned, no
+    // single-task ntile window), and the score is pure integer
+    // arithmetic on (rn, n) — ((rn−1)·4 div n)+1 — so both engines
+    // bucket identically without relying on ntile's remainder rule.
+    // Output is the (up to 64-cell) segment census.
+    "q145_rfm" -> ((s, dir) => {
+      val cust = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          decSumD(col("o_totalprice")).as("spend"))
+      val (withR, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        cust, Seq(col("last_order").asc, col("o_custkey").asc))
+      val withF = graft.functions.GlobalRank.rowNumber(
+        withR.withColumnRenamed("rn", "rr"),
+        Seq(col("n_orders").asc, col("o_custkey").asc))
+      val withM = graft.functions.GlobalRank.rowNumber(
+        withF.withColumnRenamed("rn", "fr"),
+        Seq(col("spend").asc, col("o_custkey").asc))
+        .withColumnRenamed("rn", "mr")
+      withM.select(
+          expr(s"CAST((rr - 1) * 4 div $n + 1 AS INT)").as("r_score"),
+          expr(s"CAST((fr - 1) * 4 div $n + 1 AS INT)").as("f_score"),
+          expr(s"CAST((mr - 1) * 4 div $n + 1 AS INT)").as("m_score"),
+          col("spend"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_cust"),
+          decSumD(col("spend")).as("sum_spend"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // Cohort LTV triangle — q54's retention grid with revenue instead
+    // of presence: customers cohorted by first-order month, revenue
+    // rolled to (cohort, month age), cumulated over age. The cumsum
+    // window runs on post-aggregation rows (cohorts × ages,
+    // dimension-bounded at any fact size) over exact decimals.
+    "q146_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+      val cohort = o.groupBy("o_custkey")
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort"))
+      val rev = o.join(cohort, Seq("o_custkey"))
+        .groupBy(col("cohort"),
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            - (year(col("cohort")) * 12 + month(col("cohort"))))
+            .cast("int").as("age"))
+        .agg(decSum(col("o_totalprice")).as("rev_dec"))
+      val w = Window.partitionBy("cohort").orderBy(col("age").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_dec", sum(col("rev_dec")).over(w))
+        .select(tsOut(col("cohort")).as("cohort"), col("age"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("cum_dec").cast("double").as("cum_revenue"))
+        .orderBy("cohort", "age")
+    }),
+
+    // Inter-purchase interval profile — per segment, the mean and
+    // median gap (days) between a customer's consecutive orders: the
+    // purchase-cadence statistic behind replenishment/churn models.
+    // The lag window is keyed per customer (parallel across the key
+    // exchange like any keyed agg); gaps reduce to µs longs, the mean
+    // is an exact long sum ÷ count, and the median runs through the
+    // q44 distributed histogram — no per-segment sort.
+    "q149_order_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val gaps = t(s, dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("gap_us", unix_micros(col("o_orderdate"))
+          - lag(unix_micros(col("o_orderdate")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val g = gaps.join(seg, Seq("o_custkey"))
+      val stats = g.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_us"))
+      val hist = g.groupBy("c_mktsegment", "gap_us")
+        .agg(count(lit(1)).as("cnt"))
+      val med = graft.functions.GlobalRank
+        .cumSum(hist, "c_mktsegment", "gap_us", "cnt")
+        .groupBy("c_mktsegment")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("gap_us")))
+          .as("med_us"))
+      stats.join(med, Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), col("n_gaps"),
+          round(col("sum_us").cast("double") / col("n_gaps")
+            / lit(86400000000d), 4).as("mean_gap_days4"),
+          round(col("med_us").cast("double") / lit(86400000000d), 4)
+            .as("median_gap_days4"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Lag-1 autocorrelation of the daily event count — the time-series
+    // persistence screen (is today's volume predictive of tomorrow's).
+    // The (c_t, c_{t+1}) pairing is an EQUI-JOIN of the daily series
+    // against itself shifted one day — no global window at all — and
+    // the correlation comes from the q43 exact-moment formulation
+    // (decimal/HUGEINT product sums, one fixed double formula).
+    // Consecutive-day pairs only: a day with no events breaks the
+    // chain on both engines identically.
+    "q152_autocorr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("c"))
+      val a = daily.select(col("day_us"), col("c").as("x"))
+      val b = daily.select((col("day_us") - lit(86400000000L)).as("day_us"),
+        col("c").as("y"))
+      val d19 = (c: Column) => c.cast("decimal(19,0)")
+      val st = a.join(b, Seq("day_us"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+          sum(d19(col("y")) * d19(col("y"))).as("syy"),
+          sum(d19(col("x")) * d19(col("y"))).as("sxy"))
+      // safeDiv on every /n: the global agg emits one row even on an
+      // empty series (n = 0), and ANSI mode would throw on the plain /
+      st.select(col("n"),
+        round(safeDiv(
+          col("sxy").cast("double")
+            - safeDiv(col("sx").cast("double") * col("sy").cast("double"),
+              col("n")),
+          sqrt((col("sxx").cast("double")
+              - safeDiv(col("sx").cast("double") * col("sx").cast("double"),
+                col("n")))
+            * (col("syy").cast("double")
+              - safeDiv(col("sy").cast("double") * col("sy").cast("double"),
+                col("n"))))),
+          4).as("autocorr4"))
+    }),
+
+    // Gini concentration of customer spend per market segment — the
+    // revenue-inequality screen. Σ i·x_i (rank-weighted spend, the
+    // Gini numerator) needs every row's global rank WITHIN its
+    // segment; instead of a per-segment sort, the spend-value
+    // histogram + distributed cumulative count (GlobalRank.cumSum)
+    // yield it exactly: a value v with multiplicity c entering at
+    // cumulative offset p contributes v·(c·p + c·(c+1)/2). Spend is
+    // held as integer CENTS (exact at any fold order; the decimal
+    // widening both engines apply never rounds at these magnitudes)
+    // and only the final ratio is double.
+    "q148_gini" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val hist = spend.join(seg, Seq("o_custkey"))
+        .groupBy("c_mktsegment", "cents").agg(count(lit(1)).as("cnt"))
+      val agg = graft.functions.GlobalRank
+        .cumSum(hist, "c_mktsegment", "cents", "cnt")
+        .withColumn("w", (col("cum") - col("cnt")) * col("cnt")
+          + expr("cnt * (cnt + 1) div 2"))
+        .groupBy("c_mktsegment")
+        .agg(max(col("n")).as("n"),
+          sum(col("cents").cast("decimal(38,0)") * col("w")).as("s_sum"),
+          sum(col("cents").cast("decimal(38,0)") * col("cnt")).as("t_sum"))
+      // safeDiv: an all-zero-spend segment (t_sum = 0) must yield NULL
+      // like the oracle's x/0, not an ANSI throw
+      agg.select(col("c_mktsegment"), col("n").as("n_cust"),
+          round(col("t_sum").cast("double") / 100, 2).as("total_spend"),
+          round(safeDiv(lit(2d) * col("s_sum").cast("double"),
+              col("n").cast("double") * col("t_sum").cast("double"))
+            - (col("n").cast("double") + 1) / col("n").cast("double"), 4)
+            .as("gini4"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -411,6 +580,141 @@ object AnalyticsQueries {
         |                  0.0))
         |                  / (CAST(sum_us AS DOUBLE) / n_gaps / 1000000.0)
         |             END, 4) AS cv4
-        |FROM a ORDER BY user_id ASC NULLS FIRST""".stripMargin
+        |FROM a ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // scores by the same integer arithmetic on (row_number, n) — no
+    // ntile remainder-rule dependence
+    "q145_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |           AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT spend,
+        |    ROW_NUMBER() OVER (ORDER BY last_order ASC NULLS FIRST,
+        |                                o_custkey ASC NULLS FIRST) AS rr,
+        |    ROW_NUMBER() OVER (ORDER BY n_orders ASC NULLS FIRST,
+        |                                o_custkey ASC NULLS FIRST) AS fr,
+        |    ROW_NUMBER() OVER (ORDER BY spend ASC NULLS FIRST,
+        |                                o_custkey ASC NULLS FIRST) AS mr,
+        |    COUNT(*) OVER () AS n
+        |  FROM cust)
+        |SELECT CAST((rr - 1) * 4 // n + 1 AS INT) AS r_score,
+        |       CAST((fr - 1) * 4 // n + 1 AS INT) AS f_score,
+        |       CAST((mr - 1) * 4 // n + 1 AS INT) AS m_score,
+        |       COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(spend AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS sum_spend
+        |FROM rk GROUP BY 1, 2, 3
+        |ORDER BY r_score ASC NULLS FIRST, f_score ASC NULLS FIRST,
+        |         m_score ASC NULLS FIRST""".stripMargin,
+
+    "q146_cohort_ltv" ->
+      """WITH c AS (
+        |  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT c.cohort,
+        |         CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+        |              - (year(c.cohort) * 12 + month(c.cohort)) AS INT)
+        |           AS age,
+        |         SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev_dec
+        |  FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT cohort, age, CAST(rev_dec AS DOUBLE) AS revenue,
+        |       CAST(SUM(rev_dec) OVER (PARTITION BY cohort ORDER BY age ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS cum_revenue
+        |FROM r
+        |ORDER BY cohort ASC NULLS FIRST, age ASC NULLS FIRST""".stripMargin,
+
+    "q149_order_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         epoch_us(o_orderdate) - LAG(epoch_us(o_orderdate)) OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY o_orderdate ASC, o_orderkey ASC) AS gap_us
+        |  FROM orders),
+        |gg AS (
+        |  SELECT c.c_mktsegment, g.gap_us
+        |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+        |  WHERE g.gap_us IS NOT NULL),
+        |st AS (SELECT c_mktsegment, COUNT(*) AS n_gaps,
+        |              SUM(gap_us) AS sum_us
+        |       FROM gg GROUP BY 1),
+        |md AS (
+        |  SELECT c_mktsegment, gap_us AS med_us FROM (
+        |    SELECT c_mktsegment, gap_us,
+        |           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |             ORDER BY gap_us ASC NULLS FIRST) AS rn,
+        |           COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        |    FROM gg) x
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT st.c_mktsegment, st.n_gaps,
+        |       ROUND(CAST(st.sum_us AS DOUBLE) / st.n_gaps
+        |             / 86400000000.0, 4) AS mean_gap_days4,
+        |       ROUND(CAST(md.med_us AS DOUBLE) / 86400000000.0, 4)
+        |         AS median_gap_days4
+        |FROM st JOIN md ON st.c_mktsegment = md.c_mktsegment
+        |ORDER BY st.c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q152_autocorr" ->
+      """WITH d AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.c AS x, b.c AS y
+        |  FROM d a JOIN d b ON b.day_us = a.day_us + 86400000000),
+        |st AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |         SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |         SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p)
+        |SELECT n,
+        |       ROUND((CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |         / SQRT((CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |              * (CAST(syy AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4)
+        |         AS autocorr4
+        |FROM st""".stripMargin,
+
+    // rank-weighted spend from the value histogram: value v with
+    // multiplicity c at cumulative offset p contributes
+    // v·(c·p + c·(c+1)/2); HUGEINT keeps the products exact like
+    // Spark's decimal(38,0)
+    "q148_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |hist AS (
+        |  SELECT c.c_mktsegment, s.cents, COUNT(*) AS cnt
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT c_mktsegment, cents, cnt,
+        |         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY cents ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM hist),
+        |agg AS (
+        |  SELECT c_mktsegment, MAX(n) AS n,
+        |         SUM(CAST(cents AS HUGEINT)
+        |             * ((cum - cnt) * cnt + cnt * (cnt + 1) // 2)) AS s_sum,
+        |         SUM(CAST(cents AS HUGEINT) * cnt) AS t_sum
+        |  FROM cum GROUP BY 1)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n_cust,
+        |       ROUND(CAST(t_sum AS DOUBLE) / 100, 2) AS total_spend,
+        |       ROUND(2.0 * CAST(s_sum AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(t_sum AS DOUBLE))
+        |           - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 4)
+        |         AS gini4
+        |FROM agg ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
   )
 }

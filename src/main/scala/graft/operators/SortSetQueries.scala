@@ -46,7 +46,37 @@ object SortSetQueries {
         .except(
           t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
             .select(col("s_nationkey").as("nationkey")))
-        .orderBy("nationkey"))
+        .orderBy("nationkey")),
+
+    // 2-D skyline (Pareto frontier): parts no other part dominates —
+    // cheaper-or-equal AND bigger-or-equal with one strict. The naive
+    // form is an O(n²) dominance anti-join (the oracle spells exactly
+    // that); the engine runs the sweep instead: collapse to the
+    // per-price max size (map-side-combinable hash agg — distinct
+    // prices, not rows, cross the exchange), take the STRICT-prefix
+    // running max over the price domain with the distributed bucket
+    // scheme (GlobalRank.prefixMax — no single-task global window),
+    // and keep a part iff it carries its price's max size and beats
+    // every strictly-cheaper price's best. One scan + one
+    // domain-bounded sweep at any corpus size.
+    "q143_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      val per = p.groupBy("p_retailprice")
+        .agg(max(col("p_size")).as("smax"))
+        // the sweep is global — one constant group; parallelism comes
+        // from the price-domain buckets, not the group key
+        .withColumn("__g1", lit(1))
+      val swept = graft.functions.GlobalRank.prefixMax(
+        per, groupCol = "__g1", orderCol = "p_retailprice",
+        valueCol = "smax").drop("__g1")
+      p.join(swept, Seq("p_retailprice"))
+        .filter(col("p_size") === col("smax") &&
+          (col("pmax").isNull || col("pmax") < col("p_size")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,6 +103,21 @@ object SortSetQueries {
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
-        |ORDER BY nationkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY nationkey ASC NULLS FIRST""".stripMargin,
+
+    // algorithm-independent dominance definition — the quadratic
+    // NOT EXISTS anti-join the engine's sweep must reproduce exactly
+    "q143_skyline" ->
+      """SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+        |FROM part a
+        |WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part b
+        |    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+        |      AND b.p_retailprice <= a.p_retailprice
+        |      AND b.p_size >= a.p_size
+        |      AND (b.p_retailprice < a.p_retailprice
+        |           OR b.p_size > a.p_size))
+        |ORDER BY a.p_partkey ASC NULLS FIRST""".stripMargin
   )
 }

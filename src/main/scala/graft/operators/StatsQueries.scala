@@ -108,6 +108,72 @@ object StatsQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Median absolute deviation — the robust dispersion statistic
+    // (outlier-immune where q43's stddev is not): per status, the
+    // percentile_disc median of |price − median(price)|. Both medians
+    // run through the q44 machinery (value histogram + distributed
+    // cumulative count — no per-group sort at any scale); the 3-row
+    // median table broadcasts back, and the deviation is one IEEE
+    // subtraction on identical operands in both engines, so the
+    // deviation HISTOGRAM keys match bit-exactly.
+    "q144_mad" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def discMedian(df: DataFrame, grp: String, v: String,
+        out: String): DataFrame = {
+        val hist = df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
+        graft.functions.GlobalRank.cumSum(hist, grp, v, "cnt")
+          .groupBy(grp)
+          .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(v)))
+            .as(out))
+      }
+      val med = discMedian(o, "o_orderstatus", "o_totalprice",
+        "median_price")
+      val dev = o.join(broadcast(med), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"),
+          abs(col("o_totalprice") - col("median_price")).as("d"))
+      discMedian(dev, "o_orderstatus", "d", "mad")
+        .join(broadcast(med), Seq("o_orderstatus"))
+        .select("o_orderstatus", "median_price", "mad")
+        .orderBy("o_orderstatus")
+    }),
+
+    // Benford first-digit audit — the classic numeric-integrity screen
+    // over a financial column: distribution of leading digits of
+    // o_totalprice. The digit extracts through DECIMAL(18,2) → string
+    // (both engines render a plain fixed-point literal — no float
+    // formatting drift, no log10 edge cases at power-of-ten
+    // boundaries); one 9-group map-side-combinable count plus a
+    // broadcast one-row total.
+    "q147_benford" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(col("o_totalprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      d.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("__total"))))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders") / col("__total"), 4).as("share4"))
+        .orderBy("digit")
+    }),
+
+    // Quantity-WEIGHTED median price — the weighted-percentile verb
+    // (each price weighted by units shipped). Same distributed
+    // histogram + cumulative machinery as q44, with the count weight
+    // replaced by the exact decimal quantity sum; the pick is the
+    // smallest price whose cumulative weight reaches half the total
+    // (2·cum ≥ n in exact decimals — no division).
+    "q151_weighted_median" -> ((s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(decSum(col("l_quantity")).as("wt"))
+      graft.functions.GlobalRank
+        .cumSum(hist, "l_returnflag", "l_extendedprice", "wt")
+        .groupBy("l_returnflag")
+        .agg(min(when(col("cum") * 2 >= col("n"), col("l_extendedprice")))
+          .as("wmedian_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // EXACT distributed-histogram quartiles: value-level histogram (a
     // map-side-combinable hash agg — rows collapse to distinct values
     // before any shuffle), a range-partitioned global cumulative count
@@ -203,6 +269,62 @@ object StatsQueries {
         |         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
         |  FROM orders) x
         |WHERE rn = (n + 1) // 2
-        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    // both medians replayed with the q44 row_number form; the deviation
+    // is the same double subtraction on the same operands
+    "q144_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus, o_totalprice AS median_price FROM (
+        |    SELECT o_orderstatus, o_totalprice,
+        |           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice ASC NULLS FIRST,
+        |                      o_orderkey ASC NULLS FIRST) AS rn,
+        |           COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |    FROM orders) x
+        |  WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT o.o_orderstatus, m.median_price,
+        |         ABS(o.o_totalprice - m.median_price) AS d, o.o_orderkey
+        |  FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus)
+        |SELECT o_orderstatus, median_price, d AS mad FROM (
+        |  SELECT o_orderstatus, median_price, d,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY d ASC NULLS FIRST,
+        |                    o_orderkey ASC NULLS FIRST) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM dev) x
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q151_weighted_median" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(wt) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(wt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist)
+        |SELECT l_returnflag,
+        |       MIN(CASE WHEN cum * 2 >= n THEN l_extendedprice END)
+        |         AS wmedian_price
+        |FROM cum GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q147_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                          AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM d)
+        |SELECT digit, n_orders,
+        |       ROUND(CAST(n_orders AS DOUBLE) / total, 4) AS share4
+        |FROM c CROSS JOIN t
+        |ORDER BY digit ASC NULLS FIRST""".stripMargin
   )
 }

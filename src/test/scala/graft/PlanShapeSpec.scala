@@ -130,6 +130,30 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"SURVEY mentions undeclared queries: ${mentioned -- declared}")
   }
 
+  test("docs/API.md covers every graft.api entry point and cites only declared queries") {
+    val doc = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("docs/API.md"))
+    // (a) every public method of every graft.api object is on the page
+    val apiObjects = Seq[AnyRef](graft.api.DedupOps, graft.api.PipelineOps,
+      graft.api.PqOps, graft.api.TextOps, graft.api.VectorOps)
+    val fromObjects = apiObjects.flatMap(_.getClass.getDeclaredMethods.toSeq
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .map(_.getName))
+    val fromService = classOf[graft.api.EtlService].getDeclaredMethods.toSeq
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .map(_.getName)
+    val entryPoints = (fromObjects ++ fromService)
+      .filterNot(_.contains("$")).toSet
+    val undocumented = entryPoints.filterNot(doc.contains)
+    assert(undocumented.isEmpty,
+      s"api entry points missing from docs/API.md: $undocumented")
+    // (b) every query key the page cites is declared
+    val cited = "(q[0-9]{2,}_[a-z0-9_]+)".r
+      .findAllMatchIn(doc).map(_.group(1)).toSet
+    assert((cited -- SparkEntry.queries.keySet).isEmpty,
+      s"API.md cites undeclared queries: ${cited -- SparkEntry.queries.keySet}")
+  }
+
   test("queries and oracleSql keys line up") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
