@@ -35,7 +35,8 @@ object SparkEntry {
     (SourceQueries.queries, SourceQueries.oracle),
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (CurationQueries.queries, CurationQueries.oracle),
-    (CorpusStatsQueries.queries, CorpusStatsQueries.oracle)
+    (CorpusStatsQueries.queries, CorpusStatsQueries.oracle),
+    (GraphQueries.queries, GraphQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -379,6 +379,59 @@ object AnalyticsQueries {
           4).as("autocorr4"))
     }),
 
+    // Daily-volume anomaly screen: z-score of each day's event count
+    // against the whole series (population moments from exact integer
+    // sums — the q101 shape on the time axis). The day table is
+    // value-domain bounded, the one-row moment aggregate broadcasts
+    // back, and safeDiv keeps a flat series NULL instead of an ANSI
+    // throw.
+    "q154_anomaly_days" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("c"))
+      val d19 = (c: Column) => c.cast("decimal(19,0)")
+      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(d19(col("c")) * d19(col("c"))).as("sxx"))
+      daily.crossJoin(broadcast(st))
+        .withColumn("mean", col("sx").cast("double") / col("n"))
+        .withColumn("sd", sqrt(greatest(lit(0d),
+          col("sxx").cast("double") / col("n")
+            - col("mean") * col("mean"))))
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("c").as("n_events"),
+          round(safeDiv(col("c") - col("mean"), col("sd")), 4).as("z4"))
+        .orderBy("day")
+    }),
+
+    // Signup→purchase conversion rate per signup day: did a purchase
+    // follow within the horizon (q17's interval-join semantics reduced
+    // to a per-signup EXISTS, then a daily rollup). The left join's
+    // fan-out is bounded by purchases inside one hour per user; the
+    // exists collapses it back to one row per signup before the tiny
+    // day rollup.
+    "q156_conversion" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("sts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("pts"))
+      val conv = su.join(pu, col("user_id") === col("p_user_id") &&
+          col("pts") >= col("sts") &&
+          col("pts") <= col("sts") + expr("INTERVAL 1 HOUR"), "left")
+        .groupBy("signup_id", "sts")
+        .agg(max(when(col("pts").isNotNull, 1).otherwise(0)).as("converted"))
+      conv
+        .groupBy(unix_micros(date_trunc("day", col("sts"))).as("day_us"))
+        .agg(count(lit(1)).as("n_signups"),
+          sum(col("converted")).as("n_converted"))
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("n_signups"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signups"), 4)
+            .as("cvr4"))
+        .orderBy("day")
+    }),
+
     // Gini concentration of customer spend per market segment — the
     // revenue-inequality screen. Σ i·x_i (rank-weighted spend, the
     // Gini numerator) needs every row's global rank WITHIN its
@@ -683,6 +736,47 @@ object AnalyticsQueries {
         |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4)
         |         AS autocorr4
         |FROM st""".stripMargin,
+
+    "q154_anomaly_days" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT COUNT(*) AS n, SUM(c) AS sx,
+        |         SUM(CAST(c AS HUGEINT) * c) AS sxx
+        |  FROM d),
+        |ms AS (
+        |  SELECT n, CAST(sx AS DOUBLE) / n AS mean,
+        |         SQRT(GREATEST(CAST(0 AS DOUBLE),
+        |           CAST(sxx AS DOUBLE) / n
+        |             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+        |           AS sd
+        |  FROM st)
+        |SELECT d.day, d.c AS n_events,
+        |       ROUND((d.c - ms.mean) / ms.sd, 4) AS z4
+        |FROM d CROSS JOIN ms
+        |ORDER BY d.day ASC NULLS FIRST""".stripMargin,
+
+    "q156_conversion" ->
+      """WITH su AS (
+        |  SELECT event_id AS signup_id, user_id, ts AS sts
+        |  FROM events WHERE event_type = 'signup'),
+        |pu AS (
+        |  SELECT user_id AS p_user_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT su.signup_id, su.sts,
+        |         MAX(CASE WHEN pu.pts IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS converted
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.p_user_id
+        |    AND pu.pts >= su.sts
+        |    AND pu.pts <= su.sts + INTERVAL 1 HOUR
+        |  GROUP BY 1, 2)
+        |SELECT date_trunc('day', sts) AS day, COUNT(*) AS n_signups,
+        |       CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4) AS cvr4
+        |FROM conv GROUP BY 1
+        |ORDER BY day ASC NULLS FIRST""".stripMargin,
 
     // rank-weighted spend from the value histogram: value v with
     // multiplicity c at cumulative offset p contributes

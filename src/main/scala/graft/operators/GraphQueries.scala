@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relational co-occurrence graphs —
+  * the family beyond q77's connected components: weighted PageRank on
+  * the part co-purchase graph (parts are linked when they ship in the
+  * same order).
+  *
+  * Scale notes: the edge build is a per-order self-join — Σ|order|²
+  * with order size bounded by the schema (≤ 7 lines), never |corpus|².
+  * Each PageRank iteration is one equi-join of the edge table against
+  * the current rank vector plus a keyed aggregation; the edge table
+  * and per-iteration ranks are localCheckpointed so the k-th iteration
+  * does not replay the previous k−1 (the q77 multi-job convention).
+  * Determinism [D2]: per-edge contributions are 6dp-rounded BEFORE the
+  * decimal sum (fold-order invariant), ranks re-round to 6dp per
+  * iteration, and the final top-20 ties on part key — bit-identical on
+  * any partition layout and in the oracle's unrolled-CTE replay.
+  */
+object GraphQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Damping factor and iteration count, mirrored in the oracle. */
+  private val Damping = 0.85
+  private val Iters = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      // both directions fall out of the u != v self-join directly
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val deg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
+      val ed = edges.join(deg, Seq("u")).localCheckpoint(true)
+      val nodes = deg.select(col("u").as("v")).localCheckpoint(true)
+      val nn = nodes.agg(count(lit(1)).as("nn"))
+      var r = nodes.crossJoin(broadcast(nn))
+        .select(col("v"), round(lit(1d) / col("nn"), 6).as("pr"))
+        .localCheckpoint(true)
+      var it = 0
+      while (it < Iters) {
+        val contrib = ed
+          .join(r.select(col("v").as("u"), col("pr").as("pru")), Seq("u"))
+          .select(col("v"),
+            round(col("pru") * col("w") / col("wdeg"), 6).as("c"))
+          .groupBy("v")
+          .agg(sum(col("c").cast(Dec)).cast("double").as("sc"))
+        r = nodes.join(contrib, Seq("v"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("v"),
+            round(lit(1d - Damping) / col("nn")
+              + lit(Damping) * coalesce(col("sc"), lit(0d)), 6).as("pr"))
+          .localCheckpoint(true)
+        it += 1
+      }
+      r.select(col("v").as("p_partkey"), col("pr").as("pr6"))
+        .orderBy(col("pr6").desc, col("p_partkey").asc)
+        .limit(20)
+    })
+  )
+
+  /** Three unrolled iterations of the identical update — every literal
+    * cast to DOUBLE explicitly (DuckDB parses 0.85 as DECIMAL, which
+    * would divide differently than Spark's double). */
+  val oracle: Map[String, String] = Map(
+    "q153_pagerank" -> {
+      def iter(prev: String, k: Int): String =
+        s"""c$k AS (
+           |  SELECT e.v,
+           |         SUM(CAST(ROUND(r.pr * e.w / e.wdeg, 6)
+           |                  AS DECIMAL(38,6))) AS sc
+           |  FROM ed e JOIN $prev r ON e.u = r.v
+           |  GROUP BY e.v),
+           |r$k AS (
+           |  SELECT n.v,
+           |         ROUND(CAST(${1d - Damping} AS DOUBLE) / nn.n
+           |           + CAST($Damping AS DOUBLE)
+           |             * COALESCE(CAST(c$k.sc AS DOUBLE), 0), 6) AS pr
+           |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k ON n.v = c$k.v)"""
+          .stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey != b.l_partkey
+         |  GROUP BY 1, 2),
+         |deg AS (SELECT u, SUM(w) AS wdeg FROM e GROUP BY u),
+         |ed AS (SELECT e.u, e.v, e.w, d.wdeg FROM e JOIN deg d ON e.u = d.u),
+         |nodes AS (SELECT u AS v FROM deg),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT v, ROUND(CAST(1 AS DOUBLE) / nn.n, 6) AS pr
+         |       FROM nodes CROSS JOIN nn),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT v AS p_partkey, pr AS pr6 FROM r3
+         |ORDER BY pr6 DESC NULLS LAST, p_partkey ASC NULLS FIRST
+         |LIMIT 20""".stripMargin
+    }
+  )
+}

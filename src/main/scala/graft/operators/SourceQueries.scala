@@ -81,6 +81,21 @@ object SourceQueries {
         .orderBy("status", "yr")
     }),
 
+    // Pipe-delimited round-trip (the Redshift DELIMITER '|' COPY):
+    // supplier out and back through the explicit-separator codec, then
+    // a per-nation rollup vs the parquet oracle — gating the
+    // non-default-delimiter quoting/parse leg.
+    "q155_tsv_copy" -> ((s, dir) => {
+      val out = tmp("graft_tsv_copy")
+      val sup = Tables.load(s, dir, "supplier")
+      LakeWriter.unloadDelimited(sup, out, "|")
+      LakeWriter.copyDelimited(s, out, Tables.schemas("supplier"), "|")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"),
+          Dets.decSumD(col("s_acctbal")).as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     // MAXERROR-style tolerant COPY: unload orders to JSON, plant
     // CorruptLines malformed lines in an extra part file, permissive-
     // copy back. Good rows must survive bit-exact (decimal price sum vs
@@ -117,6 +132,12 @@ object SourceQueries {
         |  COUNT(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY 1
         |ORDER BY segment ASC NULLS FIRST""".stripMargin,
+
+    "q155_tsv_copy" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY 1
+        |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
 
     "q130_json_copy" ->
       """SELECT o_orderstatus AS status,

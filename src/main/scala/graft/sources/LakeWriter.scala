@@ -72,4 +72,16 @@ object LakeWriter {
 
   def unloadJson(df: DataFrame, out: String): Unit =
     df.write.mode("overwrite").json(out)
+
+  /** COPY with an explicit delimiter (the Redshift `DELIMITER '|'`
+    * option): same strict schema-pinned ingest as [[copyCsv]] with a
+    * caller-chosen separator. */
+  def copyDelimited(spark: SparkSession, path: String, schema: StructType,
+    sep: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").option("sep", sep)
+      .option("mode", "FAILFAST").csv(path)
+
+  def unloadDelimited(df: DataFrame, out: String, sep: String): Unit =
+    df.write.mode("overwrite").option("header", "true").option("sep", sep)
+      .csv(out)
 }
