@@ -36,7 +36,9 @@ object SparkEntry {
     (MultimodalQueries.queries, MultimodalQueries.oracle),
     (CurationQueries.queries, CurationQueries.oracle),
     (CorpusStatsQueries.queries, CorpusStatsQueries.oracle),
-    (GraphQueries.queries, GraphQueries.oracle)
+    (GraphQueries.queries, GraphQueries.oracle),
+    (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
+    (BasketQueries.queries, BasketQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -467,6 +467,94 @@ object AnalyticsQueries {
             - (col("n").cast("double") + 1) / col("n").cast("double"), 4)
             .as("gini4"))
         .orderBy("c_mktsegment")
+    }),
+
+    // ABC / Pareto inventory classification: parts ranked by discounted
+    // revenue, class A = values whose cumulative revenue share (ranked
+    // descending) stays ≤ 70%, B ≤ 90%, C the tail. Same histogram +
+    // distributed-cumulative discipline as q148: revenue collapses to a
+    // value histogram (distinct cents, not parts) before the global
+    // cumulative, the class is a property of the cents VALUE (ties land
+    // in one class on both engines), and every sum is exact decimal —
+    // doubles appear only in the share comparison/output, identically
+    // formed on both sides.
+    "q161_abc" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * 100).cast("long")).as("cents"))
+      val hist = rev.groupBy("cents").agg(count(lit(1)).as("cnt"))
+        .withColumn("w", col("cents").cast("decimal(38,0)") * col("cnt"))
+        .withColumn("ncents", -col("cents"))
+        .withColumn("g", lit(1))
+      val cum = graft.functions.GlobalRank.cumSum(hist, "g", "ncents", "w")
+      val share = col("cum").cast("double") / col("n").cast("double")
+      cum
+        .withColumn("abc_class",
+          when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(sum(col("cnt")).as("n_parts"),
+          (sum(col("w")).cast("double") / 100.0).as("revenue"),
+          round(safeDiv(sum(col("w")).cast("double"),
+            max(col("n")).cast("double")), 4).as("share4"))
+        .orderBy("abc_class")
+    }),
+
+    // Day-of-week seasonality index of order revenue: per-dow mean
+    // daily revenue over the global mean daily revenue. The dow is
+    // computed ARITHMETICALLY (days since the 1995-01-01 Sunday epoch
+    // mod 7) — no engine dayofweek() convention to disagree on — and
+    // revenue is exact integer cents until the one index division.
+    "q168_seasonality" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1995-01-01")), lit(7)))
+      val dw = daily.groupBy("dow").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("cents").cast("decimal(38,0)")).as("c"))
+      val tot = dw.agg(sum(col("c")).as("tc"), sum(col("n_days")).as("td"))
+      dw.crossJoin(broadcast(tot))
+        .select(col("dow").cast("long").as("dow"), col("n_days"),
+          (col("c").cast("double") / 100.0).as("revenue"),
+          round((col("c").cast("double") / col("n_days"))
+            / (col("tc").cast("double") / col("td")), 4).as("index4"))
+        .orderBy("dow")
+    }),
+
+    // Decile lift table — the campaign-targeting evaluation shape:
+    // orders ranked by value (desc, orderkey tie-break), split into 10
+    // equal-count deciles, per-decile response rate ('F' status) and
+    // lift over the base rate. The global row number is DISTRIBUTED:
+    // cumSum over the value histogram gives each distinct value its
+    // rank offset, and a keyed window (partitioned BY VALUE, ordered by
+    // orderkey) resolves ties locally — no single-task global sort at
+    // any scale [D2].
+    "q174_decile_lift" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        round(col("o_totalprice") * 100).cast("long").as("score"),
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("lbl"))
+      val hist = o.groupBy("score").agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(1))
+        .withColumn("nscore", -col("score"))
+      val cum = graft.functions.GlobalRank.cumSum(hist, "g", "nscore", "cnt")
+        .select(col("score"), col("cnt"), col("cum"), col("n"))
+      val agg = o.join(cum, Seq("score"))
+        .withColumn("rwin", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("score").orderBy(col("o_orderkey").asc)))
+        .withColumn("rn", col("cum") - col("cnt") + col("rwin"))
+        .withColumn("decile", expr("((rn - 1) * 10) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_rows"), sum(col("lbl")).as("n_pos"))
+      val tot = agg.agg(sum(col("n_pos")).as("tp"), sum(col("n_rows")).as("tn"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n_rows"), 6).as("rate6"),
+          round((col("n_pos").cast("double") / col("n_rows"))
+            / (col("tp").cast("double") / col("tn")), 4).as("lift4"))
+        .orderBy("decile")
     })
   )
 
@@ -809,6 +897,82 @@ object AnalyticsQueries {
         |             / (CAST(n AS DOUBLE) * CAST(t_sum AS DOUBLE))
         |           - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 4)
         |         AS gini4
-        |FROM agg ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+        |FROM agg ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q161_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |             AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |hist AS (
+        |  SELECT cents, COUNT(*) AS cnt FROM rev GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, cnt,
+        |         SUM(CAST(cents AS HUGEINT) * cnt) OVER (ORDER BY cents DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_cents,
+        |         SUM(CAST(cents AS HUGEINT) * cnt) OVER () AS total
+        |  FROM hist),
+        |cls AS (
+        |  SELECT cents, cnt, total,
+        |         CASE WHEN CAST(cum_cents AS DOUBLE)
+        |                   / CAST(total AS DOUBLE) <= 0.7 THEN 'A'
+        |              WHEN CAST(cum_cents AS DOUBLE)
+        |                   / CAST(total AS DOUBLE) <= 0.9 THEN 'B'
+        |              ELSE 'C' END AS abc_class
+        |  FROM cum)
+        |SELECT abc_class, CAST(SUM(cnt) AS BIGINT) AS n_parts,
+        |       CAST(SUM(CAST(cents AS HUGEINT) * cnt) AS DOUBLE) / 100.0
+        |         AS revenue,
+        |       ROUND(CASE WHEN MAX(total) != 0 THEN
+        |         CAST(SUM(CAST(cents AS HUGEINT) * cnt) AS DOUBLE)
+        |           / CAST(MAX(total) AS DOUBLE) END, 4) AS share4
+        |FROM cls GROUP BY 1 ORDER BY abc_class ASC NULLS FIRST""".stripMargin,
+
+    // dow arithmetically from the 1995-01-01 Sunday epoch — no engine
+    // dayofweek() convention in the gate
+    "q168_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT date_diff('day', DATE '1995-01-01', day) % 7 AS dow,
+        |         cents
+        |  FROM daily),
+        |dw AS (
+        |  SELECT dow, COUNT(*) AS n_days,
+        |         SUM(CAST(cents AS HUGEINT)) AS c
+        |  FROM d2 GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS tc, SUM(n_days) AS td FROM dw)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_days,
+        |       CAST(c AS DOUBLE) / 100.0 AS revenue,
+        |       ROUND((CAST(c AS DOUBLE) / n_days)
+        |             / (CAST(tc AS DOUBLE) / td), 4) AS index4
+        |FROM dw CROSS JOIN tot ORDER BY dow ASC NULLS FIRST""".stripMargin,
+
+    "q174_decile_lift" ->
+      """WITH o AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score,
+        |         o_orderkey,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lbl
+        |  FROM orders),
+        |r AS (
+        |  SELECT lbl,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey ASC) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM o),
+        |d AS (SELECT ((rn - 1) * 10) // n AS decile, lbl FROM r),
+        |agg AS (
+        |  SELECT decile, COUNT(*) AS n_rows, SUM(lbl) AS n_pos
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(n_pos) AS tp, SUM(n_rows) AS tn FROM agg)
+        |SELECT decile, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_pos AS BIGINT) AS n_pos,
+        |       ROUND(CAST(n_pos AS DOUBLE) / n_rows, 6) AS rate6,
+        |       ROUND((CAST(n_pos AS DOUBLE) / n_rows)
+        |             / (CAST(tp AS DOUBLE) / tn), 4) AS lift4
+        |FROM agg CROSS JOIN tot ORDER BY decile ASC NULLS FIRST""".stripMargin
   )
 }

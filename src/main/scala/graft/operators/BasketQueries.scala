@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining over order/part co-occurrence —
+  * the frequent-itemset reporting shapes (support / confidence / lift)
+  * a retail analytics service derives from the same per-order self-join
+  * the graph family (q153/q164/q165) builds its edges from.
+  *
+  * Scale notes: the pair build is Σ|order|² with order size bounded by
+  * the schema (≤ 7 lines per order), never |corpus|², and the pair
+  * aggregation is map-side combinable (the shuffle carries distinct
+  * pairs). Item counts and the order total are attached by plain
+  * equi-joins — bounded by the part dimension, so AQE broadcasts them
+  * when they fit and sort-merges when they don't; only the genuinely
+  * one-row aggregates use an explicit broadcast. Ranking is a keyed
+  * window (per antecedent) plus a global bounded top-k — no global
+  * sort of the pair table.
+  *
+  * Determinism [D2][D3]: supports/confidences/lifts are single IEEE
+  * divisions on exact integer counts, rounded before ordering; every
+  * ORDER BY carries the (x, y) key tie-break so the LIMIT cut is a
+  * total order on both engines.
+  */
+object BasketQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Distinct (order, part) incidence — the basket relation. */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Association rules by lift: unordered part pairs co-purchased in
+    // ≥ 3 orders, scored support = P(x,y) and lift = P(x,y)/(P(x)P(y)),
+    // top-20 by lift. The min-support filter runs BEFORE the item-count
+    // joins, so the scored relation is output-sized, not pair-sized.
+    "q167_basket_lift" -> ((s, dir) => {
+      val li = baskets(s, dir)
+      val nOrders = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      val item = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("both_cnt"))
+        .filter(col("both_cnt") >= 3)
+        .join(item.select(col("l_partkey").as("x"), col("cnt").as("cx")),
+          Seq("x"))
+        .join(item.select(col("l_partkey").as("y"), col("cnt").as("cy")),
+          Seq("y"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("x"), col("y"), col("both_cnt"),
+          round(col("both_cnt").cast("double") / col("n_orders"), 6)
+            .as("support6"),
+          round(col("both_cnt").cast("double") * col("n_orders")
+            / (col("cx") * col("cy").cast("double")), 4).as("lift4"))
+        .orderBy(col("lift4").desc, col("x").asc, col("y").asc)
+        .limit(20)
+    }),
+
+    // "Customers who bought X also bought Y": per antecedent part, the
+    // single consequent maximizing co-purchase count (confidence =
+    // both/count(x)), ties on the part key; global top-25 rules by
+    // count. Directed pairs, keyed window — never a global sort.
+    "q171_also_bought" -> ((s, dir) => {
+      val li = baskets(s, dir)
+      val item = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+      val pair = a.join(b, Seq("l_orderkey"))
+        .filter(col("x") =!= col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("both_cnt"))
+      val top = pair
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("x")
+            .orderBy(col("both_cnt").desc, col("y").asc)))
+        .filter(col("rk") === 1)
+        .join(item.select(col("l_partkey").as("x"), col("cnt").as("cx")),
+          Seq("x"))
+      top.select(col("x").as("p_antecedent"), col("y").as("p_consequent"),
+          col("both_cnt"),
+          round(col("both_cnt").cast("double") / col("cx"), 6).as("conf6"))
+        .orderBy(col("both_cnt").desc, col("p_antecedent").asc)
+        .limit(25)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q167_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        |item AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+        |pair AS (
+        |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS both_cnt
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT x, y, both_cnt,
+        |    ROUND(CAST(both_cnt AS DOUBLE) / n.n_orders, 6) AS support6,
+        |    ROUND(CAST(both_cnt AS DOUBLE) * n.n_orders
+        |          / (ix.cnt * CAST(iy.cnt AS DOUBLE)), 4) AS lift4
+        |  FROM pair, n
+        |  JOIN item ix ON ix.l_partkey = pair.x
+        |  JOIN item iy ON iy.l_partkey = pair.y
+        |  WHERE both_cnt >= 3)
+        |SELECT x, y, both_cnt, support6, lift4 FROM sc
+        |ORDER BY lift4 DESC, x ASC, y ASC LIMIT 20""".stripMargin,
+
+    "q171_also_bought" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |item AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+        |pair AS (
+        |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS both_cnt
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey != b.l_partkey
+        |  GROUP BY 1, 2),
+        |conf AS (
+        |  SELECT x, y, both_cnt,
+        |    ROUND(CAST(both_cnt AS DOUBLE) / item.cnt, 6) AS conf6,
+        |    ROW_NUMBER() OVER (PARTITION BY x
+        |      ORDER BY both_cnt DESC, y ASC) AS rk
+        |  FROM pair JOIN item ON item.l_partkey = pair.x)
+        |SELECT x AS p_antecedent, y AS p_consequent, both_cnt, conf6
+        |FROM conf WHERE rk = 1
+        |ORDER BY both_cnt DESC, p_antecedent ASC LIMIT 25""".stripMargin
+  )
+}

@@ -71,6 +71,118 @@ object GraphQueries {
       r.select(col("v").as("p_partkey"), col("pr").as("pr6"))
         .orderBy(col("pr6").desc, col("p_partkey").asc)
         .limit(20)
+    }),
+
+    // BFS reachability profile: how many parts sit at each hop distance
+    // (0..3) from the smallest part in the co-purchase graph. Frontier
+    // expansion is one equi-join of the current distance set against the
+    // edge table per level, localCheckpointed so level k never replays
+    // k−1 (the q153/q77 multi-job convention); the oracle is DuckDB's
+    // recursive CTE over the same edges, with min-level dedup making the
+    // spec traversal-order-independent.
+    "q164_bfs_levels" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("u") =!= col("v"))
+        .select("u", "v").distinct().localCheckpoint(true)
+      val seed = edges.agg(min(col("u")).as("v"))
+        .select(col("v"), lit(0).as("lvl"))
+      var dist = seed.localCheckpoint(true)
+      var lvl = 0
+      while (lvl < 3) {
+        val frontier = dist.filter(col("lvl") === lvl)
+        val next = frontier.select(col("v").as("u"))
+          .join(edges, Seq("u"))
+          .select(col("v")).distinct()
+          .join(dist.select(col("v"), lit(1).as("seen")), Seq("v"), "left")
+          .filter(col("seen").isNull)
+          .select(col("v"), lit(lvl + 1).as("lvl"))
+        dist = dist.unionByName(next).localCheckpoint(true)
+        lvl += 1
+      }
+      dist.groupBy("lvl").agg(count(lit(1)).as("n_parts")).orderBy("lvl")
+    }),
+
+    // Exact triangle census + global clustering coefficient of the
+    // co-purchase graph. The Spark plan is the DEGREE-ORIENTED count
+    // (each undirected edge points from its lower-(degree, id) endpoint,
+    // so every out-neighborhood is O(√m) and the wedge join never blows
+    // up on hub parts — the shape that survives power-law graphs at
+    // 100 TB); the triangle count is orientation-invariant, so the
+    // oracle replays the simple id-oriented three-way join and the
+    // numbers must agree exactly.
+    "q165_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+      val und = a.join(b, Seq("l_orderkey"))
+        .filter(col("x") < col("y"))
+        .select("x", "y").distinct()
+      val deg = und.select(col("x").as("v"))
+        .unionAll(und.select(col("y").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      // orient x→y iff (deg, id) of x < (deg, id) of y
+      val ed = und
+        .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+        .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+        .select(
+          when(col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+            .otherwise(col("y")).as("src"),
+          when(col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+            .otherwise(col("x")).as("dst"))
+        .localCheckpoint(true)
+      // wedges at the apex: pairs of out-edges ordered by (deg, id) of
+      // the endpoints — each triangle shows up exactly once
+      val dd = deg.select(col("v").as("dst"), col("d").as("ddst"))
+      val eo = ed.join(dd, Seq("dst"))
+      val w1 = eo.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
+      val w2 = eo.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
+      val wedges = w1.join(w2, Seq("src"))
+        .filter(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("w1") < col("w2")))
+      val closing = ed.select(col("src").as("w1"), col("dst").as("w2"))
+      val tri = wedges.join(closing, Seq("w1", "w2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val totals = und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("d * (d - 1) div 2")).as("n_wedges"))))
+      totals.crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          round(safeDiv(lit(3d) * col("n_triangles"),
+            col("n_wedges").cast("double")), 4).as("gcc4"))
+    }),
+
+    // Degree distribution of the co-purchase graph in power-of-two
+    // buckets — the graph-shape audit that decides whether the wedge
+    // join above needs its degree orientation. The bucket index is the
+    // bit width of the degree (length of the binary representation
+    // minus one) — pure integer arithmetic, no floor(log2(d)) whose
+    // last-ulp rounding could disagree between engines at exact powers
+    // of two. One hash agg over the edge endpoints; output is
+    // O(log maxdeg) rows.
+    "q176_degree_dist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+      val e = a.join(b, Seq("l_orderkey"))
+        .filter(col("x") < col("y"))
+        .select("x", "y").distinct()
+      val deg = e.select(col("x").as("v"))
+        .unionAll(e.select(col("y").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      deg.groupBy((length(conv(col("d"), 10, 2)) - 1).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+        .orderBy("bucket")
     })
   )
 
@@ -111,6 +223,68 @@ object GraphQueries {
          |SELECT v AS p_partkey, pr AS pr6 FROM r3
          |ORDER BY pr6 DESC NULLS LAST, p_partkey ASC NULLS FIRST
          |LIMIT 20""".stripMargin
-    }
+    },
+
+    // min-level dedup makes the recursive replay order-independent;
+    // the UNION (not UNION ALL) bounds the recursion's working set
+    "q164_bfs_levels" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey != b.l_partkey),
+        |seed AS (SELECT MIN(u) AS s FROM e),
+        |bfs(v, lvl) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION
+        |  SELECT e.v, bfs.lvl + 1 FROM bfs JOIN e ON e.u = bfs.v
+        |  WHERE bfs.lvl < 3),
+        |d AS (SELECT v, MIN(lvl) AS lvl FROM bfs GROUP BY v)
+        |SELECT lvl, COUNT(*) AS n_parts FROM d GROUP BY 1
+        |ORDER BY lvl ASC NULLS FIRST""".stripMargin,
+
+    // id-oriented three-way join: the count is orientation-invariant,
+    // so this simple quadratic-wedge replay pins the degree-oriented
+    // distributed plan exactly
+    "q165_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS d FROM (
+        |    SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM e a JOIN e b ON b.x = a.y
+        |           JOIN e c ON c.x = a.x AND c.y = b.y),
+        |tot AS (
+        |  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |         (SELECT COUNT(*) FROM e) AS n_edges,
+        |         (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+        |           AS n_wedges)
+        |SELECT n_nodes, n_edges, n_triangles,
+        |       ROUND(CASE WHEN n_wedges != 0 THEN
+        |         CAST(3 AS DOUBLE) * n_triangles / n_wedges END, 4) AS gcc4
+        |FROM tot CROSS JOIN tri""".stripMargin,
+
+    // bit-width bucket = length(bin(d)) - 1: integer-exact on both
+    // engines where floor(log2(d)) is a last-ulp coin flip
+    "q176_degree_dist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS d FROM (
+        |    SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+        |  GROUP BY v)
+        |SELECT CAST(length(ltrim(bin(d), '0')) - 1 AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_nodes, MIN(d) AS min_d, MAX(d) AS max_d
+        |FROM deg GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin
   )
 }

@@ -96,6 +96,66 @@ object SourceQueries {
         .orderBy("s_nationkey")
     }),
 
+    // ORC round-trip: part out and back through Spark's native ORC
+    // source (the columnar interchange format), then a per-brand
+    // rollup vs the parquet oracle — typed binary both legs, gating
+    // the schema-pinned ORC read/write path.
+    "q157_orc_copy" -> ((s, dir) => {
+      val out = tmp("graft_orc_copy")
+      val part = Tables.load(s, dir, "part")
+      LakeWriter.unloadOrc(part, out)
+      LakeWriter.copyOrc(s, out, Tables.schemas("part"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          Dets.decSumD(col("p_retailprice")).as("sum_price"),
+          Dets.decAvg(col("p_size")).as("avg_size"))
+        .orderBy("p_brand")
+    }),
+
+    // Schema-evolution read: two parquet generations of the orders
+    // lake with DIFFERENT column sets (the early files lack the later
+    // columns and vice versa) read back through mergeSchema, which
+    // unions the schemas and null-fills the columns each file lacks.
+    // The aggregate counts per-column presence and decimal-sums the
+    // column only one generation carries — any drift in the merge
+    // (column misalignment, type widening, wrong null-fill) breaks the
+    // hash vs the UNION-ALL-BY-NAME oracle replay on the original
+    // table.
+    "q166_schema_evolution" -> ((s, dir) => {
+      val out = tmp("graft_schema_evo")
+      val orders = Tables.load(s, dir, "orders")
+      orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/gen0")
+      orders.select("o_orderkey", "o_orderstatus", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/gen0", s"$out/gen1")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("n_with_cust"),
+          count(col("o_orderstatus")).as("n_with_status"),
+          Dets.decSumD(col("o_totalprice")).as("sum_price"),
+          count_distinct(col("o_orderkey")).as("n_keys"))
+    }),
+
+    // Small-file compaction round-trip: fragment orders into 48 small
+    // parquet files, compact to 4 via LakeWriter.compact, read back and
+    // prove content survived bit-exact (row/key counts + decimal price
+    // sum vs the original parquet oracle). The file-count contract
+    // itself is asserted in LakeWriterSpec — the relational gate here
+    // pins that compaction is content-neutral.
+    "q172_compaction" -> ((s, dir) => {
+      val out = tmp("graft_compact")
+      val orders = Tables.load(s, dir, "orders")
+      orders.repartition(48).write.mode("overwrite").parquet(s"$out/small")
+      LakeWriter.compact(s, s"$out/small", s"$out/compacted", 4,
+        Tables.schemas("orders"))
+      s.read.schema(Tables.schemas("orders")).parquet(s"$out/compacted")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("o_orderkey")).as("n_keys"),
+          Dets.decSumD(col("o_totalprice")).as("sum_price"),
+          count(col("o_orderdate")).as("n_dates"))
+    }),
+
     // MAXERROR-style tolerant COPY: unload orders to JSON, plant
     // CorruptLines malformed lines in an extra part file, permissive-
     // copy back. Good rows must survive bit-exact (decimal price sum vs
@@ -146,6 +206,41 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2
         |ORDER BY status ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q157_orc_copy" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  ROUND(CAST(SUM(CAST(p_size AS DECIMAL(38,6))) AS DOUBLE)
+        |        / COUNT(*), 4) AS avg_size
+        |FROM part GROUP BY 1
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+
+    "q172_compaction" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT o_orderkey) AS n_keys,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS sum_price,
+        |       COUNT(o_orderdate) AS n_dates
+        |FROM orders""".stripMargin,
+
+    "q166_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |         CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |         CAST(NULL AS TIMESTAMP) AS o_orderdate
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |         o_orderstatus, o_orderdate
+        |  FROM orders)
+        |SELECT COUNT(*) AS n_rows,
+        |       COUNT(o_custkey) AS n_with_cust,
+        |       COUNT(o_orderstatus) AS n_with_status,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS sum_price,
+        |       COUNT(DISTINCT o_orderkey) AS n_keys
+        |FROM m""".stripMargin,
 
     "q131_json_quarantine" ->
       s"""SELECT COUNT(*) AS n_good,

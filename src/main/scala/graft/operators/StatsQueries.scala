@@ -201,6 +201,164 @@ object StatsQueries {
         .selectExpr("l_returnflag",
           "stack(3, 1, q1, 2, q2, 3, q3) AS (quartile, val)")
         .orderBy("l_returnflag", "quartile")
+    }),
+
+    // Chi-square independence screen: event_type × (props.k mod 8)
+    // contingency table. Everything before the last step is exact
+    // integer arithmetic — cell counts, margins and N are BIGINTs and
+    // (o·N − r·c)² / (N·r·c) is formed from exact decimal products cast
+    // to double only for the final ratio, per-cell ROUNDed to 6dp, then
+    // decimal-summed (order-independent) into the statistic. Empty
+    // cells of the full margin cross (o = 0) are included, as the
+    // statistic requires. The margins and N are one-row/tiny broadcast
+    // aggregates; the only data-sized pass is the first partial agg.
+    "q162_chi2" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val obs = t(s, dir, "events")
+        .select(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("long") % 8).as("kb"))
+        .groupBy("event_type", "kb").agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val ct = obs.groupBy("kb").agg(sum(col("o")).as("c"))
+      val nn = obs.agg(sum(col("o")).as("ntot"))
+      val cells = rt.crossJoin(ct).crossJoin(broadcast(nn))
+        .join(obs, Seq("event_type", "kb"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val dev = d38(col("o")) * col("ntot") - d38(col("r")) * col("c")
+      val den = d38(col("ntot")) * col("r") * col("c")
+      cells
+        .select(round(dev.cast("double") * dev.cast("double")
+          / den.cast("double"), 6).as("tt"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("tt").cast(Dec)).cast("double").as("chi2"))
+    }),
+
+    // Tukey-fence outlier screen: per-segment lifetime spend per
+    // customer, outliers past [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles
+    // come from the q44 value-histogram + distributed-cumulative
+    // machinery (no per-group sort); the fences are exact integer-cent
+    // arithmetic (1.5·IQR as 3·IQR div 2 — no double boundary), and
+    // the 5-row fence table broadcasts back over the spend relation.
+    "q169_iqr_outliers" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      val hist = spend.groupBy("seg", "c").agg(count(lit(1)).as("cnt"))
+      val fences = graft.functions.GlobalRank
+        .cumSum(hist, "seg", "c", "cnt")
+        .groupBy("seg")
+        .agg(
+          min(when(col("cum") >= expr("(n + 3) div 4"), col("c")))
+            .as("q1_cents"),
+          min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("c")))
+            .as("q3_cents"))
+        .withColumn("lo",
+          expr("q1_cents - 3 * (q3_cents - q1_cents) div 2"))
+        .withColumn("hi",
+          expr("q3_cents + 3 * (q3_cents - q1_cents) div 2"))
+      spend.join(broadcast(fences), Seq("seg"))
+        .groupBy("seg")
+        .agg(max(col("q1_cents")).as("q1_cents"),
+          max(col("q3_cents")).as("q3_cents"),
+          sum(when(col("c") < col("lo") || col("c") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("seg")
+    }),
+
+    // Spearman rank correlation (price vs quantity per return flag),
+    // average-rank tie handling. Ranks come from per-group value
+    // histograms + the distributed cumulative — no global sort — and
+    // every moment is EXACT: avg ranks are half-integers, so the
+    // moments accumulate 2·rank integers (Σ2x, Σ2x·2y, ...) in
+    // DECIMAL(38,0), and rho is one fixed double formula on the exact
+    // integer differences n·Σ4xy − Σ2x·Σ2y (the ÷4s cancel). The
+    // oracle replays the identical integer moments in HUGEINT — no
+    // order-dependent double summation on either engine [D2].
+    "q170_spearman" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      def rank2(valCol: String): DataFrame = {
+        val hist = v.groupBy("g", valCol).agg(count(lit(1)).as("cnt"))
+        graft.functions.GlobalRank.cumSum(hist, "g", valCol, "cnt")
+          .select(col("g"), col(valCol),
+            (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+              .as(s"r2$valCol"))
+      }
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val m = v
+        .join(rank2("x"), Seq("g", "x"))
+        .join(rank2("y"), Seq("g", "y"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("r2x"))).as("s2x"),
+          sum(d38(col("r2y"))).as("s2y"),
+          sum(d38(col("r2x")) * col("r2y")).as("s4xy"),
+          sum(d38(col("r2x")) * col("r2x")).as("s4xx"),
+          sum(d38(col("r2y")) * col("r2y")).as("s4yy"))
+      m.select(col("g").as("l_returnflag"), col("n"),
+          round((d38(col("n")) * col("s4xy") - col("s2x") * col("s2y"))
+            .cast("double")
+            / (sqrt((d38(col("n")) * col("s4xx") - col("s2x") * col("s2x"))
+                .cast("double"))
+              * sqrt((d38(col("n")) * col("s4yy") - col("s2y") * col("s2y"))
+                .cast("double"))), 6).as("rho6"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov distance between the returned
+    // (l_returnflag = 'R') and kept price distributions: D =
+    // max over values of |F_R − F_other|. Both empirical CDFs come
+    // from ONE value histogram carrying both group counts, cumulated
+    // twice with the distributed cumSum (same exchange shape), joined
+    // on the value — the counts are exact longs, each CDF ratio a
+    // single double division, so D is bit-identical to the oracle's
+    // window replay [D2].
+    "q173_ks_test" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("long").as("c"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("grp"))
+      val hist = v.groupBy("c").agg(
+        sum(col("grp")).as("a1"),
+        sum(lit(1L) - col("grp")).as("a0"))
+        .withColumn("g", lit(1))
+      val c1 = graft.functions.GlobalRank.cumSum(hist, "g", "c", "a1")
+        .select(col("c"), col("cum").as("c1"), col("n").as("n1"))
+      val c0 = graft.functions.GlobalRank.cumSum(hist, "g", "c", "a0")
+        .select(col("c"), col("cum").as("c0"), col("n").as("n0"))
+      c1.join(c0, Seq("c"))
+        .select(abs(col("c1").cast("double") / col("n1")
+          - col("c0").cast("double") / col("n0")).as("dd"))
+        .agg(count(lit(1)).as("n_values"),
+          round(max(col("dd")), 6).as("ks6"))
+    }),
+
+    // Population stability index of the order-value distribution,
+    // pre-1998 vs 1998+ cohorts over fixed $50k bins (top-coded at 9):
+    // PSI = Σ (p_a − p_b)·ln(p_a/p_b) over bins present in both. One
+    // hash agg to the 10-bin histogram; contributions are 8dp-quantized
+    // then decimal-summed, the house convention that absorbs sub-quantum
+    // libm ln() drift (q48/q112 precedent) [D2][D3].
+    "q175_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        when(year(col("o_orderdate")) < 1998, 0).otherwise(1).as("per"),
+        expr("least(cast(round(o_totalprice * 100) as bigint) div 5000000," +
+          " 9L)").as("bin"))
+      val h = o.groupBy("bin").agg(
+        sum(when(col("per") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("per") === 1, 1L).otherwise(0L)).as("b"))
+      val n = h.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      val pa = col("a").cast("double") / col("na")
+      val pb = col("b").cast("double") / col("nb")
+      h.crossJoin(broadcast(n))
+        .filter(col("a") > 0 && col("b") > 0)
+        .select(round((pa - pb) * log(pa / pb), 8).as("contrib"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("contrib").cast("decimal(38,8)")).cast("double").as("psi"))
     })
   )
 
@@ -325,6 +483,140 @@ object StatsQueries {
         |SELECT digit, n_orders,
         |       ROUND(CAST(n_orders AS DOUBLE) / total, 4) AS share4
         |FROM c CROSS JOIN t
-        |ORDER BY digit ASC NULLS FIRST""".stripMargin
+        |ORDER BY digit ASC NULLS FIRST""".stripMargin,
+
+    "q162_chi2" ->
+      """WITH obs AS (
+        |  SELECT event_type,
+        |         CAST(json_extract(props, '$.k') AS BIGINT) % 8 AS kb,
+        |         COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT kb, SUM(o) AS c FROM obs GROUP BY 1),
+        |nt AS (SELECT SUM(o) AS ntot FROM obs),
+        |cells AS (
+        |  SELECT rt.event_type, ct.kb, COALESCE(obs.o, 0) AS o,
+        |         rt.r, ct.c, nt.ntot
+        |  FROM rt CROSS JOIN ct CROSS JOIN nt
+        |  LEFT JOIN obs ON obs.event_type = rt.event_type
+        |               AND obs.kb = ct.kb),
+        |contrib AS (
+        |  SELECT ROUND(
+        |    CAST(CAST(o AS HUGEINT) * ntot - CAST(r AS HUGEINT) * c
+        |         AS DOUBLE)
+        |    * CAST(CAST(o AS HUGEINT) * ntot - CAST(r AS HUGEINT) * c
+        |           AS DOUBLE)
+        |    / CAST(CAST(ntot AS HUGEINT) * r * c AS DOUBLE), 6) AS tt
+        |  FROM cells)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |       CAST(SUM(CAST(tt AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+        |FROM contrib""".stripMargin,
+
+    "q169_iqr_outliers" ->
+      """WITH spend AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_custkey,
+        |         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS c
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |n AS (SELECT seg, COUNT(*) AS n FROM spend GROUP BY 1),
+        |h AS (SELECT seg, c, COUNT(*) AS cnt FROM spend GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT seg, c, cnt,
+        |         SUM(cnt) OVER (PARTITION BY seg ORDER BY c) AS cc
+        |  FROM h),
+        |q AS (
+        |  SELECT cum.seg,
+        |    MIN(CASE WHEN cc >= (n.n + 3) // 4 THEN c END) AS q1_cents,
+        |    MIN(CASE WHEN cc >= (3 * n.n + 3) // 4 THEN c END) AS q3_cents
+        |  FROM cum JOIN n ON n.seg = cum.seg GROUP BY 1),
+        |f AS (
+        |  SELECT seg, q1_cents, q3_cents,
+        |         q1_cents - 3 * (q3_cents - q1_cents) // 2 AS lo,
+        |         q3_cents + 3 * (q3_cents - q1_cents) // 2 AS hi
+        |  FROM q)
+        |SELECT spend.seg, MAX(f.q1_cents) AS q1_cents,
+        |       MAX(f.q3_cents) AS q3_cents,
+        |       CAST(SUM(CASE WHEN spend.c < f.lo OR spend.c > f.hi
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       COUNT(*) AS n_cust
+        |FROM spend JOIN f ON f.seg = spend.seg
+        |GROUP BY 1 ORDER BY spend.seg ASC NULLS FIRST""".stripMargin,
+
+    // integer 2·rank moments in HUGEINT — the ÷4s cancel in the rho
+    // formula, so both engines divide/sqrt the SAME exact integers
+    "q170_spearman" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x,
+        |         CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |hx AS (SELECT g, x, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |rx AS (
+        |  SELECT g, x,
+        |    2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY x) - cnt)
+        |      + cnt + 1 AS r2x
+        |  FROM hx),
+        |hy AS (SELECT g, y, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |ry AS (
+        |  SELECT g, y,
+        |    2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY y) - cnt)
+        |      + cnt + 1 AS r2y
+        |  FROM hy),
+        |r AS (
+        |  SELECT v.g, r2x, r2y
+        |  FROM v JOIN rx ON rx.g = v.g AND rx.x = v.x
+        |         JOIN ry ON ry.g = v.g AND ry.y = v.y),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |         SUM(CAST(r2x AS HUGEINT)) AS s2x,
+        |         SUM(CAST(r2y AS HUGEINT)) AS s2y,
+        |         SUM(CAST(r2x AS HUGEINT) * r2y) AS s4xy,
+        |         SUM(CAST(r2x AS HUGEINT) * r2x) AS s4xx,
+        |         SUM(CAST(r2y AS HUGEINT) * r2y) AS s4yy
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |  ROUND(CAST(n * s4xy - s2x * s2y AS DOUBLE)
+        |    / (SQRT(CAST(n * s4xx - s2x * s2x AS DOUBLE))
+        |       * SQRT(CAST(n * s4yy - s2y * s2y AS DOUBLE))), 6) AS rho6
+        |FROM m ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q173_ks_test" ->
+      """WITH v AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT c, SUM(grp) AS a1, SUM(1 - grp) AS a0
+        |  FROM v GROUP BY 1),
+        |n AS (SELECT SUM(a1) AS n1, SUM(a0) AS n0 FROM h),
+        |cum AS (
+        |  SELECT c, SUM(a1) OVER (ORDER BY c) AS c1,
+        |         SUM(a0) OVER (ORDER BY c) AS c0
+        |  FROM h)
+        |SELECT COUNT(*) AS n_values,
+        |  ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / n.n1
+        |    - CAST(c0 AS DOUBLE) / n.n0)), 6) AS ks6
+        |FROM cum CROSS JOIN n""".stripMargin,
+
+    "q175_psi" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN year(CAST(o_orderdate AS DATE)) < 1998
+        |              THEN 0 ELSE 1 END AS per,
+        |         LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |               // 5000000, 9) AS bin
+        |  FROM orders),
+        |h AS (
+        |  SELECT bin, SUM(CASE WHEN per = 0 THEN 1 ELSE 0 END) AS a,
+        |         SUM(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS b
+        |  FROM o GROUP BY 1),
+        |n AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM h),
+        |c AS (
+        |  SELECT ROUND((CAST(a AS DOUBLE) / na - CAST(b AS DOUBLE) / nb)
+        |    * LN((CAST(a AS DOUBLE) / na) / (CAST(b AS DOUBLE) / nb)), 8)
+        |    AS contrib
+        |  FROM h CROSS JOIN n WHERE a > 0 AND b > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |       CAST(SUM(CAST(contrib AS DECIMAL(38,8))) AS DOUBLE) AS psi
+        |FROM c""".stripMargin
   )
 }

@@ -1,0 +1,264 @@
+package graft.operators
+
+import graft.{Dets, Tables}
+import graft.functions.GlobalRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the daily order/event series — smoothing,
+  * volatility banding, calendar gap repair and per-group trend fitting
+  * (the reporting shapes the reference's scheduled aggregation endpoints
+  * serve off the order-date axis).
+  *
+  * Scale notes — none of these queries uses a range join or a global
+  * single-partition window:
+  *  - q158/q159's fixed-width trailing windows are EXPLODE→EQUI-JOIN:
+  *    each day's value is replicated to the ≤8 calendar days it
+  *    contributes to (a constant fan-out), then one hash aggregation on
+  *    the target day collects the window — shuffle keys stay equi, and
+  *    the whole pipeline is two map-side-combinable aggs over a
+  *    value-domain-bounded day table.
+  *  - q158's smoothing kernel is DYADIC (α = 1/2, 8-tap truncation):
+  *    every weight is a power of two, so the weighted sum is an exact
+  *    BIGINT and the emitted ewma = num/256.0 is an exact dyadic double
+  *    on both engines — no pow(), no float accumulation order anywhere.
+  *  - q159's window moments are exact integer/decimal sums; the one
+  *    double formula at the end is the q43/q152 fixed formulation.
+  *  - q160's forward fill is two [[GlobalRank.cumSum]] passes + an
+  *    equi-join (cum of a presence indicator indexes the latest
+  *    non-gap day at or before each spine day; the daily table ranked
+  *    by the same cumSum supplies the fill value) — the distributed
+  *    form of LAST_VALUE(... IGNORE NULLS), which the oracle uses as
+  *    the algorithm-independent spec.
+  *  - q163 reduces the fact scan to (group, year) partial aggregates
+  *    before fitting; the OLS slope/intercept come from exact decimal
+  *    moment sums and one fixed double formula per group.
+  */
+object TimeSeriesQueries {
+  import Dets._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val DayUs = 86400000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exponentially-weighted moving average of the daily event count,
+    // α = 1/2 truncated at 8 taps: ewma_t = Σ_{k=0..7} 2^{7-k}·c_{t-k}
+    // / 256. The weighted numerator is an exact BIGINT (so the division
+    // by 256.0 is an exact dyadic double bit-identical across engines
+    // and fold orders); days absent from the series contribute nothing
+    // on both sides by construction.
+    "q158_ewma" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("c"))
+      // each source day feeds itself + the next 7 days at halving weight
+      val contrib = daily
+        .select(col("day_us"), col("c"),
+          explode(sequence(lit(0), lit(7))).as("k"))
+        .select((col("day_us") + col("k") * DayUs).as("day_us"),
+          (col("c") * expr("shiftleft(cast(1 as bigint), 7 - k)")).as("w"))
+      val num = contrib.groupBy("day_us").agg(sum(col("w")).as("num"))
+      // inner join back to the series: only real days are emitted
+      daily.join(num, Seq("day_us"))
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("c").as("n_events"), col("num"),
+          (col("num").cast("double") / lit(256.0)).as("ewma"))
+        .orderBy("day")
+    }),
+
+    // Bollinger screen on daily order revenue: each day vs the mean ±
+    // 2σ of the 7 PRECEDING calendar days (population σ from exact
+    // integer-cent sums). Only full windows are scored; breach is
+    // emitted as a flag, not a filter, so the output is the whole
+    // scored series.
+    "q159_bollinger" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      // day d contributes to targets d+1 .. d+7 (strictly-preceding window)
+      val contrib = daily
+        .select(col("day_us"), col("cents"),
+          explode(sequence(lit(1), lit(7))).as("k"))
+        .select((col("day_us") + col("k") * DayUs).as("day_us"),
+          col("cents").as("bc"))
+      val win = contrib.groupBy("day_us")
+        .agg(count(lit(1)).as("n_win"), sum(col("bc")).as("sx"),
+          sum(d19(col("bc")) * d19(col("bc"))).as("sxx"))
+      daily.join(win, Seq("day_us")).filter(col("n_win") === 7)
+        .withColumn("mean", col("sx").cast("double") / col("n_win"))
+        .withColumn("sd", sqrt(greatest(lit(0d),
+          col("sxx").cast("double") / col("n_win")
+            - col("mean") * col("mean"))))
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("cents"),
+          round(safeDiv(col("cents") - col("mean"), col("sd")), 4).as("z4"),
+          (abs(col("cents") - col("mean")) > lit(2d) * col("sd"))
+            .cast("int").as("breach"))
+        .orderBy("day")
+    }),
+
+    // Calendar gap repair: the full day spine from the first to the
+    // last order day, with missing days forward-filled from the latest
+    // preceding real day. cumSum of the presence indicator gives every
+    // spine day the 1-based index of its fill source; the daily table
+    // ranked by the same cumSum is equi-joined on that index — fully
+    // distributed, no IGNORE NULLS window.
+    "q160_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val spine = daily
+        .agg(min(col("day_us")).as("lo"), max(col("day_us")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(DayUs)))
+          .as("day_us"))
+      val j = spine.join(daily, Seq("day_us"), "left")
+        .withColumn("present", when(col("cents").isNotNull, 1).otherwise(0))
+        .withColumn("g", lit(1))
+      val idx = GlobalRank.cumSum(j, "g", "day_us", "present")
+        .select(col("day_us"), col("present"), col("cum").as("fill_idx"))
+      val ranked = GlobalRank.cumSum(
+          daily.withColumn("one", lit(1)).withColumn("g", lit(1)),
+          "g", "day_us", "one")
+        .select(col("cum").as("fill_idx"), col("cents").as("cents_filled"))
+      // the spine starts at the first REAL day, so fill_idx >= 1 always
+      idx.join(ranked, Seq("fill_idx"))
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("cents_filled"), (lit(1) - col("present")).as("was_gap"))
+        .orderBy("day")
+    }),
+
+    // Per-nation OLS trend of yearly order revenue: slope and intercept
+    // from exact decimal moment sums (x = calendar year, y = revenue
+    // cents), one fixed double formula per group — the q152 moment
+    // discipline applied to regression.
+    "q163_trend" -> ((s, dir) => {
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val yr = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("y"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      val st = yr.groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("v")).as("sv"),
+          sum(d19(col("y")) * d19(col("y"))).as("syy"),
+          sum(d19(col("y")) * d19(col("v"))).as("syv"))
+      val den = (col("syy").cast("double") * col("n")
+        - col("sy").cast("double") * col("sy").cast("double"))
+      // slope/intercept magnitudes are ~1e8–1e11 cents: at that size a
+      // 4dp ROUND sits below the double's ulp and the engines' rounding
+      // paths disagree in the last digit — emit whole cents as BIGINT
+      // (round-to-integer of identical doubles is engine-stable)
+      st.select(col("n_name"), col("n").as("n_years"),
+          round(safeDiv(
+            col("syv").cast("double") * col("n")
+              - col("sy").cast("double") * col("sv").cast("double"), den))
+            .cast("long").as("slope_cents"),
+          round(safeDiv(
+            col("sv").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("syv").cast("double"), den))
+            .cast("long").as("intercept_cents"))
+        .orderBy("n_name")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q158_ewma" ->
+      """WITH d AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT a.day_us, a.c,
+        |         CAST(SUM(b.c * (CAST(1 AS BIGINT) <<
+        |           CAST(7 - ((a.day_us - b.day_us) // 86400000000) AS INT)))
+        |           AS BIGINT) AS num
+        |  FROM d a JOIN d b
+        |    ON b.day_us BETWEEN a.day_us - 7 * 86400000000 AND a.day_us
+        |  GROUP BY 1, 2)
+        |SELECT make_timestamp(day_us) AS day, c AS n_events, num,
+        |       CAST(num AS DOUBLE) / 256.0 AS ewma
+        |FROM e ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    "q159_bollinger" ->
+      """WITH d AS (
+        |  SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT a.day_us, a.cents, COUNT(*) AS n_win,
+        |         SUM(b.cents) AS sx,
+        |         SUM(CAST(b.cents AS HUGEINT) * b.cents) AS sxx
+        |  FROM d a JOIN d b
+        |    ON b.day_us BETWEEN a.day_us - 7 * 86400000000
+        |                    AND a.day_us - 86400000000
+        |  GROUP BY 1, 2),
+        |z AS (
+        |  SELECT day_us, cents, n_win,
+        |         CAST(sx AS DOUBLE) / n_win AS mean,
+        |         SQRT(GREATEST(CAST(0 AS DOUBLE),
+        |           CAST(sxx AS DOUBLE) / n_win
+        |             - (CAST(sx AS DOUBLE) / n_win)
+        |               * (CAST(sx AS DOUBLE) / n_win))) AS sd
+        |  FROM w WHERE n_win = 7)
+        |SELECT make_timestamp(day_us) AS day, cents,
+        |       ROUND(CASE WHEN sd != 0 THEN (cents - mean) / sd END, 4) AS z4,
+        |       CAST(ABS(cents - mean) > 2 * sd AS INT) AS breach
+        |FROM z ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    "q160_gap_fill" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(day) FROM d),
+        |                                (SELECT MAX(day) FROM d),
+        |                                INTERVAL 1 DAY)) AS day),
+        |j AS (
+        |  SELECT s.day, d.cents FROM spine s LEFT JOIN d ON s.day = d.day)
+        |SELECT day,
+        |       last_value(cents IGNORE NULLS) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS cents_filled,
+        |       CAST(cents IS NULL AS INT) AS was_gap
+        |FROM j ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    "q163_trend" ->
+      """WITH yr AS (
+        |  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS y,
+        |         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT n_name, COUNT(*) AS n, SUM(y) AS sy, SUM(v) AS sv,
+        |         SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |         SUM(CAST(y AS HUGEINT) * v) AS syv
+        |  FROM yr GROUP BY 1),
+        |f AS (
+        |  SELECT n_name, n,
+        |         CAST(syy AS DOUBLE) * n
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den,
+        |         CAST(syv AS DOUBLE) * n
+        |           - CAST(sy AS DOUBLE) * CAST(sv AS DOUBLE) AS snum,
+        |         CAST(sv AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(syv AS DOUBLE) AS inum
+        |  FROM st)
+        |SELECT n_name, n AS n_years,
+        |       CAST(ROUND(CASE WHEN den != 0 THEN snum / den END)
+        |            AS BIGINT) AS slope_cents,
+        |       CAST(ROUND(CASE WHEN den != 0 THEN inum / den END)
+        |            AS BIGINT) AS intercept_cents
+        |FROM f ORDER BY n_name ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -84,4 +84,32 @@ object LakeWriter {
   def unloadDelimited(df: DataFrame, out: String, sep: String): Unit =
     df.write.mode("overwrite").option("header", "true").option("sep", sep)
       .csv(out)
+
+  /** COPY/UNLOAD in ORC — the second columnar lake format Spark ships
+    * natively (splittable, predicate-pushdown-capable like parquet, the
+    * interchange format for Hive-era warehouse exports). Binary and
+    * typed end to end, so unlike the text codecs the round-trip has no
+    * formatting leg to lose precision in — the q157 gate proves it. */
+  def copyOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def unloadOrc(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").orc(out)
+
+  /** Small-file compaction — the lake-maintenance VACUUM/OPTIMIZE
+    * analog: rewrite a fragmented parquet directory into `files` output
+    * files. `repartition` (round-robin shuffle), not `coalesce`: a
+    * coalesce would collapse the READ parallelism of the upstream scan
+    * to `files` tasks, while the shuffle keeps the scan wide and only
+    * the write narrow — and it rebalances skewed input files instead of
+    * gluing them unevenly. Content is schema-pinned and bit-preserved
+    * (parquet→parquet, no text leg); the q172 gate proves the rewrite
+    * loses nothing, LakeWriterSpec asserts the file-count contract. */
+  def compact(spark: SparkSession, in: String, out: String, files: Int,
+    schema: StructType): Unit = {
+    require(files > 0, "files must be positive")
+    spark.read.schema(schema).parquet(in)
+      .repartition(files)
+      .write.mode("overwrite").parquet(out)
+  }
 }

@@ -97,4 +97,22 @@ class LakeWriterSpec extends SparkSpec {
     val b = back.orderBy("p_partkey").collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("compaction honors the file-count contract and keeps content") {
+    val base = Files.createTempDirectory("graft_compact_").toString
+    val orders = Tables.load(spark, Sf, "orders")
+    orders.repartition(16).write.mode("overwrite").parquet(s"$base/small")
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small").length == 16)
+    LakeWriter.compact(spark, s"$base/small", s"$base/compacted", 3,
+      Tables.schemas("orders"))
+    assert(parquetFiles(s"$base/compacted").length == 3)
+    val back = spark.read.schema(Tables.schemas("orders"))
+      .parquet(s"$base/compacted")
+    assert(back.count() == orders.count())
+    val a = orders.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
