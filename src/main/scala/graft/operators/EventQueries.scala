@@ -44,7 +44,81 @@ object EventQueries {
           tsOut(col("session_window.start")).as("session_start"),
           tsOut(col("mx")).as("last_ts"),
           col("n_events"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // Rolling 7-day active users per day — the WAU engagement curve.
+    // Distributed shape: distinct (user, day) pairs fan out to the 7
+    // target days each pair contributes to (CONSTANT fan-out via
+    // explode(sequence), no range join), then one distinct-count per
+    // target day; only days that actually occur are reported. The
+    // shuffle carries (day, user) pairs — never a window over the raw
+    // event log [D2].
+    "q177_rolling_wau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select("day").distinct()
+      ud.withColumn("target",
+          explode(expr("sequence(day, date_add(day, 6))")))
+        .join(days.withColumnRenamed("day", "target"), Seq("target"))
+        .groupBy(col("target"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+        .select(tsOut(col("target").cast("timestamp")).as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
+    // Signup→first-purchase conversion latency per signup day: median
+    // and p90 seconds-to-convert among signups converting within 7
+    // days. The candidate join is per-user (user activity is
+    // schema-bounded per day, the equi key carries the fan-out), first
+    // purchase collapses via min BEFORE any percentile machinery, and
+    // the percentiles run through the q44 histogram + distributed
+    // cumSum — no per-day sort [D2].
+    "q178_time_to_convert" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val conv = su.join(pu, Seq("user_id"))
+        .filter(col("pts") > col("sts") &&
+          col("pts") <= col("sts") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("user_id"), col("sts"))
+        .agg(min(col("pts")).as("pts"))
+      val lat = conv.select(to_date(col("sts")).as("day"),
+        ((unix_micros(col("pts")) - unix_micros(col("sts")))
+          / lit(1000000L)).cast("long").as("secs"))
+      val hist = lat.groupBy("day", "secs").agg(count(lit(1)).as("cnt"))
+      graft.functions.GlobalRank.cumSum(hist, "day", "secs", "cnt")
+        .groupBy("day")
+        .agg(max(col("n")).as("n_conv"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("secs")))
+            .as("p50_secs"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("secs")))
+            .as("p90_secs"))
+        .select(tsOut(col("day").cast("timestamp")).as("day"),
+          col("n_conv"), col("p50_secs"), col("p90_secs"))
+        .orderBy("day")
+    }),
+
+    // Behavioral trigram motifs: the top-15 3-event-type sequences
+    // across per-user ordered activity streams. TWO LEADs over ONE
+    // keyed window (partitioned by user, ordered by (ts, event_id) —
+    // a total order, so the sequence is partition-layout-invariant) —
+    // a single shuffle of the log, no self-joins, no per-user
+    // collect_list that would blow up on a hot user at 100 TB.
+    "q179_event_trigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .select(col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc,
+          col("t3").asc)
+        .limit(15)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -87,6 +161,57 @@ object EventQueries {
         |       COUNT(*) AS n_events
         |FROM numbered
         |GROUP BY user_id, sid
-        |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin
+        |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin,
+
+    "q177_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day,
+        |       COUNT(DISTINCT ud.user_id) AS wau
+        |FROM days d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    "q178_time_to_convert" ->
+      """WITH s AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT s.user_id, s.ts AS sts, MIN(p.ts) AS pts
+        |  FROM s JOIN p ON p.user_id = s.user_id
+        |              AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+        |  GROUP BY 1, 2),
+        |lat AS (
+        |  -- floored microsecond arithmetic, NOT date_diff('second'):
+        |  -- date_diff counts boundary crossings, Spark floors the
+        |  -- difference — they disagree on sub-second offsets
+        |  SELECT CAST(sts AS DATE) AS day,
+        |         (epoch_us(pts) - epoch_us(sts)) // 1000000 AS secs
+        |  FROM conv),
+        |h AS (SELECT day, secs, COUNT(*) AS cnt FROM lat GROUP BY 1, 2),
+        |n AS (SELECT day, SUM(cnt) AS n FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT day, secs, cnt,
+        |         SUM(cnt) OVER (PARTITION BY day ORDER BY secs) AS cc
+        |  FROM h)
+        |SELECT CAST(cum.day AS TIMESTAMP) AS day, MAX(n.n) AS n_conv,
+        |  MIN(CASE WHEN cc >= (n.n + 1) // 2 THEN secs END) AS p50_secs,
+        |  MIN(CASE WHEN cc >= (9 * n.n + 9) // 10 THEN secs END) AS p90_secs
+        |FROM cum JOIN n ON n.day = cum.day
+        |GROUP BY cum.day ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    "q179_event_trigrams" ->
+      """WITH q AS (
+        |  SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))
+        |SELECT t1, t2, t3, COUNT(*) AS cnt FROM q
+        |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 15""".stripMargin
   )
 }

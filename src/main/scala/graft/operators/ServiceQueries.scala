@@ -162,6 +162,34 @@ object ServiceQueries {
       svc.scdHistory(t(s, dir, "events"), "user_id", "ts", "event_id",
           Seq("event_type", "value"))
         .orderBy("user_id", "version")
+    }),
+
+    // Fulfillment-SLA endpoint: order-to-ship latency percentiles
+    // (exact p50/p90/p99 days) per order priority. The join ships only
+    // the two date columns + keys; percentiles run through the q44
+    // value-histogram + distributed cumSum — latency's value domain is
+    // a few thousand distinct day counts, so the histogram collapses
+    // the lineitem-sized relation to a tiny one before any windowing,
+    // at every scale [D2].
+    "q180_ship_sla" -> ((s, dir) => {
+      val lat = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+            to_date(col("o_orderdate")).as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("pri"), datediff(col("ship"), col("od")).as("days"))
+      val hist = lat.groupBy("pri", "days").agg(count(lit(1)).as("cnt"))
+      graft.functions.GlobalRank.cumSum(hist, "pri", "days", "cnt")
+        .groupBy("pri")
+        .agg(max(col("n")).as("n_lines"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("days")))
+            .as("p50_days"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("days")))
+            .as("p90_days"),
+          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("days")))
+            .as("p99_days"))
+        .orderBy("pri")
     })
   )
 
@@ -383,6 +411,26 @@ object ServiceQueries {
         |  SELECT 'suppliers_never_shipped', COUNT(*)
         |  FROM supplier s WHERE NOT EXISTS
         |    (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
-        |) ORDER BY check_name ASC NULLS FIRST""".stripMargin
+        |) ORDER BY check_name ASC NULLS FIRST""".stripMargin,
+
+    "q180_ship_sla" ->
+      """WITH lat AS (
+        |  SELECT o.o_orderpriority AS pri,
+        |         date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                   CAST(l.l_shipdate AS DATE)) AS days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |h AS (SELECT pri, days, COUNT(*) AS cnt FROM lat GROUP BY 1, 2),
+        |n AS (SELECT pri, SUM(cnt) AS n FROM h GROUP BY 1),
+        |cum AS (
+        |  SELECT pri, days, cnt,
+        |         SUM(cnt) OVER (PARTITION BY pri ORDER BY days) AS cc
+        |  FROM h)
+        |SELECT cum.pri, MAX(n.n) AS n_lines,
+        |  MIN(CASE WHEN cc >= (n.n + 1) // 2 THEN days END) AS p50_days,
+        |  MIN(CASE WHEN cc >= (9 * n.n + 9) // 10 THEN days END) AS p90_days,
+        |  MIN(CASE WHEN cc >= (99 * n.n + 99) // 100 THEN days END)
+        |    AS p99_days
+        |FROM cum JOIN n ON n.pri = cum.pri
+        |GROUP BY 1 ORDER BY cum.pri ASC NULLS FIRST""".stripMargin
   )
 }
