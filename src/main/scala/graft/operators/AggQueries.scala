@@ -131,7 +131,41 @@ object AggQueries {
         .select(col("c_mktsegment"),
           expr("array_join(transform(ids_arr, x -> CAST(x AS STRING)), ',')")
             .as("order_ids"))
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // LISTAGG — Redshift's delimiter-joined within-group string agg:
+    // nations per region, alphabetical. collect_list is UNORDERED in a
+    // distributed agg, so the sort happens explicitly on the collected
+    // array (array_sort) before the join — the [D1] convention that
+    // makes the string partition-layout-invariant. Group size is
+    // schema-bounded (nations per region), the one shape where a
+    // collected list is scale-safe.
+    "q181_listagg" -> ((s, dir) =>
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+        .orderBy("r_name")),
+
+    // Bitwise aggregation (Redshift BIT_OR/BIT_AND family): per event
+    // type, the presence/intersection/parity masks of props.k mod 8.
+    // Bit ops are exact integer arithmetic — commutative, associative,
+    // partition-order-free by construction; one map-side-combinable
+    // hash agg.
+    "q182_bitmask" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(shiftleft(1, cast(cast(get_json_object(props, '$.k')" +
+            " as bigint) % 8 as int)) as bigint)").as("m"))
+        .groupBy("event_type")
+        .agg(expr("bit_or(m)").as("mask"),
+          expr("bit_and(m)").as("and_mask"),
+          expr("bit_xor(m)").as("xor_mask"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -203,6 +237,25 @@ object AggQueries {
         |       array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 400000
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q181_listagg" ->
+      """SELECT r.r_name, COUNT(*) AS n_nations,
+        |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY r.r_name ASC NULLS FIRST""".stripMargin,
+
+    "q182_bitmask" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(1 << CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |                   % 8 AS INTEGER) AS BIGINT) AS m
+        |  FROM events)
+        |SELECT event_type,
+        |       CAST(bit_or(m) AS BIGINT) AS mask,
+        |       CAST(bit_and(m) AS BIGINT) AS and_mask,
+        |       CAST(bit_xor(m) AS BIGINT) AS xor_mask,
+        |       COUNT(*) AS n
+        |FROM m GROUP BY 1 ORDER BY event_type ASC NULLS FIRST""".stripMargin
   )
 }

@@ -555,6 +555,23 @@ object AnalyticsQueries {
           round((col("n_pos").cast("double") / col("n_rows"))
             / (col("tp").cast("double") / col("tn")), 4).as("lift4"))
         .orderBy("decile")
+    }),
+
+    // Gaps-and-islands: longest consecutive-active-day streak per user,
+    // top-10 users. The island key is the classic day − row_number()
+    // constant — both evaluated in ONE keyed window pass per user
+    // (bounded by that user's distinct days), then two hash aggs.
+    // Ties on user_id keep the limit a total order [D1].
+    "q183_streaks" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("day").asc)
+      ud.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max(col("len")).as("max_streak"))
+        .orderBy(col("max_streak").desc, col("user_id").asc)
+        .limit(10)
     })
   )
 
@@ -973,6 +990,21 @@ object AnalyticsQueries {
         |       ROUND(CAST(n_pos AS DOUBLE) / n_rows, 6) AS rate6,
         |       ROUND((CAST(n_pos AS DOUBLE) / n_rows)
         |             / (CAST(tp AS DOUBLE) / tn), 4) AS lift4
-        |FROM agg CROSS JOIN tot ORDER BY decile ASC NULLS FIRST""".stripMargin
+        |FROM agg CROSS JOIN tot ORDER BY decile ASC NULLS FIRST""".stripMargin,
+
+    "q183_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS INTEGER) AS grp
+        |  FROM ud),
+        |streak AS (
+        |  SELECT user_id, COUNT(*) AS len FROM r GROUP BY user_id, grp),
+        |best AS (
+        |  SELECT user_id, MAX(len) AS max_streak FROM streak GROUP BY 1)
+        |SELECT user_id, max_streak FROM best
+        |ORDER BY max_streak DESC, user_id ASC LIMIT 10""".stripMargin
   )
 }

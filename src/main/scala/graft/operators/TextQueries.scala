@@ -214,7 +214,22 @@ object TextQueries {
           round(sum(col("term")).cast("double") / count(lit(1)), 4)
             .as("surprisal4"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Regex feature extraction per language: non-overlapping
+    // vowel-bigram match counts (regexp_count — Java and RE2 agree on
+    // leftmost non-overlapping semantics for this alternation-free
+    // pattern) and leading-capital doc counts. One pushed-down scan of
+    // (text, lang), one map-side-combinable agg — regexes stay inside
+    // whole-stage codegen, no UDF.
+    "q184_regexp_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("text"), lit("[aeiou]{2}"))).as("n_vruns"),
+          sum(when(col("text").rlike("^[A-Z]"), 1L).otherwise(0L))
+            .as("n_capital"))
+        .orderBy("lang"))
   )
 
   private val sqlToks = Sql.tokens("text")
@@ -317,6 +332,14 @@ object TextQueries {
          |             / COUNT(*), 4) AS surprisal4
          |FROM dt JOIN tf ON dt.tok = tf.tok CROSS JOIN n
          |GROUP BY dt.doc_id
-         |ORDER BY dt.doc_id ASC NULLS FIRST""".stripMargin
+         |ORDER BY dt.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "q184_regexp_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(text, '[aeiou]{2}')))
+        |    AS BIGINT) AS n_vruns,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '^[A-Z]')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_capital
+        |FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST""".stripMargin
   )
 }
