@@ -359,6 +359,67 @@ object StatsQueries {
         .select(round((pa - pb) * log(pa / pb), 8).as("contrib"))
         .agg(count(lit(1)).as("n_bins"),
           sum(col("contrib").cast("decimal(38,8)")).cast("double").as("psi"))
+    }),
+
+    // Welch's unequal-variance t-test: returned vs kept discount
+    // distributions. Moments are exact DECIMAL sums (discount ≤ 2dp →
+    // x² ≤ 4dp exact); t and the Welch–Satterthwaite df are one fixed
+    // double formula over the two one-row moment sets — bit-identical
+    // at any partition count and in the oracle [D2].
+    "q185_welch_t" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem").select(
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("g"),
+        col("l_discount").cast(Dec).as("x"))
+      val m = v.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      val piv = m.agg(
+        max(when(col("g") === 1, col("n"))).as("n1"),
+        max(when(col("g") === 0, col("n"))).as("n0"),
+        max(when(col("g") === 1, col("sx").cast("double"))).as("sx1"),
+        max(when(col("g") === 0, col("sx").cast("double"))).as("sx0"),
+        max(when(col("g") === 1, col("sxx").cast("double"))).as("sxx1"),
+        max(when(col("g") === 0, col("sxx").cast("double"))).as("sxx0"))
+      val a = ((col("sxx1") - col("sx1") * col("sx1") / col("n1"))
+        / (col("n1") - 1) / col("n1"))
+      val b = ((col("sxx0") - col("sx0") * col("sx0") / col("n0"))
+        / (col("n0") - 1) / col("n0"))
+      piv.select(col("n1"), col("n0"),
+        round((col("sx1") / col("n1") - col("sx0") / col("n0"))
+          / sqrt(a + b), 4).as("t4"),
+        round((a + b) * (a + b)
+          / (a * a / (col("n1") - 1) + b * b / (col("n0") - 1)), 2)
+          .as("df2"))
+    }),
+
+    // Mann–Whitney U (rank-sum) test on quantities, returned vs kept,
+    // with the exact tie-corrected normal approximation. Reuses q170's
+    // integer 2·rank trick over the combined value histogram: 2·U and
+    // Σ(t³−t) are EXACT integers (decimal sums), so both engines form
+    // z from the same numbers [D2].
+    "q186_mannwhitney" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val v = t(s, dir, "lineitem").select(
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("g"),
+        col("l_quantity").cast("long").as("x"))
+      val h = v.groupBy("x").agg(sum(col("g")).as("c1"),
+          sum(lit(1L) - col("g")).as("c0"))
+        .withColumn("t", col("c1") + col("c0"))
+        .withColumn("gg", lit(1))
+      val r = graft.functions.GlobalRank.cumSum(h, "gg", "x", "t")
+        .withColumn("r2", lit(2) * (col("cum") - col("t")) + col("t") + 1)
+      val agg = r.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+        sum(d38(col("c1")) * col("r2")).as("s2"),
+        sum(d38(col("t")) * col("t") * col("t") - col("t")).as("tie3"))
+      val u2 = (col("s2") - d38(col("n1")) * (col("n1") + 1))
+      val nn = col("n1") + col("n0")
+      val varU = col("n1").cast("double") * col("n0") / 12.0 *
+        ((nn + 1).cast("double") - col("tie3").cast("double")
+          / (nn.cast("double") * (nn - 1).cast("double")))
+      agg.select(col("n1"), col("n0"),
+        u2.cast("long").as("u2x"),
+        round((u2.cast("double") / 2.0
+          - col("n1").cast("double") * col("n0") / 2.0)
+          / sqrt(varU), 4).as("z4"))
     })
   )
 
@@ -617,6 +678,67 @@ object StatsQueries {
         |  FROM h CROSS JOIN n WHERE a > 0 AND b > 0)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
         |       CAST(SUM(CAST(contrib AS DECIMAL(38,8))) AS DOUBLE) AS psi
+        |FROM c""".stripMargin,
+
+    // DECIMAL(18,6) so the square stays inside DuckDB's exact decimal
+    // width (18+18+1 = 37 ≤ 38) — both engines sum the exact rationals
+    // and cast to double once
+    "q185_welch_t" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+        |         CAST(l_discount AS DECIMAL(18,6)) AS x
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+        |  FROM v GROUP BY 1),
+        |s AS (
+        |  SELECT
+        |    MAX(CASE WHEN g=1 THEN n END) AS n1,
+        |    MAX(CASE WHEN g=0 THEN n END) AS n0,
+        |    MAX(CASE WHEN g=1 THEN CAST(sx AS DOUBLE) END) AS sx1,
+        |    MAX(CASE WHEN g=0 THEN CAST(sx AS DOUBLE) END) AS sx0,
+        |    MAX(CASE WHEN g=1 THEN CAST(sxx AS DOUBLE) END) AS sxx1,
+        |    MAX(CASE WHEN g=0 THEN CAST(sxx AS DOUBLE) END) AS sxx0
+        |  FROM m),
+        |c AS (
+        |  SELECT n1, n0,
+        |    sx1/n1 - sx0/n0 AS md,
+        |    (sxx1 - sx1*sx1/n1) / (n1-1) / n1 AS a,
+        |    (sxx0 - sx0*sx0/n0) / (n0-1) / n0 AS b
+        |  FROM s)
+        |SELECT n1, n0,
+        |  ROUND(md / SQRT(a + b), 4) AS t4,
+        |  ROUND((a+b)*(a+b) / (a*a/(n1-1) + b*b/(n0-1)), 2) AS df2
+        |FROM c""".stripMargin,
+
+    "q186_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+        |         CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |h AS (SELECT x, SUM(g) AS c1, SUM(1-g) AS c0 FROM v GROUP BY 1),
+        |r AS (
+        |  SELECT x, c1, c0, c1 + c0 AS t,
+        |    2 * (SUM(c1 + c0) OVER (ORDER BY x) - (c1 + c0))
+        |      + (c1 + c0) + 1 AS r2
+        |  FROM h),
+        |agg AS (
+        |  SELECT
+        |    (SELECT SUM(c1) FROM h) AS n1, (SELECT SUM(c0) FROM h) AS n0,
+        |    SUM(CAST(c1 AS HUGEINT) * r2) AS s2,
+        |    SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3
+        |  FROM r),
+        |c AS (
+        |  SELECT n1, n0, n1 + n0 AS n,
+        |    CAST(s2 - n1 * CAST(n1 + 1 AS HUGEINT) AS HUGEINT) AS u2,
+        |    CAST(n1 AS DOUBLE) * n0 / 12.0 *
+        |      ((n1 + n0 + 1) - CAST(tie3 AS DOUBLE)
+        |        / ((n1 + n0) * CAST(n1 + n0 - 1 AS DOUBLE))) AS var_u
+        |  FROM agg)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(u2 AS BIGINT) AS u2x,
+        |  ROUND((CAST(u2 AS DOUBLE) / 2.0
+        |         - CAST(n1 AS DOUBLE) * n0 / 2.0) / SQRT(var_u), 4) AS z4
         |FROM c""".stripMargin
   )
 }
