@@ -216,6 +216,42 @@ object EventStreams {
         b, orders, from, until)
     }
 
+  /** Streaming rolling-7-day-active-users: the q177 WAU curve folded
+    * incrementally. Each event micro-batch fans its distinct
+    * (user, day) pairs out to the 7 target days they contribute to
+    * (q177's constant fan-out — no range join in the stream either)
+    * and folds into a (day, user)-keyed snapshot. Distinctness under
+    * re-summable merge: the DERIVED report counts snapshot KEYS, so
+    * duplicate arrivals only inflate the summed hit counters, never
+    * the WAU. `n_origin` (hits where target == source day) marks which
+    * days actually occurred, so the report emits exactly q177's day
+    * set. Snapshot size is (active days × 7) × users — bounded by the
+    * dimension product, never the event volume. */
+  def rollingWauStream(events: DataFrame, snapshotRoot: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    aggSnapshot(events, snapshotRoot, Seq("day", "user_id")) { b =>
+      b.select(col("user_id"), to_date(col("ts")).as("src"))
+        .withColumn("day", explode(expr("sequence(src, date_add(src, 6))")))
+        .groupBy("day", "user_id")
+        .agg(count(lit(1)).as("n_hits"),
+          sum(when(col("day") === col("src"), 1L).otherwise(0L))
+            .as("n_origin"))
+    }
+
+  /** Finish [[rollingWauStream]]'s snapshot to the q177 report: WAU =
+    * distinct snapshot keys per day, restricted to days with at least
+    * one origin hit (days that actually occurred in the stream). */
+  def rollingWauReport(snapshot: DataFrame): DataFrame = {
+    val days = snapshot.groupBy("day")
+      .agg(sum(col("n_origin")).as("no"))
+      .filter(col("no") > 0).select("day")
+    snapshot.join(days, Seq("day"))
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+      .select(graft.Dets.tsOut(col("day").cast("timestamp")).as("day"),
+        col("wau"))
+      .orderBy("day")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()

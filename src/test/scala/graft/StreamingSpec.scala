@@ -323,6 +323,28 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streamed rolling-WAU snapshot reproduces the q177 batch curve") {
+    import graft.streaming.EventStreams
+    val dir = chunkTableDir("events", Seq("ts", "event_id"))
+    val snap = Files.createTempDirectory("graft_wau_snap_").toString
+    val schema = Tables.load(spark, Sf, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.rollingWauStream(stream, snap)
+    q.processAllAvailable()
+    q.stop()
+    // timestamp_ntz surfaces as LocalDateTime in collect() — compare
+    // generically
+    def key(r: org.apache.spark.sql.Row) = (r.get(0), r.getLong(1))
+    val got = EventStreams.rollingWauReport(
+        EventStreams.readSnapshot(spark, snap).get)
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("q177_rolling_wau")(spark, Sf)
+      .collect().map(key).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming near-dup filter keeps first arrival per signature") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_neardup_").toString
