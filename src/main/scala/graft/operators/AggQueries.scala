@@ -165,7 +165,25 @@ object AggQueries {
           expr("bit_and(m)").as("and_mask"),
           expr("bit_xor(m)").as("xor_mask"),
           count(lit(1)).as("n"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ROLLUP with GROUPING() indicator columns — the disambiguation a
+    // reporting layer needs when a group value is legitimately NULL vs
+    // the rollup's subtotal NULL. grouping() flags cast to BIGINT on
+    // both engines; the sort leads with the flags so subtotal rows
+    // land deterministically.
+    "q188_grouping_id" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"),
+          decSumD(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+          col("g_status"), col("n"), col("sum_qty"))
+        .orderBy(col("g_flag").asc, col("g_status").asc,
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
   )
 
   val oracle: Map[String, String] = Map(
@@ -256,6 +274,17 @@ object AggQueries {
         |       CAST(bit_and(m) AS BIGINT) AS and_mask,
         |       CAST(bit_xor(m) AS BIGINT) AS xor_mask,
         |       COUNT(*) AS n
-        |FROM m GROUP BY 1 ORDER BY event_type ASC NULLS FIRST""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "q188_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag ASC, g_status ASC,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }

@@ -141,7 +141,9 @@ object GraphQueries {
       // wedges at the apex: pairs of out-edges ordered by (deg, id) of
       // the endpoints — each triangle shows up exactly once
       val dd = deg.select(col("v").as("dst"), col("d").as("ddst"))
-      val eo = ed.join(dd, Seq("dst"))
+      // both wedge legs read this relation — materialize it once
+      // instead of replaying the degree join per leg
+      val eo = ed.join(dd, Seq("dst")).localCheckpoint(true)
       val w1 = eo.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
       val w2 = eo.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
       val wedges = w1.join(w2, Seq("src"))

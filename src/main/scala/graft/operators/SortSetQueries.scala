@@ -76,6 +76,28 @@ object SortSetQueries {
           (col("pmax").isNull || col("pmax") < col("p_size")))
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
         .orderBy("p_partkey")
+    }),
+
+    // Bag (multiset) set operations — INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities where q38/q39's distinct forms collapse them:
+    // |A ∩all B| = Σ min(multA, multB), |A −all B| = Σ max(0,
+    // multA − multB). Spark's intersectAll/exceptAll compile to the
+    // count-compare hash aggregation (one shuffle per side, no
+    // row-pairing join); the five one-row counts attach by broadcast.
+    "q187_bag_ops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k"))
+      val b = li.filter(col("l_linestatus") === "F")
+        .select(col("l_orderkey").as("k"))
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(
+          a.intersectAll(b).agg(count(lit(1)).as("n_inter_all"))))
+        .crossJoin(broadcast(
+          a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))))
+        .crossJoin(broadcast(
+          a.intersect(b).agg(count(lit(1)).as("n_inter_dist"))))
     })
   )
 
@@ -118,6 +140,21 @@ object SortSetQueries {
         |      AND b.p_size >= a.p_size
         |      AND (b.p_retailprice < a.p_retailprice
         |           OR b.p_size > a.p_size))
-        |ORDER BY a.p_partkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY a.p_partkey ASC NULLS FIRST""".stripMargin,
+
+    "q187_bag_ops" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (
+        |  SELECT l_orderkey AS k FROM lineitem WHERE l_linestatus = 'F')
+        |SELECT
+        |  (SELECT COUNT(*) FROM a) AS n_a,
+        |  (SELECT COUNT(*) FROM b) AS n_b,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT k FROM a INTERSECT ALL SELECT k FROM b)) AS n_inter_all,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT k FROM a EXCEPT ALL SELECT k FROM b)) AS n_except_all,
+        |  (SELECT COUNT(*) FROM
+        |    (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_inter_dist""".stripMargin
   )
 }

@@ -132,6 +132,33 @@ object WindowQueries {
           first(col("c_custkey")).over(w).as("poorest_cust"),
           last(col("c_custkey")).over(w).as("richest_cust"))
         .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // LAST_VALUE ... IGNORE NULLS forward fill inside a keyed window —
+    // the per-key streaming sibling of q160's distributed global fill:
+    // each line carries the most recent discounted price (>5%) seen by
+    // its supplier in (shipdate, orderkey, linenumber) total order.
+    // Keyed window (bounded by a supplier's lines), then one hash agg;
+    // the gate pins fill correctness via per-supplier fill counts and
+    // the exact cent sum of the filled series.
+    "q189_fill_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          when(col("l_discount") > 0.05,
+            round(col("l_extendedprice") * 100).cast("long")).as("dp"))
+        .withColumn("filled", last(col("dp"), ignoreNulls = true).over(w))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"),
+          count(col("filled")).as("n_filled"),
+          sum(col("filled").cast("decimal(38,0)")).cast("long")
+            .as("sum_filled"))
+        .orderBy("l_suppkey")
+        .limit(25)
     })
   )
 
@@ -202,6 +229,25 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |  ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY c_mktsegment ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q189_fill_ignore_nulls" ->
+      """WITH v AS (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CASE WHEN l_discount > 0.05
+        |         THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END AS dp
+        |  FROM lineitem),
+        |f AS (
+        |  SELECT l_suppkey,
+        |    LAST_VALUE(dp IGNORE NULLS) OVER (
+        |      PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate ASC NULLS FIRST, l_orderkey ASC,
+        |               l_linenumber ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM v)
+        |SELECT l_suppkey, COUNT(*) AS n_lines, COUNT(filled) AS n_filled,
+        |  CAST(SUM(CAST(filled AS DECIMAL(38,0))) AS BIGINT) AS sum_filled
+        |FROM f GROUP BY 1 ORDER BY l_suppkey ASC NULLS FIRST
+        |LIMIT 25""".stripMargin
   )
 }
