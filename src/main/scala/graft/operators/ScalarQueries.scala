@@ -104,6 +104,61 @@ object ScalarQueries {
         .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"),
           col("nation_avg"))
         .orderBy("c_custkey")
+    }),
+
+    // String scalar-function family (TRANSLATE / STRPOS / SPLIT_PART /
+    // LPAD / REVERSE / REPEAT / TRIM) — each Redshift string builtin
+    // exercised inside one codegen'd projection, gated through an
+    // integer rollup so any off-by-one (1-based STRPOS, pad-to-width
+    // semantics, trim charset) breaks the hash.
+    "q190_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(length(translate(col("c_name"), "#0123456789", "")))
+            .as("sum_alpha"),
+          sum(instr(col("c_name"), "#")).as("sum_haspos"),
+          sum(length(lpad(split_part(col("c_name"), lit("#"), lit(2)),
+            12, "0"))).as("sum_pad"),
+          sum(when(reverse(col("c_name")).like("1%"), 1L).otherwise(0L))
+            .as("n_rev1"),
+          sum(length(trim(repeat(substring(col("c_name"), 1, 2), 3))))
+            .as("sum_rep"))
+        .orderBy("c_mktsegment")),
+
+    // Conditional / null-handling family (NULLIF / COALESCE / NVL2 /
+    // GREATEST / LEAST). nvl2 runs natively on the Spark side; the
+    // oracle replays it as the equivalent CASE — the gate is semantic,
+    // not syntactic.
+    "q191_null_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(when(nullif(col("c_nationkey"), lit(0)).isNull, 1L)
+            .otherwise(0L)).as("n_nation0"),
+          sum((coalesce(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0))
+            < 0).cast("int")).as("n_nonpos"),
+          sum(greatest(col("c_nationkey"), lit(12))).as("sum_great"),
+          sum(least(col("c_nationkey"), lit(12))).as("sum_least"),
+          sum(expr("nvl2(c_acctbal, c_nationkey, -1)")).as("sum_nvl2"))
+        .orderBy("c_mktsegment")),
+
+    // Date scalar-function family (QUARTER / DATE_TRUNC('quarter') /
+    // LAST_DAY / DAYOFYEAR / first-of-month predicate) over the order
+    // calendar — quarter boundaries and month-end arithmetic are where
+    // engine date kernels habitually disagree; the rollup pins them.
+    "q192_date_funcs" -> ((s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders")
+        .groupBy(year(d).as("yr"), quarter(d).as("q"))
+        .agg(count(lit(1)).as("n"),
+          tsOut(min(to_date(date_trunc("quarter", d))).cast("timestamp"))
+            .as("q_start"),
+          tsOut(max(last_day(d)).cast("timestamp")).as("month_end_max"),
+          sum(dayofyear(d)).as("sum_doy"),
+          sum(when(d === to_date(date_trunc("month", d)), 1L)
+            .otherwise(0L)).as("n_first_of_month"))
+        .orderBy("yr", "q")
     })
   )
 
@@ -162,6 +217,50 @@ object ScalarQueries {
         |      FROM customer GROUP BY c_nationkey) nav
         |  ON c.c_nationkey = nav.c_nationkey
         |WHERE c.c_acctbal > nav.nation_avg
-        |ORDER BY c.c_custkey ASC NULLS FIRST""".stripMargin
+        |ORDER BY c.c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q190_string_funcs" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(length(translate(c_name, '#0123456789', '')))
+        |    AS BIGINT) AS sum_alpha,
+        |  CAST(SUM(strpos(c_name, '#')) AS BIGINT) AS sum_haspos,
+        |  CAST(SUM(length(lpad(split_part(c_name, '#', 2), 12, '0')))
+        |    AS BIGINT) AS sum_pad,
+        |  CAST(SUM(CASE WHEN reverse(c_name) LIKE '1%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rev1,
+        |  CAST(SUM(length(trim(repeat(substr(c_name, 1, 2), 3))))
+        |    AS BIGINT) AS sum_rep
+        |FROM customer GROUP BY 1
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q191_null_funcs" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN NULLIF(c_nationkey, 0) IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_nation0,
+        |  CAST(SUM(CAST(COALESCE(NULLIF(c_acctbal, 0.0), -1.0) < 0
+        |    AS INT)) AS BIGINT) AS n_nonpos,
+        |  CAST(SUM(GREATEST(c_nationkey, 12)) AS BIGINT) AS sum_great,
+        |  CAST(SUM(LEAST(c_nationkey, 12)) AS BIGINT) AS sum_least,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NOT NULL THEN c_nationkey
+        |                ELSE -1 END) AS BIGINT) AS sum_nvl2
+        |FROM customer GROUP BY 1
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q192_date_funcs" ->
+      """SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+        |  quarter(CAST(o_orderdate AS DATE)) AS q,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+        |    AS DATE)) AS TIMESTAMP) AS q_start,
+        |  CAST(MAX(last_day(CAST(o_orderdate AS DATE))) AS TIMESTAMP)
+        |    AS month_end_max,
+        |  CAST(SUM(dayofyear(CAST(o_orderdate AS DATE))) AS BIGINT)
+        |    AS sum_doy,
+        |  CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) =
+        |      CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_first_of_month
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY yr ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin
   )
 }
