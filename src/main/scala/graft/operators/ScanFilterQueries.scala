@@ -72,7 +72,26 @@ object ScanFilterQueries {
           length(col("c_name")).cast("long").as("name_len"),
           regexp_replace(col("c_name"), "Customer#", "C#").as("short_name"),
           regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // Schema'd JSON ingest — from_json (JsonToStructs) where q03 gates
+    // the path-expression form (GetJsonObject): parse props against a
+    // declared struct schema and aggregate the typed field. A parse
+    // failure under the declared schema surfaces as NULL (counted in
+    // the gate), which is the ingest-side contract a COPY pipeline
+    // relies on.
+    "q193_json_struct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+          sum(col("k")).as("sum_k"),
+          count_distinct(col("k")).as("n_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +132,17 @@ object ScanFilterQueries {
         |       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
         |       REPLACE(c_name, 'Customer#', 'C#') AS short_name,
         |       REGEXP_EXTRACT(c_name, '[0-9]+') AS digits
-        |FROM customer ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+        |FROM customer ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q193_json_struct" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_parsed,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       COUNT(DISTINCT k) AS n_k,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM p GROUP BY 1 ORDER BY event_type ASC NULLS FIRST""".stripMargin
   )
 }
