@@ -222,3 +222,32 @@ case class ChunkFingerprint(child: Expression) extends BoxedKernelExpr {
   override protected def withNewChildInternal(c: Expression): ChunkFingerprint =
     copy(child = c)
 }
+
+/** graft_jaro_winkler(a, b): Jaro–Winkler similarity (see
+  * [[TextHash.jaroWinkler]] for the pinned conventions — DuckDB
+  * `jaro_winkler_similarity` semantics, gate-verified). Spark has no
+  * built-in; a Scala UDF would break whole-stage codegen on the
+  * blocked-pair hot path, so this generates one static kernel call. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler expects (string, string), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaroWinkler(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+    l: Expression, r: Expression): JaroWinklerSim = copy(left = l, right = r)
+}

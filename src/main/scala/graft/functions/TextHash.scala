@@ -248,4 +248,67 @@ object TextHash {
     }
     java.lang.Long.valueOf(acc)
   }
+
+  /** Jaro–Winkler similarity — the record-linkage scorer Spark lacks as
+    * a built-in. Classic definition, pinned empirically (this session)
+    * to DuckDB `jaro_winkler_similarity`'s conventions so the oracle
+    * gate can hash-compare:
+    *  - either side empty → 0.0 (including both empty);
+    *  - match window = max(|a|,|b|)/2 − 1 (floor, ≥ 0), each char of b
+    *    matchable once, greedy left-to-right;
+    *  - transpositions t = (mismatched matched-pairs) / 2, INTEGER
+    *    division ('abcdef' vs 'bcadef' → 0.9444…, not the fractional
+    *    0.9166…);
+    *  - jaro = (m/|a| + m/|b| + (m−t)/m) / 3, double ops in exactly
+    *    that order;
+    *  - Winkler boost only when jaro > 0.7: jw = j + 0.1·ℓ·(1−j) with
+    *    ℓ = common prefix capped at 4.
+    * Operates on UTF-16 code units (part names and fixture text are
+    * ASCII; supplementary-plane input would diverge from a
+    * code-point engine — acceptable for the gated corpus and
+    * documented here). Allocation: two boolean arrays of |a|, |b|. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(math.max(n, m) / 2 - 1, 0)
+    val sM = new Array[Boolean](n)
+    val tM = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val ci = s.charAt(i)
+      var j = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tM(j) && t.charAt(j) == ci) {
+          sM(i) = true; tM(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var half = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (sM(i)) {
+        while (!tM(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = matches.toDouble
+    val j = (md / n + md / m + (md - half / 2) / md) / 3.0
+    if (j <= 0.7) return j
+    var l = 0
+    val lMax = math.min(4, math.min(n, m))
+    while (l < lMax && s.charAt(l) == t.charAt(l)) l += 1
+    j + 0.1 * l * (1.0 - j)
+  }
 }

@@ -186,7 +186,8 @@ object GraftFunctions {
     "graft_sum_lengths" -> (es => SumCharLengths(es(0))),
     "graft_chunk_fp" -> (es => ChunkFingerprint(es(0))),
     "graft_ngram_hashes" -> (es =>
-      NGramFold(es(0), intLit(es(1), "graft_ngram_hashes n")))
+      NGramFold(es(0), intLit(es(1), "graft_ngram_hashes n"))),
+    "graft_jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1)))
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

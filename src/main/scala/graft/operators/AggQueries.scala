@@ -183,7 +183,26 @@ object AggQueries {
           col("g_status"), col("n"), col("sum_qty"))
         .orderBy(col("g_flag").asc, col("g_status").asc,
           col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first))
+          col("l_linestatus").asc_nulls_first)),
+
+    // Geometric and harmonic means — the remaining Pythagorean means
+    // (rate/ratio averaging verbs). Both are sums of float-derived
+    // per-row terms, so each term quantizes to 6dp BEFORE the decimal
+    // sum ([D2]/[D3] — the q48-entropy convention that makes the
+    // reassociation-sensitive double sum exact and order-free).
+    // geo = exp(avg(ln x)); harm = n / Σ(1/x), computed as n·1e6 over
+    // the 6dp-quantized Σ(1e6/x) so the per-row reciprocals of
+    // ~1e5-scale prices keep ~7 significant digits through the quantize.
+    "q200_gen_means" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          round(exp(decSum(round(log(col("l_extendedprice")), 6))
+            .cast("double") / count(lit(1))), 4).as("geo_mean"),
+          round(count(lit(1)) * lit(1000000.0) /
+            decSum(round(lit(1000000.0) / col("l_extendedprice"), 6))
+              .cast("double"), 4).as("harm_mean"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -285,6 +304,16 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag ASC, g_status ASC,
-        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q200_gen_means" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  ROUND(EXP(CAST(SUM(CAST(ROUND(LN(l_extendedprice), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)), 4) AS geo_mean,
+        |  ROUND(COUNT(*) * 1000000.0 /
+        |    CAST(SUM(CAST(ROUND(1000000.0 / l_extendedprice, 6)
+        |      AS DECIMAL(38,6))) AS DOUBLE), 4) AS harm_mean
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
   )
 }

@@ -572,6 +572,38 @@ object AnalyticsQueries {
         .groupBy("user_id").agg(max(col("len")).as("max_streak"))
         .orderBy(col("max_streak").desc, col("user_id").asc)
         .limit(10)
+    }),
+
+    // Mutual information between market segment and order status — the
+    // feature-selection / dependence screen (q162's chi-square sibling
+    // on the information-theoretic axis). All probabilities come from
+    // exact integer counts; each cell's I-term quantizes to 6dp before
+    // the 15-cell decimal sum (the q48/q112 log-sum convention). The
+    // margins and total attach to the 15-row joint table by broadcast,
+    // and the MI statistic itself re-attaches the same way, so the
+    // fact-table scan runs once and nothing large ever re-shuffles.
+    "q201_mutual_info" -> ((s, dir) => {
+      val joint = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n_xy"))
+      val segM = joint.groupBy("c_mktsegment").agg(sum(col("n_xy")).as("n_x"))
+      val stM = joint.groupBy("o_orderstatus").agg(sum(col("n_xy")).as("n_y"))
+      val tot = joint.agg(sum(col("n_xy")).as("n_tot"))
+      val cells = joint
+        .join(broadcast(segM), Seq("c_mktsegment"))
+        .join(broadcast(stM), Seq("o_orderstatus"))
+        .crossJoin(broadcast(tot))
+        .withColumn("mi_term",
+          round((col("n_xy").cast("double") / col("n_tot")) *
+            log((col("n_xy") * col("n_tot")).cast("double") /
+              (col("n_x") * col("n_y")).cast("double")), 6))
+      cells.crossJoin(broadcast(
+          cells.agg(round(sum(col("mi_term").cast(Dec)).cast("double"), 4)
+            .as("mi_nats"))))
+        .select(col("c_mktsegment"), col("o_orderstatus"), col("n_xy"),
+          col("mi_term"), col("mi_nats"))
+        .orderBy("c_mktsegment", "o_orderstatus")
     })
   )
 
@@ -1005,6 +1037,31 @@ object AnalyticsQueries {
         |best AS (
         |  SELECT user_id, MAX(len) AS max_streak FROM streak GROUP BY 1)
         |SELECT user_id, max_streak FROM best
-        |ORDER BY max_streak DESC, user_id ASC LIMIT 10""".stripMargin
+        |ORDER BY max_streak DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "q201_mutual_info" ->
+      """WITH joint AS (
+        |  SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_xy
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |segm AS (SELECT c_mktsegment, SUM(n_xy) AS n_x FROM joint GROUP BY 1),
+        |stm AS (SELECT o_orderstatus, SUM(n_xy) AS n_y FROM joint GROUP BY 1),
+        |tot AS (SELECT SUM(n_xy) AS n_tot FROM joint),
+        |cells AS (
+        |  SELECT j.c_mktsegment, j.o_orderstatus, j.n_xy,
+        |    ROUND((CAST(j.n_xy AS DOUBLE) / n_tot) *
+        |          LN(CAST(j.n_xy * n_tot AS DOUBLE) /
+        |             CAST(n_x * n_y AS DOUBLE)), 6) AS mi_term
+        |  FROM joint j
+        |  JOIN segm USING (c_mktsegment)
+        |  JOIN stm USING (o_orderstatus)
+        |  CROSS JOIN tot)
+        |SELECT c_mktsegment, o_orderstatus, CAST(n_xy AS BIGINT) AS n_xy,
+        |       mi_term,
+        |       (SELECT ROUND(CAST(SUM(CAST(mi_term AS DECIMAL(38,6)))
+        |                          AS DOUBLE), 4) FROM cells) AS mi_nats
+        |FROM cells
+        |ORDER BY c_mktsegment ASC NULLS FIRST,
+        |         o_orderstatus ASC NULLS FIRST""".stripMargin
   )
 }

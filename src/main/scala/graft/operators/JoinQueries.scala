@@ -112,8 +112,59 @@ object JoinQueries {
         .filter(col("dist") <= 2)
         .select(col("p_brand"), col("id_a"), col("id_b"), col("dist"))
         .orderBy("p_brand", "id_a", "id_b")
+    }),
+
+    // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    // flavor where NULL keys MATCH each other instead of vanishing: a
+    // fifth of each side's keys are nulled (nullif on key mod 5), and
+    // the null bucket must pair up. Spark plans `<=>` as a normal
+    // hash-join key (null-safe equi-key, broadcast here) — not the
+    // cartesian + filter a naive `OR (a IS NULL AND b IS NULL)`
+    // predicate would force.
+    "q197_nullsafe_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_nationkey") % 5, lit(2)).as("k"))
+      val supp = t(s, dir, "supplier")
+        .groupBy(nullif(col("s_nationkey") % 5, lit(2)).as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(broadcast(supp), col("k") <=> col("sk"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_cust"), max(col("n_supp")).as("n_supp"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Jaro–Winkler fuzzy matching — q141's edit-distance sibling on the
+    // record-linkage scorer (prefix-boosted, length-normalized). Spark
+    // has no built-in, so the kernel is the graft_jaro_winkler codegen
+    // Expression (functions/TextExpressions.scala) gated against
+    // DuckDB's jaro_winkler_similarity — same blocked (brand,
+    // length-band) candidate generation as q141 (JW ≥ 0.94 on 30-char
+    // names implies near-equal lengths, so the ±1-band replication
+    // loses nothing at this threshold), similarity materialized once,
+    // 4dp-rounded with the filter on the rounded value so the
+    // boundary set is identical in both engines.
+    "q205_jaro_winkler" -> ((s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+      val band = floor(length(col("p_name")) / EditBandWidth).cast("int")
+      val a = p.select(col("p_brand"), band.as("band"),
+        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"),
+        explode(array(band - 1, band, band + 1)).as("band"),
+        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "band"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .withColumn("jw4",
+          round(expr("graft_jaro_winkler(name_a, name_b)"), 4))
+        .filter(col("jw4") >= JwThreshold)
+        .select(col("p_brand"), col("id_a"), col("id_b"), col("jw4"))
+        .orderBy("p_brand", "id_a", "id_b")
     })
   )
+
+  /** q205's match floor on the 4dp-rounded similarity. */
+  private val JwThreshold = 0.94
 
   /** q141's length-band width — must exceed the edit-distance cap (2)
     * so a qualifying pair's bands differ by at most 1. */
@@ -176,6 +227,27 @@ object JoinQueries {
     "q16_join_cross" ->
       """SELECT r_name, o_orderstatus
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) o
-        |ORDER BY r_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+        |ORDER BY r_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q205_jaro_winkler" ->
+      """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw4
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |WHERE a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.94
+        |ORDER BY a.p_brand ASC NULLS FIRST, id_a ASC NULLS FIRST,
+        |         id_b ASC NULLS FIRST""".stripMargin,
+
+    "q197_nullsafe_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, NULLIF(c_nationkey % 5, 2) AS k FROM customer),
+        |supp AS (
+        |  SELECT NULLIF(s_nationkey % 5, 2) AS sk, COUNT(*) AS n_supp
+        |  FROM supplier GROUP BY 1)
+        |SELECT k, COUNT(*) AS n_cust, MAX(n_supp) AS n_supp
+        |FROM cust JOIN supp ON k IS NOT DISTINCT FROM sk
+        |GROUP BY k
+        |ORDER BY k ASC NULLS FIRST""".stripMargin
   )
 }

@@ -33,7 +33,20 @@ object PivotQueries {
           decSumD(col("l_quantity")).as("qty"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("price"), col("qty")), "measure", "value")
-        .orderBy("l_returnflag", "measure"))
+        .orderBy("l_returnflag", "measure")),
+
+    // Multi-measure PIVOT — two aggregates per pivot cell (line count
+    // AND exact revenue sum per return flag). Spark names the columns
+    // <value>_<aggAlias>; the aliases are pinned so the oracle's CASE
+    // aggregation emits the identical header. One hash aggregate, no
+    // extra scan per measure.
+    "q199_pivot_multi" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)).as("n"),
+          decSumD(col("l_extendedprice")).as("rev"))
+        .orderBy("l_linestatus"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -54,6 +67,23 @@ object PivotQueries {
         |SELECT l_returnflag, 'price' AS measure, price AS value FROM g
         |UNION ALL
         |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM g
-        |ORDER BY l_returnflag ASC NULLS FIRST, measure ASC NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag ASC NULLS FIRST, measure ASC NULLS FIRST""".stripMargin,
+
+    "q199_pivot_multi" ->
+      """SELECT l_linestatus,
+        |  COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS "A_n",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE)
+        |    AS "A_rev",
+        |  COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS "N_n",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE)
+        |    AS "N_rev",
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS "R_n",
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE)
+        |    AS "R_rev"
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Dets, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * partial-aggregate map-side.
   */
 object SortSetQueries {
+  import Dets._
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
@@ -98,6 +99,32 @@ object SortSetQueries {
           a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))))
         .crossJoin(broadcast(
           a.intersect(b).agg(count(lit(1)).as("n_inter_dist"))))
+    }),
+
+    // UNION by NAME with schema widening — the lake-append verb for
+    // heterogeneous generations: the two legs share (id, amount, src)
+    // but in different column ORDER, and `prio` exists only on the
+    // orders leg. unionByName(allowMissingColumns = true) aligns by
+    // name and null-fills — positional UNION ALL would silently pair
+    // amount with id. Gated through a per-src rollup (counts + exact
+    // sums + null accounting on the widened column).
+    "q198_union_byname" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        col("o_totalprice").as("amount"),
+        lit("order").as("src"),
+        col("o_orderpriority").as("prio"))
+      val b = t(s, dir, "lineitem").select(
+        lit("line").as("src"),
+        col("l_extendedprice").as("amount"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_rows"),
+          decSumD(col("amount")).as("sum_amount"),
+          count(col("prio")).as("n_prio"),
+          count(col("id")).as("n_id"))
+        .orderBy("src")
     })
   )
 
@@ -155,6 +182,22 @@ object SortSetQueries {
         |  (SELECT COUNT(*) FROM
         |    (SELECT k FROM a EXCEPT ALL SELECT k FROM b)) AS n_except_all,
         |  (SELECT COUNT(*) FROM
-        |    (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_inter_dist""".stripMargin
+        |    (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_inter_dist""".stripMargin,
+
+    "q198_union_byname" ->
+      """WITH u AS (
+        |  (SELECT o_orderkey AS id, o_totalprice AS amount,
+        |          'order' AS src, o_orderpriority AS prio
+        |   FROM orders)
+        |  UNION ALL BY NAME
+        |  (SELECT 'line' AS src, l_extendedprice AS amount,
+        |          l_orderkey * 10 + l_linenumber AS id
+        |   FROM lineitem))
+        |SELECT src, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE)
+        |         AS sum_amount,
+        |       COUNT(prio) AS n_prio, COUNT(id) AS n_id
+        |FROM u GROUP BY src
+        |ORDER BY src ASC NULLS FIRST""".stripMargin
   )
 }

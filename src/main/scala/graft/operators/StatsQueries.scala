@@ -420,6 +420,40 @@ object StatsQueries {
         round((u2.cast("double") / 2.0
           - col("n1").cast("double") * col("n0") / 2.0)
           / sqrt(varU), 4).as("z4"))
+    }),
+
+    // Winsorized + trimmed means — the robust location estimators that
+    // complete the q144-MAD family: per return flag, prices clamp to
+    // (winsorize) or drop outside (trim) the exact P05/P95. The
+    // percentiles are discrete picks off the value histogram + cumSum
+    // (no per-group sort), selected by pure INTEGER comparison
+    // (20·cum ≥ n, 20·cum ≥ 19·n) so there is no float p·n boundary to
+    // disagree on; the 3-row bound table broadcasts back to the fact
+    // rows and both means are exact decimal sums [D2].
+    "q202_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.functions.GlobalRank.cumSum(
+        hist, "l_returnflag", "l_extendedprice", "cnt")
+      val bounds = cum.groupBy("l_returnflag").agg(
+        min(when(col("cum") * 20 >= col("n"), col("l_extendedprice")))
+          .as("p05"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("l_extendedprice")))
+          .as("p95"))
+      val kept = col("l_extendedprice") >= col("p05") &&
+        col("l_extendedprice") <= col("p95")
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          round(decSum(least(greatest(col("l_extendedprice"), col("p05")),
+              col("p95"))).cast("double") / count(lit(1)), 4)
+            .as("win_mean"),
+          count(when(kept, 1)).as("n_kept"),
+          round(decSum(when(kept, col("l_extendedprice"))).cast("double")
+            / count(when(kept, 1)), 4).as("trim_mean"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -739,6 +773,33 @@ object StatsQueries {
         |  CAST(u2 AS BIGINT) AS u2x,
         |  ROUND((CAST(u2 AS DOUBLE) / 2.0
         |         - CAST(n1 AS DOUBLE) * n0 / 2.0) / SQRT(var_u), 4) AS z4
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q202_winsorize" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS f, l_extendedprice AS v, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT f, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY f ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY f) AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT f,
+        |    MIN(CASE WHEN cum * 20 >= n THEN v END) AS p05,
+        |    MIN(CASE WHEN cum * 20 >= n * 19 THEN v END) AS p95
+        |  FROM c GROUP BY f)
+        |SELECT l_returnflag, COUNT(*) AS n_lines, p05, p95,
+        |  ROUND(CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p05), p95)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS win_mean,
+        |  COUNT(CASE WHEN l_extendedprice BETWEEN p05 AND p95 THEN 1 END)
+        |    AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+        |    THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN l_extendedprice BETWEEN p05 AND p95 THEN 1 END),
+        |    4) AS trim_mean
+        |FROM lineitem JOIN b ON l_returnflag = f
+        |GROUP BY l_returnflag, p05, p95
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
   )
 }

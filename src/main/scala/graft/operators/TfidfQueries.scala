@@ -101,8 +101,36 @@ object TfidfQueries {
       graft.api.TextOps.bm25(
         t(s, dir, "documents"), "doc_id", "text", Bm25Terms, Bm25K, K1, B)
         .select(col("id").as("doc_id"), col("score4"), col("rank"))
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    "q204_phrase_search" -> ((s, dir) => phraseSearch(s, dir))
   )
+
+  /** q204's pinned phrase — consecutive tokens, in order. */
+  private val PhraseTerms = Seq("stream", "table", "hash")
+
+  /** Exact phrase retrieval — the POSITIONAL counterpart of q139's
+    * boolean AND: a document qualifies only where the three tokens are
+    * adjacent and in order. Positions come from one posexplode pass;
+    * each phrase word's postings shift left by its offset so the match
+    * is a plain (doc_id, pos) equi-join of three tiny filtered postings
+    * — the distributed positional-index probe, no array re-scan per
+    * candidate and nothing quadratic.
+    */
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pos = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "w")))
+    def posting(i: Int): DataFrame = pos
+      .filter(col("w") === PhraseTerms(i))
+      .select(col("doc_id"), (col("pos") - i).as("pos"))
+    val occ = posting(0).join(posting(1), Seq("doc_id", "pos"))
+      .join(posting(2), Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    docs.select("doc_id", "lang", "source")
+      .join(occ, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
 
   private val sqlToks = Sql.tokens("text")
 
@@ -170,7 +198,21 @@ object TfidfQueries {
       s"""WITH ${bm25RankCteSql()}
          |SELECT id AS doc_id, score4, rank FROM bmr
          |WHERE rank <= $Bm25K
-         |ORDER BY rank ASC NULLS FIRST""".stripMargin
+         |ORDER BY rank ASC NULLS FIRST""".stripMargin,
+
+    "q204_phrase_search" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |occ AS (
+         |  SELECT doc_id, COUNT(*) AS n_occ
+         |  FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+         |  WHERE toks[i] = '${PhraseTerms(0)}'
+         |    AND toks[i + 1] = '${PhraseTerms(1)}'
+         |    AND toks[i + 2] = '${PhraseTerms(2)}'
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, d.source, n_occ
+         |FROM documents d JOIN occ USING (doc_id)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
   )
 
   /** CTE chain ending in `bmr(id, score4, rank)` — the exact BM25 ranking

@@ -168,6 +168,35 @@ object TimeSeriesQueries {
               - col("sy").cast("double") * col("syv").cast("double"), den))
             .cast("long").as("intercept_cents"))
         .orderBy("n_name")
+    }),
+
+    // CUSUM mean-shift screen over the daily event-count series — the
+    // classic changepoint detector: S_d = Σ_{≤d}(c − μ) drifts fastest
+    // where the level shifts, so argmax |S| marks the candidate break.
+    // S_d decomposes as cumc_d − idx_d·μ: both running terms come from
+    // [[GlobalRank.cumSum]] passes over the ~365-row day table (counts,
+    // then a presence indicator for the day index — the q144 two-pass
+    // shape), μ attaches as a broadcast one-row exact total, and the
+    // peak marker re-attaches the same way. No global window anywhere.
+    "q203_cusum_shift" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("g", lit(1)).withColumn("one", lit(1L))
+      val cumc = GlobalRank.cumSum(days, "g", "day_us", "c")
+        .withColumnRenamed("cum", "cumc").drop("n")
+      val idx = GlobalRank.cumSum(cumc, "g", "day_us", "one")
+        .withColumnRenamed("cum", "idx").drop("n")
+      val tot = days.agg(sum(col("c")).as("tot"),
+        count(lit(1)).as("nd"))
+      val ser = idx.crossJoin(broadcast(tot))
+        .withColumn("s4", round(col("cumc").cast("double")
+          - col("idx") * (col("tot").cast("double") / col("nd")), 4))
+      ser.crossJoin(broadcast(ser.agg(max(abs(col("s4"))).as("peak"))))
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("c").as("n_events"), col("s4"),
+          (abs(col("s4")) === col("peak")).as("is_peak"))
+        .orderBy("day")
     })
   )
 
@@ -259,6 +288,26 @@ object TimeSeriesQueries {
         |            AS BIGINT) AS slope_cents,
         |       CAST(ROUND(CASE WHEN den != 0 THEN inum / den END)
         |            AS BIGINT) AS intercept_cents
-        |FROM f ORDER BY n_name ASC NULLS FIRST""".stripMargin
+        |FROM f ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+
+    "q203_cusum_shift" ->
+      """WITH d AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us, COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT day_us, c,
+        |    SUM(c) OVER (ORDER BY day_us) AS cumc,
+        |    ROW_NUMBER() OVER (ORDER BY day_us) AS idx,
+        |    SUM(c) OVER () AS tot, COUNT(*) OVER () AS nd
+        |  FROM d),
+        |s AS (
+        |  -- + 0 normalizes -0.0 (Spark's BigDecimal round never emits it)
+        |  SELECT day_us, c,
+        |    ROUND(CAST(cumc AS DOUBLE)
+        |          - idx * (CAST(tot AS DOUBLE) / nd), 4) + 0 AS s4
+        |  FROM r)
+        |SELECT make_timestamp(day_us) AS day, c AS n_events, s4,
+        |       abs(s4) = (SELECT MAX(abs(s4)) FROM s) AS is_peak
+        |FROM s ORDER BY day ASC NULLS FIRST""".stripMargin
   )
 }

@@ -159,6 +159,64 @@ object WindowQueries {
             .as("sum_filled"))
         .orderBy("l_suppkey")
         .limit(25)
+    }),
+
+    // RATIO_TO_REPORT — Redshift's percent-of-total window verb: each
+    // nation's revenue as a share of its region's total. The grouped
+    // revenue is an exact decimal sum ([D2]); the window total is a sum
+    // of those decimals over the 5-nation region partition, so the
+    // division sees identical operands in both engines. Aggregation
+    // happens BEFORE the window, so the window input is 25 rows — the
+    // shape that stays cheap at any fact-table scale.
+    "q194_ratio_to_report" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(decSum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy("n_regionkey")
+      rev.select(col("n_regionkey"), col("n_name"),
+          col("rev").cast("double").as("nation_rev"),
+          round(col("rev").cast("double") /
+            sum(col("rev")).over(w).cast("double"), 4).as("rev_share"))
+        .orderBy("n_regionkey", "n_name")
+    }),
+
+    // NTH_VALUE + offset-with-default — the remaining Redshift window
+    // navigation verbs: 3rd-poorest customer id per segment (full-frame
+    // NTH_VALUE) and LAG/LEAD at offset 2 with explicit defaults (the
+    // default fires at partition edges, so its value is gated too).
+    "q195_nth_value" -> ((s, dir) => {
+      val ord = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          nth_value(col("c_custkey"), 3).over(full).as("third_poorest"),
+          lag(col("c_custkey"), 2, -1L).over(ord).as("prev2_cust"),
+          lead(col("c_custkey"), 2, -1L).over(ord).as("next2_cust"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    }),
+
+    // Top-k WITH TIES — RANK() (not ROW_NUMBER) keeps every row tied at
+    // the cutoff: all parts sharing a top-3 size in their brand. Sizes
+    // tie heavily (50 values over thousands of parts per brand), so the
+    // tie-inclusion semantics are what the gate actually exercises; the
+    // per-(brand, size) rollup keeps the output deterministic without a
+    // unique-column tiebreak.
+    "q196_topk_ties" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+      t(s, dir, "part")
+        .select(col("p_brand"), col("p_size"),
+          rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .groupBy("p_brand", "p_size")
+        .agg(min(col("rnk")).cast("long").as("rnk"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("p_brand", "p_size")
     })
   )
 
@@ -248,6 +306,47 @@ object WindowQueries {
         |SELECT l_suppkey, COUNT(*) AS n_lines, COUNT(filled) AS n_filled,
         |  CAST(SUM(CAST(filled AS DECIMAL(38,0))) AS BIGINT) AS sum_filled
         |FROM f GROUP BY 1 ORDER BY l_suppkey ASC NULLS FIRST
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+
+    "q194_ratio_to_report" ->
+      """WITH rev AS (
+        |  SELECT n_regionkey, n_name,
+        |         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_regionkey, n_name,
+        |       CAST(rev AS DOUBLE) AS nation_rev,
+        |       ROUND(CAST(rev AS DOUBLE) /
+        |             CAST(SUM(rev) OVER (PARTITION BY n_regionkey) AS DOUBLE),
+        |             4) AS rev_share
+        |FROM rev
+        |ORDER BY n_regionkey ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q195_nth_value" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       NTH_VALUE(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+        |         ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS third_poorest,
+        |       LAG(c_custkey, 2, -1) OVER w AS prev2_cust,
+        |       LEAD(c_custkey, 2, -1) OVER w AS next2_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal ASC NULLS FIRST,
+        |         c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "q196_topk_ties" ->
+      """SELECT p_brand, p_size, MIN(rnk) AS rnk, COUNT(*) AS n_parts
+        |FROM (
+        |  SELECT p_brand, p_size,
+        |         RANK() OVER (PARTITION BY p_brand
+        |           ORDER BY p_size DESC NULLS LAST) AS rnk
+        |  FROM part) x
+        |WHERE rnk <= 3
+        |GROUP BY 1, 2
+        |ORDER BY p_brand ASC NULLS FIRST, p_size ASC NULLS FIRST""".stripMargin
   )
 }

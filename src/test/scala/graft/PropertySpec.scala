@@ -133,6 +133,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaro-winkler kernel matches pinned cross-engine values and model") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // Pinned against DuckDB jaro_winkler_similarity (probed 2026-08-14):
+    // empty → 0, no-window short transpose → 0, integer-halved
+    // transpositions, boost only above 0.7, prefix capped at 4.
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abc", "", 0.0), ("", "", 0.0), ("ab", "ba", 0.0),
+      ("abcdef", "bcadef", 0.9444444444444445),
+      ("crate", "trace", 0.7333333333333334),
+      ("abcdxxxx", "abcdyyyy", 0.6666666666666666),
+      ("abcdefxx", "abcdefyy", 0.9),
+      ("prefixaa", "prefixbb", 0.9))
+    for ((a, b, want) <- pinned) {
+      assert(graft.functions.TextHash.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) == want,
+        s"kernel($a, $b)")
+    }
+    // The SQL expression path (codegen) agrees with the kernel, bitwise,
+    // and stays in [0, 1] with jw(s, s) == 1 on random words.
+    val word = Gen.listOfN(8,
+      Gen.oneOf('a', 'b', 'c', 'd', 'k', 'z')).map(_.mkString)
+    val pairs = cases(word, 24).zip(cases(word, 24).reverse)
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), expr("graft_jaro_winkler(a, b)").as("jw"),
+        expr("graft_jaro_winkler(a, a)").as("self"))
+      .collect()
+    for (r <- df) {
+      val k = graft.functions.TextHash.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      assert(r.getDouble(2) == k)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) == 1.0)
+    }
+  }
+
   test("codegen text-hash kernels equal their HOF formulations") {
     import graft.functions.TextFunctions
     import spark.implicits._
