@@ -202,7 +202,43 @@ object AggQueries {
           round(count(lit(1)) * lit(1000000.0) /
             decSum(round(lit(1000000.0) / col("l_extendedprice"), 6))
               .cast("double"), 4).as("harm_mean"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // The same 3-group skewed rollup as a SALTED two-phase aggregation —
+    // functions/Skew.saltedAgg gated under the oracle (SkewSpec asserts
+    // the plan shape; this asserts the VALUES). 3 groups over the whole
+    // fact table is the shape where a plain hash agg's reduce side
+    // collapses to 3 tasks at 100 TB; the salt fans phase 1 to
+    // 3×8 cells and phase 2 re-folds 24 exact decimal partials. The
+    // orderkey discriminator keeps the salt deterministic ([D1]).
+    "q209_salted_agg" -> ((s, dir) =>
+      graft.functions.Skew.saltedAgg(
+        t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice",
+          "l_quantity", "l_orderkey"),
+        Seq("l_returnflag"), 8,
+        Map("sum_price" -> col("l_extendedprice"),
+          "sum_qty" -> col("l_quantity")),
+        Some(col("l_orderkey")))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // MAX_BY / MIN_BY (Redshift/DuckDB arg_max/arg_min) — the argmax
+    // verb. The ordering value packs (balance cents, custkey) into one
+    // BIGINT so it is UNIQUE per row: argmax over a tied raw balance is
+    // engine-nondeterministic, the packed key makes both engines pick
+    // the same customer without a window.
+    "q212_argmax" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          (round(col("c_acctbal") * 100).cast("long") * 10000000L
+            + col("c_custkey")).as("v"))
+        .groupBy("c_mktsegment")
+        .agg(max_by(col("c_custkey"), col("v")).as("richest_cust"),
+          min_by(col("c_custkey"), col("v")).as("poorest_cust"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -314,6 +350,27 @@ object AggQueries {
         |    CAST(SUM(CAST(ROUND(1000000.0 / l_extendedprice, 6)
         |      AS DECIMAL(38,6))) AS DOUBLE), 4) AS harm_mean
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q209_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q212_argmax" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey
+        |      AS v
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |       arg_max(c_custkey, v) AS richest_cust,
+        |       arg_min(c_custkey, v) AS poorest_cust,
+        |       COUNT(*) AS n_cust
+        |FROM v GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
   )
 }

@@ -118,6 +118,25 @@ object EventQueries {
         .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc,
           col("t3").asc)
         .limit(15)
+    }),
+
+    // Day-of-week × hour-of-day activity heatmap — the weekly traffic
+    // profile. The weekday derives ARITHMETICALLY from the epoch day
+    // ((days + 3) mod 7, 0 = Monday; 1970-01-01 was a Thursday) because
+    // the engines' dayofweek() builtins disagree on both origin and
+    // base — the portable form is part of the operator's determinism
+    // contract. One 168-cell map-side-combinable count plus a
+    // broadcast one-row total for the share.
+    "q211_dow_hour" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .select(((datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")) + 3) % 7).as("dow"),
+          hour(col("ts")).as("hod"))
+        .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+      cells.crossJoin(broadcast(cells.agg(sum(col("n")).as("tot"))))
+        .select(col("dow"), col("hod"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("share6"))
+        .orderBy("dow", "hod")
     })
   )
 
@@ -212,6 +231,17 @@ object EventQueries {
         |SELECT t1, t2, t3, COUNT(*) AS cnt FROM q
         |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
         |GROUP BY 1, 2, 3
-        |ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 15""".stripMargin
+        |ORDER BY cnt DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 15""".stripMargin,
+
+    "q211_dow_hour" ->
+      """WITH cells AS (
+        |  SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') + 3) % 7 AS dow,
+        |         CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n) AS tot FROM cells)
+        |SELECT CAST(dow AS INT) AS dow, hod, CAST(n AS BIGINT) AS n,
+        |       ROUND(CAST(n AS DOUBLE) / tot, 6) AS share6
+        |FROM cells CROSS JOIN tot
+        |ORDER BY dow ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin
   )
 }

@@ -176,8 +176,61 @@ object SourceQueries {
         .crossJoin(broadcast(
           corrupt.agg(count(lit(1)).as("n_corrupt"))))
         .select(col("n_good"), col("n_corrupt"), col("sum_price"))
+    }),
+
+    // Partition-pruned lake read: orders unload partitioned by order
+    // year (the Spectrum/date-prefix layout LakeWriter.unloadPartitioned
+    // exists for), then a year-filtered rollup off the re-read lake.
+    // The filter must resolve as a PARTITION filter (directory pruning —
+    // PlanShapeSpec asserts no non-1997 partition is listed), and the
+    // oracle replays the same year predicate on the original table, so
+    // both the layout round-trip and the pruned read are gated.
+    "q207_partition_prune" -> ((s, dir) => {
+      val out = tmp("graft_part_prune")
+      val orders = Tables.load(s, dir, "orders")
+      LakeWriter.unloadPartitioned(
+        orders.withColumn("o_year", year(col("o_orderdate"))),
+        out, Seq("o_year"))
+      val schema = org.apache.spark.sql.types.StructType(
+        Tables.schemas("orders").fields :+
+          org.apache.spark.sql.types.StructField("o_year",
+            org.apache.spark.sql.types.IntegerType))
+      s.read.schema(schema).parquet(out)
+        .filter(col("o_year") === PruneYear)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          Dets.decSumD(col("o_totalprice")).as("sum_price"),
+          count_distinct(col("o_custkey")).as("n_cust"))
+        .orderBy("status")
+    }),
+
+    // CSV quoting/escape round-trip: fields carrying the delimiter, the
+    // quote char and a backslash go out through the CSV writer (which
+    // must quote-and-escape them) and come back through the strict
+    // reader. The gate hashes the exact string content (length sum +
+    // polynomial charhash sum), so one mis-escaped byte anywhere in the
+    // codec breaks it. Embedded newlines are deliberately excluded —
+    // reading them needs multiLine=true, which makes the files
+    // non-splittable (the wrong trade at 100 TB; documented here).
+    "q208_csv_quoting" -> ((s, dir) => {
+      val out = tmp("graft_csv_quote")
+      val hostile = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(",\"|\\"), col("c_mktsegment"))
+            .as("s"))
+      LakeWriter.unloadCsv(hostile, out)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("c_custkey", org.apache.spark.sql.types.LongType)
+        .add("s", org.apache.spark.sql.types.StringType)
+      LakeWriter.copyCsv(s, out, schema)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("s"))).cast("long").as("sum_len"),
+          sum(expr("graft_charhash(s)")).as("hsum"))
     })
   )
+
+  /** q207's pruned partition — one of the fixture's order years. */
+  private val PruneYear = 1997
 
   /** Malformed lines planted by q131 — mirrored as a literal in its
     * oracle. */
@@ -246,6 +299,25 @@ object SourceQueries {
       s"""SELECT COUNT(*) AS n_good,
          |  CAST($CorruptLines AS BIGINT) AS n_corrupt,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
-         |FROM orders""".stripMargin
+         |FROM orders""".stripMargin,
+
+    "q207_partition_prune" ->
+      s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         |    AS sum_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders WHERE year(o_orderdate) = $PruneYear
+         |GROUP BY 1 ORDER BY status ASC NULLS FIRST""".stripMargin,
+
+    "q208_csv_quoting" -> {
+      val h = graft.functions.TextFunctions.Sql.charHash("s")
+      """WITH src AS (
+        |  SELECT c_custkey, c_name || ',"|\' || c_mktsegment AS s
+        |  FROM customer)
+        |SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(length(s)) AS BIGINT) AS sum_len,
+        |       CAST(SUM(HSUM_EXPR) AS BIGINT) AS hsum
+        |FROM src""".stripMargin.replace("HSUM_EXPR", h)
+    }
   )
 }

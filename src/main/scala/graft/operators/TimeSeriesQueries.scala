@@ -197,6 +197,31 @@ object TimeSeriesQueries {
           col("c").as("n_events"), col("s4"),
           (abs(col("s4")) === col("peak")).as("is_peak"))
         .orderBy("day")
+    }),
+
+    // Year-over-year revenue growth per nation — the periodic
+    // comparative the reporting endpoints serve. The fact scan reduces
+    // to (nation, year) exact decimal partials FIRST; the previous
+    // year attaches by a keyed equi-join on (nation, year+1) over that
+    // ~175-row table (no window, no second fact pass), NULL growth on
+    // each nation's first year.
+    "q210_yoy_growth" -> ((s, dir) => {
+      val yr = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(decSum(col("o_totalprice")).as("rev"))
+      val prev = yr.select(col("n_name"), (col("yr") + 1).as("yr"),
+        col("rev").as("prev_rev"))
+      yr.join(prev, Seq("n_name", "yr"), "left")
+        .select(col("n_name"), col("yr"),
+          col("rev").cast("double").as("rev"),
+          round((col("rev") - col("prev_rev")).cast("double")
+            / col("prev_rev").cast("double") * 100, 4).as("yoy_pct"))
+        .orderBy("n_name", "yr")
     })
   )
 
@@ -308,6 +333,21 @@ object TimeSeriesQueries {
         |  FROM r)
         |SELECT make_timestamp(day_us) AS day, c AS n_events, s4,
         |       abs(s4) = (SELECT MAX(abs(s4)) FROM s) AS is_peak
-        |FROM s ORDER BY day ASC NULLS FIRST""".stripMargin
+        |FROM s ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    "q210_yoy_growth" ->
+      """WITH yr AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+        |         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT a.n_name, a.yr, CAST(a.rev AS DOUBLE) AS rev,
+        |       ROUND(CAST(a.rev - b.rev AS DOUBLE)
+        |             / CAST(b.rev AS DOUBLE) * 100, 4) AS yoy_pct
+        |FROM yr a LEFT JOIN yr b
+        |  ON a.n_name = b.n_name AND a.yr = b.yr + 1
+        |ORDER BY a.n_name ASC NULLS FIRST, a.yr ASC NULLS FIRST""".stripMargin
   )
 }

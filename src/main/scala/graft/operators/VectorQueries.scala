@@ -288,6 +288,33 @@ object VectorQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.api.PqOps.ivfPqSearchWith(cents, cb, codes, emb, "vec_id",
         "embedding", 64, PqM, probes, IvfPqNprobe, IvfPqShortK, 3)
+    }),
+
+    // Per-dimension corpus statistics of the embedding column — the
+    // feature-scaling profile (mean/variance/min/max per dimension)
+    // every normalization or whitening stage reads first. q63 is the
+    // per-LABEL mean; this is the corpus-global second-moment sweep:
+    // one posexplode → 64-group hash agg (map-side combinable), exact
+    // decimal sums for both moments ([D2] — x and x·x quantize to 6dp
+    // before summing), min/max exact picks emitted as double (the
+    // float→double widening is value-preserving).
+    "q206_embed_dim_stats" -> ((s, dir) => {
+      val flat = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+      flat.groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(Dets.Dec)).cast("double").as("sx"),
+          sum((col("x").cast("double") * col("x").cast("double"))
+            .cast(Dets.Dec)).cast("double").as("sx2"),
+          min(col("x")).cast("double").as("min_x"),
+          max(col("x")).cast("double").as("max_x"))
+        .select(col("dim"), col("n"),
+          round(col("sx") / col("n"), 4).as("mean4"),
+          round((col("sx2") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1), 4).as("var4"),
+          col("min_x"), col("max_x"))
+        .orderBy("dim")
     })
   )
 
@@ -554,6 +581,26 @@ object VectorQueries {
          |                   AND b.vec_id != co.probe_id) f
          |WHERE rn <= 3
          |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
-    }
+    },
+
+    "q206_embed_dim_stats" ->
+      """WITH flat AS (
+        |  SELECT unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |                  AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+        |    CAST(MIN(x) AS DOUBLE) AS min_x,
+        |    CAST(MAX(x) AS DOUBLE) AS max_x
+        |  FROM flat GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |       ROUND(sx / n, 4) AS mean4,
+        |       -- + 0 normalizes -0.0 (Spark's round never emits it)
+        |       ROUND((sx2 - sx * sx / n) / (n - 1), 4) + 0 AS var4,
+        |       min_x, max_x
+        |FROM g ORDER BY dim ASC NULLS FIRST""".stripMargin
   )
 }

@@ -118,6 +118,20 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"cartesian product (unbounded at scale) in: $offenders")
   }
 
+  test("q207 year filter resolves as a partition filter (directory pruning)") {
+    val p = planOf("q207_partition_prune")
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert("PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(p).isDefined,
+      "the o_year predicate must prune partitions, not scan rows\n"
+        + p.take(2000))
+  }
+
+  test("q205 JW similarity rides a hash join on the (brand, band) block key") {
+    val p = planOf("q205_jaro_winkler")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "blocked fuzzy match must be an equi-join on the block key\n" + p.take(2000))
+  }
+
   test("SURVEY §2 inventory and the declared query map agree") {
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
