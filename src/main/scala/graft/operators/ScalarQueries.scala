@@ -106,6 +106,26 @@ object ScalarQueries {
         .orderBy("c_custkey")
     }),
 
+    // Higher-order array-function family — transform/filter/exists/
+    // forall/aggregate/slice over the token array, each inside ONE
+    // projection. These are the array-lambda verbs a pipeline uses for
+    // in-row work that would otherwise explode+reaggregate (a shuffle);
+    // the HOF forms are flat maps. Lambdas evaluate interpreted — fine
+    // here (no join fan-out multiplies the rows); the codegen kernels
+    // (graft_*) exist for the hot paths that do.
+    "q214_hof_family" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks",
+          graft.functions.TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          expr("size(filter(toks, t -> length(t) > 4))").as("n_long"),
+          expr("exists(toks, t -> t = 'hash')").as("has_hash"),
+          expr("forall(toks, t -> length(t) < 12)").as("all_short"),
+          expr("aggregate(toks, CAST(0 AS BIGINT), " +
+            "(a, t) -> a + length(t))").as("sum_len"),
+          expr("array_join(slice(toks, 1, 3), ' ')").as("first3"))
+        .orderBy("doc_id")),
+
     // String scalar-function family (TRANSLATE / STRPOS / SPLIT_PART /
     // LPAD / REVERSE / REPEAT / TRIM) — each Redshift string builtin
     // exercised inside one codegen'd projection, gated through an
@@ -261,6 +281,20 @@ object ScalarQueries {
         |      CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_first_of_month
         |FROM orders GROUP BY 1, 2
-        |ORDER BY yr ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin
+        |ORDER BY yr ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin,
+
+    "q214_hof_family" -> {
+      val toks = graft.functions.TextFunctions.Sql.tokens("text")
+      s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT)
+         |    AS n_long,
+         |  list_contains(toks, 'hash') AS has_hash,
+         |  len(list_filter(toks, t -> length(t) >= 12)) = 0 AS all_short,
+         |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+         |       AS BIGINT) AS sum_len,
+         |  array_to_string(toks[1:3], ' ') AS first3
+         |FROM tk ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -190,6 +190,34 @@ object ServiceQueries {
           min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("days")))
             .as("p99_days"))
         .orderBy("pri")
+    }),
+
+    // Local-supplier revenue (the TPC-H Q5 topology): revenue per nation
+    // where the LINE's supplier sits in the ordering customer's nation —
+    // the one star query whose join graph is CYCLIC (the
+    // c_nationkey = s_nationkey edge closes the loop), so the optimizer
+    // must carry the supplier join as a composite-key equi-join instead
+    // of a star fan-out. Dims broadcast; the fact side shuffles only on
+    // the natural orderkey/suppkey keys. Region + year filters push into
+    // the joins.
+    "q213_local_supplier_rev" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(Dets.decSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("nation").asc)
     })
   )
 
@@ -431,6 +459,22 @@ object ServiceQueries {
         |  MIN(CASE WHEN cc >= (99 * n.n + 99) // 100 THEN days END)
         |    AS p99_days
         |FROM cum JOIN n ON n.pri = cum.pri
-        |GROUP BY 1 ORDER BY cum.pri ASC NULLS FIRST""".stripMargin
+        |GROUP BY 1 ORDER BY cum.pri ASC NULLS FIRST""".stripMargin,
+
+    "q213_local_supplier_rev" ->
+      """SELECT n_name AS nation,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, nation ASC NULLS FIRST""".stripMargin
   )
 }

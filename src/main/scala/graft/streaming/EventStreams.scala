@@ -238,6 +238,31 @@ object EventStreams {
             .as("n_origin"))
     }
 
+  /** Streaming day-of-week × hour heatmap: each event micro-batch folds
+    * its 168-cell count partial into the snapshot (plain re-summable
+    * counts — the simplest aggSnapshot instance). The weekday derives
+    * from the epoch day exactly as the q211 batch query does (the
+    * portable (days + 3) mod 7 form), so the finished report is
+    * bit-identical to the batch heatmap at any fold point. */
+  def dowHourStream(events: DataFrame, snapshotRoot: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    aggSnapshot(events, snapshotRoot, Seq("dow", "hod")) { b =>
+      b.select(((datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")) + 3) % 7).as("dow"),
+          hour(col("ts")).as("hod"))
+        .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+    }
+
+  /** Finish [[dowHourStream]]'s snapshot to the q211 report (share of
+    * total per cell). */
+  def dowHourReport(snapshot: DataFrame): DataFrame = {
+    val cells = snapshot
+    cells.crossJoin(broadcast(cells.agg(sum(col("n")).as("tot"))))
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("share6"))
+      .orderBy("dow", "hod")
+  }
+
   /** Finish [[rollingWauStream]]'s snapshot to the q177 report: WAU =
     * distinct snapshot keys per day, restricted to days with at least
     * one origin hit (days that actually occurred in the stream). */

@@ -345,6 +345,27 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streamed dow-hour heatmap snapshot reproduces the q211 batch cells") {
+    import graft.streaming.EventStreams
+    val dir = chunkTableDir("events", Seq("ts", "event_id"))
+    val snap = Files.createTempDirectory("graft_dowhour_snap_").toString
+    val schema = Tables.load(spark, Sf, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.dowHourStream(stream, snap)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val got = EventStreams.dowHourReport(
+        EventStreams.readSnapshot(spark, snap).get)
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("q211_dow_hour")(spark, Sf)
+      .collect().map(key).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming near-dup filter keeps first arrival per signature") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_neardup_").toString
