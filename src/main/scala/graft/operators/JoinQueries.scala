@@ -144,24 +144,43 @@ object JoinQueries {
     // loses nothing at this threshold), similarity materialized once,
     // 4dp-rounded with the filter on the rounded value so the
     // boundary set is identical in both engines.
-    "q205_jaro_winkler" -> ((s, dir) => {
-      val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
-      val band = floor(length(col("p_name")) / EditBandWidth).cast("int")
-      val a = p.select(col("p_brand"), band.as("band"),
-        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-      val b = p.select(col("p_brand"),
-        explode(array(band - 1, band, band + 1)).as("band"),
-        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-      a.join(b, Seq("p_brand", "band"))
-        .filter(col("id_a") < col("id_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-        .withColumn("jw4",
-          round(expr("graft_jaro_winkler(name_a, name_b)"), 4))
-        .filter(col("jw4") >= JwThreshold)
+    "q205_jaro_winkler" -> ((s, dir) =>
+      jwPairs(s, dir)
         .select(col("p_brand"), col("id_a"), col("id_b"), col("jw4"))
-        .orderBy("p_brand", "id_a", "id_b")
-    })
+        .orderBy("p_brand", "id_a", "id_b")),
+
+    // Entity-resolution clustering — the composition that makes fuzzy
+    // matching a MERGE verb: the q205 JW match pairs become edges and
+    // connected components assigns every part a cluster id + a keeper
+    // flag (min-id representative), exactly the q77 resolution loop on
+    // a different similarity relation. The oracle is the algorithm-
+    // independent recursive-CTE transitive closure.
+    "q215_linkage_cluster" -> ((s, dir) =>
+      graft.api.DedupOps.clusterResolve(
+        t(s, dir, "part"), "p_partkey",
+        jwPairs(s, dir).select(col("id_a").as("id_lo"),
+          col("id_b").as("id_hi")))
+        .orderBy("p_partkey"))
   )
+
+  /** q205/q215's blocked Jaro–Winkler match pairs: (brand, length-band)
+    * blocking with ±1-band replication (see q141's bound argument),
+    * similarity materialized once, threshold on the 4dp-rounded value. */
+  private def jwPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+    val band = floor(length(col("p_name")) / EditBandWidth).cast("int")
+    val a = p.select(col("p_brand"), band.as("band"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"),
+      explode(array(band - 1, band, band + 1)).as("band"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "band"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .withColumn("jw4",
+        round(expr("graft_jaro_winkler(name_a, name_b)"), 4))
+      .filter(col("jw4") >= JwThreshold)
+  }
 
   /** q205's match floor on the 4dp-rounded similarity. */
   private val JwThreshold = 0.94
@@ -238,6 +257,26 @@ object JoinQueries {
         |  AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.94
         |ORDER BY a.p_brand ASC NULLS FIRST, id_a ASC NULLS FIRST,
         |         id_b ASC NULLS FIRST""".stripMargin,
+
+    "q215_linkage_cluster" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.p_partkey AS id_lo, b.p_partkey AS id_hi
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |  WHERE a.p_partkey < b.p_partkey
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |    AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+        |        >= 0.94),
+        |ed AS (SELECT id_lo AS src, id_hi AS dst FROM e
+        |       UNION SELECT id_hi, id_lo FROM e),
+        |reach(node, lab) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node)
+        |SELECT node AS p_partkey, MIN(lab) AS cluster_id,
+        |       CAST(CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END AS INT)
+        |         AS keep
+        |FROM reach GROUP BY node
+        |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
 
     "q197_nullsafe_join" ->
       """WITH cust AS (

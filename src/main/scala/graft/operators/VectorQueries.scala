@@ -315,6 +315,41 @@ object VectorQueries {
             / (col("n") - 1), 4).as("var4"),
           col("min_x"), col("max_x"))
         .orderBy("dim")
+    }),
+
+    // Nearest-centroid assignment + inertia — the k-means E-step as a
+    // gated relational verb (the training loops in IvfIndex/PqOps use
+    // the compiled kernel; this pins the SEMANTICS under the oracle).
+    // Centroids are the q63 4dp-rounded per-(label, dim) means, the
+    // squared distance accumulates 8dp-quantized per-dim terms (exact
+    // decimal sum — partition-order-free), and the argmin breaks d6
+    // ties by smallest label via the min-join (no engine-specific
+    // arg_min tie rule). Plan shape: one flat explode feeds BOTH the
+    // 512-row centroid build and the distance join; the centroid table
+    // broadcasts.
+    "q216_nearest_centroid" -> ((s, dir) => {
+      val flat = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+      val cent = flat.groupBy(col("label").as("cl"), col("dim"))
+        .agg(round(sum(col("x").cast(Dets.Dec)).cast("double")
+          / count(lit(1)), 4).as("c4"))
+      val dist = flat.drop("label").join(broadcast(cent), Seq("dim"))
+        .withColumn("d", col("x").cast("double") - col("c4"))
+        .select(col("vec_id"), col("cl"),
+          (col("d") * col("d")).cast("decimal(38,8)").as("t8"))
+        .groupBy("vec_id", "cl")
+        .agg(round(sum(col("t8")).cast("double"), 6).as("d6"))
+      val m = dist.groupBy("vec_id").agg(min(col("d6")).as("md"))
+      val assign = dist.join(m, Seq("vec_id"))
+        .filter(col("d6") === col("md"))
+        .groupBy("vec_id").agg(min(col("cl")).as("cl"),
+          min(col("md")).as("md"))
+      assign.groupBy("cl")
+        .agg(count(lit(1)).as("n_assigned"),
+          round(sum(col("md").cast(Dets.Dec)).cast("double"), 4)
+            .as("inertia4"))
+        .orderBy("cl")
     })
   )
 
@@ -601,6 +636,35 @@ object VectorQueries {
         |       -- + 0 normalizes -0.0 (Spark's round never emits it)
         |       ROUND((sx2 - sx * sx / n) / (n - 1), 4) + 0 AS var4,
         |       min_x, max_x
-        |FROM g ORDER BY dim ASC NULLS FIRST""".stripMargin
+        |FROM g ORDER BY dim ASC NULLS FIRST""".stripMargin,
+
+    "q216_nearest_centroid" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label,
+        |         generate_subscripts(embedding, 1) AS dim,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cl, dim,
+        |    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+        |          / COUNT(*), 4) AS c4
+        |  FROM flat GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT f.vec_id, c.cl,
+        |    ROUND(CAST(SUM(CAST((CAST(f.x AS DOUBLE) - c.c4)
+        |                        * (CAST(f.x AS DOUBLE) - c.c4)
+        |                        AS DECIMAL(38,8))) AS DOUBLE), 6) AS d6
+        |  FROM flat f JOIN cent c ON f.dim = c.dim
+        |  GROUP BY 1, 2),
+        |m AS (SELECT vec_id, MIN(d6) AS md FROM dist GROUP BY 1),
+        |assign AS (
+        |  SELECT d.vec_id, MIN(d.cl) AS cl, MIN(m.md) AS md
+        |  FROM dist d JOIN m ON d.vec_id = m.vec_id AND d.d6 = m.md
+        |  GROUP BY 1)
+        |SELECT cl, COUNT(*) AS n_assigned,
+        |       ROUND(CAST(SUM(CAST(md AS DECIMAL(38,6))) AS DOUBLE), 4)
+        |         AS inertia4
+        |FROM assign GROUP BY cl
+        |ORDER BY cl ASC NULLS FIRST""".stripMargin
   )
 }
