@@ -604,6 +604,33 @@ object AnalyticsQueries {
         .select(col("c_mktsegment"), col("o_orderstatus"), col("n_xy"),
           col("mi_term"), col("mi_nats"))
         .orderBy("c_mktsegment", "o_orderstatus")
+    }),
+
+    // Session path mining — the top click-path report: event-type
+    // sequences within q52's 30-minute-gap sessions, counted across all
+    // sessions. Session ids come from the same gaps-and-islands pass as
+    // the q52 oracle; the path string builds from ONE session-bounded
+    // collect (sorted on (ts, event_id) INSIDE the array so the agg is
+    // partition-layout-invariant — q27's convention; session length is
+    // gap-bounded, the one shape where a collected list is scale-safe).
+    "q218_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("brk", when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            >= 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "sid")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(ts, event_id, event_type))), " +
+          "x -> x.event_type), '>')").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(15)
     })
   )
 
@@ -1062,6 +1089,29 @@ object AnalyticsQueries {
         |                          AS DOUBLE), 4) FROM cells) AS mi_nats
         |FROM cells
         |ORDER BY c_mktsegment ASC NULLS FIRST,
-        |         o_orderstatus ASC NULLS FIRST""".stripMargin
+        |         o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q218_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(brk) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin
   )
 }

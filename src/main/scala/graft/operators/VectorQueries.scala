@@ -350,6 +350,79 @@ object VectorQueries {
           round(sum(col("md").cast(Dets.Dec)).cast("double"), 4)
             .as("inertia4"))
         .orderBy("cl")
+    }),
+
+    // PCA top principal direction by power iteration — dense linear
+    // algebra as relational operators (the whitening/projection
+    // pre-step of an embedding pipeline). Determinism design: NO
+    // arbitrary double ever rounds to decimal (the engines' double→
+    // decimal roundings can disagree at 1 ulp — Spark rounds the
+    // SHORTEST decimal rendering, DuckDB the exact binary value, and
+    // 8 M cross products make a collision near-certain). Instead the
+    // whole pipeline is EXACT integer arithmetic: inputs floor-quantize
+    // to a 2^20 grid (float·2^20 is exact in double, floor has no tie),
+    // the Gram/mean-correction matrix is an exact DECIMAL(38,0)
+    // (n·Σxy − Σx·Σy — scale-free for the eigenvector), each mat-vec
+    // against the integer-quantized v is an exact associative decimal
+    // sum, and normalization is by the exact max component with the
+    // ratio re-floored to the 2^20 grid. The emitted v3/λ are raw
+    // doubles obtained ONLY through exact-decimal→double casts
+    // (correctly rounded in both engines, probe-verified) and
+    // deterministic double division. The covariance localCheckpoints —
+    // it feeds 3 mat-vecs + the Rayleigh quotient (the q153-PageRank
+    // multi-job pattern); the only corpus-sized job is the one
+    // self-join Gram pass, map-side combined to 4096 cells.
+    "q217_pca_power" -> ((s, dir) => {
+      val S = 1048576L // 2^20 quantization grid
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val flat = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          floor(col("x").cast("double") * S).cast("long").as("xi"))
+      val gram = flat.select(col("vec_id"), col("d").as("i"), col("xi"))
+        .join(flat.select(col("vec_id"), col("d").as("j"),
+          col("xi").as("xj")), Seq("vec_id"))
+        .groupBy("i", "j")
+        .agg(sum(d38(col("xi") * col("xj"))).as("sxy"))
+      val mrg = flat.groupBy(col("d").as("k"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      val cov = gram
+        .join(broadcast(mrg.select(col("k").as("i"), col("sx").as("sxi"),
+          col("n"))), Seq("i"))
+        .join(broadcast(mrg.select(col("k").as("j"), col("sx").as("sxj"))),
+          Seq("j"))
+        .select(col("i"), col("j"),
+          (d38(col("n")) * col("sxy") - d38(col("sxi")) * d38(col("sxj")))
+            .as("aij"))
+        .localCheckpoint()
+      var v = mrg.select(col("k").as("i"), lit(1L).as("v"))
+      var r: DataFrame = null
+      for (_ <- 1 to 3) {
+        val w = cov.join(broadcast(v.select(col("i").as("j"), col("v"))),
+            Seq("j"))
+          .groupBy("i").agg(sum(col("aij") * col("v")).as("w"))
+        val mx = w.agg(max(abs(col("w"))).as("mw"))
+        r = w.crossJoin(broadcast(mx))
+          .select(col("i"),
+            (col("w").cast("double") / col("mw").cast("double")).as("r"))
+          .localCheckpoint()
+        v = r.select(col("i"), floor(col("r") * S).cast("long").as("v"))
+      }
+      val num = cov
+        .join(broadcast(v.select(col("i"), col("v").as("vi"))), Seq("i"))
+        .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))),
+          Seq("j"))
+        .agg(sum(col("aij") * col("vi") * col("vj")).as("num"))
+      val lam = num
+        .crossJoin(broadcast(v.agg(sum(col("v") * col("v")).as("den"))))
+        .crossJoin(broadcast(mrg.agg(max(col("n")).as("n"))))
+        .select((col("num").cast("double") / col("den").cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")
+          / lit(S.toDouble) / lit(S.toDouble)).as("lambda1"))
+      r.crossJoin(broadcast(lam))
+        .select((col("i") + 1).cast("long").as("dim"), col("r").as("v3"),
+          col("lambda1"))
+        .orderBy("dim")
     })
   )
 
@@ -665,6 +738,66 @@ object VectorQueries {
         |       ROUND(CAST(SUM(CAST(md AS DECIMAL(38,6))) AS DOUBLE), 4)
         |         AS inertia4
         |FROM assign GROUP BY cl
-        |ORDER BY cl ASC NULLS FIRST""".stripMargin
+        |ORDER BY cl ASC NULLS FIRST""".stripMargin,
+
+    // Exact-integer replay of the Spark pipeline (see the query's
+    // scaladoc): HUGEINT plays DECIMAL(38,0)'s role. The exact→double
+    // conversions go through VARCHAR: DuckDB's direct HUGEINT/DECIMAL→
+    // DOUBLE casts mis-round some >2^53 integers by 1 ulp (probe:
+    // 31321276294630700228), while its string parse — like Spark's
+    // BigInteger.doubleValue — is correctly rounded.
+    "q217_pca_power" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+        |              AS BIGINT) AS xi
+        |  FROM embeddings),
+        |gram AS (
+        |  SELECT a.dim AS i, b.dim AS j,
+        |         CAST(SUM(CAST(a.xi * b.xi AS HUGEINT)) AS HUGEINT) AS sxy
+        |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |mrg AS (
+        |  SELECT dim AS k, CAST(SUM(xi) AS HUGEINT) AS sx, COUNT(*) AS n
+        |  FROM flat GROUP BY 1),
+        |cov AS (
+        |  SELECT g.i, g.j,
+        |         CAST(mi.n AS HUGEINT) * g.sxy - mi.sx * mj.sx AS aij
+        |  FROM gram g JOIN mrg mi ON mi.k = g.i JOIN mrg mj ON mj.k = g.j),
+        |w1 AS (SELECT i, SUM(aij * 1) AS w FROM cov GROUP BY i),
+        |m1 AS (SELECT MAX(abs(w)) AS mw FROM w1),
+        |r1 AS (SELECT i, CAST(CAST(w AS VARCHAR) AS DOUBLE)
+        |              / CAST(CAST(mw AS VARCHAR) AS DOUBLE) AS r
+        |       FROM w1 CROSS JOIN m1),
+        |v1 AS (SELECT i, CAST(FLOOR(r * 1048576) AS BIGINT) AS v FROM r1),
+        |w2 AS (SELECT cov.i, SUM(aij * CAST(v1.v AS HUGEINT)) AS w
+        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |m2 AS (SELECT MAX(abs(w)) AS mw FROM w2),
+        |r2 AS (SELECT i, CAST(CAST(w AS VARCHAR) AS DOUBLE)
+        |              / CAST(CAST(mw AS VARCHAR) AS DOUBLE) AS r
+        |       FROM w2 CROSS JOIN m2),
+        |v2 AS (SELECT i, CAST(FLOOR(r * 1048576) AS BIGINT) AS v FROM r2),
+        |w3 AS (SELECT cov.i, SUM(aij * CAST(v2.v AS HUGEINT)) AS w
+        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |m3 AS (SELECT MAX(abs(w)) AS mw FROM w3),
+        |r3 AS (SELECT i, CAST(CAST(w AS VARCHAR) AS DOUBLE)
+        |              / CAST(CAST(mw AS VARCHAR) AS DOUBLE) AS r
+        |       FROM w3 CROSS JOIN m3),
+        |v3 AS (SELECT i, CAST(FLOOR(r * 1048576) AS BIGINT) AS v FROM r3),
+        |num AS (
+        |  SELECT SUM(cov.aij * CAST(vi.v AS HUGEINT)
+        |             * CAST(vj.v AS HUGEINT)) AS num
+        |  FROM cov JOIN v3 vi ON vi.i = cov.i JOIN v3 vj ON vj.i = cov.j),
+        |den AS (SELECT SUM(CAST(v * v AS HUGEINT)) AS den FROM v3),
+        |nn AS (SELECT MAX(n) AS n FROM mrg),
+        |lam AS (
+        |  SELECT CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |         / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+        |         / CAST(n * (n - 1) AS DOUBLE)
+        |         / 1048576.0 / 1048576.0 AS lambda1
+        |  FROM num CROSS JOIN den CROSS JOIN nn)
+        |SELECT CAST(r3.i AS BIGINT) AS dim, r3.r AS v3, lam.lambda1
+        |FROM r3 CROSS JOIN lam
+        |ORDER BY dim ASC NULLS FIRST""".stripMargin
   )
 }
