@@ -274,4 +274,68 @@ object VectorOps {
            |  0D, (a, x) -> a + x)), 4)""".stripMargin))
       .select(col("id"), col("codes"), col("rmse4"))
   }
+
+  /** MMR (maximal-marginal-relevance) diversified re-rank of a probe's
+    * shortlist: greedily pick `k` results maximizing
+    * `rel(c) − λ · max_{s ∈ selected} sim(c, s)` — the standard
+    * redundancy-suppressing finisher over a similarity shortlist.
+    *
+    * Distributed shape: the `depth`-deep shortlist comes from
+    * [[cosineTopK]] (corpus scanned once, never shuffled) and the
+    * depth² candidate-pair cosines from one broadcast self-join; the
+    * greedy selection itself is inherently sequential, so it runs on
+    * the driver over those ≤ depth² rounded scalars — a BOUNDED
+    * driver finish (depth ≤ 1024 enforced), the q77-cutover pattern.
+    * Determinism: rel/sim are the 4dp-rounded shared cosine; the score
+    * is `rel − λ·maxSim` (exact double ops on rounded operands) and
+    * ties break on the smaller id; with λ a dyadic rational the score
+    * is mathematically a 5-decimal value, so the emitted
+    * `round(score, 5)` sits on the grid in every engine.
+    * Returns (rank, id, score5). */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+    probe: DataFrame, depth: Int, k: Int, lambdaDiv: Double): DataFrame = {
+    require(k >= 1 && depth >= k && depth <= 1024,
+      "need 1 <= k <= depth <= 1024 (bounded driver finish)")
+    val short = cosineTopK(corpus, idCol, vecCol, probe, depth)
+      .select(col("id"), col("cos").as("rel"))
+    val c = withNorm(corpus, vecCol)
+    val side = c.join(short.select(col("id")), col(idCol) === col("id"))
+      .select(col("id"), col(vecCol).as("v"), col("n2"))
+    val sims = side.select(col("id").as("ia"), col("v").as("va"),
+        col("n2").as("na"))
+      .join(broadcast(side.select(col("id").as("ib"), col("v").as("vb"),
+        col("n2").as("nb"))), col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        round(cosWith("va", "vb", "na", "nb"), 4).as("sim"))
+    val rel = short.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val simM = sims.collect().flatMap { r =>
+      val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      Seq((a, b) -> s, (b, a) -> s)
+    }.toMap
+    var selected = Vector.empty[Long]
+    val out = Vector.newBuilder[(Int, Long, Double)]
+    val pool = scala.collection.mutable.LinkedHashMap(rel: _*)
+    for (rank <- 1 to k if pool.nonEmpty) {
+      val (bestId, bestScore) = pool.iterator.map { case (id, r) =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(s => simM.getOrElse((id, s), 0.0)).max
+        id -> (r - lambdaDiv * pen)
+      }.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+      }
+      selected :+= bestId
+      pool.remove(bestId)
+      out += ((rank,
+        bestId,
+        BigDecimal(bestScore)
+          .setScale(5, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      ()
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    out.result().toDF("rank", "id", "score5")
+      .select(col("rank").cast("long").as("rank"), col("id"),
+        col("score5"))
+  }
 }

@@ -423,6 +423,22 @@ object VectorQueries {
         .select((col("i") + 1).cast("long").as("dim"), col("r").as("v3"),
           col("lambda1"))
         .orderBy("dim")
+    }),
+
+    // MMR diversified re-rank — the redundancy-suppressing retrieval
+    // finisher (pick results near the probe but far from each other):
+    // greedy rel − 0.5·maxSim over probe 0's 10-deep cosine shortlist,
+    // top-3. Shortlist + pair sims are distributed (one corpus scan,
+    // one depth² broadcast self-join); the greedy is the documented
+    // bounded driver finish (VectorOps.mmrRerank). The oracle unrolls
+    // the 3 greedy steps as CTEs.
+    "q220_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      graft.api.VectorOps.mmrRerank(emb, "vec_id", "embedding", probe,
+        depth = 10, k = 3, lambdaDiv = 0.5)
+        .orderBy("rank")
     })
   )
 
@@ -798,6 +814,51 @@ object VectorQueries {
         |  FROM num CROSS JOIN den CROSS JOIN nn)
         |SELECT CAST(r3.i AS BIGINT) AS dim, r3.r AS v3, lam.lambda1
         |FROM r3 CROSS JOIN lam
-        |ORDER BY dim ASC NULLS FIRST""".stripMargin
+        |ORDER BY dim ASC NULLS FIRST""".stripMargin,
+
+    // the 3 greedy MMR steps unrolled; the score rel − 0.5·sim over
+    // 4dp-rounded cosines is mathematically a 5-decimal value, so the
+    // ROUND(…, 5) sits on the grid in both engines
+    "q220_mmr_rerank" -> {
+      val slCos = Sql.cosine("pe", "embedding")
+      val pairCos = Sql.cosine("ea.embedding", "eb.embedding")
+      s"""WITH p AS (SELECT embedding AS pe FROM embeddings
+         |           WHERE vec_id = 0),
+         |sl AS (
+         |  SELECT b.vec_id AS id, ROUND($slCos, 4) AS rel
+         |  FROM embeddings b CROSS JOIN p
+         |  WHERE b.vec_id != 0
+         |  ORDER BY rel DESC NULLS LAST, id ASC LIMIT 10),
+         |pr AS (
+         |  SELECT a.id AS ia, b.id AS ib, ROUND($pairCos, 4) AS sim
+         |  FROM sl a JOIN sl b ON a.id < b.id
+         |  JOIN embeddings ea ON ea.vec_id = a.id
+         |  JOIN embeddings eb ON eb.vec_id = b.id),
+         |sim2 AS (SELECT ia, ib, sim FROM pr
+         |         UNION ALL SELECT ib, ia, sim FROM pr),
+         |s1 AS (SELECT id, rel AS score FROM sl
+         |       ORDER BY rel DESC, id ASC LIMIT 1),
+         |c2 AS (
+         |  SELECT sl.id, sl.rel - 0.5 * s.sim AS score
+         |  FROM sl JOIN sim2 s
+         |    ON s.ia = sl.id AND s.ib = (SELECT id FROM s1)
+         |  WHERE sl.id != (SELECT id FROM s1)),
+         |s2 AS (SELECT id, score FROM c2
+         |       ORDER BY score DESC, id ASC LIMIT 1),
+         |c3 AS (
+         |  SELECT sl.id, sl.rel - 0.5 * GREATEST(sa.sim, sb.sim) AS score
+         |  FROM sl
+         |  JOIN sim2 sa ON sa.ia = sl.id AND sa.ib = (SELECT id FROM s1)
+         |  JOIN sim2 sb ON sb.ia = sl.id AND sb.ib = (SELECT id FROM s2)
+         |  WHERE sl.id NOT IN (SELECT id FROM s1 UNION ALL
+         |                      SELECT id FROM s2)),
+         |s3 AS (SELECT id, score FROM c3
+         |       ORDER BY score DESC, id ASC LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, id, ROUND(score, 5) AS score5
+         |FROM s1
+         |UNION ALL SELECT 2, id, ROUND(score, 5) FROM s2
+         |UNION ALL SELECT 3, id, ROUND(score, 5) FROM s3
+         |ORDER BY rank ASC NULLS FIRST""".stripMargin
+    }
   )
 }

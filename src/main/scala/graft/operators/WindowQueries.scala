@@ -217,6 +217,24 @@ object WindowQueries {
         .agg(min(col("rnk")).cast("long").as("rnk"),
           count(lit(1)).as("n_parts"))
         .orderBy("p_brand", "p_size")
+    }),
+
+    // Numeric RANGE frame — the VALUE-based window (q137 is its
+    // event-time sibling): per part, how many same-brand parts sit
+    // within ±2 sizes, and their exact cent sum. RANGE peers make every
+    // (brand, size) row carry identical frame results, so the distinct
+    // collapses duplicates and the output needs no per-row tiebreak.
+    // Keyed window (brand partitions), exact integer cents [D2].
+    "q219_range_numeric" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_size").asc)
+        .rangeBetween(-2, 2)
+      t(s, dir, "part")
+        .select(col("p_brand"), col("p_size"),
+          count(lit(1)).over(w).as("n_band"),
+          sum(round(col("p_retailprice") * 100).cast("long")).over(w)
+            .as("band_cents"))
+        .distinct()
+        .orderBy("p_brand", "p_size")
     })
   )
 
@@ -347,6 +365,16 @@ object WindowQueries {
         |  FROM part) x
         |WHERE rnk <= 3
         |GROUP BY 1, 2
+        |ORDER BY p_brand ASC NULLS FIRST, p_size ASC NULLS FIRST""".stripMargin,
+
+    "q219_range_numeric" ->
+      """SELECT DISTINCT p_brand, p_size,
+        |  COUNT(*) OVER w AS n_band,
+        |  CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) OVER w
+        |       AS BIGINT) AS band_cents
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size ASC
+        |  RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
         |ORDER BY p_brand ASC NULLS FIRST, p_size ASC NULLS FIRST""".stripMargin
   )
 }

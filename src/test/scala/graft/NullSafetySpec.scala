@@ -89,6 +89,23 @@ class NullSafetySpec extends SparkSpec {
     assert(rows(2).getDouble(2) == 2.0)   // length mismatch -> min length
   }
 
+  test("graft_jaro_winkler null-propagates and zeroes empties, never throws") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Some("martha"), Some("marhta")),
+      (None, Some("x")),
+      (Some("x"), None),
+      (Some(""), Some("abc")),
+      (Some(""), Some(""))
+    ).toDF("a", "b").withColumn("jw", expr("graft_jaro_winkler(a, b)"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(2) == 0.9611111111111111)
+    assert(rows(1).isNullAt(2) && rows(2).isNullAt(2))
+    // empty input is a VALUE, not a null: DuckDB convention is 0.0
+    assert(rows(3).getDouble(2) == 0.0 && rows(4).getDouble(2) == 0.0)
+  }
+
   test("saltedTopK equals direct window when order values include nulls") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
