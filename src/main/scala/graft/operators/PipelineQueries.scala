@@ -274,6 +274,25 @@ object PipelineQueries {
         .select(col("lang"), col("doc_id"), col("rk").cast("int").as("rk"))
         .orderBy("lang", "rk")),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
+    // order draws key = u^(1/w) from its deterministic hash-uniform
+    // u ∈ (0,1) and weight w = totalprice; the global top-20 keys ARE
+    // the weighted sample. One pass + a bounded top-k
+    // (TakeOrderedAndProject) — the distributed weighted-reservoir
+    // verb (price-proportional sampling for curriculum/mixture
+    // construction). The hash-uniform derives from the shared
+    // graft_charhash family, embedded identically in the oracle.
+    "q221_weighted_sample" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          expr("graft_charhash(cast(o_orderkey as string))").as("h"))
+        .withColumn("u", (col("h") + 1).cast("double") / 1000000008.0)
+        .withColumn("skey", pow(col("u"), lit(1.0) / col("o_totalprice")))
+        .orderBy(col("skey").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("skey") * 1e6, 4).as("skey_ppm"))),
+
     // Latest-wins upsert: compact the append-only event log to one row
     // per user — the newest event by (ts, event_id). Same semantics as
     // the incremental foreachBatch path (EventStreams.upsertSnapshot).
@@ -563,6 +582,20 @@ object PipelineQueries {
          |FROM documents
          |QUALIFY rk <= $SampleK
          |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
+
+    "q221_weighted_sample" -> {
+      val h = graft.functions.TextFunctions.Sql
+        .charHash("CAST(o_orderkey AS VARCHAR)")
+      """WITH k AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    POW((HS + 1) / 1000000008.0, 1.0 / o_totalprice) AS skey
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice,
+        |       ROUND(skey * 1e6, 4) AS skey_ppm
+        |FROM k
+        |ORDER BY skey DESC NULLS LAST, o_orderkey ASC
+        |LIMIT 20""".stripMargin.replace("HS", h)
+    },
 
     "q92_mixture_sample" ->
       s"""SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (

@@ -230,6 +230,35 @@ object TextQueries {
           sum(when(col("text").rlike("^[A-Z]"), 1L).otherwise(0L))
             .as("n_capital"))
         .orderBy("lang"))
+,
+    // PII redaction — the scrub stage every training-data pipeline runs
+    // before release: synthetic contact lines (built deterministically
+    // from customer rows, so the fixture needs no real PII) have their
+    // email addresses and long digit runs replaced by placeholder
+    // tokens. The gate hashes the EXACT redacted text (length +
+    // polynomial charhash sums), so a single mis-redacted byte breaks
+    // it; counts of redactions per segment pin the match semantics.
+    // Regexes stick to portable character-class constructs (both
+    // engines' regex dialects agree on them).
+    "q222_pii_redact" -> ((s, dir) => {
+      val raw = concat(col("c_name"), lit(" <"),
+        lower(regexp_replace(col("c_name"), " ", ".")),
+        lit("@example.com> phone 555-"),
+        (col("c_custkey") % 10000).cast("string"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), raw.as("txt"))
+        .withColumn("red1",
+          regexp_replace(col("txt"), "[a-z0-9.#]+@[a-z.]+", "<EMAIL>"))
+        .withColumn("red",
+          regexp_replace(col("red1"), "[0-9]{3,}", "<NUM>"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(regexp_count(col("txt"), lit("[a-z0-9.#]+@[a-z.]+")))
+            .as("n_emails"),
+          sum(length(col("red"))).cast("long").as("sum_len"),
+          sum(expr("graft_charhash(red)")).as("hsum"))
+        .orderBy("c_mktsegment")
+    })
   )
 
   private val sqlToks = Sql.tokens("text")
@@ -340,6 +369,32 @@ object TextQueries {
         |    AS BIGINT) AS n_vruns,
         |  CAST(SUM(CASE WHEN regexp_matches(text, '^[A-Z]')
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_capital
-        |FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY lang ASC NULLS FIRST""".stripMargin,
+
+    // regexp_replace takes the 'g' flag: DuckDB replaces only the FIRST
+    // match by default, Spark is always global
+    "q222_pii_redact" -> {
+      val h = Sql.charHash("red")
+      """WITH src AS (
+        |  SELECT c_mktsegment,
+        |    c_name || ' <' || lower(regexp_replace(c_name, ' ', '.', 'g'))
+        |      || '@example.com> phone 555-'
+        |      || CAST(c_custkey % 10000 AS VARCHAR) AS txt
+        |  FROM customer),
+        |red AS (
+        |  SELECT c_mktsegment, txt,
+        |    regexp_replace(
+        |      regexp_replace(txt, '[a-z0-9.#]+@[a-z.]+', '<EMAIL>', 'g'),
+        |      '[0-9]{3,}', '<NUM>', 'g') AS red
+        |  FROM src)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(len(regexp_extract_all(txt, '[a-z0-9.#]+@[a-z.]+')))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(SUM(length(red)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(HS) AS BIGINT) AS hsum
+        |FROM red GROUP BY 1
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+        .replace("HS", h)
+    }
   )
 }
