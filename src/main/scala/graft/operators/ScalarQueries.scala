@@ -126,6 +126,24 @@ object ScalarQueries {
           expr("array_join(slice(toks, 1, 3), ' ')").as("first3"))
         .orderBy("doc_id")),
 
+    // Cryptographic-hash function family (MD5 / SHA-256 — the Redshift
+    // checksum/distribution-key builtins): every hex digest is gated
+    // exactly through min-string picks and polynomial charhash sums, so
+    // one wrong byte in any digest breaks the hash. Pure projections,
+    // map-side-combinable rollup.
+    "q223_hash_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          md5(col("c_name")).as("h_md5"),
+          sha2(col("c_name"), 256).as("h_sha"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          min(col("h_md5")).as("md5_min"),
+          sum(expr("graft_charhash(h_md5)")).as("md5_hsum"),
+          min(col("h_sha")).as("sha_min"),
+          sum(expr("graft_charhash(h_sha)")).as("sha_hsum"))
+        .orderBy("c_mktsegment")),
+
     // String scalar-function family (TRANSLATE / STRPOS / SPLIT_PART /
     // LPAD / REVERSE / REPEAT / TRIM) — each Redshift string builtin
     // exercised inside one codegen'd projection, gated through an
@@ -282,6 +300,21 @@ object ScalarQueries {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_first_of_month
         |FROM orders GROUP BY 1, 2
         |ORDER BY yr ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin,
+
+    "q223_hash_funcs" -> {
+      val hm = graft.functions.TextFunctions.Sql.charHash("h_md5")
+      val hs = graft.functions.TextFunctions.Sql.charHash("h_sha")
+      """WITH h AS (
+        |  SELECT c_mktsegment, md5(c_name) AS h_md5,
+        |         sha256(c_name) AS h_sha
+        |  FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |  MIN(h_md5) AS md5_min, CAST(SUM(HM) AS BIGINT) AS md5_hsum,
+        |  MIN(h_sha) AS sha_min, CAST(SUM(HS) AS BIGINT) AS sha_hsum
+        |FROM h GROUP BY 1
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin
+        .replace("HM", hm).replace("HS", hs)
+    },
 
     "q214_hof_family" -> {
       val toks = graft.functions.TextFunctions.Sql.tokens("text")

@@ -132,6 +132,11 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "blocked fuzzy match must be an equi-join on the block key\n" + p.take(2000))
   }
 
+  test("q221 weighted sample compiles to TakeOrderedAndProject") {
+    val p = planOf("q221_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("SURVEY §2 inventory and the declared query map agree") {
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
