@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => JwPrefilterRule)
   }
 }

@@ -13,6 +13,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // production parity — and spark.sql.extensions is STATIC: it only
+    // takes effect on the session that creates the SparkContext, so the
+    // shared suite context must carry it for ExtensionsSpec to pass in
+    // any suite order
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .appName(getClass.getSimpleName)
     .getOrCreate()
 
