@@ -165,8 +165,14 @@ object JoinQueries {
 
   /** q205/q215's blocked Jaro–Winkler match pairs: (brand, length-band)
     * blocking with ±1-band replication (see q141's bound argument),
-    * similarity materialized once, threshold on the 4dp-rounded value. */
-  private def jwPairs(s: SparkSession, dir: String): DataFrame = {
+    * similarity materialized once, threshold on the 4dp-rounded value.
+    * Memoized per (session, dir) — q205 and q215 share one evaluation
+    * of the 8 M-pair kernel scan instead of paying it each
+    * (the TextQueries pair-table convention). */
+  private def jwPairs(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"join.jwpairs:$dir")(jwPairsBuild(s, dir))
+
+  private def jwPairsBuild(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
     val band = floor(length(col("p_name")) / EditBandWidth).cast("int")
     val a = p.select(col("p_brand"), band.as("band"),

@@ -226,6 +226,34 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(length(col("s"))).cast("long").as("sum_len"),
           sum(expr("graft_charhash(s)")).as("hsum"))
+    }),
+
+    // Bucketed (DISTKEY-style) lake round-trip: both sides pre-shuffle
+    // ONCE into 8 catalog-registered buckets on the join key, then the
+    // orders⋈lineitem rollup runs off the bucketed tables — the
+    // co-located-join layout for repeatedly-joined 100 TB facts
+    // (LakeWriterSpec proves the zero-exchange plan under disabled
+    // broadcast; this gates that the bucketed round-trip loses no rows
+    // or values). Tables overwrite per invocation; the warehouse dir is
+    // session-scoped.
+    "q224_bucketed_join" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      LakeWriter.writeBucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "graft_b_orders", "o_orderkey", 8, Some("o_orderkey"))
+      LakeWriter.writeBucketed(
+        li.select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_quantity")),
+        "graft_b_lineitem", "l_orderkey", 8, Some("l_orderkey"))
+      s.table("graft_b_orders")
+        .join(s.table("graft_b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          Dets.decSumD(col("l_extendedprice")).as("sum_price"),
+          Dets.decSumD(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -318,6 +346,14 @@ object SourceQueries {
         |       CAST(SUM(length(s)) AS BIGINT) AS sum_len,
         |       CAST(SUM(HSUM_EXPR) AS BIGINT) AS hsum
         |FROM src""".stripMargin.replace("HSUM_EXPR", h)
-    }
+    },
+
+    "q224_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
   )
 }

@@ -28,6 +28,20 @@ object LakeWriter {
     * (bucketing metadata lives in the catalog, not the files). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
     nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // A fresh in-memory catalog doesn't know about a PREVIOUS JVM's
+    // table directory, and saveAsTable refuses to claim an existing
+    // location — drop the catalog entry AND clear the stale location
+    // so repeated gate sweeps are self-healing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath, table)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
@@ -61,6 +75,13 @@ object LakeWriter {
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType, nullable = true))
+    // The tracked persist below registers under a PATH-keyed plan: if
+    // the caller re-unloads the same directory and copies again in one
+    // JVM, CacheManager would alias the new read to the prior
+    // invocation's cached rows. Drop any cache/file-index state for
+    // the path first so every copy reads the directory's current
+    // contents (repeated gate sweeps hit exactly this).
+    spark.catalog.refreshByPath(path)
     val raw = graft.Caches.persistTracked(spark.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
