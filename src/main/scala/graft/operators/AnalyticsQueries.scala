@@ -641,7 +641,7 @@ object AnalyticsQueries {
         |), d AS (
         |  SELECT date_trunc('day', first_ts) AS day, COUNT(*) AS new_users
         |  FROM f GROUP BY 1)
-        |SELECT day, new_users,
+        |SELECT CAST(day AS TIMESTAMP) AS day, new_users,
         |  CAST(SUM(new_users) OVER (ORDER BY day ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
@@ -745,7 +745,7 @@ object AnalyticsQueries {
         |  FROM events GROUP BY 1
         |), a AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
-        |SELECT f.cohort AS cohort_day,
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_day,
         |       CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
         |       COUNT(*) AS n_users
         |FROM a JOIN f USING (user_id)
@@ -840,7 +840,8 @@ object AnalyticsQueries {
         |         SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS rev_dec
         |  FROM orders o JOIN c ON o.o_custkey = c.o_custkey
         |  GROUP BY 1, 2)
-        |SELECT cohort, age, CAST(rev_dec AS DOUBLE) AS revenue,
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort, age,
+        |       CAST(rev_dec AS DOUBLE) AS revenue,
         |       CAST(SUM(rev_dec) OVER (PARTITION BY cohort ORDER BY age ASC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         AS cum_revenue
@@ -916,7 +917,7 @@ object AnalyticsQueries {
         |             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
         |           AS sd
         |  FROM st)
-        |SELECT d.day, d.c AS n_events,
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, d.c AS n_events,
         |       ROUND((d.c - ms.mean) / ms.sd, 4) AS z4
         |FROM d CROSS JOIN ms
         |ORDER BY d.day ASC NULLS FIRST""".stripMargin,
@@ -936,7 +937,8 @@ object AnalyticsQueries {
         |    AND pu.pts >= su.sts
         |    AND pu.pts <= su.sts + INTERVAL 1 HOUR
         |  GROUP BY 1, 2)
-        |SELECT date_trunc('day', sts) AS day, COUNT(*) AS n_signups,
+        |SELECT CAST(date_trunc('day', sts) AS TIMESTAMP) AS day,
+        |       COUNT(*) AS n_signups,
         |       CAST(SUM(converted) AS BIGINT) AS n_converted,
         |       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4) AS cvr4
         |FROM conv GROUP BY 1

@@ -214,7 +214,8 @@ object EventQueries {
         |  SELECT day, secs, cnt,
         |         SUM(cnt) OVER (PARTITION BY day ORDER BY secs) AS cc
         |  FROM h)
-        |SELECT CAST(cum.day AS TIMESTAMP) AS day, MAX(n.n) AS n_conv,
+        |SELECT CAST(cum.day AS TIMESTAMP) AS day,
+        |  CAST(MAX(n.n) AS BIGINT) AS n_conv,
         |  MIN(CASE WHEN cc >= (n.n + 1) // 2 THEN secs END) AS p50_secs,
         |  MIN(CASE WHEN cc >= (9 * n.n + 9) // 10 THEN secs END) AS p90_secs
         |FROM cum JOIN n ON n.day = cum.day

@@ -203,7 +203,8 @@ object ScalarQueries {
   val oracle: Map[String, String] = Map(
     "q40_datetime" ->
       """SELECT o_orderkey,
-        |       date_trunc('month', o_orderdate) AS order_month,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+        |         AS order_month,
         |       CAST(date_part('year', o_orderdate) AS INT) AS o_year,
         |       CAST(date_part('month', o_orderdate) AS INT) AS o_month,
         |       CAST(date_part('day', o_orderdate) AS INT) AS o_day,
@@ -286,8 +287,8 @@ object ScalarQueries {
         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
 
     "q192_date_funcs" ->
-      """SELECT year(CAST(o_orderdate AS DATE)) AS yr,
-        |  quarter(CAST(o_orderdate AS DATE)) AS q,
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
         |  COUNT(*) AS n,
         |  CAST(MIN(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
         |    AS DATE)) AS TIMESTAMP) AS q_start,

@@ -229,7 +229,7 @@ object ServiceQueries {
 
   val oracle: Map[String, String] = Map(
     "q84_svc_revenue" ->
-      """SELECT date_trunc('month', o_orderdate) AS month,
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
         |  COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM orders
@@ -453,11 +453,13 @@ object ServiceQueries {
         |  SELECT pri, days, cnt,
         |         SUM(cnt) OVER (PARTITION BY pri ORDER BY days) AS cc
         |  FROM h)
-        |SELECT cum.pri, MAX(n.n) AS n_lines,
-        |  MIN(CASE WHEN cc >= (n.n + 1) // 2 THEN days END) AS p50_days,
-        |  MIN(CASE WHEN cc >= (9 * n.n + 9) // 10 THEN days END) AS p90_days,
-        |  MIN(CASE WHEN cc >= (99 * n.n + 99) // 100 THEN days END)
-        |    AS p99_days
+        |SELECT cum.pri, CAST(MAX(n.n) AS BIGINT) AS n_lines,
+        |  CAST(MIN(CASE WHEN cc >= (n.n + 1) // 2 THEN days END)
+        |    AS INT) AS p50_days,
+        |  CAST(MIN(CASE WHEN cc >= (9 * n.n + 9) // 10 THEN days END)
+        |    AS INT) AS p90_days,
+        |  CAST(MIN(CASE WHEN cc >= (99 * n.n + 99) // 100 THEN days END)
+        |    AS INT) AS p99_days
         |FROM cum JOIN n ON n.pri = cum.pri
         |GROUP BY 1 ORDER BY cum.pri ASC NULLS FIRST""".stripMargin,
 

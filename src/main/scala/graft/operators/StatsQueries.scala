@@ -629,8 +629,8 @@ object StatsQueries {
         |         q1_cents - 3 * (q3_cents - q1_cents) // 2 AS lo,
         |         q3_cents + 3 * (q3_cents - q1_cents) // 2 AS hi
         |  FROM q)
-        |SELECT spend.seg, MAX(f.q1_cents) AS q1_cents,
-        |       MAX(f.q3_cents) AS q3_cents,
+        |SELECT spend.seg, CAST(MAX(f.q1_cents) AS BIGINT) AS q1_cents,
+        |       CAST(MAX(f.q3_cents) AS BIGINT) AS q3_cents,
         |       CAST(SUM(CASE WHEN spend.c < f.lo OR spend.c > f.hi
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |       COUNT(*) AS n_cust

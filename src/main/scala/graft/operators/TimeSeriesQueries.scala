@@ -264,7 +264,7 @@ object TimeSeriesQueries {
         |             - (CAST(sx AS DOUBLE) / n_win)
         |               * (CAST(sx AS DOUBLE) / n_win))) AS sd
         |  FROM w WHERE n_win = 7)
-        |SELECT make_timestamp(day_us) AS day, cents,
+        |SELECT make_timestamp(day_us) AS day, CAST(cents AS BIGINT) AS cents,
         |       ROUND(CASE WHEN sd != 0 THEN (cents - mean) / sd END, 4) AS z4,
         |       CAST(ABS(cents - mean) > 2 * sd AS INT) AS breach
         |FROM z ORDER BY day ASC NULLS FIRST""".stripMargin,
@@ -281,9 +281,9 @@ object TimeSeriesQueries {
         |j AS (
         |  SELECT s.day, d.cents FROM spine s LEFT JOIN d ON s.day = d.day)
         |SELECT day,
-        |       last_value(cents IGNORE NULLS) OVER (ORDER BY day
+        |       CAST(last_value(cents IGNORE NULLS) OVER (ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |         AS cents_filled,
+        |         AS BIGINT) AS cents_filled,
         |       CAST(cents IS NULL AS INT) AS was_gap
         |FROM j ORDER BY day ASC NULLS FIRST""".stripMargin,
 
