@@ -74,8 +74,13 @@ object Bench {
     val tele = s""""loadavg_pre":[${loadPre.map(fl).mkString(",")}],""" +
       s""""loadavg_post":[${loadPost.map(fl).mkString(",")}],""" +
       s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfEsc",$tele}""")
     graft.operators.TextQueries.clearCaches(spark)
     spark.stop()
+    // the one JSON line goes out LAST, after session teardown, so the
+    // driver's bounded tail-capture of stdout cannot lose it behind
+    // later output; the headline total sits at the END of the line so
+    // it survives even if the window clips the line's head
+    println(s"""{"sf":"$sfEsc",$tele,"queries":$qs,"unit":"sec","metric":"total","value":${f3(total)}}""")
+    System.out.flush()
   }
 }

@@ -38,7 +38,8 @@ object SparkEntry {
     (CorpusStatsQueries.queries, CorpusStatsQueries.oracle),
     (GraphQueries.queries, GraphQueries.oracle),
     (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
-    (BasketQueries.queries, BasketQueries.oracle)
+    (BasketQueries.queries, BasketQueries.oracle),
+    (CrossModalQueries.queries, CrossModalQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -296,11 +296,23 @@ object VectorOps {
     probe: DataFrame, depth: Int, k: Int, lambdaDiv: Double): DataFrame = {
     require(k >= 1 && depth >= k && depth <= 1024,
       "need 1 <= k <= depth <= 1024 (bounded driver finish)")
+    // single-probe contract: cosineTopK's shortlist drops the probe
+    // identity, so a multi-row probe would blend shortlists into one
+    // meaningless ranking — fail loudly instead (limit(2) bounds the
+    // guard's cost regardless of probe size)
+    require(probe.limit(2).count() == 1,
+      "mmrRerank expects exactly ONE probe row; rerank per probe " +
+        "(the shortlist and greedy state are per-query)")
     val short = cosineTopK(corpus, idCol, vecCol, probe, depth)
       .select(col("id"), col("cos").as("rel"))
+    // alias the corpus id before the semi-join: with idCol == "id" the
+    // raw `col(idCol) === col("id")` would be an ambiguous
+    // self-reference
     val c = withNorm(corpus, vecCol)
-    val side = c.join(short.select(col("id")), col(idCol) === col("id"))
-      .select(col("id"), col(vecCol).as("v"), col("n2"))
+      .withColumn("__corpus_id", col(idCol))
+    val side = c.join(short.select(col("id").as("__short_id")),
+        col("__corpus_id") === col("__short_id"))
+      .select(col("__corpus_id").as("id"), col(vecCol).as("v"), col("n2"))
     val sims = side.select(col("id").as("ia"), col("v").as("va"),
         col("n2").as("na"))
       .join(broadcast(side.select(col("id").as("ib"), col("v").as("vb"),

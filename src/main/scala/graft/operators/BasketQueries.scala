@@ -30,9 +30,12 @@ object BasketQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Distinct (order, part) incidence — the basket relation. */
+  /** Distinct (order, part) incidence — the basket relation (shared
+    * build: [[CoPurchase.baskets]]; the pair table itself comes from
+    * the memoized [[CoPurchase.pairW]], one self-join per session
+    * across the whole graph/basket family). */
   private def baskets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    CoPurchase.baskets(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -44,11 +47,8 @@ object BasketQueries {
       val li = baskets(s, dir)
       val nOrders = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
       val item = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
-      a.join(b, Seq("l_orderkey"))
-        .filter(col("x") < col("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("both_cnt"))
+      CoPurchase.pairW(s, dir)
+        .select(col("x"), col("y"), col("w").as("both_cnt"))
         .filter(col("both_cnt") >= 3)
         .join(item.select(col("l_partkey").as("x"), col("cnt").as("cx")),
           Seq("x"))
@@ -71,11 +71,9 @@ object BasketQueries {
     "q171_also_bought" -> ((s, dir) => {
       val li = baskets(s, dir)
       val item = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
-      val pair = a.join(b, Seq("l_orderkey"))
-        .filter(col("x") =!= col("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("both_cnt"))
+      val pair = CoPurchase.directedW(s, dir)
+        .select(col("u").as("x"), col("v").as("y"),
+          col("w").as("both_cnt"))
       val top = pair
         .withColumn("rk", row_number().over(
           Window.partitionBy("x")

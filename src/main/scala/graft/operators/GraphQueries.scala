@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Dets, Tables}
+import graft.Dets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,28 +23,68 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
   import Dets._
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables.load(s, dir, n)
-
   /** Damping factor and iteration count, mirrored in the oracle. */
   private val Damping = 0.85
   private val Iters = 3
 
+  /** q226 edge-sampling parameters: keep an edge iff
+    * xxhash64(x, y, seed) mod TriSampleMod < TriSampleKeep (p = 1/2). */
+  private[graft] val TriSampleSeed = 42
+  private[graft] val TriSampleMod = 1000L
+  private[graft] val TriSampleKeep = 500L
+
+  /** The exact degree-oriented triangle census over an undirected
+    * x < y edge relation: orient every edge from its lower-(degree, id)
+    * endpoint so each out-neighborhood is O(√m) and the wedge join
+    * never blows up on hub vertices — the shape that survives
+    * power-law graphs at 100 TB. Returns (degree relation,
+    * single-row n_triangles). Shared by exact q165 and sampled q226. */
+  private def orientedCensus(und: DataFrame)
+  : (DataFrame, DataFrame) = {
+    val deg = und.select(col("x").as("v"))
+      .unionAll(und.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // orient x→y iff (deg, id) of x < (deg, id) of y
+    val ed = und
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("src"),
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("dst"))
+      .localCheckpoint(true)
+    // wedges at the apex: pairs of out-edges ordered by (deg, id) of
+    // the endpoints — each triangle shows up exactly once
+    val dd = deg.select(col("v").as("dst"), col("d").as("ddst"))
+    // both wedge legs read this relation — materialize it once
+    // instead of replaying the degree join per leg
+    val eo = ed.join(dd, Seq("dst")).localCheckpoint(true)
+    val w1 = eo.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
+    val w2 = eo.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+    val closing = ed.select(col("src").as("w1"), col("dst").as("w2"))
+    val tri = wedges.join(closing, Seq("w1", "w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    (deg, tri)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
-      // both directions fall out of the u != v self-join directly
-      // ONE materialization: the degree-annotated edge table. deg/
-      // nodes/r0 are cheap single-agg projections of it — re-deriving
-      // them costs less than three more eager checkpoints (measured:
-      // 8.2 s → ~5 s idle at sf0.1); per-iteration ranks still
-      // checkpoint so iteration k never replays k−1.
-      val edges = a.join(b, Seq("l_orderkey"))
-        .filter(col("u") =!= col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      // both directions of the memoized pair table (CoPurchase.pairW —
+      // ONE per-order self-join per session, shared with
+      // q164/q165/q167/q171/q176). ONE materialization beyond it: the
+      // degree-annotated edge table. deg/nodes/r0 are cheap single-agg
+      // projections of it — re-deriving them costs less than three
+      // more eager checkpoints (measured: 8.2 s → ~5 s idle at sf0.1);
+      // per-iteration ranks still checkpoint so iteration k never
+      // replays k−1.
+      val edges = CoPurchase.directedW(s, dir)
       val deg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
       val ed = edges.join(deg, Seq("u")).localCheckpoint(true)
       val nodes = ed.select(col("u").as("v")).distinct()
@@ -81,13 +121,10 @@ object GraphQueries {
     // recursive CTE over the same edges, with min-level dedup making the
     // spec traversal-order-independent.
     "q164_bfs_levels" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
-      val edges = a.join(b, Seq("l_orderkey"))
-        .filter(col("u") =!= col("v"))
-        .select("u", "v").distinct().localCheckpoint(true)
+      // derived from the memoized pair table — already distinct per
+      // orientation, so no extra distinct/checkpoint needed; the
+      // frontier loop re-reads the persisted parent cheaply
+      val edges = CoPurchase.directedW(s, dir).select("u", "v")
       val seed = edges.agg(min(col("u")).as("v"))
         .select(col("v"), lit(0).as("lvl"))
       var dist = seed.localCheckpoint(true)
@@ -115,43 +152,8 @@ object GraphQueries {
     // oracle replays the simple id-oriented three-way join and the
     // numbers must agree exactly.
     "q165_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
-      val und = a.join(b, Seq("l_orderkey"))
-        .filter(col("x") < col("y"))
-        .select("x", "y").distinct()
-      val deg = und.select(col("x").as("v"))
-        .unionAll(und.select(col("y").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-        .localCheckpoint(true)
-      // orient x→y iff (deg, id) of x < (deg, id) of y
-      val ed = und
-        .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
-        .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
-        .select(
-          when(col("dx") < col("dy") ||
-            (col("dx") === col("dy") && col("x") < col("y")), col("x"))
-            .otherwise(col("y")).as("src"),
-          when(col("dx") < col("dy") ||
-            (col("dx") === col("dy") && col("x") < col("y")), col("y"))
-            .otherwise(col("x")).as("dst"))
-        .localCheckpoint(true)
-      // wedges at the apex: pairs of out-edges ordered by (deg, id) of
-      // the endpoints — each triangle shows up exactly once
-      val dd = deg.select(col("v").as("dst"), col("d").as("ddst"))
-      // both wedge legs read this relation — materialize it once
-      // instead of replaying the degree join per leg
-      val eo = ed.join(dd, Seq("dst")).localCheckpoint(true)
-      val w1 = eo.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
-      val w2 = eo.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
-      val wedges = w1.join(w2, Seq("src"))
-        .filter(col("d1") < col("d2") ||
-          (col("d1") === col("d2") && col("w1") < col("w2")))
-      val closing = ed.select(col("src").as("w1"), col("dst").as("w2"))
-      val tri = wedges.join(closing, Seq("w1", "w2"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val und = CoPurchase.und(s, dir)
+      val (deg, tri) = orientedCensus(und)
       val totals = und.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
           sum(expr("d * (d - 1) div 2")).as("n_wedges"))))
@@ -159,6 +161,36 @@ object GraphQueries {
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           round(safeDiv(lit(3d) * col("n_triangles"),
             col("n_wedges").cast("double")), 4).as("gcc4"))
+    }),
+
+    // DOULION-style approximate triangle count — the 100 TB sibling of
+    // q165 where the exact census is a luxury (the q45/q22
+    // sketch-vs-exact pattern; no oracle by design — the estimator's
+    // error bound is pinned in GraphSpec against the exact census).
+    // Each undirected edge survives with probability p = 1/2 decided by
+    // a SEEDED xxhash64 of the edge key — a pure function of the data,
+    // so the sample (and hence the estimate) is bit-identical on any
+    // partition layout, any cluster, any run [D1]. The exact
+    // degree-oriented census then runs on the ~p·m sampled edges
+    // (wedge work scales ~p², the dominant cost) and each surviving
+    // triangle, present with probability p³, is scaled by 1/p³ —
+    // an unbiased estimator with variance ~T/p³ (Tsourakakis et al.,
+    // KDD'09 — public method).
+    "q226_triangles_approx" -> ((s, dir) => {
+      val und = CoPurchase.und(s, dir)
+      val sampled = und.filter(
+        pmod(xxhash64(col("x"), col("y"), lit(TriSampleSeed)),
+          lit(TriSampleMod)) < lit(TriSampleKeep))
+      val (_, tri) = orientedCensus(sampled)
+      val invP3 = {
+        val p = TriSampleKeep.toDouble / TriSampleMod
+        1d / (p * p * p)
+      }
+      sampled.agg(count(lit(1)).as("n_edges_sampled"))
+        .crossJoin(broadcast(tri))
+        .select(col("n_edges_sampled"),
+          col("n_triangles").as("n_sampled_triangles"),
+          round(col("n_triangles") * invP3, 1).as("est_triangles"))
     }),
 
     // Degree distribution of the co-purchase graph in power-of-two
@@ -170,13 +202,7 @@ object GraphQueries {
     // of two. One hash agg over the edge endpoints; output is
     // O(log maxdeg) rows.
     "q176_degree_dist" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
-      val e = a.join(b, Seq("l_orderkey"))
-        .filter(col("x") < col("y"))
-        .select("x", "y").distinct()
+      val e = CoPurchase.und(s, dir)
       val deg = e.select(col("x").as("v"))
         .unionAll(e.select(col("y").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))

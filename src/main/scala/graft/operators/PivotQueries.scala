@@ -40,13 +40,23 @@ object PivotQueries {
     // <value>_<aggAlias>; the aliases are pinned so the oracle's CASE
     // aggregation emits the identical header. One hash aggregate, no
     // extra scan per measure.
-    "q199_pivot_multi" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+    "q199_pivot_multi" -> ((s, dir) => {
+      val p = t(s, dir, "lineitem")
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(count(lit(1)).as("n"),
           decSumD(col("l_extendedprice")).as("rev"))
-        .orderBy("l_linestatus"))
+      // pivot aggregates pre-grouped partials with `first`, so an EMPTY
+      // (l_linestatus, l_returnflag) cell yields NULL — but the
+      // oracle's COUNT(CASE ...) yields 0. Coalesce the count columns
+      // so the agreement holds at ANY fixture scale, not just one where
+      // every cell happens to be populated. (The SUM columns stay as-is:
+      // SQL SUM over an empty cell is NULL on both engines.)
+      Seq("A_n", "N_n", "R_n")
+        .foldLeft(p)((df, c) =>
+          df.withColumn(c, coalesce(col(c), lit(0L))))
+        .orderBy("l_linestatus")
+    })
   )
 
   val oracle: Map[String, String] = Map(

@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType}
   * semanticEquals guard keeps the rule idempotent across optimizer
   * passes.
   */
-object JwPrefilterRule extends Rule[LogicalPlan] {
+object JwPrefilterRule extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   /** ℓmin/ℓmax lower bound implied by `jw ≥ t`, if informative. */
   private[graft] def lengthRatioBound(t: Double): Option[Double] = {
@@ -41,28 +42,30 @@ object JwPrefilterRule extends Rule[LogicalPlan] {
       Multiply(Literal(r, DoubleType),
         Cast(Greatest(Seq(Length(jw.left), Length(jw.right))), DoubleType)))
 
-  /** Threshold predicates over a raw or rounded JW similarity. */
-  private def bounds(cond: Expression): Seq[Expression] = {
-    val found = scala.collection.mutable.ArrayBuffer.empty[Expression]
-    cond.foreach {
+  /** Threshold predicates over a raw or rounded JW similarity.
+    *
+    * Harvested ONLY from the TOP-LEVEL conjuncts of the filter
+    * condition, each matched exactly (not its subtree): a threshold
+    * sitting under OR / NOT / CASE WHEN (e.g. `jw(a,b) >= t OR other`)
+    * does NOT imply the length bound for the whole row — injecting it
+    * as a top-level conjunct there would silently drop rows satisfied
+    * by the other branch. */
+  private def bounds(cond: Expression): Seq[Expression] =
+    splitConjunctivePredicates(cond).flatMap {
       case GreaterThanOrEqual(jw: JaroWinklerSim, Literal(t: Double, DoubleType)) =>
-        lengthRatioBound(t).foreach(found += lenPred(jw, _))
+        lengthRatioBound(t).map(lenPred(jw, _))
       case GreaterThan(jw: JaroWinklerSim, Literal(t: Double, DoubleType)) =>
-        lengthRatioBound(t).foreach(found += lenPred(jw, _))
+        lengthRatioBound(t).map(lenPred(jw, _))
       case GreaterThanOrEqual(
           Round(jw: JaroWinklerSim, Literal(s: Int, IntegerType), _),
           Literal(t: Double, DoubleType)) =>
-        lengthRatioBound(t - 0.5 * math.pow(10, -s))
-          .foreach(found += lenPred(jw, _))
+        lengthRatioBound(t - 0.5 * math.pow(10, -s)).map(lenPred(jw, _))
       case GreaterThan(
           Round(jw: JaroWinklerSim, Literal(s: Int, IntegerType), _),
           Literal(t: Double, DoubleType)) =>
-        lengthRatioBound(t - 0.5 * math.pow(10, -s))
-          .foreach(found += lenPred(jw, _))
-      case _ => ()
+        lengthRatioBound(t - 0.5 * math.pow(10, -s)).map(lenPred(jw, _))
+      case _ => Nil
     }
-    found.toSeq
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>

@@ -365,6 +365,32 @@ class ApiSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("mmrRerank: idCol named 'id' works; multi-row probe is rejected") {
+    import spark.implicits._
+    // idCol == "id" used to be an ambiguous self-reference in the
+    // shortlist semi-join; the aliased join must handle it
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("id", "v")
+    val probe = vecs.filter(col("id") === 1L)
+      .select(col("id").as("probe_id"), col("v").as("pe"))
+    val out = VectorOps.mmrRerank(vecs, "id", "v", probe,
+      depth = 3, k = 2, lambdaDiv = 0.5)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2L) // highest rel picked first
+    // λ=0.5 penalty pushes the near-duplicate of 2 below the diverse 4
+    assert(out(1).getLong(1) == 4L)
+    // a blended multi-probe shortlist is meaningless — must fail loudly
+    val twoProbes = vecs.limit(2)
+      .select(col("id").as("probe_id"), col("v").as("pe"))
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.mmrRerank(vecs, "id", "v", twoProbes, 3, 2, 0.5)
+    }
+    assert(ex.getMessage.contains("ONE probe row"))
+  }
+
   test("cosineLshPairs recovers clustered near-dups without the n^2 scan") {
     import spark.implicits._
     // 4 well-separated Gaussian base directions, 8 noisy copies each:

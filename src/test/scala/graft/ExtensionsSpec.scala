@@ -77,6 +77,42 @@ class JwPrefilterSpec extends SparkSpec {
     assert("least\\(length\\(".r.findAllIn(opt.toString).size == 1)
   }
 
+  test("rule does NOT fire for disjunctive or negated thresholds") {
+    import graft.plans.JwPrefilterRule
+    val part = Tables.load(spark, Sf, "part")
+    // OR: the bound is only implied by ONE branch — injecting it
+    // top-level would drop rows satisfied by `p_size > 40`
+    val qOr = part.filter(
+      expr("graft_jaro_winkler(p_name, p_brand) >= 0.95 OR p_size > 40"))
+    assert(!JwPrefilterRule(qOr.queryExecution.optimizedPlan)
+      .toString.contains("least(length("),
+      "prefilter wrongly injected under OR")
+    // NOT: rows with dissimilar names must SURVIVE; the length bound
+    // would wrongly cut them
+    val qNot = part.filter(
+      expr("NOT (graft_jaro_winkler(p_name, p_brand) >= 0.95)"))
+    assert(!JwPrefilterRule(qNot.queryExecution.optimizedPlan)
+      .toString.contains("least(length("),
+      "prefilter wrongly injected under NOT")
+    // CASE WHEN guarding the threshold: same non-conjunct position
+    val qCase = part.filter(expr(
+      "CASE WHEN p_size > 20 THEN graft_jaro_winkler(p_name, p_brand) >= 0.95 ELSE true END"))
+    assert(!JwPrefilterRule(qCase.queryExecution.optimizedPlan)
+      .toString.contains("least(length("),
+      "prefilter wrongly injected under CASE WHEN")
+    // ...but a threshold that IS a top-level conjunct of a larger AND
+    // still fires
+    val qAnd = part.filter(
+      expr("graft_jaro_winkler(p_name, p_brand) >= 0.95 AND p_size > 0"))
+    assert(JwPrefilterRule(qAnd.queryExecution.optimizedPlan)
+      .toString.contains("least(length("))
+    // end-to-end: OR semantics preserved (row 3 matches only via id >= 3)
+    assert(df.filter(expr(
+      "graft_jaro_winkler(a, b) >= 0.95 OR id >= 2"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("bound math: uninformative thresholds do not fire") {
     import graft.plans.JwPrefilterRule.lengthRatioBound
     assert(lengthRatioBound(0.95).exists(r => r > 0.74 && r < 0.76))

@@ -106,6 +106,28 @@ class NullSafetySpec extends SparkSpec {
     assert(rows(3).getDouble(2) == 0.0 && rows(4).getDouble(2) == 0.0)
   }
 
+  test("q133 media pipeline: null-text document degrades to empty payload") {
+    // the fixture ships no null text, but production will: the query's
+    // coalesce('') must make a NULL document decode to n_bytes=0 with
+    // real thumb/frame outputs — same unit semantics as the oracle's
+    // COALESCE(text, '') replay — rather than dropping or crashing
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nullq133").toString
+    Seq(
+      (1L, Some("hello"), "en", "web", 5L),
+      (2L, None, "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.MultimodalQueries
+      .queries("q133_media_features")(spark, dir)
+      .orderBy("media_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 5L)   // "hello" -> 5 bytes
+    assert(out(1).getLong(1) == 0L)   // NULL text -> empty payload
+    assert(!out(1).isNullAt(3) && !out(1).isNullAt(4)) // thumb box real
+    assert(out(1).getAs[Int]("n_frames") == 1) // zero-duration guard
+  }
+
   test("saltedTopK equals direct window when order values include nulls") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

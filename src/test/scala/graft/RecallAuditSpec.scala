@@ -262,4 +262,24 @@ class RecallAuditSpec extends SparkSpec {
     info(f"ivf-kmeans: $overlap of 30 exact top-3 recovered, overlap $frac%.4f")
     assert(frac >= 0.7, f"k-means IVF top-3 overlap $frac%.4f below 0.7")
   }
+
+  test("q226 sampled-edge census estimates q165 exact triangles within 25%") {
+    // DOULION estimator audit (the q45/q22 sketch-vs-exact pattern):
+    // seeded hash sampling makes the estimate a pure function of the
+    // data, so this is a fixed measured value, not a flaky draw. The
+    // 25% band is the pinned observation at sf0.001 (p=1/2 keeps ~1/8
+    // of triangles; relative error shrinks ~1/√(T·p³) as T grows, so
+    // larger fixtures only tighten it).
+    val exact = graft.operators.GraphQueries
+      .queries("q165_triangles")(spark, Sf)
+      .head.getAs[Long]("n_triangles")
+    val approx = graft.operators.GraphQueries
+      .queries("q226_triangles_approx")(spark, Sf).head
+    val est = approx.getAs[Double]("est_triangles")
+    val relErr = math.abs(est - exact) / exact.toDouble
+    info(f"triangles exact=$exact est=$est%.1f relErr=$relErr%.4f " +
+      s"(edges sampled ${approx.getAs[Long]("n_edges_sampled")})")
+    assert(relErr <= 0.25,
+      f"sampled census rel. error $relErr%.4f above pinned 0.25 band")
+  }
 }
