@@ -211,6 +211,38 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_nodes"),
           min(col("d")).as("min_d"), max(col("d")).as("max_d"))
         .orderBy("bucket")
+    }),
+
+    // Link prediction over the co-purchase graph: for UNCONNECTED part
+    // pairs sharing ≥ 2 common neighbours, the common-neighbour count
+    // and the Adamic–Adar score (Σ over shared apexes of 1/ln(deg)) —
+    // the standard "which edge appears next" ranking. One wedge join
+    // off the memoized edge relation (Σ deg² work — the same bound the
+    // q165 census carries; at 100 TB hub apexes get degree-capped or
+    // sampled BEFORE the join, trading recall like q226's census), an
+    // anti-join against existing edges, and a bounded global top-30.
+    // Determinism [D2]: per-apex 1/ln(deg) is 6dp-rounded before the
+    // decimal sum (apex degree ≥ 2 by construction, so ln > 0); ties
+    // break on the pair key.
+    "q227_link_pred" -> ((s, dir) => {
+      val und = CoPurchase.und(s, dir)
+      val ed = CoPurchase.directedW(s, dir).select("u", "v")
+      val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
+      val invlog = deg.select(col("u"),
+        round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
+      val e1 = ed.join(invlog, Seq("u"))
+        .select(col("u"), col("v").as("px"), col("il"))
+      val e2 = ed.select(col("u"), col("v").as("py"))
+      val scored = e1.join(e2, Seq("u"))
+        .filter(col("px") < col("py"))
+        .groupBy("px", "py")
+        .agg(count(lit(1)).as("cn"),
+          sum(col("il").cast(Dec)).cast("double").as("aa6"))
+        .filter(col("cn") >= 2)
+      scored.join(und.select(col("x").as("px"), col("y").as("py")),
+          Seq("px", "py"), "left_anti")
+        .orderBy(col("aa6").desc, col("px").asc, col("py").asc)
+        .limit(30)
     })
   )
 
@@ -313,6 +345,36 @@ object GraphQueries {
         |  GROUP BY v)
         |SELECT CAST(length(ltrim(bin(d), '0')) - 1 AS BIGINT) AS bucket,
         |       COUNT(*) AS n_nodes, MIN(d) AS min_d, MAX(d) AS max_d
-        |FROM deg GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin
+        |FROM deg GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin,
+
+    // wedge replay with per-apex 6dp-rounded 1/ln(deg) decimal-summed —
+    // identical term order to the Spark plan; CAST(1 AS DOUBLE) because
+    // DuckDB parses 1.0 as DECIMAL
+    "q227_link_pred" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |ed AS (SELECT x AS u, y AS v FROM und
+        |       UNION ALL SELECT y, x FROM und),
+        |deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY 1),
+        |il AS (SELECT u, ROUND(CAST(1 AS DOUBLE)
+        |                       / ln(CAST(d AS DOUBLE)), 6) AS il
+        |       FROM deg),
+        |sc AS (
+        |  SELECT e1.v AS px, e2.v AS py, COUNT(*) AS cn,
+        |         CAST(SUM(CAST(il.il AS DECIMAL(38,6))) AS DOUBLE) AS aa6
+        |  FROM ed e1
+        |  JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN il ON il.u = e1.u
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2)
+        |SELECT sc.px, sc.py, sc.cn, sc.aa6
+        |FROM sc LEFT JOIN und ON und.x = sc.px AND und.y = sc.py
+        |WHERE und.x IS NULL
+        |ORDER BY aa6 DESC NULLS LAST, px ASC NULLS FIRST,
+        |         py ASC NULLS FIRST
+        |LIMIT 30""".stripMargin
   )
 }
