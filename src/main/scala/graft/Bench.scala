@@ -74,13 +74,19 @@ object Bench {
     val tele = s""""loadavg_pre":[${loadPre.map(fl).mkString(",")}],""" +
       s""""loadavg_post":[${loadPost.map(fl).mkString(",")}],""" +
       s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}"""
-    graft.operators.TextQueries.clearCaches(spark)
-    spark.stop()
     // the one JSON line goes out LAST, after session teardown, so the
     // driver's bounded tail-capture of stdout cannot lose it behind
-    // later output; the headline total sits at the END of the line so
-    // it survives even if the window clips the line's head
-    println(s"""{"sf":"$sfEsc",$tele,"queries":$qs,"unit":"sec","metric":"total","value":${f3(total)}}""")
-    System.out.flush()
+    // later output — but in a try/finally so a teardown failure can
+    // never eat the headline metric. Telemetry sits AFTER the query
+    // map, next to the total at the END of the line: the driver's
+    // ~3 KB window keeps the tail and may clip the head (BENCH_r08
+    // lost the loadavg fields when they led the line).
+    try {
+      graft.operators.TextQueries.clearCaches(spark)
+      spark.stop()
+    } finally {
+      println(s"""{"sf":"$sfEsc","queries":$qs,"unit":"sec",$tele,"metric":"total","value":${f3(total)}}""")
+      System.out.flush()
+    }
   }
 }

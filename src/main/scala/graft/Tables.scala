@@ -109,8 +109,9 @@ object Tables {
     * ground truth instead of assuming what the generator wrote. The
     * probe scopes the conf flip to itself (restores the previous value
     * after) so a µs-fixture session is left untouched; the NANOS read
-    * path in [[load]] sets it durably because the conf must still be
-    * set when the returned frame EXECUTES, not just at plan time. */
+    * path in [[load]] scopes it to an isolated child session instead
+    * (see [[nanosSession]]) because the conf must still be set when
+    * the returned frame EXECUTES, not just at plan time. */
   private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
     val key = path + "@" + new java.io.File(path).lastModified()
     eventsTsNanos.computeIfAbsent(key, { _ =>
@@ -138,11 +139,37 @@ object Tables {
       // µs — truncation toward zero, which is exactly DuckDB's ns→µs
       // conversion (verified: DuckDB maps -1500 ns → -1 µs, not floor's
       // -2), so values compare equal even for pre-epoch timestamps.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsNanosSchema).parquet(path)
+      // The scan is planned against the isolated nanos child session so
+      // the SHARED session's conf is never mutated — the parquet reader
+      // re-reads `nanosAsLong` from its owning session at execution
+      // time, so a plain set-here/restore-after would break the read.
+      nanosSession(spark).read.schema(eventsNanosSchema).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
       spark.read.schema(schemas(name)).parquet(path)
     }
   }
+
+  /** One isolated child session per host session, memoized: shares the
+    * SparkContext and cached data but owns its SQL conf, so setting
+    * `nanosAsLong` here is invisible to the host (the conf-hygiene
+    * contract TablesSpec pins). The graft_* expressions are registered
+    * on the child too — function registries are per-session, and the
+    * frames built here resolve later expressions against their owning
+    * session. */
+  private val nanosSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def nanosSession(spark: SparkSession): SparkSession =
+    nanosSessions.computeIfAbsent(spark, { host =>
+      val ns = host.newSession()
+      // mirror the host's runtime SQL conf (newSession starts from the
+      // builder-time defaults only), then flip the one legacy flag
+      host.conf.getAll.foreach { case (k, v) =>
+        try ns.conf.set(k, v) catch { case _: Exception => () }
+      }
+      ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.functions.GraftFunctions.register(ns)
+      ns
+    })
 }

@@ -33,6 +33,16 @@ object GraphQueries {
   private[graft] val TriSampleMod = 1000L
   private[graft] val TriSampleKeep = 500L
 
+  /** q227 support floor: only co-purchase edges seen in ≥ 2 orders
+    * enter the link-prediction backbone (mirrored in the oracle). */
+  private[graft] val LinkPredMinSupport = 2L
+
+  /** q228 apex-sampling parameters: an apex survives iff
+    * xxhash64(u, seed) mod ApexSampleMod < ApexSampleKeep (p = 1/32). */
+  private[graft] val ApexSampleSeed = 7
+  private[graft] val ApexSampleMod = 32L
+  private[graft] val ApexSampleKeep = 1L
+
   /** The exact degree-oriented triangle census over an undirected
     * x < y edge relation: orient every edge from its lower-(degree, id)
     * endpoint so each out-neighborhood is O(√m) and the wedge join
@@ -213,22 +223,31 @@ object GraphQueries {
         .orderBy("bucket")
     }),
 
-    // Link prediction over the co-purchase graph: for UNCONNECTED part
-    // pairs sharing ≥ 2 common neighbours, the common-neighbour count
-    // and the Adamic–Adar score (Σ over shared apexes of 1/ln(deg)) —
-    // the standard "which edge appears next" ranking. One wedge join
-    // off the memoized edge relation (Σ deg² work — the same bound the
-    // q165 census carries; at 100 TB hub apexes get degree-capped or
-    // sampled BEFORE the join, trading recall like q226's census), an
-    // anti-join against existing edges, and a bounded global top-30.
-    // Determinism [D2]: per-apex 1/ln(deg) is 6dp-rounded before the
-    // decimal sum (apex degree ≥ 2 by construction, so ln > 0); ties
+    // Link prediction over the SUPPORT-FLOORED co-purchase backbone:
+    // keep only edges with w ≥ 2 co-purchases (the backbone — a
+    // single shared order is noise on a dense co-occurrence graph),
+    // then for backbone-UNCONNECTED part pairs sharing a strong
+    // common neighbour, the common-neighbour count and the
+    // Adamic–Adar score (Σ over shared apexes of 1/ln(deg), degrees
+    // on the backbone) — the standard "which edge appears next"
+    // ranking. The support floor IS the 100 TB plan: the wedge join
+    // is Σ deg² over the backbone only (1.2 M raw edges → 3.6 k at
+    // sf0.1, ~3·10⁸ wedges → ~10⁴), and the floor rises with scale
+    // while the raw-graph Σ deg² enumeration dies — the r8 exact form
+    // cost 273 s at sf0.1 on wedges alone. q228 is the sampled
+    // sibling that keeps the RAW graph and bounds the work by seeded
+    // apex sampling instead. Determinism [D2]: per-apex 1/ln(deg) is
+    // 6dp-rounded before the decimal sum (only apexes with backbone
+    // degree ≥ 2 can close a wedge, so ln > 0 on every summed term —
+    // the d ≥ 2 filter makes that explicit in both engines); ties
     // break on the pair key.
     "q227_link_pred" -> ((s, dir) => {
-      val und = CoPurchase.und(s, dir)
-      val ed = CoPurchase.directedW(s, dir).select("u", "v")
+      val undf = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= LinkPredMinSupport).select("x", "y")
+      val ed = undf.select(col("x").as("u"), col("y").as("v"))
+        .unionAll(undf.select(col("y").as("u"), col("x").as("v")))
       val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
-      val invlog = deg.select(col("u"),
+      val invlog = deg.filter(col("d") >= 2).select(col("u"),
         round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
       val e1 = ed.join(invlog, Seq("u"))
         .select(col("u"), col("v").as("px"), col("il"))
@@ -238,10 +257,55 @@ object GraphQueries {
         .groupBy("px", "py")
         .agg(count(lit(1)).as("cn"),
           sum(col("il").cast(Dec)).cast("double").as("aa6"))
-        .filter(col("cn") >= 2)
-      scored.join(und.select(col("x").as("px"), col("y").as("py")),
+      scored.join(undf.select(col("x").as("px"), col("y").as("py")),
           Seq("px", "py"), "left_anti")
         .orderBy(col("aa6").desc, col("px").asc, col("py").asc)
+        .limit(30)
+    }),
+
+    // The sampled sibling of q227 for the RAW (un-floored) co-purchase
+    // graph — the regime where no support floor applies and the exact
+    // Σ deg² wedge enumeration is a luxury (the q226/q165 split).
+    // Apexes survive with probability p = 1/32 decided by a SEEDED
+    // xxhash64 of the apex id — a pure function of the data [D1] — and
+    // each surviving apex contributes its EXACT wedge set, so per-pair
+    // cn_sampled and the Adamic–Adar partial sum (degrees from the
+    // FULL graph — one cheap O(m) agg, never sampled) are sums over a
+    // p-thinned apex population; scaling by 1/p gives unbiased cn_est
+    // / aa_est (Horvitz–Thompson over apexes), with the subset
+    // invariant cn_sampled ≤ cn_exact pinned in RecallAuditSpec along
+    // with the observed top-30 overlap vs the exact ranking. Only
+    // pairs with cn_sampled ≥ 2 are reported — single-apex estimates
+    // carry the highest relative variance, and the floor also caps
+    // the anti-join's input. Wedge work scales by p (~3·10⁸ → ~10⁷ at
+    // sf0.1). No oracle by design: xxhash64 apex sampling has no
+    // DuckDB equivalent (q226 pattern).
+    "q228_link_pred_sampled" -> ((s, dir) => {
+      val und = CoPurchase.und(s, dir)
+      val ed = CoPurchase.directedW(s, dir).select("u", "v")
+      val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
+      val invlog = deg.filter(col("d") >= 2).select(col("u"),
+        round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
+      val apexIl = invlog.filter(
+        pmod(xxhash64(col("u"), lit(ApexSampleSeed)),
+          lit(ApexSampleMod)) < lit(ApexSampleKeep))
+      val e1 = ed.join(apexIl, Seq("u"))
+        .select(col("u"), col("v").as("px"), col("il"))
+      val e2 = ed.join(apexIl.select("u"), Seq("u"))
+        .select(col("u"), col("v").as("py"))
+      val invP = ApexSampleMod.toDouble / ApexSampleKeep
+      val scored = e1.join(e2, Seq("u"))
+        .filter(col("px") < col("py"))
+        .groupBy("px", "py")
+        .agg(count(lit(1)).as("cn_sampled"),
+          sum(col("il").cast(Dec)).cast("double").as("aa_s"))
+        .filter(col("cn_sampled") >= 2)
+        .select(col("px"), col("py"), col("cn_sampled"),
+          round(col("cn_sampled") * invP, 1).as("cn_est"),
+          round(col("aa_s") * invP, 6).as("aa_est"))
+      scored.join(und.select(col("x").as("px"), col("y").as("py")),
+          Seq("px", "py"), "left_anti")
+        .orderBy(col("aa_est").desc, col("px").asc, col("py").asc)
         .limit(30)
     })
   )
@@ -347,34 +411,35 @@ object GraphQueries {
         |       COUNT(*) AS n_nodes, MIN(d) AS min_d, MAX(d) AS max_d
         |FROM deg GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin,
 
-    // wedge replay with per-apex 6dp-rounded 1/ln(deg) decimal-summed —
-    // identical term order to the Spark plan; CAST(1 AS DOUBLE) because
-    // DuckDB parses 1.0 as DECIMAL
+    // backbone wedge replay with per-apex 6dp-rounded 1/ln(deg)
+    // decimal-summed — identical term order to the Spark plan;
+    // CAST(1 AS DOUBLE) because DuckDB parses 1.0 as DECIMAL
     "q227_link_pred" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |und AS (
-        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |                     AND a.l_partkey < b.l_partkey),
-        |ed AS (SELECT x AS u, y AS v FROM und
-        |       UNION ALL SELECT y, x FROM und),
-        |deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY 1),
-        |il AS (SELECT u, ROUND(CAST(1 AS DOUBLE)
-        |                       / ln(CAST(d AS DOUBLE)), 6) AS il
-        |       FROM deg),
-        |sc AS (
-        |  SELECT e1.v AS px, e2.v AS py, COUNT(*) AS cn,
-        |         CAST(SUM(CAST(il.il AS DECIMAL(38,6))) AS DOUBLE) AS aa6
-        |  FROM ed e1
-        |  JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
-        |  JOIN il ON il.u = e1.u
-        |  GROUP BY 1, 2
-        |  HAVING COUNT(*) >= 2)
-        |SELECT sc.px, sc.py, sc.cn, sc.aa6
-        |FROM sc LEFT JOIN und ON und.x = sc.px AND und.y = sc.py
-        |WHERE und.x IS NULL
-        |ORDER BY aa6 DESC NULLS LAST, px ASC NULLS FIRST,
-        |         py ASC NULLS FIRST
-        |LIMIT 30""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |undw AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |und AS (SELECT x, y FROM undw WHERE w >= $LinkPredMinSupport),
+         |ed AS (SELECT x AS u, y AS v FROM und
+         |       UNION ALL SELECT y, x FROM und),
+         |deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY 1),
+         |il AS (SELECT u, ROUND(CAST(1 AS DOUBLE)
+         |                       / ln(CAST(d AS DOUBLE)), 6) AS il
+         |       FROM deg WHERE d >= 2),
+         |sc AS (
+         |  SELECT e1.v AS px, e2.v AS py, COUNT(*) AS cn,
+         |         CAST(SUM(CAST(il.il AS DECIMAL(38,6))) AS DOUBLE) AS aa6
+         |  FROM ed e1
+         |  JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN il ON il.u = e1.u
+         |  GROUP BY 1, 2)
+         |SELECT sc.px, sc.py, sc.cn, sc.aa6
+         |FROM sc LEFT JOIN und ON und.x = sc.px AND und.y = sc.py
+         |WHERE und.x IS NULL
+         |ORDER BY aa6 DESC NULLS LAST, px ASC NULLS FIRST,
+         |         py ASC NULLS FIRST
+         |LIMIT 30""".stripMargin
   )
 }

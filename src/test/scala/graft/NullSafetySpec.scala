@@ -128,6 +128,37 @@ class NullSafetySpec extends SparkSpec {
     assert(out(1).getAs[Int]("n_frames") == 1) // zero-duration guard
   }
 
+  test("q225 cross-modal prune: NULL-text docs are counted but never text-kept") {
+    // the fixture ships no NULL text, but production will: the agreed
+    // semantics (pinned on BOTH engines — Spark filters text IS NOT
+    // NULL before the dedup window, the oracle's GROUP BY feeding the
+    // equi-join excludes NULLs) are that a NULL-text doc counts toward
+    // n_docs but can never survive the text stage, rather than one
+    // NULL-text doc riding through as the min-id of a NULL "dup group"
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nullq225").toString
+    val longText = "x" * 150
+    Seq(
+      (1L, Some(longText), "en", "web", 150L),
+      (2L, None, "en", "web", 150L),          // NULL text, above floor
+      (3L, Some(longText), "en", "web", 150L) // exact dup of 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0), (3L, Array(1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.CrossModalQueries
+      .queries("q225_crossmodal_prune")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_text_kept") == 1L,
+      s"NULL-text doc must not be text-kept: $r")
+    assert(r.getAs[Long]("n_final") == 1L)
+    assert(r.getAs[Long]("chars_final") == 150L)
+  }
+
   test("saltedTopK equals direct window when order values include nulls") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

@@ -179,13 +179,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
     val omitted = q -- o
     // q22/q45: sketch results with engine-specific internals;
-    // q132/q134: k-means training is not SQL-expressible; q226:
-    // xxhash64 edge sampling has no DuckDB equivalent. All five
+    // q132/q134: k-means training is not SQL-expressible; q226/q228:
+    // xxhash64 edge/apex sampling has no DuckDB equivalent. All six
     // carry spec bound-checks instead (AggSpec/StatsSpec/
     // RecallAuditSpec+ApiSpec).
     assert(omitted.forall(
       Set("q22_agg_hll", "q45_approx_quantile", "q132_pq_adc",
-        "q134_ivfpq", "q226_triangles_approx")),
+        "q134_ivfpq", "q226_triangles_approx", "q228_link_pred_sampled")),
       s"unexpected oracle-omitted queries: $omitted")
   }
 }

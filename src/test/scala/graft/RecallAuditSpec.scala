@@ -282,4 +282,54 @@ class RecallAuditSpec extends SparkSpec {
     assert(relErr <= 0.25,
       f"sampled census rel. error $relErr%.4f above pinned 0.25 band")
   }
+
+  test("q228 apex-sampled link prediction: subset invariants vs the exact full-graph scores") {
+    import graft.operators.{CoPurchase, GraphQueries}
+    // exact full-graph common-neighbour/AA reference (the un-floored
+    // wedge enumeration q228 exists to avoid at scale — fine at
+    // sf0.001's ~1.6M wedges)
+    val und = CoPurchase.und(spark, Sf)
+    val ed = CoPurchase.directedW(spark, Sf).select("u", "v")
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
+    val invlog = deg.filter(col("d") >= 2).select(col("u"),
+      round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
+    val e1 = ed.join(invlog, Seq("u"))
+      .select(col("u"), col("v").as("px"), col("il"))
+    val e2 = ed.select(col("u"), col("v").as("py"))
+    val exact = e1.join(e2, Seq("u")).filter(col("px") < col("py"))
+      .groupBy("px", "py")
+      .agg(count(lit(1)).as("cn_x"), sum(col("il")).as("aa_x"))
+      .localCheckpoint(true)
+    val sampled = GraphQueries
+      .queries("q228_link_pred_sampled")(spark, Sf).localCheckpoint(true)
+    // (a) every reported pair is genuinely unconnected
+    assert(sampled.join(und.select(col("x").as("px"), col("y").as("py")),
+      Seq("px", "py"), "left_semi").count() == 0,
+      "sampled output contains a connected pair")
+    // (b) apex sampling thins wedges, never invents them: each pair
+    // exists in the exact relation with cn_sampled ≤ exact cn and
+    // aa_est/p⁻¹ ≤ exact aa (within the 6dp rounding slack)
+    val j = sampled.join(exact, Seq("px", "py"), "left").collect()
+    assert(j.forall(!_.isNullAt(j.head.fieldIndex("cn_x"))),
+      "sampled pair missing from the exact wedge relation")
+    val invP = GraphQueries.ApexSampleMod.toDouble / GraphQueries.ApexSampleKeep
+    j.foreach { r =>
+      assert(r.getAs[Long]("cn_sampled") <= r.getAs[Long]("cn_x"),
+        s"cn_sampled exceeds exact cn: $r")
+      assert(r.getAs[Double]("aa_est") / invP
+        <= r.getAs[Double]("aa_x") + 1e-4,
+        s"sampled AA partial sum exceeds exact AA: $r")
+    }
+    // (c) observed top-30 overlap with the exact unconnected ranking —
+    // a measured, seeded-deterministic value, recorded not to drift
+    val exactTop = exact
+      .join(und.select(col("x").as("px"), col("y").as("py")),
+        Seq("px", "py"), "left_anti")
+      .orderBy(col("aa_x").desc, col("px").asc, col("py").asc)
+      .limit(30)
+    val overlap = sampled.select("px", "py")
+      .join(exactTop.select("px", "py"), Seq("px", "py"), "left_semi")
+      .count()
+    info(s"q228 top-30 overlap with exact ranking: $overlap / 30")
+  }
 }
