@@ -1,0 +1,151 @@
+package graft.api
+
+import graft.Dets
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing graph analytics over ARBITRARY undirected edge lists —
+  * degrees, the degree-oriented triangle census, Adamic–Adar link
+  * prediction, and weighted label-propagation communities. These back
+  * the hash-verified q165/q226/q227/q230 queries; see
+  * [[graft.operators.GraphQueries]] for the verified bindings and the
+  * DuckDB-oracle replays.
+  *
+  * Conventions: an "undirected edge list" is one row per edge with
+  * `xCol < yCol`; weights are exact integer counts (co-occurrence
+  * multiplicities), so every aggregation here is fold-order-invariant
+  * without decimal staging except the AA score, which 6dp-rounds its
+  * per-apex terms before a decimal sum ([D2]).
+  *
+  * Scale intent: every operator is join + keyed aggregation over the
+  * edge relation — no driver-side adjacency, no collect. The census
+  * orients edges by (degree, id) so out-neighborhoods are O(√m) and
+  * hub vertices never blow up the wedge join; link prediction is
+  * documented to run on a SUPPORT-FLOORED backbone (or the q228-style
+  * apex sample) because raw Σ deg² wedge enumeration does not survive
+  * dense graphs; label propagation is one equi-join + argmax per
+  * round, localCheckpointed so round k never replays round k−1.
+  */
+object GraphOps {
+
+  /** Per-vertex degree of an undirected x < y edge list: (v, d). */
+  def degrees(und: DataFrame, xCol: String, yCol: String): DataFrame =
+    und.select(col(xCol).as("v"))
+      .unionAll(und.select(col(yCol).as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** Exact degree-oriented triangle census over an undirected x < y
+    * edge relation: orient every edge from its lower-(degree, id)
+    * endpoint so each out-neighborhood is O(√m) and the wedge join
+    * never blows up on hub vertices — the shape that survives
+    * power-law graphs at 100 TB. Returns (degree relation,
+    * single-row n_triangles). The count is orientation-invariant, so
+    * a plain id-oriented three-way join (the DuckDB oracle) must
+    * agree exactly. */
+  def triangleCensus(und: DataFrame, xCol: String, yCol: String)
+  : (DataFrame, DataFrame) = {
+    val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
+    val deg = degrees(u, "x", "y").localCheckpoint(true)
+    // orient x→y iff (deg, id) of x < (deg, id) of y
+    val ed = u
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+          .otherwise(col("y")).as("src"),
+        when(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+          .otherwise(col("x")).as("dst"))
+      .localCheckpoint(true)
+    // wedges at the apex: pairs of out-edges ordered by (deg, id) of
+    // the endpoints — each triangle shows up exactly once
+    val dd = deg.select(col("v").as("dst"), col("d").as("ddst"))
+    // both wedge legs read this relation — materialize it once
+    // instead of replaying the degree join per leg
+    val eo = ed.join(dd, Seq("dst")).localCheckpoint(true)
+    val w1 = eo.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
+    val w2 = eo.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("w1") < col("w2")))
+    val closing = ed.select(col("src").as("w1"), col("dst").as("w2"))
+    val tri = wedges.join(closing, Seq("w1", "w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    (deg, tri)
+  }
+
+  /** Adamic–Adar link prediction over an undirected x < y edge list:
+    * unconnected pairs sharing a common neighbour, ranked by
+    * Σ over shared apexes of 1/ln(deg) (6dp-rounded terms,
+    * decimal-summed [D2], ties on the pair key), bounded top-k.
+    * Returns (px, py, cn, aa6).
+    *
+    * The wedge join is Σ deg² over THIS edge relation — callers pass
+    * a support-floored backbone (q227) or sample apexes first (q228);
+    * handing the raw edge list of a dense graph to this method is the
+    * plan that cost 273 s at sf0.1 before the round-9 rescope. Only
+    * apexes with degree ≥ 2 can close a wedge, so the explicit d ≥ 2
+    * filter keeps ln > 0 on every summed term in both engines. */
+  def adamicAdar(und: DataFrame, xCol: String, yCol: String, k: Int)
+  : DataFrame = {
+    val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
+    val ed = u.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(u.select(col("y").as("u"), col("x").as("v")))
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
+    val invlog = deg.filter(col("d") >= 2).select(col("u"),
+      round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
+    val e1 = ed.join(invlog, Seq("u"))
+      .select(col("u"), col("v").as("px"), col("il"))
+    val e2 = ed.select(col("u"), col("v").as("py"))
+    val scored = e1.join(e2, Seq("u"))
+      .filter(col("px") < col("py"))
+      .groupBy("px", "py")
+      .agg(count(lit(1)).as("cn"),
+        sum(col("il").cast(Dets.Dec)).cast("double").as("aa6"))
+    scored.join(u.select(col("x").as("px"), col("y").as("py")),
+        Seq("px", "py"), "left_anti")
+      .orderBy(col("aa6").desc, col("px").asc, col("py").asc)
+      .limit(k)
+  }
+
+  /** Synchronous weighted label propagation: labels start as vertex
+    * ids; each round every vertex adopts the label carrying the
+    * largest total edge weight among its neighbours' CURRENT labels
+    * (ties → smallest label — deterministic [D2], and exactly
+    * replayable in SQL as an unrolled ROW_NUMBER argmax). Returns
+    * (v, label) after `iters` rounds.
+    *
+    * Weights are integer counts, so the per-(vertex, label) sums are
+    * exact; each round is one equi-join of the edge relation against
+    * the current assignment plus one keyed argmax, localCheckpointed
+    * so round k never replays round k−1 (the q153/q164 multi-job
+    * convention). Isolated vertices cannot occur (every vertex in an
+    * edge list has degree ≥ 1). */
+  def labelPropagation(und: DataFrame, xCol: String, yCol: String,
+    wCol: String, iters: Int): DataFrame = {
+    val ed = und.select(col(xCol).as("u"), col(yCol).as("v"),
+        col(wCol).as("w"))
+      .unionAll(und.select(col(yCol).as("u"), col(xCol).as("v"),
+        col(wCol).as("w")))
+      .localCheckpoint(true)
+    var labels = ed.select(col("u").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val s = ed
+        .join(labels.select(col("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(sum(col("w")).as("s"))
+      val rn = row_number().over(
+        Window.partitionBy("u").orderBy(col("s").desc, col("label").asc))
+      labels = s.withColumn("rn", rn).filter(col("rn") === 1)
+        .select(col("u").as("v"), col("label"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    labels
+  }
+}

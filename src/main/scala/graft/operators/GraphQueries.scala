@@ -43,46 +43,15 @@ object GraphQueries {
   private[graft] val ApexSampleMod = 32L
   private[graft] val ApexSampleKeep = 1L
 
-  /** The exact degree-oriented triangle census over an undirected
-    * x < y edge relation: orient every edge from its lower-(degree, id)
-    * endpoint so each out-neighborhood is O(√m) and the wedge join
-    * never blows up on hub vertices — the shape that survives
-    * power-law graphs at 100 TB. Returns (degree relation,
-    * single-row n_triangles). Shared by exact q165 and sampled q226. */
-  private def orientedCensus(und: DataFrame)
-  : (DataFrame, DataFrame) = {
-    val deg = und.select(col("x").as("v"))
-      .unionAll(und.select(col("y").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
-    // orient x→y iff (deg, id) of x < (deg, id) of y
-    val ed = und
-      .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
-      .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
-      .select(
-        when(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")), col("x"))
-          .otherwise(col("y")).as("src"),
-        when(col("dx") < col("dy") ||
-          (col("dx") === col("dy") && col("x") < col("y")), col("y"))
-          .otherwise(col("x")).as("dst"))
-      .localCheckpoint(true)
-    // wedges at the apex: pairs of out-edges ordered by (deg, id) of
-    // the endpoints — each triangle shows up exactly once
-    val dd = deg.select(col("v").as("dst"), col("d").as("ddst"))
-    // both wedge legs read this relation — materialize it once
-    // instead of replaying the degree join per leg
-    val eo = ed.join(dd, Seq("dst")).localCheckpoint(true)
-    val w1 = eo.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
-    val w2 = eo.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
-    val wedges = w1.join(w2, Seq("src"))
-      .filter(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("w1") < col("w2")))
-    val closing = ed.select(col("src").as("w1"), col("dst").as("w2"))
-    val tri = wedges.join(closing, Seq("w1", "w2"))
-      .agg(count(lit(1)).as("n_triangles"))
-    (deg, tri)
-  }
+  /** q230's round count — two synchronous rounds, unrolled in the
+    * oracle's CTE replay. */
+  private val LpaIters = 2
+
+  /** The exact degree-oriented triangle census — shared by exact q165
+    * and sampled q226; the generalized form lives in the library tier
+    * ([[graft.api.GraphOps.triangleCensus]]). */
+  private def orientedCensus(und: DataFrame): (DataFrame, DataFrame) =
+    graft.api.GraphOps.triangleCensus(und, "x", "y")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_pagerank" -> ((s, dir) => {
@@ -244,23 +213,27 @@ object GraphQueries {
     "q227_link_pred" -> ((s, dir) => {
       val undf = CoPurchase.pairW(s, dir)
         .filter(col("w") >= LinkPredMinSupport).select("x", "y")
-      val ed = undf.select(col("x").as("u"), col("y").as("v"))
-        .unionAll(undf.select(col("y").as("u"), col("x").as("v")))
-      val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
-      val invlog = deg.filter(col("d") >= 2).select(col("u"),
-        round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
-      val e1 = ed.join(invlog, Seq("u"))
-        .select(col("u"), col("v").as("px"), col("il"))
-      val e2 = ed.select(col("u"), col("v").as("py"))
-      val scored = e1.join(e2, Seq("u"))
-        .filter(col("px") < col("py"))
-        .groupBy("px", "py")
-        .agg(count(lit(1)).as("cn"),
-          sum(col("il").cast(Dec)).cast("double").as("aa6"))
-      scored.join(undf.select(col("x").as("px"), col("y").as("py")),
-          Seq("px", "py"), "left_anti")
-        .orderBy(col("aa6").desc, col("px").asc, col("py").asc)
-        .limit(30)
+      graft.api.GraphOps.adamicAdar(undf, "x", "y", 30)
+    }),
+
+    // Weighted label-propagation communities over the same w ≥ 2
+    // backbone q227 predicts on: labels start as part keys; two
+    // synchronous rounds in which every part adopts the label with
+    // the largest total co-purchase weight among its neighbours
+    // (ties → smallest label [D2]); report the 20 largest communities.
+    // Each round is one equi-join + keyed argmax (the library form,
+    // graft.api.GraphOps.labelPropagation), localCheckpointed so
+    // round 2 never replays round 1; the oracle unrolls both rounds
+    // as ROW_NUMBER argmax CTEs. Integer weights make every sum
+    // exact — no float staging needed anywhere.
+    "q230_label_prop" -> ((s, dir) => {
+      val undw = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= LinkPredMinSupport)
+      val labels = graft.api.GraphOps
+        .labelPropagation(undw, "x", "y", "w", LpaIters)
+      labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label").asc)
+        .limit(20)
     }),
 
     // The sampled sibling of q227 for the RAW (un-floored) co-purchase
@@ -440,6 +413,36 @@ object GraphQueries {
          |WHERE und.x IS NULL
          |ORDER BY aa6 DESC NULLS LAST, px ASC NULLS FIRST,
          |         py ASC NULLS FIRST
-         |LIMIT 30""".stripMargin
+         |LIMIT 30""".stripMargin,
+
+    // two unrolled LPA rounds: per-(vertex, neighbour-label) integer
+    // weight sums, argmax via ROW_NUMBER with the same
+    // (s DESC, label ASC) tie order as the Spark window
+    "q230_label_prop" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |undw AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |und AS (SELECT x, y, w FROM undw WHERE w >= $LinkPredMinSupport),
+         |ed AS (SELECT x AS u, y AS v, w FROM und
+         |       UNION ALL SELECT y, x, w FROM und),
+         |l0 AS (SELECT DISTINCT u AS v, u AS label FROM ed),
+         |s1 AS (SELECT e.u AS v, l.label, SUM(e.w) AS s
+         |       FROM ed e JOIN l0 l ON l.v = e.v GROUP BY 1, 2),
+         |r1 AS (SELECT v, label FROM (
+         |         SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v
+         |           ORDER BY s DESC, label ASC) AS rn FROM s1)
+         |       WHERE rn = 1),
+         |s2 AS (SELECT e.u AS v, r.label, SUM(e.w) AS s
+         |       FROM ed e JOIN r1 r ON r.v = e.v GROUP BY 1, 2),
+         |r2 AS (SELECT v, label FROM (
+         |         SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v
+         |           ORDER BY s DESC, label ASC) AS rn FROM s2)
+         |       WHERE rn = 1)
+         |SELECT label, COUNT(*) AS n_members FROM r2 GROUP BY 1
+         |ORDER BY n_members DESC NULLS LAST, label ASC NULLS FIRST
+         |LIMIT 20""".stripMargin
   )
 }

@@ -604,4 +604,28 @@ class ApiSpec extends SparkSpec {
     assert(got.forall(_._3 == 2L))
     assert(got.count(_._1 == 1L) == 2)
   }
+
+  test("GraphOps: census, Adamic-Adar and LPA on a foreign-schema edge list") {
+    import spark.implicits._
+    // one triangle (1,2,3) plus a pendant edge (3,4)
+    val und = Seq((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L), (3L, 4L, 1L))
+      .toDF("src", "dst", "cnt")
+    val (deg, tri) = graft.api.GraphOps.triangleCensus(und, "src", "dst")
+    assert(tri.head.getAs[Long]("n_triangles") == 1L)
+    assert(deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // unconnected pairs through apex 3 (deg 3): (1,4) and (2,4), each
+    // cn=1, aa = round(1/ln 3, 6) = 0.910239
+    val aa = graft.api.GraphOps.adamicAdar(und, "src", "dst", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("cn"), r.getAs[Double]("aa6")))
+    assert(aa.toSeq == Seq((1L, 4L, 1L, 0.910239), (2L, 4L, 1L, 0.910239)))
+    // hand-run of two synchronous weighted rounds: the triangle's tie
+    // breaks to the smallest label each round, the pendant follows —
+    // everyone converges to label 1
+    val lpa = graft.api.GraphOps
+      .labelPropagation(und, "src", "dst", "cnt", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }

@@ -137,6 +137,23 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q227/q228 wedge joins are equi-joins on the apex (no cartesian/NL)") {
+    Seq("q227_link_pred", "q228_link_pred_sampled").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct")
+          && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q wedge enumeration must ride the apex equi-join\n" + p.take(2000))
+    }
+  }
+
+  test("q229 survivor-filtered search broadcasts probes; corpus never shuffles into the ranking") {
+    val p = planOf("q229_crossmodal_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probes must broadcast against the survivor corpus\n" + p.take(2000))
+    assert(p.contains("TopKPerGroup"),
+      "ranking must run through the bounded-heap top-k\n" + p.take(2000))
+  }
+
   test("SURVEY §2 inventory and the declared query map agree") {
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
@@ -153,8 +170,9 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val doc = java.nio.file.Files.readString(
       java.nio.file.Paths.get("docs/API.md"))
     // (a) every public method of every graft.api object is on the page
-    val apiObjects = Seq[AnyRef](graft.api.DedupOps, graft.api.PipelineOps,
-      graft.api.PqOps, graft.api.TextOps, graft.api.VectorOps)
+    val apiObjects = Seq[AnyRef](graft.api.DedupOps, graft.api.GraphOps,
+      graft.api.PipelineOps, graft.api.PqOps, graft.api.TextOps,
+      graft.api.VectorOps)
     val fromObjects = apiObjects.flatMap(_.getClass.getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
       .map(_.getName))
