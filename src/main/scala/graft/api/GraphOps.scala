@@ -110,6 +110,65 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Random walk with restart (personalized PageRank) from a one-row
+    * seed frame (column `v`) over an undirected weighted x < y edge
+    * list: r₀ puts mass 1 on the seed; each iteration spreads
+    * `damping` of every vertex's mass along its edges in proportion
+    * to edge weight and restarts `1 − damping` at the seed. Returns
+    * the SPARSE mass vector (v, pr — 6dp) after `iters` rounds —
+    * vertices the walk has not reached carry no row, so early
+    * iterations cost only the frontier's edges, not the whole graph.
+    *
+    * Determinism [D2], strengthened: the mass vector lives in EXACT
+    * INTEGER MICRO-UNITS (6dp × 10⁶). Per-edge spreading and the
+    * damping combine both round half-up as pure integer arithmetic —
+    * `(2a + b) div (2b)` — so every iteration is bit-identical on any
+    * engine, any partition layout, by construction. Double-staged 6dp
+    * rounding is NOT enough here: pru·w/wdeg lands exactly on
+    * 7th-decimal …5 boundaries (e.g. 0.000235/94 = 2.5e-6), where
+    * Spark rounds the shortest decimal rendering of the double and
+    * DuckDB the exact binary value — a measured 1-ulp divergence at
+    * sf0.01. Each iteration localCheckpoints so round k never replays
+    * round k−1 (the q153 multi-job convention). */
+  def randomWalkRestart(und: DataFrame, xCol: String, yCol: String,
+    wCol: String, seed: DataFrame, damping: Double, iters: Int)
+  : DataFrame = {
+    val dampBd = java.math.BigDecimal.valueOf(damping)
+    val dNum = dampBd.unscaledValue.longValueExact
+    val dDen = math.pow(10, dampBd.scale.toDouble).toLong
+    val Micro = 1000000L
+    require(Micro % dDen == 0 && dNum >= 0 && dNum <= dDen,
+      s"damping must be a [0,1] decimal with <= 6 places, got $damping")
+    val restartMicro = Micro - Micro / dDen * dNum
+    val ed0 = und.select(col(xCol).as("u"), col(yCol).as("v"),
+        col(wCol).as("w"))
+      .unionAll(und.select(col(yCol).as("u"), col(xCol).as("v"),
+        col(wCol).as("w")))
+    val wdeg = ed0.groupBy("u").agg(sum(col("w")).as("wdeg"))
+    val ed = ed0.join(wdeg, Seq("u")).localCheckpoint(true)
+    val s = seed.select(col("v")).localCheckpoint(true)
+    var r = s.withColumn("pr6", lit(Micro))
+    var it = 0
+    while (it < iters) {
+      val contrib = ed
+        .join(r.select(col("v").as("u"), col("pr6").as("pru6")), Seq("u"))
+        .select(col("v"),
+          expr("(2L * pru6 * w + wdeg) div (2L * wdeg)").as("c6"))
+        .groupBy("v").agg(sum(col("c6")).as("sc6"))
+      // sparse union of the contribution set and the seed row: the
+      // seed may be absent from round 1's contributions (no self
+      // loops), and absent vertices must stay absent, not become 0s
+      r = contrib.join(s.withColumn("st", lit(1)), Seq("v"), "full")
+        .select(col("v"),
+          (when(col("st") === 1, lit(restartMicro)).otherwise(lit(0L))
+            + expr(s"(2L * $dNum * coalesce(sc6, 0L) + $dDen)" +
+              s" div (2L * $dDen)")).as("pr6"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    r.select(col("v"), (col("pr6").cast("double") / Micro).as("pr"))
+  }
+
   /** Synchronous weighted label propagation: labels start as vertex
     * ids; each round every vertex adopts the label carrying the
     * largest total edge weight among its neighbours' CURRENT labels

@@ -236,6 +236,24 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Random walk with restart from the smallest part key — the
+    // personalized-PageRank "related parts" ranking (q153's global
+    // ranks answer "important anywhere"; RWR answers "important NEAR
+    // this seed"). Runs on the FULL weighted co-purchase graph like
+    // q153 — the mass vector stays SPARSE (unreached parts carry no
+    // row), so early iterations cost only the frontier's edges; the
+    // oracle unrolls all three rounds with the same 6dp-round-then-
+    // decimal-sum staging [D2]. Top-20 by mass, ties on part key.
+    "q231_rwr" -> ((s, dir) => {
+      val undw = CoPurchase.pairW(s, dir)
+      val seed = undw.agg(min(col("x")).as("v"))
+      val r = graft.api.GraphOps
+        .randomWalkRestart(undw, "x", "y", "w", seed, Damping, Iters)
+      r.select(col("v").as("p_partkey"), col("pr").as("rwr6"))
+        .orderBy(col("rwr6").desc, col("p_partkey").asc)
+        .limit(20)
+    }),
+
     // The sampled sibling of q227 for the RAW (un-floored) co-purchase
     // graph — the regime where no support floor applies and the exact
     // Σ deg² wedge enumeration is a luxury (the q226/q165 split).
@@ -443,6 +461,54 @@ object GraphQueries {
          |       WHERE rn = 1)
          |SELECT label, COUNT(*) AS n_members FROM r2 GROUP BY 1
          |ORDER BY n_members DESC NULLS LAST, label ASC NULLS FIRST
+         |LIMIT 20""".stripMargin,
+
+    // three unrolled sparse RWR rounds in EXACT INTEGER MICRO-UNITS
+    // (6dp × 10⁶): per-edge spreading and the damping combine round
+    // half-up as pure integer arithmetic `(2a + b) // (2b)`, so the
+    // replay is bit-identical by construction — double- and even
+    // decimal-staged rounding both hit genuine 7th-decimal …5
+    // boundaries on this graph (0.000235/94 = 2.5e-6) where the
+    // engines' double-rounding conventions disagree. Restart mass
+    // re-attaches via FULL JOIN against the one-row seed (absent
+    // vertices stay absent, exactly the Spark plan's sparse vector).
+    "q231_rwr" -> {
+      val dampBd = java.math.BigDecimal.valueOf(Damping)
+      val dNum = dampBd.unscaledValue.longValueExact // 85
+      val dDen = math.pow(10, dampBd.scale.toDouble).toLong // 100
+      val restartMicro = 1000000L - 1000000L / dDen * dNum
+      def iter(prev: String, k: Int): String =
+        s"""c$k AS (
+           |  SELECT e.v,
+           |         SUM((2 * r.pr6 * e.w + e.wdeg) // (2 * e.wdeg)) AS sc6
+           |  FROM ed e JOIN $prev r ON e.u = r.v
+           |  GROUP BY e.v),
+           |r$k AS (
+           |  SELECT COALESCE(c$k.v, s.v) AS v,
+           |         CAST(CASE WHEN s.v IS NOT NULL
+           |             THEN $restartMicro ELSE 0 END
+           |           + (2 * $dNum * COALESCE(c$k.sc6, 0) + $dDen)
+           |             // (2 * $dDen) AS BIGINT) AS pr6
+           |  FROM c$k FULL JOIN s ON s.v = c$k.v)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |undw AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT x AS u, y AS v, w FROM undw
+         |      UNION ALL SELECT y, x, w FROM undw),
+         |deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.u, e.v, e.w, d.wdeg FROM e JOIN deg d ON e.u = d.u),
+         |s AS (SELECT MIN(x) AS v FROM undw),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS pr6 FROM s),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT v AS p_partkey, CAST(pr6 AS DOUBLE) / 1000000 AS rwr6
+         |FROM r3
+         |ORDER BY rwr6 DESC NULLS LAST, p_partkey ASC NULLS FIRST
          |LIMIT 20""".stripMargin
+    }
   )
 }

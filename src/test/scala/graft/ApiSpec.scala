@@ -628,4 +628,25 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("GraphOps.randomWalkRestart: one hand-computed round in exact micro-units") {
+    import spark.implicits._
+    // star from vertex 1 with weights 3 and 1 → wdeg(1) = 4; after one
+    // round the seed keeps the restart mass 0.15 and spreads 0.85
+    // proportionally: 2 gets 0.85·(3/4) = 0.6375, 3 gets 0.85·(1/4)
+    val und = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("s", "d", "m")
+    val seed = und.agg(min(col("s")).as("v"))
+    val r = graft.api.GraphOps
+      .randomWalkRestart(und, "s", "d", "m", seed, 0.85, 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 0.15, 2L -> 0.6375, 3L -> 0.2125))
+    // the walk is SPARSE: a vertex the walk has not reached carries no
+    // row (no zero-filled universe)
+    val und2 = Seq((1L, 2L, 1L), (3L, 4L, 1L)).toDF("s", "d", "m")
+    val seed2 = und2.agg(min(col("s")).as("v"))
+    val r2 = graft.api.GraphOps
+      .randomWalkRestart(und2, "s", "d", "m", seed2, 0.85, 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r2 == Map(1L -> 0.15, 2L -> 0.85))
+  }
 }

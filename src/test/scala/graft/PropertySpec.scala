@@ -272,4 +272,44 @@ class PropertySpec extends SparkSpec {
       assert(proj == exploded)
     }
   }
+
+  test("GraphOps census and Adamic-Adar agree with the plain-Scala model on random graphs") {
+    import spark.implicits._
+    // random subsets of the 8-vertex complete graph; the model
+    // recomputes triangles by brute triple enumeration and AA with the
+    // same round-6-then-exact-sum staging the engine declares
+    val allPairs = (for {
+      a <- 1L to 8L; b <- (a + 1) to 8L
+    } yield (a, b)).toList
+    val edgeSet = Gen.listOfN(allPairs.size, Gen.prob(0.45))
+      .map(keep => allPairs.zip(keep).collect { case (p, true) => p })
+    for (edges <- cases(edgeSet, 4) if edges.nonEmpty) {
+      val und = edges.toDF("x", "y")
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      val vs = adj.keys.toSeq.sorted
+      // triangles
+      val wantTri = (for {
+        a <- vs; b <- vs if a < b && adj(a)(b)
+        c <- vs if b < c && adj(a)(c) && adj(b)(c)
+      } yield 1).size.toLong
+      val (_, tri) = graft.api.GraphOps.triangleCensus(und, "x", "y")
+      assert(tri.head.getAs[Long]("n_triangles") == wantTri,
+        s"census mismatch on $edges")
+      // Adamic-Adar over unconnected pairs
+      def il(v: Long): BigDecimal = BigDecimal.valueOf(1d / math.log(
+        adj(v).size.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val want = (for {
+        p <- vs; q <- vs
+        if p < q && !adj(p)(q)
+        common = adj(p) & adj(q) if common.nonEmpty
+      } yield (p, q) -> (common.size.toLong,
+        common.toSeq.map(il).sum.toDouble)).toMap
+      val got = graft.api.GraphOps.adamicAdar(und, "x", "y", 1000)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Long]("cn"), r.getAs[Double]("aa6"))).toMap
+      assert(got == want, s"AA mismatch on $edges")
+    }
+  }
 }
