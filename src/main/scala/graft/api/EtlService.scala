@@ -230,6 +230,72 @@ final class EtlService(spark: SparkSession) {
       .orderBy("part_type")
   }
 
+  /** The "customers who bought X also bought" endpoint: parts related
+    * to `seed` in the co-purchase graph, ranked either by random-walk-
+    * with-restart mass (`method = "rwr"` — the walk-based closeness
+    * that sees multi-hop structure, [[GraphOps.randomWalkRestart]]) or
+    * by direct weighted co-purchase count (`method = "cooc"` — one
+    * filter + top-k, no iteration). `minSupport` floors the edge
+    * relation like q227's backbone (a single shared order is noise on
+    * a dense co-occurrence graph); the pair build is the per-order
+    * self-join — Σ|order|² with order size schema-bounded, never
+    * |corpus|². Returns (p_partkey, score) — RWR mass at 6dp or the
+    * co-purchase count as a double. */
+  def relatedParts(lineitem: DataFrame, seed: Long, k: Int,
+    method: String = "rwr", minSupport: Long = 1L,
+    iters: Int = 3): DataFrame = {
+    require(k > 0 && iters > 0 && minSupport >= 1, "need k, iters, support >= 1")
+    val undw = coPurchasePairs(lineitem, minSupport)
+    method match {
+      case "rwr" =>
+        val seedDf = undw.sparkSession.range(1).select(lit(seed).as("v"))
+        GraphOps.randomWalkRestart(undw, "x", "y", "w", seedDf, 0.85, iters)
+          .filter(col("v") =!= seed)
+          .orderBy(col("pr").desc, col("v").asc).limit(k)
+          .select(col("v").as("p_partkey"), col("pr").as("score"))
+      case "cooc" =>
+        undw.select(col("x").as("u"), col("y").as("v"), col("w"))
+          .unionAll(undw.select(col("y").as("u"), col("x").as("v"), col("w")))
+          .filter(col("u") === seed)
+          .orderBy(col("w").desc, col("v").asc).limit(k)
+          .select(col("v").as("p_partkey"), col("w").cast("double").as("score"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported method: $other (rwr|cooc)")
+    }
+  }
+
+  /** Part communities by weighted label propagation over the
+    * support-floored co-purchase backbone — the catalog-clustering
+    * endpoint ([[GraphOps.labelPropagation]] does the rounds). Returns
+    * (p_partkey, community). */
+  def partCommunities(lineitem: DataFrame, minSupport: Long = 2L,
+    iters: Int = 2): DataFrame =
+    GraphOps.labelPropagation(coPurchasePairs(lineitem, minSupport),
+        "x", "y", "w", iters)
+      .select(col("v").as("p_partkey"), col("label").as("community"))
+
+  /** Assortment-gap suggestions: part pairs NOT co-purchased on the
+    * support-floored backbone but sharing strong common neighbours,
+    * ranked by Adamic–Adar ([[GraphOps.adamicAdar]] — q227's verified
+    * kernel). Returns (px, py, cn, aa6). */
+  def linkSuggestions(lineitem: DataFrame, k: Int,
+    minSupport: Long = 2L): DataFrame =
+    GraphOps.adamicAdar(
+      coPurchasePairs(lineitem, minSupport).select("x", "y"), "x", "y", k)
+
+  /** Shared pair build for the graph endpoints: distinct per-order
+    * incidence, per-order self-join, weighted x < y pairs, support
+    * floor. */
+  private def coPurchasePairs(lineitem: DataFrame, minSupport: Long)
+  : DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+    a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minSupport)
+  }
+
   /** Referential-integrity audit over the relational lake — the data-
     * quality endpoint an ETL service runs after each load: one row per
     * check, counting rows that violate a foreign-key or coverage

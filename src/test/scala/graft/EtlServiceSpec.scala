@@ -142,6 +142,51 @@ class EtlServiceSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p.take(3000))
   }
 
+  test("relatedParts: cooc matches a hand model, rwr matches the direct GraphOps call") {
+    import spark.implicits._
+    // two orders: {1,2,3} and {1,2,4} → pair weights (1,2)=2,
+    // (1,3)=(2,3)=(1,4)=(2,4)=1; seed 1's cooc ranking is 2 (w=2)
+    // then 3, 4 (w=1, id tie-break)
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+        (20L, 1L), (20L, 2L), (20L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_suppkey", lit(0L))
+    val cooc = svc.relatedParts(li, seed = 1L, k = 10, method = "cooc")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(cooc == Seq((2L, 2.0), (3L, 1.0), (4L, 1.0)))
+    // rwr wiring: endpoint == direct GraphOps formulation, seed excluded
+    val got = svc.relatedParts(t("lineitem"), seed = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val undw = graft.operators.CoPurchase.pairW(spark, Sf)
+    val seedDf = spark.range(1).select(lit(0L).as("v"))
+    val want = graft.api.GraphOps
+      .randomWalkRestart(undw, "x", "y", "w", seedDf, 0.85, 3)
+      .filter(col("v") =!= 0L)
+      .orderBy(col("pr").desc, col("v").asc).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty && !got.exists(_._1 == 0L))
+    intercept[IllegalArgumentException] {
+      svc.relatedParts(t("lineitem"), seed = 0L, k = 5, method = "pagerank")
+    }
+  }
+
+  test("partCommunities and linkSuggestions equal their GraphOps formulations") {
+    val gotC = svc.partCommunities(t("lineitem"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val undw = graft.operators.CoPurchase.pairW(spark, Sf)
+      .filter(col("w") >= 2)
+    val wantC = graft.api.GraphOps
+      .labelPropagation(undw, "x", "y", "w", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotC == wantC && gotC.nonEmpty)
+    val gotL = svc.linkSuggestions(t("lineitem"), k = 10)
+      .collect().map(_.toString).toSeq
+    val wantL = graft.api.GraphOps
+      .adamicAdar(undw.select("x", "y"), "x", "y", 10)
+      .collect().map(_.toString).toSeq
+    assert(gotL == wantL && gotL.nonEmpty)
+  }
+
   test("load + export round-trip through the lake") {
     val out = java.nio.file.Files.createTempDirectory("etl_svc").toString
     val res = svc.nationSummary(t("customer"), t("nation"), t("region"))
