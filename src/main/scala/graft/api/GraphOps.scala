@@ -169,6 +169,40 @@ object GraphOps {
     r.select(col("v"), (col("pr6").cast("double") / Micro).as("pr"))
   }
 
+  /** Multi-source BFS over an undirected x < y edge list: hop
+    * distances 0..`maxLvl` from EVERY seed in one frontier pass — the
+    * (src, v) keyed frontier replaces k separate traversals with one,
+    * which is the only shape that scales when k landmarks probe a
+    * 100 TB graph (k scans of the edge relation total, not k·levels).
+    * Returns (src, v, lvl) with lvl = hop distance, min-level
+    * deduplicated per (src, v); vertices beyond `maxLvl` hops carry no
+    * row. Each level is one equi-join of the frontier against the
+    * edge relation, localCheckpointed so level k never replays k−1
+    * (the q164 convention, generalized). */
+  def multiSourceBfs(und: DataFrame, xCol: String, yCol: String,
+    seeds: DataFrame, maxLvl: Int): DataFrame = {
+    val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
+    val ed = u.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(u.select(col("y").as("u"), col("x").as("v")))
+    var dist = seeds.select(col("src"))
+      .withColumn("v", col("src")).withColumn("lvl", lit(0))
+      .localCheckpoint(true)
+    var lvl = 0
+    while (lvl < maxLvl) {
+      val frontier = dist.filter(col("lvl") === lvl)
+      val next = frontier.select(col("src"), col("v").as("u"))
+        .join(ed, Seq("u"))
+        .select(col("src"), col("v")).distinct()
+        .join(dist.select(col("src"), col("v"), lit(1).as("seen")),
+          Seq("src", "v"), "left")
+        .filter(col("seen").isNull)
+        .select(col("src"), col("v"), lit(lvl + 1).as("lvl"))
+      dist = dist.unionByName(next).localCheckpoint(true)
+      lvl += 1
+    }
+    dist
+  }
+
   /** Synchronous weighted label propagation: labels start as vertex
     * ids; each round every vertex adopts the label carrying the
     * largest total edge weight among its neighbours' CURRENT labels

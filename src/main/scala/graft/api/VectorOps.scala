@@ -34,6 +34,33 @@ object VectorOps {
       call_function("graft_dot", col(vecCol), col(vecCol)))
   }
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * [[cosineTopK]]: each probe's `k` nearest corpus vectors with a
+    * DIFFERENT label (columns `probe_id`, `probe_label`, `pe` on the
+    * probe side), i.e. the confusable-but-wrong examples a retrieval
+    * or classification model should be trained against. Same scale
+    * contract as the plain ranking: probes broadcast, the corpus is
+    * scanned ONCE and never shuffles, the label exclusion rides the
+    * broadcast join predicate (not a post-filter, so excluded rows
+    * never enter the heap), and the bounded-heap top-k caps each scan
+    * partition at k rows per probe. NULL labels follow SQL three-
+    * valued logic on both engines: a NULL-label candidate (or probe)
+    * is never a hard negative. Returns (probe_id, id, cos, rn). */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+    labelCol: String, probes: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+    val p = withNorm(
+        probes.select(col("probe_id"), col("probe_label"), col("pe")), "pe")
+      .select(col("probe_id"), col("probe_label"), col("pe"),
+        col("n2").as("pn2"))
+    graft.plans.GraftOps.topKPerGroup(
+      broadcast(p).join(c, col(idCol) =!= col("probe_id") &&
+          col(labelCol) =!= col("probe_label"))
+        .withColumn("cos", round(cosWith("pe", vecCol, "pn2", "n2"), 4))
+        .select(col("probe_id"), col(idCol).as("id"), col("cos")),
+      Seq(col("probe_id")), Seq(col("cos").desc, col("id").asc), k)
+  }
+
   /** Exact top-`k` cosine neighbours in `corpus` for every row of
     * `probes` (columns `probe_id`, `pe`). Returns
     * (probe_id, id, cos, rn). The probe set broadcasts — the corpus

@@ -236,6 +236,29 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Landmark distance profile: hop-level histograms from THREE
+    // deterministic landmarks (smallest part, largest part, and the
+    // highest-degree hub — ties to the smaller key) in ONE
+    // multi-source BFS pass. The (src, v)-keyed frontier replaces
+    // three traversals with one — k landmarks cost k× frontier rows,
+    // not k× edge scans — the only shape that scales when landmark
+    // distance estimation probes a 100 TB graph. Oracle: q164's
+    // recursive CTE generalized with src in the recursion key,
+    // min-level dedup making it traversal-order-independent.
+    "q232_landmark_bfs" -> ((s, dir) => {
+      val und = CoPurchase.und(s, dir)
+      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val hub = deg.orderBy(col("d").desc, col("v").asc).limit(1)
+        .select(col("v").as("src"))
+      val seeds = und.agg(min(col("x")).as("src"))
+        .unionByName(und.agg(max(col("y")).as("src")))
+        .unionByName(hub)
+        .distinct()
+      graft.api.GraphOps.multiSourceBfs(und, "x", "y", seeds, 3)
+        .groupBy("src", "lvl").agg(count(lit(1)).as("n_parts"))
+        .orderBy("src", "lvl")
+    }),
+
     // Random walk with restart from the smallest part key — the
     // personalized-PageRank "related parts" ranking (q153's global
     // ranks answer "important anywhere"; RWR answers "important NEAR
@@ -462,6 +485,35 @@ object GraphQueries {
          |SELECT label, COUNT(*) AS n_members FROM r2 GROUP BY 1
          |ORDER BY n_members DESC NULLS LAST, label ASC NULLS FIRST
          |LIMIT 20""".stripMargin,
+
+    // q164's recursive replay generalized: src rides the recursion
+    // key, UNION (not UNION ALL) bounds the working set, min-level
+    // dedup makes the traversal order irrelevant
+    "q232_landmark_bfs" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT x AS u, y AS v FROM und
+        |      UNION ALL SELECT y, x FROM und),
+        |deg AS (SELECT u AS v, COUNT(*) AS d FROM e GROUP BY 1),
+        |hub AS (SELECT v FROM (
+        |          SELECT v, ROW_NUMBER() OVER (ORDER BY d DESC,
+        |            v ASC) AS rn FROM deg) WHERE rn = 1),
+        |seeds AS (SELECT DISTINCT src FROM (
+        |  SELECT MIN(x) AS src FROM und
+        |  UNION ALL SELECT MAX(y) FROM und
+        |  UNION ALL SELECT v FROM hub)),
+        |bfs(src, v, lvl) AS (
+        |  SELECT src, src, 0 FROM seeds
+        |  UNION
+        |  SELECT bfs.src, e.v, bfs.lvl + 1 FROM bfs JOIN e ON e.u = bfs.v
+        |  WHERE bfs.lvl < 3),
+        |d AS (SELECT src, v, MIN(lvl) AS lvl FROM bfs GROUP BY 1, 2)
+        |SELECT src, lvl, COUNT(*) AS n_parts FROM d GROUP BY 1, 2
+        |ORDER BY src ASC NULLS FIRST, lvl ASC NULLS FIRST""".stripMargin,
 
     // three unrolled sparse RWR rounds in EXACT INTEGER MICRO-UNITS
     // (6dp × 10⁶): per-edge spreading and the damping combine round

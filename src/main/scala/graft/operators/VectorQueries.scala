@@ -52,6 +52,23 @@ object VectorQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // Hard-negative mining: each probe's 5 nearest corpus neighbours
+    // with a DIFFERENT label — the confusable-but-wrong training
+    // examples contrastive retrieval fine-tuning needs. Same one-scan
+    // broadcast-probe contract as q62; the label exclusion rides the
+    // join predicate, so excluded candidates never enter the heap.
+    "q233_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+          col("embedding").as("pe"))
+      graft.api.VectorOps.hardNegatives(
+          emb, "vec_id", "embedding", "label", probes, 5)
+        .select(col("probe_id"), col("id").as("vec_id"),
+          col("cos").as("cos4"), col("rn"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // kNN majority-vote label propagation: predict each probe's label
     // from its 5 nearest labeled corpus neighbors (the weak-supervision /
     // label-transfer step of a training-data pipeline). Reuses the
@@ -511,6 +528,25 @@ object VectorQueries {
          |           ORDER BY ROUND($sqlCos, 4) DESC NULLS LAST,
          |                    b.vec_id ASC NULLS FIRST) AS rn
          |  FROM p a JOIN embeddings b ON b.vec_id != a.probe_id) x
+         |WHERE rn <= 5
+         |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    // q62's replay with the label exclusion in the join predicate —
+    // SQL three-valued logic drops NULL-label candidates on both
+    // engines identically
+    "q233_hard_negatives" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, label AS plabel,
+         |                  embedding AS pe
+         |           FROM embeddings WHERE vec_id < 10)
+         |SELECT probe_id, vec_id, cos4, rn FROM (
+         |  SELECT a.probe_id, b.vec_id,
+         |         -- + 0 normalizes a possible -0.0 (Spark round never emits it)
+         |         ROUND($sqlCos, 4) + 0 AS cos4,
+         |         ROW_NUMBER() OVER (PARTITION BY a.probe_id
+         |           ORDER BY ROUND($sqlCos, 4) DESC NULLS LAST,
+         |                    b.vec_id ASC NULLS FIRST) AS rn
+         |  FROM p a JOIN embeddings b ON b.vec_id != a.probe_id
+         |                            AND b.label != a.plabel) x
          |WHERE rn <= 5
          |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
 

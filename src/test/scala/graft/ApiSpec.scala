@@ -629,6 +629,39 @@ class ApiSpec extends SparkSpec {
     assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("hardNegatives excludes same-label and NULL-label candidates") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f), Some(0)),
+      (2L, Array(1f, 0f), Some(0)),   // same label, identical vector
+      (3L, Array(1f, 0.5f), Some(1)), // different label, close
+      (4L, Array(1f, 0.1f), None),    // NULL label — 3VL drop
+      (5L, Array(0f, 1f), Some(1))    // different label, orthogonal
+    ).toDF("vec_id", "embedding", "label")
+    val probes = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("pe"))
+    val got = graft.api.VectorOps
+      .hardNegatives(emb, "vec_id", "embedding", "label", probes, 5)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    // the identical same-label vector (cos 1.0) and the closer
+    // NULL-label vector must both be absent
+    assert(got == Seq(3L, 5L))
+  }
+
+  test("GraphOps.multiSourceBfs: one frontier pass carries every landmark") {
+    import spark.implicits._
+    // path 1-2-3-4-5; landmarks {1, 5}, two hops each: vertex 3 is
+    // reached at level 2 from BOTH sides, 4/2 stay one-sided
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L, 5L).toDF("src")
+    val got = graft.api.GraphOps.multiSourceBfs(und, "a", "b", seeds, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 0), (1L, 2L, 1), (1L, 3L, 2),
+      (5L, 5L, 0), (5L, 4L, 1), (5L, 3L, 2)))
+  }
+
   test("GraphOps.randomWalkRestart: one hand-computed round in exact micro-units") {
     import spark.implicits._
     // star from vertex 1 with weights 3 and 1 → wdeg(1) = 4; after one
