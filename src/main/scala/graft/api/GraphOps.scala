@@ -169,6 +169,48 @@ object GraphOps {
     r.select(col("v"), (col("pr6").cast("double") / Micro).as("pr"))
   }
 
+  /** Weighted-Jaccard (Ruzicka) similarity between adjacency
+    * profiles — item-item collaborative filtering over a weighted
+    * co-occurrence graph: for each vertex pair sharing a neighbour,
+    * Σ min(wx, wy) over common neighbours divided by Σ max over the
+    * union of both profiles, which for full adjacency vectors reduces
+    * to cmin / (S(x) + S(y) − cmin) with S the weighted degree (the
+    * mutual edge, if any, needs no correction: dimension y of x's
+    * profile meets an implicit 0 in y's own, so its min is 0 and its
+    * max is already inside S(x)). Returns the top-k pairs
+    * (px, py, cn, wjac4).
+    *
+    * Integer weights make cmin and the denominator exact; the 4dp
+    * ratio rounds half-up as pure integer arithmetic
+    * `(2·cmin·10⁴ + d) div (2d)` — bit-identical across engines (the
+    * q231 convention; a double-staged round is a coin flip whenever
+    * the rational ratio lands on a 5th-decimal …5 boundary, which
+    * small-integer ratios constantly do). The pair enumeration is the
+    * Σ deg² wedge join — callers pass a support-floored backbone or
+    * sample first, as with [[adamicAdar]]. */
+  def weightedJaccard(und: DataFrame, xCol: String, yCol: String,
+    wCol: String, k: Int): DataFrame = {
+    val ed = und.select(col(xCol).as("u"), col(yCol).as("v"),
+        col(wCol).as("w"))
+      .unionAll(und.select(col(yCol).as("u"), col(xCol).as("v"),
+        col(wCol).as("w")))
+    val sdeg = ed.groupBy("u").agg(sum(col("w")).as("s"))
+    val e1 = ed.select(col("u"), col("v").as("px"), col("w").as("wx"))
+    val e2 = ed.select(col("u"), col("v").as("py"), col("w").as("wy"))
+    e1.join(e2, Seq("u")).filter(col("px") < col("py"))
+      .select(col("px"), col("py"), least(col("wx"), col("wy")).as("m"))
+      .groupBy("px", "py")
+      .agg(count(lit(1)).as("cn"), sum(col("m")).as("cmin"))
+      .join(sdeg.select(col("u").as("px"), col("s").as("sx")), Seq("px"))
+      .join(sdeg.select(col("u").as("py"), col("s").as("sy")), Seq("py"))
+      .withColumn("d", col("sx") + col("sy") - col("cmin"))
+      .select(col("px"), col("py"), col("cn"),
+        (expr("(2L * cmin * 10000L + d) div (2L * d)").cast("double")
+          / 10000d).as("wjac4"))
+      .orderBy(col("wjac4").desc, col("px").asc, col("py").asc)
+      .limit(k)
+  }
+
   /** Multi-source BFS over an undirected x < y edge list: hop
     * distances 0..`maxLvl` from EVERY seed in one frontier pass — the
     * (src, v) keyed frontier replaces k separate traversals with one,

@@ -236,6 +236,21 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Item-item collaborative filtering: weighted-Jaccard (Ruzicka)
+    // similarity between part adjacency profiles on the w ≥ 2
+    // backbone — "parts bought in the same baskets as yours", the
+    // e-commerce recommender classic. cmin and the denominator are
+    // exact integer sums; the 4dp ratio rounds half-up as pure
+    // integer arithmetic (the q231 micro-unit convention — integer
+    // ratios constantly land on 5th-decimal …5 boundaries where a
+    // double-staged round is a cross-engine coin flip). Top-30 pairs,
+    // ties on the pair key.
+    "q234_item_cf" -> ((s, dir) => {
+      val undw = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= LinkPredMinSupport)
+      graft.api.GraphOps.weightedJaccard(undw, "x", "y", "w", 30)
+    }),
+
     // Landmark distance profile: hop-level histograms from THREE
     // deterministic landmarks (smallest part, largest part, and the
     // highest-degree hub — ties to the smaller key) in ONE
@@ -485,6 +500,37 @@ object GraphQueries {
          |SELECT label, COUNT(*) AS n_members FROM r2 GROUP BY 1
          |ORDER BY n_members DESC NULLS LAST, label ASC NULLS FIRST
          |LIMIT 20""".stripMargin,
+
+    // wedge replay with Σ min over common neighbours and the exact
+    // integer half-up ratio — same backbone CTEs as q227/q230
+    "q234_item_cf" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |undw AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |und AS (SELECT x, y, w FROM undw WHERE w >= $LinkPredMinSupport),
+         |ed AS (SELECT x AS u, y AS v, w FROM und
+         |       UNION ALL SELECT y, x, w FROM und),
+         |sdeg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM ed GROUP BY 1),
+         |pr AS (
+         |  SELECT e1.v AS px, e2.v AS py, COUNT(*) AS cn,
+         |         CAST(SUM(LEAST(e1.w, e2.w)) AS BIGINT) AS cmin
+         |  FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT pr.px, pr.py, pr.cn,
+         |         sx.s + sy.s - pr.cmin AS d, pr.cmin
+         |  FROM pr JOIN sdeg sx ON sx.u = pr.px
+         |          JOIN sdeg sy ON sy.u = pr.py)
+         |SELECT px, py, cn,
+         |       CAST((2 * cmin * 10000 + d) // (2 * d) AS DOUBLE) / 10000
+         |         AS wjac4
+         |FROM sc
+         |ORDER BY wjac4 DESC NULLS LAST, px ASC NULLS FIRST,
+         |         py ASC NULLS FIRST
+         |LIMIT 30""".stripMargin,
 
     // q164's recursive replay generalized: src rides the recursion
     // key, UNION (not UNION ALL) bounds the working set, min-level

@@ -649,6 +649,20 @@ class ApiSpec extends SparkSpec {
     assert(got == Seq(3L, 5L))
   }
 
+  test("GraphOps.weightedJaccard matches the hand-computed Ruzicka ratios") {
+    import spark.implicits._
+    // weighted triangle: S(1)=6, S(2)=6, S(3)=4; every pair shares one
+    // apex with cmin=2 → (1,3): 2/8, (2,3): 2/8, (1,2): 2/10
+    val und = Seq((1L, 2L, 4L), (1L, 3L, 2L), (2L, 3L, 2L))
+      .toDF("a", "b", "n")
+    val got = graft.api.GraphOps.weightedJaccard(und, "a", "b", "n", 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("cn"),
+        r.getAs[Double]("wjac4"))).toSeq
+    assert(got == Seq((1L, 3L, 1L, 0.25), (2L, 3L, 1L, 0.25),
+      (1L, 2L, 1L, 0.2)))
+  }
+
   test("GraphOps.multiSourceBfs: one frontier pass carries every landmark") {
     import spark.implicits._
     // path 1-2-3-4-5; landmarks {1, 5}, two hops each: vertex 3 is
