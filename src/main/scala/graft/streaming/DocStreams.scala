@@ -58,6 +58,40 @@ object DocStreams {
         lit(nHashes)),
       lit(1), lit(nHashes)), 1)
 
+  /** Online SEMANTIC near-duplicate filter — the embedding-side
+    * sibling of [[nearDupFilter]]: drops an arriving vector whose full
+    * sign pattern over `nPlanes` seeded Gaussian hyperplanes (the q102
+    * sign-LSH construction, all planes folded into ONE deep band) was
+    * already seen within the watermark horizon, keeping the first
+    * arrival. Two vectors collide only when ALL plane signs agree — an
+    * event whose probability rises steeply with cosine, so matches are
+    * near-certain semantic duplicates and lower-similarity pairs are
+    * left for the periodic batch pass (q110/q225 SemDeDup — the same
+    * online-filter + offline-compaction split as the text filters).
+    * State is one long per distinct sign pattern in the horizon. The
+    * planes are splitmix64-seeded pure functions of (seed, plane, dim)
+    * [D1], identical to the batch q102 family, so the stream and the
+    * batch replay keep the same survivors. NULL embeddings pass
+    * through unfiltered (their dot — and key — is NULL). */
+  def semanticDupFilter(emb: DataFrame, tsCol: String, vecCol: String,
+    dim: Int, watermark: String, nPlanes: Int = 16,
+    seed: Long = 42L): DataFrame = {
+    require(dim > 0 && nPlanes > 0 && nPlanes <= 62,
+      "need dim > 0 and 0 < nPlanes <= 62")
+    GraftFunctions.register(emb.sparkSession)
+    val planes = graft.api.VectorOps.gaussianPlanes(nPlanes, dim, seed)
+    val key = (0 until nPlanes).map { i =>
+      val dot = call_function("graft_dot", col(vecCol), typedLit(planes(i)))
+      when(dot >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val keyed = emb.withWatermark(tsCol, watermark)
+      .withColumn("__sig", key)
+    keyed.filter(col("__sig").isNotNull)
+      .dropDuplicatesWithinWatermark("__sig")
+      .unionByName(keyed.filter(col("__sig").isNull))
+      .drop("__sig")
+  }
+
   /** Online exact-duplicate filter: drops an arriving document whose
     * exact content was already seen within the watermark horizon,
     * keeping the first arrival — the streaming sibling of the batch
