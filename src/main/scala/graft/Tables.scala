@@ -160,16 +160,27 @@ object Tables {
   private val nanosSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
-  private def nanosSession(spark: SparkSession): SparkSession =
-    nanosSessions.computeIfAbsent(spark, { host =>
+  private def nanosSession(spark: SparkSession): SparkSession = {
+    // hygiene for a long-lived JVM hosting many sessions: entries whose
+    // SparkContext has stopped can never be used again — drop them so
+    // the map is bounded by the LIVE session count, not session churn
+    nanosSessions.keySet.removeIf(h => h.sparkContext.isStopped)
+    val child = nanosSessions.computeIfAbsent(spark, { host =>
       val ns = host.newSession()
-      // mirror the host's runtime SQL conf (newSession starts from the
-      // builder-time defaults only), then flip the one legacy flag
-      host.conf.getAll.foreach { case (k, v) =>
-        try ns.conf.set(k, v) catch { case _: Exception => () }
-      }
-      ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.functions.GraftFunctions.register(ns)
       ns
     })
+    // re-mirror the host's runtime SQL conf on EVERY use, not just at
+    // creation — a host-side change after the child was memoized (e.g.
+    // spark.sql.session.timeZone) must reach the child, or the events
+    // frames planned here would silently diverge from the host's other
+    // scans. getAll is a driver-side map copy; this path only runs for
+    // legacy-NANOS events fixtures, so the cost is per-load, tiny.
+    spark.conf.getAll.foreach { case (k, v) =>
+      try if (child.conf.getOption(k) != Some(v)) child.conf.set(k, v)
+      catch { case _: Exception => () }
+    }
+    child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    child
+  }
 }

@@ -220,13 +220,17 @@ object GraphOps {
     * deduplicated per (src, v); vertices beyond `maxLvl` hops carry no
     * row. Each level is one equi-join of the frontier against the
     * edge relation, localCheckpointed so level k never replays k−1
-    * (the q164 convention, generalized). */
+    * (the q164 convention, generalized).
+    *
+    * `seeds` holds one seed vertex per row in column `seedCol`
+    * (default "src"); the returned frame always names it `src`
+    * alongside (v, lvl). */
   def multiSourceBfs(und: DataFrame, xCol: String, yCol: String,
-    seeds: DataFrame, maxLvl: Int): DataFrame = {
+    seeds: DataFrame, maxLvl: Int, seedCol: String = "src"): DataFrame = {
     val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
     val ed = u.select(col("x").as("u"), col("y").as("v"))
       .unionAll(u.select(col("y").as("u"), col("x").as("v")))
-    var dist = seeds.select(col("src"))
+    var dist = seeds.select(col(seedCol).as("src"))
       .withColumn("v", col("src")).withColumn("lvl", lit(0))
       .localCheckpoint(true)
     var lvl = 0

@@ -27,9 +27,55 @@ object GraphQueries {
   private val Damping = 0.85
   private val Iters = 3
 
-  /** q226 edge-sampling parameters: keep an edge iff
-    * xxhash64(x, y, seed) mod TriSampleMod < TriSampleKeep (p = 1/2). */
-  private[graft] val TriSampleSeed = 42
+  /** The PORTABLE seeded sampler both q226 and q228 key on (round 10 —
+    * previously xxhash64, which DuckDB cannot replay, leaving both
+    * estimators "no oracle by design"): a fixed degree-4 polynomial
+    * over Z_M (M = 1e9+7), evaluated by Horner with a reduction after
+    * every step so no intermediate exceeds M² < 2^63 — only BIGINT
+    * `*`, `+`, `%` on non-negative values, so DuckDB replays it
+    * bit-exactly (the q78/q80 portable-hash precedent). A polynomial
+    * mixer is the key difference from the affine spread hash those
+    * samplers use: an affine map mod M is a Weyl sequence — residues
+    * mod a small sampling modulus step by a CONSTANT for consecutive
+    * keys, which correlates the co-survival of a triangle's three
+    * edges and biased the DOULION estimate by +67% when tried (a
+    * degree-1 map is only 2-wise independent over random coefficients;
+    * degree 4 is 5-wise, and empirically the measured census error
+    * lands back in the xxhash64 band — RecallAuditSpec pins it).
+    * Sampling stays a pure function of the data [D1] — bit-identical
+    * on any partition layout AND in the oracle replay, so the
+    * estimates themselves are now hash-gated rows, not just
+    * spec-banded. Coefficients are splitmix64 residues of fixed seeds,
+    * embedded as literals in both engines. */
+  private[graft] val HashM = graft.functions.TextFunctions.HashMod
+  private[graft] val Spread = 2654435761L
+  private[graft] val MixC: IndexedSeq[Long] = (0 until 5).map { i =>
+    java.lang.Long.remainderUnsigned(
+      graft.functions.TextFunctions.mix64(0x226L + i), HashM)
+  }
+
+  private[graft] def polyMix(r: org.apache.spark.sql.Column) =
+    MixC.init.foldRight(lit(MixC.last)) { (c, acc) =>
+      pmod(acc * r + lit(c), lit(HashM))
+    }
+  /** The same Horner chain as [[polyMix]], as oracle SQL over `rExpr`
+    * (which must already be reduced into [0, M)). */
+  private[graft] def polyMixSql(rExpr: String): String =
+    MixC.init.foldRight(MixC.last.toString) { (c, acc) =>
+      s"(($acc) * ($rExpr) + $c) % $HashM"
+    }
+
+  /** Edge key folded into [0, M) before mixing; the affine combine is
+    * fine HERE because the polynomial above does the mixing. */
+  private[graft] def pairMix(x: org.apache.spark.sql.Column,
+    y: org.apache.spark.sql.Column) =
+    polyMix(pmod(pmod(x, lit(HashM)) * lit(Spread) + pmod(y, lit(HashM)),
+      lit(HashM)))
+  private[graft] def pairMixSql(x: String, y: String): String =
+    polyMixSql(s"(($x % $HashM) * $Spread + ($y % $HashM)) % $HashM")
+
+  /** q226 edge sampling: keep an edge iff
+    * pairMix(x, y) mod TriSampleMod < TriSampleKeep (p = 1/2). */
   private[graft] val TriSampleMod = 1000L
   private[graft] val TriSampleKeep = 500L
 
@@ -37,9 +83,8 @@ object GraphQueries {
     * enter the link-prediction backbone (mirrored in the oracle). */
   private[graft] val LinkPredMinSupport = 2L
 
-  /** q228 apex-sampling parameters: an apex survives iff
-    * xxhash64(u, seed) mod ApexSampleMod < ApexSampleKeep (p = 1/32). */
-  private[graft] val ApexSampleSeed = 7
+  /** q228 apex sampling: an apex survives iff
+    * polyMix(u mod M) mod ApexSampleMod < ApexSampleKeep (p = 1/32). */
   private[graft] val ApexSampleMod = 32L
   private[graft] val ApexSampleKeep = 1L
 
@@ -144,21 +189,23 @@ object GraphQueries {
 
     // DOULION-style approximate triangle count — the 100 TB sibling of
     // q165 where the exact census is a luxury (the q45/q22
-    // sketch-vs-exact pattern; no oracle by design — the estimator's
-    // error bound is pinned in GraphSpec against the exact census).
-    // Each undirected edge survives with probability p = 1/2 decided by
-    // a SEEDED xxhash64 of the edge key — a pure function of the data,
-    // so the sample (and hence the estimate) is bit-identical on any
-    // partition layout, any cluster, any run [D1]. The exact
-    // degree-oriented census then runs on the ~p·m sampled edges
-    // (wedge work scales ~p², the dominant cost) and each surviving
-    // triangle, present with probability p³, is scaled by 1/p³ —
-    // an unbiased estimator with variance ~T/p³ (Tsourakakis et al.,
-    // KDD'09 — public method).
+    // sketch-vs-exact pattern). Each undirected edge survives with
+    // probability p = 1/2 decided by the PORTABLE seeded polyMix hash of
+    // the edge key — a pure function of the data, so the sample (and
+    // hence the estimate) is bit-identical on any partition layout, any
+    // cluster, any run [D1], AND in the DuckDB oracle, which replays
+    // the same hash arithmetic exactly (round 10: this converted the
+    // estimator from "no oracle by design" to a hash-green row; the
+    // error band vs the exact census stays pinned in RecallAuditSpec).
+    // The exact degree-oriented census then runs on the ~p·m sampled
+    // edges (wedge work scales ~p², the dominant cost) and each
+    // surviving triangle, present with probability p³, is scaled by
+    // 1/p³ — an unbiased estimator with variance ~T/p³ (Tsourakakis et
+    // al., KDD'09 — public method).
     "q226_triangles_approx" -> ((s, dir) => {
       val und = CoPurchase.und(s, dir)
       val sampled = und.filter(
-        pmod(xxhash64(col("x"), col("y"), lit(TriSampleSeed)),
+        pmod(pairMix(col("x"), col("y")),
           lit(TriSampleMod)) < lit(TriSampleKeep))
       val (_, tri) = orientedCensus(sampled)
       val invP3 = {
@@ -295,20 +342,25 @@ object GraphQueries {
     // The sampled sibling of q227 for the RAW (un-floored) co-purchase
     // graph — the regime where no support floor applies and the exact
     // Σ deg² wedge enumeration is a luxury (the q226/q165 split).
-    // Apexes survive with probability p = 1/32 decided by a SEEDED
-    // xxhash64 of the apex id — a pure function of the data [D1] — and
-    // each surviving apex contributes its EXACT wedge set, so per-pair
-    // cn_sampled and the Adamic–Adar partial sum (degrees from the
-    // FULL graph — one cheap O(m) agg, never sampled) are sums over a
-    // p-thinned apex population; scaling by 1/p gives unbiased cn_est
-    // / aa_est (Horvitz–Thompson over apexes), with the subset
-    // invariant cn_sampled ≤ cn_exact pinned in RecallAuditSpec along
-    // with the observed top-30 overlap vs the exact ranking. Only
-    // pairs with cn_sampled ≥ 2 are reported — single-apex estimates
-    // carry the highest relative variance, and the floor also caps
-    // the anti-join's input. Wedge work scales by p (~3·10⁸ → ~10⁷ at
-    // sf0.1). No oracle by design: xxhash64 apex sampling has no
-    // DuckDB equivalent (q226 pattern).
+    // Apexes survive with probability p = 1/32 decided by the PORTABLE
+    // seeded polyMix hash of the apex id — a pure function of the data
+    // [D1], replayed bit-exactly by the DuckDB oracle (round 10: the
+    // re-key from xxhash64 converted this from "no oracle by design"
+    // to a hash-green row) — and each surviving apex contributes its
+    // EXACT wedge set, so per-pair cn_sampled and the Adamic–Adar
+    // partial sum (degrees from the FULL graph — one cheap O(m) agg,
+    // never sampled) are sums over a p-thinned apex population;
+    // scaling by 1/p gives unbiased cn_est / aa_est (Horvitz–Thompson
+    // over apexes), with the subset invariant cn_sampled ≤ cn_exact
+    // pinned in RecallAuditSpec along with a floor on the top-30
+    // overlap vs the exact ranking. Only pairs with cn_sampled ≥ 2
+    // are reported — single-apex estimates carry the highest relative
+    // variance, and the floor also caps the anti-join's input. Wedge
+    // work scales by p (~3·10⁸ → ~10⁷ at sf0.1). Determinism [D2/D5]:
+    // per-apex 1/ln(deg) is 6dp-rounded before the decimal sum, and
+    // the ×32 Horvitz–Thompson scale stays in DECIMAL until the final
+    // double cast — exact in both engines, so no round() boundary can
+    // flip.
     "q228_link_pred_sampled" -> ((s, dir) => {
       val und = CoPurchase.und(s, dir)
       val ed = CoPurchase.directedW(s, dir).select("u", "v")
@@ -316,22 +368,22 @@ object GraphQueries {
       val invlog = deg.filter(col("d") >= 2).select(col("u"),
         round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
       val apexIl = invlog.filter(
-        pmod(xxhash64(col("u"), lit(ApexSampleSeed)),
+        pmod(polyMix(pmod(col("u"), lit(HashM))),
           lit(ApexSampleMod)) < lit(ApexSampleKeep))
       val e1 = ed.join(apexIl, Seq("u"))
         .select(col("u"), col("v").as("px"), col("il"))
       val e2 = ed.join(apexIl.select("u"), Seq("u"))
         .select(col("u"), col("v").as("py"))
-      val invP = ApexSampleMod.toDouble / ApexSampleKeep
+      val invP = ApexSampleMod / ApexSampleKeep // exact integer scale
       val scored = e1.join(e2, Seq("u"))
         .filter(col("px") < col("py"))
         .groupBy("px", "py")
         .agg(count(lit(1)).as("cn_sampled"),
-          sum(col("il").cast(Dec)).cast("double").as("aa_s"))
+          sum(col("il").cast(Dec)).as("aa_s"))
         .filter(col("cn_sampled") >= 2)
         .select(col("px"), col("py"), col("cn_sampled"),
-          round(col("cn_sampled") * invP, 1).as("cn_est"),
-          round(col("aa_s") * invP, 6).as("aa_est"))
+          (col("cn_sampled") * invP).cast("double").as("cn_est"),
+          (col("aa_s") * invP).cast("double").as("aa_est"))
       scored.join(und.select(col("x").as("px"), col("y").as("py")),
           Seq("px", "py"), "left_anti")
         .orderBy(col("aa_est").desc, col("px").asc, col("py").asc)
@@ -423,6 +475,78 @@ object GraphQueries {
         |       ROUND(CASE WHEN n_wedges != 0 THEN
         |         CAST(3 AS DOUBLE) * n_triangles / n_wedges END, 4) AS gcc4
         |FROM tot CROSS JOIN tri""".stripMargin,
+
+    // the sampled census replay: the SAME portable polyMix keep
+    // rule re-derives the identical edge sample (pure function of the
+    // data — q78/q80's verified hash family), then the simple
+    // id-oriented three-way join counts its triangles exactly; the
+    // ×8 = 1/p³ scale is integer-exact, so ROUND(·, 1) is a no-op on
+    // both engines
+    "q226_triangles_approx" -> {
+      val invP = TriSampleMod / TriSampleKeep
+      val invP3 = invP * invP * invP
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey),
+         |se AS (
+         |  SELECT x, y FROM e
+         |  WHERE (${pairMixSql("x", "y")})
+         |        % $TriSampleMod < $TriSampleKeep),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM se a JOIN se b ON b.x = a.y
+         |            JOIN se c ON c.x = a.x AND c.y = b.y),
+         |ns AS (SELECT COUNT(*) AS n_edges_sampled FROM se)
+         |SELECT ns.n_edges_sampled,
+         |       tri.n_triangles AS n_sampled_triangles,
+         |       ROUND(CAST(tri.n_triangles * $invP3 AS DOUBLE), 1)
+         |         AS est_triangles
+         |FROM ns CROSS JOIN tri""".stripMargin
+    },
+
+    // the apex-sampled wedge replay: the polyMix apex keep rule
+    // re-derives the identical p = 1/32 apex set; per-apex 1/ln(deg)
+    // 6dp-rounds before the decimal sum (q227's staging) and the ×32
+    // Horvitz–Thompson scale stays DECIMAL until the single final
+    // double cast — exact on both engines
+    "q228_link_pred_sampled" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (
+         |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey),
+         |ed AS (SELECT x AS u, y AS v FROM und
+         |       UNION ALL SELECT y, x FROM und),
+         |deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY 1),
+         |il AS (SELECT u, ROUND(CAST(1 AS DOUBLE)
+         |                       / ln(CAST(d AS DOUBLE)), 6) AS il
+         |       FROM deg WHERE d >= 2),
+         |ap AS (SELECT u, il FROM il
+         |       WHERE (${polyMixSql(s"u % $HashM")})
+         |             % $ApexSampleMod < $ApexSampleKeep),
+         |sc AS (
+         |  SELECT e1.v AS px, e2.v AS py, COUNT(*) AS cn_sampled,
+         |         SUM(CAST(ap.il AS DECIMAL(38,6))) AS aa_s
+         |  FROM ed e1
+         |  JOIN ap ON ap.u = e1.u
+         |  JOIN ed e2 ON e2.u = e1.u AND e1.v < e2.v
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 2),
+         |est AS (
+         |  SELECT px, py, cn_sampled,
+         |         CAST(cn_sampled * ${ApexSampleMod / ApexSampleKeep}
+         |              AS DOUBLE) AS cn_est,
+         |         CAST(aa_s * ${ApexSampleMod / ApexSampleKeep}
+         |              AS DOUBLE) AS aa_est
+         |  FROM sc)
+         |SELECT est.px, est.py, est.cn_sampled, est.cn_est, est.aa_est
+         |FROM est LEFT JOIN und ON und.x = est.px AND und.y = est.py
+         |WHERE und.x IS NULL
+         |ORDER BY aa_est DESC NULLS LAST, px ASC NULLS FIRST,
+         |         py ASC NULLS FIRST
+         |LIMIT 30""".stripMargin,
 
     // bit-width bucket = length(bin(d)) - 1: integer-exact on both
     // engines where floor(log2(d)) is a last-ulp coin flip

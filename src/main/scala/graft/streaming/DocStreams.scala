@@ -84,8 +84,14 @@ object DocStreams {
       val dot = call_function("graft_dot", col(vecCol), typedLit(planes(i)))
       when(dot >= 0d, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // gate the key on the vector's nullity: a NULL embedding's dot is
+    // NULL, which the otherwise(0L) arms would silently fold to sig 0 —
+    // colliding every NULL row with each other AND with genuine
+    // all-negative-sign vectors. NULL in → NULL sig → the pass-through
+    // branch below, the documented contract shared with
+    // exact/nearDupFilter.
     val keyed = emb.withWatermark(tsCol, watermark)
-      .withColumn("__sig", key)
+      .withColumn("__sig", when(col(vecCol).isNotNull, key))
     keyed.filter(col("__sig").isNotNull)
       .dropDuplicatesWithinWatermark("__sig")
       .unionByName(keyed.filter(col("__sig").isNull))

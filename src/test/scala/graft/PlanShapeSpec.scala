@@ -197,13 +197,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
     val omitted = q -- o
     // q22/q45: sketch results with engine-specific internals;
-    // q132/q134: k-means training is not SQL-expressible; q226/q228:
-    // xxhash64 edge/apex sampling has no DuckDB equivalent. All six
+    // q132/q134: k-means training is not SQL-expressible. All four
     // carry spec bound-checks instead (AggSpec/StatsSpec/
-    // RecallAuditSpec+ApiSpec).
+    // RecallAuditSpec). q226/q228 left this list in round 10: their
+    // sampling re-keyed to the portable spread hash, which the DuckDB
+    // oracle replays bit-exactly.
     assert(omitted.forall(
       Set("q22_agg_hll", "q45_approx_quantile", "q132_pq_adc",
-        "q134_ivfpq", "q226_triangles_approx", "q228_link_pred_sampled")),
+        "q134_ivfpq")),
       s"unexpected oracle-omitted queries: $omitted")
   }
 }

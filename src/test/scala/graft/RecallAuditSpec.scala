@@ -320,8 +320,16 @@ class RecallAuditSpec extends SparkSpec {
         <= r.getAs[Double]("aa_x") + 1e-4,
         s"sampled AA partial sum exceeds exact AA: $r")
     }
-    // (c) observed top-30 overlap with the exact unconnected ranking —
-    // a measured, seeded-deterministic value, recorded not to drift
+    // (c) top-30 overlap with the exact unconnected ranking. The
+    // sample is a pure function of the data (polyMix apex hash), so
+    // this is a fixed measured value: 2/30 at sf0.001 with p = 1/32
+    // (≈6 of ~200 apexes survive — a thin sample CAN rank few of the
+    // exact top pairs; the estimator's contract is the HT-unbiased
+    // scores (b), not ranking recall). The ≥ 1 floor plus
+    // non-emptiness makes a silent estimator collapse (e.g. a sampling
+    // predicate that matches nothing and passes (a)/(b) vacuously)
+    // fail loudly instead of info-logging a zero.
+    assert(sampled.count() > 0, "apex-sampled output is empty")
     val exactTop = exact
       .join(und.select(col("x").as("px"), col("y").as("py")),
         Seq("px", "py"), "left_anti")
@@ -331,5 +339,7 @@ class RecallAuditSpec extends SparkSpec {
       .join(exactTop.select("px", "py"), Seq("px", "py"), "left_semi")
       .count()
     info(s"q228 top-30 overlap with exact ranking: $overlap / 30")
+    assert(overlap >= 1,
+      s"top-30 overlap $overlap below the measured floor of 1")
   }
 }

@@ -411,6 +411,44 @@ class StreamingSpec extends SparkSpec {
     assert(model == kept)
   }
 
+  test("streaming semantic-dup filter passes NULL embeddings through") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_semdup_").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // one plane keeps the sign space tiny: sig ∈ {0, 1}. Pick a base
+    // vector, compute its sign against the seeded plane in batch, and
+    // flip it so vNeg is CERTAIN to carry sig 0 — the value the old
+    // otherwise(0L) arms also gave NULL embeddings. The fix must keep
+    // every NULL row (pass-through) while vNeg's scaled copy still
+    // dedups against it.
+    val base = Seq(1f, 0f)
+    val planes = graft.api.VectorOps.gaussianPlanes(1, 2, 42L)
+    val dot = base.zip(planes(0)).map { case (a, b) => a * b }.sum
+    val vNeg: Seq[Float] = if (dot >= 0) base.map(-_) else base
+    val rows = Seq(
+      (1L, Some(vNeg), ts("2024-01-01 10:00:00")), // sig 0, kept
+      (2L, Some(vNeg.map(_ * 2f)), ts("2024-01-01 10:00:10")), // sig 0, dup
+      (3L, Option.empty[Seq[Float]], ts("2024-01-01 10:00:20")), // NULL
+      (4L, Option.empty[Seq[Float]], ts("2024-01-01 10:00:30")), // NULL
+      (5L, Some(vNeg.map(-_)), ts("2024-01-01 10:00:40"))) // sig 1, kept
+    rows.toDF("vec_id", "embedding", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = rows.toDF("vec_id", "embedding", "ts").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStreams
+      .semanticDupFilter(stream, "ts", "embedding", 2, "10 minutes",
+        nPlanes = 1)
+      .writeStream.format("memory").queryName("t_semdup")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("t_semdup").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // 2 drops (same sign pattern as 1); BOTH NULL embeddings pass —
+    // and do not collide with the sig-0 vector 1
+    assert(kept == Set(1L, 3L, 4L, 5L), kept.toString)
+  }
+
   test("streaming exact-dup filter keeps first arrival per content") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_exactdup_").toString

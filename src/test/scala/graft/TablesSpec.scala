@@ -62,4 +62,31 @@ class TablesSpec extends SparkSpec {
       dir.delete()
     }
   }
+
+  test("host conf changes AFTER the child session is memoized still propagate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos2-").toFile
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    try {
+      writeNanosFixture(dir)
+      // first load memoizes the child with the host's CURRENT conf
+      Tables.load(spark, dir.getAbsolutePath, "events").collect()
+      // now change a volatile host conf and load again: the frame is
+      // planned on the memoized child, which must see the new value —
+      // a create-time-only snapshot would keep UTC here and silently
+      // shift every session-tz-sensitive expression in the events plan
+      spark.conf.set(tzKey, "America/New_York")
+      val df = Tables.load(spark, dir.getAbsolutePath, "events")
+      // hour() is session-tz-sensitive: 2500 µs after epoch is 00:00 UTC
+      // but 19:00 in America/New_York (UTC-5 on 1970-01-01)
+      val hours = df.selectExpr("hour(ts) AS h").collect()
+        .map(_.getInt(0)).toSet
+      assert(hours.contains(19),
+        s"memoized child ignored the host's timezone change: hours=$hours")
+    } finally {
+      spark.conf.set(tzKey, prevTz)
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
 }
