@@ -216,10 +216,20 @@ object TextOps {
     * stages read one persisted `(id, …, tokens)` projection instead of
     * each re-tokenizing the corpus. Same rules, same flag bits; the
     * token column passes through untouched. */
-  def qualityRulesFromTokens(docs: DataFrame, toksCol: String): DataFrame = {
+  def qualityRulesFromTokens(docs: DataFrame, toksCol: String): DataFrame =
+    ruleStats(docs, toksCol)
+      .drop("__sum_len", "__n_types", "__n_stop",
+        "__r_len", "__r_wordlen", "__r_stop", "__r_ttr")
+
+  /** The shared rule evaluation behind [[qualityRulesFromTokens]] and
+    * [[qualityFeatures]]: token stats, per-rule booleans, the flags
+    * bitmask, and the composite keep — internals still attached (the
+    * public entry points project what they need, so both gate ONE rule
+    * definition). */
+  private def ruleStats(docs: DataFrame, toksCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     val tk = col(toksCol)
-    val d = docs
+    docs
       .withColumn("n_tok", size(tk).cast("long"))
       .withColumn("__sum_len",
         call_function("graft_sum_lengths", tk).cast("long"))
@@ -236,7 +246,7 @@ object TextOps {
         col("__sum_len") <= col("n_tok") * 8)
       .withColumn("__r_stop", col("__n_stop") * 50 >= col("n_tok"))
       .withColumn("__r_ttr", col("__n_types") * 5 >= col("n_tok"))
-    d.withColumn("flags",
+      .withColumn("flags",
         (when(col("__r_len"), 1).otherwise(0)
           + when(col("__r_wordlen"), 2).otherwise(0)
           + when(col("__r_stop"), 4).otherwise(0)
@@ -244,9 +254,28 @@ object TextOps {
       .withColumn("keep",
         when(col("__r_len") && col("__r_wordlen") && col("__r_stop")
           && col("__r_ttr"), 1).otherwise(0).cast("int"))
-      .drop("__sum_len", "__n_types", "__n_stop",
-        "__r_len", "__r_wordlen", "__r_stop", "__r_ttr")
   }
+
+  /** Integer feature view for the LEARNED quality classifier
+    * ([[MlOps.perceptronTrace]]): per document the q104 rule label
+    * `keep` plus four integer-exact features — `f_ntok` (token count),
+    * and the permille ratios `f_wlen` (mean token length × 1000),
+    * `f_ttr` (type/token ratio × 1000), `f_stop` (stopword share ×
+    * 1000), each a truncating integer division of the same stats the
+    * rule gate reads (non-negative operands, so `div` agrees between
+    * engines with no floor-vs-trunc ambiguity). Zero-token documents
+    * are dropped (their ratios are undefined; the rule gate rejects
+    * them anyway at the n_tok ≥ 20 bound). */
+  def qualityFeatures(docs: DataFrame, textCol: String): DataFrame =
+    ruleStats(
+      docs.withColumn("__tk", TextFunctions.tokens(col(textCol))), "__tk")
+      .filter(col("n_tok") >= 1)
+      .withColumn("f_ntok", col("n_tok"))
+      .withColumn("f_wlen", expr("__sum_len * 1000L div n_tok"))
+      .withColumn("f_ttr", expr("__n_types * 1000L div n_tok"))
+      .withColumn("f_stop", expr("__n_stop * 1000L div n_tok"))
+      .drop("__tk", "__sum_len", "__n_types", "__n_stop",
+        "__r_len", "__r_wordlen", "__r_stop", "__r_ttr", "flags")
 
   /** Token-count estimators, appended per row: whitespace tokens `n_ws`,
     * alphabetic runs `n_alpha`, and the chars/4 BPE estimate `bpe_est`.

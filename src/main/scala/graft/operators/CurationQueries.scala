@@ -44,6 +44,13 @@ object CurationQueries {
   private val PmiMinCount = 5
   private val PmiTopK = 50
 
+  /** q235 training steps (weight updates); the trace has PercIters + 1
+    * rows. Mirrored in the oracle's unrolled CTEs. */
+  private[graft] val PercIters = 3
+
+  /** The q235 feature columns, in trace order. */
+  private[graft] val PercFeatures = Seq("f_ntok", "f_wlen", "f_ttr", "f_stop")
+
   /** Adjacent-pair (w1, w2) bigrams, built inside the token array.
     * Spark's `sequence(1, 0)` is the DESCENDING [1, 0] — not empty —
     * so docs with < 2 tokens must be filtered before the transform
@@ -239,6 +246,24 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Trainable quality classifier — the LEARNED curation stage the
+    // rule gate (q104) and the LM-surprisal gates (q98/q103) bracket:
+    // a batch perceptron distilling the q104 keep label into a linear
+    // model over four integer features (token count + permille
+    // word-length / type-token / stopword ratios). PercIters
+    // mean-gradient steps, each ONE full pass collapsing to a single
+    // aggregate row (map-side partials, no shuffle) — the irreducible
+    // batch-training shape at 100 TB — with the tiny weight vector
+    // folded back as literals (the PQ-codebook bounded-driver
+    // convention). INTEGER-EXACT end to end ([D5]: sign-explicit
+    // truncating division for the 1/N learning rate), so the oracle's
+    // unrolled CTEs replay every weight and misclassification count
+    // bit-for-bit. Output: the training trace, one row per step.
+    "q235_quality_perceptron" -> ((s, dir) =>
+      graft.api.MlOps.perceptronTrace(
+        graft.api.TextOps.qualityFeatures(t(s, dir, "documents"), "text"),
+        PercFeatures, "keep", PercIters)),
+
     // Temperature-scaled (τ = 0.5) data-mixture plan: per-source
     // sampling weight w_i = sqrt(c_i) / Σ sqrt(c_j) over token counts,
     // and the epochs of source i a budget of Σ c_j tokens implies
@@ -292,7 +317,76 @@ object CurationQueries {
        |         (n_types * 5 >= n_tok) AS r_ttr
        |  FROM qm)""".stripMargin
 
+  /** The unrolled q235 training replay: features from the shared q104
+    * rule CTEs, then per step t a margin/misclassification projection
+    * (m_t), a one-row gradient aggregate (e_t), and the updated weight
+    * row (w_{t+1}) — pure BIGINT arithmetic, with the 1/N learning
+    * rate as a sign-explicit truncating division (DuckDB's `//` floors
+    * on negatives, Spark's `div` truncates — the CASE removes the
+    * ambiguity). */
+  private def perceptronOracleSql: String = {
+    val xs = Seq("x0", "x1", "x2", "x3", "x4")
+    val ws = Seq("b", "w1", "w2", "w3", "w4")
+    def tdiv(g: String, n: String) =
+      s"CASE WHEN $n = 0 THEN 0 WHEN $g < 0 THEN -((-($g)) // $n) " +
+        s"ELSE ($g) // $n END"
+    val w0 = s"w0 AS (SELECT ${ws.map(w => s"CAST(0 AS BIGINT) AS $w")
+      .mkString(", ")})"
+    val steps = (0 to PercIters).map { t =>
+      val margin = ws.zip(xs).map { case (w, x) => s"w.$w * ft.$x" }
+        .mkString(" + ")
+      val gsums = xs.zipWithIndex.map { case (x, i) =>
+        s"CAST(SUM(CASE WHEN mis = 1 THEN y * $x ELSE 0 END) AS BIGINT)" +
+          s" AS g$i"
+      }.mkString(",\n           ")
+      val me =
+        s"""m$t AS (
+           |  SELECT ft.*, CASE WHEN ft.y * ($margin) <= 0
+           |               THEN 1 ELSE 0 END AS mis
+           |  FROM ft CROSS JOIN w$t w),
+           |e$t AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |         CAST(SUM(mis) AS BIGINT) AS n_mis,
+           |           $gsums
+           |  FROM m$t)""".stripMargin
+      if (t == PercIters) me
+      else {
+        val upd = ws.zipWithIndex.map { case (w, i) =>
+          s"w.$w + ${tdiv(s"e.g$i", "e.n")} AS $w"
+        }.mkString(",\n         ")
+        me +
+          s""",
+             |w${t + 1} AS (
+             |  SELECT $upd
+             |  FROM w$t w CROSS JOIN e$t e)""".stripMargin
+      }
+    }
+    val outNames = "w_bias" +: PercFeatures.map("w_" + _)
+    val rows = (0 to PercIters).map { t =>
+      val wsel = ws.zip(outNames).map { case (w, o) => s"w.$w AS $o" }
+        .mkString(", ")
+      s"""SELECT CAST($t AS BIGINT) AS step, e.n_mis, $wsel
+         |FROM e$t e CROSS JOIN w$t w""".stripMargin
+    }
+    s"""WITH $qualityRuleCteSql,
+       |ft AS (
+       |  SELECT CAST(CASE WHEN qr.r_len AND qr.r_wordlen AND qr.r_stop
+       |              AND qr.r_ttr THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |         CAST(1 AS BIGINT) AS x0,
+       |         qm.n_tok AS x1,
+       |         qm.sum_len * 1000 // qm.n_tok AS x2,
+       |         qm.n_types * 1000 // qm.n_tok AS x3,
+       |         qm.n_stop * 1000 // qm.n_tok AS x4
+       |  FROM qm JOIN qr ON qm.doc_id = qr.doc_id
+       |  WHERE qm.n_tok >= 1),
+       |$w0,
+       |${steps.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY step ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q235_quality_perceptron" -> perceptronOracleSql,
     // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
     // empty for n <= 1 so bigram-less docs drop with no guard.
     "q103_bigram_surprisal" ->

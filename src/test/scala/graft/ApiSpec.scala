@@ -676,6 +676,39 @@ class ApiSpec extends SparkSpec {
       (5L, 5L, 0), (5L, 4L, 1), (5L, 3L, 2)))
   }
 
+  test("MlOps.perceptronTrace: converges on separable foreign-schema data; linearScore agrees") {
+    import spark.implicits._
+    import graft.api.MlOps
+    // linearly separable on sig_a vs sig_b (goods high-a/low-b); a NULL
+    // feature row must be dropped from training, not poison the sums
+    val df = Seq(
+      (Some(100L), 5L, 1), (Some(90L), 7L, 1), (Some(80L), 6L, 1),
+      (Some(10L), 50L, 0), (Some(20L), 60L, 0), (Some(15L), 55L, 0),
+      (None: Option[Long], 99L, 1)
+    ).toDF("sig_a", "sig_b", "good")
+    val tr = MlOps.perceptronTrace(df, Seq("sig_a", "sig_b"), "good", 3)
+      .orderBy("step").collect()
+    assert(tr.length == 4)
+    // step 0 is the zero model: every TRAINING row (6, not 7 — the
+    // NULL-feature row is excluded) is misclassified
+    assert(tr.head.getAs[Long]("n_mis") == 6L, tr.head.toString)
+    // separable data: the mean-gradient step separates it immediately
+    // (hand-check: g = (225, -147)/6 → w = (0, 37, -24), margins all
+    // correctly signed), and zero misclassifications is an absorbing
+    // state (empty gradient)
+    assert(tr(1).getAs[Long]("n_mis") == 0L, tr(1).toString)
+    assert(tr.last.getAs[Long]("n_mis") == 0L, tr.last.toString)
+    assert(tr(1).getAs[Long]("w_sig_a") == 37L &&
+      tr(1).getAs[Long]("w_sig_b") == -24L, tr(1).toString)
+    // scoring with the final weights reproduces the final n_mis
+    val w = Seq(tr.last.getAs[Long]("w_bias"),
+      tr.last.getAs[Long]("w_sig_a"), tr.last.getAs[Long]("w_sig_b"))
+    val mis = MlOps.linearScore(
+        df.filter(col("sig_a").isNotNull), Seq("sig_a", "sig_b"), w)
+      .filter((col("good") * 2 - 1) * col("score") <= 0).count()
+    assert(mis == tr.last.getAs[Long]("n_mis"))
+  }
+
   test("GraphOps.randomWalkRestart: one hand-computed round in exact micro-units") {
     import spark.implicits._
     // star from vertex 1 with weights 3 and 1 → wdeg(1) = 4; after one

@@ -171,8 +171,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       java.nio.file.Paths.get("docs/API.md"))
     // (a) every public method of every graft.api object is on the page
     val apiObjects = Seq[AnyRef](graft.api.DedupOps, graft.api.GraphOps,
-      graft.api.PipelineOps, graft.api.PqOps, graft.api.TextOps,
-      graft.api.VectorOps)
+      graft.api.MlOps, graft.api.PipelineOps, graft.api.PqOps,
+      graft.api.TextOps, graft.api.VectorOps)
     val fromObjects = apiObjects.flatMap(_.getClass.getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
       .map(_.getName))
