@@ -42,6 +42,12 @@ object CorpusStatsQueries {
   private val RrfDepth = 50
   private val RrfOut = 20
 
+  /** q236 merge rounds, mirrored in the oracle's unrolled CTEs. A real
+    * tokenizer training run loops the SAME per-round plan ~30k times;
+    * three unrolled rounds gate the loop body exactly (the q153/q231
+    * unrolled-iteration convention). */
+  private[graft] val BpeRounds = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // KL(P_source ‖ P_corpus) over unigrams: Σ_t p_t · ln(p_t / q_t)
@@ -118,6 +124,30 @@ object CorpusStatsQueries {
         .limit(20)
     }),
 
+    // Multi-step BPE merge training (round 10) — the actual
+    // tokenizer-training loop q114 only took the first step of: per
+    // round, count adjacent symbol pairs over the frequency-weighted
+    // word vocabulary, merge the argmax pair (count desc, pair asc
+    // [D2]) at every non-overlapping occurrence (left-to-right within
+    // runs — relationally: match-run parity via two ROW_NUMBER
+    // windows, which only differs from trivial matching when the pair
+    // is a self-pair like (a,a) on "aaa"), rebuild + recompact the
+    // symbol sequences, repeat. Everything is vocabulary-local: a word
+    // repeated a billion times costs one symbol sequence weighted by
+    // its count; each round is two (w, pos) equi-joins + one
+    // vocabulary-sized pair agg, localCheckpointed so round k never
+    // replays rounds 1..k−1; the argmax pair is a bounded driver
+    // finish (ONE row per round) folded back as literals. Output: the
+    // merge table (round, pair, weighted count) plus the total
+    // weighted symbol count after each merge — the invariant that
+    // proves the merge was applied (drops by exactly cnt per round).
+    "q236_bpe_merges" -> ((s, dir) => {
+      val words = srcTokens(s, dir).groupBy(col("tok").as("w"))
+        .agg(count(lit(1)).as("wcnt"))
+        .filter(length(col("w")) >= 2)
+      bpeMergeTrace(s, words, BpeRounds)
+    }),
+
     // Hybrid retrieval by reciprocal-rank fusion: the pinned BM25 query
     // (q94's term bag) and a pinned dense probe (embedding of vec_id 0,
     // embeddings align 1:1 with doc_ids) each produce a depth-50 rank
@@ -132,9 +162,146 @@ object CorpusStatsQueries {
         k = RrfOut, rrfK = RrfK))
   )
 
+  /** The q236 training loop: `rounds` BPE merges over a (w, wcnt) word
+    * vocabulary, returning the merge trace
+    * (round, s1, s2, cnt, n_sym_after). Symbol sequences live as
+    * (w, wcnt, pos, sym) rows; per round: adjacency self-join → pair
+    * counts → argmax (driver, 1 row) → non-overlapping match set (run
+    * parity) → rebuild with recompacted positions. Integer counts
+    * only — exact on any layout [D1]. Stops early if no pair remains. */
+  private[graft] def bpeMergeTrace(s: SparkSession, words: DataFrame,
+    rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("w").orderBy("pos")
+    var sdf = words.select(col("w"), col("wcnt"),
+        posexplode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as(Seq("p0", "sym")))
+      .select(col("w"), col("wcnt"),
+        (col("p0") + 1).cast("long").as("pos"), col("sym"))
+      .localCheckpoint(true)
+    val trace = Seq.newBuilder[(Long, String, String, Long, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val nxt = sdf.select(col("w"), (col("pos") - 1).as("pos"),
+        col("sym").as("sym2"))
+      val adj = sdf.join(nxt, Seq("w", "pos"))
+      val best = adj.groupBy("sym", "sym2")
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("sym2").asc)
+        .limit(1).collect().headOption
+      best match {
+        case None => dry = true
+        case Some(b) =>
+          val (s1, s2, cnt) =
+            (b.getString(0), b.getString(1), b.getLong(2))
+          val matches = adj
+            .filter(col("sym") === lit(s1) && col("sym2") === lit(s2))
+            .select("w", "pos")
+          // left-to-right non-overlap: within a run of consecutive
+          // match starts (only possible for self-pairs), keep the
+          // 1st, 3rd, ... — run id = pos − rank, parity = rank in run
+          val mg = matches
+            .withColumn("rn", row_number().over(wOrd))
+            .withColumn("k", row_number().over(
+              Window.partitionBy(col("w"), col("pos") - col("rn"))
+                .orderBy("pos")))
+            .filter(col("k") % 2 === 1)
+            .select(col("w"), col("pos"), lit(1).as("m"))
+          val cons = mg.select(col("w"), (col("pos") + 1).as("pos"),
+            lit(1).as("c"))
+          val nx2 = sdf.select(col("w"), (col("pos") - 1).as("pos"),
+            col("sym").as("symn"))
+          sdf = sdf
+            .join(mg, Seq("w", "pos"), "left")
+            .join(cons, Seq("w", "pos"), "left")
+            .filter(col("c").isNull)
+            .join(nx2, Seq("w", "pos"), "left")
+            .select(col("w"), col("wcnt"), col("pos"),
+              when(col("m") === 1, concat(col("sym"), col("symn")))
+                .otherwise(col("sym")).as("sym"))
+            .withColumn("pos", row_number().over(wOrd).cast("long"))
+            .localCheckpoint(true)
+          val nAfter = sdf.agg(sum(col("wcnt")).as("n"))
+            .collect().head.getLong(0)
+          trace += ((r.toLong, s1, s2, cnt, nAfter))
+      }
+      r += 1
+    }
+    import s.implicits._
+    trace.result()
+      .toDF("round", "s1", "s2", "cnt", "n_sym_after")
+      .coalesce(1).orderBy("round")
+  }
+
   private val sqlToks = Sql.tokens("text")
 
+  /** The unrolled q236 replay: per round, a pair-count CTE, a one-row
+    * argmax, the run-parity non-overlap match set, and the rebuilt +
+    * recompacted symbol relation. Pure integer counts and string
+    * concats — bit-identical by construction. */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""pc$r AS (
+         |  SELECT a.sym AS s1, b.sym AS s2,
+         |         CAST(SUM(a.wcnt) AS BIGINT) AS cnt
+         |  FROM $prev a JOIN $prev b ON b.w = a.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |bp$r AS (SELECT s1, s2, cnt FROM pc$r
+         |         ORDER BY cnt DESC NULLS LAST, s1 ASC, s2 ASC LIMIT 1),
+         |mt$r AS (
+         |  SELECT a.w, a.pos
+         |  FROM $prev a JOIN $prev b ON b.w = a.w AND b.pos = a.pos + 1
+         |  CROSS JOIN bp$r p
+         |  WHERE a.sym = p.s1 AND b.sym = p.s2),
+         |mg$r AS (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos, ROW_NUMBER() OVER (
+         |      PARTITION BY w, pos - rn ORDER BY pos) AS k
+         |    FROM (SELECT w, pos, ROW_NUMBER() OVER (
+         |            PARTITION BY w ORDER BY pos) AS rn FROM mt$r) x) y
+         |  WHERE k % 2 = 1),
+         |s$r AS (
+         |  SELECT w, wcnt,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos)
+         |              AS BIGINT) AS pos, sym
+         |  FROM (
+         |    SELECT s.w, s.wcnt, s.pos,
+         |           CASE WHEN m.pos IS NOT NULL THEN s.sym || nx.sym
+         |                ELSE s.sym END AS sym
+         |    FROM $prev s
+         |    LEFT JOIN mg$r m ON m.w = s.w AND m.pos = s.pos
+         |    LEFT JOIN mg$r m2 ON m2.w = s.w AND m2.pos = s.pos - 1
+         |    LEFT JOIN $prev nx ON m.pos IS NOT NULL AND nx.w = s.w
+         |                       AND nx.pos = s.pos + 1
+         |    WHERE m2.pos IS NULL) z),
+         |ns$r AS (SELECT CAST(SUM(wcnt) AS BIGINT) AS n FROM s$r)"""
+        .stripMargin
+    }
+    val out = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, bp$r.s1, bp$r.s2, bp$r.cnt,
+         |       ns$r.n AS n_sym_after
+         |FROM bp$r CROSS JOIN ns$r""".stripMargin
+    }
+    s"""WITH wv AS (
+       |  SELECT tok AS w, COUNT(*) AS wcnt
+       |  FROM (SELECT unnest($sqlToks) AS tok FROM documents) x
+       |  GROUP BY tok
+       |  HAVING length(tok) >= 2),
+       |s0 AS (
+       |  SELECT w, wcnt, CAST(pos AS BIGINT) AS pos,
+       |         substr(w, CAST(pos AS INT), 1) AS sym
+       |  FROM (SELECT w, wcnt, unnest(range(1, length(w) + 1)) AS pos
+       |        FROM wv) p),
+       |${rounds.mkString(",\n")}
+       |${out.mkString("\nUNION ALL\n")}
+       |ORDER BY round ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q236_bpe_merges" -> bpeOracleSql,
     "q112_kl_source" ->
       s"""WITH st AS (
          |  SELECT source, tok, COUNT(*) AS stf

@@ -241,4 +241,25 @@ class PipelineSpec extends SparkSpec {
     assert(card.filter(col("n_uniq") > col("n_docs")).count() == 0)
     card.unpersist()
   }
+
+  test("q236 BPE merge: self-pair runs merge left-to-right without overlap") {
+    import spark.implicits._
+    // "aaaa"×3: pairs (a,a) count 3·3 = 9 → merge at pos 1 and 3 (run
+    // parity), NOT 1-2-3 (overlap) → "aa","aa" (2 symbols). "aaab"×1:
+    // matches at 1,2 → merge pos 1 only → "aa","a","b" (3 symbols).
+    // Round 2 then merges the now-dominant (aa,aa) inside "aaaa".
+    val words = Seq(("aaaa", 3L), ("aaab", 1L)).toDF("w", "wcnt")
+    val tr = graft.operators.CorpusStatsQueries
+      .bpeMergeTrace(spark, words, 2).collect()
+    assert(tr.length == 2)
+    val r1 = tr.head
+    assert((r1.getString(1), r1.getString(2)) == ("a", "a"))
+    assert(r1.getLong(3) == 11L, s"pair count ${r1.getLong(3)}") // 3·3+2
+    // after round 1: "aaaa"→2 syms ×3 + "aaab"→3 syms ×1 = 9
+    assert(r1.getLong(4) == 9L, s"n_sym_after ${r1.getLong(4)}")
+    val r2 = tr(1)
+    assert((r2.getString(1), r2.getString(2)) == ("aa", "aa"))
+    assert(r2.getLong(3) == 3L)
+    assert(r2.getLong(4) == 6L) // "aaaa"→1 sym ×3 + 3
+  }
 }
