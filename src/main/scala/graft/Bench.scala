@@ -71,9 +71,47 @@ object Bench {
     val calibPost = calibMs()
     def fl(v: Double): String =
       if (v.isNaN) "null" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Pollution SELF-DEFENSE (round 10; detection alone was not enough —
+    // BENCH_r09 shipped a 2x-inflated official total that the telemetry
+    // flagged but could not correct): when the single-threaded
+    // calibration drifted > 15% across the sweep, the box was contended
+    // at some point, so re-measure the WORST-N lines once and emit both
+    // timings. The re-run rides a second calibration (calib_ms_re) so a
+    // reader can tell whether the re-measure itself ran idle; the
+    // headline total also gets a "value_requeried" companion with the
+    // re-measured lines substituted. Bounded: N queries, one run each.
+    val drift = math.max(calibPre, calibPost) /
+      math.max(1e-9, math.min(calibPre, calibPost))
+    // GRAFT_BENCH_FORCE_REQUERY exercises the re-measure branch on an
+    // idle box (used by the JSON smoke check; also a manual lever)
+    val forced = sys.env.contains("GRAFT_BENCH_FORCE_REQUERY")
+    val requeried: Seq[(String, Double)] =
+      if (!forced && (drift.isNaN || drift <= 1.15)) Seq.empty
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+        .map { case (name, _) =>
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+    val calibRe = if (requeried.isEmpty) Double.NaN else calibMs()
+    val reJson =
+      if (requeried.isEmpty) ""
+      else {
+        val m = requeried.map { case (k, v) =>
+          "\"" + shortKey(k) + "\":" + f3(v)
+        }.mkString("{", ",", "}")
+        val reMap = requeried.toMap
+        val totalRe = results.map { case (k, v) =>
+          reMap.getOrElse(k, v)
+        }.filter(_ >= 0).sum
+        s""""requeried":$m,"calib_ms_re":${fl(calibRe)},""" +
+          s""""value_requeried":${f3(totalRe)},"""
+      }
     val tele = s""""loadavg_pre":[${loadPre.map(fl).mkString(",")}],""" +
       s""""loadavg_post":[${loadPost.map(fl).mkString(",")}],""" +
-      s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}"""
+      s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}""" +
+      s""",$reJson""".stripSuffix(",")
     // the one JSON line goes out LAST, after session teardown, so the
     // driver's bounded tail-capture of stdout cannot lose it behind
     // later output — but in a try/finally so a teardown failure can
