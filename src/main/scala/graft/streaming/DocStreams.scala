@@ -165,6 +165,58 @@ object DocStreams {
       .drop("__g", "__ev", "__one")
   }
 
+  /** Streaming read path of the q229 cross-modal bridge: semantic
+    * top-k search over the CURATION SURVIVORS of an arriving document
+    * stream, maintained as an incremental snapshot (the rolling-WAU
+    * foldSnapshot pattern). Arriving documents pass the online
+    * exact-dup filter (first arrival per content — the streaming
+    * analog of the batch min-id keep rule: identical when arrival
+    * order follows the id order, which a replayed corpus satisfies)
+    * and the caller's quality predicate `keepExpr`; survivors bridge
+    * to their embedding by id (stream-static equi-join), score against
+    * the BROADCAST probe set inside the fold, and merge into the
+    * per-probe top-k snapshot.
+    *
+    * The merge is EXACT because per-probe top-k is a mergeable
+    * aggregate: topk(prev ∪ topk(batch)) = topk(all), with the same
+    * (cos desc, id asc) total order as the batch kernel — so once the
+    * whole corpus has streamed, the snapshot equals the batch q229
+    * ranking bit-for-bit (StreamingSpec pins the agreement). State
+    * per micro-batch: the dedup store (one 12-byte key per distinct
+    * content in the watermark horizon) plus a k·|probes|-row snapshot
+    * generation — both bounded, never corpus-sized. At 100 TB the
+    * per-batch brute scoring swaps for an IVF probe over the survivor
+    * index exactly as the batch path does (q70/q229 note); the fold
+    * contract is unchanged. */
+  def semanticSearchStream(docs: DataFrame, tsCol: String, idCol: String,
+    textCol: String, keepExpr: org.apache.spark.sql.Column,
+    emb: DataFrame, embIdCol: String, vecCol: String,
+    probes: DataFrame, k: Int, watermark: String, snapshotRoot: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val survivors = exactDupFilter(docs, tsCol, textCol, watermark)
+      .filter(keepExpr)
+      .select(col(idCol).as("vec_id"))
+    val embN = emb.select(col(embIdCol).as("vec_id"),
+      col(vecCol).as("embedding"))
+    val prb = probes.select(col("probe_id"), col("pe"))
+    EventStreams.foldSnapshot(survivors, snapshotRoot) { (prev, batch) =>
+      val part = graft.api.VectorOps
+        .cosineTopK(batch.join(embN, Seq("vec_id")), "vec_id", "embedding",
+          prb, k)
+        .select(col("probe_id"), col("id").as("vec_id"),
+          col("cos").as("cos4"))
+      val all = prev match {
+        case Some(p) => p.select("probe_id", "vec_id", "cos4")
+          .unionByName(part)
+        case None => part
+      }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos4").desc, col("vec_id").asc)
+      all.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    }
+  }
+
   def nearDupKeepSet(docs: DataFrame, tsCol: String, idCol: String,
     textCol: String, nHashes: Int = 16): DataFrame = {
     GraftFunctions.register(docs.sparkSession)

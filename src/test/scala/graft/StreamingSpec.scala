@@ -366,6 +366,39 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streamed survivor-filtered semantic search converges to the q229 batch ranking") {
+    import graft.streaming.{DocStreams, EventStreams}
+    // replay the corpus in doc_id order (chunkTableDir sorts) so the
+    // online first-arrival dedup equals the batch min-id keep rule —
+    // the agreement contract the operator documents
+    val dir = chunkTableDir("documents", Seq("doc_id"))
+    val snap = Files.createTempDirectory("graft_sem_snap_").toString
+    val docsSchema = Tables.load(spark, Sf, "documents").schema
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+      // synthetic event time from the id: the dedup state only needs
+      // SOME watermarkable order, and id order IS the arrival order
+      .withColumn("ts", timestamp_seconds(col("doc_id")))
+    val q = DocStreams.semanticSearchStream(stream, "ts", "doc_id", "text",
+      col("text").isNotNull && col("n_chars") >= 100L,
+      emb, "vec_id", "embedding", probes, k = 5,
+      watermark = "1 hour", snapshotRoot = snap)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos4"), r.getAs[Int]("rn"))
+    val got = EventStreams.readSnapshot(spark, snap).get
+      .select("probe_id", "vec_id", "cos4", "rn").collect().map(key).toSet
+    val want = SparkEntry.queries("q229_crossmodal_search")(spark, Sf)
+      .select("probe_id", "vec_id", "cos4", "rn").collect().map(key).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streaming near-dup filter keeps first arrival per signature") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_neardup_").toString
