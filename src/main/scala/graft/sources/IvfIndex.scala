@@ -21,12 +21,31 @@ import org.apache.spark.sql.functions._
   *                       this is the difference between scanning the
   *                       corpus and scanning ~nprobe/cells of it).
   *
-  * Cells here are seeded from the `label` column (the corpus's natural
-  * coarse structure, same as q70); a production build would Lloyd-iterate
-  * from a sampled k-means++ seeding — the index layout and search path
-  * are identical either way.
+  * The DEFAULT build path is [[buildTrained]]: Lloyd-iterated k-means
+  * cells from a deterministic farthest-first seeding ([[kmeansCells]]),
+  * which align with the data's actual geometry — measured top-3 recall
+  * 0.77 at (k=8, nprobe=4) on the sf0.1 fixture vs 0.40 for label
+  * cells at the same nprobe (RecallAuditSpec pins the trained floor).
+  * [[build]] with an existing cell column remains for corpora whose
+  * natural partitioning is already the right quantizer; the index
+  * layout and search path are identical either way.
   */
 object IvfIndex {
+
+  /** Train-and-build in one call — the default index path: learn
+    * `k` cells with [[kmeansCells]] (Lloyd on the deterministic
+    * 1-in-`trainOneIn` sample; only the final assignment scans the
+    * full corpus), then persist centroids + cell-partitioned rows via
+    * [[build]]. */
+  def buildTrained(emb: DataFrame, root: String, idCol: String = "vec_id",
+    vecCol: String = "embedding", dim: Int = 64, k: Int = 8,
+    iters: Int = 4, trainOneIn: Int = 1): Unit = {
+    val cells = kmeansCells(emb, idCol, vecCol, k, iters, dim, trainOneIn)
+    build(
+      emb.join(cells, emb(idCol) === cells("id")).drop("id")
+        .withColumnRenamed("cell", "__cell"),
+      root, idCol, vecCol, "__cell", dim)
+  }
 
   private def cosW(a: String, b: String, n2a: String, n2b: String): Column =
     graft.api.VectorOps.cosWith(a, b, n2a, n2b)

@@ -107,7 +107,7 @@ class RecallAuditSpec extends SparkSpec {
     ann.unpersist(); exact.unpersist()
   }
 
-  test("PQ two-stage top-3 overlap vs exact L2 >= 0.7 (sf0.1, m=16, shortlist 32)") {
+  test("PQ two-stage top-3 overlap vs exact L2 >= 0.8 (sf0.1, m=16, shortlist 32)") {
     // q132's pipeline (ADC shortlist + exact re-rank) vs the exact
     // squared-L2 brute force on the same probes. After the refine step
     // the overlap IS the shortlist recall — ADC-only top-3 measured
@@ -135,11 +135,13 @@ class RecallAuditSpec extends SparkSpec {
     val overlap = ann.join(exact, Seq("probe_id", "vec_id")).count()
     val frac = overlap.toDouble / nExact
     info(f"pq-adc: $overlap of $nExact exact L2 top-3 recovered, overlap $frac%.4f")
-    assert(frac >= 0.7, f"PQ two-stage top-3 overlap $frac%.4f below 0.7")
+    // seeded-deterministic measured value: 0.8333 (r4-r10); the floor
+    // sits one result-row under it so only a real regression trips
+    assert(frac >= 0.8, f"PQ two-stage top-3 overlap $frac%.4f below 0.8")
     ann.unpersist(); exact.unpersist()
   }
 
-  test("IVFPQ residual two-stage top-3 overlap vs exact L2 >= 0.7 (sf0.1, 8 cells, nprobe 6)") {
+  test("IVFPQ residual two-stage top-3 overlap vs exact L2 >= 0.8 (sf0.1, 8 cells, nprobe 6)") {
     // q134's composed pipeline vs the same exact brute force. The
     // coarse quantizer is the recall cap on this weakly-clustered
     // fixture (cell recall ~0.77 at nprobe 4, the IvfIndex finding);
@@ -166,7 +168,8 @@ class RecallAuditSpec extends SparkSpec {
     val overlap = ann.join(exact, Seq("probe_id", "vec_id")).count()
     val frac = overlap.toDouble / nExact
     info(f"ivfpq: $overlap of $nExact exact L2 top-3 recovered, overlap $frac%.4f")
-    assert(frac >= 0.7, f"IVFPQ top-3 overlap $frac%.4f below 0.7")
+    // measured 0.8333 (= flat PQ, the coarse quantizer fully recovered)
+    assert(frac >= 0.8, f"IVFPQ top-3 overlap $frac%.4f below 0.8")
     ann.unpersist(); exact.unpersist()
   }
 
@@ -233,24 +236,23 @@ class RecallAuditSpec extends SparkSpec {
     info(f"opq alternations=3: overlap $frac3%.4f, err $err3%.1f")
     assert(err3 < err1,
       f"learned rotation must reduce quantization error: $err3%.1f vs $err1%.1f")
-    assert(frac3 >= 0.7, f"learned-OPQ overlap $frac3%.4f below 0.7")
+    // measured 0.7667 on this isotropic fixture (the rotation trades a
+    // little top-3 overlap for a strictly better quantization objective)
+    assert(frac3 >= 0.75, f"learned-OPQ overlap $frac3%.4f below 0.75")
     exact.unpersist()
   }
 
-  test("IvfIndex with learned k-means cells: top-3 overlap >= 0.7 (sf0.1, k=8, nprobe=4)") {
-    // the persisted-index path with a TRAINED quantizer instead of the
-    // label column: k-means cells align with the data's actual geometry
-    // and roughly double the label-cell overlap (measured 0.77 at k=8
-    // nprobe=4 vs 0.40 for label cells at the same nprobe)
+  test("IvfIndex default (trained k-means cells): top-3 overlap >= 0.75 (sf0.1, k=8, nprobe=4)") {
+    // the DEFAULT index path (buildTrained, round 10): a TRAINED
+    // quantizer instead of the label column — k-means cells align with
+    // the data's actual geometry and roughly double the label-cell
+    // overlap (measured 0.7667 at k=8 nprobe=4 vs 0.40 for label cells
+    // at the same nprobe)
     val emb = Tables.loadSpread(spark, Sf01, "embeddings")
-    val cells = graft.sources.IvfIndex.kmeansCells(
-      emb, "vec_id", "embedding", 8, 4, 64)
     val root = java.nio.file.Files
       .createTempDirectory("ivf_recall").toString
-    graft.sources.IvfIndex.build(
-      emb.join(cells, emb("vec_id") === cells("id")).drop("id", "label")
-        .withColumnRenamed("cell", "label"),
-      root, "vec_id", "embedding", "label", 64)
+    graft.sources.IvfIndex.buildTrained(
+      emb, root, "vec_id", "embedding", 64, k = 8, iters = 4)
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val ann = graft.sources.IvfIndex.search(spark, root, probes, 4, 3)
@@ -260,7 +262,7 @@ class RecallAuditSpec extends SparkSpec {
     val overlap = ann.join(exact, Seq("probe_id", "vec_id")).count()
     val frac = overlap / 30.0
     info(f"ivf-kmeans: $overlap of 30 exact top-3 recovered, overlap $frac%.4f")
-    assert(frac >= 0.7, f"k-means IVF top-3 overlap $frac%.4f below 0.7")
+    assert(frac >= 0.75, f"k-means IVF top-3 overlap $frac%.4f below 0.75")
   }
 
   test("q226 sampled-edge census estimates q165 exact triangles within 25%") {
