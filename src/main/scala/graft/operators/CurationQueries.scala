@@ -258,11 +258,37 @@ object CurationQueries {
     // convention). INTEGER-EXACT end to end ([D5]: sign-explicit
     // truncating division for the 1/N learning rate), so the oracle's
     // unrolled CTEs replay every weight and misclassification count
-    // bit-for-bit. Output: the training trace, one row per step.
-    "q235_quality_perceptron" -> ((s, dir) =>
-      graft.api.MlOps.perceptronTrace(
-        graft.api.TextOps.qualityFeatures(t(s, dir, "documents"), "text"),
-        PercFeatures, "keep", PercIters)),
+    // bit-for-bit. Output: the training trace, one row per step. The
+    // trace memoizes per (session, dir) — q237 scores with the same
+    // trained model, so a session answering both pays ONE training run
+    // (the PQ-codebook convention).
+    "q235_quality_perceptron" -> ((s, dir) => percTrace(s, dir)),
+
+    // The trained classifier APPLIED — the report a curation run reads
+    // before trusting a learned gate: score every document with the
+    // final q235 weights (integer margin; > 0 = predicted keep) and
+    // roll up per (lang, source) the predicted-keep count, the q104
+    // rule-keep count, and their agreement. One projection + one
+    // map-side-combinable aggregation over the feature view; the
+    // weights fold in as literals from the memoized trace. Zero-token
+    // documents are outside the feature domain (q235 contract) and so
+    // outside this report.
+    "q237_quality_score_rollup" -> ((s, dir) => {
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val last = percTrace(s, dir)
+        .filter(col("step") === PercIters).collect().head
+      val w = last.getAs[Long]("w_bias") +:
+        PercFeatures.map(c => last.getAs[Long](s"w_$c"))
+      graft.api.MlOps.linearScore(feats, PercFeatures, w)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(col("keep").cast("long")).as("n_rule_keep"),
+          sum(when((col("score") > 0) === (col("keep") === 1), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .orderBy("lang", "source")
+    }),
 
     // Temperature-scaled (τ = 0.5) data-mixture plan: per-source
     // sampling weight w_i = sqrt(c_i) / Σ sqrt(c_j) over token counts,
@@ -317,6 +343,16 @@ object CurationQueries {
        |         (n_types * 5 >= n_tok) AS r_ttr
        |  FROM qm)""".stripMargin
 
+  /** The q235 training trace, memoized per (session, dir) via
+    * Caches.memo — a tiny (PercIters + 1)-row frame, but each build is
+    * PercIters + 1 full corpus passes. */
+  private def percTrace(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"perc:$dir:$PercIters") {
+      graft.api.MlOps.perceptronTrace(
+        graft.api.TextOps.qualityFeatures(t(s, dir, "documents"), "text"),
+        PercFeatures, "keep", PercIters)
+    }
+
   /** The unrolled q235 training replay: features from the shared q104
     * rule CTEs, then per step t a margin/misclassification projection
     * (m_t), a one-row gradient aggregate (e_t), and the updated weight
@@ -324,9 +360,17 @@ object CurationQueries {
     * rate as a sign-explicit truncating division (DuckDB's `//` floors
     * on negatives, Spark's `div` truncates — the CASE removes the
     * ambiguity). */
-  private def perceptronOracleSql: String = {
-    val xs = Seq("x0", "x1", "x2", "x3", "x4")
-    val ws = Seq("b", "w1", "w2", "w3", "w4")
+  private val PercXs = Seq("x0", "x1", "x2", "x3", "x4")
+  private val PercWs = Seq("b", "w1", "w2", "w3", "w4")
+
+  /** The shared CTE chain of the q235/q237 oracles: the q104 rule CTEs,
+    * the integer feature relation `ft` (with lang/source riding along
+    * for the q237 rollup), the zero weight row `w0`, and per step t the
+    * margin projection m_t, gradient aggregate e_t, and updated weight
+    * row w_{t+1}. */
+  private def percCtesSql: String = {
+    val xs = PercXs
+    val ws = PercWs
     def tdiv(g: String, n: String) =
       s"CASE WHEN $n = 0 THEN 0 WHEN $g < 0 THEN -((-($g)) // $n) " +
         s"ELSE ($g) // $n END"
@@ -361,16 +405,10 @@ object CurationQueries {
              |  FROM w$t w CROSS JOIN e$t e)""".stripMargin
       }
     }
-    val outNames = "w_bias" +: PercFeatures.map("w_" + _)
-    val rows = (0 to PercIters).map { t =>
-      val wsel = ws.zip(outNames).map { case (w, o) => s"w.$w AS $o" }
-        .mkString(", ")
-      s"""SELECT CAST($t AS BIGINT) AS step, e.n_mis, $wsel
-         |FROM e$t e CROSS JOIN w$t w""".stripMargin
-    }
-    s"""WITH $qualityRuleCteSql,
+    s"""$qualityRuleCteSql,
        |ft AS (
-       |  SELECT CAST(CASE WHEN qr.r_len AND qr.r_wordlen AND qr.r_stop
+       |  SELECT d.lang, d.source,
+       |         CAST(CASE WHEN qr.r_len AND qr.r_wordlen AND qr.r_stop
        |              AND qr.r_ttr THEN 1 ELSE -1 END AS BIGINT) AS y,
        |         CAST(1 AS BIGINT) AS x0,
        |         qm.n_tok AS x1,
@@ -378,15 +416,49 @@ object CurationQueries {
        |         qm.n_types * 1000 // qm.n_tok AS x3,
        |         qm.n_stop * 1000 // qm.n_tok AS x4
        |  FROM qm JOIN qr ON qm.doc_id = qr.doc_id
+       |  JOIN documents d ON d.doc_id = qm.doc_id
        |  WHERE qm.n_tok >= 1),
        |$w0,
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private def perceptronOracleSql: String = {
+    val outNames = "w_bias" +: PercFeatures.map("w_" + _)
+    val rows = (0 to PercIters).map { t =>
+      val wsel = PercWs.zip(outNames).map { case (w, o) => s"w.$w AS $o" }
+        .mkString(", ")
+      s"""SELECT CAST($t AS BIGINT) AS step, e.n_mis, $wsel
+         |FROM e$t e CROSS JOIN w$t w""".stripMargin
+    }
+    s"""WITH $percCtesSql
        |${rows.mkString("\nUNION ALL\n")}
        |ORDER BY step ASC NULLS FIRST""".stripMargin
   }
 
+  /** The q237 replay: the same chain up to the FINAL weight row, then
+    * the integer margin per document and the per-(lang, source)
+    * agreement rollup. */
+  private def scoreRollupOracleSql: String = {
+    val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
+      .mkString(" + ")
+    s"""WITH $percCtesSql,
+       |sc AS (
+       |  SELECT ft.lang, ft.source, ft.y, ($margin) AS score
+       |  FROM ft CROSS JOIN w$PercIters w)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pred_keep,
+       |       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_rule_keep,
+       |       CAST(SUM(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_agree
+       |FROM sc GROUP BY 1, 2
+       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q235_quality_perceptron" -> perceptronOracleSql,
+    "q237_quality_score_rollup" -> scoreRollupOracleSql,
     // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
     // empty for n <= 1 so bigram-less docs drop with no guard.
     "q103_bigram_surprisal" ->
