@@ -283,6 +283,29 @@ final class EtlService(spark: SparkSession) {
     GraphOps.adamicAdar(
       coPurchasePairs(lineitem, minSupport).select("x", "y"), "x", "y", k)
 
+  /** Train-and-score quality endpoint — the learned curation gate as a
+    * service call: distill the rule gate's labels into a linear model
+    * ([[MlOps.perceptronTrace]] over [[TextOps.qualityFeatures]] —
+    * integer-exact, `iters` mean-gradient passes) and return every
+    * document scored with the trained weights: (all doc columns,
+    * n_tok, keep, features, score) where score is the integer margin
+    * (> 0 = predicted keep). Zero-token documents are outside the
+    * feature domain and are not returned (the q235 contract). The
+    * caller chooses the gate: `filter(col("score") > 0)` for the
+    * learned gate, or compare against `keep` for an agreement audit
+    * (the q237 rollup). */
+  def qualityScores(documents: DataFrame, textCol: String = "text",
+    iters: Int = 3): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val features = Seq("f_ntok", "f_wlen", "f_ttr", "f_stop")
+    val feats = TextOps.qualityFeatures(documents, textCol)
+    val tr = MlOps.perceptronTrace(feats, features, "keep", iters)
+      .orderBy(col("step").desc).limit(1).collect().head
+    val w = tr.getAs[Long]("w_bias") +:
+      features.map(c => tr.getAs[Long](s"w_$c"))
+    MlOps.linearScore(feats, features, w)
+  }
+
   /** Shared pair build for the graph endpoints: distinct per-order
     * incidence, per-order self-join, weighted x < y pairs, support
     * floor. */

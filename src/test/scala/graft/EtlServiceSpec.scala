@@ -187,6 +187,28 @@ class EtlServiceSpec extends SparkSpec {
     assert(gotL == wantL && gotL.nonEmpty)
   }
 
+  test("qualityScores agrees with the gated q235/q237 formulation") {
+    val scored = svc.qualityScores(t("documents"))
+    // the scored margin reproduces the q237 per-(lang, source) rollup
+    val got = scored.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pred_keep"),
+        sum(col("keep").cast("long")).as("n_rule_keep"),
+        sum(when((col("score") > 0) === (col("keep") === 1), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .collect().map(_.toString).toSet
+    val want = SparkEntry.queries("q237_quality_score_rollup")(spark, Sf)
+      .collect().map(_.toString).toSet
+    assert(got == want && got.nonEmpty)
+    // and the misclassification count implied by the scores equals the
+    // final n_mis of the q235 training trace
+    val nMis = scored
+      .filter((col("keep") * 2 - 1) * col("score") <= 0).count()
+    val traceMis = SparkEntry.queries("q235_quality_perceptron")(spark, Sf)
+      .orderBy(col("step").desc).limit(1).collect().head.getAs[Long]("n_mis")
+    assert(nMis == traceMis)
+  }
+
   test("load + export round-trip through the lake") {
     val out = java.nio.file.Files.createTempDirectory("etl_svc").toString
     val res = svc.nationSummary(t("customer"), t("nation"), t("region"))
