@@ -249,6 +249,48 @@ object GraphOps {
     dist
   }
 
+  /** k-core of an undirected x < y edge list by iterative peeling:
+    * each round drops every vertex whose CURRENT degree is below `k`
+    * (and its edges), until no vertex drops or `maxRounds` is reached.
+    * Returns (v, core_deg) — the surviving vertices with their
+    * within-core degree; an empty frame when the graph has no k-core.
+    *
+    * Each round is one degree aggregation plus two anti-joins on the
+    * SHRINKING edge relation, localCheckpointed so round r never
+    * replays rounds 1..r−1 — the standard O(rounds)-pass degeneracy
+    * peel, and the only shape that works at 100 TB (per-vertex
+    * priority-queue peeling is inherently sequential). Rounds to
+    * fixpoint are data-dependent but small in practice (bounded by
+    * the degeneracy ordering's depth); extra rounds past the fixpoint
+    * are no-ops, so a caller replaying this with a FIXED unroll (the
+    * oracle) gets the identical relation as the early-exiting loop —
+    * provided the fixpoint is reached within `maxRounds`, which the
+    * caller should verify at its scale (the q238 spec pins it). */
+  def kCore(und: DataFrame, xCol: String, yCol: String, k: Int,
+    maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "need k >= 1 and maxRounds >= 1")
+    var e = und.select(col(xCol).as("x"), col(yCol).as("y"))
+      .localCheckpoint(true)
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val drop = e.select(col("x").as("u"))
+        .unionAll(e.select(col("y").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select("u")
+        .localCheckpoint(true)
+      if (drop.isEmpty) done = true
+      else {
+        e = e.join(drop.select(col("u").as("x")), Seq("x"), "left_anti")
+          .join(drop.select(col("u").as("y")), Seq("y"), "left_anti")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Synchronous weighted label propagation: labels start as vertex
     * ids; each round every vertex adopts the label carrying the
     * largest total edge weight among its neighbours' CURRENT labels

@@ -92,6 +92,15 @@ object GraphQueries {
     * oracle's CTE replay. */
   private val LpaIters = 2
 
+  /** q238 core order and peel-round cap. The cap must exceed the
+    * rounds-to-fixpoint at every verified scale (measured via
+    * tools/KCoreProbe: 0 / 3 / 5 rounds at sf0.001 / 0.01 / 0.1 for
+    * k = 2 on the w ≥ 2 backbone); rounds past the fixpoint are no-ops,
+    * so the oracle's FIXED 8-round unroll and the engine's
+    * early-exiting loop produce the identical relation. */
+  private[graft] val CoreK = 2
+  private[graft] val CoreMaxRounds = 8
+
   /** The exact degree-oriented triangle census — shared by exact q165
     * and sampled q226; the generalized form lives in the library tier
     * ([[graft.api.GraphOps.triangleCensus]]). */
@@ -296,6 +305,25 @@ object GraphQueries {
       val undw = CoPurchase.pairW(s, dir)
         .filter(col("w") >= LinkPredMinSupport)
       graft.api.GraphOps.weightedJaccard(undw, "x", "y", "w", 30)
+    }),
+
+    // k-core of the w ≥ 2 co-purchase backbone (round 10) — the
+    // cohesive-subgraph extraction that separates parts embedded in
+    // dense co-purchase structure from pendant/tree periphery (the
+    // standard pre-filter before community/link analyses like
+    // q230/q227 — a vertex outside the 2-core can close no cycle and
+    // carries no robust signal). Iterative peel via GraphOps.kCore:
+    // per round one degree agg + two anti-joins on the SHRINKING edge
+    // set, early-exit at fixpoint; the oracle replays a FIXED 8-round
+    // unroll, identical by the no-op property (see CoreMaxRounds).
+    // Top-30 core members by within-core degree, id ties [D2].
+    "q238_kcore" -> ((s, dir) => {
+      val undf = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= LinkPredMinSupport).select("x", "y")
+      graft.api.GraphOps.kCore(undf, "x", "y", CoreK, CoreMaxRounds)
+        .select(col("v").as("p_partkey"), col("core_deg"))
+        .orderBy(col("core_deg").desc, col("p_partkey").asc)
+        .limit(30)
     }),
 
     // Landmark distance profile: hop-level histograms from THREE
@@ -655,6 +683,43 @@ object GraphQueries {
          |ORDER BY wjac4 DESC NULLS LAST, px ASC NULLS FIRST,
          |         py ASC NULLS FIRST
          |LIMIT 30""".stripMargin,
+
+    // the fixed 8-round peel unroll: per round a HAVING-degree drop set
+    // and the double anti-join survivor relation; rounds past the
+    // fixpoint leave the relation unchanged, so this equals the
+    // engine's early-exiting loop exactly. AS MATERIALIZED is load-
+    // bearing: DuckDB inlines CTEs by default, and each round
+    // references its predecessor three times — un-materialized, the
+    // 8-round chain expands to 3^8 copies of the base scan (observed
+    // as a too-many-open-files failure)
+    "q238_kcore" -> {
+      val rounds = (1 to CoreMaxRounds).map { r =>
+        val prev = s"e${r - 1}"
+        s"""dr$r AS MATERIALIZED (
+           |  SELECT u FROM (
+           |    SELECT x AS u FROM $prev UNION ALL SELECT y FROM $prev) t
+           |  GROUP BY u HAVING COUNT(*) < $CoreK),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.x, e.y FROM $prev e
+           |  LEFT JOIN dr$r a ON a.u = e.x
+           |  LEFT JOIN dr$r b ON b.u = e.y
+           |  WHERE a.u IS NULL AND b.u IS NULL)""".stripMargin
+      }
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |undw AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |e0 AS (SELECT x, y FROM undw WHERE w >= $LinkPredMinSupport),
+         |${rounds.mkString(",\n")}
+         |SELECT v AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM (SELECT x AS v FROM e$CoreMaxRounds
+         |      UNION ALL SELECT y FROM e$CoreMaxRounds) t
+         |GROUP BY v
+         |ORDER BY core_deg DESC NULLS LAST, p_partkey ASC NULLS FIRST
+         |LIMIT 30""".stripMargin
+    },
 
     // q164's recursive replay generalized: src rides the recursion
     // key, UNION (not UNION ALL) bounds the working set, min-level

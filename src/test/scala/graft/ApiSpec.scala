@@ -676,6 +676,22 @@ class ApiSpec extends SparkSpec {
       (5L, 5L, 0), (5L, 4L, 1), (5L, 3L, 2)))
   }
 
+  test("GraphOps.kCore peels the pendant chain and keeps the triangle") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5: the 2-core is exactly the
+    // triangle (4 peels first, exposing 5... actually 5 peels first,
+    // then 4 — two rounds), every member at within-core degree 2
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("p", "q")
+    val core = graft.api.GraphOps.kCore(und, "p", "q", 2, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    // a graph with no 3-core returns empty, not a crash
+    val none = graft.api.GraphOps.kCore(
+      Seq((1L, 2L), (2L, 3L)).toDF("p", "q"), "p", "q", 3, 5)
+    assert(none.isEmpty)
+  }
+
   test("MlOps.perceptronTrace: converges on separable foreign-schema data; linearScore agrees") {
     import spark.implicits._
     import graft.api.MlOps
