@@ -39,6 +39,10 @@ object SketchQueries {
   private val MaxHd = 3
   private val HhCap = 64
 
+  /** q239 KMV sketch size: estimate = (K−1)·M / h_K with h_K the K-th
+    * smallest distinct polyMix hash (rel. error ~1/√K ≈ 12.5%). */
+  private val KmvK = 64
+
   /** Session-memoized MinHash-LSH near-dup pair table at `minJac` — the
     * banded-candidate edge set q66 emits and the LSH-edge compositions
     * (q118/q119) consume (those pass `blockCol = Some("lang")` so the
@@ -113,6 +117,43 @@ object SketchQueries {
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * (HhCap + 1) > n)
         .orderBy(col("cnt").desc, col("tok").asc)
+    }),
+
+    // KMV (k-minimum-values) distinct-count sketch, ORACLE-GATED —
+    // unlike HLL (q22), whose register internals are engine-specific,
+    // KMV over the portable polyMix hash is a pure function of the
+    // data that DuckDB replays bit-exactly (the q226/q228 re-key
+    // pattern applied to cardinality estimation): per event type, the
+    // K-th smallest distinct hash h_K over the group's user ids gives
+    // est = (K−1)·M div h_K — a [D5] integer-exact division, no float
+    // rounding anywhere. Groups holding fewer than K distinct hashes
+    // (or a degenerate h_K = 0) report their exact sketch size. The
+    // exact count rides along for self-audit; at 100 TB only the
+    // sketch side runs (one hash projection + a bounded K-heap per
+    // group — TopKPerGroup keeps every scan partition's contribution
+    // to K rows, and K values per group is the whole sketch state,
+    // which is why KMV is THE mergeable distinct sketch for keyed
+    // re-aggregation). NULL user ids are excluded in both engines
+    // (their hash is NULL and the engines' NULL sort orders differ).
+    "q239_kmv_distinct" -> ((s, dir) => {
+      val d = graft.Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select("event_type", "user_id").distinct()
+      val dh = d.select(col("event_type"),
+          GraphQueries.polyMix(pmod(col("user_id"),
+            lit(GraphQueries.HashM))).as("h"))
+        .distinct()
+      val sk = graft.plans.GraftOps.topKPerGroup(dh, Seq(col("event_type")),
+          Seq(col("h").asc), KmvK, rankName = "rn")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("nh"), max(col("h")).as("hk"))
+      val ex = d.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      ex.join(sk, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          when(col("nh") < KmvK || col("hk") === 0, col("nh"))
+            .otherwise(expr(s"(${KmvK - 1}L * ${GraphQueries.HashM}L) div hk"))
+            .as("kmv_est"))
+        .orderBy("event_type")
     })
   )
 
@@ -207,6 +248,36 @@ object SketchQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) <= $MaxHd
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    // the KMV replay: identical polyMix hash arithmetic, ROW_NUMBER
+    // over distinct hashes, the same integer-exact (K−1)·M // h_K
+    "q239_kmv_distinct" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |dh AS (
+         |  SELECT DISTINCT event_type,
+         |         ${GraphQueries.polyMixSql(
+              s"user_id % ${GraphQueries.HashM}")} AS h
+         |  FROM d),
+         |rk AS (
+         |  SELECT event_type, h, ROW_NUMBER() OVER (
+         |    PARTITION BY event_type ORDER BY h ASC) AS rn
+         |  FROM dh),
+         |s AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+         |         MAX(h) AS hk
+         |  FROM rk WHERE rn <= $KmvK GROUP BY 1),
+         |x AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM d GROUP BY 1)
+         |SELECT x.event_type, x.n_exact,
+         |       CAST(CASE WHEN s.nh < $KmvK OR s.hk = 0 THEN s.nh
+         |            ELSE (CAST(${KmvK - 1} AS BIGINT)
+         |                  * ${GraphQueries.HashM}) // s.hk
+         |            END AS BIGINT) AS kmv_est
+         |FROM x JOIN s USING (event_type)
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
 
     // The sketch is only a candidate proposer; the declared result is
     // the exact set {token : cnt·(HhCap+1) > N}, which plain SQL states
