@@ -188,6 +188,50 @@ object EventStreams {
       }
     }
 
+  /** Incremental KMV distinct-count sketch per event type — the
+    * streaming sibling of the gated q239 batch sketch, and the reason
+    * KMV (not HLL) is this engine's distinct sketch: the state is the
+    * K smallest DISTINCT portable hashes per group, and "K smallest of
+    * (prev K-min ∪ batch K-min)" equals "K smallest over the whole
+    * log" by construction, so the fold is EXACT — the snapshot after
+    * the last micro-batch carries the identical h_K (and hence the
+    * identical estimate) as the one-shot batch sketch, bit for bit
+    * (StreamingSpec pins the agreement). State: ≤ K rows per group.
+    * NULL user ids are excluded (q239 contract). */
+  def kmvStream(events: DataFrame, snapshotRoot: String, k: Int = 64)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val hashM = graft.functions.TextFunctions.HashMod
+    foldSnapshot(events, snapshotRoot) { (prev, batch) =>
+      val bh = batch.filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          graft.operators.GraphQueries.polyMix(
+            pmod(col("user_id"), lit(hashM))).as("h"))
+        .distinct()
+      val all = prev match {
+        case Some(p) => p.select("event_type", "h").unionByName(bh).distinct()
+        case None => bh
+      }
+      graft.plans.GraftOps.topKPerGroup(all, Seq(col("event_type")),
+          Seq(col("h").asc), k, rankName = "__rn")
+        .select("event_type", "h")
+    }
+  }
+
+  /** Finish [[kmvStream]]'s snapshot to per-group estimates:
+    * (event_type, kmv_est) with the same (K−1)·M div h_K integer
+    * estimator as q239 (exact sketch size when a group holds fewer
+    * than K hashes). */
+  def kmvReport(snapshot: DataFrame, k: Int = 64): DataFrame = {
+    val hashM = graft.functions.TextFunctions.HashMod
+    snapshot.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"), max(col("h")).as("hk"))
+      .select(col("event_type"),
+        when(col("nh") < k || col("hk") === 0, col("nh"))
+          .otherwise(expr(s"(${k - 1}L * ${hashM}L) div hk"))
+          .as("kmv_est"))
+      .orderBy("event_type")
+  }
+
   /** Streaming market-share: lineitem micro-batches (the COPY cadence —
     * each batch is a fresh fact-file load) fold into the keyed revenue
     * snapshot via the SAME join+rollup stage the batch endpoint uses

@@ -366,6 +366,28 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streamed KMV sketch snapshot reproduces the q239 batch estimates") {
+    import graft.streaming.EventStreams
+    val dir = chunkTableDir("events", Seq("ts", "event_id"))
+    val snap = Files.createTempDirectory("graft_kmv_snap_").toString
+    val schema = Tables.load(spark, Sf, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.kmvStream(stream, snap)
+    q.processAllAvailable()
+    q.stop()
+    // K-min is a mergeable sketch: the folded snapshot's estimates must
+    // equal the one-shot batch sketch BIT-FOR-BIT, not approximately
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    val got = EventStreams.kmvReport(
+        EventStreams.readSnapshot(spark, snap).get)
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("q239_kmv_distinct")(spark, Sf)
+      .select("event_type", "kmv_est").collect().map(key).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streamed survivor-filtered semantic search converges to the q229 batch ranking") {
     import graft.streaming.{DocStreams, EventStreams}
     // replay the corpus in doc_id order (chunkTableDir sorts) so the
