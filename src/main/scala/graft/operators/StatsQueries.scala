@@ -66,6 +66,37 @@ object StatsQueries {
           col("qs").getItem(2).as("p75"))
         .orderBy("l_returnflag")),
 
+    // The ORACLE-GATED estimation sibling of q45 (round 10 — the
+    // q226/q228/q239 portable-sampling pattern applied to quantiles):
+    // the same (l_returnflag × p25/p50/p75) surface, estimated as the
+    // EXACT percentile_disc of a deterministic 1-in-16 polyMix row
+    // sample instead of a GK sketch. The sample predicate is a pure
+    // function of the row key, so the estimate is bit-identical on any
+    // layout AND in the DuckDB replay — unlike q45's sketch, whose
+    // merge order is engine-internal. Quantiles over the sample run on
+    // the distributed value histogram + range-partitioned cumulative
+    // sum (the q44/q46 machinery — no per-group sort); at 100 TB the
+    // sample keeps the histogram build 16× cheaper and the error
+    // ~1/√(n/16) (StatsSpec pins the observed band vs exact).
+    "q240_sampled_quantiles" -> ((s, dir) => {
+      val samp = t(s, dir, "lineitem")
+        .filter(pmod(GraphQueries.pairMix(col("l_orderkey"),
+          col("l_linenumber")), lit(16L)) === 0)
+      val hist = samp.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.functions.GlobalRank
+        .cumSum(hist, "l_returnflag", "l_extendedprice", "cnt")
+        .groupBy("l_returnflag")
+        .agg(max(col("n")).as("n_sample"),
+          min(when(col("cum") * 4 >= col("n"), col("l_extendedprice")))
+            .as("p25"),
+          min(when(col("cum") * 2 >= col("n"), col("l_extendedprice")))
+            .as("p50"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("l_extendedprice")))
+            .as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
     // percentile_disc median without the per-group single-task window
     // sort the oracle SQL spells: the ((n+1) div 2)-th row ordered by
     // (price, key) carries the smallest price whose value-histogram
@@ -458,6 +489,32 @@ object StatsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the sampled-quantile replay: identical polyMix row predicate,
+    // window cumulative sum over the value histogram, same integer
+    // ceil thresholds — the picked prices are data values, no
+    // arithmetic to diverge
+    "q240_sampled_quantiles" ->
+      s"""WITH samp AS (
+         |  SELECT l_returnflag, l_extendedprice FROM lineitem
+         |  WHERE (${GraphQueries.pairMixSql("l_orderkey", "l_linenumber")})
+         |        % 16 = 0),
+         |h AS (
+         |  SELECT l_returnflag, l_extendedprice, COUNT(*) AS cnt
+         |  FROM samp GROUP BY 1, 2),
+         |c AS (
+         |  SELECT l_returnflag, l_extendedprice,
+         |         SUM(cnt) OVER (PARTITION BY l_returnflag
+         |           ORDER BY l_extendedprice ASC) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM h)
+         |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_sample,
+         |       MIN(CASE WHEN cum * 4 >= n THEN l_extendedprice END) AS p25,
+         |       MIN(CASE WHEN cum * 2 >= n THEN l_extendedprice END) AS p50,
+         |       MIN(CASE WHEN cum * 4 >= n * 3 THEN l_extendedprice END)
+         |         AS p75
+         |FROM c GROUP BY 1
+         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
     "q43_moment_stats" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -36,6 +36,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q240 sampled quantiles land within rank band of the exact percentiles") {
+    val li = Tables.load(spark, Sf, "lineitem")
+    val rows = SparkEntry.queries("q240_sampled_quantiles")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val prices = li.filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      // a deterministic 1/16 sample of a ~2k-row group keeps ~130
+      // rows, so the quantile RANK error sd is ~sqrt(p(1-p)/130) ≈
+      // 4.4 points — a 15-point (~3 sd) band is robust to fixture
+      // regen while still catching a broken sample predicate or
+      // threshold arithmetic (those shift the rank by tens of points)
+      for ((p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+        val est = r.getDouble(i + 2)
+        val lo = prices(math.max(0, (prices.length * (p - 0.15)).toInt))
+        val hi = prices(math.min(prices.length - 1,
+          (prices.length * (p + 0.15)).toInt))
+        assert(est >= lo && est <= hi,
+          s"$flag p$p sampled=$est outside rank band [$lo,$hi]")
+      }
+      // the sample is genuinely ~1/16 of the group (± 30%)
+      val nSample = r.getLong(1).toDouble
+      val frac = nSample * 16 / prices.length
+      assert(frac > 0.7 && frac < 1.3,
+        s"$flag sample fraction off: $nSample of ${prices.length}")
+    }
+  }
+
   test("q52 sessions partition events and respect the 30-min gap") {
     val sessions = SparkEntry.queries("q52_win_session")(spark, Sf).collect()
     val events = Tables.load(spark, Sf, "events")
