@@ -232,6 +232,41 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Incremental sampled-quantile state — the streaming sibling of the
+    * gated q240 batch estimator: each lineitem micro-batch contributes
+    * its polyMix-sampled rows' value histogram, and keyed count
+    * histograms are RE-SUMMABLE, so the folded snapshot equals the
+    * one-shot sample histogram exactly and [[sampledQuantileReport]]
+    * reproduces the batch quantiles bit-for-bit at any fold point
+    * (StreamingSpec pins it). State: one row per distinct
+    * (returnflag, sampled price) — bounded by the SAMPLE, 16× smaller
+    * than the data's value domain. */
+  def sampledQuantileStream(lineitem: DataFrame, snapshotRoot: String,
+    oneIn: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    aggSnapshot(lineitem, snapshotRoot,
+      Seq("l_returnflag", "l_extendedprice")) { b =>
+      b.filter(pmod(graft.operators.GraphQueries.pairMix(
+          col("l_orderkey"), col("l_linenumber")), lit(oneIn.toLong)) === 0)
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(count(lit(1)).as("cnt"))
+    }
+
+  /** Finish [[sampledQuantileStream]]'s histogram snapshot to the q240
+    * report: (l_returnflag, n_sample, p25, p50, p75) via the same
+    * cumulative-sum thresholds. */
+  def sampledQuantileReport(snapshot: DataFrame): DataFrame =
+    graft.functions.GlobalRank
+      .cumSum(snapshot, "l_returnflag", "l_extendedprice", "cnt")
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n_sample"),
+        min(when(col("cum") * 4 >= col("n"), col("l_extendedprice")))
+          .as("p25"),
+        min(when(col("cum") * 2 >= col("n"), col("l_extendedprice")))
+          .as("p50"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("l_extendedprice")))
+          .as("p75"))
+      .orderBy("l_returnflag")
+
   /** Streaming market-share: lineitem micro-batches (the COPY cadence —
     * each batch is a fresh fact-file load) fold into the keyed revenue
     * snapshot via the SAME join+rollup stage the batch endpoint uses

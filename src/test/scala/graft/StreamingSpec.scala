@@ -366,6 +366,27 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streamed sampled-quantile snapshot reproduces the q240 batch report") {
+    import graft.streaming.EventStreams
+    val dir = chunkTableDir("lineitem", Seq("l_orderkey", "l_linenumber"))
+    val snap = Files.createTempDirectory("graft_sq_snap_").toString
+    val schema = Tables.load(spark, Sf, "lineitem").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.sampledQuantileStream(stream, snap)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val got = EventStreams.sampledQuantileReport(
+        EventStreams.readSnapshot(spark, snap).get)
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("q240_sampled_quantiles")(spark, Sf)
+      .collect().map(key).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("streamed KMV sketch snapshot reproduces the q239 batch estimates") {
     import graft.streaming.EventStreams
     val dir = chunkTableDir("events", Seq("ts", "event_id"))
