@@ -290,6 +290,36 @@ object CurationQueries {
         .orderBy("lang", "source")
     }),
 
+    // Calibration of the trained classifier by margin decile — the
+    // "is the learned score monotone in label rate" audit read before
+    // thresholding a learned gate: rank every scored document globally
+    // (score desc, doc_id ties [D2]) through the partition-offset
+    // ranker (GlobalRank — no single-task window), bucket into integer
+    // deciles by pure rank arithmetic, and report per decile the doc
+    // count, the q104 rule-keep count, and the margin range. All
+    // integers end to end; one ranking pass + one agg.
+    "q241_quality_calibration" -> ((s, dir) => {
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val last = percTrace(s, dir)
+        .filter(col("step") === PercIters).collect().head
+      val w = last.getAs[Long]("w_bias") +:
+        PercFeatures.map(c => last.getAs[Long](s"w_$c"))
+      val scored = graft.api.MlOps.linearScore(feats, PercFeatures, w)
+        .select(col("doc_id"), col("keep"), col("score"))
+      val (ranked, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        scored, Seq(col("score").desc, col("doc_id").asc))
+      ranked
+        .withColumn("decile",
+          expr(s"(rn - 1) * 10 div ${n}L + 1").cast("int"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_rule_keep"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy("decile")
+    }),
+
     // Temperature-scaled (τ = 0.5) data-mixture plan: per-source
     // sampling weight w_i = sqrt(c_i) / Σ sqrt(c_j) over token counts,
     // and the epochs of source i a budget of Σ c_j tokens implies
@@ -407,7 +437,7 @@ object CurationQueries {
     }
     s"""$qualityRuleCteSql,
        |ft AS (
-       |  SELECT d.lang, d.source,
+       |  SELECT qm.doc_id, d.lang, d.source,
        |         CAST(CASE WHEN qr.r_len AND qr.r_wordlen AND qr.r_stop
        |              AND qr.r_ttr THEN 1 ELSE -1 END AS BIGINT) AS y,
        |         CAST(1 AS BIGINT) AS x0,
@@ -456,9 +486,33 @@ object CurationQueries {
        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
   }
 
+  /** The q241 replay: the same chain to the final weight row, then a
+    * global ROW_NUMBER ranking and integer decile arithmetic. */
+  private def calibrationOracleSql: String = {
+    val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
+      .mkString(" + ")
+    s"""WITH $percCtesSql,
+       |sc AS (
+       |  SELECT ft.doc_id, ft.y, ($margin) AS score
+       |  FROM ft CROSS JOIN w$PercIters w),
+       |rk AS (
+       |  SELECT doc_id, y, score,
+       |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
+       |         COUNT(*) OVER () AS n
+       |  FROM sc)
+       |SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_rule_keep,
+       |       MIN(score) AS min_score, MAX(score) AS max_score
+       |FROM rk GROUP BY 1
+       |ORDER BY decile ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q235_quality_perceptron" -> perceptronOracleSql,
     "q237_quality_score_rollup" -> scoreRollupOracleSql,
+    "q241_quality_calibration" -> calibrationOracleSql,
     // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
     // empty for n <= 1 so bigram-less docs drop with no guard.
     "q103_bigram_surprisal" ->
