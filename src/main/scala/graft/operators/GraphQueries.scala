@@ -326,6 +326,56 @@ object GraphQueries {
         .limit(30)
     }),
 
+    // Year-over-year co-purchase edge churn (round 10) — the TEMPORAL
+    // axis of the graph family: per consecutive year pair, how many
+    // co-purchase links persist, appear, and disappear, plus the edge-
+    // set Jaccard — the link-stability audit that decides whether
+    // last year's graph artifacts (communities, link predictions,
+    // CF neighbourhoods) are still trustworthy. One per-order
+    // self-join builds the (year, x, y) distinct edge relation (year
+    // rides the order, so the join is STILL per-order — never
+    // year × corpus); consecutive years compare via ONE full outer
+    // join of the relation against its year-shifted self on
+    // (year, x, y). Counts are integers; the Jaccard ratio rounds
+    // half-up as pure integer arithmetic ([D5], the q234 convention).
+    "q242_edge_churn" -> ((s, dir) => {
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val yr = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          year(col("o_orderdate")).as("yr"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("x"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("y"))
+      val ey = a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+        .join(yr, Seq("l_orderkey"))
+        .select("yr", "x", "y").distinct()
+        .localCheckpoint(true)
+      val prev = ey.select(col("yr"), col("x"), col("y"), lit(1).as("pa"))
+      val next = ey.select((col("yr") - 1).as("yr"), col("x"), col("y"),
+        lit(1).as("pb"))
+      prev.join(next, Seq("yr", "x", "y"), "full_outer")
+        .groupBy(col("yr").as("year_from"))
+        .agg(
+          sum(when(col("pa") === 1 && col("pb") === 1, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("pa") === 1 && col("pb").isNull, 1L).otherwise(0L))
+            .as("n_lost"),
+          sum(when(col("pa").isNull && col("pb") === 1, 1L).otherwise(0L))
+            .as("n_new"))
+        // only real years report (the year-shifted side alone would
+        // otherwise synthesize a min_year−1 row with an empty prev
+        // side); the union is then ≥ n_prev ≥ 1, so the ratio is safe
+        .filter(col("n_kept") + col("n_lost") > 0)
+        .withColumn("n_union", col("n_kept") + col("n_lost") + col("n_new"))
+        .select(col("year_from"), (col("year_from") + 1).as("year_to"),
+          (col("n_kept") + col("n_lost")).as("n_prev"),
+          (col("n_kept") + col("n_new")).as("n_next"),
+          col("n_kept"), col("n_new"), col("n_lost"),
+          (expr("(2L * n_kept * 10000L + n_union) div (2L * n_union)")
+            .cast("double") / 10000d).as("jaccard4"))
+        .orderBy("year_from")
+    }),
+
     // Landmark distance profile: hop-level histograms from THREE
     // deterministic landmarks (smallest part, largest part, and the
     // highest-degree hub — ties to the smaller key) in ONE
@@ -720,6 +770,44 @@ object GraphQueries {
          |ORDER BY core_deg DESC NULLS LAST, p_partkey ASC NULLS FIRST
          |LIMIT 30""".stripMargin
     },
+
+    // the churn replay: distinct (year, x, y) edges, full outer join
+    // against the year-shifted self, same integer flag sums and the
+    // [D5] half-up integer Jaccard
+    "q242_edge_churn" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ey AS (
+        |  SELECT DISTINCT CAST(year(o.o_orderdate) AS INT) AS yr,
+        |         a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a
+        |  JOIN li b ON a.l_orderkey = b.l_orderkey
+        |            AND a.l_partkey < b.l_partkey
+        |  JOIN orders o ON o.o_orderkey = a.l_orderkey),
+        |j AS (
+        |  SELECT COALESCE(p.yr, n.yr) AS year_from,
+        |         CASE WHEN p.yr IS NOT NULL THEN 1 END AS pa,
+        |         CASE WHEN n.yr IS NOT NULL THEN 1 END AS pb
+        |  FROM ey p
+        |  FULL OUTER JOIN (SELECT yr - 1 AS yr, x, y FROM ey) n
+        |    ON p.yr = n.yr AND p.x = n.x AND p.y = n.y),
+        |g AS (
+        |  SELECT year_from,
+        |         CAST(SUM(CASE WHEN pa = 1 AND pb = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         CAST(SUM(CASE WHEN pa = 1 AND pb IS NULL
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+        |         CAST(SUM(CASE WHEN pa IS NULL AND pb = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM j GROUP BY 1
+        |  HAVING SUM(CASE WHEN pa = 1 THEN 1 ELSE 0 END) > 0)
+        |SELECT year_from, year_from + 1 AS year_to,
+        |       n_kept + n_lost AS n_prev, n_kept + n_new AS n_next,
+        |       n_kept, n_new, n_lost,
+        |       CAST((2 * n_kept * 10000 + (n_kept + n_lost + n_new))
+        |            // (2 * (n_kept + n_lost + n_new)) AS DOUBLE) / 10000
+        |         AS jaccard4
+        |FROM g
+        |ORDER BY year_from ASC NULLS FIRST""".stripMargin,
 
     // q164's recursive replay generalized: src rides the recursion
     // key, UNION (not UNION ALL) bounds the working set, min-level
