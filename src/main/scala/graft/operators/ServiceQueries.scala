@@ -29,7 +29,40 @@ object ServiceQueries {
   private val From = utcTs("1995-01-01T00:00:00")
   private val Until = utcTs("1996-01-01T00:00:00")
 
+  /** q243's templated ANSI SQL — the reference's ACTUAL interface (it
+    * interpolates request parameters into SQL and pushes the string to
+    * the warehouse; here Catalyst is the warehouse). Written in the
+    * portable dialect subset, so the IDENTICAL string runs on Spark
+    * (over [[graft.Tables.registerViews]]) and as the DuckDB oracle —
+    * the strongest possible gate: no translation layer at all. The
+    * decimal-staged revenue sum is the [D2] convention spelled in
+    * plain SQL. */
+  private[graft] val SqlTemplate: String =
+    """SELECT c.c_mktsegment, n.n_name,
+      |       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+      |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      |         AS revenue
+      |FROM orders o
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY c.c_mktsegment, n.n_name
+      |ORDER BY c.c_mktsegment ASC NULLS FIRST, n.n_name ASC NULLS FIRST"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The SQL-template endpoint — the reference's interface verbatim:
+    // register the lake tables as views and run the templated ANSI
+    // string through spark.sql; the oracle is the SAME string, so the
+    // gate has zero translation surface. Catalyst still plans it like
+    // any DataFrame query (range predicate pushes to the orders scan,
+    // dims broadcast).
+    "q243_sql_template" -> ((s, dir) => {
+      graft.Tables.registerViews(s, dir)
+      s.sql(SqlTemplate)
+    }),
+
     // Date-range revenue endpoint, narrowed to one market segment: the
     // range binds on the orders scan (PushedFilters), the segment dim
     // broadcasts, and the month rollup uses the exact decimal sum.
@@ -228,6 +261,8 @@ object ServiceQueries {
   private val SearchRrfK = 60
 
   val oracle: Map[String, String] = Map(
+    "q243_sql_template" -> SqlTemplate,
+
     "q84_svc_revenue" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
