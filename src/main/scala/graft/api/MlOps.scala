@@ -93,6 +93,95 @@ object MlOps {
       spark.sparkContext.parallelize(trace.result(), 1), schema)
   }
 
+  /** Integer-exact unrolled Lloyd k-means over a float-vector column,
+    * returning the per-round TRACE: one row per (round, cluster) with
+    * the member count and the summed squared distance (inertia) of the
+    * assignment that round — `round` r is evaluated against the
+    * centroids after r−1 update steps.
+    *
+    * Determinism contract ([D5] throughout, the [[perceptronTrace]]
+    * conventions applied to clustering):
+    *   - vectors are quantized ONCE to integer units
+    *     (`floor(double(x) · scale)` — IEEE-identical in any engine);
+    *     every distance, sum, and centroid after that is 64-bit
+    *     integer arithmetic, so a SQL replay is bit-exact;
+    *   - seeds are the `k` rows with the smallest
+    *     polyMix(id mod M) (ties by id), clusters numbered in that
+    *     order — a portable pseudo-random draw, no RNG;
+    *   - assignment ties break toward the lower cluster id;
+    *   - centroid update is the sign-explicit truncating mean per
+    *     dimension.
+    *
+    * Scale shape: per round one broadcast of k·dim centroid literals
+    * into a codegen'd zip_with distance kernel (no join), one
+    * (cluster, dim)-keyed partial aggregation, and a k·dim
+    * driver-side fold — the PQ-codebook bounded-driver convention.
+    * With milli-unit quantization (scale = 1e3) per-row distances stay
+    * ≤ dim·4e6·scale² ≈ 1e9, so inertia sums hold to ~1e9 rows; past
+    * that the inertia column (not the centroids) would need decimal
+    * staging. */
+  def kmeansTrace(df: DataFrame, idCol: String, vecCol: String,
+    k: Int, iters: Int, scale: Long = 1000L): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val spark = df.sparkSession
+    val hashM = graft.functions.TextFunctions.HashMod
+    val e = df.select(col(idCol).cast("long").as("__id"),
+        expr(s"transform($vecCol, x -> " +
+          s"cast(floor(cast(x as double) * ${scale}L) as bigint))")
+          .as("__e"))
+      .filter(col("__e").isNotNull)
+      .localCheckpoint(true)
+    val dim = e.select(size(col("__e"))).head().getInt(0)
+    val seedIds = e.select(col("__id"),
+        graft.operators.GraphQueries.polyMix(pmod(col("__id"), lit(hashM)))
+          .as("__h"))
+      .orderBy(col("__h").asc, col("__id").asc).limit(k)
+      .collect().map(_.getLong(0))
+    val seedVec = e.filter(col("__id").isin(seedIds.map(Long.box): _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toArray).toMap
+    var cents: Seq[Array[Long]] = seedIds.map(seedVec(_)).toSeq
+    def assigned = {
+      val dists = array(cents.zipWithIndex.map { case (c, j) =>
+        val cl = s"array(${c.mkString("L,")}L)"
+        struct(expr(s"aggregate(zip_with(__e, $cl, " +
+          "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+          .as("dist"), lit(j.toLong).as("cl"))
+      }: _*)
+      e.withColumn("__a", array_min(dists))
+        .select(col("__id"), col("__e"),
+          col("__a.cl").as("cl"), col("__a.dist").as("dist"))
+    }
+    val rounds = Seq.newBuilder[DataFrame]
+    var r = 1
+    while (r <= iters) {
+      val a = assigned
+      rounds += a.groupBy("cl")
+        .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
+        .select(lit(r.toLong).as("round"), col("cl"),
+          col("n_vecs"), col("inertia"))
+      if (r < iters) {
+        val sums = a.select(col("cl"), posexplode(col("__e")))
+          .groupBy(col("cl"), col("pos"))
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(row => (row.getLong(0), row.getInt(1)) ->
+            (row.getLong(2), row.getLong(3))).toMap
+        cents = cents.indices.map { j =>
+          Array.tabulate(dim) { d =>
+            sums.get((j.toLong, d)) match {
+              case Some((g, n)) if n > 0 =>
+                if (g < 0) -((-g) / n) else g / n
+              case _ => cents(j)(d) // empty cluster keeps its centroid
+            }
+          }
+        }
+      }
+      r += 1
+    }
+    rounds.result().reduce(_ unionByName _).orderBy("round", "cl")
+  }
+
   /** Score rows with a trained weight vector (bias first, then one
     * weight per feature, the [[perceptronTrace]] layout): appends the
     * integer margin `score` = w·(1, x...). Positive margin = keep. */

@@ -466,8 +466,62 @@ object GraphQueries {
           Seq("px", "py"), "left_anti")
         .orderBy(col("aa_est").desc, col("px").asc, col("py").asc)
         .limit(30)
+    }),
+
+    // HITS hubs & authorities on the customer→part purchase bipartite
+    // graph, ORACLE-GATED — the q231 integer-micro-unit convention
+    // applied to the second classic eigenvector ranking: hub(c) =
+    // Σ_p w·auth(p), auth(p) = Σ_c w·hub(c), two unrolled rounds,
+    // each score vector L1-renormalized to 1e6 micro-units by [D5]
+    // truncating division (the L2 norm of textbook HITS needs a sqrt
+    // no integer replay survives; L1 keeps the same fixed-point
+    // direction and is exact). Scale: each half-round is ONE
+    // edge-keyed join + partial agg (shuffle by c or p), score tables
+    // are |C|/|P| rows — frontier-sized, never edge-sized; the 1-row
+    // totals attach via broadcast. At sf0.1 hub mass concentrates on
+    // multi-order customers exactly as degree theory predicts.
+    "q248_hits" -> ((s, dir) => {
+      val e = graft.Tables.load(s, dir, "orders")
+        .join(graft.Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val nP = e.select("p").distinct().count()
+      val a0 = e.select("p").distinct()
+        .withColumn("a", lit(HitsScale / nP))
+      def hubStep(a: DataFrame): DataFrame = {
+        val hr = e.join(a, Seq("p")).groupBy("c")
+          .agg(sum(col("w") * col("a")).as("hr"))
+        hr.crossJoin(broadcast(hr.agg(sum("hr").as("t"))))
+          .select(col("c"), expr(s"(hr * ${HitsScale}L) div t").as("h"))
+          .localCheckpoint(true)
+      }
+      def authStep(h: DataFrame): DataFrame = {
+        val ar = e.join(h, Seq("c")).groupBy("p")
+          .agg(sum(col("w") * col("h")).as("ar"))
+        ar.crossJoin(broadcast(ar.agg(sum("ar").as("t"))))
+          .select(col("p"), expr(s"(ar * ${HitsScale}L) div t").as("a"))
+          .localCheckpoint(true)
+      }
+      val h1 = hubStep(a0)
+      val a1 = authStep(h1)
+      val h2 = hubStep(a1)
+      val a2 = authStep(h2)
+      val hubs = h2.orderBy(col("h").desc, col("c").asc).limit(20)
+        .select(lit("hub").as("kind"), col("c").as("id"),
+          col("h").as("score"))
+      val auths = a2.orderBy(col("a").desc, col("p").asc).limit(20)
+        .select(lit("authority").as("kind"), col("p").as("id"),
+          col("a").as("score"))
+      hubs.unionByName(auths)
+        .orderBy(col("kind").asc, col("score").desc, col("id").asc)
     })
   )
+
+  /** q248 L1 fixed-point scale: scores are micro-units summing to ~1e6
+    * per side after each renormalization. */
+  private val HitsScale = 1000000L
 
   /** Three unrolled iterations of the identical update — every literal
     * cast to DOUBLE explicitly (DuckDB parses 0.85 as DECIMAL, which
@@ -884,6 +938,46 @@ object GraphQueries {
          |FROM r3
          |ORDER BY rwr6 DESC NULLS LAST, p_partkey ASC NULLS FIRST
          |LIMIT 20""".stripMargin
-    }
+    },
+
+    // two unrolled HITS rounds in the same integer micro-unit
+    // convention: identical edge weights, L1 renormalization by
+    // truncating division (all values non-negative, so // == div)
+    "q248_hits" ->
+      s"""WITH e AS (
+         |  SELECT o_custkey AS c, l_partkey AS p, COUNT(*) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2),
+         |a0 AS (
+         |  SELECT DISTINCT p,
+         |         CAST($HitsScale // (SELECT COUNT(DISTINCT p) FROM e)
+         |              AS BIGINT) AS a
+         |  FROM e),
+         |hr1 AS (SELECT c, CAST(SUM(w * a) AS BIGINT) AS hr
+         |        FROM e JOIN a0 USING (p) GROUP BY 1),
+         |h1 AS (SELECT c, (hr * $HitsScale)
+         |         // (SELECT SUM(hr) FROM hr1) AS h FROM hr1),
+         |ar1 AS (SELECT p, CAST(SUM(w * h) AS BIGINT) AS ar
+         |        FROM e JOIN h1 USING (c) GROUP BY 1),
+         |a1 AS (SELECT p, (ar * $HitsScale)
+         |         // (SELECT SUM(ar) FROM ar1) AS a FROM ar1),
+         |hr2 AS (SELECT c, CAST(SUM(w * a) AS BIGINT) AS hr
+         |        FROM e JOIN a1 USING (p) GROUP BY 1),
+         |h2 AS (SELECT c, (hr * $HitsScale)
+         |         // (SELECT SUM(hr) FROM hr2) AS h FROM hr2),
+         |ar2 AS (SELECT p, CAST(SUM(w * h) AS BIGINT) AS ar
+         |        FROM e JOIN h2 USING (c) GROUP BY 1),
+         |a2 AS (SELECT p, (ar * $HitsScale)
+         |         // (SELECT SUM(ar) FROM ar2) AS a FROM ar2),
+         |hubs AS (
+         |  SELECT 'hub' AS kind, c AS id, CAST(h AS BIGINT) AS score
+         |  FROM h2 ORDER BY h DESC, c ASC LIMIT 20),
+         |auths AS (
+         |  SELECT 'authority' AS kind, p AS id, CAST(a AS BIGINT) AS score
+         |  FROM a2 ORDER BY a DESC, p ASC LIMIT 20)
+         |SELECT kind, id, score FROM (
+         |  SELECT * FROM hubs UNION ALL SELECT * FROM auths) u
+         |ORDER BY kind ASC NULLS FIRST, score DESC NULLS LAST,
+         |         id ASC NULLS FIRST""".stripMargin
   )
 }

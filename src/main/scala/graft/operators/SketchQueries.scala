@@ -43,6 +43,14 @@ object SketchQueries {
     * smallest distinct polyMix hash (rel. error ~1/√K ≈ 12.5%). */
   private val KmvK = 64
 
+  /** q244 Count-Min geometry: CmsD independent rows × CmsW buckets
+    * (state = 2048 cells); row hashes are the MinHash affine family at
+    * slot offsets CmsSeed+r so their constants share no structure with
+    * the signature slots. */
+  private val CmsD = 4
+  private val CmsW = 512
+  private val CmsSeed = 2000
+
   /** Session-memoized MinHash-LSH near-dup pair table at `minJac` — the
     * banded-candidate edge set q66 emits and the LSH-edge compositions
     * (q118/q119) consume (those pass `blockCol = Some("lang")` so the
@@ -154,6 +162,106 @@ object SketchQueries {
             .otherwise(expr(s"(${KmvK - 1}L * ${GraphQueries.HashM}L) div hk"))
             .as("kmv_est"))
         .orderBy("event_type")
+    }),
+
+    // Count-Min sketch, ORACLE-GATED — the fixed-memory FREQUENCY
+    // sibling of q239's distinct sketch: CmsD independent hash rows ×
+    // CmsW buckets (pairwise-independent affine transforms of the
+    // portable rolling hash, the MinHash constant family at slot
+    // offsets CmsSeed+r), each cell summing token occurrences; a
+    // token's estimate is the MIN over its CmsD cells, so the error is
+    // strictly one-sided (over_err ≥ 0 always, E[err] ≤ N/CmsW per
+    // row). The whole sketch is CmsD·CmsW = 2048 integers REGARDLESS
+    // of vocabulary size — the mergeable counting state for unbounded
+    // key domains (per-partition cell partials combine map-side; batch
+    // sketches add cell-wise). The probe set is the exact top-20
+    // tokens (ride-along self-audit, q239 convention): at 100 TB only
+    // the sketch pass runs and probes answer from 2048 broadcast
+    // cells; everything is integer, so DuckDB replays it bit-exactly.
+    "q244_cms_freq" -> ((s, dir) => {
+      val th = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("tok"), expr(TextFunctions.charHash("tok")).as("h"))
+      def buckets = array((0 until CmsD).map { r =>
+        struct(lit(r).as("r"),
+          pmod(pmod(col("h") * lit(TextFunctions.mhMul(CmsSeed + r))
+            + lit(TextFunctions.mhAdd(CmsSeed + r)),
+            lit(GraphQueries.HashM)), lit(CmsW)).as("b"))
+      }: _*)
+      val cells = th.select(explode(buckets).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probe = th.groupBy("tok", "h").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+      val pb = probe.select(col("tok"), col("n_exact"),
+        explode(buckets).as("rb"))
+        .select(col("tok"), col("n_exact"),
+          col("rb.r").as("r"), col("rb.b").as("b"))
+      broadcast(pb).join(cells, Seq("r", "b"))
+        .groupBy("tok", "n_exact").agg(min(col("c")).as("cms_est"))
+        .select(col("tok"), col("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n_exact")).as("over_err"))
+        .orderBy(col("n_exact").desc, col("tok").asc)
+    }),
+
+    // KMV SET OPERATIONS, ORACLE-GATED — what makes K-minimum-values
+    // the warehouse distinct sketch (vs HLL) is that sketches of two
+    // sets COMPOSE: merging the K smallest hashes of A and of B gives
+    // the K-min sketch of A∪B, and the fraction of merged members
+    // present in BOTH input sketches estimates Jaccard(A,B), so
+    // |A∩B| ≈ jac · |A∪B| falls out with no second pass. Here: the
+    // pairwise vocabulary-overlap matrix across the 20 document
+    // sources from 64-value sketches only — per source the state is
+    // K longs, the pair matrix never touches raw token sets. Exact
+    // n_union/n_inter ride along for self-audit (at 100 TB only the
+    // one sketch pass + the 190-pair sketch-merge run — that path
+    // costs O(sources·K), independent of corpus size). All integer
+    // ([D5] truncating div; jaccard reported as permille), replayed
+    // bit-exactly by DuckDB list arithmetic.
+    "q245_kmv_setops" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFunctions.tokenSet(col("text"))).as("tok"))
+        .distinct()
+      val dh = d.select(col("source"),
+          GraphQueries.polyMix(expr(TextFunctions.charHash("tok"))).as("h"))
+        .distinct()
+      val sk = graft.plans.GraftOps.topKPerGroup(dh, Seq(col("source")),
+          Seq(col("h").asc), KmvK, rankName = "rn")
+        .groupBy("source")
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+      val pairs = sk.select(col("source").as("src_a"), col("hs").as("ha"))
+        .join(broadcast(sk.select(col("source").as("src_b"),
+          col("hs").as("hb"))), col("src_a") < col("src_b"))
+        .withColumn("mg",
+          slice(array_sort(array_distinct(concat(col("ha"), col("hb")))),
+            1, KmvK))
+        .withColumn("kp", size(col("mg")).cast("long"))
+        .withColumn("union_est",
+          when(col("kp") < KmvK, col("kp")).otherwise(
+            expr(s"(${KmvK - 1}L * ${GraphQueries.HashM}L) " +
+              "div element_at(mg, cast(kp as int))")))
+        .withColumn("jac_num",
+          expr("cast(size(filter(mg, x -> array_contains(ha, x) " +
+            "and array_contains(hb, x))) as long)"))
+      val ex = d.as("x").join(d.as("y"), "tok")
+        .filter(col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val nv = d.groupBy("source").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(nv.select(col("source").as("src_a"),
+          col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(nv.select(col("source").as("src_b"),
+          col("n").as("nb"))), Seq("src_b"))
+        .join(broadcast(ex), Seq("src_a", "src_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .select(col("src_a"), col("src_b"),
+          (col("na") + col("nb") - col("n_inter")).as("n_union"),
+          col("n_inter"), col("union_est"),
+          expr("(jac_num * union_est) div kp").as("inter_est"),
+          expr("(1000L * jac_num) div kp").as("jac_pm"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -278,6 +386,88 @@ object SketchQueries {
          |            END AS BIGINT) AS kmv_est
          |FROM x JOIN s USING (event_type)
          |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    // the CMS replay: identical affine row hashes, the same cell agg,
+    // the same one-sided MIN estimate over the top-20 probe set
+    "q244_cms_freq" ->
+      s"""WITH th AS (
+         |  SELECT tok, ${Sql.charHash("tok")} AS h
+         |  FROM (SELECT unnest(${Sql.tokens("text")}) AS tok
+         |        FROM documents) u),
+         |ks(r, mul, addc) AS (
+         |  VALUES ${(0 until CmsD).map(r =>
+              s"($r, ${TextFunctions.mhMul(CmsSeed + r)}, " +
+                s"${TextFunctions.mhAdd(CmsSeed + r)})").mkString(", ")}),
+         |cells AS (
+         |  SELECT r, ((h * mul + addc) % ${GraphQueries.HashM}) % $CmsW AS b,
+         |         COUNT(*) AS c
+         |  FROM th CROSS JOIN ks GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT tok, h, COUNT(*) AS n_exact
+         |  FROM th GROUP BY 1, 2
+         |  ORDER BY n_exact DESC, tok ASC LIMIT 20),
+         |est AS (
+         |  SELECT p.tok, p.n_exact, MIN(c.c) AS cms_est
+         |  FROM probe p CROSS JOIN ks k
+         |  JOIN cells c ON c.r = k.r
+         |   AND c.b = ((p.h * k.mul + k.addc) % ${GraphQueries.HashM})
+         |             % $CmsW
+         |  GROUP BY 1, 2)
+         |SELECT tok, n_exact, cms_est, cms_est - n_exact AS over_err
+         |FROM est
+         |ORDER BY n_exact DESC, tok ASC""".stripMargin,
+
+    // the KMV set-ops replay: identical sketch build (ROW_NUMBER K-min
+    // per source), identical list merge + membership arithmetic
+    "q245_kmv_setops" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT source, tok
+         |  FROM (SELECT source, unnest($sqlTokSet) AS tok
+         |        FROM documents) u),
+         |dh AS (
+         |  SELECT DISTINCT source,
+         |         ${GraphQueries.polyMixSql(Sql.charHash("tok"))} AS h
+         |  FROM d),
+         |rk AS (
+         |  SELECT source, h, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY h ASC) AS rn
+         |  FROM dh),
+         |sk AS (
+         |  SELECT source, list(h ORDER BY h ASC) AS hs
+         |  FROM rk WHERE rn <= $KmvK GROUP BY 1),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         a.hs AS ha, b.hs AS hb,
+         |         list_sort(list_distinct(a.hs || b.hs))[1:$KmvK] AS mg
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |es AS (
+         |  SELECT src_a, src_b,
+         |         CAST(len(mg) AS BIGINT) AS kp,
+         |         CASE WHEN len(mg) < $KmvK THEN CAST(len(mg) AS BIGINT)
+         |              ELSE (CAST(${KmvK - 1} AS BIGINT)
+         |                    * ${GraphQueries.HashM}) // mg[len(mg)] END
+         |           AS union_est,
+         |         CAST(len(list_filter(mg, x -> list_contains(ha, x)
+         |                    AND list_contains(hb, x))) AS BIGINT)
+         |           AS jac_num
+         |  FROM pr),
+         |nv AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+         |ix AS (
+         |  SELECT x.source AS src_a, y.source AS src_b,
+         |         COUNT(*) AS n_inter
+         |  FROM d x JOIN d y ON x.tok = y.tok AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT e.src_a, e.src_b,
+         |       na.n + nb.n - COALESCE(ix.n_inter, 0) AS n_union,
+         |       COALESCE(ix.n_inter, 0) AS n_inter,
+         |       e.union_est,
+         |       (e.jac_num * e.union_est) // e.kp AS inter_est,
+         |       (1000 * e.jac_num) // e.kp AS jac_pm
+         |FROM es e
+         |JOIN nv na ON na.source = e.src_a
+         |JOIN nv nb ON nb.source = e.src_b
+         |LEFT JOIN ix ON ix.src_a = e.src_a AND ix.src_b = e.src_b
+         |ORDER BY e.src_a ASC NULLS FIRST, e.src_b ASC NULLS FIRST""".stripMargin,
 
     // The sketch is only a candidate proposer; the declared result is
     // the exact set {token : cnt·(HhCap+1) > N}, which plain SQL states

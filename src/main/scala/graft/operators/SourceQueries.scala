@@ -254,8 +254,65 @@ object SourceQueries {
           Dets.decSumD(col("l_extendedprice")).as("sum_price"),
           Dets.decSumD(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Zone-map pruning audit — the block min/max statistics mechanism
+    // (Redshift zone maps / parquet row-group stats) measured AGAINST
+    // the table's physical order: lineitem is cut into ZmBlock-row
+    // blocks under two layouts (natural load order vs shipdate
+    // sort-key), each block keeps (min, max, cnt) of l_shipdate, and
+    // four quarter predicates are answered from the zone maps alone —
+    // blocks whose [min, max] misses the range are pruned unread. The
+    // audit reports blocks pruned and rows scanned per layout: on the
+    // natural layout shipdate is uncorrelated with position so ~zero
+    // blocks prune; under the sort key a quarter touches only its own
+    // blocks (rows_scanned collapses to ~rows_match + two boundary
+    // blocks). That delta IS the sort-key decision at 100 TB — the
+    // audit is what a lake optimizer reads before choosing a cluster
+    // column, and it runs from the zone-map table (rows ÷ ZmBlock
+    // entries), never the data. Global block ids come from
+    // GlobalRank.rowNumber (range-partitioned ranking, no single-task
+    // window); exact per-quarter counts ride along for self-audit.
+    "q246_zonemap_prune" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+        graft.functions.GlobalRank.rowNumber(li, order)
+          .select(lit(name).as("layout"),
+            expr(s"(rn - 1) div $ZmBlock").as("blk"), col("l_shipdate"))
+      val both = layout("natural",
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .unionByName(layout("shipdate_sorted",
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
+      val zm = both.groupBy("layout", "blk")
+        .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"),
+          count(lit(1)).as("cnt"))
+      val wins = Seq(
+        ("1995Q1", "1995-01-01", "1995-04-01"),
+        ("1995Q2", "1995-04-01", "1995-07-01"),
+        ("1995Q3", "1995-07-01", "1995-10-01"),
+        ("1995Q4", "1995-10-01", "1996-01-01")).toDF("win", "lo", "hi")
+        .select(col("win"), col("lo").cast("date"), col("hi").cast("date"))
+      val pruned = col("mx") < col("lo") || col("mn") >= col("hi")
+      val audit = zm.crossJoin(broadcast(wins))
+        .groupBy("layout", "win")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(pruned, 1L).otherwise(0L)).as("n_pruned"),
+          sum(when(pruned, 0L).otherwise(col("cnt"))).as("rows_scanned"))
+      val mt = li.crossJoin(broadcast(wins))
+        .filter(col("l_shipdate") >= col("lo")
+          && col("l_shipdate") < col("hi"))
+        .groupBy("win").agg(count(lit(1)).as("rows_match"))
+      audit.join(broadcast(mt), Seq("win"))
+        .select(col("layout"), col("win"), col("n_blocks"),
+          col("n_pruned"), col("rows_scanned"), col("rows_match"))
+        .orderBy("layout", "win")
     })
   )
+
+  /** q246 zone-map block size (rows per block under both layouts). */
+  private val ZmBlock = 4096
 
   /** q207's pruned partition — one of the fixture's order years. */
   private val PruneYear = 1997
@@ -354,6 +411,52 @@ object SourceQueries {
         |    AS sum_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
+        |GROUP BY 1 ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // the zone-map replay: identical global block ids (ROW_NUMBER over
+    // the same unique total orders), identical min/max/cnt maps and
+    // prune predicate
+    "q246_zonemap_prune" ->
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem),
+         |bl AS (
+         |  SELECT 'natural' AS layout,
+         |         (ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+         |          - 1) // $ZmBlock AS blk,
+         |         l_shipdate
+         |  FROM base
+         |  UNION ALL
+         |  SELECT 'shipdate_sorted',
+         |         (ROW_NUMBER() OVER (
+         |            ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         |          - 1) // $ZmBlock,
+         |         l_shipdate
+         |  FROM base),
+         |zm AS (
+         |  SELECT layout, blk, MIN(l_shipdate) AS mn,
+         |         MAX(l_shipdate) AS mx, COUNT(*) AS cnt
+         |  FROM bl GROUP BY 1, 2),
+         |wins(win, lo, hi) AS (VALUES
+         |  ('1995Q1', DATE '1995-01-01', DATE '1995-04-01'),
+         |  ('1995Q2', DATE '1995-04-01', DATE '1995-07-01'),
+         |  ('1995Q3', DATE '1995-07-01', DATE '1995-10-01'),
+         |  ('1995Q4', DATE '1995-10-01', DATE '1996-01-01')),
+         |audit AS (
+         |  SELECT layout, win, COUNT(*) AS n_blocks,
+         |         CAST(SUM(CASE WHEN mx < lo OR mn >= hi
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |         CAST(SUM(CASE WHEN mx < lo OR mn >= hi
+         |                       THEN 0 ELSE cnt END) AS BIGINT)
+         |           AS rows_scanned
+         |  FROM zm CROSS JOIN wins GROUP BY 1, 2),
+         |mt AS (
+         |  SELECT win, COUNT(*) AS rows_match
+         |  FROM base CROSS JOIN wins
+         |  WHERE l_shipdate >= lo AND l_shipdate < hi
+         |  GROUP BY 1)
+         |SELECT a.layout, a.win, a.n_blocks, a.n_pruned,
+         |       a.rows_scanned, m.rows_match
+         |FROM audit a JOIN mt m USING (win)
+         |ORDER BY a.layout ASC NULLS FIRST, a.win ASC NULLS FIRST""".stripMargin
   )
 }

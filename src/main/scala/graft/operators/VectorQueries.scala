@@ -456,8 +456,29 @@ object VectorQueries {
       graft.api.VectorOps.mmrRerank(emb, "vec_id", "embedding", probe,
         depth = 10, k = 3, lambdaDiv = 0.5)
         .orderBy("rank")
-    })
+    }),
+
+    // Unrolled Lloyd k-means, ORACLE-GATED — the full clustering loop
+    // the ANN tier trains with (q70/q132/q134 run sampled float Lloyd,
+    // gated by recall specs): KmK clusters × KmIters assignment rounds
+    // over milli-quantized embeddings, every distance / centroid /
+    // inertia a 64-bit integer ([D5]), seeds the polyMix-smallest ids
+    // — so DuckDB replays the ENTIRE training trajectory bit-exactly,
+    // per-round member counts and inertia both. This is the trust
+    // anchor for the k-means family: the float production path is
+    // bounded by recall floors, the integer trace by a hash gate.
+    // Scale: per round one broadcast centroid kernel (no join) + one
+    // (cluster, dim) partial agg; see MlOps.kmeansTrace.
+    "q247_kmeans_steps" -> ((s, dir) =>
+      graft.api.MlOps.kmeansTrace(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = KmK, iters = KmIters))
   )
+
+  /** q247 geometry: 4 clusters, 3 unrolled Lloyd rounds, milli-unit
+    * quantization (the kmeansTrace default). */
+  private val KmK = 4
+  private val KmIters = 3
 
   private val sqlCos = Sql.cosine("a.pe", "b.embedding")
 
@@ -895,6 +916,65 @@ object VectorQueries {
          |UNION ALL SELECT 2, id, ROUND(score, 5) FROM s2
          |UNION ALL SELECT 3, id, ROUND(score, 5) FROM s3
          |ORDER BY rank ASC NULLS FIRST""".stripMargin
+    },
+
+    // the k-means replay: identical quantization, seed draw,
+    // per-round assignment (dist asc, cl asc tie-break) and
+    // sign-explicit truncating centroid means, unrolled one CTE
+    // block per Lloyd round
+    "q247_kmeans_steps" -> {
+      val m = TextFunctions.HashMod
+      val dim = 64
+      val dist = s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        "i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT)"
+      def roundCtes(r: Int): String = {
+        val upd = if (r < KmIters)
+          s""",
+             |g$r AS (
+             |  SELECT a.cl, f.d, CAST(SUM(f.v) AS BIGINT) AS s,
+             |         COUNT(*) AS n
+             |  FROM a$r a JOIN f USING (vec_id) GROUP BY 1, 2),
+             |cn$r AS (
+             |  SELECT cl, list(CASE WHEN s < 0 THEN -((-s) // n)
+             |                       ELSE s // n END ORDER BY d) AS c
+             |  FROM g$r GROUP BY cl),
+             |c${r + 1} AS (
+             |  SELECT p.cl, COALESCE(n.c, p.c) AS c
+             |  FROM c$r p LEFT JOIN cn$r n USING (cl))""".stripMargin
+        else ""
+        s"""d$r AS (
+           |  SELECT e.vec_id, c.cl, $dist AS dist
+           |  FROM e CROSS JOIN c$r c),
+           |a$r AS (
+           |  SELECT vec_id, cl, dist FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY dist ASC, cl ASC) AS rn FROM d$r) z
+           |  WHERE rn = 1),
+           |t$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round, cl,
+           |         COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
+           |  FROM a$r GROUP BY cl)$upd""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |f AS (
+         |  SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) AS d
+         |  FROM e),
+         |sd AS (
+         |  SELECT vec_id, ROW_NUMBER() OVER (
+         |    ORDER BY ${GraphQueries.polyMixSql(s"vec_id % $m")} ASC,
+         |             vec_id ASC) - 1 AS cl
+         |  FROM e),
+         |c1 AS (
+         |  SELECT sd.cl, e.e AS c FROM sd JOIN e USING (vec_id)
+         |  WHERE sd.cl < $KmK),
+         |${(1 to KmIters).map(roundCtes).mkString(",\n")}
+         |SELECT round, cl, n_vecs, inertia FROM (
+         |  ${(1 to KmIters).map(r => s"SELECT * FROM t$r")
+              .mkString(" UNION ALL ")}) u
+         |ORDER BY round ASC NULLS FIRST, cl ASC NULLS FIRST""".stripMargin
     }
   )
 }

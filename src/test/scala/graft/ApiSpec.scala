@@ -725,6 +725,36 @@ class ApiSpec extends SparkSpec {
     assert(mis == tr.last.getAs[Long]("n_mis"))
   }
 
+  test("MlOps.kmeansTrace: separable foreign-schema clusters recover; inertia non-increasing") {
+    import spark.implicits._
+    // two tight clusters far apart in 2-d; any 2-means run must split
+    // them and round-2 inertia must not exceed round-1 (Lloyd monotone
+    // on the quantized grid)
+    val df = Seq(
+      (10L, Array(0.0f, 0.0f)), (11L, Array(0.1f, 0.0f)),
+      (12L, Array(0.0f, 0.1f)),
+      (20L, Array(5.0f, 5.0f)), (21L, Array(5.1f, 5.0f)),
+      (22L, Array(5.0f, 5.1f))
+    ).toDF("pid", "feat")
+    // both seeds can land in one tight cluster (polyMix draw), so the
+    // first update is still mixed — by round 3 (two updates) Lloyd
+    // must have split the far clusters and collapsed the inertia
+    val tr = graft.api.MlOps.kmeansTrace(df, "pid", "feat",
+      k = 2, iters = 3).collect()
+    assert(tr.length == 6, tr.mkString("; "))
+    val r3 = tr.filter(_.getAs[Long]("round") == 3L)
+    assert(r3.map(_.getAs[Long]("n_vecs")).sorted.toSeq == Seq(3L, 3L),
+      tr.mkString("; "))
+    val inertia = (1 to 3).map(r =>
+      tr.filter(_.getAs[Long]("round") == r.toLong)
+        .map(_.getAs[Long]("inertia")).sum)
+    assert(inertia(1) <= inertia(0) && inertia(2) <= inertia(1),
+      inertia.toString)
+    // converged assignment: each cluster's inertia is the within-
+    // cluster spread only (milli-units: 3 points pairwise 100 apart)
+    assert(inertia(2) > 0L && inertia(2) < 100000L, inertia.toString)
+  }
+
   test("GraphOps.randomWalkRestart: one hand-computed round in exact micro-units") {
     import spark.implicits._
     // star from vertex 1 with weights 3 and 1 → wdeg(1) = 4; after one
