@@ -320,6 +320,86 @@ object CurationQueries {
         .orderBy("decile")
     }),
 
+    // Exact ROC AUC of the trained classifier, per language — the one
+    // threshold-free discrimination metric the q235/q237/q241 family
+    // still lacked (calibration says "is the score monotone"; AUC says
+    // "does it rank keeps above drops at all"), split by lang so it
+    // doubles as the fairness audit of a learned gate. Computed in the
+    // Mann–Whitney rank-sum form over the SCORE HISTOGRAM (the q186
+    // machinery): per lang, 2·U = Σ_s c1(s)·(2·cum0(<s) + c0(s))
+    // counts pos-beats-neg pairs twice and score ties once — all
+    // INTEGER-EXACT, no per-pair join, no per-doc sort; auc_pm is the
+    // [D5] truncating permille. One histogram agg + one
+    // range-partitioned cumulative sum; at 1e9 docs/lang 2·U tops out
+    // near 2e18, inside int64 (past that, the q186 decimal staging).
+    "q249_quality_auc" -> ((s, dir) => {
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val last = percTrace(s, dir)
+        .filter(col("step") === PercIters).collect().head
+      val w = last.getAs[Long]("w_bias") +:
+        PercFeatures.map(c => last.getAs[Long](s"w_$c"))
+      val h = graft.api.MlOps.linearScore(feats, PercFeatures, w)
+        .groupBy("lang", "score")
+        .agg(sum(col("keep").cast("long")).as("c1"),
+          sum(lit(1L) - col("keep").cast("long")).as("c0"))
+      val r = graft.functions.GlobalRank.cumSum(h, "lang", "score", "c0")
+      r.groupBy("lang")
+        .agg(sum(col("c1")).as("n_pos"), sum(col("c0")).as("n_neg"),
+          sum(col("c1") * (lit(2L) * (col("cum") - col("c0")) + col("c0")))
+            .as("u2"))
+        .select(col("lang"), col("n_pos"), col("n_neg"), col("u2"),
+          when(col("n_pos") === 0 || col("n_neg") === 0,
+            lit(null).cast("long"))
+            .otherwise(expr("(1000L * u2) div (2L * n_pos * n_neg)"))
+            .as("auc_pm"))
+        .orderBy("lang")
+    }),
+
+    // Pearson correlation matrix over the q235 feature set, in ONE
+    // corpus pass — the collinearity diagnostic read before trusting
+    // (or pruning) a linear model's features: all 4 sums, 4 squares,
+    // and 6 cross-products accumulate in a single map-side-combinable
+    // aggregate (the irreducible one-scan moment-matrix shape at
+    // 100 TB; the per-row products stay far inside int64 — permille
+    // ratios are ≤ ~2·10⁴ and doc token counts ≤ ~10⁹ keep x·y under
+    // 2^63 — and the sums are exact DECIMAL(38,0) [D2]); the six pair
+    // rows then fold out
+    // of the ONE materialized aggregate row (localCheckpoint, so the
+    // corpus is not re-scanned per pair). corr = (n·Sxy − Sx·Sy) /
+    // √(n·Sxx − Sx²)·√(n·Syy − Sy²), every inner term an exact
+    // integer on both engines (HUGEINT on the oracle side, q186
+    // convention), the one float formula rounded to 6dp [D3]; a
+    // zero-variance feature reports NULL, not a crashed stage.
+    "q251_feature_corr" -> ((s, dir) => {
+      val fs = PercFeatures
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val f = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val aggs = count(lit(1)).cast("decimal(38,0)").as("n") +:
+        (fs.map(a => sum(d38(col(a))).as(s"s_$a")) ++
+          (for { i <- fs.indices; j <- i until fs.size }
+            yield sum(d38(col(fs(i)) * col(fs(j))))
+              .as(s"p_${fs(i)}_${fs(j)}")))
+      val m = f.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      def varOf(a: String) =
+        col("n") * col(s"p_${a}_$a") - col(s"s_$a") * col(s"s_$a")
+      val pairs = for {
+        i <- fs.indices; j <- i + 1 until fs.size
+      } yield {
+        val (a, b) = (fs(i), fs(j))
+        m.select(lit(a).as("fa"), lit(b).as("fb"),
+          col("n").cast("long").as("n_docs"),
+          when(varOf(a) > 0 && varOf(b) > 0,
+            round((col("n") * col(s"p_${a}_$b")
+              - col(s"s_$a") * col(s"s_$b")).cast("double")
+              / (sqrt(varOf(a).cast("double"))
+                * sqrt(varOf(b).cast("double"))), 6))
+            .as("corr6"))
+      }
+      pairs.reduce(_ unionByName _).orderBy("fa", "fb")
+    }),
+
     // Temperature-scaled (τ = 0.5) data-mixture plan: per-source
     // sampling weight w_i = sqrt(c_i) / Σ sqrt(c_j) over token counts,
     // and the epochs of source i a budget of Σ c_j tokens implies
@@ -509,10 +589,82 @@ object CurationQueries {
        |ORDER BY decile ASC NULLS FIRST""".stripMargin
   }
 
+  /** The q249 replay: the same chain to the final weight row, then the
+    * per-(lang, score) histogram, a window cumulative of the negative
+    * counts, and the integer rank-sum 2·U — HUGEINT staging for the
+    * products, BIGINT casts at the end (the q186 oracle convention). */
+  private def aucOracleSql: String = {
+    val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
+      .mkString(" + ")
+    s"""WITH $percCtesSql,
+       |sc AS (
+       |  SELECT ft.lang, CASE WHEN ft.y = 1 THEN 1 ELSE 0 END AS keep,
+       |         ($margin) AS score
+       |  FROM ft CROSS JOIN w$PercIters w),
+       |h AS (
+       |  SELECT lang, score, SUM(keep) AS c1, SUM(1 - keep) AS c0
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, c1, c0,
+       |         SUM(c0) OVER (PARTITION BY lang ORDER BY score ASC) AS cum
+       |  FROM h),
+       |a AS (
+       |  SELECT lang, SUM(c1) AS n_pos, SUM(c0) AS n_neg,
+       |         SUM(CAST(c1 AS HUGEINT) * (2 * (cum - c0) + c0)) AS u2
+       |  FROM r GROUP BY 1)
+       |SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+       |       CAST(n_neg AS BIGINT) AS n_neg,
+       |       CAST(u2 AS BIGINT) AS u2,
+       |       CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |            ELSE (1000 * u2) // (2 * n_pos * n_neg) END AS BIGINT)
+       |         AS auc_pm
+       |FROM a ORDER BY lang ASC NULLS FIRST""".stripMargin
+  }
+
+  /** The q251 replay: the q104 rule CTE's raw counts re-derived into
+    * the four integer features, one HUGEINT moment-matrix aggregate,
+    * and the six pair rows unioned out of it — the q186 staging
+    * convention (exact int128 inner terms, one double formula, 6dp). */
+  private def featureCorrOracleSql: String = {
+    val fs = PercFeatures
+    val fexpr = Map(
+      "f_ntok" -> "qm.n_tok",
+      "f_wlen" -> "qm.sum_len * 1000 // qm.n_tok",
+      "f_ttr" -> "qm.n_types * 1000 // qm.n_tok",
+      "f_stop" -> "qm.n_stop * 1000 // qm.n_tok")
+    val msums = fs.map(a => s"SUM(CAST($a AS HUGEINT)) AS s_$a") ++
+      (for { i <- fs.indices; j <- i until fs.size }
+        yield s"SUM(CAST(${fs(i)} AS HUGEINT) * ${fs(j)})" +
+          s" AS p_${fs(i)}_${fs(j)}")
+    def varOf(a: String) = s"(n * p_${a}_$a - s_$a * s_$a)"
+    val rows = for { i <- fs.indices; j <- i + 1 until fs.size } yield {
+      val (a, b) = (fs(i), fs(j))
+      s"""SELECT '$a' AS fa, '$b' AS fb, CAST(n AS BIGINT) AS n_docs,
+         |  CASE WHEN ${varOf(a)} > 0 AND ${varOf(b)} > 0 THEN
+         |    ROUND(CAST(n * p_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |      / (SQRT(CAST(${varOf(a)} AS DOUBLE))
+         |         * SQRT(CAST(${varOf(b)} AS DOUBLE))), 6)
+         |  END AS corr6
+         |FROM m""".stripMargin
+    }
+    s"""WITH $qualityRuleCteSql,
+       |ftx AS (
+       |  SELECT ${fs.map(a => s"${fexpr(a)} AS $a").mkString(", ")}
+       |  FROM qm WHERE qm.n_tok >= 1),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |         ${msums.mkString(",\n         ")}
+       |  FROM ftx)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY fa ASC NULLS FIRST, fb ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q235_quality_perceptron" -> perceptronOracleSql,
     "q237_quality_score_rollup" -> scoreRollupOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,
+    "q249_quality_auc" -> aucOracleSql,
+    "q251_feature_corr" -> featureCorrOracleSql,
     // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
     // empty for n <= 1 so bigram-less docs drop with no guard.
     "q103_bigram_surprisal" ->

@@ -308,11 +308,103 @@ object SourceQueries {
         .select(col("layout"), col("win"), col("n_blocks"),
           col("n_pruned"), col("rows_scanned"), col("rows_match"))
         .orderBy("layout", "win")
+    }),
+
+    // Block-Bloom data-skipping audit — the EQUALITY-predicate sibling
+    // of q246's zone maps (parquet column-index bloom filters / any
+    // lake's per-block membership stats): point lookups on a
+    // high-cardinality column in NATURAL order are exactly where zone
+    // maps die (every block's [min, max] spans the whole key domain,
+    // nothing prunes), and a BfBits-bit partitioned Bloom per
+    // 4096-row block (BfK affine hash rows — the CMS constant family
+    // at offset BfSeed — each setting one bit in its own BfBits/BfK
+    // partition) answers "block might contain k" from fixed-size
+    // stats instead. The audit probes the 4 heaviest part keys and
+    // reports, per key: zone-map-pruned blocks (~0, the negative
+    // control), Bloom-pruned blocks, rows scanned after Bloom
+    // pruning, the true block count, and the false-positive blocks
+    // the Bloom let through — the number a lake optimizer reads
+    // before sizing m/k at 100 TB, computed from the rows÷4096-entry
+    // stats table plus one bounded probe join, never a full rescan.
+    // Everything is integer hash arithmetic ([D5]); the Bloom's set
+    // bits are DISTINCT (blk, r, bit) rows, so DuckDB replays the
+    // filter bit-exactly.
+    "q252_block_bloom" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val base = graft.Caches.persistTracked(
+        graft.functions.GlobalRank.rowNumber(li,
+            Seq(col("l_orderkey"), col("l_linenumber")))
+          .select(expr(s"(rn - 1) div $ZmBlock").as("blk"),
+            col("l_partkey"),
+            GraphQueries.polyMix(pmod(col("l_partkey"),
+              lit(graft.functions.TextFunctions.HashMod))).as("h")))
+      def bitsOf(h: org.apache.spark.sql.Column) =
+        array((0 until BfK).map { r =>
+          struct(lit(r).as("r"),
+            pmod(pmod(h * lit(graft.functions.TextFunctions.mhMul(BfSeed + r))
+              + lit(graft.functions.TextFunctions.mhAdd(BfSeed + r)),
+              lit(graft.functions.TextFunctions.HashMod)),
+              lit(BfBits)).as("bit"))
+        }: _*)
+      val bloom = base.select(col("blk"), explode(bitsOf(col("h"))).as("rb"))
+        .select(col("blk"), col("rb.r").as("r"), col("rb.bit").as("bit"))
+        .distinct()
+      val stats = base.groupBy("blk").agg(min("l_partkey").as("mn"),
+        max("l_partkey").as("mx"), count(lit(1)).as("cnt"))
+      val keyStats = base.groupBy("l_partkey", "h")
+        .agg(count(lit(1)).as("rows_match"),
+          countDistinct(col("blk")).as("n_true_blocks"))
+      // 2 heaviest keys (the everywhere-present negative control) +
+      // 2 rarest (the point lookup the Bloom exists for)
+      val probes = keyStats
+        .orderBy(col("rows_match").desc, col("l_partkey").asc).limit(2)
+        .unionByName(keyStats
+          .orderBy(col("rows_match").asc, col("l_partkey").asc).limit(2))
+      val pbits = probes
+        .select(col("l_partkey").as("probe_key"),
+          explode(bitsOf(col("h"))).as("rb"))
+        .select(col("probe_key"), col("rb.r").as("r"),
+          col("rb.bit").as("bit"))
+      val hits = broadcast(pbits).join(bloom, Seq("r", "bit"))
+        .groupBy("probe_key", "blk").agg(count(lit(1)).as("nr"))
+        .filter(col("nr") === BfK)
+        .select(col("probe_key"), col("blk"), lit(1L).as("bf_pass"))
+      stats
+        .crossJoin(broadcast(probes.select(
+          col("l_partkey").as("probe_key"),
+          col("rows_match"), col("n_true_blocks"))))
+        .join(hits, Seq("probe_key", "blk"), "left")
+        .withColumn("bf_pass", coalesce(col("bf_pass"), lit(0L)))
+        .groupBy("probe_key", "rows_match", "n_true_blocks")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("probe_key").between(col("mn"), col("mx")), 0L)
+            .otherwise(1L)).as("n_zm_pruned"),
+          sum(lit(1L) - col("bf_pass")).as("n_bf_pruned"),
+          sum(col("bf_pass") * col("cnt")).as("rows_scanned_bf"),
+          sum(col("bf_pass")).as("n_pass"))
+        .select(col("probe_key"), col("n_blocks"), col("n_zm_pruned"),
+          col("n_bf_pruned"), col("rows_scanned_bf"),
+          (col("n_pass") - col("n_true_blocks")).as("n_fp_blocks"),
+          col("n_true_blocks"), col("rows_match"))
+        .orderBy("probe_key")
     })
   )
 
   /** q246 zone-map block size (rows per block under both layouts). */
   private val ZmBlock = 4096
+
+  /** q252 partitioned-Bloom geometry: BfK affine hash rows, each
+    * owning a BfBits-bucket bit partition (total state 4·4096 bits =
+    * 2 KiB per block — parquet-bloom scale; at ~3600 distinct keys
+    * per 4096-row block the per-partition fill is ~58%, so a
+    * key-absent block passes all four partitions with p ≈ 0.11 and
+    * ~89% of non-matching blocks prune); BfSeed offsets the MinHash
+    * constant family so the rows share no structure with the CMS
+    * (2000) or signature (0..63) slots. */
+  private val BfBits = 4096
+  private val BfK = 4
+  private val BfSeed = 3000
 
   /** q207's pruned partition — one of the fixture's order years. */
   private val PruneYear = 1997
@@ -457,6 +549,67 @@ object SourceQueries {
          |SELECT a.layout, a.win, a.n_blocks, a.n_pruned,
          |       a.rows_scanned, m.rows_match
          |FROM audit a JOIN mt m USING (win)
-         |ORDER BY a.layout ASC NULLS FIRST, a.win ASC NULLS FIRST""".stripMargin
+         |ORDER BY a.layout ASC NULLS FIRST, a.win ASC NULLS FIRST""".stripMargin,
+
+    // the block-Bloom replay: identical global block ids, identical
+    // polyMix + affine bit arithmetic, the same DISTINCT set-bit
+    // relation and all-rows-hit membership rule
+    "q252_block_bloom" -> {
+      val hashM = graft.functions.TextFunctions.HashMod
+      s"""WITH base AS (
+         |  SELECT (ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+         |          - 1) // $ZmBlock AS blk,
+         |         l_partkey,
+         |         ${GraphQueries.polyMixSql(s"l_partkey % $hashM")} AS h
+         |  FROM lineitem),
+         |ks(r, mul, addc) AS (
+         |  VALUES ${(0 until BfK).map(r =>
+              s"($r, ${graft.functions.TextFunctions.mhMul(BfSeed + r)}, " +
+                s"${graft.functions.TextFunctions.mhAdd(BfSeed + r)})")
+              .mkString(", ")}),
+         |bloom AS (
+         |  SELECT DISTINCT blk, r,
+         |         ((h * mul + addc) % $hashM) % $BfBits AS bit
+         |  FROM base CROSS JOIN ks),
+         |stats AS (
+         |  SELECT blk, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx,
+         |         COUNT(*) AS cnt
+         |  FROM base GROUP BY 1),
+         |keystats AS (
+         |  SELECT l_partkey AS probe_key, h, COUNT(*) AS rows_match,
+         |         COUNT(DISTINCT blk) AS n_true_blocks
+         |  FROM base GROUP BY 1, 2),
+         |probes AS (
+         |  (SELECT * FROM keystats
+         |   ORDER BY rows_match DESC, probe_key ASC LIMIT 2)
+         |  UNION ALL
+         |  (SELECT * FROM keystats
+         |   ORDER BY rows_match ASC, probe_key ASC LIMIT 2)),
+         |hits AS (
+         |  SELECT p.probe_key, b.blk
+         |  FROM probes p CROSS JOIN ks k
+         |  JOIN bloom b ON b.r = k.r
+         |   AND b.bit = ((p.h * k.mul + k.addc) % $hashM) % $BfBits
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) = $BfK),
+         |grid AS (
+         |  SELECT p.probe_key, p.rows_match, p.n_true_blocks,
+         |         s.blk, s.mn, s.mx, s.cnt,
+         |         CASE WHEN h.blk IS NULL THEN 0 ELSE 1 END AS bf_pass
+         |  FROM stats s CROSS JOIN probes p
+         |  LEFT JOIN hits h ON h.probe_key = p.probe_key
+         |              AND h.blk = s.blk)
+         |SELECT probe_key, COUNT(*) AS n_blocks,
+         |       CAST(SUM(CASE WHEN probe_key BETWEEN mn AND mx
+         |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_zm_pruned,
+         |       CAST(SUM(1 - bf_pass) AS BIGINT) AS n_bf_pruned,
+         |       CAST(SUM(bf_pass * cnt) AS BIGINT) AS rows_scanned_bf,
+         |       CAST(SUM(bf_pass) - n_true_blocks AS BIGINT) AS n_fp_blocks,
+         |       CAST(n_true_blocks AS BIGINT) AS n_true_blocks,
+         |       rows_match
+         |FROM grid
+         |GROUP BY probe_key, rows_match, n_true_blocks
+         |ORDER BY probe_key ASC NULLS FIRST""".stripMargin
+    }
   )
 }

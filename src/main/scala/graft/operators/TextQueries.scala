@@ -171,6 +171,67 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "pred_lang")),
 
+    // TRAINED language classifier — multinomial Naive Bayes with
+    // Laplace smoothing, the learned upgrade of q71's shared-token
+    // heuristic and the lang-ID sibling of the q235 quality
+    // perceptron: token-count likelihoods fit on the q78-convention
+    // train buckets (charHash(text) % 10 < 8), scored on the held-out
+    // 20% — so the confusion matrix this emits is a real
+    // generalization measure, not training-set recall. The smoothing
+    // identity makes unseen tokens free: score(d, L) = ln P(L) +
+    // Σ_seen ln(cnt+1) − n_tok·ln(tot_L + V), so the scoring join
+    // touches only (token, lang) pairs the TRAIN corpus contains —
+    // at 100 TB that's one explode + one vocabulary-sized map-side
+    // join + one (doc, lang) agg; the |langs|-row model table
+    // broadcasts. Every ln is 6dp-quantized to decimal ([D2], the
+    // q98 idiom) and all staging stays inside decimal widths both
+    // engines compute exactly, so the argmax — and the matrix — is
+    // engine- and partition-invariant.
+    "q250_nb_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("toks"),
+          expr(s"(${TextFunctions.charHash("text")}) % 10").as("bucket"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") >= 1)
+      val train = d.filter(col("bucket") < 8)
+      val test = d.filter(col("bucket") >= 8)
+      val cnt = graft.Caches.persistTracked(
+        train.select(col("lang").as("plang"),
+            explode(col("toks")).as("tok"))
+          .groupBy("plang", "tok").agg(count(lit(1)).as("cnt")))
+      val tot = cnt.groupBy("plang").agg(sum(col("cnt")).as("tot"))
+      val vv = cnt.agg(countDistinct(col("tok")).as("v"))
+      val pri = train.groupBy(col("lang").as("plang"))
+        .agg(count(lit(1)).as("nd"))
+      val ntr = train.agg(count(lit(1)).as("ntrain"))
+      val ls = pri.join(tot, "plang")
+        .crossJoin(broadcast(vv)).crossJoin(broadcast(ntr))
+        .select(col("plang"),
+          round(log(col("nd").cast("double") / col("ntrain")), 6)
+            .cast("decimal(12,6)").as("prior"),
+          round(log((col("tot") + col("v")).cast("double")), 6)
+            .cast("decimal(12,6)").as("pen"))
+      val seen = test.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .join(cnt, "tok")
+        .groupBy("doc_id", "plang")
+        .agg(sum(round(log((col("cnt") + 1).cast("double")), 6)
+          .cast(Dec)).cast("decimal(26,6)").as("ssum"))
+      val sc = test.select(col("doc_id"), col("lang"), col("n_tok"))
+        .crossJoin(broadcast(ls))
+        .join(seen, Seq("doc_id", "plang"), "left")
+        .withColumn("score",
+          coalesce(col("ssum"), lit(0).cast("decimal(26,6)"))
+            - col("n_tok").cast("decimal(12,0)") * col("pen")
+            + col("prior"))
+      sc.withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("plang").asc)))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("plang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     "q72_quality_score" -> ((s, dir) =>
       graft.api.TextOps.qualityScore(t(s, dir, "documents"), "text")
         .select("doc_id", "n_tok", "n_uniq", "ttr", "avg_tok_len", "quality")
@@ -321,6 +382,57 @@ object TextQueries {
          |SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
          |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
          |GROUP BY d.lang, p.pred_lang
+         |ORDER BY lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST"""
+        .stripMargin,
+
+    // the NB replay: identical train/test buckets, identical token
+    // count model, the same 6dp-quantized decimal score staging and
+    // (score DESC, plang ASC) argmax
+    "q250_nb_langid" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, toks,
+         |         CAST(len(toks) AS BIGINT) AS n_tok,
+         |         (${Sql.charHash("text")}) % 10 AS bucket
+         |  FROM (SELECT doc_id, lang, text, ${Sql.tokens("text")} AS toks
+         |        FROM documents) z
+         |  WHERE len(toks) >= 1),
+         |tr AS (SELECT * FROM d WHERE bucket < 8),
+         |te AS (SELECT * FROM d WHERE bucket >= 8),
+         |trt AS (SELECT lang AS plang, unnest(toks) AS tok FROM tr),
+         |cnt AS (SELECT plang, tok, COUNT(*) AS cnt FROM trt GROUP BY 1, 2),
+         |tot AS (SELECT plang, CAST(SUM(cnt) AS BIGINT) AS tot
+         |        FROM cnt GROUP BY 1),
+         |vv AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+         |pri AS (SELECT lang AS plang, COUNT(*) AS nd FROM tr GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS ntrain FROM tr),
+         |ls AS (
+         |  SELECT p.plang,
+         |         CAST(ROUND(ln(CAST(p.nd AS DOUBLE) / nt.ntrain), 6)
+         |              AS DECIMAL(12,6)) AS prior,
+         |         CAST(ROUND(ln(CAST(t.tot + vv.v AS DOUBLE)), 6)
+         |              AS DECIMAL(12,6)) AS pen
+         |  FROM pri p JOIN tot t USING (plang)
+         |  CROSS JOIN vv CROSS JOIN nt),
+         |tet AS (SELECT doc_id, unnest(toks) AS tok FROM te),
+         |seen AS (
+         |  SELECT t.doc_id, c.plang,
+         |         CAST(SUM(CAST(ROUND(ln(CAST(c.cnt + 1 AS DOUBLE)), 6)
+         |                  AS DECIMAL(38,6))) AS DECIMAL(26,6)) AS ssum
+         |  FROM tet t JOIN cnt c USING (tok) GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT te.doc_id, te.lang, ls.plang,
+         |         COALESCE(seen.ssum, CAST(0 AS DECIMAL(26,6)))
+         |           - CAST(te.n_tok AS DECIMAL(12,0)) * ls.pen
+         |           + ls.prior AS score
+         |  FROM te CROSS JOIN ls
+         |  LEFT JOIN seen ON seen.doc_id = te.doc_id
+         |             AND seen.plang = ls.plang),
+         |pr AS (
+         |  SELECT doc_id, lang, plang AS pred_lang FROM sc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, plang ASC) = 1)
+         |SELECT lang, pred_lang, COUNT(*) AS n_docs
+         |FROM pr GROUP BY 1, 2
          |ORDER BY lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST"""
         .stripMargin,
 
