@@ -47,9 +47,22 @@ object SketchQueries {
     * (state = 2048 cells); row hashes are the MinHash affine family at
     * slot offsets CmsSeed+r so their constants share no structure with
     * the signature slots. */
-  private val CmsD = 4
-  private val CmsW = 512
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 512
   private val CmsSeed = 2000
+
+  /** The q244 Count-Min cell array of a token-hash column: CmsD
+    * (row, bucket) structs under the shared affine family — ONE
+    * definition of the sketch geometry, reused by the streaming fold
+    * ([[graft.streaming.DocStreams.cmsStream]]) so batch and stream
+    * grids agree bit-for-bit. */
+  private[graft] def cmsBuckets(h: org.apache.spark.sql.Column) =
+    array((0 until CmsD).map { r =>
+      struct(lit(r).as("r"),
+        pmod(pmod(h * lit(TextFunctions.mhMul(CmsSeed + r))
+          + lit(TextFunctions.mhAdd(CmsSeed + r)),
+          lit(GraphQueries.HashM)), lit(CmsW)).as("b"))
+    }: _*)
 
   /** Session-memoized MinHash-LSH near-dup pair table at `minJac` — the
     * banded-candidate edge set q66 emits and the LSH-edge compositions
@@ -182,12 +195,7 @@ object SketchQueries {
       val th = t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
         .select(col("tok"), expr(TextFunctions.charHash("tok")).as("h"))
-      def buckets = array((0 until CmsD).map { r =>
-        struct(lit(r).as("r"),
-          pmod(pmod(col("h") * lit(TextFunctions.mhMul(CmsSeed + r))
-            + lit(TextFunctions.mhAdd(CmsSeed + r)),
-            lit(GraphQueries.HashM)), lit(CmsW)).as("b"))
-      }: _*)
+      def buckets = cmsBuckets(col("h"))
       val cells = th.select(explode(buckets).as("rb"))
         .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
         .agg(count(lit(1)).as("c"))

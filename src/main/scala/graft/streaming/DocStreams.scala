@@ -217,6 +217,45 @@ object DocStreams {
     }
   }
 
+  /** Incremental Count-Min sketch over the document token stream — the
+    * streaming sibling of the gated q244 batch sketch: each arriving
+    * micro-batch's token occurrences explode into the SAME CmsD×CmsW
+    * affine cell grid (`SketchQueries.cmsBuckets` — one definition of
+    * the geometry), and cell counts are RE-SUMMABLE, so the folded
+    * snapshot equals the one-shot batch grid bit-for-bit at any fold
+    * point (StreamingSpec pins it). State: ≤ CmsD·CmsW = 2048 cells
+    * REGARDLESS of vocabulary — the fixed-memory property that makes
+    * CMS the streaming frequency sketch (KMV state grows with groups;
+    * this never grows at all). */
+  def cmsStream(docs: DataFrame, textCol: String, snapshotRoot: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    EventStreams.aggSnapshot(docs, snapshotRoot, Seq("r", "b")) { batch =>
+      batch.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .select(explode(graft.operators.SketchQueries.cmsBuckets(
+          expr(TextFunctions.charHash("tok")))).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+    }
+
+  /** Probe a [[cmsStream]] snapshot for a token watchlist: (tok,
+    * cms_est) with q244's one-sided MIN-over-cells estimate. A cell
+    * the snapshot never touched counts as 0 (left join + coalesce) —
+    * an absent cell means NO occurrence hashed there, so the min is 0,
+    * not "min over present cells" (which would over-estimate unseen
+    * tokens). */
+  def cmsReport(snapshot: DataFrame, tokens: Seq[String]): DataFrame = {
+    val s = snapshot.sparkSession
+    import s.implicits._
+    val pb = tokens.toDF("tok")
+      .select(col("tok"), explode(graft.operators.SketchQueries.cmsBuckets(
+        expr(TextFunctions.charHash("tok")))).as("rb"))
+      .select(col("tok"), col("rb.r").as("r"), col("rb.b").as("b"))
+    broadcast(pb).join(snapshot, Seq("r", "b"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+      .orderBy("tok")
+  }
+
   def nearDupKeepSet(docs: DataFrame, tsCol: String, idCol: String,
     textCol: String, nHashes: Int = 16): DataFrame = {
     GraftFunctions.register(docs.sparkSession)

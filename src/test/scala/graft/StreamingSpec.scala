@@ -409,6 +409,36 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streamed Count-Min snapshot reproduces the q244 batch estimates") {
+    import graft.streaming.{DocStreams, EventStreams}
+    val dir = chunkTableDir("documents", Seq("doc_id"))
+    val snap = Files.createTempDirectory("graft_cms_snap_").toString
+    val schema = Tables.load(spark, Sf, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = DocStreams.cmsStream(stream, "text", snap)
+    q.processAllAvailable()
+    q.stop()
+    // cell counts are re-summable, so the folded grid must equal the
+    // one-shot batch sketch BIT-FOR-BIT — probe it with the batch
+    // query's own top-20 tokens and compare estimates exactly
+    val want = SparkEntry.queries("q244_cms_freq")(spark, Sf)
+      .select("tok", "cms_est").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = DocStreams.cmsReport(
+        EventStreams.readSnapshot(spark, snap).get,
+        want.map(_._1).toSeq)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // a token the corpus never contains must estimate 0 unless every
+    // one of its cells collides (one-sided error: est >= truth = 0)
+    val ghost = DocStreams.cmsReport(
+      EventStreams.readSnapshot(spark, snap).get,
+      Seq("zz_never_a_token_zz")).collect()
+    assert(ghost.length == 1 && ghost.head.getLong(1) >= 0L)
+  }
+
   test("streamed survivor-filtered semantic search converges to the q229 batch ranking") {
     import graft.streaming.{DocStreams, EventStreams}
     // replay the corpus in doc_id order (chunkTableDir sorts) so the
