@@ -211,6 +211,45 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Per-item top-`kPerItem` neighbours under the same Ruzicka
+    * (weighted-Jaccard) similarity as [[weightedJaccard]], returned as
+    * (item, rec, wjac_bp) — the SERVING layout of an item-CF
+    * recommender (a bounded neighbour list per item, not a global
+    * top-k of pairs). wjac_bp is the similarity in EXACT integer 1e-4
+    * units (the same half-up integer ratio), so downstream score sums
+    * over a user's history are order-invariant int64 arithmetic, never
+    * a float reduction. Both directions of each pair rank, so every
+    * item carries its own list; ties break (score desc, rec asc);
+    * the per-group heap bounds the shuffle at kPerItem rows per
+    * (item, partition). */
+  def itemNeighbors(und: DataFrame, xCol: String, yCol: String,
+    wCol: String, kPerItem: Int): DataFrame = {
+    val ed = und.select(col(xCol).as("u"), col(yCol).as("v"),
+        col(wCol).as("w"))
+      .unionAll(und.select(col(yCol).as("u"), col(xCol).as("v"),
+        col(wCol).as("w")))
+    val sdeg = ed.groupBy("u").agg(sum(col("w")).as("s"))
+    val e1 = ed.select(col("u"), col("v").as("px"), col("w").as("wx"))
+    val e2 = ed.select(col("u"), col("v").as("py"), col("w").as("wy"))
+    val sc = e1.join(e2, Seq("u")).filter(col("px") < col("py"))
+      .select(col("px"), col("py"), least(col("wx"), col("wy")).as("m"))
+      .groupBy("px", "py")
+      .agg(sum(col("m")).as("cmin"))
+      .join(sdeg.select(col("u").as("px"), col("s").as("sx")), Seq("px"))
+      .join(sdeg.select(col("u").as("py"), col("s").as("sy")), Seq("py"))
+      .withColumn("d", col("sx") + col("sy") - col("cmin"))
+      .select(col("px"), col("py"),
+        expr("(2L * cmin * 10000L + d) div (2L * d)").as("wjac_bp"))
+    val both = sc.select(col("px").as("item"), col("py").as("rec"),
+        col("wjac_bp"))
+      .unionAll(sc.select(col("py").as("item"), col("px").as("rec"),
+        col("wjac_bp")))
+    graft.plans.GraftOps.topKPerGroup(both, Seq(col("item")),
+        Seq(col("wjac_bp").desc, col("rec").asc), kPerItem,
+        rankName = "__rn")
+      .select("item", "rec", "wjac_bp")
+  }
+
   /** Multi-source BFS over an undirected x < y edge list: hop
     * distances 0..`maxLvl` from EVERY seed in one frontier pass — the
     * (src, v) keyed frontier replaces k separate traversals with one,

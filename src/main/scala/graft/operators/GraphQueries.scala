@@ -101,6 +101,12 @@ object GraphQueries {
   private[graft] val CoreK = 2
   private[graft] val CoreMaxRounds = 8
 
+  /** q253 item-CF holdout evaluation: neighbour-list depth per item
+    * (the CF model's serving fan-out) and recommendations per
+    * customer. Mirrored as literals in the oracle's unrolled CTEs. */
+  private[graft] val CfNbrK = 10
+  private[graft] val CfRecK = 10
+
   /** The exact degree-oriented triangle census — shared by exact q165
     * and sampled q226; the generalized form lives in the library tier
     * ([[graft.api.GraphOps.triangleCensus]]). */
@@ -374,6 +380,78 @@ object GraphQueries {
           (expr("(2L * n_kept * 10000L + n_union) div (2L * n_union)")
             .cast("double") / 10000d).as("jaccard4"))
         .orderBy("year_from")
+    }),
+
+    // Item-CF holdout evaluation (round 10) — the OFFLINE EVAL the
+    // recommender family still lacked (q234 builds the model; this
+    // measures it, the way q249 measures the quality classifier):
+    // leave-one-out by time — each multi-order customer's LAST order
+    // (o_orderdate, o_orderkey desc) is held out, recommendations are
+    // scored from their earlier-order parts through the per-item
+    // top-CfNbrK weighted-Jaccard neighbour lists (GraphOps
+    // .itemNeighbors — the bounded serving layout, integer 1e-4
+    // scores so the per-customer score sums are order-invariant
+    // int64), already-bought parts are excluded, and the top-CfRecK
+    // recs are checked against the holdout's NEW parts. Reported per
+    // market segment: evaluable customers, hit customers, hit-rate
+    // permille, recommended-hit and holdout totals, recall permille
+    // ([D5] truncating ratios). Scale shape: the model is a bounded
+    // per-item list; candidate generation is a |history|×k fan-out
+    // equi-join; the rank is a per-customer window — every stage is
+    // keyed, nothing is quadratic in customers or parts.
+    "q253_cf_holdout" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nbr = graft.api.GraphOps.itemNeighbors(
+        CoPurchase.pairW(s, dir).filter(col("w") >= LinkPredMinSupport),
+        "x", "y", "w", CfNbrK)
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val ro = graft.Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("rn", row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      val hist = ro.filter(col("rn") >= 2)
+        .join(li, ro("o_orderkey") === li("l_orderkey"))
+        .select("o_custkey", "l_partkey").distinct()
+        .localCheckpoint(true)
+      val lastp = ro.filter(col("rn") === 1)
+        .join(li, ro("o_orderkey") === li("l_orderkey"))
+        .select("o_custkey", "l_partkey").distinct()
+      // new holdout parts of multi-order customers (hist nonempty ⟺
+      // the customer has ≥ 2 orders)
+      val tnew = lastp
+        .join(hist.select("o_custkey").distinct(), Seq("o_custkey"))
+        .join(hist, Seq("o_custkey", "l_partkey"), "left_anti")
+      val cand = hist.join(nbr, hist("l_partkey") === nbr("item"))
+        .groupBy(col("o_custkey"), col("rec"))
+        .agg(sum(col("wjac_bp")).as("score"))
+        .join(hist.select(col("o_custkey"), col("l_partkey").as("rec")),
+          Seq("o_custkey", "rec"), "left_anti")
+      val recs = graft.plans.GraftOps.topKPerGroup(cand,
+          Seq(col("o_custkey")), Seq(col("score").desc, col("rec").asc),
+          CfRecK, rankName = "__rn")
+        .select("o_custkey", "rec")
+      val hold = tnew.groupBy("o_custkey").agg(count(lit(1)).as("n_hold"))
+      val hitc = recs
+        .join(tnew.select(col("o_custkey"), col("l_partkey").as("rec")),
+          Seq("o_custkey", "rec"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_hits"))
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment"))
+      hold.join(hitc, Seq("o_custkey"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .join(cust, Seq("o_custkey"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_hit_cust"),
+          sum(col("n_hits")).as("n_rec_hits"),
+          sum(col("n_hold")).as("n_holdout_new"))
+        .select(col("segment"), col("n_eval"), col("n_hit_cust"),
+          expr("(1000L * n_hit_cust) div n_eval").as("hit_pm"),
+          col("n_rec_hits"), col("n_holdout_new"),
+          expr("(1000L * n_rec_hits) div n_holdout_new").as("recall_pm"))
+        .orderBy("segment")
     }),
 
     // Landmark distance profile: hop-level histograms from THREE
@@ -862,6 +940,101 @@ object GraphQueries {
         |         AS jaccard4
         |FROM g
         |ORDER BY year_from ASC NULLS FIRST""".stripMargin,
+
+    // the holdout-eval replay: same backbone + integer wjac_bp pair
+    // scores, ROW_NUMBER per-item neighbour lists, last-order split,
+    // NOT EXISTS exclusions, and [D5] truncating permille ratios
+    "q253_cf_holdout" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |undw AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |und AS (SELECT x, y, w FROM undw WHERE w >= $LinkPredMinSupport),
+         |ed AS (SELECT x AS u, y AS v, w FROM und
+         |       UNION ALL SELECT y, x, w FROM und),
+         |sdeg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM ed GROUP BY 1),
+         |pr AS (
+         |  SELECT e1.v AS px, e2.v AS py,
+         |         CAST(SUM(LEAST(e1.w, e2.w)) AS BIGINT) AS cmin
+         |  FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT pr.px, pr.py,
+         |         (2 * pr.cmin * 10000 + (sx.s + sy.s - pr.cmin))
+         |           // (2 * (sx.s + sy.s - pr.cmin)) AS wjac_bp
+         |  FROM pr JOIN sdeg sx ON sx.u = pr.px
+         |          JOIN sdeg sy ON sy.u = pr.py),
+         |nbr AS (
+         |  SELECT item, rec, wjac_bp FROM (
+         |    SELECT item, rec, wjac_bp, ROW_NUMBER() OVER (
+         |      PARTITION BY item
+         |      ORDER BY wjac_bp DESC, rec ASC) AS rn
+         |    FROM (SELECT px AS item, py AS rec, wjac_bp FROM sc
+         |          UNION ALL SELECT py, px, wjac_bp FROM sc) b) z
+         |  WHERE rn <= $CfNbrK),
+         |ro AS (
+         |  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |  FROM orders),
+         |hist AS (
+         |  SELECT DISTINCT r.o_custkey, l.l_partkey
+         |  FROM ro r JOIN li l ON l.l_orderkey = r.o_orderkey
+         |  WHERE r.rn >= 2),
+         |lastp AS (
+         |  SELECT DISTINCT r.o_custkey, l.l_partkey
+         |  FROM ro r JOIN li l ON l.l_orderkey = r.o_orderkey
+         |  WHERE r.rn = 1),
+         |tnew AS (
+         |  SELECT t.o_custkey, t.l_partkey FROM lastp t
+         |  WHERE EXISTS (SELECT 1 FROM hist h
+         |                WHERE h.o_custkey = t.o_custkey)
+         |    AND NOT EXISTS (SELECT 1 FROM hist h
+         |                    WHERE h.o_custkey = t.o_custkey
+         |                      AND h.l_partkey = t.l_partkey)),
+         |cand AS (
+         |  SELECT h.o_custkey, n.rec,
+         |         CAST(SUM(n.wjac_bp) AS BIGINT) AS score
+         |  FROM hist h JOIN nbr n ON n.item = h.l_partkey
+         |  GROUP BY 1, 2),
+         |cand2 AS (
+         |  SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM hist h
+         |                    WHERE h.o_custkey = c.o_custkey
+         |                      AND h.l_partkey = c.rec)),
+         |recs AS (
+         |  SELECT o_custkey, rec FROM (
+         |    SELECT o_custkey, rec, ROW_NUMBER() OVER (
+         |      PARTITION BY o_custkey
+         |      ORDER BY score DESC, rec ASC) AS rn
+         |    FROM cand2) z
+         |  WHERE rn <= $CfRecK),
+         |hold AS (SELECT o_custkey, COUNT(*) AS n_hold
+         |         FROM tnew GROUP BY 1),
+         |hitc AS (
+         |  SELECT r.o_custkey, COUNT(*) AS n_hits
+         |  FROM recs r JOIN tnew t ON t.o_custkey = r.o_custkey
+         |                         AND t.l_partkey = r.rec
+         |  GROUP BY 1),
+         |ev AS (
+         |  SELECT h.o_custkey, h.n_hold, COALESCE(hc.n_hits, 0) AS n_hits
+         |  FROM hold h LEFT JOIN hitc hc USING (o_custkey)),
+         |seg AS (
+         |  SELECT e.*, c.c_mktsegment AS segment
+         |  FROM ev e JOIN customer c ON c.c_custkey = e.o_custkey)
+         |SELECT segment, COUNT(*) AS n_eval,
+         |       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hit_cust,
+         |       CAST((1000 * SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END))
+         |            // COUNT(*) AS BIGINT) AS hit_pm,
+         |       CAST(SUM(n_hits) AS BIGINT) AS n_rec_hits,
+         |       CAST(SUM(n_hold) AS BIGINT) AS n_holdout_new,
+         |       CAST((1000 * SUM(n_hits)) // SUM(n_hold) AS BIGINT)
+         |         AS recall_pm
+         |FROM seg GROUP BY 1
+         |ORDER BY segment ASC NULLS FIRST""".stripMargin,
 
     // q164's recursive replay generalized: src rides the recursion
     // key, UNION (not UNION ALL) bounds the working set, min-level

@@ -663,6 +663,24 @@ class ApiSpec extends SparkSpec {
       (1L, 2L, 1L, 0.2)))
   }
 
+  test("GraphOps.itemNeighbors: per-item lists, integer 1e-4 scores, k bound") {
+    import spark.implicits._
+    // same weighted triangle as the weightedJaccard test: pair scores
+    // (1,3) 0.25, (2,3) 0.25, (1,2) 0.2 → in 1e-4 units 2500/2500/2000
+    val und = Seq((1L, 2L, 4L), (1L, 3L, 2L), (2L, 3L, 2L))
+      .toDF("a", "b", "n")
+    val all = graft.api.GraphOps.itemNeighbors(und, "a", "b", "n", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == Set(
+      (1L, 3L, 2500L), (1L, 2L, 2000L),
+      (2L, 3L, 2500L), (2L, 1L, 2000L),
+      (3L, 1L, 2500L), (3L, 2L, 2500L)))
+    // k = 1 keeps each item's best, ties toward the lower rec id
+    val top1 = graft.api.GraphOps.itemNeighbors(und, "a", "b", "n", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 == Set((1L, 3L), (2L, 3L), (3L, 1L)))
+  }
+
   test("GraphOps.multiSourceBfs: one frontier pass carries every landmark") {
     import spark.implicits._
     // path 1-2-3-4-5; landmarks {1, 5}, two hops each: vertex 3 is
