@@ -23,6 +23,33 @@ object StatsQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** q254's closed-form strings over the double moment names
+    * (n, sq, sd, sy, sqq, sqd, sdd, sqy, sdy, syy). The SAME text runs
+    * through Spark's `expr()` and the DuckDB oracle SQL, so the IEEE
+    * double expression trees are identical by construction — there is
+    * no hand-mirrored second copy to drift. Cofactors of the symmetric
+    * normal matrix [[n,sq,sd],[sq,sqq,sqd],[sd,sqd,sdd]]; beta =
+    * adj·[sy,sqy,sdy]/det; R² from the normal-equations SSE identity. */
+  private[operators] object OlsFormula {
+    private val c11 = "(sqq*sdd - sqd*sqd)"
+    private val c12 = "(sd*sqd - sq*sdd)"
+    private val c13 = "(sq*sqd - sqq*sd)"
+    private val c22 = "(n*sdd - sd*sd)"
+    private val c23 = "(sq*sd - n*sqd)"
+    private val c33 = "(n*sqq - sq*sq)"
+    val det = s"(n*$c11 + sq*$c12 + sd*$c13)"
+    val b0 = s"(($c11*sy + $c12*sqy + $c13*sdy) / $det)"
+    val bq = s"(($c12*sy + $c22*sqy + $c23*sdy) / $det)"
+    val bd = s"(($c13*sy + $c23*sqy + $c33*sdy) / $det)"
+    private val sse = s"(syy - $b0*sy - $bq*sqy - $bd*sdy)"
+    private val sst = "(syy - sy*sy/n)"
+    val b0Out = s"CASE WHEN $det <> 0 THEN round($b0, 6) END"
+    val bqOut = s"CASE WHEN $det <> 0 THEN round($bq, 6) END"
+    val bdOut = s"CASE WHEN $det <> 0 THEN round($bd, 6) END"
+    val r2Out =
+      s"CASE WHEN $det <> 0 AND $sst <> 0 THEN round(1.0 - $sse/$sst, 6) END"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_moment_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -453,6 +480,48 @@ object StatsQueries {
           / sqrt(varU), 4).as("z4"))
     }),
 
+    // Ordinary least squares, closed form — the REGRESSION corner of
+    // the ML tier (q235 classification, q247 clustering, q250
+    // generative): per return flag, fit extendedprice ~ quantity +
+    // discount by solving the 3×3 normal equations from ONE exact
+    // moment pass (the q251 moment-matrix shape: 10 decimal sums,
+    // map-side combinable — the irreducible closed-form-regression
+    // cost at 100 TB; no gradient loop, no second scan). The
+    // cofactor-inverse solve and R² are ONE double formula evaluated
+    // from the exact decimal moments — and the formula STRING itself
+    // is shared with the oracle SQL (OlsFormula), so both engines run
+    // a textually identical IEEE expression tree; a singular normal
+    // matrix (collinear regressors) reports NULL, not Inf [D3 6dp].
+    "q254_ols_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = col("l_quantity").cast(Dec)
+      val d = col("l_discount").cast(Dec)
+      val y = col("l_extendedprice").cast(Dec)
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("cnt"),
+        sum(q).as("m_sq"), sum(d).as("m_sd"), sum(y).as("m_sy"),
+        sum(q * q).as("m_sqq"), sum(q * d).as("m_sqd"),
+        sum(d * d).as("m_sdd"), sum(q * y).as("m_sqy"),
+        sum(d * y).as("m_sdy"), sum(y * y).as("m_syy"))
+      m.select(col("l_returnflag"), col("cnt").as("n_rows"),
+          col("cnt").cast("double").as("n"),
+          col("m_sq").cast("double").as("sq"),
+          col("m_sd").cast("double").as("sd"),
+          col("m_sy").cast("double").as("sy"),
+          col("m_sqq").cast("double").as("sqq"),
+          col("m_sqd").cast("double").as("sqd"),
+          col("m_sdd").cast("double").as("sdd"),
+          col("m_sqy").cast("double").as("sqy"),
+          col("m_sdy").cast("double").as("sdy"),
+          col("m_syy").cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n_rows"),
+          expr(OlsFormula.b0Out).as("b0_6"),
+          expr(OlsFormula.bqOut).as("b_qty_6"),
+          expr(OlsFormula.bdOut).as("b_disc_6"),
+          expr(OlsFormula.r2Out).as("r2_6"))
+        .orderBy("l_returnflag")
+    }),
+
     // Winsorized + trimmed means — the robust location estimators that
     // complete the q144-MAD family: per return flag, prices clamp to
     // (winsorize) or drop outside (trim) the exact P05/P95. The
@@ -831,6 +900,42 @@ object StatsQueries {
         |  ROUND((CAST(u2 AS DOUBLE) / 2.0
         |         - CAST(n1 AS DOUBLE) * n0 / 2.0) / SQRT(var_u), 4) AS z4
         |FROM c""".stripMargin,
+
+    // the OLS replay: exact DECIMAL(19,6) moment staging (width 19
+    // forces DuckDB's int128 multiply — width 18 overflows int64 on
+    // price×price; products are <= 4dp, exact at the (38,12) result),
+    // then the SAME formula strings the Spark side runs through
+    // expr() — one definition, two engines
+    "q254_ols_pricing" ->
+      s"""WITH v AS (
+         |  SELECT l_returnflag,
+         |         CAST(l_quantity AS DECIMAL(19,6)) AS q,
+         |         CAST(l_discount AS DECIMAL(19,6)) AS d,
+         |         CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT l_returnflag, COUNT(*) AS cnt,
+         |         SUM(q) AS m_sq, SUM(d) AS m_sd, SUM(y) AS m_sy,
+         |         SUM(q*q) AS m_sqq, SUM(q*d) AS m_sqd,
+         |         SUM(d*d) AS m_sdd, SUM(q*y) AS m_sqy,
+         |         SUM(d*y) AS m_sdy, SUM(y*y) AS m_syy
+         |  FROM v GROUP BY 1),
+         |s AS (
+         |  SELECT l_returnflag, CAST(cnt AS BIGINT) AS n_rows,
+         |         CAST(cnt AS DOUBLE) AS n,
+         |         CAST(m_sq AS DOUBLE) AS sq, CAST(m_sd AS DOUBLE) AS sd,
+         |         CAST(m_sy AS DOUBLE) AS sy, CAST(m_sqq AS DOUBLE) AS sqq,
+         |         CAST(m_sqd AS DOUBLE) AS sqd, CAST(m_sdd AS DOUBLE) AS sdd,
+         |         CAST(m_sqy AS DOUBLE) AS sqy, CAST(m_sdy AS DOUBLE) AS sdy,
+         |         CAST(m_syy AS DOUBLE) AS syy
+         |  FROM m)
+         |SELECT l_returnflag, n_rows,
+         |       ${OlsFormula.b0Out} AS b0_6,
+         |       ${OlsFormula.bqOut} AS b_qty_6,
+         |       ${OlsFormula.bdOut} AS b_disc_6,
+         |       ${OlsFormula.r2Out} AS r2_6
+         |FROM s
+         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "q202_winsorize" ->
       """WITH hist AS (
