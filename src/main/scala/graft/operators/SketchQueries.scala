@@ -270,6 +270,36 @@ object SketchQueries {
           expr("(jac_num * union_est) div kp").as("inter_est"),
           expr("(1000L * jac_num) div kp").as("jac_pm"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // LSH recall audit, ORACLE-GATED — the banding S-curve made a
+    // hash-gated table instead of a spec log line: every exact pair at
+    // jac ≥ 0.5 (the deliberate unblocked quadratic anchor, same class
+    // as q61/q69) is bucketed by similarity decile and checked against
+    // the q66 banded relation; per bucket, exact pairs vs LSH-found
+    // pairs vs recall permille ([D5] truncating). LSH ⊆ exact at the
+    // shared threshold (candidates are exact-verified), so this IS the
+    // per-decile recall curve — the measurement that justifies the
+    // 16×4 banding (recall → 1 above jac ~0.7, the knee the S-curve
+    // theory predicts at (1/16)^(1/4) ≈ 0.5). At 100 TB only the LSH
+    // side runs in production; this audit runs on a sampled slice,
+    // which is exactly how a recall SLO for a sketch is monitored.
+    "q255_lsh_eval" -> ((s, dir) => {
+      val ex = graft.api.TextOps.nearDupPairs(
+        graft.api.TextOps.tokenHashTable(
+          t(s, dir, "documents").withColumn("__one", lit(1)),
+          "doc_id", "text", "__one"), 0.5)
+        .select(col("id_lo"), col("id_hi"),
+          least(lit(9L), floor(col("jac") * 10).cast("long")).as("bucket"))
+      val lsh = lshNearDupPairs(s, dir, 0.5)
+        .select(col("id_lo"), col("id_hi"), lit(1L).as("hit"))
+      ex.join(lsh, Seq("id_lo", "id_hi"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_lsh"))
+        .select(col("bucket"), col("n_exact"), col("n_lsh"),
+          expr("(1000L * n_lsh) div n_exact").as("recall_pm"))
+        .orderBy("bucket")
     })
   )
 
@@ -476,6 +506,30 @@ object SketchQueries {
          |JOIN nv nb ON nb.source = e.src_b
          |LEFT JOIN ix ON ix.src_a = e.src_a AND ix.src_b = e.src_b
          |ORDER BY e.src_a ASC NULLS FIRST, e.src_b ASC NULLS FIRST""".stripMargin,
+
+    // the recall-audit replay: the shared lshEdgeCteSql banded relation
+    // on one side, the plain unblocked quadratic on the other, same
+    // double jac and decile floor, same truncating permille
+    "q255_lsh_eval" ->
+      s"""WITH ${lshEdgeCteSql(0.5)},
+         |ex AS (
+         |  SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+         |         LEAST(9, CAST(FLOOR(10 *
+         |           (CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |            / len(list_distinct(a.toks || b.toks))))
+         |           AS BIGINT)) AS bucket
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |        / len(list_distinct(a.toks || b.toks)) >= 0.5)
+         |SELECT bucket, COUNT(*) AS n_exact,
+         |       CAST(SUM(CASE WHEN e.id_lo IS NOT NULL
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |       CAST((1000 * SUM(CASE WHEN e.id_lo IS NOT NULL
+         |                             THEN 1 ELSE 0 END))
+         |            // COUNT(*) AS BIGINT) AS recall_pm
+         |FROM ex LEFT JOIN e ON e.id_lo = ex.id_lo AND e.id_hi = ex.id_hi
+         |GROUP BY 1
+         |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
 
     // The sketch is only a candidate proposer; the declared result is
     // the exact set {token : cnt·(HhCap+1) > N}, which plain SQL states
