@@ -283,6 +283,39 @@ final class EtlService(spark: SparkSession) {
     GraphOps.adamicAdar(
       coPurchasePairs(lineitem, minSupport).select("x", "y"), "x", "y", k)
 
+  /** Per-customer recommendations — the item-CF serving endpoint
+    * (q253's scoring path as a service call): each customer's distinct
+    * purchased parts vote for their top-`nbrK` weighted-Jaccard
+    * neighbours ([[GraphOps.itemNeighbors]] — integer 1e-4 scores, so
+    * the per-customer sums are order-invariant int64), already-bought
+    * parts are excluded, and the top-`k` survive per customer. Returns
+    * (o_custkey, rec, score, rank). Pass `customers` to restrict the
+    * fan-out to a request's customer set (the service-call shape —
+    * the model is reusable across calls; only the bounded candidate
+    * join reruns). */
+  def recommendations(lineitem: DataFrame, orders: DataFrame, k: Int,
+    nbrK: Int = 10, minSupport: Long = 2L,
+    customers: Option[DataFrame] = None): DataFrame = {
+    require(k > 0 && nbrK > 0, "need k > 0 and nbrK > 0")
+    val nbr = GraphOps.itemNeighbors(
+      coPurchasePairs(lineitem, minSupport), "x", "y", "w", nbrK)
+    val ords = customers.fold(orders)(c =>
+      orders.join(c.select(col(c.columns.head).as("o_custkey")),
+        Seq("o_custkey"), "left_semi"))
+    val bought = ords.select("o_custkey", "o_orderkey")
+      .join(lineitem.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey")), Seq("o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct()
+    val cand = bought.join(nbr, bought("l_partkey") === nbr("item"))
+      .groupBy(col("o_custkey"), col("rec"))
+      .agg(sum(col("wjac_bp")).as("score"))
+      .join(bought.select(col("o_custkey"), col("l_partkey").as("rec")),
+        Seq("o_custkey", "rec"), "left_anti")
+    graft.plans.GraftOps.topKPerGroup(cand, Seq(col("o_custkey")),
+        Seq(col("score").desc, col("rec").asc), k, rankName = "rank")
+      .select("o_custkey", "rec", "score", "rank")
+  }
+
   /** Train-and-score quality endpoint — the learned curation gate as a
     * service call: distill the rule gate's labels into a linear model
     * ([[MlOps.perceptronTrace]] over [[TextOps.qualityFeatures]] —

@@ -222,6 +222,50 @@ object TimeSeriesQueries {
           round((col("rev") - col("prev_rev")).cast("double")
             / col("prev_rev").cast("double") * 100, 4).as("yoy_pct"))
         .orderBy("n_name", "yr")
+    }),
+
+    // PAA + SAX symbolization (round 10) — the time-series
+    // dimensionality reduction that makes similarity search over long
+    // series tractable at 100 TB (compare 8 letters per year, not 365
+    // raw points): each year's daily revenue series splits into 8
+    // calendar segments ((doy−1)·8 div 366 — leap-safe integer
+    // arithmetic, no per-row windows), the PAA mean per segment lives
+    // in EXACT integer micro-units ([D5]: cents·10⁴ div n_days —
+    // truncating, engine-identical), the per-year z-normalization
+    // derives from the exact integer moment pair (Σu, Σu² in
+    // DECIMAL(38,0)/HUGEINT, the q251 staging), and the SAX letter is
+    // the N(0,1) quartile breakpoint CASE (±0.6745, 0 — the standard
+    // alphabet-4 table). One keyed agg per stage, nothing scans the
+    // raw series twice; a constant year (std = 0) letters 'c' rather
+    // than dividing by zero.
+    "q256_sax_paa" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          dayofyear(col("o_orderdate")).as("doy"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))")
+          .as("cents"))
+      val segs = daily
+        .groupBy(col("yr"), expr("((doy - 1) * 8) div 366").as("seg"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("segc"))
+        .withColumn("u", expr("(segc * 10000L) div n_days"))
+      val ystat = segs.groupBy("yr")
+        .agg(count(lit(1)).as("nseg"), sum(d38(col("u"))).as("sm"),
+          sum(d38(col("u")) * col("u")).as("sm2"))
+        .select(col("yr"), col("nseg"),
+          (col("sm").cast("double") / col("nseg")).as("mean"),
+          (sqrt((d38(col("nseg")) * col("sm2") - col("sm") * col("sm"))
+            .cast("double")) / col("nseg")).as("std"))
+      segs.join(ystat, Seq("yr"))
+        .select(col("yr"), col("seg"), col("n_days"),
+          round(col("u") / 1e6, 4).as("segmean4"),
+          round(when(col("std") > 0,
+            (col("u").cast("double") - col("mean")) / col("std"))
+            .otherwise(0d), 4).as("z4"))
+        .withColumn("sax",
+          when(col("z4") < -0.6745, "a").when(col("z4") < 0d, "b")
+            .when(col("z4") < 0.6745, "c").otherwise("d"))
+        .orderBy("yr", "seg")
     })
   )
 
@@ -348,6 +392,46 @@ object TimeSeriesQueries {
         |             / CAST(b.rev AS DOUBLE) * 100, 4) AS yoy_pct
         |FROM yr a LEFT JOIN yr b
         |  ON a.n_name = b.n_name AND a.yr = b.yr + 1
-        |ORDER BY a.n_name ASC NULLS FIRST, a.yr ASC NULLS FIRST""".stripMargin
+        |ORDER BY a.n_name ASC NULLS FIRST, a.yr ASC NULLS FIRST""".stripMargin,
+
+    // the SAX replay: identical cents staging, integer segment ids and
+    // micro-unit PAA means, HUGEINT moment pair, the same double
+    // mean/std formula and breakpoint CASE over the rounded z
+    "q256_sax_paa" ->
+      """WITH daily AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |         CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT yr, CAST(((doy - 1) * 8) // 366 AS BIGINT) AS seg,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(cents) AS BIGINT) AS segc
+        |  FROM daily GROUP BY 1, 2),
+        |su AS (SELECT yr, seg, n_days,
+        |              CAST((segc * 10000) // n_days AS BIGINT) AS u
+        |       FROM segs),
+        |ystat AS (
+        |  SELECT yr, COUNT(*) AS nseg,
+        |         SUM(CAST(u AS HUGEINT)) AS sm,
+        |         SUM(CAST(u AS HUGEINT) * u) AS sm2
+        |  FROM su GROUP BY 1),
+        |ys AS (
+        |  SELECT yr, CAST(sm AS DOUBLE) / nseg AS mean,
+        |         SQRT(CAST(CAST(nseg AS HUGEINT) * sm2 - sm * sm
+        |              AS DOUBLE)) / nseg AS std
+        |  FROM ystat),
+        |z AS (
+        |  SELECT s.yr, s.seg, s.n_days,
+        |         ROUND(s.u / 1000000.0, 4) AS segmean4,
+        |         ROUND(CASE WHEN y.std > 0
+        |               THEN (CAST(s.u AS DOUBLE) - y.mean) / y.std
+        |               ELSE 0 END, 4) AS z4
+        |  FROM su s JOIN ys y USING (yr))
+        |SELECT yr, seg, n_days, segmean4, z4,
+        |       CASE WHEN z4 < -0.6745 THEN 'a' WHEN z4 < 0 THEN 'b'
+        |            WHEN z4 < 0.6745 THEN 'c' ELSE 'd' END AS sax
+        |FROM z
+        |ORDER BY yr ASC NULLS FIRST, seg ASC NULLS FIRST""".stripMargin
   )
 }

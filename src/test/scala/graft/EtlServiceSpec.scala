@@ -187,6 +187,31 @@ class EtlServiceSpec extends SparkSpec {
     assert(gotL == wantL && gotL.nonEmpty)
   }
 
+  test("recommendations: hand model, bought-part exclusion, customer restriction") {
+    import spark.implicits._
+    // orders {1,2,3} (cust 100) and {1,2,4} (cust 200): parts 3 and 4
+    // have identical co-purchase profiles → wjac 1.0, so each
+    // customer's single surviving rec is the OTHER basket's unique
+    // part, carried by the strongest vote (10000 from its twin)
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+        (20L, 1L), (20L, 2L), (20L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_suppkey", lit(0L))
+    val ords = Seq((10L, 100L), (20L, 200L)).toDF("o_orderkey", "o_custkey")
+    val got = svc.recommendations(li, ords, k = 10, nbrK = 10,
+        minSupport = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // scores: from-1 + from-2 + from-3's twin vote = 2000+2000+10000
+    assert(got == Set((100L, 4L, 14000L, 1L), (200L, 3L, 14000L, 1L)), got)
+    // restricting to one customer drops the other's rows entirely
+    val one = svc.recommendations(li, ords, k = 10, nbrK = 10,
+        minSupport = 1L, customers = Some(Seq(100L).toDF("c")))
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(100L))
+  }
+
   test("qualityScores agrees with the gated q235/q237 formulation") {
     val scored = svc.qualityScores(t("documents"))
     // the scored margin reproduces the q237 per-(lang, source) rollup
