@@ -266,6 +266,87 @@ object TimeSeriesQueries {
           when(col("z4") < -0.6745, "a").when(col("z4") < 0d, "b")
             .when(col("z4") < 0.6745, "c").otherwise("d"))
         .orderBy("yr", "seg")
+    }),
+
+    // Seasonal-naive forecast BACKTEST (round 10) — the eval that
+    // belongs beside q163's trend fit and q256's symbolization: the
+    // standard baseline forecast pred(y, m) = actual(y−1, m) scaled by
+    // last year's growth ratio tot(y−1)/tot(y−2), backtested against
+    // every year with two priors, scored as MAPE. INTEGER-EXACT end to
+    // end ([D5]): monthly revenue in cents, the growth scaling and the
+    // per-month absolute-percentage-error permille are truncating
+    // integer ratios, the per-year MAPE is the truncating mean of the
+    // month permilles — so the whole backtest replays bit-for-bit.
+    // Any real forecast deployment reads exactly this table before
+    // trusting a model; the baseline it scores here is the one a
+    // learned model must beat. Two keyed aggs + two self-joins on
+    // (yr, mo) — no windows, the fact table is scanned once.
+    "q257_forecast_backtest" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))")
+          .as("cents"))
+        .localCheckpoint(true)
+      val tot = monthly.groupBy("yr").agg(sum(col("cents")).as("tot"))
+      val growth = tot.select((col("yr") + 1).as("yr"), col("tot").as("t1"))
+        .join(tot.select((col("yr") + 2).as("yr"), col("tot").as("t2")),
+          Seq("yr"))
+        .filter(col("t2") > 0)
+      val pred = monthly
+        .select((col("yr") + 1).as("yr"), col("mo"),
+          col("cents").as("prev_cents"))
+        .join(growth, Seq("yr"))
+        // cents × yearly-total overflows int64 — stage the product in
+        // DECIMAL(38,0) (HUGEINT on the oracle side), emit BIGINT
+        .select(col("yr"), col("mo"),
+          expr("cast((cast(prev_cents as decimal(38,0)) * t1) div t2" +
+            " as bigint)").as("pred_cents"))
+      monthly.join(pred, Seq("yr", "mo"))
+        .filter(col("cents") > 0)
+        .withColumn("ape_pm",
+          expr("(1000L * abs(pred_cents - cents)) div cents"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("cents")).as("actual_cents"),
+          sum(col("pred_cents")).as("pred_cents"),
+          sum(col("ape_pm")).as("sum_ape"))
+        .select(col("yr"), col("n_months"), col("actual_cents"),
+          col("pred_cents"),
+          expr("sum_ape div n_months").as("mape_pm"))
+        .orderBy("yr")
+    }),
+
+    // Year-over-year PRICE/VOLUME revenue bridge (round 10) — the BI
+    // waterfall behind q210's growth percentages: the revenue delta
+    // decomposed into a volume effect (quantity change at last year's
+    // realized price) and a price effect (the remainder, so the two
+    // legs are exactly additive — the standard bridge convention).
+    // INTEGER-EXACT: revenue in cents, quantities integer, the volume
+    // effect a truncating integer ratio ([D5]); one lineitem+orders
+    // pass collapses to (year) partials before the year-shift join
+    // touches anything.
+    "q258_price_volume" -> ((s, dir) => {
+      val yearly = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            year(col("o_orderdate")).as("yr")), Seq("l_orderkey"))
+        .groupBy("yr")
+        .agg(expr("sum(cast(round(l_extendedprice * 100) as bigint))")
+          .as("rev"),
+          expr("sum(cast(l_quantity as bigint))").as("qty"))
+      val prev = yearly.select((col("yr") + 1).as("yr"),
+        col("rev").as("rev_prev"), col("qty").as("qty_prev"))
+      yearly.join(prev, Seq("yr")).filter(col("qty_prev") > 0)
+        .select(col("yr"), col("rev_prev"), col("rev").as("rev_cur"),
+          col("qty_prev"), col("qty").as("qty_cur"),
+          (col("rev") - col("rev_prev")).as("delta_cents"),
+          expr("((qty - qty_prev) * rev_prev) div qty_prev")
+            .as("volume_effect"),
+          (col("rev") - col("rev_prev")
+            - expr("((qty - qty_prev) * rev_prev) div qty_prev"))
+            .as("price_effect"))
+        .orderBy("yr")
     })
   )
 
@@ -432,6 +513,67 @@ object TimeSeriesQueries {
         |       CASE WHEN z4 < -0.6745 THEN 'a' WHEN z4 < 0 THEN 'b'
         |            WHEN z4 < 0.6745 THEN 'c' ELSE 'd' END AS sax
         |FROM z
-        |ORDER BY yr ASC NULLS FIRST, seg ASC NULLS FIRST""".stripMargin
+        |ORDER BY yr ASC NULLS FIRST, seg ASC NULLS FIRST""".stripMargin,
+
+    // the backtest replay: identical cents staging, the same growth
+    // scaling and truncating permille error arithmetic (all operands
+    // non-negative, so // and div agree)
+    "q257_forecast_backtest" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT yr, CAST(SUM(cents) AS BIGINT) AS tot
+        |        FROM monthly GROUP BY 1),
+        |growth AS (
+        |  SELECT a.yr + 1 AS yr, a.tot AS t1, b.tot AS t2
+        |  FROM tot a JOIN tot b ON b.yr = a.yr - 1
+        |  WHERE b.tot > 0),
+        |pred AS (
+        |  SELECT m.yr + 1 AS yr, m.mo,
+        |         CAST((CAST(m.cents AS HUGEINT) * g.t1) // g.t2
+        |              AS BIGINT) AS pred_cents
+        |  FROM monthly m JOIN growth g ON g.yr = m.yr + 1),
+        |bt AS (
+        |  SELECT m.yr, m.mo, m.cents, p.pred_cents,
+        |         (1000 * abs(p.pred_cents - m.cents)) // m.cents AS ape_pm
+        |  FROM monthly m JOIN pred p ON p.yr = m.yr AND p.mo = m.mo
+        |  WHERE m.cents > 0)
+        |SELECT yr, COUNT(*) AS n_months,
+        |       CAST(SUM(cents) AS BIGINT) AS actual_cents,
+        |       CAST(SUM(pred_cents) AS BIGINT) AS pred_cents,
+        |       CAST(SUM(ape_pm) // COUNT(*) AS BIGINT) AS mape_pm
+        |FROM bt GROUP BY 1
+        |ORDER BY yr ASC NULLS FIRST""".stripMargin,
+
+    // the bridge replay: identical cents/quantity staging; the volume
+    // effect can be NEGATIVE, so the division is the sign-explicit
+    // truncation (DuckDB // floors on negatives, Spark div truncates)
+    "q258_price_volume" ->
+      """WITH yearly AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+        |         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS rev,
+        |         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT c.yr, p.rev AS rev_prev, c.rev AS rev_cur,
+        |         p.qty AS qty_prev, c.qty AS qty_cur,
+        |         (c.qty - p.qty) * p.rev AS vnum
+        |  FROM yearly c JOIN yearly p ON p.yr = c.yr - 1
+        |  WHERE p.qty > 0),
+        |v AS (
+        |  SELECT yr, rev_prev, rev_cur, qty_prev, qty_cur,
+        |         rev_cur - rev_prev AS delta_cents,
+        |         CAST(CASE WHEN vnum < 0 THEN -((-vnum) // qty_prev)
+        |              ELSE vnum // qty_prev END AS BIGINT) AS volume_effect
+        |  FROM j)
+        |SELECT yr, rev_prev, rev_cur, qty_prev, qty_cur, delta_cents,
+        |       volume_effect,
+        |       delta_cents - volume_effect AS price_effect
+        |FROM v
+        |ORDER BY yr ASC NULLS FIRST""".stripMargin
   )
 }
