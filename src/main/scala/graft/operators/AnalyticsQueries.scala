@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
   import Dets._
 
+  /** q259 Markov-attribution geometry: the transient channel states
+    * (every event type except the converting 'purchase') and the
+    * K-step truncation of the absorption solve (the q153
+    * fixed-iteration convention; residual transient mass after K = 8
+    * rounds is a deterministic truncation both engines share).
+    * Mirrored as literals in the oracle's unrolled CTEs. */
+  private[graft] val MkChannels = Seq("click", "error", "signup", "view")
+  private[graft] val MkRounds = 8
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -245,6 +254,88 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_purchases"),
           decSumD(col("value")).as("attributed"))
         .orderBy("touch")
+    }),
+
+    // Markov removal-effect attribution (round 10) — the multi-touch
+    // upgrade of q138's last-touch credit, the standard data-driven
+    // attribution model: user journeys (event streams truncated at the
+    // first purchase) become a first-order Markov chain over channel
+    // states with absorbing CONV (reaching a purchase) and END (stream
+    // exhausted unconverted); a channel's credit is its REMOVAL
+    // EFFECT — how much of the baseline K-step conversion probability
+    // disappears when every transition into the channel is redirected
+    // to END. The chain solve lives in EXACT INTEGER ppm ([D5]): p =
+    // (10⁶·c) div rowsum, each of MkRounds unrolled rounds is
+    // mass-vector × matrix with one truncating div per (scenario,
+    // state), absorbing self-loops carry accumulated mass exactly.
+    // Scale shape: the one data-sized pass is the per-user keyed
+    // window extracting transitions; everything after operates on the
+    // |states|² count matrix (bounded by the channel vocabulary), so
+    // the five scenario solves cost |states|²·K tiny-join rows —
+    // at 100 TB the solve cost is unchanged while the transition
+    // extraction stays one window + one agg.
+    "q259_markov_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val rn = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+      val pm = rn.groupBy("user_id")
+        .agg(min(when(col("event_type") === "purchase", col("rn")))
+          .as("pmin"), max(col("rn")).as("rmax"))
+      val trunc = rn.join(pm, Seq("user_id"))
+        .filter(col("pmin").isNull || col("rn") <= col("pmin"))
+      val stepped = trunc
+        .withColumn("src",
+          coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+        .withColumn("dst",
+          when(col("event_type") === "purchase", lit("CONV"))
+            .otherwise(col("event_type")))
+        .select("src", "dst")
+      val endEdges = trunc
+        .filter(col("pmin").isNull && col("rn") === col("rmax"))
+        .select(col("event_type").as("src"), lit("END").as("dst"))
+      val cnt = stepped.unionByName(endEdges)
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      val rsum = cnt.groupBy("src").agg(sum(col("c")).as("rs"))
+      val p = cnt.join(rsum, "src")
+        .select(col("src").as("i"), col("dst").as("j"),
+          expr("(1000000L * c) div rs").as("p"))
+      val scen = (Seq("base") ++ MkChannels).toDF("sc")
+      val loops = (Seq("base") ++ MkChannels)
+        .flatMap(sc => Seq((sc, "CONV", "CONV", 1000000L),
+          (sc, "END", "END", 1000000L)))
+        .toDF("sc", "i", "j", "p")
+      val m = p.crossJoin(broadcast(scen))
+        .filter(col("sc") === "base" || col("i") =!= col("sc"))
+        .withColumn("j2",
+          when(col("sc") =!= "base" && col("j") === col("sc"), lit("END"))
+            .otherwise(col("j")))
+        .groupBy(col("sc"), col("i"), col("j2").as("j"))
+        .agg(sum(col("p")).as("p"))
+        .unionByName(loops)
+        .localCheckpoint(true)
+      var v = (Seq("base") ++ MkChannels)
+        .map(sc => (sc, "START", 1000000L)).toDF("sc", "state", "mass")
+      var round = 0
+      while (round < MkRounds) {
+        v = v.join(m, v("sc") === m("sc") && v("state") === m("i"))
+          .groupBy(m("sc").as("sc"), col("j").as("state"))
+          .agg(expr("sum(mass * p) div 1000000L").as("mass"))
+          .localCheckpoint(true)
+        round += 1
+      }
+      val conv = v.filter(col("state") === "CONV")
+        .select(col("sc"), col("mass").as("conv_ppm"))
+      val base = conv.filter(col("sc") === "base")
+        .select(col("conv_ppm").as("base_ppm"))
+      conv.filter(col("sc") =!= "base").crossJoin(broadcast(base))
+        .select(col("sc").as("channel"), col("base_ppm"), col("conv_ppm"),
+          expr("(1000L * (base_ppm - conv_ppm)) div base_ppm")
+            .as("removal_pm"))
+        .orderBy("channel")
     }),
 
     // RFM segmentation — the classic CRM cut: per customer Recency
@@ -634,7 +725,84 @@ object AnalyticsQueries {
     })
   )
 
+  /** The q259 replay: identical journey truncation and transition
+    * extraction (window + agg), identical ppm matrix, the scenario
+    * transform and absorbing self-loops as VALUES, and MkRounds
+    * unrolled mass-vector rounds; the removal ratio divides via the
+    * sign-explicit CASE (truncation wobble can push a scenario a few
+    * ppm past base, and DuckDB's // floors on negatives). */
+  private def markovOracleSql: String = {
+    val scVals = ("base" +: MkChannels).map(c => s"('$c')").mkString(", ")
+    val loopVals = ("base" +: MkChannels).flatMap(sc =>
+      Seq(s"('$sc', 'CONV', 'CONV', CAST(1000000 AS BIGINT))",
+        s"('$sc', 'END', 'END', CAST(1000000 AS BIGINT))"))
+      .mkString(",\n     ")
+    val rounds = (1 to MkRounds).map { t =>
+      s"""v$t AS (
+         |  SELECT v.sc, m.j AS state,
+         |         CAST(SUM(v.mass * m.p) // 1000000 AS BIGINT) AS mass
+         |  FROM v${t - 1} v JOIN msc m ON m.sc = v.sc AND m.i = v.state
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rn AS (
+       |  SELECT user_id, event_type,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events WHERE user_id IS NOT NULL),
+       |pm AS (
+       |  SELECT user_id,
+       |         MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS pmin,
+       |         MAX(rn) AS rmax
+       |  FROM rn GROUP BY 1),
+       |tr AS (
+       |  SELECT r.user_id, r.rn, r.event_type, p.pmin, p.rmax
+       |  FROM rn r JOIN pm p USING (user_id)
+       |  WHERE p.pmin IS NULL OR r.rn <= p.pmin),
+       |stepped AS (
+       |  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY rn), 'START') AS src,
+       |         CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |              ELSE event_type END AS dst
+       |  FROM tr
+       |  UNION ALL
+       |  SELECT event_type, 'END' FROM tr
+       |  WHERE pmin IS NULL AND rn = rmax),
+       |cnt AS (SELECT src, dst, COUNT(*) AS c FROM stepped GROUP BY 1, 2),
+       |rs AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rs FROM cnt GROUP BY 1),
+       |p AS (
+       |  SELECT c.src AS i, c.dst AS j,
+       |         CAST((1000000 * c.c) // r.rs AS BIGINT) AS p
+       |  FROM cnt c JOIN rs r USING (src)),
+       |sc(sc) AS (VALUES $scVals),
+       |loops(sc, i, j, p) AS (VALUES
+       |     $loopVals),
+       |msc AS (
+       |  SELECT s.sc, p.i,
+       |         CASE WHEN s.sc <> 'base' AND p.j = s.sc THEN 'END'
+       |              ELSE p.j END AS j,
+       |         CAST(SUM(p.p) AS BIGINT) AS p
+       |  FROM p CROSS JOIN sc s
+       |  WHERE s.sc = 'base' OR p.i <> s.sc
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL SELECT * FROM loops),
+       |v0 AS (SELECT sc, 'START' AS state,
+       |              CAST(1000000 AS BIGINT) AS mass FROM sc),
+       |$rounds,
+       |conv AS (SELECT sc, mass AS conv_ppm FROM v$MkRounds
+       |         WHERE state = 'CONV'),
+       |b AS (SELECT conv_ppm AS base_ppm FROM conv WHERE sc = 'base')
+       |SELECT c.sc AS channel, b.base_ppm, c.conv_ppm,
+       |       CAST(CASE WHEN b.base_ppm - c.conv_ppm < 0
+       |            THEN -((1000 * (c.conv_ppm - b.base_ppm)) // b.base_ppm)
+       |            ELSE (1000 * (b.base_ppm - c.conv_ppm)) // b.base_ppm
+       |            END AS BIGINT) AS removal_pm
+       |FROM conv c CROSS JOIN b
+       |WHERE c.sc <> 'base'
+       |ORDER BY channel ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q259_markov_attribution" -> markovOracleSql,
     "q142_user_growth" ->
       """WITH f AS (
         |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
