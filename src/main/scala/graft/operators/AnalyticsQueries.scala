@@ -38,6 +38,20 @@ object AnalyticsQueries {
   private[graft] val MkChannels = Seq("click", "error", "signup", "view")
   private[graft] val MkRounds = 8
 
+  /** q260 exposure/outcome windows (event positions per user): the
+    * channel set comes from events 1..ShapExpo, conversion from
+    * events ShapExpo+1..ShapOutcome. The split is load-bearing twice:
+    * an UNBOUNDED window degenerates on this fixture (every user
+    * converts eventually — v(S) = 10⁶ everywhere, all marginals
+    * vanish), and measuring exposure and outcome in the SAME window
+    * makes v(∅) tautologically 1 (an empty channel set before the
+    * first purchase means the purchase came first). Exposure
+    * preceding outcome is the methodologically honest form, and
+    * bounded positions are also what a streaming fold could maintain
+    * per user. */
+  private[graft] val ShapExpo = 4
+  private[graft] val ShapOutcome = 8
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -335,6 +349,77 @@ object AnalyticsQueries {
         .select(col("sc").as("channel"), col("base_ppm"), col("conv_ppm"),
           expr("(1000L * (base_ppm - conv_ppm)) div base_ppm")
             .as("removal_pm"))
+        .orderBy("channel")
+    }),
+
+    // Shapley-value attribution (round 10) — the coalition-game
+    // counterpart of q259's Markov removal effect (the two standard
+    // data-driven attribution models; real deployments run both and
+    // compare): channel EXPOSURE is the set of non-purchase types in
+    // each user's first ShapExpo events, the OUTCOME is whether a
+    // purchase lands in events ShapExpo+1..ShapOutcome (see the
+    // constants' note — exposure preceding outcome is what keeps the
+    // game from degenerating into tautology on this fixture); users
+    // with no event in the outcome window are outside the experiment.
+    // The exposure set is a q182-style bitmask over the 4 channel
+    // types; the empirical coalition value v(S) is
+    // that mask's conversion rate in integer ppm ([D5] truncating;
+    // coalitions no user exhibits value 0 — the standard empirical
+    // convention, stated, not hidden); a channel's Shapley value is
+    // the exactly-weighted marginal sum Σ_{S∌c} w(|S|)·(v(S∪c)−v(S))
+    // with the n=4 weights as integer twelfths (3,1,1,3)/12, so the
+    // whole game solves in int64 — Σ numerators = 12·(v(full)−v(∅))
+    // by the efficiency property, an identity the truncation respects
+    // to ±4 ppm. One data-sized window pass collapses to ≤16 mask
+    // rows; the game is a 64-row broadcast join at any scale.
+    "q260_shapley_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val rn = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= ShapOutcome)
+      val aggs = MkChannels.zipWithIndex.map { case (c, i) =>
+        max(when(col("rn") <= ShapExpo && col("event_type") === c,
+          lit(1L << i)).otherwise(0L)).as(s"b$i")
+      } ++ Seq(
+        max(when(col("rn") > ShapExpo
+          && col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        max(when(col("rn") > ShapExpo, 1L).otherwise(0L)).as("in_exp"))
+      val usr = rn
+        .groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+        .filter(col("in_exp") === 1L)
+        .select(MkChannels.indices.map(i => col(s"b$i"))
+          .reduce(_ + _).as("mask"), col("conv"))
+      val vobs = usr.groupBy("mask")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+        .select(col("mask"), expr("(1000000L * nc) div n").as("v"))
+      val vAll = s.range(1 << MkChannels.size)
+        .select(col("id").as("mask"))
+        .join(vobs, Seq("mask"), "left")
+        .select(col("mask"), coalesce(col("v"), lit(0L)).as("v"))
+        .localCheckpoint(true)
+      val chan = MkChannels.zipWithIndex
+        .map { case (c, i) => (c, 1L << i) }.toDF("channel", "bit")
+      val pairs = vAll.select(col("mask").as("s"), col("v").as("vs"))
+        .crossJoin(broadcast(chan))
+        .filter(expr("(s & bit) = 0"))
+        .join(broadcast(vAll.select(col("mask").as("su"),
+          col("v").as("vsu"))), expr("su = (s | bit)"))
+        .withColumn("wnum", expr(
+          "CASE bit_count(s) WHEN 0 THEN 3L WHEN 3 THEN 3L ELSE 1L END"))
+      val phi = pairs.groupBy("channel")
+        .agg(sum(expr("wnum * (vsu - vs)")).as("num"))
+        .select(col("channel"), expr("num div 12L").as("shapley_ppm"))
+      val tot = phi.agg(sum(col("shapley_ppm")).as("tot"))
+      phi.crossJoin(broadcast(tot))
+        .select(col("channel"), col("shapley_ppm"),
+          when(col("tot") > 0,
+            expr("(1000L * shapley_ppm) div tot"))
+            .as("share_pm"))
         .orderBy("channel")
     }),
 
@@ -801,8 +886,74 @@ object AnalyticsQueries {
        |ORDER BY channel ASC NULLS FIRST""".stripMargin
   }
 
+  /** The q260 replay: identical exposure/outcome windows, bitmask and
+    * coalition-rate CTEs, the full 16-mask grid with the zero
+    * convention, and the exact twelfth-weighted marginal sums; both
+    * truncating ratios divide via the sign-explicit CASE (marginals
+    * and Shapley values can be negative). */
+  private def shapleyOracleSql: String = {
+    val maskSum = MkChannels.zipWithIndex.map { case (c, i) =>
+      s"MAX(CASE WHEN r.rn <= $ShapExpo AND r.event_type = '$c'" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n       + ")
+    val chanVals = MkChannels.zipWithIndex.map { case (c, i) =>
+      s"('$c', CAST(${1L << i} AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH rn0 AS (
+       |  SELECT user_id, event_type,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM events WHERE user_id IS NOT NULL),
+       |rn AS (SELECT * FROM rn0 WHERE rn <= $ShapOutcome),
+       |usr AS (
+       |  SELECT r.user_id,
+       |         $maskSum AS mask,
+       |         MAX(CASE WHEN r.rn > $ShapExpo
+       |             AND r.event_type = 'purchase'
+       |             THEN 1 ELSE 0 END) AS conv,
+       |         MAX(CASE WHEN r.rn > $ShapExpo THEN 1 ELSE 0 END)
+       |           AS in_exp
+       |  FROM rn r
+       |  GROUP BY 1
+       |  HAVING MAX(CASE WHEN r.rn > $ShapExpo THEN 1 ELSE 0 END) = 1),
+       |vobs AS (
+       |  SELECT mask, CAST((1000000 * SUM(conv)) // COUNT(*) AS BIGINT) AS v
+       |  FROM usr GROUP BY 1),
+       |grid AS (SELECT unnest(range(0, ${1 << MkChannels.size})) AS mask),
+       |va AS (
+       |  SELECT g.mask, COALESCE(vobs.v, 0) AS v
+       |  FROM grid g LEFT JOIN vobs ON vobs.mask = g.mask),
+       |chan(channel, bit) AS (VALUES $chanVals),
+       |pairs AS (
+       |  SELECT c.channel,
+       |         CASE bit_count(a.mask) WHEN 0 THEN 3 WHEN ${
+            MkChannels.size - 1} THEN 3 ELSE 1 END AS wnum,
+       |         b.v - a.v AS dv
+       |  FROM va a CROSS JOIN chan c
+       |  JOIN va b ON b.mask = (a.mask | c.bit)
+       |  WHERE (a.mask & c.bit) = 0),
+       |phi AS (
+       |  SELECT channel, CAST(SUM(wnum * dv) AS BIGINT) AS num
+       |  FROM pairs GROUP BY 1),
+       |p2 AS (
+       |  SELECT channel,
+       |         CAST(CASE WHEN num < 0 THEN -((-num) // 12)
+       |              ELSE num // 12 END AS BIGINT) AS shapley_ppm
+       |  FROM phi),
+       |tt AS (SELECT CAST(SUM(shapley_ppm) AS BIGINT) AS tot FROM p2)
+       |SELECT p.channel, p.shapley_ppm,
+       |       CAST(CASE WHEN t.tot > 0 THEN
+       |              CASE WHEN p.shapley_ppm < 0
+       |                   THEN -((-(1000 * p.shapley_ppm)) // t.tot)
+       |                   ELSE (1000 * p.shapley_ppm) // t.tot END
+       |            END AS BIGINT) AS share_pm
+       |FROM p2 p CROSS JOIN tt t
+       |ORDER BY channel ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q259_markov_attribution" -> markovOracleSql,
+    "q260_shapley_attribution" -> shapleyOracleSql,
     "q142_user_growth" ->
       """WITH f AS (
         |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
