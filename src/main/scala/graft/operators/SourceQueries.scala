@@ -388,11 +388,108 @@ object SourceQueries {
           (col("n_pass") - col("n_true_blocks")).as("n_fp_blocks"),
           col("n_true_blocks"), col("rows_match"))
         .orderBy("probe_key")
+    }),
+
+    // Z-ORDER clustering audit — the multi-dimensional completion of
+    // the layout trilogy (q246 single-column sort keys, q252 equality
+    // Blooms): lineitem under FOUR layouts — natural, shipdate-sorted,
+    // partkey-sorted, and Z-ordered (both columns scaled to 16-bit
+    // rank space, bits interleaved into one 32-bit curve value, the
+    // Delta/Iceberg OPTIMIZE ZORDER mechanism) — each cut into
+    // 4096-row blocks carrying min/max of BOTH columns, probed by one
+    // date-range and one partkey-band predicate. The table shows the
+    // exact trade a lake optimizer buys: each single-column sort
+    // prunes its own dimension perfectly and the other not at all;
+    // the Z-order layout prunes BOTH well (neither perfectly) — the
+    // right default when two predicate families share a 100 TB table.
+    // All integer arithmetic ([D5] scaling, generated-once interleave
+    // expression shared with the oracle); block ids from the
+    // range-partitioned GlobalRank, stats read rows÷4096 entries.
+    "q261_zorder_prune" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          datediff(col("l_shipdate"), lit(ZEpoch).cast("date"))
+            .cast("long").as("sd"))
+      val bounds = li.agg(min("sd").as("sdmn"), max("sd").as("sdmx"),
+        min("l_partkey").as("pkmn"), max("l_partkey").as("pkmx"))
+      // persistTracked: four layout rankings + two match counts read
+      // this relation — cache the scan + interleave once (measured
+      // neutral at sf0.1: the cost is the four range-partitioned
+      // SORTS, which are the audit's subject; the cache just stops
+      // the projection re-running six times)
+      val scaled = graft.Caches.persistTracked(li
+        .crossJoin(broadcast(bounds))
+        .withColumn("zx",
+          expr(s"((sd - sdmn) * ${(1 << ZBits) - 1}L) div (sdmx - sdmn)"))
+        .withColumn("zy", expr(
+          s"((l_partkey - pkmn) * ${(1 << ZBits) - 1}L) div (pkmx - pkmn)"))
+        .withColumn("z", expr(zExpr))
+        .withColumn("pk_lo", expr("pkmn + ((pkmx - pkmn) * 2) div 5"))
+        .withColumn("pk_hi", expr("pkmn + ((pkmx - pkmn) * 9) div 20")))
+      val (dLo, dHi) = (zDays("1995-04-01"), zDays("1995-07-01"))
+      def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+        graft.functions.GlobalRank.rowNumber(scaled, order)
+          .select(lit(name).as("layout"),
+            expr(s"(rn - 1) div $ZmBlock").as("blk"),
+            col("sd"), col("l_partkey"), col("pk_lo"), col("pk_hi"))
+      val all = layout("1_natural",
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .unionByName(layout("2_shipdate_sorted",
+          Seq(col("sd"), col("l_orderkey"), col("l_linenumber"))))
+        .unionByName(layout("3_partkey_sorted",
+          Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))))
+        .unionByName(layout("4_zorder",
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+      val zm = all.groupBy("layout", "blk")
+        .agg(min("sd").as("mn_sd"), max("sd").as("mx_sd"),
+          min("l_partkey").as("mn_pk"), max("l_partkey").as("mx_pk"),
+          max("pk_lo").as("pk_lo"), max("pk_hi").as("pk_hi"),
+          count(lit(1)).as("cnt"))
+      def audit(pred: String, pruned: org.apache.spark.sql.Column) =
+        zm.groupBy("layout")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(pruned, 1L).otherwise(0L)).as("n_pruned"),
+            sum(when(pruned, 0L).otherwise(col("cnt"))).as("rows_scanned"))
+          .withColumn("pred", lit(pred))
+      val aDate = audit("date_1995Q2",
+        col("mx_sd") < dLo || col("mn_sd") >= dHi)
+      val aPart = audit("part_band",
+        col("mx_pk") < col("pk_lo") || col("mn_pk") > col("pk_hi"))
+      val mDate = scaled.filter(col("sd") >= dLo && col("sd") < dHi)
+        .agg(count(lit(1)).as("rows_match"))
+        .withColumn("pred", lit("date_1995Q2"))
+      val mPart = scaled.filter(col("l_partkey").between(
+          col("pk_lo"), col("pk_hi")))
+        .agg(count(lit(1)).as("rows_match"))
+        .withColumn("pred", lit("part_band"))
+      aDate.unionByName(aPart)
+        .join(broadcast(mDate.unionByName(mPart)), Seq("pred"))
+        .select(col("pred"), col("layout"), col("n_blocks"),
+          col("n_pruned"), col("rows_scanned"), col("rows_match"))
+        .orderBy("pred", "layout")
     })
   )
 
   /** q246 zone-map block size (rows per block under both layouts). */
   private val ZmBlock = 4096
+
+  /** q261 Z-order geometry: each of the two cluster columns scales to
+    * ZBits-bit rank space before bit interleaving (32-bit z-value);
+    * days count from ZEpoch in BOTH engines (Spark datediff vs DuckDB
+    * date subtraction — same integer). */
+  private val ZBits = 16
+  private val ZEpoch = "1992-01-01"
+  private def zDays(d: String): Long =
+    java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(ZEpoch), java.time.LocalDate.parse(d))
+
+  /** The interleave expression over scaled columns `zx`/`zy` — ONE
+    * generated text, run through expr() and spliced into the oracle. */
+  private def zExpr: String =
+    (0 until ZBits).map(k =>
+      s"(((zx >> $k) & 1) << ${2 * k}) + (((zy >> $k) & 1) << ${2 * k + 1})")
+      .mkString(" + ")
 
   /** q252 partitioned-Bloom geometry: BfK affine hash rows, each
     * owning a BfBits-bucket bit partition (total state 4·4096 bits =
@@ -610,6 +707,79 @@ object SourceQueries {
          |FROM grid
          |GROUP BY probe_key, rows_match, n_true_blocks
          |ORDER BY probe_key ASC NULLS FIRST""".stripMargin
+    },
+
+    // the Z-order replay: identical day/scale/interleave arithmetic
+    // (zExpr is the SAME generated text), identical block ids and
+    // two-predicate prune audit
+    "q261_zorder_prune" -> {
+      val (dLo, dHi) = (zDays("1995-04-01"), zDays("1995-07-01"))
+      val layouts = Seq(
+        "1_natural" -> "l_orderkey, l_linenumber",
+        "2_shipdate_sorted" -> "sd, l_orderkey, l_linenumber",
+        "3_partkey_sorted" -> "l_partkey, l_orderkey, l_linenumber",
+        "4_zorder" -> "z, l_orderkey, l_linenumber").map {
+        case (name, ord) =>
+          s"""SELECT '$name' AS layout,
+             |       (ROW_NUMBER() OVER (ORDER BY $ord) - 1) // $ZmBlock
+             |         AS blk,
+             |       sd, l_partkey, pk_lo, pk_hi
+             |FROM z""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey,
+         |         CAST(datediff('day', DATE '$ZEpoch', l_shipdate)
+         |              AS BIGINT) AS sd
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT MIN(sd) AS sdmn, MAX(sd) AS sdmx,
+         |         MIN(l_partkey) AS pkmn, MAX(l_partkey) AS pkmx
+         |  FROM li),
+         |scaled AS (
+         |  SELECT li.*,
+         |         ((sd - b.sdmn) * ${(1 << ZBits) - 1})
+         |           // (b.sdmx - b.sdmn) AS zx,
+         |         ((l_partkey - b.pkmn) * ${(1 << ZBits) - 1})
+         |           // (b.pkmx - b.pkmn) AS zy,
+         |         b.pkmn + ((b.pkmx - b.pkmn) * 2) // 5 AS pk_lo,
+         |         b.pkmn + ((b.pkmx - b.pkmn) * 9) // 20 AS pk_hi
+         |  FROM li CROSS JOIN b),
+         |z AS (SELECT *, $zExpr AS z FROM scaled),
+         |bl AS (
+         |  $layouts),
+         |zm AS (
+         |  SELECT layout, blk,
+         |         MIN(sd) AS mn_sd, MAX(sd) AS mx_sd,
+         |         MIN(l_partkey) AS mn_pk, MAX(l_partkey) AS mx_pk,
+         |         MAX(pk_lo) AS pk_lo, MAX(pk_hi) AS pk_hi,
+         |         COUNT(*) AS cnt
+         |  FROM bl GROUP BY 1, 2),
+         |a AS (
+         |  SELECT 'date_1995Q2' AS pred, layout, COUNT(*) AS n_blocks,
+         |         CAST(SUM(CASE WHEN mx_sd < $dLo OR mn_sd >= $dHi
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |         CAST(SUM(CASE WHEN mx_sd < $dLo OR mn_sd >= $dHi
+         |                       THEN 0 ELSE cnt END) AS BIGINT)
+         |           AS rows_scanned
+         |  FROM zm GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'part_band', layout, COUNT(*),
+         |         CAST(SUM(CASE WHEN mx_pk < pk_lo OR mn_pk > pk_hi
+         |                       THEN 1 ELSE 0 END) AS BIGINT),
+         |         CAST(SUM(CASE WHEN mx_pk < pk_lo OR mn_pk > pk_hi
+         |                       THEN 0 ELSE cnt END) AS BIGINT)
+         |  FROM zm GROUP BY 2),
+         |m AS (
+         |  SELECT 'date_1995Q2' AS pred, COUNT(*) AS rows_match
+         |  FROM z WHERE sd >= $dLo AND sd < $dHi
+         |  UNION ALL
+         |  SELECT 'part_band', COUNT(*)
+         |  FROM z WHERE l_partkey BETWEEN pk_lo AND pk_hi)
+         |SELECT a.pred, a.layout, a.n_blocks, a.n_pruned,
+         |       a.rows_scanned, m.rows_match
+         |FROM a JOIN m USING (pred)
+         |ORDER BY a.pred ASC NULLS FIRST, a.layout ASC NULLS FIRST"""
+        .stripMargin
     }
   )
 }
