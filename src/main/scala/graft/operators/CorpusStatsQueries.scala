@@ -148,6 +148,31 @@ object CorpusStatsQueries {
       bpeMergeTrace(s, words, BpeRounds)
     }),
 
+    // The tokenizer loop CLOSED (round 10): q236 trains the merges,
+    // this APPLIES them — the corpus word vocabulary re-tokenized
+    // through the learned merge sequence, reported as the top-20
+    // post-merge symbols (occurrence-weighted, with symbol length
+    // riding along so the emerged multi-character subwords are
+    // visible). Training and application share ONE loop body
+    // (bpeRun / the shared oracle CTE chain), which is the point: a
+    // real tokenizer build runs this exact per-round plan ~30k times,
+    // and the apply side touches only the VOCABULARY relation
+    // (words × wcnt), never the corpus — at 100 TB the corpus pass is
+    // the one word-count, everything after is vocabulary-sized.
+    "q262_bpe_apply" -> ((s, dir) => {
+      val words = srcTokens(s, dir).groupBy(col("tok").as("w"))
+        .agg(count(lit(1)).as("wcnt"))
+        .filter(length(col("w")) >= 2)
+      bpeFinalSymbols(s, words, BpeRounds)
+        .groupBy("sym")
+        .agg(sum(col("wcnt")).as("n_occ"),
+          countDistinct(col("w")).as("n_words"))
+        .select(col("sym"), length(col("sym")).cast("long").as("sym_len"),
+          col("n_occ"), col("n_words"))
+        .orderBy(col("n_occ").desc, col("sym").asc)
+        .limit(20)
+    }),
+
     // Hybrid retrieval by reciprocal-rank fusion: the pinned BM25 query
     // (q94's term bag) and a pinned dense probe (embedding of vec_id 0,
     // embeddings align 1:1 with doc_ids) each produce a depth-50 rank
@@ -170,7 +195,16 @@ object CorpusStatsQueries {
     * parity) → rebuild with recompacted positions. Integer counts
     * only — exact on any layout [D1]. Stops early if no pair remains. */
   private[graft] def bpeMergeTrace(s: SparkSession, words: DataFrame,
-    rounds: Int): DataFrame = {
+    rounds: Int): DataFrame = bpeRun(s, words, rounds)._1
+
+  /** The symbol relation (w, wcnt, pos, sym) AFTER the trained merges
+    * — the APPLY side of the tokenizer loop, consumed by q262. Shares
+    * [[bpeRun]] with the trace. */
+  private[graft] def bpeFinalSymbols(s: SparkSession, words: DataFrame,
+    rounds: Int): DataFrame = bpeRun(s, words, rounds)._2
+
+  private def bpeRun(s: SparkSession, words: DataFrame,
+    rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("w").orderBy("pos")
     var sdf = words.select(col("w"), col("wcnt"),
@@ -230,9 +264,9 @@ object CorpusStatsQueries {
       r += 1
     }
     import s.implicits._
-    trace.result()
+    (trace.result()
       .toDF("round", "s1", "s2", "cnt", "n_sym_after")
-      .coalesce(1).orderBy("round")
+      .coalesce(1).orderBy("round"), sdf)
   }
 
   private val sqlToks = Sql.tokens("text")
@@ -241,7 +275,11 @@ object CorpusStatsQueries {
     * argmax, the run-parity non-overlap match set, and the rebuilt +
     * recompacted symbol relation. Pure integer counts and string
     * concats — bit-identical by construction. */
-  private def bpeOracleSql: String = {
+  /** The shared q236/q262 CTE chain: word vocabulary, character
+    * symbols, and per-round (pair counts → argmax → run-parity match
+    * set → rebuilt relation) — ONE definition of training AND
+    * application, ending in `s$BpeRounds`. */
+  private def bpeCtesSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
       s"""pc$r AS (
@@ -280,12 +318,7 @@ object CorpusStatsQueries {
          |ns$r AS (SELECT CAST(SUM(wcnt) AS BIGINT) AS n FROM s$r)"""
         .stripMargin
     }
-    val out = (1 to BpeRounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS round, bp$r.s1, bp$r.s2, bp$r.cnt,
-         |       ns$r.n AS n_sym_after
-         |FROM bp$r CROSS JOIN ns$r""".stripMargin
-    }
-    s"""WITH wv AS (
+    s"""wv AS (
        |  SELECT tok AS w, COUNT(*) AS wcnt
        |  FROM (SELECT unnest($sqlToks) AS tok FROM documents) x
        |  GROUP BY tok
@@ -295,13 +328,35 @@ object CorpusStatsQueries {
        |         substr(w, CAST(pos AS INT), 1) AS sym
        |  FROM (SELECT w, wcnt, unnest(range(1, length(w) + 1)) AS pos
        |        FROM wv) p),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val out = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, bp$r.s1, bp$r.s2, bp$r.cnt,
+         |       ns$r.n AS n_sym_after
+         |FROM bp$r CROSS JOIN ns$r""".stripMargin
+    }
+    s"""WITH $bpeCtesSql
        |${out.mkString("\nUNION ALL\n")}
        |ORDER BY round ASC NULLS FIRST""".stripMargin
   }
 
+  /** The q262 replay: the SAME chain (the argmax re-derives the same
+    * merges), finished by the symbol census over the post-merge
+    * relation. */
+  private def bpeApplyOracleSql: String =
+    s"""WITH $bpeCtesSql
+       |SELECT sym, CAST(length(sym) AS BIGINT) AS sym_len,
+       |       CAST(SUM(wcnt) AS BIGINT) AS n_occ,
+       |       COUNT(DISTINCT w) AS n_words
+       |FROM s$BpeRounds GROUP BY 1
+       |ORDER BY n_occ DESC NULLS LAST, sym ASC NULLS FIRST
+       |LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q236_bpe_merges" -> bpeOracleSql,
+    "q262_bpe_apply" -> bpeApplyOracleSql,
     "q112_kl_source" ->
       s"""WITH st AS (
          |  SELECT source, tok, COUNT(*) AS stf
