@@ -66,6 +66,56 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q260 Shapley values satisfy the efficiency property within truncation") {
+    import org.apache.spark.sql.functions._
+    val phi = SparkEntry.queries("q260_shapley_attribution")(spark, Sf)
+      .collect().map(_.getAs[Long]("shapley_ppm"))
+    assert(phi.length == 4)
+    // Σφ = v(full) − v(∅) exactly before the per-channel div-by-12
+    // truncation; each of the 4 divisions truncates < 1 ppm, so the
+    // identity holds within ±4 ppm. v(full)/v(∅) recomputed
+    // independently from the same exposure/outcome windows.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val rn = Tables.loadSpread(spark, Sf, "events")
+      .filter(col("user_id").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+    val usr = rn.groupBy("user_id").agg(
+      max(when(col("rn") <= 4 && col("event_type") =!= "purchase", 1L)
+        .otherwise(0L)).as("any_chan"),
+      max(when(col("rn") <= 4, 1L).otherwise(0L)).as("any_expo"),
+      sum(when(col("rn") <= 4 && col("event_type") =!= "purchase", 1L)
+        .otherwise(0L)).as("n_chan_events"),
+      countDistinct(when(col("rn") <= 4
+        && col("event_type") =!= "purchase", col("event_type")))
+        .as("n_chan"),
+      max(when(col("rn") > 4 && col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"),
+      max(when(col("rn") > 4, 1L).otherwise(0L)).as("in_exp"))
+      .filter(col("in_exp") === 1L)
+    def vOf(pred: org.apache.spark.sql.Column): Long = {
+      val r = usr.filter(pred)
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc")).head()
+      if (r.getLong(0) == 0) 0L else 1000000L * r.getLong(1) / r.getLong(0)
+    }
+    val vFull = vOf(col("n_chan") === 4)
+    val vEmpty = vOf(col("n_chan") === 0)
+    assert(math.abs(phi.sum - (vFull - vEmpty)) <= 4,
+      s"sum=${phi.sum} vFull=$vFull vEmpty=$vEmpty")
+  }
+
+  test("q259 removal effects: every channel removal lowers conversion") {
+    val rows = SparkEntry.queries("q259_markov_attribution")(spark, Sf)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (base, conv) =
+        (r.getAs[Long]("base_ppm"), r.getAs[Long]("conv_ppm"))
+      assert(base > 0 && conv >= 0 && conv <= base + 8,
+        s"${r.getAs[String]("channel")}: base=$base conv=$conv")
+    }
+  }
+
   test("q52 sessions partition events and respect the 30-min gap") {
     val sessions = SparkEntry.queries("q52_win_session")(spark, Sf).collect()
     val events = Tables.load(spark, Sf, "events")
