@@ -42,6 +42,9 @@ object TimeSeriesQueries {
 
   private val DayUs = 86400000000L
 
+  /** q263 rolling-regression window (days). */
+  private val RollWin = 28
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exponentially-weighted moving average of the daily event count,
@@ -347,6 +350,44 @@ object TimeSeriesQueries {
             - expr("((qty - qty_prev) * rev_prev) div qty_prev"))
             .as("price_effect"))
         .orderBy("yr")
+    }),
+
+    // Rolling 28-day OLS revenue slope (round 10) — q163's trend fit
+    // moved onto a sliding window (the trend-change detector a
+    // reporting pipeline tracks daily, and the window-family synthesis
+    // of the q159 explode-fan-out and the q254/q163 exact-moment
+    // regression): each day's cents fan out to the ≤ RollWin target
+    // days they inform (constant fan-out, equi-join — no range join,
+    // no window over the raw series), per target the five integer
+    // moments accumulate map-side, and the slope is the [D5]
+    // truncating integer ratio (n·Σxy − Σx·Σy) div (n·Σxx − Σx²) in
+    // whole cents/day (x centered at the target day, so |x| ≤ 27 and
+    // every moment stays far inside int64 at 1000× this scale).
+    // Head-of-series days regress on their partial window (n_win
+    // rides along); a degenerate window (one day) is filtered by
+    // den > 0, not divided by.
+    "q263_rolling_slope" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(expr("cast(datediff(o_orderdate, date'1992-01-01') " +
+          "as bigint)").as("dd"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))")
+          .as("cents"))
+      val fan = daily
+        .select(col("dd"), col("cents"),
+          explode(expr(s"sequence(dd, dd + ${RollWin - 1}L)")).as("t"))
+        .join(daily.select(col("dd").as("t")), Seq("t"), "left_semi")
+        .withColumn("x", col("dd") - col("t"))
+      fan.groupBy("t")
+        .agg(count(lit(1)).as("n_win"),
+          sum(col("x")).as("sx"), sum(col("cents")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("cents")).as("sxy"))
+        .withColumn("num", expr("n_win * sxy - sx * sy"))
+        .withColumn("den", expr("n_win * sxx - sx * sx"))
+        .filter(col("den") > 0)
+        .select(col("t").as("dd"), col("n_win"), col("sy").as("win_cents"),
+          expr("num div den").as("slope_cents"))
+        .orderBy("dd")
     })
   )
 
@@ -574,6 +615,36 @@ object TimeSeriesQueries {
         |       volume_effect,
         |       delta_cents - volume_effect AS price_effect
         |FROM v
-        |ORDER BY yr ASC NULLS FIRST""".stripMargin
+        |ORDER BY yr ASC NULLS FIRST""".stripMargin,
+
+    // the rolling-slope replay: the fan-out as a BETWEEN join (the
+    // algorithm-independent spec of the same window), identical
+    // centered-x moments and the sign-explicit truncating slope
+    "q263_rolling_slope" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+         |              AS BIGINT) AS dd,
+         |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |f AS (
+         |  SELECT t.dd AS t, d.dd, d.cents, d.dd - t.dd AS x
+         |  FROM daily d JOIN daily t
+         |    ON d.dd BETWEEN t.dd - ${RollWin - 1} AND t.dd),
+         |m AS (
+         |  SELECT t, COUNT(*) AS n_win, SUM(x) AS sx,
+         |         CAST(SUM(cents) AS BIGINT) AS sy,
+         |         SUM(x * x) AS sxx, CAST(SUM(x * cents) AS BIGINT) AS sxy
+         |  FROM f GROUP BY 1),
+         |v AS (
+         |  SELECT t, n_win, sy,
+         |         n_win * sxy - sx * sy AS num,
+         |         n_win * sxx - sx * sx AS den
+         |  FROM m)
+         |SELECT t AS dd, CAST(n_win AS BIGINT) AS n_win,
+         |       sy AS win_cents,
+         |       CAST(CASE WHEN num < 0 THEN -((-num) // den)
+         |            ELSE num // den END AS BIGINT) AS slope_cents
+         |FROM v WHERE den > 0
+         |ORDER BY dd ASC NULLS FIRST""".stripMargin
   )
 }
