@@ -52,6 +52,9 @@ object AnalyticsQueries {
   private[graft] val ShapExpo = 4
   private[graft] val ShapOutcome = 8
 
+  /** q264 pre/post cut date. */
+  private val DidCut = "1997-01-01"
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -421,6 +424,45 @@ object AnalyticsQueries {
             expr("(1000L * shapley_ppm) div tot"))
             .as("share_pm"))
         .orderBy("channel")
+    }),
+
+    // Difference-in-differences (round 10) — the causal-BI verb behind
+    // every "did the change move the metric for THIS group" question:
+    // per market segment (as treatment, all other segments the
+    // control), the average order value before vs after the
+    // 1997-01-01 cut, and DiD = (treat_post − treat_pre) −
+    // (ctrl_post − ctrl_pre). Cell means live in exact MILLI-CENT
+    // integers ([D5]: cents·1000 div n — four truncating divisions per
+    // row, everything after pure int64 subtraction), so the estimate
+    // replays bit-for-bit; the control complement derives from the
+    // broadcast per-period totals (ctrl = all − segment), so ONE
+    // orders pass feeds all five treatment rows.
+    "q264_did" -> ((s, dir) => {
+      val cells = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment")), Seq("o_custkey"))
+        .select(col("segment"),
+          (col("o_orderdate") >= lit(DidCut).cast("date")).as("post"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy("segment", "post")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val tot = cells.groupBy("post")
+        .agg(sum(col("n")).as("tn"), sum(col("sc")).as("ts"))
+      val m = cells.join(broadcast(tot), Seq("post"))
+        .select(col("segment"), col("post"),
+          expr("(sc * 1000L) div n").as("mt"),
+          expr("((ts - sc) * 1000L) div (tn - n)").as("mc"))
+      m.groupBy("segment")
+        .agg(max(when(!col("post"), col("mt"))).as("treat_pre"),
+          max(when(col("post"), col("mt"))).as("treat_post"),
+          max(when(!col("post"), col("mc"))).as("ctrl_pre"),
+          max(when(col("post"), col("mc"))).as("ctrl_post"))
+        .select(col("segment"), col("treat_pre"), col("treat_post"),
+          col("ctrl_pre"), col("ctrl_post"),
+          (col("treat_post") - col("treat_pre")
+            - (col("ctrl_post") - col("ctrl_pre"))).as("did_mc"))
+        .orderBy("segment")
     }),
 
     // RFM segmentation — the classic CRM cut: per customer Recency
@@ -954,6 +996,40 @@ object AnalyticsQueries {
   val oracle: Map[String, String] = Map(
     "q259_markov_attribution" -> markovOracleSql,
     "q260_shapley_attribution" -> shapleyOracleSql,
+
+    // the DiD replay: identical cells, broadcast-totals complement,
+    // milli-cent truncating means (all operands positive) and pure
+    // integer differences
+    "q264_did" ->
+      s"""WITH cells AS (
+         |  SELECT c.c_mktsegment AS segment,
+         |         o.o_orderdate >= DATE '$DidCut' AS post,
+         |         COUNT(*) AS n,
+         |         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+         |              AS BIGINT) AS sc
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT post, CAST(SUM(n) AS BIGINT) AS tn,
+         |         CAST(SUM(sc) AS BIGINT) AS ts
+         |  FROM cells GROUP BY 1),
+         |m AS (
+         |  SELECT c.segment, c.post,
+         |         CAST((c.sc * 1000) // c.n AS BIGINT) AS mt,
+         |         CAST(((t.ts - c.sc) * 1000) // (t.tn - c.n) AS BIGINT)
+         |           AS mc
+         |  FROM cells c JOIN tot t USING (post))
+         |SELECT segment,
+         |       MAX(CASE WHEN NOT post THEN mt END) AS treat_pre,
+         |       MAX(CASE WHEN post THEN mt END) AS treat_post,
+         |       MAX(CASE WHEN NOT post THEN mc END) AS ctrl_pre,
+         |       MAX(CASE WHEN post THEN mc END) AS ctrl_post,
+         |       MAX(CASE WHEN post THEN mt END)
+         |         - MAX(CASE WHEN NOT post THEN mt END)
+         |         - (MAX(CASE WHEN post THEN mc END)
+         |            - MAX(CASE WHEN NOT post THEN mc END)) AS did_mc
+         |FROM m GROUP BY 1
+         |ORDER BY segment ASC NULLS FIRST""".stripMargin,
     "q142_user_growth" ->
       """WITH f AS (
         |  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
