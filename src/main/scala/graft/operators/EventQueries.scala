@@ -100,6 +100,65 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // Kaplan–Meier / Nelson–Aalen survival (round 10) — the survival-
+    // analysis family the event log lacked (q178 reports converter
+    // latency percentiles; THIS handles the censored users q178 must
+    // drop): time from first signup to first subsequent purchase,
+    // non-converters censored at their last observed event. Per event
+    // day k: the risk set n_k (users still unconverted and
+    // uncensored), events d_k, the Nelson–Aalen cumulative hazard
+    // Σ d/n, and the KM log-survival Σ ln(1 − d/n) — each per-day
+    // term 8dp-quantized to decimal and decimal-summed ([D2], the
+    // q175 convention), so the curves are partition- and
+    // engine-invariant. KM is emitted in LOG form deliberately: the
+    // repo's ln-at-8dp replay is proven across engines (q48/q98/q112
+    // family) while exp() has no cross-engine precedent — the
+    // portable contract stops at the quantized log. A terminal day
+    // with d = n (survival hits zero) reports NULL log-survival, not
+    // ln(0). Risk sets come from ONE cumulative pass over the
+    // day-histogram (user-sized agg first, day-sized after — nothing
+    // rescans the log); the curve relation is day-count-sized.
+    "q265_kaplan_meier" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
+      val agg = ev.select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_type"))
+        .join(s0, Seq("user_id"))
+        .groupBy("user_id", "t0")
+        .agg(min(when(col("event_type") === "purchase"
+          && col("tus") > col("t0"), col("tus"))).as("tp"),
+          max(col("tus")).as("tmax"))
+      val usr = agg.select(
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400000000L"))
+          .otherwise(expr("(tmax - t0) div 86400000000L")).as("k"),
+        col("tp").isNotNull.cast("long").as("ev"))
+      val days = usr.groupBy("k")
+        .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+        .withColumn("g", lit(1))
+      val base = graft.functions.GlobalRank.cumSum(days, "g", "k", "m")
+        .filter(col("d") > 0)
+        .withColumn("n_risk", col("n") - col("cum") + col("m"))
+        .select(col("g"), col("k"), col("n_risk"), col("d"),
+          when(col("d") < col("n_risk"),
+            round(log(lit(1d) - col("d").cast("double") / col("n_risk")),
+              8).cast("decimal(38,8)")).as("f8"),
+          round(col("d").cast("double") / col("n_risk"), 8)
+            .cast("decimal(38,8)").as("h8"))
+        .localCheckpoint(true)
+      val cf = graft.functions.GlobalRank.cumSum(base, "g", "k", "f8")
+        .select(col("k"), col("cum").as("cf"))
+      val ch = graft.functions.GlobalRank.cumSum(base, "g", "k", "h8")
+        .select(col("k"), col("cum").as("chz"))
+      base.join(cf, Seq("k")).join(ch, Seq("k"))
+        .select(col("k").as("day"), col("n_risk"),
+          col("d").as("n_events"),
+          round(col("chz").cast("double"), 6).as("na_cumhaz6"),
+          when(col("d") < col("n_risk"),
+            round(col("cf").cast("double"), 6)).as("km_log_s6"))
+        .orderBy("day")
+    }),
+
     // Behavioral trigram motifs: the top-15 3-event-type sequences
     // across per-user ordered activity streams. TWO LEADs over ONE
     // keyed window (partitioned by user, ordered by (ts, event_id) —
@@ -190,6 +249,57 @@ object EventQueries {
         |       COUNT(DISTINCT ud.user_id) AS wau
         |FROM days d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day ORDER BY day ASC NULLS FIRST""".stripMargin,
+
+    // the survival replay: identical signup/censor timing, day
+    // histogram, window-cumulative risk sets and 8dp-quantized
+    // decimal-summed hazard/log-survival terms
+    "q265_kaplan_meier" ->
+      """WITH s0 AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'signup'
+        |  GROUP BY 1),
+        |ag AS (
+        |  SELECT e.user_id, s0.t0,
+        |         MIN(CASE WHEN e.event_type = 'purchase'
+        |             AND epoch_us(e.ts) > s0.t0
+        |             THEN epoch_us(e.ts) END) AS tp,
+        |         MAX(epoch_us(e.ts)) AS tmax
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |usr AS (
+        |  SELECT CASE WHEN tp IS NOT NULL
+        |         THEN (tp - t0) // 86400000000
+        |         ELSE (tmax - t0) // 86400000000 END AS k,
+        |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM ag),
+        |days AS (
+        |  SELECT k, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS m
+        |  FROM usr GROUP BY 1),
+        |c AS (
+        |  SELECT k, d, m,
+        |         SUM(m) OVER (ORDER BY k) AS cum,
+        |         SUM(m) OVER () AS n
+        |  FROM days),
+        |ed AS (
+        |  SELECT k, d, CAST(n - cum + m AS BIGINT) AS n_risk
+        |  FROM c WHERE d > 0),
+        |f AS (
+        |  SELECT k, d, n_risk,
+        |         CASE WHEN d < n_risk THEN
+        |           CAST(ROUND(ln(1 - CAST(d AS DOUBLE) / n_risk), 8)
+        |                AS DECIMAL(38,8)) END AS f8,
+        |         CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 8)
+        |              AS DECIMAL(38,8)) AS h8
+        |  FROM ed)
+        |SELECT k AS day, n_risk, d AS n_events,
+        |       ROUND(CAST(SUM(h8) OVER (ORDER BY k) AS DOUBLE), 6)
+        |         AS na_cumhaz6,
+        |       CASE WHEN d < n_risk THEN
+        |         ROUND(CAST(SUM(f8) OVER (ORDER BY k) AS DOUBLE), 6)
+        |       END AS km_log_s6
+        |FROM f
+        |ORDER BY day ASC NULLS FIRST""".stripMargin,
 
     "q178_time_to_convert" ->
       """WITH s AS (
