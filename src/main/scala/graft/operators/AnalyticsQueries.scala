@@ -452,7 +452,10 @@ object AnalyticsQueries {
       val m = cells.join(broadcast(tot), Seq("post"))
         .select(col("segment"), col("post"),
           expr("(sc * 1000L) div n").as("mt"),
-          expr("((ts - sc) * 1000L) div (tn - n)").as("mc"))
+          // a segment owning the whole period has no control — NULL
+          // mean, not a divide-by-zero (safeDiv convention)
+          when(col("tn") > col("n"),
+            expr("((ts - sc) * 1000L) div (tn - n)")).as("mc"))
       m.groupBy("segment")
         .agg(max(when(!col("post"), col("mt"))).as("treat_pre"),
           max(when(col("post"), col("mt"))).as("treat_post"),
@@ -1016,8 +1019,9 @@ object AnalyticsQueries {
          |m AS (
          |  SELECT c.segment, c.post,
          |         CAST((c.sc * 1000) // c.n AS BIGINT) AS mt,
-         |         CAST(((t.ts - c.sc) * 1000) // (t.tn - c.n) AS BIGINT)
-         |           AS mc
+         |         CAST(CASE WHEN t.tn > c.n THEN
+         |              ((t.ts - c.sc) * 1000) // (t.tn - c.n) END
+         |              AS BIGINT) AS mc
          |  FROM cells c JOIN tot t USING (post))
          |SELECT segment,
          |       MAX(CASE WHEN NOT post THEN mt END) AS treat_pre,

@@ -420,10 +420,14 @@ object SourceQueries {
       // the projection re-running six times)
       val scaled = graft.Caches.persistTracked(li
         .crossJoin(broadcast(bounds))
-        .withColumn("zx",
+        // a constant column (possible on a degenerate slice at scale)
+        // scales to rank 0 rather than dividing by zero
+        .withColumn("zx", when(col("sdmx") > col("sdmn"),
           expr(s"((sd - sdmn) * ${(1 << ZBits) - 1}L) div (sdmx - sdmn)"))
-        .withColumn("zy", expr(
+          .otherwise(0L))
+        .withColumn("zy", when(col("pkmx") > col("pkmn"), expr(
           s"((l_partkey - pkmn) * ${(1 << ZBits) - 1}L) div (pkmx - pkmn)"))
+          .otherwise(0L))
         .withColumn("z", expr(zExpr))
         .withColumn("pk_lo", expr("pkmn + ((pkmx - pkmn) * 2) div 5"))
         .withColumn("pk_hi", expr("pkmn + ((pkmx - pkmn) * 9) div 20")))
@@ -737,10 +741,12 @@ object SourceQueries {
          |  FROM li),
          |scaled AS (
          |  SELECT li.*,
-         |         ((sd - b.sdmn) * ${(1 << ZBits) - 1})
-         |           // (b.sdmx - b.sdmn) AS zx,
-         |         ((l_partkey - b.pkmn) * ${(1 << ZBits) - 1})
-         |           // (b.pkmx - b.pkmn) AS zy,
+         |         CASE WHEN b.sdmx > b.sdmn THEN
+         |           ((sd - b.sdmn) * ${(1 << ZBits) - 1})
+         |             // (b.sdmx - b.sdmn) ELSE 0 END AS zx,
+         |         CASE WHEN b.pkmx > b.pkmn THEN
+         |           ((l_partkey - b.pkmn) * ${(1 << ZBits) - 1})
+         |             // (b.pkmx - b.pkmn) ELSE 0 END AS zy,
          |         b.pkmn + ((b.pkmx - b.pkmn) * 2) // 5 AS pk_lo,
          |         b.pkmn + ((b.pkmx - b.pkmn) * 9) // 20 AS pk_hi
          |  FROM li CROSS JOIN b),
