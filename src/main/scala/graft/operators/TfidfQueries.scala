@@ -28,6 +28,12 @@ object TfidfQueries {
   private[operators] val B = 0.75
   private val IdxMinDf = 5L
 
+  /** q266 known-item eval geometry: MrrProbes probe documents (spread-
+    * hash draw over docs with ≥ MrrQTerms tokens), MrrQTerms query
+    * terms per probe (top in-doc tf, token ties ascending). */
+  private val MrrProbes = 10
+  private val MrrQTerms = 3
+
   /** q139's conjunctive term bag. */
   private val BoolTerms = Seq("hash", "join", "scan")
 
@@ -103,7 +109,70 @@ object TfidfQueries {
         .select(col("id").as("doc_id"), col("score4"), col("rank"))
         .orderBy("rank")),
 
-    "q204_phrase_search" -> ((s, dir) => phraseSearch(s, dir))
+    "q204_phrase_search" -> ((s, dir) => phraseSearch(s, dir)),
+
+    // Known-item-search MRR (round 10) — the retrieval family's EVAL
+    // (q249 measures the classifier, q253 the recommender, q255 the
+    // LSH sketch; this measures BM25): for each of MrrProbes
+    // deterministic probe documents, the query is the probe's own top
+    // MrrQTerms terms and the relevant answer is the probe itself —
+    // the standard known-item protocol when no human judgments exist.
+    // Scoring is the q94 BM25 formula made RELATIONAL (terms as rows,
+    // so the query bag is data-dependent — per-term scores
+    // 6dp-quantized and decimal-summed per (probe, doc) [D2]); the
+    // self-rank is the 1 + count-of-better form ((score, id)
+    // lexicographic, no per-probe full sort), rr_pm the [D5]
+    // truncating reciprocal. Per-probe rows; MRR is their mean. At
+    // 100 TB the postings join carries only the ≤ probes × terms
+    // query vocabulary.
+    "q266_known_item_mrr" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val tf = graft.Caches.persistTracked(
+        toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val probes = dl.filter(col("dl") >= MrrQTerms)
+        .select(col("doc_id").as("probe"),
+          expr("pmod(doc_id * 2654435761L, 1000000007L)").as("h"))
+        .orderBy(col("h").asc, col("probe").asc).limit(MrrProbes)
+      val qt = tf.join(probes, tf("doc_id") === probes("probe"))
+        .withColumn("rn", row_number().over(Window.partitionBy("probe")
+          .orderBy(col("tf").desc, col("w").asc)))
+        .filter(col("rn") <= MrrQTerms)
+        .select(col("probe"), col("w"))
+      val scored = broadcast(qt)
+        .join(tf.select(col("w"), col("doc_id").as("id"), col("tf")),
+          Seq("w"))
+        .join(dl.select(col("doc_id").as("id"), col("dl")), Seq("id"))
+        .join(dfr, Seq("w"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n_docs"))
+        .withColumn("ts", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+            * (col("tf").cast("double") * lit(K1 + 1))
+            / (col("tf").cast("double") + lit(K1) * (lit(1 - B)
+              + lit(B) * col("dl").cast("double") / col("avgdl"))), 6)
+          .cast(graft.Dets.Dec))
+        .groupBy("probe", "id").agg(sum(col("ts")).as("score_dec"))
+      val self = scored.filter(col("probe") === col("id"))
+        .select(col("probe"), col("score_dec").as("sscore"))
+      scored.join(broadcast(self), Seq("probe"))
+        .groupBy("probe")
+        .agg(count(lit(1)).as("n_results"),
+          (sum(when(col("score_dec") > col("sscore")
+            || (col("score_dec") === col("sscore")
+              && col("id") < col("probe")), 1L).otherwise(0L)) + 1L)
+            .as("rank_self"))
+        .select(col("probe").as("probe_doc"), col("n_results"),
+          col("rank_self"),
+          expr("1000L div rank_self").as("rr_pm"))
+        .orderBy("probe_doc")
+    })
   )
 
   /** q204's pinned phrase — consecutive tokens, in order. */
@@ -212,7 +281,58 @@ object TfidfQueries {
          |  GROUP BY doc_id)
          |SELECT d.doc_id, d.lang, d.source, n_occ
          |FROM documents d JOIN occ USING (doc_id)
-         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // the known-item replay: identical spread-hash probe draw, top-tf
+    // query bags, the q94 BM25 formula with terms as ROWS, the same
+    // 6dp decimal per-term staging and count-of-better self-rank
+    "q266_known_item_mrr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |       FROM dl),
+         |sa AS (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st),
+         |dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |pr AS (
+         |  SELECT doc_id AS probe,
+         |         (doc_id * 2654435761) % 1000000007 AS h
+         |  FROM dl WHERE dl >= $MrrQTerms
+         |  ORDER BY h ASC, probe ASC LIMIT $MrrProbes),
+         |qt AS (
+         |  SELECT probe, w FROM (
+         |    SELECT p.probe, t.w, ROW_NUMBER() OVER (PARTITION BY p.probe
+         |      ORDER BY t.tf DESC, t.w ASC) AS rn
+         |    FROM pr p JOIN tf t ON t.doc_id = p.probe) z
+         |  WHERE rn <= $MrrQTerms),
+         |sc AS (
+         |  SELECT q.probe, t.doc_id AS id,
+         |         CAST(SUM(CAST(ROUND(
+         |           LN(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+         |                    / (CAST(d.df AS DOUBLE) + 0.5))
+         |           * (CAST(t.tf AS DOUBLE) * ${K1 + 1})
+         |           / (CAST(t.tf AS DOUBLE) + $K1 * (${1 - B}
+         |              + $B * CAST(l.dl AS DOUBLE) / s.avgdl)), 6)
+         |           AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS score_dec
+         |  FROM qt q JOIN tf t ON t.w = q.w
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  JOIN dfr d ON d.w = q.w
+         |  CROSS JOIN sa s
+         |  GROUP BY 1, 2),
+         |sf AS (SELECT probe, score_dec AS sscore FROM sc
+         |       WHERE probe = id),
+         |r AS (
+         |  SELECT s.probe, COUNT(*) AS n_results,
+         |         CAST(SUM(CASE WHEN s.score_dec > f.sscore
+         |              OR (s.score_dec = f.sscore AND s.id < s.probe)
+         |              THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rank_self
+         |  FROM sc s JOIN sf f USING (probe)
+         |  GROUP BY 1)
+         |SELECT probe AS probe_doc, n_results, rank_self,
+         |       CAST(1000 // rank_self AS BIGINT) AS rr_pm
+         |FROM r
+         |ORDER BY probe_doc ASC NULLS FIRST""".stripMargin
   )
 
   /** CTE chain ending in `bmr(id, score4, rank)` — the exact BM25 ranking
