@@ -1,8 +1,9 @@
 package graft.api
 
 import graft.functions.{CentroidAggregator, GraftFunctions, TextFunctions}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
 
 /** Product quantization + asymmetric-distance (ADC) search — the
   * memory-resident ANN path that complements [[graft.sources.IvfIndex]]
@@ -635,5 +636,169 @@ object PqOps {
         rankName = "__r")
       .select(col("probe_id"), col("id").as("vec_id"))
     rerank(short, emb, idCol, vecCol, probes, k)
+  }
+
+  /** milli-quantize a float-vector column to int64 units — IEEE-exact
+    * (`floor(double(x) · scale)`) in any engine, the [D5] staging step
+    * shared by the integer trace path below and MlOps.kmeansTrace. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+    idName: String, scale: Long): DataFrame =
+    df.select(col(idCol).cast("long").as(idName),
+        expr(s"transform($vecCol, x -> " +
+          s"cast(floor(cast(x as double) * ${scale}L) as bigint))")
+          .as("__e"))
+      .filter(col("__e").isNotNull)
+
+  /** the integer squared-L2 kernel between the subvector column `sv`
+    * and a codebook column `cv` — pure int64 zip_with/aggregate, no
+    * floats anywhere. */
+  private val intL2 = expr("aggregate(zip_with(sv, cv, " +
+    "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+
+  /** Integer-exact PQ codebook training TRACE + final model — the
+    * hash-gate trust anchor for the PQ family. [[pqCodebooks]] /
+    * [[pqAdcTopK]] run the float production path (bounded by recall
+    * floors in RecallAuditSpec); this replays the SAME per-subspace
+    * Lloyd algorithm in 64-bit integer units so a SQL engine
+    * reproduces every training round bit-exactly — the
+    * MlOps.kmeansTrace [D5] conventions applied per subspace:
+    *   - vectors milli-quantized ONCE (`floor(double(x)·scale)`),
+    *     then split into `m` subvectors of `dim / m`; every distance,
+    *     sum and centroid after that is int64;
+    *   - seeds: the `ksub` rows with the smallest
+    *     polyMix(pmod(id, M)) (ties by id) seed EVERY subspace,
+    *     codes numbered in draw order — one portable draw, no RNG;
+    *   - assignment ties break toward the lower code; the centroid
+    *     update is the sign-explicit truncating per-dimension mean;
+    *     an emptied code keeps its previous centroid.
+    *
+    * Returns (trace, cents, codes): `trace` = one row per
+    * (round, j, code) with the member count and integer inertia of
+    * that round's assignment (round r evaluated against the centroids
+    * after r−1 updates); `cents` = the final (j, code, cv) integer
+    * codebooks (the ones the last assignment used); `codes` = the
+    * final (id, j, code) assignment.
+    *
+    * Scale shape (the kmeansTrace contract): per round ONE broadcast
+    * of m·ksub centroid literals into a codegen'd zip_with kernel
+    * over the subvector table — no join, ties broken inside
+    * array_min — plus one (j, code, dim) partial agg folding to a
+    * bounded m·ksub·(dim/m) driver-side update. With milli units the
+    * per-row sub-distance stays ≤ (dim/m)·4e6·scale², so inertia
+    * sums hold to ~1e9 rows per code before the inertia column would
+    * need decimal staging. */
+  def pqIntTrain(emb: DataFrame, idCol: String, vecCol: String,
+    dim: Int, m: Int, ksub: Int, iters: Int, scale: Long = 1000L)
+  : (DataFrame, DataFrame, DataFrame) = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(ksub >= 1 && iters >= 1, "need ksub >= 1 and iters >= 1")
+    val spark = emb.sparkSession
+    val sub = dim / m
+    val hashM = TextFunctions.HashMod
+    val sv = subvectorsKeyed(quantized(emb, idCol, vecCol, "id", scale),
+      Seq("id"), "__e", dim, m).localCheckpoint(true)
+    val seedIds = quantized(emb, idCol, vecCol, "id", scale)
+      .select(col("id"),
+        graft.operators.GraphQueries.polyMix(pmod(col("id"), lit(hashM)))
+          .as("__h"))
+      .orderBy(col("__h").asc, col("id").asc).limit(ksub)
+      .collect().map(_.getLong(0))
+    val seedRank = seedIds.zipWithIndex.toMap
+    var cents: Map[(Int, Int), Array[Long]] =
+      sv.filter(col("id").isin(seedIds.map(Long.box): _*)).collect()
+        .map(r => (r.getInt(1), seedRank(r.getLong(0))) ->
+          r.getSeq[Long](2).toArray).toMap
+    // one codegen'd kernel: per subspace an array of (dist, code)
+    // structs over centroid literals, argmin via array_min (dist asc,
+    // code asc — the tie-break is the struct ordering)
+    def assigned: DataFrame = {
+      val perJ = (0 until m).map { j =>
+        val arr = array((0 until ksub).map { c =>
+          val cl = s"array(${cents((j, c)).mkString("L,")}L)"
+          struct(expr(s"aggregate(zip_with(sv, $cl, " +
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+            .as("dist"), lit(c).as("code"))
+        }: _*)
+        (j, arr)
+      }
+      val chosen = perJ.tail.foldLeft(
+        when(col("j") === perJ.head._1, perJ.head._2)) {
+        case (acc, (j, arr)) => acc.when(col("j") === j, arr)
+      }
+      sv.withColumn("__a", array_min(chosen))
+        .select(col("id"), col("j"), col("sv"),
+          col("__a.code").as("code"), col("__a.dist").as("dist"))
+    }
+    val rounds = Seq.newBuilder[DataFrame]
+    var lastAssign: DataFrame = null
+    var r = 1
+    while (r <= iters) {
+      val a = assigned
+      lastAssign = a
+      rounds += a.groupBy("j", "code")
+        .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
+        .select(lit(r.toLong).as("round"), col("j"), col("code"),
+          col("n_vecs"), col("inertia"))
+      if (r < iters) {
+        val sums = a.select(col("j"), col("code"), posexplode(col("sv")))
+          .groupBy("j", "code", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(row => (row.getInt(0), row.getInt(1), row.getInt(2)) ->
+            (row.getLong(3), row.getLong(4))).toMap
+        cents = cents.map { case ((j, c), old) =>
+          (j, c) -> Array.tabulate(sub) { d =>
+            sums.get((j, c, d)) match {
+              // sign-explicit truncation toward zero: SQL floor-division
+              // conventions differ on negatives, this form does not
+              case Some((g, n)) if n > 0 =>
+                if (g < 0) -((-g) / n) else g / n
+              case _ => old(d)
+            }
+          }
+        }
+      }
+      r += 1
+    }
+    val centSchema = StructType(Seq(
+      StructField("j", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("cv", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toSeq.sortBy(_._1)
+          .map { case ((j, c), v) => Row(j, c, v.toSeq) }, 1), centSchema)
+    (rounds.result().reduce(_ unionByName _).orderBy("round", "j", "code"),
+      centDf,
+      lastAssign.select(col("id"), col("j"), col("code")))
+  }
+
+  /** ADC ranking in EXACT integer units over [[pqIntTrain]]'s model:
+    * probes are the corpus rows with id < `nProbes`, each ranked
+    * against every OTHER vector by the summed per-subspace integer
+    * sub-distance to the centroid of that vector's code — the
+    * [[pqAdcTopK]] plan shape (the |probes|·m·ksub distance table
+    * broadcasts into the codes, which never move; partial sums
+    * collapse map-side; bounded-heap top-k) with the 6dp float table
+    * replaced by the bit-replayable int64 one. */
+  def pqIntAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+    dim: Int, m: Int, cents: DataFrame, codes: DataFrame,
+    nProbes: Int, k: Int, scale: Long = 1000L): DataFrame = {
+    val psv = subvectorsKeyed(
+      quantized(emb.filter(col(idCol) < nProbes), idCol, vecCol,
+        "probe_id", scale),
+      Seq("probe_id"), "__e", dim, m)
+    val pd = psv.join(broadcast(cents), Seq("j"))
+      .select(col("probe_id"), col("j"), col("code"), intL2.as("pd"))
+    val adc = codes.join(broadcast(pd), Seq("j", "code"))
+      .filter(col("id") =!= col("probe_id"))
+      .groupBy("probe_id", "id")
+      .agg(sum("pd").as("adc"))
+    graft.plans.GraftOps.topKPerGroup(adc, Seq(col("probe_id")),
+        Seq(col("adc").asc, col("id").asc), k)
+      .select(col("probe_id"), col("id").as("vec_id"), col("adc"),
+        col("rn"))
+      .orderBy("probe_id", "rn")
   }
 }

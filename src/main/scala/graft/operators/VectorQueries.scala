@@ -472,7 +472,38 @@ object VectorQueries {
     "q247_kmeans_steps" -> ((s, dir) =>
       graft.api.MlOps.kmeansTrace(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = KmK, iters = KmIters))
+        k = KmK, iters = KmIters)),
+
+    // Integer-staged PQ codebook training trace, ORACLE-GATED — the
+    // q247 pattern applied per subspace, closing the PQ family's trust
+    // story (q132/q134 run the float production path, bounded by
+    // recall floors; this replays the SAME per-subspace Lloyd in
+    // int64 milli-units so DuckDB reproduces every round bit-exactly:
+    // member counts AND inertia per (round, subspace, code)). Scale:
+    // per round one broadcast m·ksub centroid-literal kernel over the
+    // subvector table (no join) + one (j, code, dim) partial agg with
+    // a bounded m·ksub·subdim driver fold — see PqOps.pqIntTrain.
+    "q267_pq_trace" -> ((s, dir) =>
+      graft.Caches.memo(s, s"pqint:$dir:trace") {
+        graft.api.PqOps.pqIntTrain(t(s, dir, "embeddings"), "vec_id",
+          "embedding", 64, PqTrM, PqTrK, PqTrIters)._1
+      }),
+
+    // ADC ranking in EXACT integer units over q267's trained model,
+    // ORACLE-GATED — the second half of the PQ trust anchor: the
+    // asymmetric-distance table (|probes|·m·ksub int64 sub-distances)
+    // broadcasts into the final codes, partial sums collapse
+    // map-side, bounded-heap top-k — the q132 ADC plan shape with the
+    // 6dp float table replaced by the bit-replayable integer one, so
+    // the oracle verifies codebooks, encoding AND ranking end-to-end.
+    "q268_pq_adc_int" -> ((s, dir) =>
+      graft.Caches.memo(s, s"pqint:$dir:adc") {
+        val emb = t(s, dir, "embeddings")
+        val (_, cents, codes) = graft.api.PqOps.pqIntTrain(emb,
+          "vec_id", "embedding", 64, PqTrM, PqTrK, PqTrIters)
+        graft.api.PqOps.pqIntAdcTopK(emb, "vec_id", "embedding", 64,
+          PqTrM, cents, codes, PqTrProbes, PqTrTopK)
+      })
   )
 
   /** q247 geometry: 4 clusters, 3 unrolled Lloyd rounds, milli-unit
@@ -498,6 +529,19 @@ object VectorQueries {
   private[graft] val IvfPqCells = 8
   private[graft] val IvfPqNprobe = 6
   private[graft] val IvfPqShortK = 48
+
+  /** q267/q268's integer-trace PQ layout: 4 subspaces of 16 dims,
+    * 8 codes each, 3 Lloyd rounds, milli-unit quantization; q268
+    * ranks the 3 lowest-id probes to top-10 in exact integer ADC
+    * units. Deliberately smaller than q132's production layout —
+    * the oracle unrolls one CTE block per Lloyd round, and the
+    * machinery under test (per-subspace training, encoding, ADC)
+    * is identical at any geometry. */
+  private[graft] val PqTrM = 4
+  private[graft] val PqTrK = 8
+  private[graft] val PqTrIters = 3
+  private[graft] val PqTrProbes = 3
+  private[graft] val PqTrTopK = 10
 
   /** The q102 LSH planes, embedded in the oracle as exact doubles:
     * Float.toString would NOT round-trip through DuckDB's double parse
@@ -975,6 +1019,109 @@ object VectorQueries {
          |  ${(1 to KmIters).map(r => s"SELECT * FROM t$r")
               .mkString(" UNION ALL ")}) u
          |ORDER BY round ASC NULLS FIRST, cl ASC NULLS FIRST""".stripMargin
-    }
+    },
+
+    // the per-subspace PQ training replay: identical quantization,
+    // subvector slicing, shared seed draw, per-(vec, subspace)
+    // assignment (dist asc, code asc tie-break) and sign-explicit
+    // truncating centroid means, one CTE block per Lloyd round —
+    // the q247 unroll with the subspace id threaded through every key
+    "q267_pq_trace" ->
+      s"""WITH $pqTraceCteSql
+         |SELECT round, j, code, n_vecs, inertia FROM (
+         |  ${(1 to PqTrIters).map(r => s"SELECT * FROM t$r")
+              .mkString(" UNION ALL ")}) u
+         |ORDER BY round ASC NULLS FIRST, j ASC NULLS FIRST,
+         |         code ASC NULLS FIRST""".stripMargin,
+
+    // same trained model (the CTE prefix is SHARED with q267, so both
+    // gate one pipeline), then the ADC stage: probe sub-distance
+    // table against the final centroids, summed per (probe, vector)
+    // through the final codes, ranked asc with id tie-break
+    "q268_pq_adc_int" ->
+      s"""WITH $pqTraceCteSql,
+         |pe AS (SELECT vec_id AS probe_id, j, sv FROM sv
+         |       WHERE vec_id < $PqTrProbes),
+         |pd AS (
+         |  SELECT pe.probe_id, pe.j, c.code,
+         |         CAST(list_sum(list_transform(range(1, ${64 / PqTrM + 1}),
+         |           i -> (pe.sv[i] - c.c[i]) * (pe.sv[i] - c.c[i])))
+         |           AS BIGINT) AS pd
+         |  FROM pe JOIN c$PqTrIters c ON pe.j = c.j),
+         |adc AS (
+         |  SELECT pd.probe_id, a.vec_id, CAST(SUM(pd.pd) AS BIGINT) AS adc
+         |  FROM a$PqTrIters a JOIN pd ON pd.j = a.j AND pd.code = a.code
+         |  WHERE a.vec_id != pd.probe_id
+         |  GROUP BY 1, 2)
+         |SELECT probe_id, vec_id, adc, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY adc ASC, vec_id ASC) AS rn FROM adc) z
+         |WHERE rn <= $PqTrTopK
+         |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
   )
+
+  /** q267/q268's shared oracle prefix: quantize → slice into PqTrM
+    * subvectors → seed draw → PqTrIters unrolled Lloyd rounds, every
+    * CTE keyed on (vec_id, j) / (j, code) so ONE block trains all
+    * subspaces — ends with the final codebooks `c$PqTrIters`, the
+    * final assignment `a$PqTrIters` and the per-round traces `t*`. */
+  private def pqTraceCteSql: String = {
+    val m = TextFunctions.HashMod
+    val sub = 64 / PqTrM
+    val dist = s"CAST(list_sum(list_transform(range(1, ${sub + 1}), " +
+      "i -> (sv.sv[i] - c.c[i]) * (sv.sv[i] - c.c[i]))) AS BIGINT)"
+    def roundCtes(r: Int): String = {
+      val upd = if (r < PqTrIters)
+        s""",
+           |g$r AS (
+           |  SELECT a.j, a.code, f.d, CAST(SUM(f.v) AS BIGINT) AS s,
+           |         COUNT(*) AS n
+           |  FROM a$r a JOIN f ON f.vec_id = a.vec_id AND f.j = a.j
+           |  GROUP BY 1, 2, 3),
+           |cn$r AS (
+           |  SELECT j, code, list(CASE WHEN s < 0 THEN -((-s) // n)
+           |                       ELSE s // n END ORDER BY d) AS c
+           |  FROM g$r GROUP BY j, code),
+           |c${r + 1} AS (
+           |  SELECT p.j, p.code, COALESCE(n.c, p.c) AS c
+           |  FROM c$r p LEFT JOIN cn$r n
+           |    ON n.j = p.j AND n.code = p.code)""".stripMargin
+      else ""
+      s"""d$r AS (
+         |  SELECT sv.vec_id, sv.j, c.code, $dist AS dist
+         |  FROM sv JOIN c$r c ON sv.j = c.j),
+         |a$r AS (
+         |  SELECT vec_id, j, code, dist FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |      ORDER BY dist ASC, code ASC) AS rn FROM d$r) z
+         |  WHERE rn = 1),
+         |t$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, j, code,
+         |         COUNT(*) AS n_vecs, CAST(SUM(dist) AS BIGINT) AS inertia
+         |  FROM a$r GROUP BY j, code)$upd""".stripMargin
+    }
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, CAST(t.j AS INT) AS j,
+       |         list_slice(e, t.j * $sub + 1, t.j * $sub + $sub) AS sv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqTrM)) AS j) t),
+       |f AS (
+       |  SELECT vec_id, j, unnest(sv) AS v,
+       |         generate_subscripts(sv, 1) AS d
+       |  FROM sv),
+       |sd AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (
+       |    ORDER BY ${GraphQueries.polyMixSql(
+              s"((vec_id % $m) + $m) % $m")} ASC,
+       |             vec_id ASC) - 1 AS cl
+       |  FROM e),
+       |c1 AS (
+       |  SELECT sv.j, CAST(sd.cl AS INT) AS code, sv.sv AS c
+       |  FROM sd JOIN sv USING (vec_id)
+       |  WHERE sd.cl < $PqTrK),
+       |${(1 to PqTrIters).map(roundCtes).mkString(",\n")}""".stripMargin
+  }
 }

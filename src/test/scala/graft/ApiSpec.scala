@@ -561,6 +561,59 @@ class ApiSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("PqOps.pqIntTrain/pqIntAdcTopK: trace partition of the corpus, " +
+    "duplicate retrieval, determinism") {
+    import spark.implicits._
+    val dim = 8; val m = 4; val ksub = 4; val iters = 3
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((i * 97 + d * 31) % 101) - 50).toFloat / 25f)
+    val rows = (1 to 30).map(i => (i.toLong, vec(i))) :+ (31L, vec(7))
+    val emb = rows.toDF("vid", "v")
+    val (trace, cents, codes) =
+      graft.api.PqOps.pqIntTrain(emb, "vid", "v", dim, m, ksub, iters)
+    val tr = trace.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    // every (round, subspace)'s member counts PARTITION the corpus,
+    // codes stay in range, integer inertia is non-negative
+    for (r <- 1 to iters; j <- 0 until m) {
+      val mine = tr.filter(x => x._1 == r && x._2 == j)
+      assert(mine.map(_._4).sum == rows.length,
+        s"round $r subspace $j counts ${mine.map(_._4).sum}")
+      assert(mine.forall(x => x._3 >= 0 && x._3 < ksub && x._5 >= 0L))
+    }
+    // training converges on this fixture: the last round's total
+    // inertia is no worse than the first's, in every subspace
+    // (deterministic fixture — a regression here is a real one)
+    for (j <- 0 until m) {
+      def tot(r: Int) = tr.filter(x => x._1 == r && x._2 == j).map(_._5).sum
+      assert(tot(iters) <= tot(1), s"subspace $j inertia grew")
+    }
+    // final model shape: one centroid per (subspace, code), subdim
+    // components; one code per (id, subspace)
+    val cbRows = cents.collect()
+    assert(cbRows.length == m * ksub)
+    assert(cbRows.forall(_.getSeq[Long](2).length == dim / m))
+    val perId = codes.groupBy("id").count().collect()
+    assert(perId.length == rows.length && perId.forall(_.getLong(1) == m))
+    // ADC in exact integer units: the planted duplicate (id 31 = id 7)
+    // shares all of probe 7's codes, so its ADC equals the probe's own
+    // quantization error — the per-probe MINIMUM (ties break by id)
+    val adc = graft.api.PqOps.pqIntAdcTopK(emb, "vid", "v", dim, m,
+        cents, codes, nProbes = 8, k = rows.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val p7 = adc.filter(_._1 == 7L)
+    assert(p7.nonEmpty && p7.find(_._2 == 31L).map(_._3)
+      .contains(p7.map(_._3).min))
+    // bit-identical on a second full train+search run
+    val (_, c2, k2) =
+      graft.api.PqOps.pqIntTrain(emb, "vid", "v", dim, m, ksub, iters)
+    val again = graft.api.PqOps.pqIntAdcTopK(emb, "vid", "v", dim, m,
+      c2, k2, nProbes = 8, k = rows.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(adc.toSeq == again)
+  }
+
   test("knnDensity keeps an independent k-heap per (id, block)") {
     import spark.implicits._
     // id 1 sits in BOTH blocks (the multi-probe-LSH / overlapping-cell
