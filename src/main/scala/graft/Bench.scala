@@ -52,13 +52,16 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // The driver keeps only a ~3 KB tail of stdout; with 94 queries the
-    // full-name map overflows it and the line arrives unparseable
-    // (BENCH_r02 `parsed: null`). Short keys ("q44" for
-    // "q44_median_disc" — the numeric id is unique) plus 3-decimal
-    // values keep the whole line ~1.4 KB, well inside the window.
+    // full-name map overflowed it and the line arrived unparseable
+    // (BENCH_r02 `parsed: null`), and by 258 keys even the short-key map
+    // was ~3.3 KB and clipped q01-q199 out of the captured artifact
+    // (BENCH_r10). So the FULL per-query map (full names) goes to a
+    // companion file and the inline line carries only the worst-N slice
+    // (the lines a reader triages first) next to the totals + telemetry.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
+    val qs = results.filter(_._2 >= 0).sortBy(-_._2).take(InlineWorstN)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // escape the interpolated path — a quote or backslash in the env
@@ -85,8 +88,15 @@ object Bench {
     // GRAFT_BENCH_FORCE_REQUERY exercises the re-measure branch on an
     // idle box (used by the JSON smoke check; also a manual lever)
     val forced = sys.env.contains("GRAFT_BENCH_FORCE_REQUERY")
+    val doRequery = forced || !(drift.isNaN || drift <= 1.15)
+    // the re-measure must NOT ride the first pass's warm session caches
+    // (memoized pair tables, persistTracked relations) — a cache-hit
+    // timing would systematically understate a genuinely clean run, so
+    // release the session's working set first; each re-measured query
+    // then pays its own (re)build, an honest per-line upper bound
+    if (doRequery) graft.operators.TextQueries.clearCaches(spark)
     val requeried: Seq[(String, Double)] =
-      if (!forced && (drift.isNaN || drift <= 1.15)) Seq.empty
+      if (!doRequery) Seq.empty
       else results.filter(_._2 >= 0).sortBy(-_._2).take(10)
         .map { case (name, _) =>
           val t0 = System.nanoTime()
@@ -112,6 +122,22 @@ object Bench {
       s""""loadavg_post":[${loadPost.map(fl).mkString(",")}],""" +
       s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}""" +
       s""",$reJson""".stripSuffix(",")
+    // the companion artifact: the FULL per-query map under its full key
+    // names (the inline line only carries the worst-N slice), plus the
+    // same telemetry — written before the inline print so a teardown
+    // failure cannot eat it
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try {
+      val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        s"""{"sf":"$sfEsc","n_queries":${results.size},""" +
+          s""""queries":$fullQs,"unit":"sec",$tele,""" +
+          s""""metric":"total","value":${f3(total)}}""" + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     // the one JSON line goes out LAST, after session teardown, so the
     // driver's bounded tail-capture of stdout cannot lose it behind
     // later output — but in a try/finally so a teardown failure can
@@ -123,8 +149,14 @@ object Bench {
       graft.operators.TextQueries.clearCaches(spark)
       spark.stop()
     } finally {
-      println(s"""{"sf":"$sfEsc","queries":$qs,"unit":"sec",$tele,"metric":"total","value":${f3(total)}}""")
+      println(s"""{"sf":"$sfEsc","n_queries":${results.size},"queries_inline":"worst$InlineWorstN","detail_file":"$detailPath","queries":$qs,"unit":"sec",$tele,"metric":"total","value":${f3(total)}}""")
       System.out.flush()
     }
   }
+
+  /** How many per-query lines ride the inline JSON (worst-first): 25
+    * short keys ≈ 0.4 KB, leaving the driver's ~3 KB stdout tail ample
+    * room for the totals + telemetry that must survive capture; the
+    * full map lives in the `detail_file` companion. */
+  private val InlineWorstN = 25
 }
