@@ -71,8 +71,14 @@ object GraphQueries {
     y: org.apache.spark.sql.Column) =
     polyMix(pmod(pmod(x, lit(HashM)) * lit(Spread) + pmod(y, lit(HashM)),
       lit(HashM)))
+  /** the non-negative reduction of `x` into [0, M) — SQL `%` follows
+    * the dividend's sign while the Spark side uses pmod, so a bare
+    * `x % M` would diverge the engines on a negative key; this form
+    * matches pmod for every int64 input. */
+  private[graft] def pmodSql(x: String): String =
+    s"((($x) % $HashM) + $HashM) % $HashM"
   private[graft] def pairMixSql(x: String, y: String): String =
-    polyMixSql(s"(($x % $HashM) * $Spread + ($y % $HashM)) % $HashM")
+    polyMixSql(s"(${pmodSql(x)} * $Spread + ${pmodSql(y)}) % $HashM")
 
   /** q226 edge sampling: keep an edge iff
     * pairMix(x, y) mod TriSampleMod < TriSampleKeep (p = 1/2). */
@@ -734,7 +740,7 @@ object GraphQueries {
          |                       / ln(CAST(d AS DOUBLE)), 6) AS il
          |       FROM deg WHERE d >= 2),
          |ap AS (SELECT u, il FROM il
-         |       WHERE (${polyMixSql(s"u % $HashM")})
+         |       WHERE (${polyMixSql(pmodSql("u"))})
          |             % $ApexSampleMod < $ApexSampleKeep),
          |sc AS (
          |  SELECT e1.v AS px, e2.v AS py, COUNT(*) AS cn_sampled,

@@ -404,7 +404,7 @@ object SketchQueries {
          |dh AS (
          |  SELECT DISTINCT event_type,
          |         ${GraphQueries.polyMixSql(
-              s"user_id % ${GraphQueries.HashM}")} AS h
+              GraphQueries.pmodSql("user_id"))} AS h
          |  FROM d),
          |rk AS (
          |  SELECT event_type, h, ROW_NUMBER() OVER (

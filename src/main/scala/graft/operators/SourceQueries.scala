@@ -661,7 +661,8 @@ object SourceQueries {
          |  SELECT (ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
          |          - 1) // $ZmBlock AS blk,
          |         l_partkey,
-         |         ${GraphQueries.polyMixSql(s"l_partkey % $hashM")} AS h
+         |         ${GraphQueries.polyMixSql(
+              GraphQueries.pmodSql("l_partkey"))} AS h
          |  FROM lineitem),
          |ks(r, mul, addc) AS (
          |  VALUES ${(0 until BfK).map(r =>

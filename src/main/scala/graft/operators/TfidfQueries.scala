@@ -134,9 +134,15 @@ object TfidfQueries {
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("sum_dl"))
       val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      // probe draw via the house polyMix convention: the id is reduced
+      // into [0, M) BEFORE any multiply, so the draw is identical on
+      // every engine at any id magnitude (a bare id * spread product
+      // wraps silently in Spark but overflows loudly in DuckDB past
+      // ~3.5e9 — exactly the scale this query targets)
       val probes = dl.filter(col("dl") >= MrrQTerms)
         .select(col("doc_id").as("probe"),
-          expr("pmod(doc_id * 2654435761L, 1000000007L)").as("h"))
+          GraphQueries.polyMix(pmod(col("doc_id"),
+            lit(GraphQueries.HashM))).as("h"))
         .orderBy(col("h").asc, col("probe").asc).limit(MrrProbes)
       val qt = tf.join(probes, tf("doc_id") === probes("probe"))
         .withColumn("rn", row_number().over(Window.partitionBy("probe")
@@ -297,7 +303,9 @@ object TfidfQueries {
          |dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
          |pr AS (
          |  SELECT doc_id AS probe,
-         |         (doc_id * 2654435761) % 1000000007 AS h
+         |         ${GraphQueries.polyMixSql(
+              s"((doc_id % ${GraphQueries.HashM}) + ${GraphQueries.HashM})" +
+                s" % ${GraphQueries.HashM}")} AS h
          |  FROM dl WHERE dl >= $MrrQTerms
          |  ORDER BY h ASC, probe ASC LIMIT $MrrProbes),
          |qt AS (

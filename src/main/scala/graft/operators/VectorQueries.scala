@@ -967,7 +967,6 @@ object VectorQueries {
     // sign-explicit truncating centroid means, unrolled one CTE
     // block per Lloyd round
     "q247_kmeans_steps" -> {
-      val m = TextFunctions.HashMod
       val dim = 64
       val dist = s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
         "i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) AS BIGINT)"
@@ -1008,7 +1007,8 @@ object VectorQueries {
          |  FROM e),
          |sd AS (
          |  SELECT vec_id, ROW_NUMBER() OVER (
-         |    ORDER BY ${GraphQueries.polyMixSql(s"vec_id % $m")} ASC,
+         |    ORDER BY ${GraphQueries.polyMixSql(
+              GraphQueries.pmodSql("vec_id"))} ASC,
          |             vec_id ASC) - 1 AS cl
          |  FROM e),
          |c1 AS (
@@ -1066,7 +1066,6 @@ object VectorQueries {
     * subspaces — ends with the final codebooks `c$PqTrIters`, the
     * final assignment `a$PqTrIters` and the per-round traces `t*`. */
   private def pqTraceCteSql: String = {
-    val m = TextFunctions.HashMod
     val sub = 64 / PqTrM
     val dist = s"CAST(list_sum(list_transform(range(1, ${sub + 1}), " +
       "i -> (sv.sv[i] - c.c[i]) * (sv.sv[i] - c.c[i]))) AS BIGINT)"
@@ -1115,7 +1114,7 @@ object VectorQueries {
        |sd AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (
        |    ORDER BY ${GraphQueries.polyMixSql(
-              s"((vec_id % $m) + $m) % $m")} ASC,
+              GraphQueries.pmodSql("vec_id"))} ASC,
        |             vec_id ASC) - 1 AS cl
        |  FROM e),
        |c1 AS (
