@@ -277,6 +277,35 @@ object TextOps {
       .drop("__tk", "__sum_len", "__n_types", "__n_stop",
         "__r_len", "__r_wordlen", "__r_stop", "__r_ttr", "flags")
 
+  /** [[qualityRules]] PLUS the learned linear margin — the single-pass
+    * rule+score view an ONLINE gate applies
+    * ([[graft.streaming.DocStreams.curationGate]]'s learned stage;
+    * q235 trains the weights, q237 is the batch report): appends
+    * `score` = w·(1, f_ntok, f_wlen, f_ttr, f_stop) as an integer
+    * margin, NULL for zero-token documents (outside the feature
+    * domain — the q235 contract; such rows already fail the length
+    * rule). Weights are bias-first, the
+    * [[graft.api.MlOps.perceptronTrace]] layout. Stateless per-row —
+    * stream-safe; ONE [[ruleStats]] evaluation feeds both the rule
+    * columns and the margin's feature terms, so the applied gate can
+    * never drift from the trained feature definition. */
+  def qualityRulesScored(docs: DataFrame, textCol: String,
+    weights: Seq[Long]): DataFrame = {
+    require(weights.size == 5,
+      s"need 5 weights (bias, f_ntok, f_wlen, f_ttr, f_stop), " +
+        s"got ${weights.size}")
+    val margin = lit(weights(0)) +
+      col("n_tok") * lit(weights(1)) +
+      expr("__sum_len * 1000L div n_tok") * lit(weights(2)) +
+      expr("__n_types * 1000L div n_tok") * lit(weights(3)) +
+      expr("__n_stop * 1000L div n_tok") * lit(weights(4))
+    ruleStats(
+      docs.withColumn("__tk", TextFunctions.tokens(col(textCol))), "__tk")
+      .withColumn("score", when(col("n_tok") >= 1, margin))
+      .drop("__tk", "__sum_len", "__n_types", "__n_stop",
+        "__r_len", "__r_wordlen", "__r_stop", "__r_ttr")
+  }
+
   /** Token-count estimators, appended per row: whitespace tokens `n_ws`,
     * alphabetic runs `n_alpha`, and the chars/4 BPE estimate `bpe_est`.
     * `charCountCol` names a precomputed character-count column; when

@@ -140,9 +140,19 @@ object DocStreams {
     * rules pass ∧ not contaminated. The stateful dedup stages chain
     * behind it via [[nearDupFilter]] — together they form the online
     * half of the batch q116 composition, and the batch/stream agreement
-    * is spec-asserted (StreamingSpec). */
+    * is spec-asserted (StreamingSpec).
+    *
+    * `learnedWeights` (optional) adds the TRAINED stage behind the
+    * rules: q235's bias-first weight vector applied per row via
+    * [[graft.api.TextOps.qualityRulesScored]] — a handful of literals
+    * folded into the projection (the 1-row-broadcast shape collapsed
+    * to constants: no state, no join), appending the integer margin
+    * `score` (NULL for zero-token rows, outside the feature domain)
+    * and `keep_learned` = keep ∧ score > 0. The batch sibling is
+    * q237's scored rollup; batch/stream agreement is spec-asserted. */
   def curationGate(docs: DataFrame, textCol: String,
-    evalDocs: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    evalDocs: DataFrame, evalTextCol: String, n: Int = 8,
+    learnedWeights: Option[Seq[Long]] = None): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     def grams(c: org.apache.spark.sql.Column) =
       call_function("graft_ngram_hashes",
@@ -151,7 +161,11 @@ object DocStreams {
       .select(explode(grams(col(evalTextCol))).as("g"))
       .agg(sort_array(collect_set(col("g"))).as("__ev"))
       .withColumn("__one", lit(1))
-    graft.api.TextOps.qualityRules(docs, textCol)
+    val ruled = learnedWeights match {
+      case Some(w) => graft.api.TextOps.qualityRulesScored(docs, textCol, w)
+      case None    => graft.api.TextOps.qualityRules(docs, textCol)
+    }
+    val gated = ruled
       .withColumn("__g", grams(col(textCol)))
       .withColumn("__one", lit(1))
       .join(broadcast(evalSet), "__one")
@@ -163,6 +177,10 @@ object DocStreams {
         when(col("keep") === 1 && col("n_hits") === 0, 1).otherwise(0)
           .cast("int"))
       .drop("__g", "__ev", "__one")
+    if (learnedWeights.isEmpty) gated
+    else gated.withColumn("keep_learned",
+      when(col("keep") === 1 && col("score") > 0, 1).otherwise(0)
+        .cast("int"))
   }
 
   /** Streaming read path of the q229 cross-modal bridge: semantic

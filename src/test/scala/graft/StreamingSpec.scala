@@ -629,6 +629,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming curation gate's LEARNED stage agrees with the batch " +
+    "scored composition") {
+    val dir = Files.createTempDirectory("graft_curate_l_").toString
+    val docs = Tables.load(spark, Sf, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val eval = docs.filter(col("source") === "src0")
+    corpus.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    // train exactly as q235/q237 do: perceptron over the feature view,
+    // final-step weights bias-first
+    val last = graft.api.MlOps.perceptronTrace(
+        graft.api.TextOps.qualityFeatures(corpus, "text"),
+        Seq("f_ntok", "f_wlen", "f_ttr", "f_stop"), "keep", 3)
+      .filter(col("step") === 3).collect().head
+    val w = last.getAs[Long]("w_bias") +:
+      Seq("f_ntok", "f_wlen", "f_ttr", "f_stop")
+        .map(c => last.getAs[Long](s"w_$c"))
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val gated = graft.streaming.DocStreams
+      .curationGate(stream, "text", eval, "text", learnedWeights = Some(w))
+      .select("doc_id", "score", "keep", "keep_learned")
+    val q = gated.writeStream.format("memory").queryName("t_curate_l")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      r.getInt(2), r.getInt(3))
+    val streamed = spark.table("t_curate_l").collect().map(key).toSet
+    // batch composition of the same stages: scored rules + exact
+    // decontamination + the same keep/keep_learned combine
+    val scored = graft.api.TextOps.qualityRulesScored(corpus, "text", w)
+      .select(col("doc_id"), col("score"), col("keep").as("q_keep"))
+    val dec = graft.api.TextOps.decontaminate(
+      corpus, "doc_id", "text", eval, "text")
+      .select(col("doc_id"), col("contaminated"))
+    val batch = scored.join(dec, "doc_id")
+      .select(col("doc_id"), col("score"),
+        when(col("q_keep") === 1 && col("contaminated") === 0, 1)
+          .otherwise(0).cast("int").as("keep"))
+      .withColumn("keep_learned",
+        when(col("keep") === 1 && col("score") > 0, 1).otherwise(0)
+          .cast("int"))
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // the learned stage is a real gate on this corpus: it must KEEP
+    // some rule-kept docs and (trained to agree with the rules) never
+    // pass a rule-rejected one
+    assert(streamed.exists(_._4 == 1))
+    assert(streamed.forall(r => r._4 <= r._3))
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     val dir = Files.createTempDirectory("graft_dedup_").toString
     import spark.implicits._
