@@ -251,3 +251,34 @@ case class JaroWinklerSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
     l: Expression, r: Expression): JaroWinklerSim = copy(left = l, right = r)
 }
+
+/** graft_jaro_winkler_gte(a, b, cutoff): [[JaroWinklerSim]] with a
+  * literal score floor baked into the generated kernel call — sub-floor
+  * pairs short-circuit through the O(|a|+|b|) common-byte bound
+  * (TextHash.jaroWinklerGte) instead of running the quadratic match
+  * loop. Callers must filter `>= cutoff` downstream: every value below
+  * the floor surfaces as 0.0. */
+case class JaroWinklerGte(left: Expression, right: Expression,
+  cutoff: Double)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler_gte expects (string, string), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaroWinklerGte(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], cutoff)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHash.jaroWinklerGte($a, $b, ${cutoff}D)")
+
+  override protected def withNewChildrenInternal(
+    l: Expression, r: Expression): JaroWinklerGte = copy(left = l, right = r)
+}

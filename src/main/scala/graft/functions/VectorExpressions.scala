@@ -166,6 +166,13 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: Decimal, _: DecimalType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   /** Name → expression builder for the whole graft function family —
     * single source of truth for both registration paths (the runtime
     * registry fallback below and the SparkSessionExtensions injector). */
@@ -187,7 +194,9 @@ object GraftFunctions {
     "graft_chunk_fp" -> (es => ChunkFingerprint(es(0))),
     "graft_ngram_hashes" -> (es =>
       NGramFold(es(0), intLit(es(1), "graft_ngram_hashes n"))),
-    "graft_jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1)))
+    "graft_jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
+    "graft_jaro_winkler_gte" -> (es => JaroWinklerGte(es(0), es(1),
+      doubleLit(es(2), "graft_jaro_winkler_gte cutoff")))
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

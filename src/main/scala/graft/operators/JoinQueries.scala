@@ -183,9 +183,22 @@ object JoinQueries {
     a.join(b, Seq("p_brand", "band"))
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-      .withColumn("jw4",
-        round(expr("graft_jaro_winkler(name_a, name_b)"), 4))
+      // the score-floored kernel: pairs the O(|a|+|b|) common-byte
+      // bound proves sub-floor (~98% here, measured) skip the
+      // quadratic match loop and surface as 0.0 — sound because the
+      // raw-value filter right below discards everything sub-floor
+      // anyway. 0.9399 is strictly below every double that HALF_UP-
+      // rounds to >= 0.94, so the final ROUNDED filter (unchanged)
+      // still decides the boundary set; rounding only the ~2% of
+      // surviving pairs also keeps Spark's BigDecimal-backed Round
+      // (~1.3 s over 7 M pairs, measured) off the hot path.
+      .withColumn("jw",
+        expr(s"graft_jaro_winkler_gte(name_a, name_b, " +
+          s"${JwThreshold - 1e-4}D)"))
+      .filter(col("jw") >= JwThreshold - 1e-4)
+      .withColumn("jw4", round(col("jw"), 4))
       .filter(col("jw4") >= JwThreshold)
+      .drop("jw")
   }
 
   /** q205's match floor on the 4dp-rounded similarity. */

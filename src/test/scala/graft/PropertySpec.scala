@@ -174,6 +174,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("score-floored jaro-winkler never loses an above-floor pair") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    // adversarial mix: near-identical pairs (must survive the bound),
+    // shuffled same-multiset pairs (bound is maximal, score is not —
+    // the case where a WRONG bound would be most tempting to trust),
+    // disjoint-alphabet pairs (prunable), multi-byte UTF-8, and the
+    // pinned cross-engine vectors
+    val word = Gen.listOfN(10, Gen.oneOf('a', 'b', 'c', 'z')).map(_.mkString)
+    val base = cases(word, 40)
+    val pairs = base.zip(base.reverse) ++
+      base.map(w => (w, w.reverse)) ++
+      base.map(w => (w, w.dropRight(1) + "q")) ++
+      Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("ab", "ba"),
+        ("émile", "émilé"), ("abcdef", "uvwxyz"), ("", "x"))
+    for (cutoff <- Seq(0.5, 0.9399, 0.99); (a, b) <- pairs) {
+      val full = graft.functions.TextHash.jaroWinkler(u(a), u(b))
+      val gated = graft.functions.TextHash.jaroWinklerGte(u(a), u(b), cutoff)
+      // the contract: exact above the floor, 0.0 allowed only below it
+      assert(gated == full || (gated == 0.0 && full < cutoff),
+        s"jwGte($a, $b, $cutoff) = $gated, full = $full")
+      if (full >= cutoff) assert(gated == full)
+    }
+    // the SQL expression path agrees with the kernel, bitwise
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        expr("graft_jaro_winkler_gte(a, b, 0.9399D)").as("jw"))
+      .collect()
+    for (r <- df)
+      assert(r.getDouble(2) == graft.functions.TextHash.jaroWinklerGte(
+        u(r.getString(0)), u(r.getString(1)), 0.9399))
+  }
+
   test("codegen text-hash kernels equal their HOF formulations") {
     import graft.functions.TextFunctions
     import spark.implicits._
