@@ -341,7 +341,13 @@ class RecallAuditSpec extends SparkSpec {
       .join(exactTop.select("px", "py"), Seq("px", "py"), "left_semi")
       .count()
     info(s"q228 top-30 overlap with exact ranking: $overlap / 30")
-    assert(overlap >= 1,
-      s"top-30 overlap $overlap below the measured floor of 1")
+    // floor = the measured seeded value (2/30, stable across rounds —
+    // the draw is deterministic on this fixture, so a drop below it
+    // means the sampling predicate or the estimator changed, which the
+    // hash gate would also catch but this localizes): a 1/30 floor
+    // would not catch a broken predicate that still lets one pair
+    // through
+    assert(overlap >= 2,
+      s"top-30 overlap $overlap below the measured seeded value of 2")
   }
 }
