@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Dets, Tables}
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -224,6 +225,39 @@ object AggQueries {
           col("sum_qty").cast("double").as("sum_qty"))
         .orderBy("l_returnflag")),
 
+    // Hash-partition skew diagnostic — the pre-flight a 100 TB job
+    // reads before picking a shuffle key: simulate the P-way hash
+    // partitioning for a candidate key and report per-partition load
+    // (rows, distinct keys, imbalance vs the uniform share). Two keys
+    // side by side: the high-cardinality l_orderkey (≈ uniform,
+    // imbalance ~1) vs the 3-value l_returnflag (3 partitions carry
+    // everything — imbalance ~10x, the q209 salting motivation made
+    // measurable). The partition function is the house polyMix on the
+    // reduced key (strings via charHash), so the diagnostic itself is
+    // engine-portable; cost = one map-side-combinable agg per key.
+    // Empty partitions emit no row (their absence IS the skew signal).
+    "q271_partition_skew" -> ((s, dir) => {
+      val p = 32
+      val li = t(s, dir, "lineitem")
+      def pt(reduced: org.apache.spark.sql.Column) =
+        pmod(graft.operators.GraphQueries.polyMix(reduced), lit(p)).as("pt")
+      val byOrder = li.select(lit("l_orderkey").as("key_name"),
+        pt(pmod(col("l_orderkey"), lit(graft.operators.GraphQueries.HashM))),
+        col("l_orderkey").cast("string").as("k"))
+      val byFlag = li.select(lit("l_returnflag").as("key_name"),
+        pt(expr(TextFunctions.charHash("l_returnflag"))),
+        col("l_returnflag").as("k"))
+      val per = byOrder.unionByName(byFlag)
+        .groupBy("key_name", "pt")
+        .agg(count(lit(1)).as("n_rows"), countDistinct("k").as("n_keys"))
+      val tot = per.groupBy("key_name").agg(sum("n_rows").as("total"))
+      per.join(broadcast(tot), "key_name")
+        .select(col("key_name"), col("pt"), col("n_rows"), col("n_keys"),
+          round((col("n_rows") * p).cast("double") / col("total"), 4)
+            .as("imb4"))
+        .orderBy("key_name", "pt")
+    }),
+
     // MAX_BY / MIN_BY (Redshift/DuckDB arg_max/arg_min) — the argmax
     // verb. The ordering value packs (balance cents, custkey) into one
     // BIGINT so it is UNIQUE per row: argmax over a tied raw balance is
@@ -359,6 +393,34 @@ object AggQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    // same polyMix partition function (strings via charHash), same
+    // per-key load agg
+    "q271_partition_skew" ->
+      s"""WITH o AS (
+         |  SELECT 'l_orderkey' AS key_name,
+         |         (${GraphQueries.polyMixSql(
+              GraphQueries.pmodSql("l_orderkey"))}) % 32 AS pt,
+         |         CAST(l_orderkey AS VARCHAR) AS k
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_returnflag',
+         |         (${GraphQueries.polyMixSql(
+              graft.functions.TextFunctions.Sql.charHash("l_returnflag"))})
+         |           % 32,
+         |         l_returnflag
+         |  FROM lineitem),
+         |per AS (
+         |  SELECT key_name, pt, COUNT(*) AS n_rows,
+         |         CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+         |  FROM o GROUP BY 1, 2),
+         |tot AS (SELECT key_name, CAST(SUM(n_rows) AS BIGINT) AS total
+         |        FROM per GROUP BY 1)
+         |SELECT p.key_name, p.pt, p.n_rows, p.n_keys,
+         |       ROUND(CAST(p.n_rows * 32 AS DOUBLE) / t.total, 4) AS imb4
+         |FROM per p JOIN tot t USING (key_name)
+         |ORDER BY key_name ASC NULLS FIRST, pt ASC NULLS FIRST"""
+        .stripMargin,
 
     "q212_argmax" ->
       """WITH v AS (

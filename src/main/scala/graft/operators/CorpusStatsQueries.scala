@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
 object CorpusStatsQueries {
   import Dets._
 
+  /** q273's Hill order-statistic depth — the fixture's per-source
+    * vocabulary is ~31 types (deliberately shared), so the order
+    * statistics must sit inside it; a natural corpus would run k in
+    * the thousands with the same plan. */
+  private val HillK = 20
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
@@ -103,6 +109,41 @@ object CorpusStatsQueries {
             col("n_terms").cast("double") * col("sxx").cast("double")
               - col("sx").cast("double") * col("sx").cast("double")), 4)
             .as("slope4"))
+        .orderBy("source")
+    }),
+
+    // Hill tail-index estimator — the heavy-tail diagnostic on the
+    // OTHER side of q113's Zipf OLS (the OLS fits the whole top-100
+    // log-log line; Hill estimates the tail exponent alpha from the
+    // k upper order statistics alone, the standard extreme-value
+    // estimator): 1/alpha = (1/k) Σ_{i<=k} ln(X_(i) / X_(k+1)) over
+    // per-source token frequencies, k = 20. Same bounded-heap top-k
+    // cut as q113 (ties cannot move the value: a tie spanning the k
+    // boundary has X_(i) = X_(k+1), contributing ln 1 = 0); each ln is
+    // 6dp-quantized and decimal-summed [D2], so the estimate is exact
+    // up to the final double division. alpha NULL when the top-k is
+    // constant (denominator 0 — no tail information, and the output
+    // says so rather than Inf).
+    "q273_hill_tail" -> ((s, dir) => {
+      val cnt = srcTokens(s, dir).groupBy("source", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      val top = graft.plans.GraftOps.topKPerGroup(cnt, Seq(col("source")),
+        Seq(col("cnt").desc, col("tok").asc), HillK + 1, rankName = "rk")
+      val xk1 = top.filter(col("rk") === HillK + 1)
+        .select(col("source"), col("cnt").as("x_k1"))
+      val sm = top.filter(col("rk") <= HillK)
+        .groupBy("source")
+        .agg(count(lit(1)).as("k"),
+          sum(round(log(col("cnt").cast("double")), 6).cast(Dec))
+            .as("slog"))
+      sm.join(xk1, "source")
+        .withColumn("den",
+          col("slog").cast("double")
+            - col("k") * round(log(col("x_k1").cast("double")), 6))
+        .select(col("source"), col("k"), col("x_k1"),
+          round(col("den") / col("k"), 6).as("hill_inv6"),
+          round(Dets.safeDiv(col("k").cast("double"), col("den")), 6)
+            .as("alpha6"))
         .orderBy("source")
     }),
 
@@ -373,6 +414,38 @@ object CorpusStatsQueries {
          |         AS DECIMAL(38,6))) AS DOUBLE), 4) AS kl4
          |FROM st JOIN ct USING (tok) JOIN sn USING (source) CROSS JOIN tt
          |GROUP BY st.source
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    // same top-(k+1) cut, the Hill sum staged exactly as q113's moments
+    "q273_hill_tail" ->
+      s"""WITH c AS (
+         |  SELECT source, tok, COUNT(*) AS cnt
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY source, tok
+         |), top AS (
+         |  SELECT source, cnt,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY cnt DESC NULLS LAST, tok ASC NULLS FIRST) AS rk
+         |  FROM c
+         |  QUALIFY rk <= ${HillK + 1}
+         |), xk AS (
+         |  SELECT source, CAST(cnt AS BIGINT) AS x_k1 FROM top
+         |  WHERE rk = ${HillK + 1}
+         |), sm AS (
+         |  SELECT source, COUNT(*) AS k,
+         |         CAST(SUM(CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 6)
+         |                  AS DECIMAL(38,6))) AS DOUBLE) AS slog
+         |  FROM top WHERE rk <= $HillK GROUP BY source
+         |), d AS (
+         |  SELECT sm.source, sm.k, xk.x_k1,
+         |         sm.slog - sm.k * ROUND(ln(CAST(xk.x_k1 AS DOUBLE)), 6)
+         |           AS den
+         |  FROM sm JOIN xk USING (source))
+         |SELECT source, k, x_k1,
+         |       ROUND(den / k, 6) AS hill_inv6,
+         |       ROUND(CASE WHEN den != 0
+         |                  THEN CAST(k AS DOUBLE) / den END, 6) AS alpha6
+         |FROM d
          |ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "q113_zipf_slope" ->

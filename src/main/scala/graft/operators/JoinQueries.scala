@@ -160,7 +160,44 @@ object JoinQueries {
         t(s, dir, "part"), "p_partkey",
         jwPairs(s, dir).select(col("id_a").as("id_lo"),
           col("id_b").as("id_hi")))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // Golden-record survivorship — the MERGE that makes entity
+    // resolution useful: q205 matches, q215 clusters, this emits ONE
+    // canonical record per multi-member cluster under deterministic
+    // per-field survivorship rules (longest name with min-id
+    // tie-break, lexicographic-min brand, max size, min price, modal
+    // type with lexicographic tie-break). Scale shape: after the
+    // cluster labels (frontier-sized CC iterations, shared via the
+    // memoized pair table), survivorship is two keyed map-side-
+    // combinable aggs + one modal argmax through the bounded heap —
+    // nothing ever revisits the pair relation.
+    "q269_golden_record" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val cl = graft.api.DedupOps.clusterResolve(part, "p_partkey",
+        jwPairs(s, dir).select(col("id_a").as("id_lo"),
+          col("id_b").as("id_hi")))
+        .select("p_partkey", "cluster_id")
+      val m = part.join(cl, "p_partkey")
+      val base = m.groupBy("cluster_id").agg(
+        count(lit(1)).as("n_members"),
+        min(struct((-length(col("p_name"))).as("nl"),
+          col("p_partkey").as("id"), col("p_name").as("nm")))
+          .getField("nm").as("name_survivor"),
+        min("p_brand").as("brand_min"),
+        max("p_size").as("size_max"),
+        min("p_retailprice").as("price_min"))
+      val modal = m.groupBy("cluster_id", "p_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("cluster_id")
+        .agg(min(struct((-col("c")).as("nc"), col("p_type").as("t")))
+          .getField("t").as("type_modal"))
+      base.join(modal, "cluster_id")
+        .filter(col("n_members") >= 2)
+        .select("cluster_id", "n_members", "name_survivor", "brand_min",
+          "size_max", "price_min", "type_modal")
+        .orderBy("cluster_id")
+    })
   )
 
   /** q205/q215's blocked Jaro–Winkler match pairs: (brand, length-band)
@@ -296,6 +333,50 @@ object JoinQueries {
         |         AS keep
         |FROM reach GROUP BY node
         |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin,
+
+    // same recursive closure as q215 (both gate one resolution), then
+    // the survivorship rules as windows/aggs over the merged view
+    "q269_golden_record" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.p_partkey AS id_lo, b.p_partkey AS id_hi
+        |  FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |  WHERE a.p_partkey < b.p_partkey
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |    AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4)
+        |        >= 0.94),
+        |ed AS (SELECT id_lo AS src, id_hi AS dst FROM e
+        |       UNION SELECT id_hi, id_lo FROM e),
+        |reach(node, lab) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node),
+        |cl AS (SELECT node AS p_partkey, MIN(lab) AS cluster_id
+        |       FROM reach GROUP BY node),
+        |m AS (SELECT p.*, cl.cluster_id FROM part p JOIN cl USING (p_partkey)),
+        |base AS (
+        |  SELECT cluster_id, COUNT(*) AS n_members,
+        |         MIN(p_brand) AS brand_min,
+        |         MAX(p_size) AS size_max,
+        |         MIN(p_retailprice) AS price_min
+        |  FROM m GROUP BY 1),
+        |nm AS (
+        |  SELECT cluster_id, p_name AS name_survivor FROM (
+        |    SELECT cluster_id, p_name, ROW_NUMBER() OVER (
+        |      PARTITION BY cluster_id
+        |      ORDER BY length(p_name) DESC, p_partkey ASC) AS rn FROM m) z
+        |  WHERE rn = 1),
+        |tm AS (
+        |  SELECT cluster_id, p_type AS type_modal FROM (
+        |    SELECT cluster_id, p_type, ROW_NUMBER() OVER (
+        |      PARTITION BY cluster_id
+        |      ORDER BY COUNT(*) DESC, p_type ASC) AS rn
+        |    FROM m GROUP BY cluster_id, p_type) z
+        |  WHERE rn = 1)
+        |SELECT b.cluster_id, b.n_members, nm.name_survivor, b.brand_min,
+        |       b.size_max, b.price_min, tm.type_modal
+        |FROM base b JOIN nm USING (cluster_id) JOIN tm USING (cluster_id)
+        |WHERE b.n_members >= 2
+        |ORDER BY cluster_id ASC NULLS FIRST""".stripMargin,
 
     "q197_nullsafe_join" ->
       """WITH cust AS (

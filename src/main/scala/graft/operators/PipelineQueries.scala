@@ -293,6 +293,29 @@ object PipelineQueries {
         .select(col("o_orderkey"), col("o_totalprice"),
           round(col("skey") * 1e6, 4).as("skey_ppm"))),
 
+    // Curriculum interleave — the ORDER a training run consumes the
+    // curated corpus in: within each source rank docs best-first by
+    // the q72 quality score (doc_id tie-break), then the global
+    // training position interleaves sources round-robin by that rank
+    // (every source's best doc precedes any source's second-best), so
+    // early training sees the highest-quality, maximally source-mixed
+    // prefix. The per-source ranking is a keyed window (parallel in
+    // sources); the GLOBAL position runs through the partition-offset
+    // ranker (GlobalRank — no single-task window at any corpus size).
+    "q272_curriculum_order" -> ((s, dir) => {
+      val q = graft.api.TextOps.qualityScore(t(s, dir, "documents"), "text")
+        .filter(col("n_tok") >= 1)
+        .select(col("doc_id"), col("source"), col("quality"))
+      val ranked = q.withColumn("src_rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id").asc)))
+      graft.functions.GlobalRank.rowNumber(ranked,
+          Seq(col("src_rank").asc, col("source").asc))
+        .select(col("rn").as("train_pos"), col("doc_id"), col("source"),
+          col("src_rank"), col("quality").as("quality4"))
+        .orderBy("train_pos")
+    }),
+
     // Latest-wins upsert: compact the append-only event log to one row
     // per user — the newest event by (ts, event_id). Same semantics as
     // the incremental foreachBatch path (EventStreams.upsertSnapshot).
@@ -607,6 +630,30 @@ object PipelineQueries {
          |  FROM documents) x
          |WHERE rk <= quota
          |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
+
+    // the q72 quality formula (shared definition), keyed rank, then
+    // the interleave position over the unique (src_rank, source) order
+    "q272_curriculum_order" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tok,
+         |         CAST(len(${Sql.tokenSet("text")}) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |         ROUND(least(CAST(1 AS DOUBLE), n_tok / 50.0)
+         |               * (CAST(n_uniq AS DOUBLE) / n_tok), 4) AS quality4
+         |  FROM q WHERE n_tok >= 1),
+         |rk AS (
+         |  SELECT doc_id, source, quality4,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY quality4 DESC, doc_id ASC) AS INT) AS src_rank
+         |  FROM sc)
+         |SELECT ROW_NUMBER() OVER (ORDER BY src_rank ASC, source ASC)
+         |         AS train_pos,
+         |       doc_id, source, src_rank, quality4
+         |FROM rk
+         |ORDER BY train_pos ASC NULLS FIRST""".stripMargin,
 
     "q81_upsert_latest" ->
       """SELECT user_id, ts AS last_ts, event_type AS last_type,

@@ -232,6 +232,88 @@ object TextQueries {
         .orderBy("lang", "pred_lang")
     }),
 
+    // K-fold cross-validation of the q250 Naive Bayes language
+    // classifier — the EVAL the single 80/20 split cannot give (5
+    // accuracy measurements instead of 1, every doc scored exactly
+    // once as held-out). The trick that keeps it ONE-PASS: fold f's
+    // train counts are the COMPLEMENT cg − cf of two shared
+    // aggregations (global and per-fold token counts), so training
+    // never rescans the corpus per fold — the per-fold model tables
+    // are K× the vocabulary, built from one explode. Scoring rides
+    // the fold key through the token join (each held-out doc meets
+    // exactly its own fold's complement counts). Same decimal-staged
+    // ln quantization as q250 ([D2]) — fold accuracies are engine-
+    // and partition-invariant. Content-hash folds (q78 convention:
+    // charHash % 10 div 2 — deterministic, reproducible splits).
+    "q270_nb_crossval" -> ((s, dir) => {
+      val kf = 5
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("toks"),
+          expr(s"((${TextFunctions.charHash("text")}) % 10) div 2")
+            .as("fold"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .filter(col("n_tok") >= 1)
+      val occ = graft.Caches.persistTracked(
+        d.select(col("doc_id"), col("lang"), col("fold"),
+          explode(col("toks")).as("tok")))
+      val cf = graft.Caches.persistTracked(
+        occ.groupBy(col("lang").as("plang"), col("tok"), col("fold"))
+          .agg(count(lit(1)).as("c")))
+      val cg = cf.groupBy("plang", "tok").agg(sum("c").as("cg"))
+      val folds = s.range(0, kf).select(col("id").as("fold"))
+      val tc = graft.Caches.persistTracked(
+        cg.crossJoin(broadcast(folds))
+          .join(cf, Seq("plang", "tok", "fold"), "left")
+          .select(col("fold"), col("plang"), col("tok"),
+            (col("cg") - coalesce(col("c"), lit(0L))).as("tc"))
+          .filter(col("tc") > 0))
+      val tot = tc.groupBy("fold", "plang").agg(sum("tc").as("tot"))
+      val v = tc.groupBy("fold").agg(countDistinct("tok").as("v"))
+      val ndf = d.groupBy(col("fold"), col("lang").as("plang"))
+        .agg(count(lit(1)).as("ndf"))
+      val ndg = d.groupBy(col("lang").as("plang"))
+        .agg(count(lit(1)).as("ndg"))
+      val nf = d.groupBy("fold").agg(count(lit(1)).as("nf"))
+      val ng = d.agg(count(lit(1)).as("ng"))
+      val pri = ndg.crossJoin(broadcast(folds))
+        .join(ndf, Seq("plang", "fold"), "left")
+        .select(col("fold"), col("plang"),
+          (col("ndg") - coalesce(col("ndf"), lit(0L))).as("nd"))
+        .filter(col("nd") > 0)
+      val ntr = nf.crossJoin(broadcast(ng))
+        .select(col("fold"), (col("ng") - col("nf")).as("ntrain"))
+      val ls = pri.join(tot, Seq("fold", "plang"))
+        .join(broadcast(v), "fold").join(broadcast(ntr), "fold")
+        .select(col("fold"), col("plang"),
+          round(log(col("nd").cast("double") / col("ntrain")), 6)
+            .cast("decimal(12,6)").as("prior"),
+          round(log((col("tot") + col("v")).cast("double")), 6)
+            .cast("decimal(12,6)").as("pen"))
+      val seen = occ.join(tc, Seq("tok", "fold"))
+        .groupBy("doc_id", "plang")
+        .agg(sum(round(log((col("tc") + 1).cast("double")), 6)
+          .cast(Dec)).cast("decimal(26,6)").as("ssum"))
+      val sc = d.select(col("doc_id"), col("lang"), col("n_tok"),
+          col("fold"))
+        .join(broadcast(ls), Seq("fold"))
+        .join(seen, Seq("doc_id", "plang"), "left")
+        .withColumn("score",
+          coalesce(col("ssum"), lit(0).cast("decimal(26,6)"))
+            - col("n_tok").cast("decimal(12,0)") * col("pen")
+            + col("prior"))
+      sc.withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("plang").asc)))
+        .filter(col("rn") === 1)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("plang") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc4",
+          round(col("n_correct").cast("double") / col("n_test"), 4))
+        .orderBy("fold")
+    }),
+
     "q72_quality_score" -> ((s, dir) =>
       graft.api.TextOps.qualityScore(t(s, dir, "documents"), "text")
         .select("doc_id", "n_tok", "n_uniq", "ttr", "avg_tok_len", "quality")
@@ -435,6 +517,79 @@ object TextQueries {
          |FROM pr GROUP BY 1, 2
          |ORDER BY lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST"""
         .stripMargin,
+
+    // the fold key threads through every CTE: complement train counts
+    // from the shared global/per-fold aggs, scoring joins carry
+    // (tok, fold), the same q250 decimal ln staging
+    "q270_nb_crossval" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, toks,
+         |         CAST(len(toks) AS BIGINT) AS n_tok,
+         |         ((${Sql.charHash("text")}) % 10) // 2 AS fold
+         |  FROM (SELECT doc_id, lang, text, ${Sql.tokens("text")} AS toks
+         |        FROM documents) z
+         |  WHERE len(toks) >= 1),
+         |occ AS (SELECT doc_id, lang, fold, unnest(toks) AS tok FROM d),
+         |cf AS (SELECT lang AS plang, tok, fold, COUNT(*) AS c
+         |       FROM occ GROUP BY 1, 2, 3),
+         |cg AS (SELECT plang, tok, CAST(SUM(c) AS BIGINT) AS cg
+         |       FROM cf GROUP BY 1, 2),
+         |folds AS (SELECT unnest(range(0, 5)) AS fold),
+         |tc AS (
+         |  SELECT f.fold, g.plang, g.tok, g.cg - COALESCE(cf.c, 0) AS tc
+         |  FROM cg g CROSS JOIN folds f
+         |  LEFT JOIN cf ON cf.plang = g.plang AND cf.tok = g.tok
+         |              AND cf.fold = f.fold
+         |  WHERE g.cg - COALESCE(cf.c, 0) > 0),
+         |tot AS (SELECT fold, plang, CAST(SUM(tc) AS BIGINT) AS tot
+         |        FROM tc GROUP BY 1, 2),
+         |v AS (SELECT fold, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+         |      FROM tc GROUP BY 1),
+         |ndf AS (SELECT fold, lang AS plang, COUNT(*) AS ndf
+         |        FROM d GROUP BY 1, 2),
+         |ndg AS (SELECT lang AS plang, COUNT(*) AS ndg FROM d GROUP BY 1),
+         |nf AS (SELECT fold, COUNT(*) AS nf FROM d GROUP BY 1),
+         |ng AS (SELECT COUNT(*) AS ng FROM d),
+         |pri AS (
+         |  SELECT f.fold, g.plang, g.ndg - COALESCE(n.ndf, 0) AS nd
+         |  FROM ndg g CROSS JOIN folds f
+         |  LEFT JOIN ndf n ON n.plang = g.plang AND n.fold = f.fold
+         |  WHERE g.ndg - COALESCE(n.ndf, 0) > 0),
+         |ntr AS (SELECT nf.fold, ng.ng - nf.nf AS ntrain
+         |        FROM nf CROSS JOIN ng),
+         |ls AS (
+         |  SELECT p.fold, p.plang,
+         |         CAST(ROUND(ln(CAST(p.nd AS DOUBLE) / ntr.ntrain), 6)
+         |              AS DECIMAL(12,6)) AS prior,
+         |         CAST(ROUND(ln(CAST(t.tot + v.v AS DOUBLE)), 6)
+         |              AS DECIMAL(12,6)) AS pen
+         |  FROM pri p JOIN tot t ON t.fold = p.fold AND t.plang = p.plang
+         |  JOIN v ON v.fold = p.fold JOIN ntr ON ntr.fold = p.fold),
+         |seen AS (
+         |  SELECT o.doc_id, t.plang,
+         |         CAST(SUM(CAST(ROUND(ln(CAST(t.tc + 1 AS DOUBLE)), 6)
+         |                  AS DECIMAL(38,6))) AS DECIMAL(26,6)) AS ssum
+         |  FROM occ o JOIN tc t ON t.tok = o.tok AND t.fold = o.fold
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT d.doc_id, d.lang, d.fold, ls.plang,
+         |         COALESCE(seen.ssum, CAST(0 AS DECIMAL(26,6)))
+         |           - CAST(d.n_tok AS DECIMAL(12,0)) * ls.pen
+         |           + ls.prior AS score
+         |  FROM d JOIN ls ON ls.fold = d.fold
+         |  LEFT JOIN seen ON seen.doc_id = d.doc_id
+         |             AND seen.plang = ls.plang),
+         |pr AS (
+         |  SELECT fold, lang, plang FROM sc
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, plang ASC) = 1)
+         |SELECT fold, COUNT(*) AS n_test,
+         |       CAST(SUM(CASE WHEN plang = lang THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       ROUND(CAST(SUM(CASE WHEN plang = lang THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / COUNT(*), 4) AS acc4
+         |FROM pr GROUP BY fold
+         |ORDER BY fold ASC NULLS FIRST""".stripMargin,
 
     "q72_quality_score" ->
       s"""WITH q AS (
