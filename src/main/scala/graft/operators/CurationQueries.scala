@@ -122,6 +122,24 @@ object CurationQueries {
     // doc was dropped, not just that it was. The projection itself is
     // the shared TextOps.qualityRules — the same stateless expression
     // tree the streaming curation gate runs on an arriving stream.
+    // k-anonymity audit — the release-governance check a dataset runs
+    // before publication: group by the quasi-identifier tuple
+    // (lang, source, length band) and flag every class smaller than
+    // k = 5, whose members a re-identification join could single out.
+    // The audit emits ALL classes with sizes (the at-risk flag is the
+    // action signal; suppression/generalization would target those
+    // rows). One map-side-combinable agg over QI-bounded groups —
+    // constant output at any corpus size.
+    "q275_kanon_audit" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 200").as("len_band"))
+        .groupBy("lang", "source", "len_band")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("at_risk",
+          when(col("n_docs") < 5, 1).otherwise(0).cast("int"))
+        .orderBy("lang", "source", "len_band")),
+
     "q104_quality_rules" -> ((s, dir) =>
       graft.api.TextOps.qualityRules(t(s, dir, "documents"), "text")
         .select("doc_id", "n_tok", "flags", "keep")
@@ -660,6 +678,17 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // n_chars is non-negative so // matches Spark div here
+    "q275_kanon_audit" ->
+      """SELECT lang, source, n_chars // 200 AS len_band,
+        |       COUNT(*) AS n_docs,
+        |       CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS INT)
+        |         AS at_risk
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST,
+        |         len_band ASC NULLS FIRST""".stripMargin,
+
     "q235_quality_perceptron" -> perceptronOracleSql,
     "q237_quality_score_rollup" -> scoreRollupOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,

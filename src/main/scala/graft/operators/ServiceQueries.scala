@@ -197,6 +197,38 @@ object ServiceQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Point-in-time (as-of) dimension lookup — the feature-store join
+    // that makes the q135 SCD2 history USEFUL and leak-free: for each
+    // weekly snapshot date, each user's dimension version in effect
+    // (the state strictly as-of that date — never a later version, the
+    // label-leakage guarantee training pipelines need). Formulated as
+    // argmax(version | valid_from <= snapshot) — equivalent to the
+    // validity-interval predicate because versions are sequential, and
+    // it sidesteps NULL valid_to handling entirely. Scale shape: the
+    // 4-row calendar broadcasts into the dim (documented bounded
+    // cross), one (snapshot, user) argmax agg — the dim never
+    // self-joins; users whose first version postdates a snapshot are
+    // absent from that snapshot by construction.
+    "q274_pit_join" -> ((s, dir) => {
+      val svc = new graft.api.EtlService(s)
+      val dim = svc.scdHistory(t(s, dir, "events"), "user_id", "ts",
+        "event_id", Seq("event_type", "value"))
+      val snaps = s.range(1).select(explode(expr(
+        "array(timestamp_ntz'2024-01-08 00:00:00'," +
+          " timestamp_ntz'2024-01-15 00:00:00'," +
+          " timestamp_ntz'2024-01-22 00:00:00'," +
+          " timestamp_ntz'2024-01-29 00:00:00')")).as("snap_ts"))
+      dim.crossJoin(broadcast(snaps))
+        .filter(col("valid_from") <= col("snap_ts"))
+        .groupBy("snap_ts", "user_id")
+        .agg(max(struct(col("version"), col("event_type").as("et"),
+          col("value").as("v"))).as("a"))
+        .select(col("snap_ts"), col("user_id"),
+          col("a.version").as("version"), col("a.et").as("event_type"),
+          col("a.v").as("value"))
+        .orderBy("snap_ts", "user_id")
+    }),
+
     // Fulfillment-SLA endpoint: order-to-ship latency percentiles
     // (exact p50/p90/p99 days) per order priority. The join ships only
     // the two date columns + keys; percentiles run through the q44
@@ -433,6 +465,25 @@ object ServiceQueries {
         |FROM customer FULL OUTER JOIN ch USING (c_custkey)
         |WHERE op IS NULL OR op != 'D'
         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    // same versioning window as q135, then the as-of argmax per
+    // (snapshot, user)
+    "q274_pit_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, ts AS valid_from, event_type, value,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS INTEGER) AS version
+        |  FROM events),
+        |cal(snap_ts) AS (VALUES (TIMESTAMP '2024-01-08'),
+        |  (TIMESTAMP '2024-01-15'), (TIMESTAMP '2024-01-22'),
+        |  (TIMESTAMP '2024-01-29'))
+        |SELECT c.snap_ts, d.user_id, d.version, d.event_type, d.value
+        |FROM dim d CROSS JOIN cal c
+        |WHERE d.valid_from <= c.snap_ts
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c.snap_ts, d.user_id
+        |  ORDER BY d.version DESC) = 1
+        |ORDER BY snap_ts ASC NULLS FIRST, user_id ASC NULLS FIRST"""
+        .stripMargin,
 
     "q135_scd2_history" ->
       """SELECT user_id, version, valid_from, valid_to, is_current,

@@ -449,6 +449,49 @@ object StatsQueries {
           .as("df2"))
     }),
 
+    // A/B experiment readout — the product-analytics endpoint that
+    // closes the loop on deterministic hash assignment: users split
+    // into two arms by polyMix (the portable randomization unit — the
+    // SAME user lands in the SAME arm on any engine or cluster), the
+    // metric is per-user purchase revenue, and the report carries the
+    // three numbers an experimenter reads first: lift, the Welch
+    // t-statistic, and the sample-ratio-mismatch chi-square (the
+    // assignment-health check that catches a broken bucketing hash
+    // before anyone trusts the lift). Per-user revenue is a decimal
+    // sum ([D2]); the arm moments ride ONE map-side-combinable
+    // aggregate; every derived double comes from AbFormula strings
+    // shared verbatim with the oracle ([D3] — no hand-mirrored copy).
+    "q276_ab_lift" -> ((s, dir) => {
+      val pu = t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(round(sum(when(col("event_type") === "purchase",
+            round(col("value"), 6).cast(Dec)).otherwise(lit(0).cast(Dec)))
+          .cast("double"), 6).as("x"))
+        .withColumn("arm", pmod(GraphQueries.polyMix(
+          pmod(col("user_id"), lit(GraphQueries.HashM))), lit(2)))
+      val stats = pu.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("double")
+          .as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("double")
+          .as("nb"),
+        sum(when(col("arm") === 0, col("x").cast(Dec))
+          .otherwise(lit(0).cast(Dec))).cast("double").as("sa"),
+        sum(when(col("arm") === 1, col("x").cast(Dec))
+          .otherwise(lit(0).cast(Dec))).cast("double").as("sb"),
+        sum(when(col("arm") === 0, (col("x") * col("x")).cast(Dec))
+          .otherwise(lit(0).cast(Dec))).cast("double").as("sxa"),
+        sum(when(col("arm") === 1, (col("x") * col("x")).cast(Dec))
+          .otherwise(lit(0).cast(Dec))).cast("double").as("sxb"))
+      stats.select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        expr(AbFormula("mean_a4")).as("mean_a4"),
+        expr(AbFormula("mean_b4")).as("mean_b4"),
+        expr(AbFormula("lift4")).as("lift4"),
+        expr(AbFormula("t4")).as("t4"),
+        expr(AbFormula("srm_chi4")).as("srm_chi4"))
+    }),
+
     // Mann–Whitney U (rank-sum) test on quantities, returned vs kept,
     // with the exact tie-corrected normal approximation. Reuses q170's
     // integer 2·rank trick over the combined value histogram: 2·U and
@@ -557,7 +600,65 @@ object StatsQueries {
     })
   )
 
+  /** q276's derived-metric formulas over the double moment names
+    * (na, nb, sa, sb, sxa, sxb) — the q254 shared-text convention: the
+    * SAME strings run through Spark `expr()` and the DuckDB oracle, so
+    * the IEEE expression trees match by construction. Population
+    * variances; Welch t NULL when both arms are constant. */
+  private val AbFormula: Map[String, String] = {
+    val ma = "(sa / na)"
+    val mb = "(sb / nb)"
+    val va = s"(sxa / na - $ma * $ma)"
+    val vb = s"(sxb / nb - $mb * $mb)"
+    val se2 = s"($va / na + $vb / nb)"
+    val e = "((na + nb) / 2)"
+    Map(
+      "mean_a4" -> s"ROUND($ma, 4)",
+      "mean_b4" -> s"ROUND($mb, 4)",
+      "lift4" -> s"ROUND($mb - $ma, 4)",
+      "t4" -> (s"ROUND(CASE WHEN $se2 > 0 THEN ($mb - $ma) / sqrt($se2) " +
+        "END, 4)"),
+      "srm_chi4" -> (s"ROUND(((na - $e) * (na - $e) " +
+        s"+ (nb - $e) * (nb - $e)) / $e, 4)"))
+  }
+
   val oracle: Map[String, String] = Map(
+    // identical per-user decimal revenue staging, the same polyMix
+    // arm, the same one-row moment aggregate, the SAME formula text
+    "q276_ab_lift" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |         (${GraphQueries.polyMixSql(
+              GraphQueries.pmodSql("user_id"))}) % 2 AS arm,
+         |         ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+         |                THEN CAST(ROUND(value, 6) AS DECIMAL(38,6))
+         |                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE), 6)
+         |           AS x
+         |  FROM events WHERE user_id IS NOT NULL
+         |  GROUP BY 1, 2),
+         |st AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      AS na,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      AS nb,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sa,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sb,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x * x AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sxa,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x * x AS DECIMAL(38,6))
+         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sxb
+         |  FROM pu)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |       ${AbFormula("mean_a4")} AS mean_a4,
+         |       ${AbFormula("mean_b4")} AS mean_b4,
+         |       ${AbFormula("lift4")} AS lift4,
+         |       ${AbFormula("t4")} AS t4,
+         |       ${AbFormula("srm_chi4")} AS srm_chi4
+         |FROM st""".stripMargin,
+
     // the sampled-quantile replay: identical polyMix row predicate,
     // window cumulative sum over the value histogram, same integer
     // ceil thresholds — the picked prices are data values, no
