@@ -107,6 +107,34 @@ object PipelineOps {
       .drop("__cum")
   }
 
+  /** Token-budget mixture — the domain-mixing step when the budget is
+    * TOKENS, not documents (what a pretraining mix actually
+    * allocates): within each stratum, documents in the
+    * [[stratifiedSample]] spread-hash order are kept while the
+    * EXCLUSIVE cumulative token count stays below the stratum's
+    * budget — so the last kept document may overshoot by at most
+    * itself (the [[packTokens]] boundary convention; budgets are soft
+    * by ≤ 1 document, never silently hard-truncated mid-document).
+    * Appends (n_tok, cum_before). One keyed window per stratum —
+    * parallel in strata, reproducible on any engine or cluster. */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String, keyCol: String,
+    textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val mod = TextFunctions.HashMod
+    val spread = 2654435761L
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("__h").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tok",
+        size(TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("__h",
+        pmod(pmod(col(keyCol), lit(mod)) * spread, lit(mod)))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .drop("__h")
+  }
+
   /** Overlapping token-window chunking: split each document into windows
     * of `width` tokens every `stride` tokens (overlap = width − stride).
     * Returns one row per chunk: (id, chunk_id, n_in_chunk, fp) where

@@ -4,6 +4,7 @@ import graft.{Dets, Tables}
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions.Sql
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.12 corpus-curation operators (round 3) — the second tier of
@@ -122,6 +123,40 @@ object CurationQueries {
     // doc was dropped, not just that it was. The projection itself is
     // the shared TextOps.qualityRules — the same stateless expression
     // tree the streaming curation gate runs on an arriving stream.
+    // Quantile normalization of the quality score across sources — the
+    // batch-effect correction applied before mixing corpora: each
+    // source's raw score distribution maps onto the GLOBAL score
+    // distribution by rank (a doc at within-source quantile u gets the
+    // global score at quantile u), so a source whose scorer runs hot
+    // or cold stops distorting the mixture's quality cut. Pure rank
+    // arithmetic: global rank gr = ((2r−1)·N) div (2·n_s) + 1 — integer
+    // end to end, no interpolation formula to drift across engines;
+    // the normalized value is PICKED from the pool, never computed.
+    // Per-source ranks are keyed windows; the global pool ranking runs
+    // through the partition-offset GlobalRank (no single-task window).
+    "q279_quantile_norm" -> ((s, dir) => {
+      val sc = graft.api.TextOps
+        .qualityScore(t(s, dir, "documents"), "text")
+        .filter(col("n_tok") >= 1)
+        .select(col("doc_id"), col("source"), col("quality"))
+      val rk = sc.withColumn("r",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("quality").asc, col("doc_id").asc)))
+      val ns = sc.groupBy("source").agg(count(lit(1)).as("ns"))
+      val (pool, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        sc.select(col("quality"), col("doc_id")),
+        Seq(col("quality").asc, col("doc_id").asc))
+      val ref = pool.select(col("rn").as("gr"),
+        col("quality").as("norm_q4"))
+      rk.join(broadcast(ns), "source")
+        .withColumn("gr",
+          expr(s"((2 * r - 1) * ${n}L) div (2 * ns) + 1"))
+        .join(ref, "gr")
+        .select(col("doc_id"), col("source"),
+          col("quality").as("quality4"), col("norm_q4"))
+        .orderBy("doc_id")
+    }),
+
     // k-anonymity audit — the release-governance check a dataset runs
     // before publication: group by the quasi-identifier tuple
     // (lang, source, length band) and flag every class smaller than
@@ -678,6 +713,35 @@ object CurationQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the q72 quality formula, per-source and global rank CTEs, the
+    // same integer gr arithmetic, the picked pool value
+    "q279_quantile_norm" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tok,
+         |         CAST(len(${Sql.tokenSet("text")}) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |         ROUND(least(CAST(1 AS DOUBLE), n_tok / 50.0)
+         |               * (CAST(n_uniq AS DOUBLE) / n_tok), 4) AS quality4
+         |  FROM q WHERE n_tok >= 1),
+         |rk AS (
+         |  SELECT doc_id, source, quality4,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY quality4 ASC, doc_id ASC) AS r
+         |  FROM sc),
+         |ns AS (SELECT source, COUNT(*) AS ns FROM sc GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n FROM sc),
+         |pool AS (
+         |  SELECT quality4, ROW_NUMBER() OVER (
+         |    ORDER BY quality4 ASC, doc_id ASC) AS gr
+         |  FROM sc)
+         |SELECT rk.doc_id, rk.source, rk.quality4, p.quality4 AS norm_q4
+         |FROM rk JOIN ns USING (source) CROSS JOIN nt
+         |JOIN pool p ON p.gr = ((2 * rk.r - 1) * nt.n) // (2 * ns.ns) + 1
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     // n_chars is non-negative so // matches Spark div here
     "q275_kanon_audit" ->
       """SELECT lang, source, n_chars // 200 AS len_band,

@@ -304,6 +304,45 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Weighted modularity of the q230 label-propagation communities —
+    // the EVAL the community family lacked (q249 scores the
+    // classifier, q253 the recommender, q266 retrieval; this scores
+    // the partition): per community, node count, intra-community
+    // weight, weighted degree mass, and the modularity contribution
+    // w_in/W − (S_c/2W)², whose sum is Newman's Q. Every ingredient
+    // (W, w_in, S_c) is an exact integer sum over the SAME backbone +
+    // 2-round LPA as q230 — the only doubles are the final shared
+    // formula [D2]. Communities with no internal edge report w_in = 0
+    // (a negative contribution — the partition is charged for them).
+    // Scale: two label-keyed joins over the edge list + three keyed
+    // aggs; the 1-row total attaches broadcast (documented BNLJ).
+    "q280_modularity" -> ((s, dir) => {
+      val undw = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= LinkPredMinSupport)
+      val labels = graft.api.GraphOps
+        .labelPropagation(undw, "x", "y", "w", LpaIters)
+      val lx = labels.select(col("v").as("x"), col("label").as("lx"))
+      val ly = labels.select(col("v").as("y"), col("label").as("ly"))
+      val wtot = undw.agg(sum("w").as("tw"))
+      val win = undw.join(lx, "x").join(ly, "y")
+        .filter(col("lx") === col("ly"))
+        .groupBy(col("lx").as("label")).agg(sum("w").as("w_in"))
+      val deg = undw.select(col("x").as("v"), col("w"))
+        .unionAll(undw.select(col("y").as("v"), col("w")))
+        .join(labels, "v")
+        .groupBy("label").agg(sum("w").as("s_tot"))
+      labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        .join(deg, "label").join(win, Seq("label"), "left")
+        .na.fill(0L, Seq("w_in"))
+        .crossJoin(broadcast(wtot))
+        .select(col("label"), col("n_nodes"), col("w_in"), col("s_tot"),
+          round(col("w_in").cast("double") / col("tw")
+            - (col("s_tot").cast("double") / (col("tw") * 2))
+              * (col("s_tot").cast("double") / (col("tw") * 2)), 6)
+            .as("contrib6"))
+        .orderBy("label")
+    }),
+
     // Item-item collaborative filtering: weighted-Jaccard (Ruzicka)
     // similarity between part adjacency profiles on the w ≥ 2
     // backbone — "parts bought in the same baskets as yours", the
@@ -610,6 +649,33 @@ object GraphQueries {
   /** Three unrolled iterations of the identical update — every literal
     * cast to DOUBLE explicitly (DuckDB parses 0.85 as DECIMAL, which
     * would divide differently than Spark's double). */
+  /** q230/q280's shared oracle prefix: the w ≥ 2 co-purchase backbone
+    * (`und`/`ed`) and the 2-round unrolled label propagation ending in
+    * `r2(v, label)` — both keys gate ONE partition. */
+  private def lpaCteSql: String =
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |undw AS (
+       |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |und AS (SELECT x, y, w FROM undw WHERE w >= $LinkPredMinSupport),
+       |ed AS (SELECT x AS u, y AS v, w FROM und
+       |       UNION ALL SELECT y, x, w FROM und),
+       |l0 AS (SELECT DISTINCT u AS v, u AS label FROM ed),
+       |s1 AS (SELECT e.u AS v, l.label, SUM(e.w) AS s
+       |       FROM ed e JOIN l0 l ON l.v = e.v GROUP BY 1, 2),
+       |r1 AS (SELECT v, label FROM (
+       |         SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v
+       |           ORDER BY s DESC, label ASC) AS rn FROM s1)
+       |       WHERE rn = 1),
+       |s2 AS (SELECT e.u AS v, r.label, SUM(e.w) AS s
+       |       FROM ed e JOIN r1 r ON r.v = e.v GROUP BY 1, 2),
+       |r2 AS (SELECT v, label FROM (
+       |         SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v
+       |           ORDER BY s DESC, label ASC) AS rn FROM s2)
+       |       WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q153_pagerank" -> {
       def iter(prev: String, k: Int): String =
@@ -815,31 +881,38 @@ object GraphQueries {
     // weight sums, argmax via ROW_NUMBER with the same
     // (s DESC, label ASC) tie order as the Spark window
     "q230_label_prop" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |undw AS (
-         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
-         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-         |                     AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2),
-         |und AS (SELECT x, y, w FROM undw WHERE w >= $LinkPredMinSupport),
-         |ed AS (SELECT x AS u, y AS v, w FROM und
-         |       UNION ALL SELECT y, x, w FROM und),
-         |l0 AS (SELECT DISTINCT u AS v, u AS label FROM ed),
-         |s1 AS (SELECT e.u AS v, l.label, SUM(e.w) AS s
-         |       FROM ed e JOIN l0 l ON l.v = e.v GROUP BY 1, 2),
-         |r1 AS (SELECT v, label FROM (
-         |         SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v
-         |           ORDER BY s DESC, label ASC) AS rn FROM s1)
-         |       WHERE rn = 1),
-         |s2 AS (SELECT e.u AS v, r.label, SUM(e.w) AS s
-         |       FROM ed e JOIN r1 r ON r.v = e.v GROUP BY 1, 2),
-         |r2 AS (SELECT v, label FROM (
-         |         SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v
-         |           ORDER BY s DESC, label ASC) AS rn FROM s2)
-         |       WHERE rn = 1)
+      s"""WITH $lpaCteSql
          |SELECT label, COUNT(*) AS n_members FROM r2 GROUP BY 1
          |ORDER BY n_members DESC NULLS LAST, label ASC NULLS FIRST
          |LIMIT 20""".stripMargin,
+
+    // same backbone + LPA prefix as q230 (one partition gated twice),
+    // then exact-integer W / w_in / S_c and the shared Q formula
+    "q280_modularity" ->
+      s"""WITH $lpaCteSql,
+         |wt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM und),
+         |win AS (
+         |  SELECT lx.label, CAST(SUM(u.w) AS BIGINT) AS w_in
+         |  FROM und u JOIN r2 lx ON lx.v = u.x
+         |             JOIN r2 ly ON ly.v = u.y
+         |  WHERE lx.label = ly.label
+         |  GROUP BY 1),
+         |dg AS (
+         |  SELECT r2.label, CAST(SUM(e.w) AS BIGINT) AS s_tot
+         |  FROM ed e JOIN r2 ON r2.v = e.u
+         |  GROUP BY 1),
+         |nn AS (SELECT label, COUNT(*) AS n_nodes FROM r2 GROUP BY 1)
+         |SELECT nn.label, nn.n_nodes,
+         |       COALESCE(win.w_in, 0) AS w_in, dg.s_tot,
+         |       -- + 0 normalizes -0.0 (Spark round never emits it)
+         |       ROUND(CAST(COALESCE(win.w_in, 0) AS DOUBLE) / wt.tw
+         |             - (CAST(dg.s_tot AS DOUBLE) / (2 * wt.tw))
+         |               * (CAST(dg.s_tot AS DOUBLE) / (2 * wt.tw)), 6) + 0
+         |         AS contrib6
+         |FROM nn JOIN dg USING (label)
+         |LEFT JOIN win USING (label)
+         |CROSS JOIN wt
+         |ORDER BY label ASC NULLS FIRST""".stripMargin,
 
     // wedge replay with Σ min over common neighbours and the exact
     // integer half-up ratio — same backbone CTEs as q227/q230

@@ -55,6 +55,10 @@ object PipelineQueries {
 
   private val PackBudget = 2048L
   private val SampleK = 20
+
+  /** q277's per-source token budget — ~40% of a source's fixture
+    * token mass, so the cut is a real selection. */
+  private val TokBudget = 600L
   private val Spread = 2654435761L
   private val ChunkWidth = 100
   private val ChunkStride = 90
@@ -202,6 +206,34 @@ object PipelineQueries {
         t(s, dir, "documents"), "doc_id",
         TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
         .orderBy("doc_id")),
+
+    // Token-budget mixture — q92 mixes by DOCUMENT counts; a real
+    // pretraining mix allocates TOKENS per domain: each source keeps
+    // docs in the shared spread-hash order while its exclusive
+    // cumulative token count stays under the budget (soft by at most
+    // the last document — the q79 boundary convention, so no document
+    // is ever silently truncated mid-text). One keyed window per
+    // source, parallel in sources.
+    "q277_token_budget_mix" -> ((s, dir) =>
+      graft.api.PipelineOps.tokenBudgetMix(
+        t(s, dir, "documents"), "source", "doc_id", "text", TokBudget)
+        .select("source", "doc_id", "n_tok", "cum_before")
+        .orderBy("source", "doc_id")),
+
+    // Dedup observability — the report a curation run reads AFTER
+    // clustering: the near-dup cluster-size histogram (how much of the
+    // corpus is duplicated, and in what shape — many pairs vs a few
+    // giant components redistribute the dedup savings completely).
+    // Composes q77's clusters; two tiny aggs after the CC labels.
+    "q278_dedup_cluster_sizes" -> ((s, dir) =>
+      graft.api.DedupOps.clusterResolve(
+          t(s, dir, "documents"), "doc_id",
+          TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("cluster_size").as("n_docs"))
+        .orderBy("cluster_size")),
 
     // Chunking: fixed token windows (width 100, stride 90 = 10-token
     // overlap) per doc — the "split long documents into training
@@ -630,6 +662,44 @@ object PipelineQueries {
          |  FROM documents) x
          |WHERE rk <= quota
          |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin,
+
+    // same spread-hash order, exclusive window cumsum, soft-budget cut
+    "q277_token_budget_mix" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tok,
+         |         ((doc_id % ${TextFunctions.HashMod}) * $Spread)
+         |           % ${TextFunctions.HashMod} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |           ORDER BY h ASC, doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM d)
+         |SELECT source, doc_id, n_tok, cum_before
+         |FROM c WHERE cum_before < $TokBudget
+         |ORDER BY source ASC NULLS FIRST, doc_id ASC NULLS FIRST"""
+        .stripMargin,
+
+    // q77's recursive closure, then the size histogram
+    "q278_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${TextQueries.nearDupEdgeSql},
+         |ed AS (SELECT id_lo AS src, id_hi AS dst FROM e
+         |       UNION SELECT id_hi, id_lo FROM e),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node),
+         |cl AS (SELECT node, MIN(lab) AS cluster_id FROM reach
+         |       GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl
+         |       GROUP BY cluster_id)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size
+         |ORDER BY cluster_size ASC NULLS FIRST""".stripMargin,
 
     // the q72 quality formula (shared definition), keyed rank, then
     // the interleave position over the unique (src_rank, source) order
