@@ -252,6 +252,34 @@ case class JaroWinklerSim(left: Expression, right: Expression)
     l: Expression, r: Expression): JaroWinklerSim = copy(left = l, right = r)
 }
 
+/** graft_common_bytes(a, b): multiset common-byte count — the
+  * counting-filter primitive (TextHash.commonBytes): edit distance ≥
+  * max(chars) − common, so a blocked edit-distance join can discard
+  * most pairs in O(|a|+|b|) before any DP runs. */
+case class CommonByteCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_common_bytes expects (string, string), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.commonBytes(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHash.commonBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(
+    l: Expression, r: Expression): CommonByteCount = copy(left = l, right = r)
+}
+
 /** graft_jaro_winkler_gte(a, b, cutoff): [[JaroWinklerSim]] with a
   * literal score floor baked into the generated kernel call — sub-floor
   * pairs short-circuit through the O(|a|+|b|) common-byte bound

@@ -292,20 +292,17 @@ object TextHash {
     override def initialValue(): Array[Int] = new Array[Int](1)
   }
 
-  /** [[jaroWinkler]] with a caller-supplied score floor — the blocked
-    * fuzzy-join kernel (q205/q215): when a cheap O(|a|+|b|) common-byte
-    * bound proves the score cannot reach `cutoff`, returns 0.0 without
-    * running the O(|a|·window) match loop, else returns the exact
-    * [[jaroWinkler]]. Sound because every JW match consumes one equal
-    * byte on each side, so matches ≤ Σ_byte min(cntA, cntB) = c, and
-    * jw ≤ boost((c/|a| + c/|b| + 1)/3) is monotone in the match count;
-    * callers must only rely on values ≥ cutoff (everything below maps
-    * to 0.0). On the q205 candidate distribution the bound prunes
-    * ~98% of pairs (measured at sf0.1). */
-  def jaroWinklerGte(a: UTF8String, b: UTF8String, cutoff: Double): Double = {
+  /** Multiset common-byte count |bag(a) ∩ bag(b)| via the thread-local
+    * stamped histograms — zero steady-state allocation, O(|a|+|b|).
+    * The "counting filter" primitive of the similarity-join
+    * literature: edit distance ≥ max(chars(a), chars(b)) − common
+    * (each edit fixes at most one character, and common BYTES ≥
+    * common chars, so the byte form is a conservative bound for any
+    * UTF-8 input), and Jaro matches ≤ common. */
+  def commonBytes(a: UTF8String, b: UTF8String): Int = {
     val n = a.numBytes
     val m = b.numBytes
-    if (n == 0 || m == 0) return 0.0
+    if (n == 0 || m == 0) return 0
     val hist = tlHist.get()
     val stamp = tlStamp.get()
     val gen = tlGen.get()
@@ -327,6 +324,24 @@ object TextHash {
       if (stamp(x) == g && hist(x) > 0) { hist(x) -= 1; c += 1 }
       i += 1
     }
+    c
+  }
+
+  /** [[jaroWinkler]] with a caller-supplied score floor — the blocked
+    * fuzzy-join kernel (q205/q215): when a cheap O(|a|+|b|) common-byte
+    * bound proves the score cannot reach `cutoff`, returns 0.0 without
+    * running the O(|a|·window) match loop, else returns the exact
+    * [[jaroWinkler]]. Sound because every JW match consumes one equal
+    * byte on each side, so matches ≤ Σ_byte min(cntA, cntB) = c, and
+    * jw ≤ boost((c/|a| + c/|b| + 1)/3) is monotone in the match count;
+    * callers must only rely on values ≥ cutoff (everything below maps
+    * to 0.0). On the q205 candidate distribution the bound prunes
+    * ~98% of pairs (measured at sf0.1). */
+  def jaroWinklerGte(a: UTF8String, b: UTF8String, cutoff: Double): Double = {
+    val n = a.numBytes
+    val m = b.numBytes
+    if (n == 0 || m == 0) return 0.0
+    val c = commonBytes(a, b)
     val jub = (c.toDouble / n + c.toDouble / m + 1.0) / 3.0
     val ub = if (jub > 0.7) jub + 0.4 * (1.0 - jub) else jub
     if (ub < cutoff) 0.0 else jaroWinkler(a, b)

@@ -196,7 +196,8 @@ object GraftFunctions {
       NGramFold(es(0), intLit(es(1), "graft_ngram_hashes n"))),
     "graft_jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     "graft_jaro_winkler_gte" -> (es => JaroWinklerGte(es(0), es(1),
-      doubleLit(es(2), "graft_jaro_winkler_gte cutoff")))
+      doubleLit(es(2), "graft_jaro_winkler_gte cutoff"))),
+    "graft_common_bytes" -> (es => CommonByteCount(es(0), es(1)))
   )
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -108,8 +108,18 @@ object JoinQueries {
       a.join(b, Seq("p_brand", "band"))
         .filter(col("id_a") < col("id_b") &&
           abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
+        // counting filter first: ed >= max(chars) - common multiset
+        // bytes, an O(|a|+|b|) bound that discards most pairs before
+        // any DP runs (the q205 prefilter pattern; conservative for
+        // any UTF-8 input since common bytes >= common chars)
+        .filter(greatest(length(col("name_a")), length(col("name_b")))
+          - expr("graft_common_bytes(name_a, name_b)") <= 2)
+        // then the 3-arg threshold form: banded O(d·n) DP returning -1
+        // past the cap instead of filling the full O(n·m) matrix —
+        // kept rows carry the exact distance, so the output (and
+        // oracle) are unchanged
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
         .select(col("p_brand"), col("id_a"), col("id_b"), col("dist"))
         .orderBy("p_brand", "id_a", "id_b")
     }),

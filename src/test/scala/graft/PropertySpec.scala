@@ -174,6 +174,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("counting filter: commonBytes matches the multiset reference and " +
+    "lower-bounds edit distance") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def ref(a: String, b: String): Int = {
+      val ca = a.getBytes("UTF-8").groupBy(identity).map {
+        case (k, v) => k -> v.length
+      }
+      b.getBytes("UTF-8").groupBy(identity).map { case (k, v) =>
+        math.min(v.length, ca.getOrElse(k, 0))
+      }.sum
+    }
+    val word = Gen.listOfN(9, Gen.oneOf('a', 'b', 'c', 'z')).map(_.mkString)
+    val base = cases(word, 40)
+    val pairs = base.zip(base.reverse) ++
+      base.map(w => (w, w.dropRight(2) + "qq")) ++
+      Seq(("émile", "émilé"), ("", "x"), ("abc", "abc"))
+    for ((a, b) <- pairs)
+      assert(graft.functions.TextHash.commonBytes(u(a), u(b)) == ref(a, b),
+        s"commonBytes($a, $b)")
+    // the q141 prefilter's soundness: ed >= max(chars) - commonBytes,
+    // so no true ed <= d pair is ever discarded — checked against
+    // Spark's own levenshtein
+    val df = pairs.toDF("a", "b").select(col("a"), col("b"),
+        levenshtein(col("a"), col("b")).as("ed"),
+        (greatest(length(col("a")), length(col("b")))
+          - expr("graft_common_bytes(a, b)")).as("bound"))
+      .collect()
+    for (r <- df)
+      assert(r.getInt(3) <= r.getInt(2),
+        s"bound ${r.getInt(3)} > ed ${r.getInt(2)} for " +
+          s"(${r.getString(0)}, ${r.getString(1)})")
+  }
+
   test("score-floored jaro-winkler never loses an above-floor pair") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
