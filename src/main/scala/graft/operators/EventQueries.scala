@@ -20,6 +20,26 @@ object EventQueries {
     Tables.load(s, dir, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Freshness / staleness monitor — the ingestion-health endpoint a
+    // pipeline dashboard polls: per event type the last-seen event
+    // time, the lag in whole minutes behind the freshest stream, and
+    // the row volume. Lag is EXACT integer microsecond arithmetic
+    // (epoch-µs difference, truncating minute division — no calendar
+    // boundary-crossing semantics to diverge between engines). One
+    // map-side-combinable agg; the 1-row global max attaches
+    // broadcast (documented BNLJ).
+    "q282_freshness_lag" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy("event_type")
+        .agg(max("ts").as("mx"), count(lit(1)).as("n_events"))
+      per.crossJoin(broadcast(per.agg(max("mx").as("gmax"))))
+        .select(col("event_type"), tsOut(col("mx")).as("last_ts"),
+          expr("(unix_micros(gmax) - unix_micros(mx)) div 60000000L")
+            .as("lag_min"),
+          col("n_events"))
+        .orderBy("event_type")
+    }),
+
     "q50_win_tumbling" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -200,6 +220,19 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same epoch-µs integer lag arithmetic
+    "q282_freshness_lag" ->
+      """WITH per AS (
+        |  SELECT event_type, MAX(ts) AS mx, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MAX(mx) AS gmax FROM per)
+        |SELECT per.event_type, per.mx AS last_ts,
+        |       (epoch_us(g.gmax) - epoch_us(per.mx)) // 60000000
+        |         AS lag_min,
+        |       per.n_events
+        |FROM per CROSS JOIN g
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
     "q50_win_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       COUNT(*) AS n,

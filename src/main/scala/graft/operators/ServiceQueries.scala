@@ -197,6 +197,53 @@ object ServiceQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Data-quality check suite AS DATA — the dbt-test /
+    // great-expectations analog every warehouse load runs before
+    // publishing: each assertion is one aggregate emitting
+    // (check_name, n_violations, n_total, rate), so the QA report is
+    // itself a queryable relation (and a zero-violation check is a
+    // ROW saying so, not an absence). Five checks: null keys,
+    // referential orphans (anti-join count), primary-key duplicates
+    // (count − distinct count), domain violations, future-dated rows.
+    // Each check is one map-side-combinable pass over its table; the
+    // orphan check's anti join is the only shuffle and it ships keys
+    // only. Zero-violation rows are the fixture's health certificate.
+    "q281_dq_checks" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val part = t(s, dir, "part")
+      def check(name: String, viol: DataFrame => org.apache.spark.sql.Column,
+        src: DataFrame): DataFrame =
+        src.agg(viol(src).as("n_violations"),
+            count(lit(1)).as("n_total"))
+          .select(lit(name).as("check_name"), col("n_violations"),
+            col("n_total"),
+            round(col("n_violations").cast("double") / col("n_total"), 4)
+              .as("rate4"))
+      val nullKeys = check("events_user_id_null",
+        _ => sum(when(col("user_id").isNull, 1L).otherwise(0L)), ev)
+      val orphans = check("lineitem_orphan_orderkey",
+        _ => sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+        li.select("l_orderkey")
+          .join(ord.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left"))
+      val pkDup = li.agg(count(lit(1)).as("n_total"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
+        .select(lit("lineitem_pk_duplicate").as("check_name"),
+          (col("n_total") - col("nd")).as("n_violations"), col("n_total"),
+          round((col("n_total") - col("nd")).cast("double")
+            / col("n_total"), 4).as("rate4"))
+      val domain = check("part_retailprice_nonpositive",
+        _ => sum(when(col("p_retailprice") <= 0, 1L).otherwise(0L)), part)
+      val future = check("orders_future_date",
+        _ => sum(when(col("o_orderdate") > lit("2026-01-01"), 1L)
+          .otherwise(0L)), ord)
+      nullKeys.unionByName(orphans).unionByName(pkDup)
+        .unionByName(domain).unionByName(future)
+        .orderBy("check_name")
+    }),
+
     // Point-in-time (as-of) dimension lookup — the feature-store join
     // that makes the q135 SCD2 history USEFUL and leak-free: for each
     // weekly snapshot date, each user's dimension version in effect
@@ -465,6 +512,46 @@ object ServiceQueries {
         |FROM customer FULL OUTER JOIN ch USING (c_custkey)
         |WHERE op IS NULL OR op != 'D'
         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    // each check as one aggregate, unioned — a zero-violation check
+    // emits its row in both engines
+    "q281_dq_checks" ->
+      """WITH nullkeys AS (
+        |  SELECT 'events_user_id_null' AS check_name,
+        |         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violations,
+        |         COUNT(*) AS n_total
+        |  FROM events),
+        |orph AS (
+        |  SELECT 'lineitem_orphan_orderkey',
+        |         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+        |              END) AS BIGINT),
+        |         COUNT(*)
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |pkdup AS (
+        |  SELECT 'lineitem_pk_duplicate',
+        |         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)),
+        |         COUNT(*)
+        |  FROM lineitem),
+        |dom AS (
+        |  SELECT 'part_retailprice_nonpositive',
+        |         CAST(SUM(CASE WHEN p_retailprice <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT),
+        |         COUNT(*)
+        |  FROM part),
+        |fut AS (
+        |  SELECT 'orders_future_date',
+        |         CAST(SUM(CASE WHEN o_orderdate > TIMESTAMP '2026-01-01'
+        |              THEN 1 ELSE 0 END) AS BIGINT),
+        |         COUNT(*)
+        |  FROM orders),
+        |u AS (SELECT * FROM nullkeys UNION ALL SELECT * FROM orph
+        |      UNION ALL SELECT * FROM pkdup UNION ALL SELECT * FROM dom
+        |      UNION ALL SELECT * FROM fut)
+        |SELECT check_name, n_violations, n_total,
+        |       ROUND(CAST(n_violations AS DOUBLE) / n_total, 4) AS rate4
+        |FROM u ORDER BY check_name ASC NULLS FIRST""".stripMargin,
 
     // same versioning window as q135, then the as-of argmax per
     // (snapshot, user)
