@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
 object CorpusStatsQueries {
   import Dets._
 
+  /** q283's per-half drift list depth. */
+  private val DriftK = 20
+
   /** q273's Hill order-statistic depth — the fixture's per-source
     * vocabulary is ~31 types (deliberately shared), so the order
     * statistics must sit inside it; a natural corpus would run k in
@@ -145,6 +148,31 @@ object CorpusStatsQueries {
           round(Dets.safeDiv(col("k").cast("double"), col("den")), 6)
             .as("alpha6"))
         .orderBy("source")
+    }),
+
+    // Vocabulary drift monitor — the distribution-shift check between
+    // two corpus slices (here the deterministic doc_id parity halves;
+    // in production, yesterday vs today): each half's top-20 tokens by
+    // frequency, full-outer-joined on the token so the report shows
+    // rank movement (delta), new entrants (rank_a NULL) and dropouts
+    // (rank_b NULL) in one relation. Token counts collapse map-side to
+    // the (half, vocabulary) grid; the top-20 cut is the bounded-heap
+    // operator; the drift join touches ≤ 40 rows at any corpus size.
+    "q283_vocab_drift" -> ((s, dir) => {
+      val cnt = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(2)).as("half"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("half", "tok").agg(count(lit(1)).as("cnt"))
+      val top = graft.plans.GraftOps.topKPerGroup(cnt, Seq(col("half")),
+        Seq(col("cnt").desc, col("tok").asc), DriftK, rankName = "rk")
+      val a = top.filter(col("half") === 0)
+        .select(col("tok"), col("rk").as("rank_a"))
+      val b = top.filter(col("half") === 1)
+        .select(col("tok"), col("rk").as("rank_b"))
+      a.join(b, Seq("tok"), "full_outer")
+        .select(col("tok"), col("rank_a"), col("rank_b"),
+          (col("rank_a") - col("rank_b")).as("delta"))
+        .orderBy("tok")
     }),
 
     // First BPE merge step: adjacent character-pair counts over the word
@@ -415,6 +443,26 @@ object CorpusStatsQueries {
          |FROM st JOIN ct USING (tok) JOIN sn USING (source) CROSS JOIN tt
          |GROUP BY st.source
          |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    // two ROW_NUMBER top-20 CTEs on the parity halves + FULL OUTER
+    "q283_vocab_drift" ->
+      s"""WITH c AS (
+         |  SELECT doc_id % 2 AS half, tok, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY 1, 2
+         |), top AS (
+         |  SELECT half, tok,
+         |         ROW_NUMBER() OVER (PARTITION BY half
+         |           ORDER BY cnt DESC NULLS LAST, tok ASC NULLS FIRST)
+         |           AS rk
+         |  FROM c
+         |  QUALIFY rk <= $DriftK
+         |), a AS (SELECT tok, rk AS rank_a FROM top WHERE half = 0),
+         |b AS (SELECT tok, rk AS rank_b FROM top WHERE half = 1)
+         |SELECT COALESCE(a.tok, b.tok) AS tok, a.rank_a, b.rank_b,
+         |       a.rank_a - b.rank_b AS delta
+         |FROM a FULL OUTER JOIN b ON a.tok = b.tok
+         |ORDER BY tok ASC NULLS FIRST""".stripMargin,
 
     // same top-(k+1) cut, the Hill sum staged exactly as q113's moments
     "q273_hill_tail" ->
