@@ -483,11 +483,7 @@ object VectorQueries {
     // per round one broadcast m·ksub centroid-literal kernel over the
     // subvector table (no join) + one (j, code, dim) partial agg with
     // a bounded m·ksub·subdim driver fold — see PqOps.pqIntTrain.
-    "q267_pq_trace" -> ((s, dir) =>
-      graft.Caches.memo(s, s"pqint:$dir:trace") {
-        graft.api.PqOps.pqIntTrain(t(s, dir, "embeddings"), "vec_id",
-          "embedding", 64, PqTrM, PqTrK, PqTrIters)._1
-      }),
+    "q267_pq_trace" -> ((s, dir) => pqIntArtifacts(s, dir)._1),
 
     // ADC ranking in EXACT integer units over q267's trained model,
     // ORACLE-GATED — the second half of the PQ trust anchor: the
@@ -498,11 +494,59 @@ object VectorQueries {
     // the oracle verifies codebooks, encoding AND ranking end-to-end.
     "q268_pq_adc_int" -> ((s, dir) =>
       graft.Caches.memo(s, s"pqint:$dir:adc") {
+        val (_, cents, codes) = pqIntArtifacts(s, dir)
+        graft.api.PqOps.pqIntAdcTopK(t(s, dir, "embeddings"), "vec_id",
+          "embedding", 64, PqTrM, cents, codes, PqTrProbes, PqTrTopK)
+      }),
+
+    // ANN recall, ORACLE-GATED — the eval that completes the q267/q268
+    // trust story: per probe, how many of the integer-ADC top-10
+    // (q268) sit in the EXACT integer-L2 top-10 over the same
+    // milli-quantized vectors. The float ANN tier's recall lives in
+    // spec floors (RecallAuditSpec); here both ranking and ground
+    // truth are bit-replayable, so the recall TABLE itself is
+    // hash-gated — a zero-overlap probe reports a row saying so
+    // ([D5] truncating permille). Measured at sf0.01: 100/100/0 ‰ —
+    // honestly LOW, and that is the point: the q267 geometry (4
+    // subspaces × 8 codes) is sized for oracle-replayable TRACE
+    // gating, not retrieval quality; the production operating point
+    // is q132's 16×16 layout at 0.833 overlap (RecallAuditSpec floor
+    // 0.8). This key gates the MEASUREMENT machinery bit-exactly so
+    // the production floors rest on an eval that is itself verified.
+    // Exact side: broadcast 3-probe integer kernel over one corpus
+    // scan, bounded-heap top-10 (documented broadcast-tiny BNLJ).
+    "q284_adc_recall" -> ((s, dir) =>
+      graft.Caches.memo(s, s"pqint:$dir:recall") {
         val emb = t(s, dir, "embeddings")
-        val (_, cents, codes) = graft.api.PqOps.pqIntTrain(emb,
-          "vec_id", "embedding", 64, PqTrM, PqTrK, PqTrIters)
-        graft.api.PqOps.pqIntAdcTopK(emb, "vec_id", "embedding", 64,
-          PqTrM, cents, codes, PqTrProbes, PqTrTopK)
+        val (_, cents, codes) = pqIntArtifacts(s, dir)
+        val adc = graft.api.PqOps.pqIntAdcTopK(emb, "vec_id",
+            "embedding", 64, PqTrM, cents, codes, PqTrProbes, PqTrTopK)
+          .select(col("probe_id"), col("vec_id"))
+        val q = emb.select(col("vec_id").cast("long").as("id"),
+            expr("transform(embedding, x -> " +
+              "cast(floor(cast(x as double) * 1000L) as bigint))")
+              .as("e"))
+          .filter(col("e").isNotNull)
+        val probes = q.filter(col("id") < PqTrProbes)
+          .select(col("id").as("probe_id"), col("e").as("pe"))
+        val exact = graft.plans.GraftOps.topKPerGroup(
+          broadcast(probes).join(q, col("id") =!= col("probe_id"))
+            .select(col("probe_id"), col("id"),
+              expr("aggregate(zip_with(pe, e, " +
+                "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+                .as("d")),
+          Seq(col("probe_id")), Seq(col("d").asc, col("id").asc),
+          PqTrTopK)
+          .select(col("probe_id"), col("id").as("vec_id"))
+        val ov = adc.join(exact, Seq("probe_id", "vec_id"), "left_semi")
+          .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+        probes.select("probe_id")
+          .join(ov, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            expr(s"coalesce(n_overlap, 0L) * 1000L div $PqTrTopK")
+              .as("recall_permille"))
+          .orderBy("probe_id")
       })
   )
 
@@ -529,6 +573,26 @@ object VectorQueries {
   private[graft] val IvfPqCells = 8
   private[graft] val IvfPqNprobe = 6
   private[graft] val IvfPqShortK = 48
+
+  /** The q267/q268/q284 integer-PQ training artifacts (trace, cents,
+    * codes) from ONE training run per (session, dir): memo's build is
+    * by-name, so on the first access a single pqIntTrain call fills
+    * the shared `built` slot for all three keys; every later access in
+    * the session hits the cache — the Caches.memo one-training-run
+    * convention (q132/q235) applied to a multi-output trainer. */
+  private def pqIntArtifacts(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    var built: Option[(DataFrame, DataFrame, DataFrame)] = None
+    def b(i: Int): DataFrame = {
+      if (built.isEmpty)
+        built = Some(graft.api.PqOps.pqIntTrain(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 64, PqTrM, PqTrK, PqTrIters))
+      built.get.productElement(i).asInstanceOf[DataFrame]
+    }
+    (graft.Caches.memo(s, s"pqint:$dir:trace")(b(0)),
+      graft.Caches.memo(s, s"pqint:$dir:cents")(b(1)),
+      graft.Caches.memo(s, s"pqint:$dir:codes")(b(2)))
+  }
 
   /** q267/q268's integer-trace PQ layout: 4 subspaces of 16 dims,
     * 8 codes each, 3 Lloyd rounds, milli-unit quantization; q268
@@ -1057,7 +1121,55 @@ object VectorQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |    ORDER BY adc ASC, vec_id ASC) AS rn FROM adc) z
          |WHERE rn <= $PqTrTopK
-         |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
+         |ORDER BY probe_id ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+
+    // the q268 chain (shared prefix again) + the exact integer-L2
+    // ranking over the same quantized vectors + the overlap count —
+    // the recall table replayed end to end
+    "q284_adc_recall" ->
+      s"""WITH $pqTraceCteSql,
+         |pe AS (SELECT vec_id AS probe_id, j, sv FROM sv
+         |       WHERE vec_id < $PqTrProbes),
+         |pd AS (
+         |  SELECT pe.probe_id, pe.j, c.code,
+         |         CAST(list_sum(list_transform(range(1, ${64 / PqTrM + 1}),
+         |           i -> (pe.sv[i] - c.c[i]) * (pe.sv[i] - c.c[i])))
+         |           AS BIGINT) AS pd
+         |  FROM pe JOIN c$PqTrIters c ON pe.j = c.j),
+         |adc AS (
+         |  SELECT pd.probe_id, a.vec_id, CAST(SUM(pd.pd) AS BIGINT) AS adc
+         |  FROM a$PqTrIters a JOIN pd ON pd.j = a.j AND pd.code = a.code
+         |  WHERE a.vec_id != pd.probe_id
+         |  GROUP BY 1, 2),
+         |adcr AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY adc ASC, vec_id ASC) AS rn FROM adc) z
+         |  WHERE rn <= $PqTrTopK),
+         |exd AS (
+         |  SELECT p.vec_id AS probe_id, o.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> (p.e[i] - o.e[i]) * (p.e[i] - o.e[i])))
+         |           AS BIGINT) AS d
+         |  FROM e p JOIN e o ON p.vec_id < $PqTrProbes
+         |                   AND o.vec_id != p.vec_id),
+         |exr AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY d ASC, vec_id ASC) AS rn FROM exd) z
+         |  WHERE rn <= $PqTrTopK),
+         |ov AS (
+         |  SELECT a.probe_id, COUNT(*) AS n_overlap
+         |  FROM adcr a JOIN exr x ON x.probe_id = a.probe_id
+         |                        AND x.vec_id = a.vec_id
+         |  GROUP BY 1)
+         |SELECT p.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |       COALESCE(ov.n_overlap, 0) * 1000 // $PqTrTopK
+         |         AS recall_permille
+         |FROM (SELECT vec_id AS probe_id FROM e
+         |      WHERE vec_id < $PqTrProbes) p
+         |LEFT JOIN ov ON ov.probe_id = p.probe_id
+         |ORDER BY p.probe_id ASC NULLS FIRST""".stripMargin
   )
 
   /** q267/q268's shared oracle prefix: quantize → slice into PqTrM
