@@ -23,11 +23,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** Per-line history from the PREVIOUS BENCH_DETAIL at the same path
+    * (the committed idle sweep, in the driver's round flow): key →
+    * seconds for both q-keys and shared: lines. Empty when the file is
+    * absent/unreadable — the history trigger then just never fires. */
+  private def readHistory(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))
+      "\"((?:q|shared:)[A-Za-z0-9_]+)\":(-?[0-9]+(?:\\.[0-9]+)?)".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val loadPre = loadavg()
     val calibPre = calibMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    // idle history must be read BEFORE this run overwrites the file
+    val history = readHistory(detailPath)
     // GraftSession also pins the UTC session timezone — without it a
     // non-UTC box would plan different timestamp predicate boundaries
     // than the verified runs and benchmark a different workload
@@ -43,7 +60,20 @@ object Bench {
     SparkEntry.queries.get("q20_agg_pricing").foreach { f =>
       try f(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Memo-prime phase: build every cross-key shared memo FIRST, each
+    // timed under its own stable `shared:<name>` label — per-key lines
+    // below are then memo-warm by definition instead of charging family
+    // build costs to whichever key sweeps first (the r11 q153/q118/q267
+    // attribution finding). The shared lines are real work and count in
+    // the total, so totals stay comparable across rounds.
+    def primeShared(): Seq[(String, Double)] =
+      SharedMemos.primes(sfDir).map { case (label, prime) =>
+        val t0 = System.nanoTime()
+        val ok = try { prime(spark); true } catch { case _: Throwable => false }
+        label -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val shared = primeShared()
+    val perKey = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must read as -1, not as its time-to-failure —
       // otherwise a regression that throws early looks like a speedup
@@ -51,6 +81,7 @@ object Bench {
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = shared ++ perKey
     // The driver keeps only a ~3 KB tail of stdout; with 94 queries the
     // full-name map overflowed it and the line arrived unparseable
     // (BENCH_r02 `parsed: null`), and by 258 keys even the short-key map
@@ -59,7 +90,8 @@ object Bench {
     // companion file and the inline line carries only the worst-N slice
     // (the lines a reader triages first) next to the totals + telemetry.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    def shortKey(k: String): String =
+      if (k.startsWith("shared:")) k else k.takeWhile(_ != '_')
     val qs = results.filter(_._2 >= 0).sortBy(-_._2).take(InlineWorstN)
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -76,34 +108,53 @@ object Bench {
       if (v.isNaN) "null" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // Pollution SELF-DEFENSE (round 10; detection alone was not enough —
     // BENCH_r09 shipped a 2x-inflated official total that the telemetry
-    // flagged but could not correct): when the single-threaded
-    // calibration drifted > 15% across the sweep, the box was contended
-    // at some point, so re-measure the WORST-N lines once and emit both
-    // timings. The re-run rides a second calibration (calib_ms_re) so a
-    // reader can tell whether the re-measure itself ran idle; the
-    // headline total also gets a "value_requeried" companion with the
-    // re-measured lines substituted. Bounded: N queries, one run each.
+    // flagged but could not correct). Three independent triggers, each a
+    // contention mode a previous round actually shipped polluted:
+    //  (a) calib drift > 15% across the sweep — CPU contention DURING
+    //      the run (the r10 trigger);
+    //  (b) loadavg_pre > 1.5 — scheduler load already queued at run
+    //      START, which calib drift misses (BENCH_r11 shipped 6 keys at
+    //      2-6x idle truth with calib drift only -8%);
+    //  (c) any line at > 2.5x its committed idle history AND > 1s over
+    //      it — the per-key symptom itself, caught against the previous
+    //      BENCH_DETAIL at this path (absent file → trigger inert).
     val drift = math.max(calibPre, calibPost) /
       math.max(1e-9, math.min(calibPre, calibPost))
+    val load1 = loadPre.headOption.getOrElse(Double.NaN)
+    val hotVsHistory = results.filter { case (k, v) =>
+      v >= 0 && history.get(k).exists(h => h > 0 && v > 2.5 * h && v - h > 1.0)
+    }.map(_._1)
     // GRAFT_BENCH_FORCE_REQUERY exercises the re-measure branch on an
     // idle box (used by the JSON smoke check; also a manual lever)
     val forced = sys.env.contains("GRAFT_BENCH_FORCE_REQUERY")
-    val doRequery = forced || !(drift.isNaN || drift <= 1.15)
-    // the re-measure must NOT ride the first pass's warm session caches
-    // (memoized pair tables, persistTracked relations) — a cache-hit
-    // timing would systematically understate a genuinely clean run, so
-    // release the session's working set first; each re-measured query
-    // then pays its own (re)build, an honest per-line upper bound
-    if (doRequery) graft.operators.TextQueries.clearCaches(spark)
+    val trigger =
+      if (forced) "forced"
+      else if (!(drift.isNaN || drift <= 1.15)) "calib_drift"
+      else if (!load1.isNaN && load1 > 1.5) "loadavg_pre"
+      else if (hotVsHistory.nonEmpty) "vs_history"
+      else ""
+    val doRequery = trigger.nonEmpty
+    // The re-measure mirrors the main sweep's semantics exactly: clear
+    // the session's working set ONCE, re-prime the shared memos (their
+    // rebuild cost lands on re-emitted shared: lines), then re-run the
+    // selected keys memo-warm — so every requeried line is comparable
+    // 1:1 to its main-sweep line and to the idle history. Selected =
+    // history-hot lines plus the worst-10, capped to bound the rerun.
     val requeried: Seq[(String, Double)] =
       if (!doRequery) Seq.empty
-      else results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-        .map { case (name, _) =>
+      else {
+        graft.operators.TextQueries.clearCaches(spark)
+        val reShared = primeShared()
+        val wanted = (hotVsHistory ++
+          results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1))
+          .distinct.filter(_.startsWith("q")).take(15)
+        reShared ++ wanted.map { name =>
           val t0 = System.nanoTime()
           val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
             catch { case _: Throwable => false }
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
+      }
     val calibRe = if (requeried.isEmpty) Double.NaN else calibMs()
     val reJson =
       if (requeried.isEmpty) ""
@@ -115,26 +166,27 @@ object Bench {
         val totalRe = results.map { case (k, v) =>
           reMap.getOrElse(k, v)
         }.filter(_ >= 0).sum
-        s""""requeried":$m,"calib_ms_re":${fl(calibRe)},""" +
+        s""""requeried":$m,"requery_trigger":"$trigger",""" +
+          s""""calib_ms_re":${fl(calibRe)},""" +
           s""""value_requeried":${f3(totalRe)},"""
       }
     val tele = s""""loadavg_pre":[${loadPre.map(fl).mkString(",")}],""" +
       s""""loadavg_post":[${loadPost.map(fl).mkString(",")}],""" +
       s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}""" +
       s""",$reJson""".stripSuffix(",")
-    // the companion artifact: the FULL per-query map under its full key
-    // names (the inline line only carries the worst-N slice), plus the
-    // same telemetry — written before the inline print so a teardown
-    // failure cannot eat it
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
+    // the companion artifact: the FULL per-line map under full names —
+    // shared: prime lines first, then every query key (the inline line
+    // only carries the worst-N slice) — plus the same telemetry;
+    // written before the inline print so a teardown failure cannot eat
+    // it. n_queries stays the per-KEY count (the round-over-round
+    // coverage number); the shared prime lines ride n_shared.
     try {
       val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"sf":"$sfEsc","n_queries":${results.size},""" +
-          s""""queries":$fullQs,"unit":"sec",$tele,""" +
-          s""""metric":"total","value":${f3(total)}}""" + "\n")
+        s"""{"sf":"$sfEsc","n_queries":${perKey.size},""" +
+          s""""n_shared":${shared.size},"queries":$fullQs,"unit":"sec",""" +
+          s"""$tele,"metric":"total","value":${f3(total)}}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
@@ -149,14 +201,15 @@ object Bench {
       graft.operators.TextQueries.clearCaches(spark)
       spark.stop()
     } finally {
-      println(s"""{"sf":"$sfEsc","n_queries":${results.size},"queries_inline":"worst$InlineWorstN","detail_file":"$detailPath","queries":$qs,"unit":"sec",$tele,"metric":"total","value":${f3(total)}}""")
+      println(s"""{"sf":"$sfEsc","n_queries":${perKey.size},"n_shared":${shared.size},"queries_inline":"worst$InlineWorstN","detail_file":"$detailPath","queries":$qs,"unit":"sec",$tele,"metric":"total","value":${f3(total)}}""")
       System.out.flush()
     }
   }
 
-  /** How many per-query lines ride the inline JSON (worst-first): 25
-    * short keys ≈ 0.4 KB, leaving the driver's ~3 KB stdout tail ample
-    * room for the totals + telemetry that must survive capture; the
-    * full map lives in the `detail_file` companion. */
+  /** How many per-line entries ride the inline JSON (worst-first, both
+    * q-keys and shared: lines): 25 short keys ≈ 0.5 KB, leaving the
+    * driver's ~3 KB stdout tail ample room for the totals + telemetry
+    * that must survive capture; the full map lives in the
+    * `detail_file` companion. */
   private val InlineWorstN = 25
 }

@@ -703,6 +703,12 @@ object PqOps {
           .as("__h"))
       .orderBy(col("__h").asc, col("id").asc).limit(ksub)
       .collect().map(_.getLong(0))
+    // with fewer usable rows than ksub the codebooks would be missing
+    // (j, code) keys and the assign kernel would die later with an
+    // opaque NoSuchElementException — fail at the draw, with the count
+    require(seedIds.length == ksub,
+      s"pqIntTrain needs >= ksub=$ksub rows with non-null embeddings " +
+        s"to seed each subspace codebook; corpus yielded ${seedIds.length}")
     val seedRank = seedIds.zipWithIndex.toMap
     var cents: Map[(Int, Int), Array[Long]] =
       sv.filter(col("id").isin(seedIds.map(Long.box): _*)).collect()

@@ -173,6 +173,18 @@ object GraftFunctions {
       s"$what must be a numeric literal, got $other")
   }
 
+  /** doubleLit constrained to a finite [0, 1] similarity cutoff: the
+    * consumers interpolate the value into generated Java as `${v}D`,
+    * where a NaN/Infinity literal becomes invalid source (`NaND`) that
+    * only fails at codegen compile — reject at registration instead. */
+  private def unitDoubleLit(e: Expression, what: String): Double = {
+    val v = doubleLit(e, what)
+    if (v.isNaN || v < 0.0 || v > 1.0)
+      throw new IllegalArgumentException(
+        s"$what must be a finite value in [0, 1], got $v")
+    v
+  }
+
   /** Name → expression builder for the whole graft function family —
     * single source of truth for both registration paths (the runtime
     * registry fallback below and the SparkSessionExtensions injector). */
@@ -196,7 +208,7 @@ object GraftFunctions {
       NGramFold(es(0), intLit(es(1), "graft_ngram_hashes n"))),
     "graft_jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     "graft_jaro_winkler_gte" -> (es => JaroWinklerGte(es(0), es(1),
-      doubleLit(es(2), "graft_jaro_winkler_gte cutoff"))),
+      unitDoubleLit(es(2), "graft_jaro_winkler_gte cutoff"))),
     "graft_common_bytes" -> (es => CommonByteCount(es(0), es(1)))
   )
 

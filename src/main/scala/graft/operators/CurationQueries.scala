@@ -150,7 +150,14 @@ object CurationQueries {
         col("quality").as("norm_q4"))
       rk.join(broadcast(ns), "source")
         .withColumn("gr",
-          expr(s"((2 * r - 1) * ${n}L) div (2 * ns) + 1"))
+          // the (2r−1)·N product is staged through decimal(38,0): as
+          // int64 it wraps silently once the corpus passes ~2.1e9
+          // scored docs (r and N both ~N); IntegralDivide on decimals
+          // still returns BIGINT, so gr's type — and the join — are
+          // unchanged. All operands are positive, so div == floor and
+          // the DuckDB HUGEINT replay agrees bit for bit.
+          expr(s"((2 * cast(r as decimal(38,0)) - 1) * ${n}L)" +
+            " div (2 * ns) + 1"))
         .join(ref, "gr")
         .select(col("doc_id"), col("source"),
           col("quality").as("quality4"), col("norm_q4"))
@@ -509,7 +516,7 @@ object CurationQueries {
   /** The q235 training trace, memoized per (session, dir) via
     * Caches.memo — a tiny (PercIters + 1)-row frame, but each build is
     * PercIters + 1 full corpus passes. */
-  private def percTrace(s: SparkSession, dir: String): DataFrame =
+  private[graft] def percTrace(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"perc:$dir:$PercIters") {
       graft.api.MlOps.perceptronTrace(
         graft.api.TextOps.qualityFeatures(t(s, dir, "documents"), "text"),
@@ -739,7 +746,8 @@ object CurationQueries {
          |  FROM sc)
          |SELECT rk.doc_id, rk.source, rk.quality4, p.quality4 AS norm_q4
          |FROM rk JOIN ns USING (source) CROSS JOIN nt
-         |JOIN pool p ON p.gr = ((2 * rk.r - 1) * nt.n) // (2 * ns.ns) + 1
+         |JOIN pool p ON p.gr =
+         |  ((2 * CAST(rk.r AS HUGEINT) - 1) * nt.n) // (2 * ns.ns) + 1
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     // n_chars is non-negative so // matches Spark div here

@@ -216,7 +216,7 @@ object JoinQueries {
     * Memoized per (session, dir) — q205 and q215 share one evaluation
     * of the 8 M-pair kernel scan instead of paying it each
     * (the TextQueries pair-table convention). */
-  private def jwPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def jwPairs(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"join.jwpairs:$dir")(jwPairsBuild(s, dir))
 
   private def jwPairsBuild(s: SparkSession, dir: String): DataFrame = {

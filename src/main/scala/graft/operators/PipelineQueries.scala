@@ -47,7 +47,7 @@ object PipelineQueries {
     * q118 LSH) run in one gate session, so the corpus tokenizes once
     * per (session, dir) instead of four times. Released by
     * [[graft.operators.TextQueries.clearCaches]]. */
-  private def docsTok(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsTok(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"pipeline.docstok:$dir") {
       t(s, dir, "documents").select(col("doc_id"), col("source"),
         TextFunctions.tokens(col("text")).as("__tk"))

@@ -42,7 +42,7 @@ object TextQueries {
     * score) — q71 emits them joined to the truth labels and q120
     * aggregates them into the confusion matrix, so the profile build +
     * scoring join materialize once per session. */
-  private def langPred(s: SparkSession, dir: String): DataFrame =
+  private[graft] def langPred(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"text.langpred:$dir") {
       graft.api.TextOps.languageId(
         t(s, dir, "documents"), "doc_id", "text", "lang")

@@ -252,14 +252,7 @@ object VectorQueries {
     // trains once and pays only the search stage per invocation.
     "q132_pq_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val mk = s"pq:$dir:64:$PqM:$PqKsub:$PqIters"
-      val cb = graft.Caches.memo(s, s"$mk:cb") {
-        graft.api.PqOps.pqCodebooks(
-          emb, "vec_id", "embedding", 64, PqM, PqKsub, PqIters)
-      }
-      val codes = graft.Caches.memo(s, s"$mk:codes") {
-        graft.api.PqOps.pqEncode(emb, "vec_id", "embedding", 64, PqM, cb)
-      }
+      val (cb, codes) = pqProdArtifacts(s, dir)
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.api.PqOps.pqSearch(codes, cb, emb, "vec_id", "embedding",
@@ -282,25 +275,7 @@ object VectorQueries {
     // per invocation after the first.
     "q134_ivfpq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val mk = s"ivfpq:$dir:64:$IvfPqCells:4:$PqM:$PqKsub:$PqIters"
-      val cells = graft.Caches.memo(s, s"$mk:cells") {
-        graft.sources.IvfIndex.kmeansCells(
-          emb, "vec_id", "embedding", IvfPqCells, 4, 64)
-      }
-      val cents = graft.Caches.memo(s, s"$mk:cents") {
-        graft.api.PqOps.cellCentroids(emb, "vec_id", "embedding", 64, cells)
-      }
-      val res = graft.Caches.memo(s, s"$mk:res") {
-        graft.api.PqOps.residuals(emb, "vec_id", "embedding", cells, cents)
-      }
-      val cb = graft.Caches.memo(s, s"$mk:cb") {
-        graft.api.PqOps.pqCodebooks(res, "id", "res", 64, PqM, PqKsub,
-          PqIters)
-      }
-      val codes = graft.Caches.memo(s, s"$mk:codes") {
-        graft.api.PqOps.pqEncode(res, "id", "res", 64, PqM, cb)
-          .join(res.select("id", "cell"), Seq("id"))
-      }
+      val (cents, cb, codes) = ivfPqArtifacts(s, dir)
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       graft.api.PqOps.ivfPqSearchWith(cents, cb, codes, emb, "vec_id",
@@ -580,7 +555,56 @@ object VectorQueries {
     * the shared `built` slot for all three keys; every later access in
     * the session hits the cache — the Caches.memo one-training-run
     * convention (q132/q235) applied to a multi-output trainer. */
-  private def pqIntArtifacts(s: SparkSession, dir: String)
+  /** q132's PQ training artifacts (codebooks, encoded corpus), memoized
+    * per (session, dir, layout). Shared between the q132 query body and
+    * the bench memo-prime registry ([[graft.SharedMemos]]) so the
+    * training build is charged to its own `shared:` line, not to
+    * whichever key sweeps first. */
+  private[graft] def pqProdArtifacts(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    val mk = s"pq:$dir:64:$PqM:$PqKsub:$PqIters"
+    val cb = graft.Caches.memo(s, s"$mk:cb") {
+      graft.api.PqOps.pqCodebooks(
+        emb, "vec_id", "embedding", 64, PqM, PqKsub, PqIters)
+    }
+    val codes = graft.Caches.memo(s, s"$mk:codes") {
+      graft.api.PqOps.pqEncode(emb, "vec_id", "embedding", 64, PqM, cb)
+    }
+    (cb, codes)
+  }
+
+  /** q134's IVF+PQ training artifacts (cell centroids, residual
+    * codebooks, cell-tagged codes), memoized per (session, dir,
+    * layout) — same sharing contract as [[pqProdArtifacts]]. The
+    * intermediate cells/residual frames stay memoized too: the
+    * codebook/code builds read them lazily on first materialization. */
+  private[graft] def ivfPqArtifacts(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    val mk = s"ivfpq:$dir:64:$IvfPqCells:4:$PqM:$PqKsub:$PqIters"
+    val cells = graft.Caches.memo(s, s"$mk:cells") {
+      graft.sources.IvfIndex.kmeansCells(
+        emb, "vec_id", "embedding", IvfPqCells, 4, 64)
+    }
+    val cents = graft.Caches.memo(s, s"$mk:cents") {
+      graft.api.PqOps.cellCentroids(emb, "vec_id", "embedding", 64, cells)
+    }
+    val res = graft.Caches.memo(s, s"$mk:res") {
+      graft.api.PqOps.residuals(emb, "vec_id", "embedding", cells, cents)
+    }
+    val cb = graft.Caches.memo(s, s"$mk:cb") {
+      graft.api.PqOps.pqCodebooks(res, "id", "res", 64, PqM, PqKsub,
+        PqIters)
+    }
+    val codes = graft.Caches.memo(s, s"$mk:codes") {
+      graft.api.PqOps.pqEncode(res, "id", "res", 64, PqM, cb)
+        .join(res.select("id", "cell"), Seq("id"))
+    }
+    (cents, cb, codes)
+  }
+
+  private[graft] def pqIntArtifacts(s: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
     var built: Option[(DataFrame, DataFrame, DataFrame)] = None
     def b(i: Int): DataFrame = {
