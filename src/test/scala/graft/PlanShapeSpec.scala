@@ -162,6 +162,53 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         s"build side is verified bounded and listed) in: $undocumented")
   }
 
+  test("every unpartitioned WindowExec site is a documented dimension-" +
+    "bounded post-agg window") {
+    // The BNLJ-allowlist move applied to the other scale-red class
+    // (r11 verdict item 2): a window with an EMPTY partition spec
+    // funnels its whole input through one task, which is a scale
+    // killer on an unbounded relation — but is the intended plan on a
+    // dimension-bounded one (a share-of-total over a handful of
+    // post-agg group rows, a final top-k cut over an already-k-bounded
+    // frame). Every site below was hand-audited: the windowed relation
+    // is bounded by a GROUP BY over a fixed-cardinality dimension, a
+    // preceding top-k/limit, or a constant-size trace — NOT by the
+    // corpus. A NEW key planning a global window fails here until its
+    // input is verified bounded and the site is listed; a listed key
+    // that stops planning one must leave the list (the list is exact,
+    // so it cannot rot into superstition).
+    // The nine audited sites, by bound class:
+    //  - calendar-day series (rows ≤ days in the data's time range):
+    //    q142 daily user growth, q160 gap fill, q203 CUSUM;
+    //  - value-domain histograms (rows ≤ distinct values of a bounded
+    //    numeric domain, collapsed by a hash agg BEFORE the global
+    //    cumSum/prefixMax): q143 skyline (retailprice), q161 ABC
+    //    (revenue cents), q173 KS (price cents), q174 decile lift
+    //    (score cents), q186 Mann-Whitney (quantity);
+    //  - fixed-dimension post-agg totals: q89 share-of-total over the
+    //    (returnflag, type-bucket) group rows.
+    val allowed = Set(
+      "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
+      "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
+      "q203_cusum_shift", "q89_svc_partshare")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, Sf).queryExecution.executedPlan
+        val global = collectWithSubqueries(plan) {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(name) else None
+    }.toSet
+    assert((offenders -- allowed).isEmpty,
+      s"UNDOCUMENTED global window (single-task at scale until its " +
+        s"input is verified dimension-bounded and listed) in: " +
+        s"${(offenders -- allowed).toSeq.sorted}")
+    assert((allowed -- offenders).isEmpty,
+      s"allowlisted keys no longer plan a global window (prune the " +
+        s"list): ${(allowed -- offenders).toSeq.sorted}")
+  }
+
   test("q207 year filter resolves as a partition filter (directory pruning)") {
     val p = planOf("q207_partition_prune")
     assert(p.contains("PartitionFilters"), p.take(2000))
