@@ -36,8 +36,7 @@ object SharedMemos {
     // q167/q171)
     "shared:copurchase_pairw" ->
       (s => force(operators.CoPurchase.pairW(s, dir))),
-    // q132 PQ production-layout training (codebooks + encoded corpus);
-    // also consumed by q285's recall measurement
+    // q132 PQ production-layout training (codebooks + encoded corpus)
     "shared:pq_prod_train" -> (s => {
       val (cb, codes) = operators.VectorQueries.pqProdArtifacts(s, dir)
       force(cb); force(codes)

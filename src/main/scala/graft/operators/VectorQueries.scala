@@ -522,6 +522,61 @@ object VectorQueries {
             expr(s"coalesce(n_overlap, 0L) * 1000L div $PqTrTopK")
               .as("recall_permille"))
           .orderBy("probe_id")
+      }),
+
+    // The q284 recall machinery at q132's PRODUCTION geometry (16
+    // subspaces × 16 codes × 4 Lloyd rounds) and q132's TWO-STAGE
+    // search — ADC shortlist of 32, exact re-rank, top-3 — so the
+    // production operating point's top-3 overlap is a hash-gated
+    // TABLE, not only a spec floor (r11 verdict item 6). Everything
+    // is integer-exact on milli-quantized vectors: training replayed
+    // by the same parameterized oracle CTE generator as q267, the
+    // shortlist by integer ADC, the re-rank and the ground truth by
+    // exact integer L2 with (d asc, id asc) tie-breaks. The re-rank
+    // stage is why this tracks q132's 0.833 floor story rather than
+    // q284's honestly-low raw-ADC permilles: ADC only has to land the
+    // true top-3 anywhere in the 32-shortlist. Scale shape = q132:
+    // codes equi-join per subspace, bounded-heap top-k, probes
+    // broadcast; the exact side's corpus-scan BNLJ is the documented
+    // ground-truth anchor, not the production path.
+    "q285_adc_recall_prod" -> ((s, dir) =>
+      graft.Caches.memo(s, s"pqprodint:$dir:recall") {
+        val emb = t(s, dir, "embeddings")
+        val (_, cents, codes) = pqProdIntArtifacts(s, dir)
+        val short = graft.api.PqOps.pqIntAdcTopK(emb, "vec_id",
+            "embedding", 64, PqPrM, cents, codes, PqPrProbes, PqPrShortK)
+          .select(col("probe_id"), col("vec_id"))
+        val q = emb.select(col("vec_id").cast("long").as("id"),
+            expr("transform(embedding, x -> " +
+              "cast(floor(cast(x as double) * 1000L) as bigint))")
+              .as("e"))
+          .filter(col("e").isNotNull)
+        val probes = q.filter(col("id") < PqPrProbes)
+          .select(col("id").as("probe_id"), col("e").as("pe"))
+        val dExpr = expr("aggregate(zip_with(pe, e, " +
+          "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+        val rerank = graft.plans.GraftOps.topKPerGroup(
+          short.join(q, col("vec_id") === col("id"))
+            .join(broadcast(probes), Seq("probe_id"))
+            .select(col("probe_id"), col("id"), dExpr.as("d")),
+          Seq(col("probe_id")), Seq(col("d").asc, col("id").asc),
+          PqPrTopK)
+          .select(col("probe_id"), col("id").as("vec_id"))
+        val exact = graft.plans.GraftOps.topKPerGroup(
+          broadcast(probes).join(q, col("id") =!= col("probe_id"))
+            .select(col("probe_id"), col("id"), dExpr.as("d")),
+          Seq(col("probe_id")), Seq(col("d").asc, col("id").asc),
+          PqPrTopK)
+          .select(col("probe_id"), col("id").as("vec_id"))
+        val ov = rerank.join(exact, Seq("probe_id", "vec_id"), "left_semi")
+          .groupBy("probe_id").agg(count(lit(1)).as("n_overlap"))
+        probes.select("probe_id")
+          .join(ov, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            expr(s"coalesce(n_overlap, 0L) * 1000L div $PqPrTopK")
+              .as("recall_permille"))
+          .orderBy("probe_id")
       })
   )
 
@@ -549,12 +604,6 @@ object VectorQueries {
   private[graft] val IvfPqNprobe = 6
   private[graft] val IvfPqShortK = 48
 
-  /** The q267/q268/q284 integer-PQ training artifacts (trace, cents,
-    * codes) from ONE training run per (session, dir): memo's build is
-    * by-name, so on the first access a single pqIntTrain call fills
-    * the shared `built` slot for all three keys; every later access in
-    * the session hits the cache — the Caches.memo one-training-run
-    * convention (q132/q235) applied to a multi-output trainer. */
   /** q132's PQ training artifacts (codebooks, encoded corpus), memoized
     * per (session, dir, layout). Shared between the q132 query body and
     * the bench memo-prime registry ([[graft.SharedMemos]]) so the
@@ -604,18 +653,35 @@ object VectorQueries {
     (cents, cb, codes)
   }
 
+  /** The q267/q268/q284 integer-PQ training artifacts (trace, cents,
+    * codes) from ONE training run per (session, dir): memo's build is
+    * by-name, so on the first access a single pqIntTrain call fills
+    * the shared `built` slot for all three keys; every later access in
+    * the session hits the cache — the Caches.memo one-training-run
+    * convention (q132/q235) applied to a multi-output trainer. */
   private[graft] def pqIntArtifacts(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) =
+    pqIntArtifactsAt(s, dir, "pqint", PqTrM, PqTrK, PqTrIters)
+
+  /** q285's integer-PQ training at the q132 PRODUCTION geometry —
+    * same one-training-run memo convention under its own key prefix. */
+  private[graft] def pqProdIntArtifacts(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) =
+    pqIntArtifactsAt(s, dir, "pqprodint", PqPrM, PqPrK, PqPrIters)
+
+  private def pqIntArtifactsAt(s: SparkSession, dir: String,
+    prefix: String, m: Int, k: Int, iters: Int)
   : (DataFrame, DataFrame, DataFrame) = {
     var built: Option[(DataFrame, DataFrame, DataFrame)] = None
     def b(i: Int): DataFrame = {
       if (built.isEmpty)
         built = Some(graft.api.PqOps.pqIntTrain(t(s, dir, "embeddings"),
-          "vec_id", "embedding", 64, PqTrM, PqTrK, PqTrIters))
+          "vec_id", "embedding", 64, m, k, iters))
       built.get.productElement(i).asInstanceOf[DataFrame]
     }
-    (graft.Caches.memo(s, s"pqint:$dir:trace")(b(0)),
-      graft.Caches.memo(s, s"pqint:$dir:cents")(b(1)),
-      graft.Caches.memo(s, s"pqint:$dir:codes")(b(2)))
+    (graft.Caches.memo(s, s"$prefix:$dir:trace")(b(0)),
+      graft.Caches.memo(s, s"$prefix:$dir:cents")(b(1)),
+      graft.Caches.memo(s, s"$prefix:$dir:codes")(b(2)))
   }
 
   /** q267/q268's integer-trace PQ layout: 4 subspaces of 16 dims,
@@ -628,6 +694,20 @@ object VectorQueries {
   private[graft] val PqTrM = 4
   private[graft] val PqTrK = 8
   private[graft] val PqTrIters = 3
+
+  /** q285's layout = q132's production geometry (16 subspaces × 16
+    * codes × 4 Lloyd rounds), trained INTEGER-exactly so the recall
+    * measurement of the production operating point is itself a
+    * hash-gated table (r11 verdict item 6): 10 probes, the q132
+    * two-stage search (ADC shortlist 32 → exact re-rank → top-3)
+    * against the exact integer-L2 top-3 over the same quantized
+    * vectors. */
+  private[graft] val PqPrM = 16
+  private[graft] val PqPrK = 16
+  private[graft] val PqPrIters = 4
+  private[graft] val PqPrProbes = 10
+  private[graft] val PqPrShortK = 32
+  private[graft] val PqPrTopK = 3
   private[graft] val PqTrProbes = 3
   private[graft] val PqTrTopK = 10
 
@@ -1115,7 +1195,7 @@ object VectorQueries {
     // truncating centroid means, one CTE block per Lloyd round —
     // the q247 unroll with the subspace id threaded through every key
     "q267_pq_trace" ->
-      s"""WITH $pqTraceCteSql
+      s"""WITH ${pqTraceCteSql()}
          |SELECT round, j, code, n_vecs, inertia FROM (
          |  ${(1 to PqTrIters).map(r => s"SELECT * FROM t$r")
               .mkString(" UNION ALL ")}) u
@@ -1127,7 +1207,7 @@ object VectorQueries {
     // table against the final centroids, summed per (probe, vector)
     // through the final codes, ranked asc with id tie-break
     "q268_pq_adc_int" ->
-      s"""WITH $pqTraceCteSql,
+      s"""WITH ${pqTraceCteSql()},
          |pe AS (SELECT vec_id AS probe_id, j, sv FROM sv
          |       WHERE vec_id < $PqTrProbes),
          |pd AS (
@@ -1151,7 +1231,7 @@ object VectorQueries {
     // ranking over the same quantized vectors + the overlap count —
     // the recall table replayed end to end
     "q284_adc_recall" ->
-      s"""WITH $pqTraceCteSql,
+      s"""WITH ${pqTraceCteSql()},
          |pe AS (SELECT vec_id AS probe_id, j, sv FROM sv
          |       WHERE vec_id < $PqTrProbes),
          |pd AS (
@@ -1193,20 +1273,87 @@ object VectorQueries {
          |FROM (SELECT vec_id AS probe_id FROM e
          |      WHERE vec_id < $PqTrProbes) p
          |LEFT JOIN ov ON ov.probe_id = p.probe_id
+         |ORDER BY p.probe_id ASC NULLS FIRST""".stripMargin,
+
+    // the q284 replay at the production layout, with q132's two-stage
+    // search inserted between ADC and the overlap: shortlist 32 by
+    // summed sub-distances, exact integer re-rank to top-3, ground
+    // truth the exact integer-L2 top-3 — one parameterized CTE
+    // generator serves both geometries
+    "q285_adc_recall_prod" ->
+      s"""WITH ${pqTraceCteSql(PqPrM, PqPrK, PqPrIters)},
+         |pe AS (SELECT vec_id AS probe_id, j, sv FROM sv
+         |       WHERE vec_id < $PqPrProbes),
+         |pd AS (
+         |  SELECT pe.probe_id, pe.j, c.code,
+         |         CAST(list_sum(list_transform(range(1, ${64 / PqPrM + 1}),
+         |           i -> (pe.sv[i] - c.c[i]) * (pe.sv[i] - c.c[i])))
+         |           AS BIGINT) AS pd
+         |  FROM pe JOIN c$PqPrIters c ON pe.j = c.j),
+         |adc AS (
+         |  SELECT pd.probe_id, a.vec_id, CAST(SUM(pd.pd) AS BIGINT) AS adc
+         |  FROM a$PqPrIters a JOIN pd ON pd.j = a.j AND pd.code = a.code
+         |  WHERE a.vec_id != pd.probe_id
+         |  GROUP BY 1, 2),
+         |shortl AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY adc ASC, vec_id ASC) AS rn FROM adc) z
+         |  WHERE rn <= $PqPrShortK),
+         |rrd AS (
+         |  SELECT sl.probe_id, sl.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> (p.e[i] - o.e[i]) * (p.e[i] - o.e[i])))
+         |           AS BIGINT) AS d
+         |  FROM shortl sl
+         |  JOIN e p ON p.vec_id = sl.probe_id
+         |  JOIN e o ON o.vec_id = sl.vec_id),
+         |rtop AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY d ASC, vec_id ASC) AS rn FROM rrd) z
+         |  WHERE rn <= $PqPrTopK),
+         |exd AS (
+         |  SELECT p.vec_id AS probe_id, o.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> (p.e[i] - o.e[i]) * (p.e[i] - o.e[i])))
+         |           AS BIGINT) AS d
+         |  FROM e p JOIN e o ON p.vec_id < $PqPrProbes
+         |                   AND o.vec_id != p.vec_id),
+         |exr AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY d ASC, vec_id ASC) AS rn FROM exd) z
+         |  WHERE rn <= $PqPrTopK),
+         |ov AS (
+         |  SELECT r.probe_id, COUNT(*) AS n_overlap
+         |  FROM rtop r JOIN exr x ON x.probe_id = r.probe_id
+         |                        AND x.vec_id = r.vec_id
+         |  GROUP BY 1)
+         |SELECT p.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |       COALESCE(ov.n_overlap, 0) * 1000 // $PqPrTopK
+         |         AS recall_permille
+         |FROM (SELECT vec_id AS probe_id FROM e
+         |      WHERE vec_id < $PqPrProbes) p
+         |LEFT JOIN ov ON ov.probe_id = p.probe_id
          |ORDER BY p.probe_id ASC NULLS FIRST""".stripMargin
   )
 
-  /** q267/q268's shared oracle prefix: quantize → slice into PqTrM
-    * subvectors → seed draw → PqTrIters unrolled Lloyd rounds, every
+  /** q267/q268/q284/q285's shared oracle prefix: quantize → slice into
+    * `m` subvectors → seed draw → `iters` unrolled Lloyd rounds, every
     * CTE keyed on (vec_id, j) / (j, code) so ONE block trains all
-    * subspaces — ends with the final codebooks `c$PqTrIters`, the
-    * final assignment `a$PqTrIters` and the per-round traces `t*`. */
-  private def pqTraceCteSql: String = {
-    val sub = 64 / PqTrM
+    * subspaces — ends with the final codebooks `c$iters`, the final
+    * assignment `a$iters` and the per-round traces `t*`. Parameterized
+    * over the layout: the q267 trace keys replay the small (4×8×3)
+    * geometry, q285 the q132 production (16×16×4) one — same SQL
+    * generator, so the two gates cannot drift apart. */
+  private def pqTraceCteSql(m: Int = PqTrM, k: Int = PqTrK,
+    iters: Int = PqTrIters): String = {
+    val sub = 64 / m
     val dist = s"CAST(list_sum(list_transform(range(1, ${sub + 1}), " +
       "i -> (sv.sv[i] - c.c[i]) * (sv.sv[i] - c.c[i]))) AS BIGINT)"
     def roundCtes(r: Int): String = {
-      val upd = if (r < PqTrIters)
+      val upd = if (r < iters)
         s""",
            |g$r AS (
            |  SELECT a.j, a.code, f.d, CAST(SUM(f.v) AS BIGINT) AS s,
@@ -1242,7 +1389,7 @@ object VectorQueries {
        |sv AS (
        |  SELECT vec_id, CAST(t.j AS INT) AS j,
        |         list_slice(e, t.j * $sub + 1, t.j * $sub + $sub) AS sv
-       |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqTrM)) AS j) t),
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS j) t),
        |f AS (
        |  SELECT vec_id, j, unnest(sv) AS v,
        |         generate_subscripts(sv, 1) AS d
@@ -1256,7 +1403,7 @@ object VectorQueries {
        |c1 AS (
        |  SELECT sv.j, CAST(sd.cl AS INT) AS code, sv.sv AS c
        |  FROM sd JOIN sv USING (vec_id)
-       |  WHERE sd.cl < $PqTrK),
-       |${(1 to PqTrIters).map(roundCtes).mkString(",\n")}""".stripMargin
+       |  WHERE sd.cl < $k),
+       |${(1 to iters).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 }

@@ -139,7 +139,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q240_sampled_quantiles", "q245_kmv_setops", "q246_zonemap_prune",
       "q249_quality_auc", "q250_nb_langid", "q252_block_bloom",
       "q270_nb_crossval", "q274_pit_join", "q280_modularity",
-      "q282_freshness_lag", "q284_adc_recall",
+      "q282_freshness_lag", "q284_adc_recall", "q285_adc_recall_prod",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
