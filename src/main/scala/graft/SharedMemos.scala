@@ -52,6 +52,9 @@ object SharedMemos {
         operators.VectorQueries.pqIntArtifacts(s, dir)
       force(trace); force(cents); force(codes)
     }),
+    // three-landmark multi-source BFS levels (q232, q290)
+    "shared:landmark_bfs" ->
+      (s => force(operators.GraphQueries.landmarkBfs(s, dir))),
     // per-doc sorted token-hash table (q61/q77/q82/q90/q100/q109/...)
     "shared:text_hashed" ->
       (s => force(operators.TextQueries.hashedDocs(s, dir))),

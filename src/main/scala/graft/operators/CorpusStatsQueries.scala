@@ -59,6 +59,44 @@ object CorpusStatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Jensen–Shannon divergence between every source PAIR's unigram
+    // distributions — the symmetric, bounded cousin of q112's KL and
+    // the standard corpus-mixture distance a curation run reads before
+    // blending sources. JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2;
+    // a token absent from one side contributes only the other side's
+    // term (0·ln0 = 0), expressed as the zero-token filter + CASE
+    // guards identically on both engines. The corpus collapses to the
+    // (source, token) grid in one hash agg; the pair×vocabulary domain
+    // is bounded (pairs × token types — both fixed-cardinality here,
+    // and at 100 TB the vocabulary cap is the operator's stated
+    // contract, q112's scale note); per-term doubles are 6dp-quantized
+    // then decimal-summed [D2], the formula STRING shared with the
+    // oracle (JsdFormula).
+    "q288_js_divergence" -> ((s, dir) => {
+      val stf = srcTokens(s, dir).groupBy("source", "tok")
+        .agg(count(lit(1)).as("stf"))
+      val sn = stf.groupBy("source").agg(sum("stf").as("n"))
+      val pairs = sn.select(col("source").as("sa"), col("n").as("na"))
+        .join(broadcast(sn.select(col("source").as("sb"),
+          col("n").as("nb"))), col("sa") < col("sb"))
+      val vocab = stf.select("tok").distinct()
+      val a = stf.select(col("source").as("sa"), col("tok"),
+        col("stf").as("ca"))
+      val b = stf.select(col("source").as("sb"), col("tok"),
+        col("stf").as("cb"))
+      pairs.crossJoin(broadcast(vocab))
+        .join(a, Seq("sa", "tok"), "left")
+        .join(b, Seq("sb", "tok"), "left")
+        .withColumn("ca", coalesce(col("ca"), lit(0L)))
+        .withColumn("cb", coalesce(col("cb"), lit(0L)))
+        .filter(col("ca") + col("cb") > 0)
+        .withColumn("term", expr(JsdFormula.term6).cast(Dec))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_types"),
+          round(sum(col("term")).cast("double"), 4).as("jsd4"))
+        .orderBy("sa", "sb")
+    }),
+
     // KL(P_source ‖ P_corpus) over unigrams: Σ_t p_t · ln(p_t / q_t)
     // with p_t = tf_src/N_src and q_t = tf_corpus/N_corpus. Every token
     // of a source is also in the corpus, so q_t > 0 and no smoothing is
@@ -340,6 +378,20 @@ object CorpusStatsQueries {
 
   private val sqlToks = Sql.tokens("text")
 
+  /** q288's per-token JSD term over the exact count columns (ca/cb
+    * token counts, na/nb source totals) — one text through Spark
+    * `expr()` and the oracle, so both engines form the identical IEEE
+    * tree (OlsFormula convention). The CASE guards realize the
+    * 0·ln0 = 0 convention for one-sided tokens. */
+  private[operators] object JsdFormula {
+    private val pa = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    private val pb = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    val term6 =
+      s"round(0.5 * ((CASE WHEN ca > 0 THEN $pa * ln(2 * $pa / ($pa + $pb))" +
+        s" ELSE CAST(0 AS DOUBLE) END) + (CASE WHEN cb > 0 THEN" +
+        s" $pb * ln(2 * $pb / ($pa + $pb)) ELSE CAST(0 AS DOUBLE) END)), 6)"
+  }
+
   /** The unrolled q236 replay: per round, a pair-count CTE, a one-row
     * argmax, the run-parity non-overlap match set, and the rebuilt +
     * recompacted symbol relation. Pure integer counts and string
@@ -426,6 +478,31 @@ object CorpusStatsQueries {
   val oracle: Map[String, String] = Map(
     "q236_bpe_merges" -> bpeOracleSql,
     "q262_bpe_apply" -> bpeApplyOracleSql,
+    // the identical (source, token) grid, pair×vocab domain, CASE-
+    // guarded one-sided terms, and the SAME JSD term text
+    "q288_js_divergence" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, COUNT(*) AS stf
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY source, tok
+         |), sn AS (SELECT source, SUM(stf) AS n FROM st GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+         |  FROM sn a JOIN sn b ON a.source < b.source),
+         |vocab AS (SELECT DISTINCT tok FROM st),
+         |j AS (
+         |  SELECT d.sa, d.sb, d.na, d.nb,
+         |         COALESCE(a.stf, 0) AS ca, COALESCE(b.stf, 0) AS cb
+         |  FROM (SELECT * FROM pairs CROSS JOIN vocab) d
+         |  LEFT JOIN st a ON a.source = d.sa AND a.tok = d.tok
+         |  LEFT JOIN st b ON b.source = d.sb AND b.tok = d.tok
+         |  WHERE COALESCE(a.stf, 0) + COALESCE(b.stf, 0) > 0)
+         |SELECT sa, sb, COUNT(*) AS n_types,
+         |       ROUND(CAST(SUM(CAST(${JsdFormula.term6}
+         |         AS DECIMAL(38,6))) AS DOUBLE), 4) AS jsd4
+         |FROM j GROUP BY sa, sb
+         |ORDER BY sa ASC NULLS FIRST, sb ASC NULLS FIRST""".stripMargin,
+
     "q112_kl_source" ->
       s"""WITH st AS (
          |  SELECT source, tok, COUNT(*) AS stf

@@ -294,6 +294,85 @@ object GraphQueries {
     // round 2 never replays round 1; the oracle unrolls both rounds
     // as ROW_NUMBER argmax CTEs. Integer weights make every sum
     // exact — no float staging needed anywhere.
+    // Landmark closeness centrality — the per-NODE distance summary
+    // the q232 landmark profile lacked: closeness ≈ L / Σ_l d(v, l)
+    // over the same three deterministic landmarks, restricted to
+    // nodes all three reach within the hop cap (the standard
+    // landmark approximation of exact closeness, whose all-pairs BFS
+    // is off the table at 100 TB). ONE multi-source BFS pass serves
+    // all landmarks (k× frontier rows, not k× edge scans); the
+    // ranking orders by the exact INTEGER Σd (closeness is its
+    // monotone transform — no float sort key [D3]), part key ties.
+    "q290_closeness" -> ((s, dir) =>
+      landmarkBfs(s, dir)
+        .groupBy("v").agg(count(lit(1)).as("n_lm"),
+          sum(col("lvl")).as("sum_d"))
+        .filter(col("n_lm") === 3 && col("sum_d") > 0)
+        .select(col("v").as("p_partkey"), col("sum_d"),
+          round(lit(3d).cast("double") / col("sum_d").cast("double"), 6)
+            .as("closeness6"))
+        .orderBy(col("sum_d").asc, col("p_partkey").asc)
+        .limit(50)),
+
+    // Conductance of the q230 label-propagation communities — the
+    // partition eval MODULARITY (q280) does not cover: q280 rewards
+    // internal density, conductance charges the BOUNDARY (cut weight
+    // over the smaller side's volume), the quantity bounding how well
+    // a community could be processed in isolation. Same backbone +
+    // 2-round LPA as q230/q280 (one partition gated three ways);
+    // cut/volume/2W are exact integer sums; phi is the shared-string
+    // double formula, NULL for a whole-graph community (min side 0).
+    "q291_conductance" -> ((s, dir) => {
+      val undw = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= LinkPredMinSupport)
+      val labels = graft.api.GraphOps
+        .labelPropagation(undw, "x", "y", "w", LpaIters)
+      val lx = labels.select(col("v").as("x"), col("label").as("lx"))
+      val ly = labels.select(col("v").as("y"), col("label").as("ly"))
+      val crossE = undw.join(lx, "x").join(ly, "y")
+        .filter(col("lx") =!= col("ly"))
+      val cut = crossE.select(col("lx").as("label"), col("w"))
+        .unionByName(crossE.select(col("ly").as("label"), col("w")))
+        .groupBy("label").agg(sum("w").as("cut_w"))
+      val ed = undw.select(col("x").as("u"), col("w"))
+        .unionByName(undw.select(col("y").as("u"), col("w")))
+      val vol = labels.join(ed, col("v") === col("u"))
+        .groupBy("label").agg(sum("w").as("vol_w"))
+      val w2 = undw.agg((sum("w") * 2).as("w2"))
+      labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+        .join(vol, "label")
+        .join(cut, Seq("label"), "left")
+        .crossJoin(broadcast(w2))
+        .withColumn("cut_w", coalesce(col("cut_w"), lit(0L)))
+        .select(col("label"), col("n_members"), col("cut_w"),
+          col("vol_w"), expr(PhiFormula.phi6).as("phi6"))
+        .orderBy("label")
+    }),
+
+    // Degree assortativity of the raw co-purchase graph — Newman's r:
+    // the Pearson correlation of endpoint degrees over the directed
+    // edge list, the one-number answer to "do hubs link to hubs?"
+    // that decides whether degree-based partitioning skews. Degrees
+    // attach to edges by two equi-joins; the four moments are exact
+    // decimal(38,0) sums (Σd² per edge overflows int64 on billion-
+    // edge graphs); r is the shared-string double formula, NULL for
+    // a degree-regular graph (zero variance), −0.0-normalized.
+    "q292_assortativity" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val und = CoPurchase.und(s, dir)
+      val ed = und.select(col("x").as("u"), col("y").as("v"))
+        .unionByName(und.select(col("y").as("u"), col("x").as("v")))
+      val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
+      ed.join(deg.select(col("u"), col("d").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+        .agg(count(lit(1)).as("m"),
+          sum(d38(col("du"))).as("sj"),
+          sum(d38(col("du")) * col("dv")).as("sjk"),
+          sum(d38(col("du")) * col("du")).as("sj2"))
+        .select(col("m").as("n_dir_edges"),
+          expr(AssortFormula.r6).as("assort6"))
+    }),
+
     "q230_label_prop" -> ((s, dir) => {
       val undw = CoPurchase.pairW(s, dir)
         .filter(col("w") >= LinkPredMinSupport)
@@ -508,19 +587,10 @@ object GraphQueries {
     // distance estimation probes a 100 TB graph. Oracle: q164's
     // recursive CTE generalized with src in the recursion key,
     // min-level dedup making it traversal-order-independent.
-    "q232_landmark_bfs" -> ((s, dir) => {
-      val und = CoPurchase.und(s, dir)
-      val deg = graft.api.GraphOps.degrees(und, "x", "y")
-      val hub = deg.orderBy(col("d").desc, col("v").asc).limit(1)
-        .select(col("v").as("src"))
-      val seeds = und.agg(min(col("x")).as("src"))
-        .unionByName(und.agg(max(col("y")).as("src")))
-        .unionByName(hub)
-        .distinct()
-      graft.api.GraphOps.multiSourceBfs(und, "x", "y", seeds, 3)
+    "q232_landmark_bfs" -> ((s, dir) =>
+      landmarkBfs(s, dir)
         .groupBy("src", "lvl").agg(count(lit(1)).as("n_parts"))
-        .orderBy("src", "lvl")
-    }),
+        .orderBy("src", "lvl")),
 
     // Random walk with restart from the smallest part key — the
     // personalized-PageRank "related parts" ranking (q153's global
@@ -652,6 +722,47 @@ object GraphQueries {
   /** q230/q280's shared oracle prefix: the w ≥ 2 co-purchase backbone
     * (`und`/`ed`) and the 2-round unrolled label propagation ending in
     * `r2(v, label)` — both keys gate ONE partition. */
+  /** The q232/q290 three-landmark multi-source BFS levels (src, v,
+    * lvl), memoized per (session, dir): both consumers read the SAME
+    * traversal (identical deterministic seeds — smallest part, largest
+    * part, highest-degree hub), so the frontier passes run once per
+    * session and the build is charged to its own bench `shared:` line
+    * ([[graft.SharedMemos]]). */
+  private[graft] def landmarkBfs(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"graph.lmbfs:$dir") {
+      val und = CoPurchase.und(s, dir)
+      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val hub = deg.orderBy(col("d").desc, col("v").asc).limit(1)
+        .select(col("v").as("src"))
+      val seeds = und.agg(min(col("x")).as("src"))
+        .unionByName(und.agg(max(col("y")).as("src")))
+        .unionByName(hub)
+        .distinct()
+      graft.api.GraphOps.multiSourceBfs(und, "x", "y", seeds, 3)
+    }
+
+  /** q291's conductance formula over the exact integer columns
+    * (cut_w after its zero-coalesce, vol_w, w2 = 2W) — one text
+    * through Spark `expr()` and the oracle (OlsFormula convention).
+    * phi ≥ 0 so no −0.0 normalization; the min side can only be 0 for
+    * a community covering the whole graph, reported NULL. */
+  private[operators] object PhiFormula {
+    val phi6 = "CASE WHEN least(vol_w, w2 - vol_w) > 0 THEN " +
+      "round(CAST(coalesce(cut_w, 0) AS DOUBLE) " +
+      "/ CAST(least(vol_w, w2 - vol_w) AS DOUBLE), 6) END"
+  }
+
+  /** q292's assortativity formula over the exact edge-degree moments
+    * (m edges, sj = Σd_u, sjk = Σd_u·d_v, sj2 = Σd_u²) — shared text,
+    * one IEEE tree; `+ 0` normalizes a −0.0 round (r is signed). */
+  private[operators] object AssortFormula {
+    private val num = "(CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)" +
+      " - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))"
+    private val den = "(CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)" +
+      " - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))"
+    val r6 = s"CASE WHEN $den <> 0 THEN round($num / $den, 6) + 0 END"
+  }
+
   private def lpaCteSql: String =
     s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |undw AS (
@@ -885,6 +996,91 @@ object GraphQueries {
          |SELECT label, COUNT(*) AS n_members FROM r2 GROUP BY 1
          |ORDER BY n_members DESC NULLS LAST, label ASC NULLS FIRST
          |LIMIT 20""".stripMargin,
+
+    // q232's recursive multi-source BFS replay, aggregated per NODE
+    // (all-landmarks filter) instead of per (src, lvl)
+    "q290_closeness" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT x AS u, y AS v FROM und
+        |      UNION ALL SELECT y, x FROM und),
+        |deg AS (SELECT u AS v, COUNT(*) AS d FROM e GROUP BY 1),
+        |hub AS (SELECT v FROM (
+        |          SELECT v, ROW_NUMBER() OVER (ORDER BY d DESC,
+        |            v ASC) AS rn FROM deg) WHERE rn = 1),
+        |seeds AS (SELECT DISTINCT src FROM (
+        |  SELECT MIN(x) AS src FROM und
+        |  UNION ALL SELECT MAX(y) FROM und
+        |  UNION ALL SELECT v FROM hub)),
+        |bfs(src, v, lvl) AS (
+        |  SELECT src, src, 0 FROM seeds
+        |  UNION
+        |  SELECT bfs.src, e.v, bfs.lvl + 1 FROM bfs JOIN e ON e.u = bfs.v
+        |  WHERE bfs.lvl < 3),
+        |d AS (SELECT src, v, MIN(lvl) AS lvl FROM bfs GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT v, COUNT(*) AS n_lm, CAST(SUM(lvl) AS BIGINT) AS sum_d
+        |  FROM d GROUP BY 1)
+        |SELECT v AS p_partkey, sum_d,
+        |       ROUND(CAST(3 AS DOUBLE) / CAST(sum_d AS DOUBLE), 6)
+        |         AS closeness6
+        |FROM cl WHERE n_lm = 3 AND sum_d > 0
+        |ORDER BY sum_d ASC NULLS FIRST, p_partkey ASC NULLS FIRST
+        |LIMIT 50""".stripMargin,
+
+    // same backbone + LPA prefix as q230/q280, then exact cut/volume
+    // integer sums and the SAME phi formula text
+    "q291_conductance" ->
+      s"""WITH $lpaCteSql,
+         |w2t AS (SELECT CAST(2 * SUM(w) AS BIGINT) AS w2 FROM und),
+         |ce AS (
+         |  SELECT lx.label AS la, ly.label AS lb, u.w
+         |  FROM und u JOIN r2 lx ON lx.v = u.x
+         |             JOIN r2 ly ON ly.v = u.y
+         |  WHERE lx.label != ly.label),
+         |cut AS (
+         |  SELECT label, CAST(SUM(w) AS BIGINT) AS cut_w FROM (
+         |    SELECT la AS label, w FROM ce
+         |    UNION ALL SELECT lb, w FROM ce) z
+         |  GROUP BY 1),
+         |vol AS (
+         |  SELECT r2.label, CAST(SUM(e.w) AS BIGINT) AS vol_w
+         |  FROM ed e JOIN r2 ON r2.v = e.u
+         |  GROUP BY 1),
+         |nm AS (SELECT label, COUNT(*) AS n_members FROM r2 GROUP BY 1)
+         |SELECT nm.label, nm.n_members,
+         |       COALESCE(cut.cut_w, 0) AS cut_w, vol.vol_w,
+         |       ${PhiFormula.phi6} AS phi6
+         |FROM nm JOIN vol USING (label)
+         |LEFT JOIN cut USING (label)
+         |CROSS JOIN w2t
+         |ORDER BY label ASC NULLS FIRST""".stripMargin,
+
+    // raw-graph degree attach + HUGEINT moments + the SAME r formula
+    "q292_assortativity" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (
+         |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey),
+         |ed AS (SELECT x AS u, y AS v FROM und
+         |       UNION ALL SELECT y, x FROM und),
+         |deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY 1),
+         |mm AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |         CAST(SUM(CAST(du.d AS HUGEINT)) AS HUGEINT) AS sj,
+         |         CAST(SUM(CAST(du.d AS HUGEINT) * dv.d) AS HUGEINT)
+         |           AS sjk,
+         |         CAST(SUM(CAST(du.d AS HUGEINT) * du.d) AS HUGEINT)
+         |           AS sj2
+         |  FROM ed JOIN deg du ON du.u = ed.u
+         |          JOIN deg dv ON dv.u = ed.v)
+         |SELECT m AS n_dir_edges, ${AssortFormula.r6} AS assort6
+         |FROM mm""".stripMargin,
 
     // same backbone + LPA prefix as q230 (one partition gated twice),
     // then exact-integer W / w_in / S_c and the shared Q formula

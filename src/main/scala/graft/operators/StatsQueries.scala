@@ -50,7 +50,103 @@ object StatsQueries {
       s"CASE WHEN $det <> 0 AND $sst <> 0 THEN round(1.0 - $sse/$sst, 6) END"
   }
 
+  /** q286's tau-b closing formula over the exact integer columns
+    * (cmd = C−D, dx = n(n−1)−Σtx(tx−1), dy likewise) — the SAME text
+    * runs through Spark `expr()` and the DuckDB oracle (OlsFormula
+    * convention), so both engines evaluate one IEEE tree. The `+ 0`
+    * normalizes a −0.0 round result to +0.0 identically on both
+    * engines (q63/q280 precedent). */
+  private[operators] object KendallFormula {
+    val tau6 = "round(CAST(cmd AS DOUBLE) / sqrt((CAST(dx AS DOUBLE) / 2)" +
+      " * (CAST(dy AS DOUBLE) / 2)), 6) + 0"
+  }
+
+  /** q287's Cramér's V closing formula over chi2 (the 6dp-per-cell
+    * decimal-summed statistic, q162's construction) and the exact
+    * integer table dimensions — shared text, one IEEE tree (OlsFormula
+    * convention). V ≥ 0 so no −0.0 normalization is needed. */
+  private[operators] object CramersFormula {
+    val v6 = "round(sqrt(chi2 / (CAST(ntot AS DOUBLE) * " +
+      "least(nr - 1, nc - 1))), 6)"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cramér's V — the [0,1]-normalized effect size over the q162 chi2
+    // machinery, on a second contingency domain: order priority ×
+    // customer market segment (5×5). The corpus collapses to the grid
+    // with one join + one hash agg; expected-count deviations are
+    // integer-exact (HUGEINT/decimal cross-products), per-cell terms
+    // 6dp-quantized and decimal-summed (q162 [D2]); V is the one
+    // shared-string double formula over chi2, n, and the exact grid
+    // dimensions. Zero-observed grid cells participate via the
+    // rt×ct LEFT JOIN exactly as in q162.
+    "q287_cramers_v" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val obs = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority").as("pri"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy("pri").agg(sum(col("o")).as("r"))
+      val ct = obs.groupBy("seg").agg(sum(col("o")).as("c"))
+      val nn = obs.agg(sum(col("o")).as("ntot"))
+      val dims = rt.agg(count(lit(1)).as("nr"))
+        .crossJoin(broadcast(ct.agg(count(lit(1)).as("nc"))))
+      val cells = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(nn))
+        .join(obs, Seq("pri", "seg"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val dev = d38(col("o")) * col("ntot") - d38(col("r")) * col("c")
+      val den = d38(col("ntot")) * col("r") * col("c")
+      cells
+        .select(col("ntot"),
+          round(dev.cast("double") * dev.cast("double")
+            / den.cast("double"), 6).as("tt"))
+        .agg(count(lit(1)).as("n_cells"), max(col("ntot")).as("ntot"),
+          sum(col("tt").cast(Dec)).cast("double").as("chi2"))
+        .crossJoin(broadcast(dims))
+        .select(col("n_cells"), col("chi2"),
+          expr(CramersFormula.v6).as("v6"))
+    }),
+
+    // Kendall rank correlation (tau-b) between quantity and discount —
+    // computed from the VALUE-GRID contingency table (50×11 cells),
+    // never from row pairs: one hash agg collapses the corpus to the
+    // grid, C−D is one bounded half-grid cell-pair pass (broadcast-
+    // tiny BNLJ on x2 > x1; the sign of Δy folds concordant and
+    // discordant into a single sum), and the tie corrections come from
+    // the 1D value histograms. Every count is exact (decimal(38,0)
+    // staging — n(n−1) alone overflows int64 past ~3e9 rows); tau is
+    // the one shared-string double formula [D2][D3].
+    "q286_kendall_tau" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val v = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      val cells = v.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+        col("c").as("c1"))
+      val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2"))
+      val cmd = a.join(broadcast(b), col("x2") > col("x1"))
+        .select((d38(col("c1")) * col("c2") *
+          when(col("y2") > col("y1"), 1).when(col("y2") < col("y1"), -1)
+            .otherwise(0)).as("p"))
+        .agg(sum(col("p")).as("cmd"))
+      val tx = cells.groupBy("x").agg(sum(col("c")).as("t"))
+        .agg(sum(d38(col("t")) * (col("t") - 1)).as("t2x"))
+      val ty = cells.groupBy("y").agg(sum(col("c")).as("t"))
+        .agg(sum(d38(col("t")) * (col("t") - 1)).as("t2y"))
+      val nn = v.agg(count(lit(1)).as("n"))
+      cmd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .crossJoin(broadcast(nn))
+        .withColumn("dx", d38(col("n")) * (col("n") - 1) - col("t2x"))
+        .withColumn("dy", d38(col("n")) * (col("n") - 1) - col("t2y"))
+        .select(col("n").as("n_rows"),
+          col("cmd").cast("long").as("c_minus_d"),
+          expr(KendallFormula.tau6).as("tau6"))
+    }),
+
     "q43_moment_stats" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val g = li.groupBy("l_returnflag").agg(
@@ -623,6 +719,76 @@ object StatsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the q162 oracle shape on the priority×segment grid + the SAME
+    // V formula text over (chi2, ntot, nr, nc)
+    "q287_cramers_v" ->
+      s"""WITH obs AS (
+         |  SELECT o.o_orderpriority AS pri, c.c_mktsegment AS seg,
+         |         COUNT(*) AS o
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT pri, SUM(o) AS r FROM obs GROUP BY 1),
+         |ct AS (SELECT seg, SUM(o) AS c FROM obs GROUP BY 1),
+         |nt AS (SELECT SUM(o) AS ntot FROM obs),
+         |dims AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nr,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS nc),
+         |cells AS (
+         |  SELECT rt.pri, ct.seg, COALESCE(obs.o, 0) AS o,
+         |         rt.r, ct.c, nt.ntot
+         |  FROM rt CROSS JOIN ct CROSS JOIN nt
+         |  LEFT JOIN obs ON obs.pri = rt.pri AND obs.seg = ct.seg),
+         |contrib AS (
+         |  SELECT ntot, ROUND(
+         |    CAST(CAST(o AS HUGEINT) * ntot - CAST(r AS HUGEINT) * c
+         |         AS DOUBLE)
+         |    * CAST(CAST(o AS HUGEINT) * ntot - CAST(r AS HUGEINT) * c
+         |           AS DOUBLE)
+         |    / CAST(CAST(ntot AS HUGEINT) * r * c AS DOUBLE), 6) AS tt
+         |  FROM cells),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |         CAST(MAX(ntot) AS BIGINT) AS ntot,
+         |         CAST(SUM(CAST(tt AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+         |  FROM contrib)
+         |SELECT n_cells, chi2, ${CramersFormula.v6} AS v6
+         |FROM agg CROSS JOIN dims""".stripMargin,
+
+    // the identical value-grid contingency construction, half-grid
+    // C−D pass, tie terms, and the SAME tau formula text
+    "q286_kendall_tau" ->
+      s"""WITH v AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS x,
+         |         CAST(round(l_discount * 100) AS BIGINT) AS y
+         |  FROM lineitem),
+         |cells AS (SELECT x, y, COUNT(*) AS c FROM v GROUP BY 1, 2),
+         |cd AS (
+         |  SELECT CAST(SUM(CAST(a.c AS HUGEINT) * b.c *
+         |           (CASE WHEN b.y > a.y THEN 1
+         |                 WHEN b.y < a.y THEN -1 ELSE 0 END))
+         |         AS HUGEINT) AS cmd
+         |  FROM cells a JOIN cells b ON b.x > a.x),
+         |tx AS (
+         |  SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT)
+         |           AS t2x
+         |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t
+         |        FROM cells GROUP BY x) z),
+         |ty AS (
+         |  SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT)
+         |           AS t2y
+         |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t
+         |        FROM cells GROUP BY y) z),
+         |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM v),
+         |m AS (
+         |  SELECT cmd, n,
+         |         n * (n - 1) - t2x AS dx,
+         |         n * (n - 1) - t2y AS dy
+         |  FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN nn)
+         |SELECT CAST(n AS BIGINT) AS n_rows,
+         |       CAST(cmd AS BIGINT) AS c_minus_d,
+         |       ${KendallFormula.tau6} AS tau6
+         |FROM m""".stripMargin,
+
     // identical per-user decimal revenue staging, the same polyMix
     // arm, the same one-row moment aggregate, the SAME formula text
     "q276_ab_lift" ->

@@ -47,6 +47,42 @@ object TimeSeriesQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Theil–Sen estimator — the MEDIAN of all pairwise slopes of the
+    // 1995 daily-revenue series: the robust trend line q163's OLS
+    // cousin, immune to the outlier days that drag a least-squares
+    // fit. The corpus collapses to the ≤365-row daily table first
+    // (calendar-bounded), so the pair pass is a bounded half-grid
+    // broadcast (documented BNLJ) — slope count is (days choose 2),
+    // a property of the CALENDAR, not the corpus. Each slope is one
+    // IEEE division of exact int64 cents/day deltas (bit-identical
+    // across engines); the median picks by RANK from the slope value
+    // histogram via the distributed cumSum (q44/q169 machinery, no
+    // global sort), averaging the two middle values on even counts.
+    "q289_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1995-01-01"))).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val a = daily.select(col("d").as("da"), col("cents").as("ca"))
+      val b = daily.select(col("d").as("db"), col("cents").as("cb"))
+      val slopes = a.join(broadcast(b), col("db") > col("da"))
+        .select(((col("cb") - col("ca")).cast("double")
+          / (col("db") - col("da")).cast("double")).as("slope"))
+      val hist = slopes.groupBy("slope").agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(1))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      GlobalRank.cumSum(hist, "g", "slope", "cnt")
+        .agg(max(col("n")).as("n_pairs"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("slope")))
+            .as("lo"),
+          min(when(col("cum") >= expr("n div 2 + 1"), col("slope")))
+            .as("hi"))
+        .crossJoin(broadcast(nd))
+        .select(col("n_days"), col("n_pairs"),
+          round((col("lo") + col("hi")) / 2, 6).as("sen_slope6"))
+    }),
+
     // Exponentially-weighted moving average of the daily event count,
     // α = 1/2 truncated at 8 taps: ewma_t = Σ_{k=0..7} 2^{7-k}·c_{t-k}
     // / 256. The weighted numerator is an exact BIGINT (so the division
@@ -392,6 +428,32 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // identical daily collapse, half-grid slope pass, value-histogram
+    // rank pick; `+ 0` normalizes a −0.0 round (q63 precedent)
+    "q289_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1995-01-01', o_orderdate) AS d,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1995
+        |  GROUP BY 1),
+        |sl AS (
+        |  SELECT CAST(b.cents - a.cents AS DOUBLE)
+        |       / CAST(b.d - a.d AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON b.d > a.d),
+        |h AS (SELECT slope, COUNT(*) AS cnt FROM sl GROUP BY 1),
+        |cum AS (
+        |  SELECT slope, cnt,
+        |         SUM(cnt) OVER (ORDER BY slope ASC) AS cum,
+        |         SUM(cnt) OVER () AS n
+        |  FROM h),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT nd.n_days, CAST(MAX(cum.n) AS BIGINT) AS n_pairs,
+        |       ROUND((MIN(CASE WHEN cum >= (n + 1) // 2 THEN slope END)
+        |            + MIN(CASE WHEN cum >= n // 2 + 1 THEN slope END))
+        |             / 2, 6) + 0 AS sen_slope6
+        |FROM cum CROSS JOIN nd
+        |GROUP BY nd.n_days""".stripMargin,
 
     "q158_ewma" ->
       """WITH d AS (

@@ -140,6 +140,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q249_quality_auc", "q250_nb_langid", "q252_block_bloom",
       "q270_nb_crossval", "q274_pit_join", "q280_modularity",
       "q282_freshness_lag", "q284_adc_recall", "q285_adc_recall_prod",
+      "q286_kendall_tau", "q287_cramers_v", "q288_js_divergence",
+      "q289_theil_sen", "q291_conductance",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -184,13 +186,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //    numeric domain, collapsed by a hash agg BEFORE the global
     //    cumSum/prefixMax): q143 skyline (retailprice), q161 ABC
     //    (revenue cents), q173 KS (price cents), q174 decile lift
-    //    (score cents), q186 Mann-Whitney (quantity);
+    //    (score cents), q186 Mann-Whitney (quantity), q289 Theil–Sen
+    //    (pairwise slopes of the calendar-bounded daily series);
     //  - fixed-dimension post-agg totals: q89 share-of-total over the
     //    (returnflag, type-bucket) group rows.
     val allowed = Set(
       "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
-      "q203_cusum_shift", "q89_svc_partshare")
+      "q203_cusum_shift", "q289_theil_sen", "q89_svc_partshare")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
