@@ -59,6 +59,30 @@ object CorpusStatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-source token diversity indices — the corpus-health triple a
+    // curation dashboard reads next to q48's entropy: unbiased Simpson
+    // (1 − Σn_i(n_i−1)/(N(N−1)), the collision probability of two
+    // draws without replacement), Berger–Parker dominance (top type's
+    // share), and type richness. ONE hash agg to the (source, token)
+    // grid, a second to the per-source moments — every ingredient an
+    // exact integer (decimal staging for Σn(n−1)); both ratios are
+    // shared-string double formulas (DivFormula), NULL-guarded for a
+    // single-token source.
+    "q293_diversity" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      srcTokens(s, dir).groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(d38(col("c")) * (col("c") - 1)).as("s2"),
+          max(col("c")).as("cmax"))
+        .select(col("source"), col("n_tok"), col("n_types"),
+          expr(DivFormula.simpson6).as("simpson6"),
+          expr(DivFormula.bp6).as("bp6"))
+        .orderBy("source")
+    }),
+
     // Jensen–Shannon divergence between every source PAIR's unigram
     // distributions — the symmetric, bounded cousin of q112's KL and
     // the standard corpus-mixture distance a curation run reads before
@@ -378,6 +402,15 @@ object CorpusStatsQueries {
 
   private val sqlToks = Sql.tokens("text")
 
+  /** q293's diversity ratios over the exact per-source moments
+    * (n_tok, s2 = Σn_i(n_i−1), cmax) — shared text, one IEEE tree
+    * (OlsFormula convention); both ∈ [0,1], no −0.0 risk. */
+  private[operators] object DivFormula {
+    val simpson6 = "CASE WHEN n_tok > 1 THEN round(1 - CAST(s2 AS DOUBLE)" +
+      " / (CAST(n_tok AS DOUBLE) * CAST(n_tok - 1 AS DOUBLE)), 6) END"
+    val bp6 = "round(CAST(cmax AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)"
+  }
+
   /** q288's per-token JSD term over the exact count columns (ca/cb
     * token counts, na/nb source totals) — one text through Spark
     * `expr()` and the oracle, so both engines form the identical IEEE
@@ -478,6 +511,26 @@ object CorpusStatsQueries {
   val oracle: Map[String, String] = Map(
     "q236_bpe_merges" -> bpeOracleSql,
     "q262_bpe_apply" -> bpeApplyOracleSql,
+    // identical grid + moment aggs + the SAME ratio formula texts
+    "q293_diversity" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY source, tok),
+         |m AS (
+         |  SELECT source,
+         |         CAST(SUM(c) AS BIGINT) AS n_tok,
+         |         CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT)
+         |           AS s2,
+         |         CAST(MAX(c) AS BIGINT) AS cmax
+         |  FROM st GROUP BY source)
+         |SELECT source, n_tok, n_types,
+         |       ${DivFormula.simpson6} AS simpson6,
+         |       ${DivFormula.bp6} AS bp6
+         |FROM m
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
     // the identical (source, token) grid, pair×vocab domain, CASE-
     // guarded one-sided terms, and the SAME JSD term text
     "q288_js_divergence" ->

@@ -45,6 +45,52 @@ object TimeSeriesQueries {
   /** q263 rolling-regression window (days). */
   private val RollWin = 28
 
+  /** q295's 12×12 DTW band as nested higher-order folds over the
+    * integer permille profiles `pa`/`pb` — the classic row-carried DP:
+    * the outer fold's accumulator is the previous DP row, the inner
+    * fold appends cur[j] = |pa_i − pb_j| + min(prev[j], prev[j−1],
+    * cur[j−1]) (the cur[j−1] carry is why a plain zip_with cannot
+    * express a row). Both engines run the identical recurrence on
+    * identical integers; the surface syntax differs (Spark `aggregate`
+    * takes an init value, DuckDB `list_reduce` folds from the first
+    * element, so the oracle seeds the fold list with the init row),
+    * which is why this is two mirrored texts rather than one shared
+    * string — every intermediate is an exact BIGINT, so there is no
+    * IEEE tree to keep identical. */
+  private[operators] object DtwExpr {
+    val spark: String =
+      """aggregate(
+        |  sequence(2, 12),
+        |  aggregate(sequence(2, 12),
+        |    array(abs(element_at(pa, 1) - element_at(pb, 1))),
+        |    (acc, j) -> array_append(acc, element_at(acc, -1)
+        |      + abs(element_at(pa, 1) - element_at(pb, j)))),
+        |  (prev, i) -> aggregate(sequence(2, 12),
+        |    array(element_at(prev, 1)
+        |      + abs(element_at(pa, i) - element_at(pb, 1))),
+        |    (cur, j) -> array_append(cur,
+        |      abs(element_at(pa, i) - element_at(pb, j))
+        |      + least(element_at(prev, j), element_at(prev, j - 1),
+        |              element_at(cur, -1)))),
+        |  row -> element_at(row, 12))""".stripMargin
+    val duck: String =
+      """list_reduce(
+        |  list_concat(
+        |    [list_reduce(
+        |       list_concat([[abs(pa[1] - pb[1])]],
+        |                   list_transform(range(2, 13), j -> [j])),
+        |       (acc, e) -> list_append(acc,
+        |         acc[-1] + abs(pa[1] - pb[e[1]])))],
+        |    list_transform(range(2, 13), i -> [i])),
+        |  (prev, ie) -> list_reduce(
+        |     list_concat([[prev[1] + abs(pa[ie[1]] - pb[1])]],
+        |                 list_transform(range(2, 13), j -> [j])),
+        |     (cur, je) -> list_append(cur,
+        |        abs(pa[ie[1]] - pb[je[1]])
+        |        + least(prev[je[1]], prev[je[1] - 1], cur[-1]))))[12]"""
+        .stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Theil–Sen estimator — the MEDIAN of all pairwise slopes of the
@@ -81,6 +127,73 @@ object TimeSeriesQueries {
         .crossJoin(broadcast(nd))
         .select(col("n_days"), col("n_pairs"),
           round((col("lo") + col("hi")) / 2, 6).as("sen_slope6"))
+    }),
+
+    // Dynamic time warping — the alignment-tolerant series distance
+    // between every pair of YEARS' monthly revenue profiles (12-point
+    // integer permille shapes, level-free by construction), next to
+    // the rigid L1 for contrast: DTW forgives a season arriving a
+    // month late where L1 charges it twice. The corpus collapses to
+    // the 7×12 (year, month) grid FIRST, so the full 12×12 DP runs
+    // once per year pair (21 pairs — a bounded broadcast self-join,
+    // documented BNLJ), entirely INSIDE a codegen'd higher-order
+    // expression: the outer fold carries the DP row across profile
+    // rows, the inner fold resolves the cur[j−1] dependency within a
+    // row — no UDF, no driver loop, and exact |Δpermille| integer
+    // costs end to end, replayed bit-for-bit by the oracle's nested
+    // list_reduce. At 100 TB (many series × bounded length) the same
+    // expression runs per pair row after the blocking join — the DP
+    // never leaves the executors.
+    "q295_dtw" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      val prof = monthly.groupBy("yr")
+        .agg(expr("transform(array_sort(collect_list(struct(mon, c)))," +
+          " x -> x.c)").as("cs"),
+          sum(col("c")).as("tot"), count(lit(1)).as("nm"))
+        .filter(col("nm") === 12)
+        .select(col("yr"),
+          expr("transform(cs, c -> c * 1000L div tot)").as("p"))
+      val a = prof.select(col("yr").as("yr_a"), col("p").as("pa"))
+      val b = prof.select(col("yr").as("yr_b"), col("p").as("pb"))
+      a.join(broadcast(b), col("yr_a") < col("yr_b"))
+        .select(col("yr_a"), col("yr_b"),
+          expr("aggregate(zip_with(pa, pb, (x, y) -> abs(x - y)), 0L," +
+            " (acc, v) -> acc + v)").as("l1"),
+          expr(DtwExpr.spark).as("dtw"))
+        .orderBy("yr_a", "yr_b")
+    }),
+
+    // Hampel filter — the rolling-median outlier screen on the daily
+    // revenue series (q154's global z-score cousin, robust to the
+    // outliers it hunts): per day, the 7-day centered window median
+    // and the window MAD, flagging |x − med| > 3·MAD. EVERYTHING is
+    // exact integer cents: the odd window makes both medians single
+    // picked elements (sorted[4] of 7) with no interpolation, and the
+    // fence compare is pure integer arithmetic — no 1.4826 sigma
+    // scaling to drift. Head/tail days with partial windows are
+    // excluded by the frame-size filter, identically on both engines.
+    // The series is calendar-bounded, so the one global ordered window
+    // is a documented bounded site (allowlisted, q160/q203 class).
+    "q294_hampel" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(expr("cast(datediff(o_orderdate, date'1992-01-01') " +
+          "as bigint)").as("d"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))")
+          .as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("d").asc).rowsBetween(-3, 3)
+      daily.withColumn("win", collect_list(col("cents")).over(w))
+        .filter(size(col("win")) === 7)
+        .withColumn("med", element_at(array_sort(col("win")), 4))
+        .withColumn("mad", element_at(array_sort(
+          expr("transform(win, x -> abs(x - med))")), 4))
+        .select(col("d"), col("cents"), col("med"), col("mad"),
+          (abs(col("cents") - col("med")) > lit(3) * col("mad"))
+            .cast("int").as("is_out"))
+        .orderBy("d")
     }),
 
     // Exponentially-weighted moving average of the daily event count,
@@ -454,6 +567,62 @@ object TimeSeriesQueries {
         |             / 2, 6) + 0 AS sen_slope6
         |FROM cum CROSS JOIN nd
         |GROUP BY nd.n_days""".stripMargin,
+
+    // identical grid collapse, ORDER BY-list profiles, permille
+    // normalization, bounded pair join, and the mirrored nested-fold
+    // DP (exact BIGINT costs — no IEEE tree to share)
+    "q295_dtw" ->
+      s"""WITH monthly AS (
+         |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+         |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS c
+         |  FROM orders GROUP BY 1, 2),
+         |prof AS (
+         |  SELECT yr, list(c ORDER BY mon ASC) AS cs,
+         |         CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS nm
+         |  FROM monthly GROUP BY 1),
+         |p AS (
+         |  SELECT CAST(yr AS INT) AS yr,
+         |         list_transform(cs, c -> c * 1000 // tot) AS p
+         |  FROM prof WHERE nm = 12),
+         |pr AS (
+         |  SELECT a.yr AS yr_a, a.p AS pa, b.yr AS yr_b, b.p AS pb
+         |  FROM p a JOIN p b ON a.yr < b.yr)
+         |SELECT yr_a, yr_b,
+         |       CAST(list_sum(list_transform(range(1, 13),
+         |         i -> abs(pa[i] - pb[i]))) AS BIGINT) AS l1,
+         |       CAST(${DtwExpr.duck} AS BIGINT) AS dtw
+         |FROM pr
+         |ORDER BY yr_a ASC NULLS FIRST, yr_b ASC NULLS FIRST"""
+        .stripMargin,
+
+    // identical daily collapse, list window, sorted picks, integer
+    // fence — DuckDB's list() window mirrors collect_list exactly
+    "q294_hampel" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+        |           AS BIGINT) AS d,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT d, cents,
+        |         list(cents) OVER (ORDER BY d ASC
+        |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+        |  FROM daily),
+        |m AS (
+        |  SELECT d, cents, win, list_sort(win)[4] AS med
+        |  FROM w WHERE len(win) = 7),
+        |mm AS (
+        |  SELECT d, cents, med,
+        |         list_sort(list_transform(win, x -> abs(x - med)))[4]
+        |           AS mad
+        |  FROM m)
+        |SELECT d, cents, med, mad,
+        |       CAST(CASE WHEN abs(cents - med) > 3 * mad
+        |            THEN 1 ELSE 0 END AS INT) AS is_out
+        |FROM mm
+        |ORDER BY d ASC NULLS FIRST""".stripMargin,
 
     "q158_ewma" ->
       """WITH d AS (

@@ -141,7 +141,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q270_nb_crossval", "q274_pit_join", "q280_modularity",
       "q282_freshness_lag", "q284_adc_recall", "q285_adc_recall_prod",
       "q286_kendall_tau", "q287_cramers_v", "q288_js_divergence",
-      "q289_theil_sen", "q291_conductance",
+      "q289_theil_sen", "q291_conductance", "q295_dtw",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -181,7 +181,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // so it cannot rot into superstition).
     // The nine audited sites, by bound class:
     //  - calendar-day series (rows ≤ days in the data's time range):
-    //    q142 daily user growth, q160 gap fill, q203 CUSUM;
+    //    q142 daily user growth, q160 gap fill, q203 CUSUM, q294
+    //    Hampel (7-day rolling-median frames on the daily table);
     //  - value-domain histograms (rows ≤ distinct values of a bounded
     //    numeric domain, collapsed by a hash agg BEFORE the global
     //    cumSum/prefixMax): q143 skyline (retailprice), q161 ABC
@@ -193,7 +194,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val allowed = Set(
       "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
-      "q203_cusum_shift", "q289_theil_sen", "q89_svc_partshare")
+      "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
+      "q89_svc_partshare")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
