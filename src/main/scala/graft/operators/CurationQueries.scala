@@ -333,6 +333,37 @@ object CurationQueries {
     // weights fold in as literals from the memoized trace. Zero-token
     // documents are outside the feature domain (q235 contract) and so
     // outside this report.
+    // McNemar's test between the repo's two quality gates — the
+    // paired-classifier comparison a pipeline runs before SWAPPING
+    // gates (q237 reports agreement; this tests whether the
+    // DISAGREEMENTS are one-sided): over the same documents, b =
+    // rule-keep ∧ learned-drop, c = rule-drop ∧ learned-keep, χ² =
+    // (b−c)²/(b+c) on the discordant pairs only. One projection + one
+    // global agg over the shared feature view with the memoized
+    // trained weights folded in as literals; the statistic is a
+    // shared-string double formula over exact integer counts, NULL
+    // when the gates never disagree.
+    "q298_mcnemar_gates" -> ((s, dir) => {
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val last = percTrace(s, dir)
+        .filter(col("step") === PercIters).collect().head
+      val w = last.getAs[Long]("w_bias") +:
+        PercFeatures.map(c => last.getAs[Long](s"w_$c"))
+      graft.api.MlOps.linearScore(feats, PercFeatures, w)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0 && col("keep") === 1, 1L)
+            .otherwise(0L)).as("n_both_keep"),
+          sum(when(col("score") <= 0 && col("keep") =!= 1, 1L)
+            .otherwise(0L)).as("n_both_drop"),
+          sum(when(col("score") <= 0 && col("keep") === 1, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("score") > 0 && col("keep") =!= 1, 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("n_docs"), col("n_both_keep"), col("n_both_drop"),
+          col("b"), col("c"), expr(McnemarFormula.chi6).as("mcnemar6"))
+    }),
+
     "q237_quality_score_rollup" -> ((s, dir) => {
       val feats = graft.api.TextOps
         .qualityFeatures(t(s, dir, "documents"), "text")
@@ -608,6 +639,41 @@ object CurationQueries {
   /** The q237 replay: the same chain up to the FINAL weight row, then
     * the integer margin per document and the per-(lang, source)
     * agreement rollup. */
+  /** q298's McNemar statistic over the exact discordant counts b/c —
+    * shared text, one IEEE tree (OlsFormula convention); (b−c)² ≥ 0 so
+    * no −0.0 normalization. NULL when the gates never disagree. */
+  private[operators] object McnemarFormula {
+    val chi6 = "CASE WHEN b + c > 0 THEN " +
+      "round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) " +
+      "* (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) " +
+      "/ CAST(b + c AS DOUBLE), 6) END"
+  }
+
+  /** The q298 replay: the same chain to the final weight row, then the
+    * global 2×2 agreement table and the SAME χ² formula text. */
+  private def mcnemarOracleSql: String = {
+    val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
+      .mkString(" + ")
+    s"""WITH $percCtesSql,
+       |sc AS (
+       |  SELECT ft.y, ($margin) AS score
+       |  FROM ft CROSS JOIN w$PercIters w),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN score > 0 AND y = 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+       |         CAST(SUM(CASE WHEN score <= 0 AND y != 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+       |         CAST(SUM(CASE WHEN score <= 0 AND y = 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |         CAST(SUM(CASE WHEN score > 0 AND y != 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM sc)
+       |SELECT n_docs, n_both_keep, n_both_drop, b, c,
+       |       ${McnemarFormula.chi6} AS mcnemar6
+       |FROM m""".stripMargin
+  }
+
   private def scoreRollupOracleSql: String = {
     val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
       .mkString(" + ")
@@ -763,6 +829,7 @@ object CurationQueries {
 
     "q235_quality_perceptron" -> perceptronOracleSql,
     "q237_quality_score_rollup" -> scoreRollupOracleSql,
+    "q298_mcnemar_gates" -> mcnemarOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,
     "q249_quality_auc" -> aucOracleSql,
     "q251_feature_corr" -> featureCorrOracleSql,

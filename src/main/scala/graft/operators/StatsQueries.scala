@@ -23,6 +23,13 @@ object StatsQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** q297's bootstrap geometry: 200 seeded replicates; the 2.5% / 97.5%
+    * bounds are the 5th / 196th smallest replicate totals (⌈αB⌉ /
+    * ⌈(1−α)B⌉ of B = 200), mirrored in the oracle as literals. */
+  private val BootB = 200L
+  private val BootLoRank = 5L
+  private val BootHiRank = 196L
+
   /** q254's closed-form strings over the double moment names
     * (n, sq, sd, sy, sqq, sqd, sdd, sqy, sdy, syy). The SAME text runs
     * through Spark's `expr()` and the DuckDB oracle SQL, so the IEEE
@@ -107,6 +114,103 @@ object StatsQueries {
         .crossJoin(broadcast(dims))
         .select(col("n_cells"), col("chi2"),
           expr(CramersFormula.v6).as("v6"))
+    }),
+
+    // Bootstrap confidence interval for the mean daily revenue —
+    // uncertainty quantification by SEEDED resampling: 200 bootstrap
+    // replicates, each drawing n_days day-indices via the portable
+    // polyMix hash of (replicate·N + draw) — a pure function of the
+    // data, replayed bit-exactly by the oracle (the q226/q228 sampled-
+    // operator convention, so "random" resampling is still hash-
+    // gated). Draws are generated by a days×replicates cross (the
+    // calendar-bounded daily table broadcast against a 200-row
+    // literal), resolved by ONE equi-join on the drawn index; per-
+    // replicate totals are exact integer cents, and the 2.5%/97.5%
+    // bounds are PICKED by rank from the 200-total histogram (rank 5 /
+    // rank 196 of 200) via the distributed cumSum — no float
+    // percentile formula, no sort. Day indices come from the
+    // partition-offset GlobalRank (no single-task window).
+    "q297_bootstrap_ci" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val (pool, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        daily.select(col("day"), col("cents")), Seq(col("day").asc))
+      val days = pool.select((col("rn") - 1).as("r"), col("cents"))
+      val reps = daily.limit(1).select(
+        explode(sequence(lit(0L), lit(BootB - 1))).as("b"))
+      val hm = GraphQueries.HashM
+      val draws = days.select(col("r")).crossJoin(broadcast(reps))
+        .select(col("b"),
+          pmod(GraphQueries.polyMix(
+            pmod(col("b") * n + col("r"), lit(hm))), lit(n)).as("idx"))
+      val tot = draws.join(days.select(col("r").as("idx"),
+          col("cents")), Seq("idx"))
+        .groupBy("b").agg(sum(col("cents")).as("t"))
+      val hist = tot.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(1))
+      val orig = daily.agg(sum(col("cents")).as("t0"))
+      val mean6 = (c: org.apache.spark.sql.Column) =>
+        round(c.cast("double") / lit(n).cast("double") / 100, 6)
+      graft.functions.GlobalRank.cumSum(hist, "g", "t", "cnt")
+        .agg(min(when(col("cum") >= BootLoRank, col("t"))).as("lo"),
+          min(when(col("cum") >= BootHiRank, col("t"))).as("hi"))
+        .crossJoin(broadcast(orig))
+        .select(lit(n).as("n_days"), lit(BootB).as("n_boot"),
+          mean6(col("t0")).as("mean6"), mean6(col("lo")).as("lo6"),
+          mean6(col("hi")).as("hi6"))
+    }),
+
+    // Isotonic regression — the monotone calibration curve of
+    // fulfilled-rate vs order-value band (q175's fixed $50k bins,
+    // top-coded at 9): the shape-constrained fit a score calibrator
+    // applies when the response must not decrease in the score. NOT
+    // iterative PAV: the fit is computed by the exact MINIMAX identity
+    // iso_i = min_{j≥i} max_{k≤i} (S_j − S_{k−1})/(N_j − N_{k−1})
+    // over prefix sums of the bin histogram — pure bounded joins/aggs
+    // over the FIXED 10-bin domain (the corpus collapses to the bins
+    // in one hash agg; everything after is ≤10³ rows at any scale).
+    // Ratios are IEEE divisions of exact int64 sums, identical on both
+    // engines, so min/max over them are deterministic [D2].
+    "q296_isotonic" -> ((s, dir) => {
+      val bins = t(s, dir, "orders").select(
+        expr("least(cast(round(o_totalprice * 100) as bigint)" +
+          " div 5000000, 9L)").as("bin"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      // prefix sums via the bounded self-join (≤ bins² rows) — no
+      // window needed on a 10-row relation
+      val cum = bins.select(col("bin").as("cb"), col("n").as("cn"),
+        col("s").as("cs"))
+      val pre = bins.join(broadcast(cum), col("cb") <= col("bin"))
+        .groupBy("bin").agg(sum(col("cn")).as("nn"), sum(col("cs")).as("ss"))
+      // candidate pooled rates over (k, j) prefix windows: rate_kj =
+      // (S_j − S_{k−1}) / (N_j − N_{k−1}); pk carries the k−1 prefix
+      val pk = bins.select(col("bin").as("k"))
+        .join(broadcast(pre.select(col("bin").as("pb"),
+          col("nn").as("pn"), col("ss").as("ps"))),
+          col("pb") === col("k") - 1, "left")
+        .select(col("k"), coalesce(col("pn"), lit(0L)).as("pn"),
+          coalesce(col("ps"), lit(0L)).as("ps"))
+      val pj = pre.select(col("bin").as("j"), col("nn").as("jn"),
+        col("ss").as("js"))
+      val rate = pk.join(broadcast(pj), col("j") >= col("k"))
+        .select(col("k"), col("j"),
+          ((col("js") - col("ps")).cast("double")
+            / (col("jn") - col("pn")).cast("double")).as("r"))
+      // minimax: per (i, j ≥ i) the max over k ≤ i, then min over j
+      val g1 = bins.select(col("bin").as("i"))
+        .join(broadcast(rate), col("k") <= col("i") && col("j") >= col("i"))
+        .groupBy("i", "j").agg(max(col("r")).as("mx"))
+      g1.groupBy("i").agg(min(col("mx")).as("iso"))
+        .join(bins, col("i") === col("bin"))
+        .select(col("bin"), col("n"), col("s"),
+          round(col("s").cast("double") / col("n").cast("double"), 6)
+            .as("rate6"),
+          round(col("iso"), 6).as("iso6"))
+        .orderBy("bin")
     }),
 
     // Kendall rank correlation (tau-b) between quantity and discount —
@@ -719,6 +823,81 @@ object StatsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the identical seeded polyMix draw chain, equi-join resolution,
+    // exact integer replicate totals, and rank-picked bounds
+    "q297_bootstrap_ci" -> {
+      val drawSql = GraphQueries.polyMixSql(
+        GraphQueries.pmodSql("reps.b * nn.n + rk.r"))
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |rk AS (SELECT cents,
+         |              ROW_NUMBER() OVER (ORDER BY day ASC) - 1 AS r
+         |       FROM daily),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         |reps AS (SELECT CAST(unnest(range(0, $BootB)) AS BIGINT) AS b),
+         |draws AS (
+         |  SELECT reps.b, ($drawSql) % nn.n AS idx
+         |  FROM rk CROSS JOIN reps CROSS JOIN nn),
+         |tot AS (
+         |  SELECT d.b, CAST(SUM(rk.cents) AS BIGINT) AS t
+         |  FROM draws d JOIN rk ON rk.r = d.idx
+         |  GROUP BY 1),
+         |h AS (SELECT t, COUNT(*) AS cnt FROM tot GROUP BY 1),
+         |cum AS (SELECT t, SUM(cnt) OVER (ORDER BY t ASC) AS cum FROM h),
+         |pick AS (
+         |  SELECT MIN(CASE WHEN cum >= $BootLoRank THEN t END) AS lo,
+         |         MIN(CASE WHEN cum >= $BootHiRank THEN t END) AS hi
+         |  FROM cum),
+         |orig AS (SELECT CAST(SUM(cents) AS BIGINT) AS t0 FROM daily)
+         |SELECT nn.n AS n_days, CAST($BootB AS BIGINT) AS n_boot,
+         |       ROUND(CAST(t0 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 100, 6)
+         |         AS mean6,
+         |       ROUND(CAST(lo AS DOUBLE) / CAST(nn.n AS DOUBLE) / 100, 6)
+         |         AS lo6,
+         |       ROUND(CAST(hi AS DOUBLE) / CAST(nn.n AS DOUBLE) / 100, 6)
+         |         AS hi6
+         |FROM pick CROSS JOIN orig CROSS JOIN nn""".stripMargin
+    },
+
+    // identical bin collapse, prefix sums, and the minimax identity
+    // over (k ≤ i ≤ j) prefix windows — IEEE ratios of exact ints
+    "q296_isotonic" ->
+      """WITH bins AS (
+        |  SELECT least(CAST(round(o_totalprice * 100) AS BIGINT)
+        |           // 5000000, 9) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM orders GROUP BY 1),
+        |pre AS (
+        |  SELECT a.bin, CAST(SUM(b.n) AS BIGINT) AS nn,
+        |         CAST(SUM(b.s) AS BIGINT) AS ss
+        |  FROM bins a JOIN bins b ON b.bin <= a.bin
+        |  GROUP BY 1),
+        |pk AS (
+        |  SELECT k.bin AS k, COALESCE(p.nn, 0) AS pn,
+        |         COALESCE(p.ss, 0) AS ps
+        |  FROM bins k LEFT JOIN pre p ON p.bin = k.bin - 1),
+        |rate AS (
+        |  SELECT pk.k, pj.bin AS j,
+        |         CAST(pj.ss - pk.ps AS DOUBLE)
+        |           / CAST(pj.nn - pk.pn AS DOUBLE) AS r
+        |  FROM pk JOIN pre pj ON pj.bin >= pk.k),
+        |g1 AS (
+        |  SELECT i.bin AS i, rate.j, MAX(rate.r) AS mx
+        |  FROM bins i JOIN rate ON rate.k <= i.bin AND rate.j >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, MIN(mx) AS iso FROM g1 GROUP BY 1)
+        |SELECT b.bin, b.n, b.s,
+        |       ROUND(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+        |         AS rate6,
+        |       ROUND(iso.iso, 6) AS iso6
+        |FROM iso JOIN bins b ON b.bin = iso.i
+        |ORDER BY b.bin ASC NULLS FIRST""".stripMargin,
+
     // the q162 oracle shape on the priority×segment grid + the SAME
     // V formula text over (chi2, ntot, nr, nc)
     "q287_cramers_v" ->

@@ -142,6 +142,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q282_freshness_lag", "q284_adc_recall", "q285_adc_recall_prod",
       "q286_kendall_tau", "q287_cramers_v", "q288_js_divergence",
       "q289_theil_sen", "q291_conductance", "q295_dtw",
+      "q296_isotonic", "q297_bootstrap_ci",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -190,12 +191,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //    (score cents), q186 Mann-Whitney (quantity), q289 Theil–Sen
     //    (pairwise slopes of the calendar-bounded daily series);
     //  - fixed-dimension post-agg totals: q89 share-of-total over the
-    //    (returnflag, type-bucket) group rows.
+    //    (returnflag, type-bucket) group rows;
+    //  - fixed-replicate histograms: q297's 200-row bootstrap-total
+    //    histogram (bounded by the replicate constant, not the data).
     val allowed = Set(
       "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
-      "q89_svc_partshare")
+      "q297_bootstrap_ci", "q89_svc_partshare")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
