@@ -364,6 +364,38 @@ object CurationQueries {
           col("b"), col("c"), expr(McnemarFormula.chi6).as("mcnemar6"))
     }),
 
+    // Chance-corrected agreement between the same two gates — q298
+    // tests whether the disagreements are one-sided; this measures how
+    // much the gates agree BEYOND chance (Cohen's kappa) and the full
+    // four-cell association (Matthews correlation): the pair of
+    // numbers a curation team reads before trusting one gate as the
+    // other's stand-in. Same single projection + global 2×2 agg over
+    // the shared feature view; both statistics are shared-string
+    // double formulas over the exact integer cells — kappa NULL when
+    // chance agreement is already 1 (both gates constant), MCC NULL
+    // when any marginal is empty.
+    "q299_gate_kappa" -> ((s, dir) => {
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val last = percTrace(s, dir)
+        .filter(col("step") === PercIters).collect().head
+      val w = last.getAs[Long]("w_bias") +:
+        PercFeatures.map(c => last.getAs[Long](s"w_$c"))
+      graft.api.MlOps.linearScore(feats, PercFeatures, w)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0 && col("keep") === 1, 1L)
+            .otherwise(0L)).as("ka"),
+          sum(when(col("score") <= 0 && col("keep") =!= 1, 1L)
+            .otherwise(0L)).as("kd"),
+          sum(when(col("score") <= 0 && col("keep") === 1, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("score") > 0 && col("keep") =!= 1, 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("n_docs"), (col("ka") + col("kd")).as("n_agree"),
+          col("b"), col("c"), expr(KappaFormula.kappa6).as("kappa6"),
+          expr(KappaFormula.mcc6).as("mcc6"))
+    }),
+
     "q237_quality_score_rollup" -> ((s, dir) => {
       val feats = graft.api.TextOps
         .qualityFeatures(t(s, dir, "documents"), "text")
@@ -649,6 +681,54 @@ object CurationQueries {
       "/ CAST(b + c AS DOUBLE), 6) END"
   }
 
+  /** q299's chance-corrected agreement statistics over the exact 2×2
+    * cells (ka = both-keep, kd = both-drop, b, c) — shared texts, one
+    * IEEE tree each (OlsFormula convention). kappa = (po − pe)/(1 −
+    * pe) guarded on 1 − pe > 0; MCC's four marginal products are
+    * staged through DOUBLE before multiplying (n⁴ overflows int64 past
+    * n ≈ 55k documents). */
+  private[operators] object KappaFormula {
+    private val po = "(CAST(ka AS DOUBLE) + CAST(kd AS DOUBLE)) " +
+      "/ CAST(n_docs AS DOUBLE)"
+    private val pe = "(CAST(ka + b AS DOUBLE) * CAST(ka + c AS DOUBLE) " +
+      "+ CAST(c + kd AS DOUBLE) * CAST(b + kd AS DOUBLE)) " +
+      "/ (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+    val kappa6: String = s"CASE WHEN n_docs > 0 AND ($pe) < 1.0 THEN " +
+      s"round((($po) - ($pe)) / (1.0 - ($pe)), 6) END"
+    val mcc6: String = "CASE WHEN (ka + b) > 0 AND (ka + c) > 0 " +
+      "AND (b + kd) > 0 AND (c + kd) > 0 THEN " +
+      "round((CAST(ka AS DOUBLE) * CAST(kd AS DOUBLE) " +
+      "- CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) " +
+      "/ sqrt(CAST(ka + b AS DOUBLE) * CAST(ka + c AS DOUBLE) " +
+      "* CAST(b + kd AS DOUBLE) * CAST(c + kd AS DOUBLE)), 6) END"
+  }
+
+  /** The q299 replay: the chain to the final weight row, the 2×2 cell
+    * agg, and the SAME kappa/MCC formula texts. */
+  private def kappaOracleSql: String = {
+    val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
+      .mkString(" + ")
+    s"""WITH $percCtesSql,
+       |sc AS (
+       |  SELECT ft.y, ($margin) AS score
+       |  FROM ft CROSS JOIN w$PercIters w),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(CASE WHEN score > 0 AND y = 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+       |         CAST(SUM(CASE WHEN score <= 0 AND y != 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS kd,
+       |         CAST(SUM(CASE WHEN score <= 0 AND y = 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |         CAST(SUM(CASE WHEN score > 0 AND y != 1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM sc)
+       |SELECT n_docs, ka + kd AS n_agree, b, c,
+       |       ${KappaFormula.kappa6} AS kappa6,
+       |       ${KappaFormula.mcc6} AS mcc6
+       |FROM m""".stripMargin
+  }
+
   /** The q298 replay: the same chain to the final weight row, then the
     * global 2×2 agreement table and the SAME χ² formula text. */
   private def mcnemarOracleSql: String = {
@@ -830,6 +910,7 @@ object CurationQueries {
     "q235_quality_perceptron" -> perceptronOracleSql,
     "q237_quality_score_rollup" -> scoreRollupOracleSql,
     "q298_mcnemar_gates" -> mcnemarOracleSql,
+    "q299_gate_kappa" -> kappaOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,
     "q249_quality_auc" -> aucOracleSql,
     "q251_feature_corr" -> featureCorrOracleSql,

@@ -30,6 +30,29 @@ object StatsQueries {
   private val BootLoRank = 5L
   private val BootHiRank = 196L
 
+  /** q300's sign-flip replicate count; p uses the add-one estimator
+    * (1 + #{|T_b| ≥ |T0|}) / (B + 1), exact rationals until one final
+    * rounded division. */
+  private val PermB = 200L
+
+  /** q302's portmanteau depth (ACF lags 1..7 — one week of daily
+    * autocorrelation structure). */
+  private val LbMaxLag = 7L
+
+  /** q302's lag-h autocorrelation over the exact moment sums — shared
+    * text, one IEEE tree: r_h = Σ(x_t−x̄)(x_{t−h}−x̄) / Σ(x_t−x̄)²
+    * expanded over (n, sx, sxx) global and (cnt, sa, sb, sxy) per-lag
+    * sums, with x̄ = sx/n. NULL on a flat series (den = 0). */
+  private[operators] object LbFormula {
+    private val xm = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    private val num = s"(CAST(sxy AS DOUBLE) - $xm * " +
+      s"(CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) " +
+      s"+ CAST(cnt AS DOUBLE) * $xm * $xm)"
+    private val den = s"(CAST(sxx AS DOUBLE) " +
+      s"- CAST(n AS DOUBLE) * $xm * $xm)"
+    val r6: String = s"CASE WHEN $den != 0 THEN round($num / $den, 6) END"
+  }
+
   /** q254's closed-form strings over the double moment names
     * (n, sq, sd, sy, sqq, sqd, sdd, sqy, sdy, syy). The SAME text runs
     * through Spark's `expr()` and the DuckDB oracle SQL, so the IEEE
@@ -160,6 +183,98 @@ object StatsQueries {
         .select(lit(n).as("n_days"), lit(BootB).as("n_boot"),
           mean6(col("t0")).as("mean6"), mean6(col("lo")).as("lo6"),
           mean6(col("hi")).as("hi6"))
+    }),
+
+    // Ljung–Box portmanteau test — is the daily revenue series white
+    // noise, jointly over its first 7 autocorrelations? (q152 measures
+    // ONE lag of the event series; a forecast residual check needs the
+    // joint statistic.) Days are indexed by the partition-offset
+    // GlobalRank; each lag's cross-moments come from ONE equi-join of
+    // the series against its 7-row lag-literal shift (constant fan-out,
+    // documented BNLJ); r_h is the standard full-series-variance
+    // estimator via a shared-string IEEE tree over exact integer/
+    // decimal moment sums; Q = n(n+2)·Σ r_h²/(n−h) with per-lag terms
+    // 8dp-quantized and decimal-summed [D2], riding every lag row
+    // (q201 convention).
+    "q302_ljung_box" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val (pool, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        daily, Seq(col("day").asc))
+      val dd = pool.select(col("rn"), col("cents").as("x"))
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val glob = dd.agg(sum(col("x")).as("sx"),
+        sum(d19(col("x")) * d19(col("x"))).as("sxx"))
+      val lags = dd.limit(1).select(
+        explode(sequence(lit(1L), lit(LbMaxLag))).as("h"))
+      val shifted = dd.crossJoin(broadcast(lags))
+        .select((col("rn") + col("h")).as("rn"), col("h"),
+          col("x").as("y"))
+      val cells = dd.join(shifted, Seq("rn"))
+        .groupBy("h").agg(count(lit(1)).as("cnt"),
+          sum(col("x")).as("sa"), sum(col("y")).as("sb"),
+          sum(d19(col("x")) * d19(col("y"))).as("sxy"))
+        .crossJoin(broadcast(glob)).withColumn("n", lit(n))
+        .withColumn("r6", expr(LbFormula.r6))
+        .withColumn("term", round(col("r6") * col("r6")
+          / col("cnt").cast("double"), 8).cast("decimal(38,8)"))
+      cells.crossJoin(broadcast(cells.agg(
+          round((lit(n) * lit(n + 2)).cast("double")
+            * sum(col("term")).cast("double"), 4).as("lb4"))))
+        .select(col("h").as("lag"), col("cnt").as("n_pairs"),
+          col("r6"), col("lb4"))
+        .orderBy("lag")
+    }),
+
+    // Sign-flip permutation test — is weekend daily revenue different
+    // from weekday, beyond chance? The PAIRED randomization test whose
+    // permutation group IS sign flips: per ISO week w (both sides
+    // present), d_w = S_we·c_wd − S_wd·c_we (the integer-exact scaled
+    // mean contrast c_we·c_wd·(mean_we − mean_wd)); under H0 the d_w
+    // are sign-symmetric, so T_b = Σ s_w(b)·d_w over 200 SEEDED flip
+    // vectors (the polyMix parity bit of (b·W + w) — a pure function
+    // of the data, the q226/q297 convention, so the p-value is a
+    // hash-gated row). p = (1 + #{|T_b| ≥ |T0|}) / (B+1): exact
+    // integer counts until one final rounded division. The flips are a
+    // weeks×200 broadcast-literal cross (documented BNLJ, replicate-
+    // bounded) collapsed by one keyed agg — no window anywhere.
+    "q300_permutation_test" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val we = weekday(col("day")) >= 5 // Mon=0 .. Sun=6: Sat/Sun
+      val wk = daily
+        .groupBy(date_trunc("week", col("day")).as("w"))
+        .agg(sum(when(we, col("cents")).otherwise(0L)).as("swe"),
+          sum(when(!we, col("cents")).otherwise(0L)).as("swd"),
+          sum(when(we, 1L).otherwise(0L)).as("cwe"),
+          sum(when(!we, 1L).otherwise(0L)).as("cwd"))
+        .filter(col("cwe") > 0 && col("cwd") > 0)
+        .select(col("w"),
+          (col("swe") * col("cwd") - col("swd") * col("cwe")).as("d"))
+      val (pool, nw) = graft.functions.GlobalRank.rowNumberWithTotal(
+        wk, Seq(col("w").asc))
+      val dd = pool.select((col("rn") - 1).as("r"), col("d"))
+      val t0 = dd.agg(sum(col("d")).as("t0"))
+      val reps = dd.limit(1).select(
+        explode(sequence(lit(0L), lit(PermB - 1))).as("b"))
+      val hm = GraphQueries.HashM
+      val tb = dd.crossJoin(broadcast(reps))
+        .select(col("b"), ((lit(1L) - lit(2L) * pmod(GraphQueries.polyMix(
+          pmod(col("b") * nw + col("r"), lit(hm))), lit(2L)))
+          * col("d")).as("sd"))
+        .groupBy("b").agg(sum(col("sd")).as("tb"))
+      tb.crossJoin(broadcast(t0))
+        .agg(sum(when(abs(col("tb")) >= abs(col("t0")), 1L)
+          .otherwise(0L)).as("n_ge"))
+        .crossJoin(broadcast(t0))
+        .select(lit(nw).as("n_weeks"), col("t0"),
+          lit(PermB).as("n_perm"), col("n_ge"),
+          round((col("n_ge") + 1).cast("double")
+            / lit(PermB + 1).cast("double"), 6).as("p6"))
     }),
 
     // Isotonic regression — the monotone calibration curve of
@@ -860,6 +975,96 @@ object StatsQueries {
          |       ROUND(CAST(hi AS DOUBLE) / CAST(nn.n AS DOUBLE) / 100, 6)
          |         AS hi6
          |FROM pick CROSS JOIN orig CROSS JOIN nn""".stripMargin
+    },
+
+    // the identical rank spine, lag-shift equi-join, moment sums, and
+    // the SAME r_h formula text; terms 8dp-quantized + decimal-summed
+    "q302_ljung_box" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |dd AS (SELECT ROW_NUMBER() OVER (ORDER BY day ASC) AS rn,
+         |              cents AS x
+         |       FROM daily),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dd),
+         |gm AS (
+         |  SELECT CAST(SUM(x) AS BIGINT) AS sx,
+         |         CAST(SUM(CAST(x AS DECIMAL(19,0))
+         |           * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx
+         |  FROM dd),
+         |lags AS (SELECT CAST(unnest(range(1, ${LbMaxLag + 1}))
+         |           AS BIGINT) AS h),
+         |cells AS (
+         |  SELECT s.h, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         CAST(SUM(a.x) AS BIGINT) AS sa,
+         |         CAST(SUM(s.y) AS BIGINT) AS sb,
+         |         CAST(SUM(CAST(a.x AS DECIMAL(19,0))
+         |           * CAST(s.y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+         |  FROM dd a
+         |  JOIN (SELECT dd.rn + lags.h AS rn, lags.h, dd.x AS y
+         |        FROM dd CROSS JOIN lags) s ON s.rn = a.rn
+         |  GROUP BY 1),
+         |rr AS (
+         |  SELECT cells.h, cells.cnt, ${LbFormula.r6} AS r6
+         |  FROM cells CROSS JOIN gm CROSS JOIN nn),
+         |tt AS (
+         |  SELECT h, cnt, r6,
+         |         CAST(ROUND(r6 * r6 / CAST(cnt AS DOUBLE), 8)
+         |           AS DECIMAL(38,8)) AS term
+         |  FROM rr),
+         |lb AS (
+         |  SELECT ROUND(CAST(nn.n * (nn.n + 2) AS DOUBLE)
+         |           * CAST(SUM(term) AS DOUBLE), 4) AS lb4
+         |  FROM tt CROSS JOIN nn GROUP BY nn.n)
+         |SELECT tt.h AS lag, tt.cnt AS n_pairs, tt.r6, lb.lb4
+         |FROM tt CROSS JOIN lb
+         |ORDER BY lag ASC NULLS FIRST""".stripMargin,
+
+    // the identical weekly pairing, seeded polyMix parity flips, and
+    // exact integer replicate statistics; isodow ≥ 6 ⇔ weekday ≥ 5
+    "q300_permutation_test" -> {
+      val bitSql = GraphQueries.polyMixSql(
+        GraphQueries.pmodSql("reps.b * nn.n + dd.r"))
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |wk AS (
+         |  SELECT date_trunc('week', day) AS w,
+         |         CAST(SUM(CASE WHEN isodow(day) >= 6 THEN cents
+         |                  ELSE 0 END) AS BIGINT) AS swe,
+         |         CAST(SUM(CASE WHEN isodow(day) < 6 THEN cents
+         |                  ELSE 0 END) AS BIGINT) AS swd,
+         |         CAST(SUM(CASE WHEN isodow(day) >= 6 THEN 1
+         |                  ELSE 0 END) AS BIGINT) AS cwe,
+         |         CAST(SUM(CASE WHEN isodow(day) < 6 THEN 1
+         |                  ELSE 0 END) AS BIGINT) AS cwd
+         |  FROM daily GROUP BY 1),
+         |dd AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY w ASC) - 1 AS r,
+         |         swe * cwd - swd * cwe AS d
+         |  FROM wk WHERE cwe > 0 AND cwd > 0),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dd),
+         |t0 AS (SELECT CAST(SUM(d) AS BIGINT) AS t0 FROM dd),
+         |reps AS (SELECT CAST(unnest(range(0, $PermB)) AS BIGINT) AS b),
+         |tb AS (
+         |  SELECT reps.b,
+         |         CAST(SUM((1 - 2 * (($bitSql) % 2)) * dd.d) AS BIGINT)
+         |           AS tb
+         |  FROM dd CROSS JOIN reps CROSS JOIN nn
+         |  GROUP BY 1),
+         |ge AS (
+         |  SELECT CAST(SUM(CASE WHEN abs(tb.tb) >= abs(t0.t0)
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+         |  FROM tb CROSS JOIN t0)
+         |SELECT nn.n AS n_weeks, t0.t0 AS t0,
+         |       CAST($PermB AS BIGINT) AS n_perm, ge.n_ge,
+         |       ROUND(CAST(ge.n_ge + 1 AS DOUBLE)
+         |         / CAST(${PermB + 1} AS DOUBLE), 6) AS p6
+         |FROM ge CROSS JOIN t0 CROSS JOIN nn""".stripMargin
     },
 
     // identical bin collapse, prefix sums, and the minimax identity

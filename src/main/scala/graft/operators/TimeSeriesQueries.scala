@@ -93,6 +93,42 @@ object TimeSeriesQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Volume drawdown — the deepest and longest excursion of daily
+    // revenue below its running peak: the series-health readout a
+    // capacity planner reads next to q154's z-scores (z flags single
+    // anomalous days; drawdown measures sustained decline from the
+    // high-water mark). The corpus collapses to the calendar-bounded
+    // daily table first; the running peak and row spine are global
+    // ordered windows over that bounded relation (allowlisted q160/
+    // q203 class); the longest underwater streak is gaps-and-islands
+    // (rn − rn_underwater) + one keyed count. All integer cents; the
+    // one double is the rounded dd/peak ratio of exact ints.
+    "q301_drawdown" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val w = Window.orderBy(col("day").asc)
+      val d = daily
+        .withColumn("peak", max(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dd", col("peak") - col("cents"))
+        .withColumn("rn", row_number().over(w))
+      val heads = d.agg(count(lit(1)).as("n_days"),
+        max(col("dd")).as("max_dd_cents"),
+        max(round(col("dd").cast("double")
+          / col("peak").cast("double"), 6)).as("maxdd_pct6"))
+      val streak = d.filter(col("dd") > 0)
+        .withColumn("rnu", row_number().over(w))
+        .groupBy((col("rn") - col("rnu")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+        .agg(max(col("len")).as("longest"))
+      heads.crossJoin(broadcast(streak))
+        .select(col("n_days"), col("max_dd_cents"), col("maxdd_pct6"),
+          coalesce(col("longest"), lit(0L)).as("longest_under_days"))
+    }),
+
     // Theil–Sen estimator — the MEDIAN of all pairwise slopes of the
     // 1995 daily-revenue series: the robust trend line q163's OLS
     // cousin, immune to the outlier days that drag a least-squares
@@ -541,6 +577,39 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // identical daily collapse, running-peak window, islands streak;
+    // dd ≥ 0 so the rounded ratio can never hit IEEE −0.0
+    "q301_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT day, cents,
+        |         MAX(cents) OVER (ORDER BY day ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS peak,
+        |         ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+        |  FROM daily),
+        |dd AS (SELECT day, rn, peak, peak - cents AS dd FROM d),
+        |heads AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(MAX(dd) AS BIGINT) AS max_dd_cents,
+        |         MAX(ROUND(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6))
+        |           AS maxdd_pct6
+        |  FROM dd),
+        |u AS (SELECT rn, ROW_NUMBER() OVER (ORDER BY day ASC) AS rnu
+        |      FROM dd WHERE dd > 0),
+        |st AS (
+        |  SELECT CAST(MAX(len) AS BIGINT) AS longest
+        |  FROM (SELECT rn - rnu AS grp, COUNT(*) AS len
+        |        FROM u GROUP BY 1))
+        |SELECT heads.n_days, heads.max_dd_cents, heads.maxdd_pct6,
+        |       COALESCE(st.longest, CAST(0 AS BIGINT))
+        |         AS longest_under_days
+        |FROM heads CROSS JOIN st""".stripMargin,
 
     // identical daily collapse, half-grid slope pass, value-histogram
     // rank pick; `+ 0` normalizes a −0.0 round (q63 precedent)

@@ -142,7 +142,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q282_freshness_lag", "q284_adc_recall", "q285_adc_recall_prod",
       "q286_kendall_tau", "q287_cramers_v", "q288_js_divergence",
       "q289_theil_sen", "q291_conductance", "q295_dtw",
-      "q296_isotonic", "q297_bootstrap_ci",
+      "q296_isotonic", "q297_bootstrap_ci", "q300_permutation_test",
+      "q301_drawdown", "q302_ljung_box",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -183,7 +184,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // The nine audited sites, by bound class:
     //  - calendar-day series (rows ≤ days in the data's time range):
     //    q142 daily user growth, q160 gap fill, q203 CUSUM, q294
-    //    Hampel (7-day rolling-median frames on the daily table);
+    //    Hampel (7-day rolling-median frames on the daily table),
+    //    q301 drawdown (running peak + islands over the daily table);
     //  - value-domain histograms (rows ≤ distinct values of a bounded
     //    numeric domain, collapsed by a hash agg BEFORE the global
     //    cumSum/prefixMax): q143 skyline (retailprice), q161 ABC
@@ -198,7 +200,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
-      "q297_bootstrap_ci", "q89_svc_partshare")
+      "q297_bootstrap_ci", "q301_drawdown", "q89_svc_partshare")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
