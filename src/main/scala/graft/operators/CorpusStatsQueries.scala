@@ -83,6 +83,89 @@ object CorpusStatsQueries {
         .orderBy("source")
     }),
 
+    // Lexical-richness triple — Yule's K characteristic (the
+    // repeated-vocabulary concentration 10⁴·(Σc²−N)/N², famously
+    // length-insensitive), hapax share (types seen once / types), and
+    // raw TTR, per source: the AUTHORSHIP-style fingerprint a curation
+    // dashboard reads next to q293's diversity indices (q293 measures
+    // draw-collision probability; K measures the tail's repetition
+    // structure). Same two hash aggs as q293; Σc² decimal-staged
+    // (overflows int64 past ~3e9 occurrences of one type); all three
+    // ratios shared-string double formulas (LexFormula).
+    "q303_yules_k" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      srcTokens(s, dir).groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(d38(col("c")) * col("c")).as("s2"))
+        .select(col("source"), col("n_tok"), col("n_types"), col("hapax"),
+          expr(LexFormula.ttr6).as("ttr6"),
+          expr(LexFormula.hapax6).as("hapax6"),
+          expr(LexFormula.yule4).as("yule4"))
+        .orderBy("source")
+    }),
+
+    // Heaps' law fit — vocabulary growth V(N) ≈ K·N^β measured at 10
+    // document-prefix checkpoints (docs ordered by doc_id), the
+    // corpus-scaling diagnostic that says how much NEW vocabulary
+    // another 10× of data buys. Each type collapses to its FIRST-
+    // occurrence document rank (one hash agg — the prefix vocabulary
+    // at any cut is then a count of first-ranks ≤ cut, no per-prefix
+    // rescan); checkpoints are a 10-row broadcast literal (documented
+    // BNLJ, constant fan-out). β and ln K come from the q113 log-log
+    // OLS machinery: ln's 6dp-quantized, moment sums decimal-staged
+    // [D2], one fixed double formula each, riding every checkpoint
+    // row (q201 convention).
+    "q304_heaps_law" -> ((s, dir) => {
+      val docToks = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val docN = docToks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val (pool, dTot) = graft.functions.GlobalRank.rowNumberWithTotal(
+        docN, Seq(col("doc_id").asc))
+      val ranked = pool.select(col("rn"), col("doc_id"), col("ntok"))
+      val first = docToks
+        .join(ranked.select("doc_id", "rn"), Seq("doc_id"))
+        .groupBy("tok").agg(min(col("rn")).as("frn"))
+      val cps = ranked.limit(1).select(
+        explode(sequence(lit(1L), lit(10L))).as("cp"))
+        .select(col("cp"), expr(s"cp * ${dTot}L div 10L").as("cut"))
+      val vs = first.crossJoin(broadcast(cps))
+        .filter(col("frn") <= col("cut"))
+        .groupBy("cp").agg(count(lit(1)).as("n_types"))
+      val ns = ranked.crossJoin(broadcast(cps))
+        .filter(col("rn") <= col("cut"))
+        .groupBy("cp").agg(sum(col("ntok")).as("n_tok"))
+      val xy = ns.join(vs, Seq("cp"))
+        .select(col("cp"), col("n_tok"), col("n_types"),
+          round(log(col("n_tok").cast("double")), 6).as("x"),
+          round(log(col("n_types").cast("double")), 6).as("y"))
+      val fit = xy.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(Dec)).as("sx"),
+          sum(col("y").cast(Dec)).as("sy"),
+          sum(round(col("x") * col("y"), 6).cast(Dec)).as("sxy"),
+          sum(round(col("x") * col("x"), 6).cast(Dec)).as("sxx"))
+        .select(
+          round(safeDiv(
+            col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"),
+            col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 4)
+            .as("beta4"),
+          round(safeDiv(
+            col("sy").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sxy").cast("double"),
+            col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 4)
+            .as("lnk4"))
+      xy.crossJoin(broadcast(fit))
+        .select(col("cp"), col("n_tok"), col("n_types"),
+          col("beta4"), col("lnk4"))
+        .orderBy("cp")
+    }),
+
     // Jensen–Shannon divergence between every source PAIR's unigram
     // distributions — the symmetric, bounded cousin of q112's KL and
     // the standard corpus-mixture distance a curation run reads before
@@ -405,6 +488,19 @@ object CorpusStatsQueries {
   /** q293's diversity ratios over the exact per-source moments
     * (n_tok, s2 = Σn_i(n_i−1), cmax) — shared text, one IEEE tree
     * (OlsFormula convention); both ∈ [0,1], no −0.0 risk. */
+  /** q303's lexical-richness ratios over the exact per-source moments
+    * (n_tok, n_types, hapax, s2 = Σc²) — shared texts, one IEEE tree
+    * each. K's 10⁴ scale is the classic presentation; NULL on a
+    * single-token source (no repetition structure to measure). */
+  private[operators] object LexFormula {
+    val ttr6 = "round(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)"
+    val hapax6 =
+      "round(CAST(hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)"
+    val yule4 = "CASE WHEN n_tok > 1 THEN " +
+      "round(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tok AS DOUBLE)) " +
+      "/ (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)), 4) END"
+  }
+
   private[operators] object DivFormula {
     val simpson6 = "CASE WHEN n_tok > 1 THEN round(1 - CAST(s2 AS DOUBLE)" +
       " / (CAST(n_tok AS DOUBLE) * CAST(n_tok - 1 AS DOUBLE)), 6) END"
@@ -512,6 +608,80 @@ object CorpusStatsQueries {
     "q236_bpe_merges" -> bpeOracleSql,
     "q262_bpe_apply" -> bpeApplyOracleSql,
     // identical grid + moment aggs + the SAME ratio formula texts
+    // identical (source, token) grid + moments + SAME ratio texts;
+    // HUGEINT stages Σc² like q293's Σc(c−1)
+    "q303_yules_k" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY source, tok),
+         |m AS (
+         |  SELECT source,
+         |         CAST(SUM(c) AS BIGINT) AS n_tok,
+         |         CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS hapax,
+         |         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+         |  FROM st GROUP BY source)
+         |SELECT source, n_tok, n_types, hapax,
+         |       ${LexFormula.ttr6} AS ttr6,
+         |       ${LexFormula.hapax6} AS hapax6,
+         |       ${LexFormula.yule4} AS yule4
+         |FROM m
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    // identical first-occurrence collapse, 10-point prefix grid, and
+    // the q113 log-log OLS moment chain (mirrored formula trees)
+    "q304_heaps_law" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |dn AS (SELECT doc_id, COUNT(*) AS ntok FROM dt GROUP BY 1),
+         |rk AS (SELECT doc_id, ntok,
+         |              ROW_NUMBER() OVER (ORDER BY doc_id ASC) AS rn
+         |       FROM dn),
+         |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM dn),
+         |fo AS (
+         |  SELECT dt.tok, MIN(rk.rn) AS frn
+         |  FROM dt JOIN rk ON rk.doc_id = dt.doc_id
+         |  GROUP BY 1),
+         |cps AS (
+         |  SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS cp),
+         |cuts AS (
+         |  SELECT cp, cp * dd.d // 10 AS cut FROM cps CROSS JOIN dd),
+         |vs AS (
+         |  SELECT cuts.cp, CAST(COUNT(*) AS BIGINT) AS n_types
+         |  FROM fo JOIN cuts ON fo.frn <= cuts.cut GROUP BY 1),
+         |ns AS (
+         |  SELECT cuts.cp, CAST(SUM(rk.ntok) AS BIGINT) AS n_tok
+         |  FROM rk JOIN cuts ON rk.rn <= cuts.cut GROUP BY 1),
+         |xy AS (
+         |  SELECT ns.cp, ns.n_tok, vs.n_types,
+         |         ROUND(ln(CAST(ns.n_tok AS DOUBLE)), 6) AS x,
+         |         ROUND(ln(CAST(vs.n_types AS DOUBLE)), 6) AS y
+         |  FROM ns JOIN vs ON vs.cp = ns.cp),
+         |s AS (
+         |  SELECT COUNT(*) AS n,
+         |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6)))
+         |           AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6)))
+         |           AS DOUBLE) AS sxx
+         |  FROM xy),
+         |fit AS (
+         |  SELECT ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx != 0
+         |           THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+         |                / (CAST(n AS DOUBLE) * sxx - sx * sx) END, 4)
+         |           AS beta4,
+         |         ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx != 0
+         |           THEN (sy * sxx - sx * sxy)
+         |                / (CAST(n AS DOUBLE) * sxx - sx * sx) END, 4)
+         |           AS lnk4
+         |  FROM s)
+         |SELECT xy.cp, xy.n_tok, xy.n_types, fit.beta4, fit.lnk4
+         |FROM xy CROSS JOIN fit
+         |ORDER BY cp ASC NULLS FIRST""".stripMargin,
+
     "q293_diversity" ->
       s"""WITH st AS (
          |  SELECT source, tok, COUNT(*) AS c

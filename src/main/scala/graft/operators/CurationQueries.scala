@@ -396,6 +396,46 @@ object CurationQueries {
           expr(KappaFormula.mcc6).as("mcc6"))
     }),
 
+    // Information gain per quality feature — the FEATURE-SELECTION
+    // readout of the q235 family (q251 measures linear correlation
+    // between features; this measures how much each feature, binarized
+    // at its integer mean, actually tells you about the keep label):
+    // IG = MI(feature_hi; keep) over the per-feature 2×2 grid, the
+    // q201 mutual-information shape applied to the model's own inputs.
+    // The mean threshold is the EXACT integer comparison v·n > Σv (no
+    // float mean); per-cell MI terms are 6dp-quantized and decimal-
+    // summed [D2]; counts stage through DOUBLE before any product (n²
+    // overflows int64 past ~3e9 docs).
+    "q305_info_gain" -> ((s, dir) => {
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val fv = feats.select(col("keep"), expr(
+        "stack(4, 'f_ntok', f_ntok, 'f_wlen', f_wlen, " +
+          "'f_ttr', f_ttr, 'f_stop', f_stop) as (feature, v)"))
+      val tot = fv.groupBy("feature")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val cells = fv.join(broadcast(tot), Seq("feature"))
+        .groupBy(col("feature"),
+          (col("v") * col("n") > col("sv")).cast("long").as("hi"),
+          (col("keep") === 1).cast("long").as("yy"))
+        .agg(count(lit(1)).as("n_xy"))
+      val nx = cells.groupBy("feature", "hi").agg(sum("n_xy").as("n_x"))
+      val ny = cells.groupBy("feature", "yy").agg(sum("n_xy").as("n_y"))
+      val na = cells.groupBy("feature").agg(sum("n_xy").as("n_all"))
+      cells.join(nx, Seq("feature", "hi")).join(ny, Seq("feature", "yy"))
+        .join(broadcast(na), Seq("feature"))
+        .withColumn("term",
+          round((col("n_xy").cast("double") / col("n_all").cast("double"))
+            * log((col("n_xy").cast("double") * col("n_all").cast("double"))
+              / (col("n_x").cast("double") * col("n_y").cast("double"))),
+            6).cast(Dec))
+        .groupBy("feature")
+        .agg(coalesce(sum(when(col("hi") === 1, col("n_xy"))), lit(0L))
+          .as("n_hi"),
+          round(sum(col("term")).cast("double"), 4).as("ig4"))
+        .orderBy("feature")
+    }),
+
     "q237_quality_score_rollup" -> ((s, dir) => {
       val feats = graft.api.TextOps
         .qualityFeatures(t(s, dir, "documents"), "text")
@@ -729,6 +769,52 @@ object CurationQueries {
        |FROM m""".stripMargin
   }
 
+  /** The q305 replay: the shared ft feature relation unpivoted to
+    * (feature, v, y) rows, the exact integer mean-threshold binarize,
+    * and the q201 MI term tree over the per-feature 2×2 grid. */
+  private def infoGainOracleSql: String =
+    s"""WITH $percCtesSql,
+       |fv AS (
+       |  SELECT y, 'f_ntok' AS feature, x1 AS v FROM ft UNION ALL
+       |  SELECT y, 'f_wlen' AS feature, x2 AS v FROM ft UNION ALL
+       |  SELECT y, 'f_ttr' AS feature, x3 AS v FROM ft UNION ALL
+       |  SELECT y, 'f_stop' AS feature, x4 AS v FROM ft),
+       |tot AS (
+       |  SELECT feature, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(v) AS BIGINT) AS sv
+       |  FROM fv GROUP BY 1),
+       |cells AS (
+       |  SELECT fv.feature,
+       |         CAST(CASE WHEN fv.v * tot.n > tot.sv THEN 1 ELSE 0 END
+       |           AS BIGINT) AS hi,
+       |         CAST(CASE WHEN fv.y = 1 THEN 1 ELSE 0 END AS BIGINT)
+       |           AS yy,
+       |         CAST(COUNT(*) AS BIGINT) AS n_xy
+       |  FROM fv JOIN tot USING (feature) GROUP BY 1, 2, 3),
+       |nx AS (SELECT feature, hi, CAST(SUM(n_xy) AS BIGINT) AS n_x
+       |       FROM cells GROUP BY 1, 2),
+       |ny AS (SELECT feature, yy, CAST(SUM(n_xy) AS BIGINT) AS n_y
+       |       FROM cells GROUP BY 1, 2),
+       |na AS (SELECT feature, CAST(SUM(n_xy) AS BIGINT) AS n_all
+       |       FROM cells GROUP BY 1),
+       |tm AS (
+       |  SELECT c.feature, c.hi, c.n_xy,
+       |         ROUND((CAST(c.n_xy AS DOUBLE) / CAST(na.n_all AS DOUBLE))
+       |           * ln((CAST(c.n_xy AS DOUBLE) * CAST(na.n_all AS DOUBLE))
+       |             / (CAST(nx.n_x AS DOUBLE) * CAST(ny.n_y AS DOUBLE))),
+       |           6) AS term
+       |  FROM cells c
+       |  JOIN nx ON nx.feature = c.feature AND nx.hi = c.hi
+       |  JOIN ny ON ny.feature = c.feature AND ny.yy = c.yy
+       |  JOIN na ON na.feature = c.feature)
+       |SELECT feature,
+       |       CAST(COALESCE(SUM(CASE WHEN hi = 1 THEN n_xy END), 0)
+       |         AS BIGINT) AS n_hi,
+       |       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 4)
+       |         AS ig4
+       |FROM tm GROUP BY 1
+       |ORDER BY feature ASC NULLS FIRST""".stripMargin
+
   /** The q298 replay: the same chain to the final weight row, then the
     * global 2×2 agreement table and the SAME χ² formula text. */
   private def mcnemarOracleSql: String = {
@@ -911,6 +997,7 @@ object CurationQueries {
     "q237_quality_score_rollup" -> scoreRollupOracleSql,
     "q298_mcnemar_gates" -> mcnemarOracleSql,
     "q299_gate_kappa" -> kappaOracleSql,
+    "q305_info_gain" -> infoGainOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,
     "q249_quality_auc" -> aucOracleSql,
     "q251_feature_corr" -> featureCorrOracleSql,

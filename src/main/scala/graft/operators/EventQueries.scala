@@ -21,6 +21,70 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Log-rank test — do BUILDING and MACHINERY customers differ in
+    // time-to-repeat-purchase? The standard two-sample survival
+    // comparison over q265's machinery: per customer, days from first
+    // order DATE to the next distinct order date (censored at the
+    // dataset's last date when no repeat exists); at each event time
+    // the hypergeometric expectation/variance of group-1 events given
+    // the at-risk margins; χ² = (O1−E1)²/V. The corpus collapses to
+    // the (group, day) histogram FIRST (value-domain bounded by the
+    // calendar); the at-risk table is a bounded spine×histogram theta
+    // join (documented BNLJ — both sides ≤ the day domain at any
+    // corpus size); per-time terms are shared-string IEEE trees
+    // (LrFormula), 8dp-quantized and decimal-summed [D2].
+    "q306_logrank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      val firstO = o.groupBy("o_custkey").agg(min(col("day")).as("t1"))
+      val secondO = o.join(firstO, Seq("o_custkey"))
+        .filter(col("day") > col("t1"))
+        .groupBy("o_custkey").agg(min(col("day")).as("t2"))
+      val seg = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey").as("o_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 0L).otherwise(1L)
+            .as("g"))
+      val usr = firstO.join(secondO, Seq("o_custkey"), "left")
+        .join(seg, Seq("o_custkey"))
+        .crossJoin(broadcast(o.agg(max(col("day")).as("dmax"))))
+        .select(col("g"),
+          when(col("t2").isNotNull, datediff(col("t2"), col("t1")))
+            .otherwise(datediff(col("dmax"), col("t1"))).cast("long")
+            .as("k"),
+          col("t2").isNotNull.cast("long").as("ev"))
+      val hist = usr.groupBy("g", "k")
+        .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+      val users = hist.groupBy("g").agg(sum(col("m")).as("nu"))
+      val sp = hist.groupBy("k")
+        .agg(sum(col("d")).as("d"),
+          sum(when(col("g") === 0, col("d")).otherwise(0L)).as("d1"))
+        .filter(col("d") > 0)
+      val risks = hist.join(broadcast(sp.select(col("k").as("kk"))),
+          col("k") >= col("kk"))
+        .groupBy("kk", "g").agg(sum(col("m")).as("nr"))
+      val terms = sp
+        .join(risks.filter(col("g") === 0)
+          .select(col("kk").as("k"), col("nr").as("n1k")), Seq("k"), "left")
+        .join(risks.filter(col("g") === 1)
+          .select(col("kk").as("k"), col("nr").as("n2k")), Seq("k"), "left")
+        .select(col("k"), col("d"), col("d1"),
+          coalesce(col("n1k"), lit(0L)).as("n1k"),
+          coalesce(col("n2k"), lit(0L)).as("n2k"))
+        .select(col("d1"),
+          expr(LrFormula.e1term8).cast("decimal(38,8)").as("e1t"),
+          expr(LrFormula.vterm8).cast("decimal(38,8)").as("vt"))
+      terms.agg(sum(col("d1")).as("o1"), sum(col("e1t")).as("e1s"),
+          sum(col("vt")).as("vs"))
+        .crossJoin(broadcast(users.filter(col("g") === 0)
+          .select(col("nu").as("n1_users"))))
+        .crossJoin(broadcast(users.filter(col("g") === 1)
+          .select(col("nu").as("n2_users"))))
+        .select(col("n1_users"), col("n2_users"), col("o1"),
+          round(col("e1s").cast("double"), 6).as("e1_6"),
+          expr(LrFormula.chi4).as("chi4"))
+    }),
+
     // Freshness / staleness monitor — the ingestion-health endpoint a
     // pipeline dashboard polls: per event type the last-seen event
     // time, the lag in whole minutes behind the freshest stream, and
@@ -219,7 +283,98 @@ object EventQueries {
     })
   )
 
+  /** q306's per-event-time log-rank terms over the exact integer
+    * margins (d total events, n1k/n2k at-risk per group) and the final
+    * χ² — shared texts, one IEEE tree each (OlsFormula convention).
+    * The variance term is the hypergeometric V_k =
+    * d·(n1/n)·(n2/n)·(n−d)/(n−1), 0 when only one subject is at risk
+    * (no information); χ² NULL when V = 0 (degenerate margins). */
+  private[operators] object LrFormula {
+    private val nn = "CAST(n1k + n2k AS DOUBLE)"
+    val e1term8: String =
+      s"round(CAST(d AS DOUBLE) * CAST(n1k AS DOUBLE) / $nn, 8)"
+    val vterm8: String = "CASE WHEN n1k + n2k > 1 THEN " +
+      s"round(CAST(d AS DOUBLE) * (CAST(n1k AS DOUBLE) / $nn) " +
+      s"* (CAST(n2k AS DOUBLE) / $nn) " +
+      s"* (CAST(n1k + n2k - d AS DOUBLE) " +
+      s"/ CAST(n1k + n2k - 1 AS DOUBLE)), 8) ELSE 0.0 END"
+    val chi4: String = "CASE WHEN CAST(vs AS DOUBLE) > 0 THEN " +
+      "round((CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE)) " +
+      "* (CAST(o1 AS DOUBLE) - CAST(e1s AS DOUBLE)) " +
+      "/ CAST(vs AS DOUBLE), 4) END"
+  }
+
   val oracle: Map[String, String] = Map(
+
+    // identical first/second-order collapse, (group, day) histogram,
+    // spine×histogram at-risk join, and the SAME term/χ² texts
+    "q306_logrank" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day
+         |  FROM orders),
+         |f1 AS (SELECT o_custkey, MIN(day) AS t1 FROM o GROUP BY 1),
+         |f2 AS (
+         |  SELECT o.o_custkey, MIN(o.day) AS t2
+         |  FROM o JOIN f1 ON f1.o_custkey = o.o_custkey
+         |  WHERE o.day > f1.t1 GROUP BY 1),
+         |dmax AS (SELECT MAX(day) AS dmax FROM o),
+         |seg AS (
+         |  SELECT c_custkey AS o_custkey,
+         |         CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 0
+         |              ELSE 1 END AS BIGINT) AS g
+         |  FROM customer
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         |usr AS (
+         |  SELECT seg.g,
+         |         CAST(CASE WHEN f2.t2 IS NOT NULL
+         |              THEN datediff('day', f1.t1, f2.t2)
+         |              ELSE datediff('day', f1.t1, dmax.dmax) END
+         |           AS BIGINT) AS k,
+         |         CAST(CASE WHEN f2.t2 IS NOT NULL THEN 1 ELSE 0 END
+         |           AS BIGINT) AS ev
+         |  FROM f1
+         |  LEFT JOIN f2 ON f2.o_custkey = f1.o_custkey
+         |  JOIN seg ON seg.o_custkey = f1.o_custkey
+         |  CROSS JOIN dmax),
+         |hist AS (
+         |  SELECT g, k, CAST(SUM(ev) AS BIGINT) AS d,
+         |         CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM usr GROUP BY 1, 2),
+         |users AS (SELECT g, CAST(SUM(m) AS BIGINT) AS nu
+         |          FROM hist GROUP BY 1),
+         |sp AS (
+         |  SELECT k, CAST(SUM(d) AS BIGINT) AS d,
+         |         CAST(SUM(CASE WHEN g = 0 THEN d ELSE 0 END) AS BIGINT)
+         |           AS d1
+         |  FROM hist GROUP BY 1
+         |  HAVING SUM(d) > 0),
+         |risks AS (
+         |  SELECT sp.k AS kk, hist.g, CAST(SUM(hist.m) AS BIGINT) AS nr
+         |  FROM hist JOIN sp ON hist.k >= sp.k
+         |  GROUP BY 1, 2),
+         |terms AS (
+         |  SELECT tt.d1, ${LrFormula.e1term8} AS e1t,
+         |         ${LrFormula.vterm8} AS vt
+         |  FROM (
+         |    SELECT sp.k, sp.d, sp.d1,
+         |           COALESCE(r1.nr, 0) AS n1k, COALESCE(r2.nr, 0) AS n2k
+         |    FROM sp
+         |    LEFT JOIN risks r1 ON r1.kk = sp.k AND r1.g = 0
+         |    LEFT JOIN risks r2 ON r2.kk = sp.k AND r2.g = 1) tt),
+         |agg AS (
+         |  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         |         CAST(SUM(CAST(e1t AS DECIMAL(38,8))) AS DECIMAL(38,8))
+         |           AS e1s,
+         |         CAST(SUM(CAST(vt AS DECIMAL(38,8))) AS DECIMAL(38,8))
+         |           AS vs
+         |  FROM terms)
+         |SELECT u1.nu AS n1_users, u2.nu AS n2_users, agg.o1,
+         |       ROUND(CAST(agg.e1s AS DOUBLE), 6) AS e1_6,
+         |       ${LrFormula.chi4} AS chi4
+         |FROM agg
+         |CROSS JOIN (SELECT nu FROM users WHERE g = 0) u1
+         |CROSS JOIN (SELECT nu FROM users WHERE g = 1) u2""".stripMargin,
+
     // same epoch-µs integer lag arithmetic
     "q282_freshness_lag" ->
       """WITH per AS (

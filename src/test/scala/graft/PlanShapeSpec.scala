@@ -143,7 +143,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q286_kendall_tau", "q287_cramers_v", "q288_js_divergence",
       "q289_theil_sen", "q291_conductance", "q295_dtw",
       "q296_isotonic", "q297_bootstrap_ci", "q300_permutation_test",
-      "q301_drawdown", "q302_ljung_box",
+      "q301_drawdown", "q302_ljung_box", "q304_heaps_law",
+      "q306_logrank",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
