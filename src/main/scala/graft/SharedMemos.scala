@@ -52,6 +52,9 @@ object SharedMemos {
         operators.VectorQueries.pqIntArtifacts(s, dir)
       force(trace); force(cents); force(codes)
     }),
+    // oriented-census triangle rows (q165 count, q308 per-vertex)
+    "shared:tri_census" ->
+      (s => force(operators.GraphQueries.triRows(s, dir))),
     // three-landmark multi-source BFS levels (q232, q290)
     "shared:landmark_bfs" ->
       (s => force(operators.GraphQueries.landmarkBfs(s, dir))),

@@ -45,6 +45,16 @@ object GraphOps {
     * agree exactly. */
   def triangleCensus(und: DataFrame, xCol: String, yCol: String)
   : (DataFrame, DataFrame) = {
+    val (deg, rows) = triangleRows(und, xCol, yCol)
+    (deg, rows.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** The census's triangle ROWS (src, w1, w2 — each triangle exactly
+    * once, degree-oriented) plus the degree table: the per-vertex
+    * consumers (q308's local clustering coefficient) explode the three
+    * roles instead of re-running the wedge join per role. */
+  def triangleRows(und: DataFrame, xCol: String, yCol: String)
+  : (DataFrame, DataFrame) = {
     val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
     val deg = degrees(u, "x", "y").localCheckpoint(true)
     // orient x→y iff (deg, id) of x < (deg, id) of y
@@ -72,7 +82,7 @@ object GraphOps {
         (col("d1") === col("d2") && col("w1") < col("w2")))
     val closing = ed.select(col("src").as("w1"), col("dst").as("w2"))
     val tri = wedges.join(closing, Seq("w1", "w2"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("src"), col("w1"), col("w2"))
     (deg, tri)
   }
 

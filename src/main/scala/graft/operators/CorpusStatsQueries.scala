@@ -166,6 +166,49 @@ object CorpusStatsQueries {
         .orderBy("cp")
     }),
 
+    // Burrows' Delta — the classic authorship-attribution distance
+    // between source pairs (Burrows 2002, public method): z-score each
+    // source's relative frequency of the corpus's top-50 marker words
+    // against the cross-source distribution, then Delta = mean |Δz|.
+    // Complements q288's JSD (distribution divergence) with the
+    // STYLOMETRIC distance that weights every marker word equally
+    // regardless of raw frequency. The corpus collapses to the
+    // (source, token) grid once; everything after lives on the
+    // sources×50 marker grid (bounded broadcast, documented BNLJ).
+    // Frequencies are 8dp-quantized; cross-source moments are exact
+    // decimal sums; z and the final mean are shared-string IEEE trees
+    // with zero-variance words contributing z = 0 [D2].
+    "q307_burrows_delta" -> ((s, dir) => {
+      val stf = srcTokens(s, dir).groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+      val sn = stf.groupBy("source").agg(sum(col("c")).as("n"))
+      val top = stf.groupBy("tok").agg(sum(col("c")).as("cw"))
+        .orderBy(col("cw").desc, col("tok").asc).limit(BdWords)
+        .select("tok")
+      val grid = sn.crossJoin(broadcast(top))
+        .join(stf, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          round(coalesce(col("c"), lit(0L)).cast("double")
+            / col("n").cast("double"), 8).as("f8"))
+      val wm = grid.groupBy("tok").agg(count(lit(1)).as("k"),
+        sum(col("f8").cast("decimal(38,8)")).as("sf"),
+        sum(round(col("f8") * col("f8"), 16).cast("decimal(38,16)"))
+          .as("sff"))
+      val z = grid.join(broadcast(wm), Seq("tok"))
+        .select(col("source"), col("tok"), expr(BdFormula.z6).as("z6"))
+      val za = z.select(col("source").as("sa"), col("tok"),
+        col("z6").as("za"))
+      val zb = z.select(col("source").as("sb"), col("tok"),
+        col("z6").as("zb"))
+      za.join(zb, Seq("tok")).filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(round(abs(col("za") - col("zb")), 6).cast(Dec))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("delta6"))
+        .orderBy("sa", "sb")
+    }),
+
     // Jensen–Shannon divergence between every source PAIR's unigram
     // distributions — the symmetric, bounded cousin of q112's KL and
     // the standard corpus-mixture distance a curation run reads before
@@ -488,6 +531,22 @@ object CorpusStatsQueries {
   /** q293's diversity ratios over the exact per-source moments
     * (n_tok, s2 = Σn_i(n_i−1), cmax) — shared text, one IEEE tree
     * (OlsFormula convention); both ∈ [0,1], no −0.0 risk. */
+  /** q307's marker-word pool size. */
+  private val BdWords = 50
+
+  /** q307's per-(source, word) z-score over the exact decimal moments
+    * (f8 the 8dp relative frequency, sf/sff its decimal sum / sum of
+    * 16dp squares across sources, k the source count) — shared text,
+    * one IEEE tree. A word with zero cross-source variance carries z =
+    * 0 (every source identical ⇒ it separates nothing). */
+  private[operators] object BdFormula {
+    private val mu = "(CAST(sf AS DOUBLE) / CAST(k AS DOUBLE))"
+    private val vr = s"(CAST(sff AS DOUBLE) / CAST(k AS DOUBLE) " +
+      s"- $mu * $mu)"
+    val z6: String = s"CASE WHEN $vr > 0 THEN " +
+      s"round((f8 - $mu) / sqrt($vr), 6) ELSE 0.0 END"
+  }
+
   /** q303's lexical-richness ratios over the exact per-source moments
     * (n_tok, n_types, hapax, s2 = Σc²) — shared texts, one IEEE tree
     * each. K's 10⁴ scale is the classic presentation; NULL on a
@@ -608,6 +667,44 @@ object CorpusStatsQueries {
     "q236_bpe_merges" -> bpeOracleSql,
     "q262_bpe_apply" -> bpeApplyOracleSql,
     // identical grid + moment aggs + the SAME ratio formula texts
+    // identical marker pool, 8dp frequency grid, decimal moments, and
+    // the SAME z / mean-|Δz| trees
+    "q307_burrows_delta" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY source, tok),
+         |sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+         |       FROM st GROUP BY 1),
+         |top AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, SUM(c) AS cw FROM st GROUP BY 1)
+         |  ORDER BY cw DESC NULLS LAST, tok ASC LIMIT $BdWords),
+         |grid AS (
+         |  SELECT sn.source, top.tok,
+         |         ROUND(CAST(COALESCE(st.c, 0) AS DOUBLE)
+         |           / CAST(sn.n AS DOUBLE), 8) AS f8
+         |  FROM sn CROSS JOIN top
+         |  LEFT JOIN st ON st.source = sn.source AND st.tok = top.tok),
+         |wm AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS k,
+         |         CAST(SUM(CAST(f8 AS DECIMAL(38,8))) AS DECIMAL(38,8))
+         |           AS sf,
+         |         CAST(SUM(CAST(ROUND(f8 * f8, 16) AS DECIMAL(38,16)))
+         |           AS DECIMAL(38,16)) AS sff
+         |  FROM grid GROUP BY 1),
+         |z AS (
+         |  SELECT g.source, g.tok, ${BdFormula.z6} AS z6
+         |  FROM grid g JOIN wm ON wm.tok = g.tok)
+         |SELECT a.source AS sa, b.source AS sb,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       ROUND(CAST(SUM(CAST(ROUND(abs(a.z6 - b.z6), 6)
+         |           AS DECIMAL(38,6))) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE), 6) AS delta6
+         |FROM z a JOIN z b ON b.tok = a.tok AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY sa ASC NULLS FIRST, sb ASC NULLS FIRST""".stripMargin,
+
     // identical (source, token) grid + moments + SAME ratio texts;
     // HUGEINT stages Σc² like q293's Σc(c−1)
     "q303_yules_k" ->

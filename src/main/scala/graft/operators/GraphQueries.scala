@@ -119,6 +119,15 @@ object GraphQueries {
   private def orientedCensus(und: DataFrame): (DataFrame, DataFrame) =
     graft.api.GraphOps.triangleCensus(und, "x", "y")
 
+  /** The co-purchase graph's oriented-census triangle ROWS, memoized
+    * per (session, dir) — q165 counts them, q308 explodes the roles;
+    * one wedge join serves both (bench primes it under
+    * shared:tri_census). */
+  private[graft] def triRows(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"trirows:$dir") {
+      graft.api.GraphOps.triangleRows(CoPurchase.und(s, dir), "x", "y")._2
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_pagerank" -> ((s, dir) => {
       // both directions of the memoized pair table (CoPurchase.pairW —
@@ -198,7 +207,8 @@ object GraphQueries {
     // numbers must agree exactly.
     "q165_triangles" -> ((s, dir) => {
       val und = CoPurchase.und(s, dir)
-      val (deg, tri) = orientedCensus(und)
+      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val tri = triRows(s, dir).agg(count(lit(1)).as("n_triangles"))
       val totals = und.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
           sum(expr("d * (d - 1) div 2")).as("n_wedges"))))
@@ -206,6 +216,31 @@ object GraphQueries {
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           round(safeDiv(lit(3d) * col("n_triangles"),
             col("n_wedges").cast("double")), 4).as("gcc4"))
+    }),
+
+    // Per-node local clustering coefficient — q165's census localized:
+    // lcc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)), the "how cliquish is this
+    // part's neighborhood" readout behind ego-network features. The
+    // SAME degree-oriented wedge census produces each triangle once as
+    // a ROW; the three roles explode and one keyed count gives tri(v)
+    // — no per-role re-join, no per-vertex wedge blowup beyond the
+    // oriented census q165 already pays. Top-20 ranked by the exact
+    // INTEGER triangle count ([D3] — lcc is reported, never sorted
+    // on), part-key ties.
+    "q308_local_clustering" -> ((s, dir) => {
+      val und = CoPurchase.und(s, dir)
+      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val perv = triRows(s, dir)
+        .select(explode(array(col("src"), col("w1"), col("w2"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("tri"))
+      deg.join(perv, Seq("v"), "left")
+        .filter(col("d") >= 2)
+        .select(col("v").as("p_partkey"), col("d").as("degree"),
+          coalesce(col("tri"), lit(0L)).as("n_tri"),
+          round(lit(2d) * coalesce(col("tri"), lit(0L)).cast("double")
+            / (col("d") * (col("d") - 1)).cast("double"), 6).as("lcc6"))
+        .orderBy(col("n_tri").desc, col("p_partkey").asc)
+        .limit(20)
     }),
 
     // DOULION-style approximate triangle count — the 100 TB sibling of
@@ -845,6 +880,36 @@ object GraphQueries {
     // id-oriented three-way join: the count is orientation-invariant,
     // so this simple quadratic-wedge replay pins the degree-oriented
     // distributed plan exactly
+    // the same id-oriented triangle enumeration (each triangle once),
+    // three roles unioned to per-vertex counts, exact-integer ranking
+    "q308_local_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT a.x AS v1, a.y AS v2, b.y AS v3
+        |  FROM e a JOIN e b ON b.x = a.y
+        |           JOIN e c ON c.x = a.x AND c.y = b.y),
+        |perv AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT v1 AS v FROM tri UNION ALL
+        |    SELECT v2 AS v FROM tri UNION ALL
+        |    SELECT v3 AS v FROM tri)
+        |  GROUP BY v)
+        |SELECT deg.v AS p_partkey, deg.d AS degree,
+        |       COALESCE(perv.tri, CAST(0 AS BIGINT)) AS n_tri,
+        |       ROUND(2.0 * CAST(COALESCE(perv.tri, 0) AS DOUBLE)
+        |         / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS lcc6
+        |FROM deg LEFT JOIN perv ON perv.v = deg.v
+        |WHERE deg.d >= 2
+        |ORDER BY n_tri DESC, p_partkey ASC LIMIT 20""".stripMargin,
+
     "q165_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (

@@ -125,7 +125,45 @@ object TfidfQueries {
     // truncating reciprocal. Per-probe rows; MRR is their mean. At
     // 100 TB the postings join carries only the ≤ probes × terms
     // query vocabulary.
-    "q266_known_item_mrr" -> ((s, dir) => {
+    "q266_known_item_mrr" -> ((s, dir) =>
+      knownItemRanks(s, dir)
+        .select(col("probe").as("probe_doc"), col("n_results"),
+          col("rank_self"),
+          expr("1000L div rank_self").as("rr_pm"))
+        .orderBy("probe_doc")),
+
+    // NDCG@10 for the same known-item protocol — the GRADED-discount
+    // companion of q266's MRR (MRR charges 1/rank; NDCG's 1/log2(1+r)
+    // discount is the reporting standard for ranked retrieval, and
+    // with a single relevant item the ideal DCG is 1 so NDCG@k =
+    // 1/log2(1+rank) inside the cutoff, 0 past it). One row: probe
+    // count, hits inside the cutoff, and the mean NDCG with per-probe
+    // gains 6dp-quantized + decimal-summed [D2] — ln-ratio form
+    // (ln 2 / ln(1+r)), no log2 to diverge between engines.
+    "q309_ndcg" -> ((s, dir) =>
+      knownItemRanks(s, dir)
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("rank_self") <= NdcgK, 1L).otherwise(0L))
+            .as("hits_at_10"),
+          sum(when(col("rank_self") <= NdcgK,
+            round(log(lit(2.0))
+              / log((col("rank_self") + 1).cast("double")), 6))
+            .otherwise(lit(0.0)).cast(graft.Dets.Dec)).as("sg"))
+        .select(col("n_probes"), col("hits_at_10"),
+          round(col("sg").cast("double")
+            / col("n_probes").cast("double"), 6).as("ndcg6")))
+  )
+
+  /** q309's rank cutoff. */
+  private val NdcgK = 10
+
+  /** The shared known-item BM25 ranking (q266/q309): deterministic
+    * polyMix probe draw, per-probe top-tf query bags, the relational
+    * q94 BM25 scoring (6dp-quantized decimal-summed terms [D2]), and
+    * the 1 + count-of-better self-rank on the (score, id) total order.
+    * Memoized per (session, dir) — both consumers read one build. */
+  private def knownItemRanks(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"kir:$dir:$MrrProbes:$MrrQTerms") {
       val toks = t(s, dir, "documents").select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
       val tf = graft.Caches.persistTracked(
@@ -174,12 +212,7 @@ object TfidfQueries {
             || (col("score_dec") === col("sscore")
               && col("id") < col("probe")), 1L).otherwise(0L)) + 1L)
             .as("rank_self"))
-        .select(col("probe").as("probe_doc"), col("n_results"),
-          col("rank_self"),
-          expr("1000L div rank_self").as("rr_pm"))
-        .orderBy("probe_doc")
-    })
-  )
+    }
 
   /** q204's pinned phrase — consecutive tokens, in order. */
   private val PhraseTerms = Seq("stream", "table", "hash")
@@ -293,6 +326,30 @@ object TfidfQueries {
     // query bags, the q94 BM25 formula with terms as ROWS, the same
     // 6dp decimal per-term staging and count-of-better self-rank
     "q266_known_item_mrr" ->
+      s"""$knownItemRankCteSql
+         |SELECT probe AS probe_doc, n_results, rank_self,
+         |       CAST(1000 // rank_self AS BIGINT) AS rr_pm
+         |FROM r
+         |ORDER BY probe_doc ASC NULLS FIRST""".stripMargin,
+
+    // the same rank chain; ln-ratio discount, 6dp gains decimal-summed
+    "q309_ndcg" ->
+      s"""$knownItemRankCteSql
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |       CAST(SUM(CASE WHEN rank_self <= $NdcgK THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS hits_at_10,
+         |       ROUND(CAST(SUM(CAST(CASE WHEN rank_self <= $NdcgK
+         |           THEN ROUND(LN(2.0)
+         |             / LN(CAST(rank_self + 1 AS DOUBLE)), 6)
+         |           ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE), 6) AS ndcg6
+         |FROM r""".stripMargin
+  )
+
+  /** The shared CTE chain of the q266/q309 oracles, ending in
+    * `r(probe, n_results, rank_self)` — one ranking-replay definition
+    * for both metrics to gate. */
+  private def knownItemRankCteSql: String =
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($sqlToks) AS w FROM documents),
          |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -336,12 +393,7 @@ object TfidfQueries {
          |              OR (s.score_dec = f.sscore AND s.id < s.probe)
          |              THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rank_self
          |  FROM sc s JOIN sf f USING (probe)
-         |  GROUP BY 1)
-         |SELECT probe AS probe_doc, n_results, rank_self,
-         |       CAST(1000 // rank_self AS BIGINT) AS rr_pm
-         |FROM r
-         |ORDER BY probe_doc ASC NULLS FIRST""".stripMargin
-  )
+         |  GROUP BY 1)""".stripMargin
 
   /** CTE chain ending in `bmr(id, score4, rank)` — the exact BM25 ranking
     * replay (decimal-summed 6dp per-term scores, score-then-id total

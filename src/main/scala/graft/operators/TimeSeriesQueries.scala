@@ -45,6 +45,9 @@ object TimeSeriesQueries {
   /** q263 rolling-regression window (days). */
   private val RollWin = 28
 
+  /** q310's RSI lookback (trailing deltas per frame). */
+  private val RsiWin = 14L
+
   /** q295's 12×12 DTW band as nested higher-order folds over the
     * integer permille profiles `pa`/`pb` — the classic row-carried DP:
     * the outer fold's accumulator is the previous DP row, the inner
@@ -127,6 +130,46 @@ object TimeSeriesQueries {
       heads.crossJoin(broadcast(streak))
         .select(col("n_days"), col("max_dd_cents"), col("maxdd_pct6"),
           coalesce(col("longest"), lit(0L)).as("longest_under_days"))
+    }),
+
+    // RSI-14 (Cutler's simple-average form) — the momentum oscillator
+    // over the daily revenue series: 100·ΣG/(ΣG+ΣL) over the trailing
+    // 14 rank-adjacent deltas (gains G = max(Δ,0), losses L =
+    // max(−Δ,0)). Wilder's recursive smoothing would demand a float
+    // recurrence; Cutler's windowed-sum variant is the standard
+    // alternative and is EXACT integer cents end to end — the one
+    // double is the final rounded ratio. Deltas come from ONE rank-
+    // spine equi-join (rn = rn′+1, the q152 shape); the trailing
+    // window is the q158 explode→equi-join fan-out (constant 14×, no
+    // window function); partial head frames are excluded by the exact
+    // frame-count filter identically on both engines.
+    "q310_rsi" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val (pool, _) = GlobalRank.rowNumberWithTotal(
+        daily, Seq(col("day").asc))
+      val ranked = pool.select(col("rn"), col("day"), col("cents"))
+      val dlt = ranked.alias("a")
+        .join(ranked.select((col("rn") + 1).as("rn"),
+          col("cents").as("prev")), Seq("rn"))
+        .select(col("rn"),
+          greatest(col("cents") - col("prev"), lit(0L)).as("g"),
+          greatest(col("prev") - col("cents"), lit(0L)).as("l"))
+      val win = dlt.select(
+          explode(sequence(col("rn"), col("rn") + lit(RsiWin - 1L)))
+            .as("rn"), col("g"), col("l"))
+        .groupBy("rn").agg(count(lit(1)).as("nf"),
+          sum(col("g")).as("sg"), sum(col("l")).as("sl"))
+        .filter(col("nf") === RsiWin)
+      win.join(ranked, Seq("rn"))
+        .select(col("day"), col("sg").as("gain_cents"),
+          col("sl").as("loss_cents"),
+          when(col("sg") + col("sl") > 0,
+            round(lit(100d) * col("sg").cast("double")
+              / (col("sg") + col("sl")).cast("double"), 6)).as("rsi6"))
+        .orderBy("day")
     }),
 
     // Theil–Sen estimator — the MEDIAN of all pairwise slopes of the
@@ -577,6 +620,36 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // identical rank spine, adjacent-delta join, 14-frame fan-out
+    // (BETWEEN mirror of the explode), exact integer gain/loss sums
+    "q310_rsi" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |rk AS (SELECT day, cents,
+         |              ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+         |       FROM daily),
+         |dlt AS (
+         |  SELECT a.rn,
+         |         GREATEST(a.cents - b.cents, 0) AS g,
+         |         GREATEST(b.cents - a.cents, 0) AS l
+         |  FROM rk a JOIN rk b ON b.rn = a.rn - 1),
+         |win AS (
+         |  SELECT t.rn, CAST(COUNT(*) AS BIGINT) AS nf,
+         |         CAST(SUM(d.g) AS BIGINT) AS sg,
+         |         CAST(SUM(d.l) AS BIGINT) AS sl
+         |  FROM dlt d JOIN rk t ON t.rn BETWEEN d.rn AND d.rn + ${RsiWin - 1}
+         |  GROUP BY 1
+         |  HAVING COUNT(*) = $RsiWin)
+         |SELECT rk.day, win.sg AS gain_cents, win.sl AS loss_cents,
+         |       CASE WHEN win.sg + win.sl > 0 THEN
+         |         ROUND(100.0 * CAST(win.sg AS DOUBLE)
+         |           / CAST(win.sg + win.sl AS DOUBLE), 6) END AS rsi6
+         |FROM win JOIN rk ON rk.rn = win.rn
+         |ORDER BY day ASC NULLS FIRST""".stripMargin,
 
     // identical daily collapse, running-peak window, islands streak;
     // dd ≥ 0 so the rounded ratio can never hit IEEE −0.0
