@@ -663,6 +663,95 @@ object AnalyticsQueries {
     // held as integer CENTS (exact at any fold order; the decimal
     // widening both engines apply never rounds at these magnitudes)
     // and only the final ratio is double.
+    // Herfindahl–Hirschman index — supplier-revenue concentration per
+    // nation (the antitrust-standard Σshare² on the 0..10000 scale,
+    // plus its reciprocal "effective supplier count"): the
+    // concentration readout q148's gini ranks by inequality, HHI by
+    // market power. Per-(nation, supplier) revenue collapses in one
+    // decimal-exact hash agg; nation totals attach broadcast; per-
+    // supplier share² terms are 8dp-quantized and decimal-summed [D2];
+    // effective N derives from the already-rounded HHI (identical on
+    // both engines by construction).
+    "q311_hhi" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("r"))
+      val tot = rev.groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("r")).as("rr"))
+      rev.join(broadcast(tot), Seq("n_name"))
+        .withColumn("term", round(
+          (col("r").cast("double") / col("rr").cast("double"))
+            * (col("r").cast("double") / col("rr").cast("double"))
+            * 10000, 8).cast("decimal(38,8)"))
+        .groupBy("n_name")
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          max(col("rr")).cast("double").as("revenue"),
+          round(sum(col("term")).cast("double"), 4).as("hhi4"))
+        .withColumn("effn4",
+          expr("CASE WHEN hhi4 > 0 THEN round(10000.0 / hhi4, 4) END"))
+        .orderBy("n_name")
+    }),
+
+    // Theil T inequality index of customer revenue, DECOMPOSED by
+    // market segment — the additive between/within split gini cannot
+    // give (q148 ranks nations; this says how much inequality lives
+    // INSIDE segments vs BETWEEN them): T = (1/N)Σ(x/μ)ln(x/μ) =
+    // T_between + Σ share_g·T_g. One customer-revenue hash agg; group
+    // and grand totals attach broadcast; every ln term is 8dp-
+    // quantized and decimal-summed [D2] (q48/q201 precedent), ratios
+    // formed from exact integer cents staged through DOUBLE.
+    "q313_theil" -> ((s, dir) => {
+      val cust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+        .filter(col("x") > 0)
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("seg")), Seq("o_custkey"))
+      val gt = cust.groupBy("seg")
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"))
+      val tot = gt.agg(sum(col("ng")).as("n"), sum(col("xg")).as("xx"))
+      val per = cust.join(broadcast(gt), Seq("seg"))
+        .crossJoin(broadcast(tot))
+        .withColumn("rg", col("x").cast("double") * col("ng").cast("double")
+          / col("xg").cast("double"))
+        .withColumn("rt", col("x").cast("double") * col("n").cast("double")
+          / col("xx").cast("double"))
+        .withColumn("tg8", round(col("rg") * log(col("rg")), 8)
+          .cast("decimal(38,8)"))
+        .withColumn("tt8", round(col("rt") * log(col("rt")), 8)
+          .cast("decimal(38,8)"))
+        .groupBy("seg")
+        .agg(max(col("ng")).as("n_cust"), max(col("xg")).as("xg"),
+          round(sum(col("tg8")).cast("double")
+            / max(col("ng")).cast("double"), 6).as("theil_g6"),
+          sum(col("tt8")).as("tts"))
+      val glob = per.agg(sum(col("tts")).as("tts"))
+        .crossJoin(broadcast(tot))
+        .select(round(col("tts").cast("double")
+          / col("n").cast("double"), 6).as("theil_total6"))
+      val btw = gt.crossJoin(broadcast(tot))
+        .select(round(
+          (col("xg").cast("double") / col("xx").cast("double"))
+            * log((col("xg").cast("double") / col("xx").cast("double"))
+              * (col("n").cast("double") / col("ng").cast("double"))), 8)
+          .cast("decimal(38,8)").as("bt"))
+        .agg(round(sum(col("bt")).cast("double"), 6).as("theil_between6"))
+      per.crossJoin(broadcast(tot))
+        .select(col("seg"), col("n_cust"),
+          round(col("xg").cast("double") / col("xx").cast("double"), 6)
+            .as("share6"),
+          col("theil_g6"))
+        .crossJoin(broadcast(glob))
+        .crossJoin(broadcast(btw))
+        .orderBy("seg")
+    }),
+
     "q148_gini" -> ((s, dir) => {
       val spend = t(s, dir, "orders").groupBy("o_custkey")
         .agg(sum(round(col("o_totalprice") * 100).cast("long"))
@@ -1347,6 +1436,92 @@ object AnalyticsQueries {
     // multiplicity c at cumulative offset p contributes
     // v·(c·p + c·(c+1)/2); HUGEINT keeps the products exact like
     // Spark's decimal(38,0)
+    // identical decimal revenue collapse, 8dp share² terms, and the
+    // effective-N derivation from the already-rounded HHI
+    "q311_hhi" ->
+      """WITH rev AS (
+        |  SELECT n.n_name, s.s_suppkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount)
+        |           AS DECIMAL(38,6))) AS r
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |         CAST(SUM(r) AS DECIMAL(38,6)) AS rr
+        |  FROM rev GROUP BY 1),
+        |tm AS (
+        |  SELECT rev.n_name,
+        |         ROUND((CAST(rev.r AS DOUBLE) / CAST(tot.rr AS DOUBLE))
+        |           * (CAST(rev.r AS DOUBLE) / CAST(tot.rr AS DOUBLE))
+        |           * 10000, 8) AS term
+        |  FROM rev JOIN tot USING (n_name)),
+        |hh AS (
+        |  SELECT n_name,
+        |         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,8))) AS DOUBLE),
+        |           4) AS hhi4
+        |  FROM tm GROUP BY 1)
+        |SELECT hh.n_name, tot.n_suppliers,
+        |       CAST(tot.rr AS DOUBLE) AS revenue, hh.hhi4,
+        |       CASE WHEN hh.hhi4 > 0
+        |            THEN ROUND(10000.0 / hh.hhi4, 4) END AS effn4
+        |FROM hh JOIN tot USING (n_name)
+        |ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+
+    // identical customer collapse, group/grand totals, 8dp ln terms
+    "q313_theil" ->
+      """WITH cust AS (
+        |  SELECT o.o_custkey, c.c_mktsegment AS seg,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2
+        |  HAVING SUM(CAST(round(o_totalprice * 100) AS BIGINT)) > 0),
+        |gt AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS ng,
+        |              CAST(SUM(x) AS BIGINT) AS xg
+        |       FROM cust GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |               CAST(SUM(xg) AS BIGINT) AS xx
+        |        FROM gt),
+        |per AS (
+        |  SELECT cust.seg,
+        |         ROUND((CAST(x AS DOUBLE) * CAST(ng AS DOUBLE)
+        |             / CAST(xg AS DOUBLE))
+        |           * ln(CAST(x AS DOUBLE) * CAST(ng AS DOUBLE)
+        |             / CAST(xg AS DOUBLE)), 8) AS tg8,
+        |         ROUND((CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+        |             / CAST(xx AS DOUBLE))
+        |           * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+        |             / CAST(xx AS DOUBLE)), 8) AS tt8
+        |  FROM cust JOIN gt ON gt.seg = cust.seg CROSS JOIN tot),
+        |sg AS (
+        |  SELECT per.seg,
+        |         ROUND(CAST(SUM(CAST(tg8 AS DECIMAL(38,8))) AS DOUBLE)
+        |           / CAST(MAX(gt.ng) AS DOUBLE), 6) AS theil_g6,
+        |         CAST(SUM(CAST(tt8 AS DECIMAL(38,8))) AS DECIMAL(38,8))
+        |           AS tts
+        |  FROM per JOIN gt ON gt.seg = per.seg
+        |  GROUP BY 1),
+        |gl AS (
+        |  SELECT ROUND(CAST(SUM(tts) AS DOUBLE) / CAST(tot.n AS DOUBLE),
+        |           6) AS theil_total6
+        |  FROM sg CROSS JOIN tot GROUP BY tot.n),
+        |btw AS (
+        |  SELECT ROUND(CAST(SUM(CAST(ROUND(
+        |           (CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE))
+        |           * ln((CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE))
+        |             * (CAST(n AS DOUBLE) / CAST(ng AS DOUBLE))), 8)
+        |           AS DECIMAL(38,8))) AS DOUBLE), 6) AS theil_between6
+        |  FROM gt CROSS JOIN tot)
+        |SELECT gt.seg, gt.ng AS n_cust,
+        |       ROUND(CAST(gt.xg AS DOUBLE) / CAST(tot.xx AS DOUBLE), 6)
+        |         AS share6,
+        |       sg.theil_g6, gl.theil_total6, btw.theil_between6
+        |FROM gt JOIN sg ON sg.seg = gt.seg
+        |CROSS JOIN tot CROSS JOIN gl CROSS JOIN btw
+        |ORDER BY gt.seg ASC NULLS FIRST""".stripMargin,
+
     "q148_gini" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -39,6 +39,35 @@ object StatsQueries {
     * autocorrelation structure). */
   private val LbMaxLag = 7L
 
+  /** q312's Cochran–Armitage χ² over the exact bin moments (nn, ss,
+    * sw1 = Σwn, sw2 = Σw²n, sws = Σws) — shared text, one IEEE tree;
+    * the squared sum stages through DOUBLE ((Σwn)² overflows int64
+    * past ~1e9 orders). NULL when the variance degenerates (all mass
+    * in one band or p̄ ∈ {0, 1}). */
+  private[operators] object CaFormula {
+    private val pb = "(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))"
+    private val tt = s"(CAST(sws AS DOUBLE) - $pb * CAST(sw1 AS DOUBLE))"
+    private val vv = s"($pb * (1.0 - $pb) * (CAST(sw2 AS DOUBLE) " +
+      s"- CAST(sw1 AS DOUBLE) * CAST(sw1 AS DOUBLE) " +
+      s"/ CAST(nn AS DOUBLE)))"
+    val chi4: String =
+      s"CASE WHEN $vv > 0 THEN round($tt * $tt / $vv, 4) END"
+  }
+
+  /** q314's runs-test z over (n1, n2, n_runs) — shared text, one IEEE
+    * tree, every product staged in DOUBLE (2·n1·n2·(2·n1·n2) overflows
+    * int64 past ~35k kept days — centuries of calendar, but the
+    * convention is uniform). NULL when Var[R] degenerates (a one-sided
+    * series). */
+  private[operators] object RunsFormula {
+    private val nd = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    private val p2 = "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    private val ee = s"(1.0 + $p2 / $nd)"
+    private val vv = s"($p2 * ($p2 - $nd) / ($nd * $nd * ($nd - 1.0)))"
+    val z4: String = s"CASE WHEN $vv > 0 THEN " +
+      s"round((CAST(n_runs AS DOUBLE) - $ee) / sqrt($vv), 4) END"
+  }
+
   /** q302's lag-h autocorrelation over the exact moment sums — shared
     * text, one IEEE tree: r_h = Σ(x_t−x̄)(x_{t−h}−x̄) / Σ(x_t−x̄)²
     * expanded over (n, sx, sxx) global and (cnt, sa, sb, sxy) per-lag
@@ -183,6 +212,71 @@ object StatsQueries {
         .select(lit(n).as("n_days"), lit(BootB).as("n_boot"),
           mean6(col("t0")).as("mean6"), mean6(col("lo")).as("lo6"),
           mean6(col("hi")).as("hi6"))
+    }),
+
+    // Cochran–Armitage trend test — does the fulfilled rate TREND
+    // across the ordered value bands (q296 fits the monotone curve;
+    // this tests whether a trend exists at all)? The standard ordered-
+    // proportions test: with scores w = band index, χ² = T²/V where
+    // T = Σw·s − p̄·Σw·n and V = p̄(1−p̄)(Σw²n − (Σwn)²/N). One hash
+    // agg to the fixed 10-bin domain, one moment agg (w ≤ 9 keeps
+    // every integer moment exact at any corpus size), one shared-
+    // string IEEE tree — the squared sum stages through DOUBLE
+    // ((Σwn)² overflows int64 past ~1e9 orders).
+    "q312_cochran_armitage" -> ((s, dir) => {
+      val bins = t(s, dir, "orders").select(
+        expr("least(cast(round(o_totalprice * 100) as bigint)" +
+          " div 5000000, 9L)").as("w"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      bins.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+          sum(col("w") * col("n")).as("sw1"),
+          sum(col("w") * col("w") * col("n")).as("sw2"),
+          sum(col("w") * col("s")).as("sws"))
+        .select(col("nn").as("n_orders"), col("ss").as("n_fulfilled"),
+          expr(CaFormula.chi4).as("ca_chi4"))
+    }),
+
+    // Wald–Wolfowitz runs test — is the daily revenue series's
+    // above/below-median pattern random, or does it streak? (q302
+    // tests linear autocorrelation; runs catch nonlinear clustering.)
+    // The median is PICKED by rank from the value histogram via the
+    // distributed cumSum (q44 machinery, no global sort); days equal
+    // to the median drop (the standard treatment of ties); runs count
+    // as 1 + the rank-adjacent sign changes from ONE spine equi-join;
+    // E[R]/Var[R] are the closed forms over (n1, n2) through a
+    // shared-string IEEE tree with products staged in DOUBLE.
+    "q314_runs_test" -> ((s, dir) => {
+      // the ~day-count daily table feeds four consumers (histogram,
+      // tie filter, spine, counts) — checkpoint it once instead of
+      // re-collapsing the order scan per consumer
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .localCheckpoint(true)
+      val hist = daily.groupBy("cents").agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(1))
+      val med = graft.functions.GlobalRank.cumSum(hist, "g", "cents", "cnt")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("cents")))
+          .as("med"))
+      val kept = daily.crossJoin(broadcast(med))
+        .filter(col("cents") =!= col("med"))
+        .select(col("day"), (col("cents") > col("med")).cast("long")
+          .as("f"))
+      val (pool, _) = graft.functions.GlobalRank.rowNumberWithTotal(
+        kept, Seq(col("day").asc))
+      val a = pool.select(col("rn"), col("f"))
+      val b = pool.select((col("rn") + 1).as("rn"), col("f").as("pf"))
+      val tr = a.join(b, Seq("rn"))
+        .agg(sum(when(col("f") =!= col("pf"), 1L).otherwise(0L)).as("tr"))
+      pool.agg(sum(col("f")).as("n1"),
+          sum(lit(1L) - col("f")).as("n2"))
+        .crossJoin(broadcast(tr))
+        .select(col("n1"), col("n2"), (col("tr") + 1L).as("n_runs"))
+        .select(col("n1"), col("n2"), col("n_runs"),
+          expr(RunsFormula.z4).as("z4"))
     }),
 
     // Ljung–Box portmanteau test — is the daily revenue series white
@@ -976,6 +1070,64 @@ object StatsQueries {
          |         AS hi6
          |FROM pick CROSS JOIN orig CROSS JOIN nn""".stripMargin
     },
+
+    // the identical bin collapse, exact integer moments, and the SAME
+    // χ² text
+    "q312_cochran_armitage" ->
+      s"""WITH bins AS (
+         |  SELECT least(CAST(round(o_totalprice * 100) AS BIGINT)
+         |           // 5000000, 9) AS w,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN o_orderstatus = 'F'
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM orders GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         |         CAST(SUM(s) AS BIGINT) AS ss,
+         |         CAST(SUM(w * n) AS BIGINT) AS sw1,
+         |         CAST(SUM(w * w * n) AS BIGINT) AS sw2,
+         |         CAST(SUM(w * s) AS BIGINT) AS sws
+         |  FROM bins)
+         |SELECT nn AS n_orders, ss AS n_fulfilled,
+         |       ${CaFormula.chi4} AS ca_chi4
+         |FROM m""".stripMargin,
+
+    // identical histogram median pick, tie drop, spine adjacency,
+    // and the SAME E/Var/z text
+    "q314_runs_test" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |h AS (SELECT cents, COUNT(*) AS cnt FROM daily GROUP BY 1),
+         |cum AS (
+         |  SELECT cents, SUM(cnt) OVER (ORDER BY cents ASC) AS cum,
+         |         (SELECT COUNT(*) FROM daily) AS n
+         |  FROM h),
+         |med AS (
+         |  SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+         |    AS med FROM cum),
+         |kept AS (
+         |  SELECT day,
+         |         CAST(CASE WHEN cents > med THEN 1 ELSE 0 END AS BIGINT)
+         |           AS f
+         |  FROM daily CROSS JOIN med WHERE cents != med),
+         |rk AS (SELECT f, ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+         |       FROM kept),
+         |tr AS (
+         |  SELECT CAST(SUM(CASE WHEN a.f != b.f THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tr
+         |  FROM rk a JOIN rk b ON b.rn = a.rn - 1),
+         |cc AS (
+         |  SELECT CAST(SUM(f) AS BIGINT) AS n1,
+         |         CAST(SUM(1 - f) AS BIGINT) AS n2
+         |  FROM rk),
+         |fin AS (
+         |  SELECT cc.n1, cc.n2, tr.tr + 1 AS n_runs
+         |  FROM cc CROSS JOIN tr)
+         |SELECT n1, n2, n_runs, ${RunsFormula.z4} AS z4
+         |FROM fin""".stripMargin,
 
     // the identical rank spine, lag-shift equi-join, moment sums, and
     // the SAME r_h formula text; terms 8dp-quantized + decimal-summed
