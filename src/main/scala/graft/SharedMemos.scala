@@ -55,6 +55,11 @@ object SharedMemos {
     // oriented-census triangle rows (q165 count, q308 per-vertex)
     "shared:tri_census" ->
       (s => force(operators.GraphQueries.triRows(s, dir))),
+    // BPE training run: merge trace + final symbols (q236/q262/q317)
+    "shared:bpe_train" -> (s => {
+      val (tr, sy) = operators.CorpusStatsQueries.bpeArtifacts(s, dir)
+      force(tr); force(sy)
+    }),
     // three-landmark multi-source BFS levels (q232, q290)
     "shared:landmark_bfs" ->
       (s => force(operators.GraphQueries.landmarkBfs(s, dir))),

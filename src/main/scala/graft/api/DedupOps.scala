@@ -131,6 +131,53 @@ object DedupOps {
       .select("id_lo", "id_hi", "jac")
   }
 
+  /** Incremental MinHash-LSH: candidate pairs between a NEW batch
+    * (`delta`) and an existing corpus (`base`) ONLY — the production
+    * dedup shape, where yesterday's corpus is sketched once and each
+    * increment joins its band keys against that index instead of
+    * re-pairing the world (the full [[minhashLshPairs]] is O(corpus²)
+    * candidate surface per run; this is O(delta × collisions)). Same
+    * hash family, band geometry, and exact-Jaccard verify, so the
+    * result is exactly the cross-side subset of the full pair
+    * relation. Returns (id_delta, id_base, inter, uni, jac) with the
+    * intersection/union sizes exposed as exact integers (consumers
+    * derive integer-exact scores like permille Jaccard without
+    * re-intersecting). */
+  def minhashLshAgainst(base: DataFrame, delta: DataFrame, idCol: String,
+    textCol: String, minJac: Double, numHashes: Int = 64, bands: Int = 16)
+  : DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    GraftFunctions.register(base.sparkSession)
+    def sketch(df: DataFrame): DataFrame =
+      graft.Caches.persistTracked(df
+        .withColumn("__toks", TextFunctions.tokenSet(col(textCol)))
+        .withColumn("hs", array_sort(expr("graft_token_hashes(__toks)")))
+        .withColumn("mh", expr(s"graft_minhash(hs, $numHashes)"))
+        .withColumn("bks", expr(s"graft_band_keys(mh, $bands, $rows)"))
+        .select(col(idCol).as("id"), col("hs"), col("bks")))
+    val b = sketch(base)
+    val d = sketch(delta)
+    def banded(df: DataFrame, n: String): DataFrame = df.select(
+      col("id").as(n), posexplode(col("bks")).as(Seq("band", "key")))
+    val cand = banded(d, "id_delta")
+      .join(banded(b, "id_base"), Seq("band", "key"))
+      .select("id_delta", "id_base").distinct()
+    cand
+      .join(b.select(col("id").as("id_base"), col("hs").as("hs_b")),
+        Seq("id_base"))
+      .join(d.select(col("id").as("id_delta"), col("hs").as("hs_a")),
+        Seq("id_delta"))
+      .withColumn("inter",
+        expr("graft_sorted_intersect(hs_a, hs_b)").cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .withColumn("jac", safeDiv(col("inter").cast("double"),
+        col("uni").cast("double")))
+      .filter(col("jac") >= minJac)
+      .select("id_delta", "id_base", "inter", "uni", "jac")
+  }
+
   /** The shared LSH candidate step: given one row per item of
     * (`id`, `bks` = array of per-band bucket keys), return every
     * (id_lo, id_hi) whose keys collide in at least one band — emitted

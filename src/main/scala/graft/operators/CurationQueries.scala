@@ -436,6 +436,24 @@ object CurationQueries {
         .orderBy("feature")
     }),
 
+    // Per-language gate health with uncertainty — the keep-rate of the
+    // q104 rules gate PLUS its Wilson-score lower bound (z = 1.96):
+    // the governance row a curation dashboard alerts on, where a small
+    // stratum's 100% keep-rate must NOT read as healthy (its Wilson
+    // floor says how little that rate is worth). One projection + one
+    // keyed agg; the bound is a shared-string IEEE tree over the exact
+    // (k, n) integers.
+    "q316_wilson_gate" -> ((s, dir) =>
+      graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep") === 1, 1L).otherwise(0L)).as("k"))
+        .select(col("lang"), col("n"), col("k"),
+          expr(WilsonFormula.rate6).as("rate6"),
+          expr(WilsonFormula.lo6).as("wilson_lo6"))
+        .orderBy("lang")),
+
     "q237_quality_score_rollup" -> ((s, dir) => {
       val feats = graft.api.TextOps
         .qualityFeatures(t(s, dir, "documents"), "text")
@@ -769,6 +787,36 @@ object CurationQueries {
        |FROM m""".stripMargin
   }
 
+  /** q316's Wilson-score interval over the exact (k, n) gate counts —
+    * shared texts, one IEEE tree each; z = 1.96 as a literal. The
+    * lower bound is the standard
+    * (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n). */
+  private[operators] object WilsonFormula {
+    private val z = "1.96"
+    private val p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    private val nd = "CAST(n AS DOUBLE)"
+    val rate6: String = s"round($p, 6)"
+    val lo6: String = s"round(($p + $z * $z / (2.0 * $nd) " +
+      s"- $z * sqrt($p * (1.0 - $p) / $nd " +
+      s"+ $z * $z / (4.0 * $nd * $nd))) " +
+      s"/ (1.0 + $z * $z / $nd), 6)"
+  }
+
+  /** The q316 replay: the shared ft relation's per-lang 2-count agg
+    * and the SAME rate/Wilson texts. */
+  private def wilsonOracleSql: String =
+    s"""WITH $percCtesSql,
+       |m AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS k
+       |  FROM ft GROUP BY 1)
+       |SELECT lang, n, k,
+       |       ${WilsonFormula.rate6} AS rate6,
+       |       ${WilsonFormula.lo6} AS wilson_lo6
+       |FROM m
+       |ORDER BY lang ASC NULLS FIRST""".stripMargin
+
   /** The q305 replay: the shared ft feature relation unpivoted to
     * (feature, v, y) rows, the exact integer mean-threshold binarize,
     * and the q201 MI term tree over the per-feature 2×2 grid. */
@@ -998,6 +1046,7 @@ object CurationQueries {
     "q298_mcnemar_gates" -> mcnemarOracleSql,
     "q299_gate_kappa" -> kappaOracleSql,
     "q305_info_gain" -> infoGainOracleSql,
+    "q316_wilson_gate" -> wilsonOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,
     "q249_quality_auc" -> aucOracleSql,
     "q251_feature_corr" -> featureCorrOracleSql,

@@ -361,6 +361,37 @@ object PipelineQueries {
     // suite; every other document is scored by its distinct 8-gram
     // overlap with that suite. The eval gram set broadcasts (benchmarks
     // are MBs, corpora are TBs).
+    // Incremental dedup — the PRODUCTION dedup shape q66/q77 batch
+    // over the whole corpus: yesterday's corpus (the seeded polyMix
+    // even half) is sketched as the index, the new batch (odd half)
+    // joins its band keys against that index ONLY, and each delta doc
+    // reports its match count + best base match (permille Jaccard,
+    // integer-exact (1000·inter) div uni, rank ties on min base id).
+    // At 100 TB the increment pays O(delta × collisions), never
+    // O(corpus²) candidate surface; the split being a pure hash of the
+    // data keeps the whole verdict relation hash-gated [D1].
+    "q315_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hm = GraphQueries.HashM
+      val flag = pmod(GraphQueries.polyMix(
+        pmod(col("doc_id"), lit(hm))), lit(2L))
+      val base = docs.filter(flag === 0L)
+      val delta = docs.filter(flag === 1L)
+      val pairs = graft.api.DedupOps.minhashLshAgainst(
+          base, delta, "doc_id", "text", 0.6)
+        .withColumn("jac_pm", expr("(1000L * inter) div uni"))
+      val nm = pairs.groupBy("id_delta")
+        .agg(count(lit(1)).as("n_matches"))
+      val w = Window.partitionBy("id_delta")
+        .orderBy(col("jac_pm").desc, col("id_base").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(nm, Seq("id_delta"))
+        .select(col("id_delta"), col("n_matches"), col("id_base"),
+          col("jac_pm"))
+        .orderBy("id_delta")
+    }),
+
     "q90_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.api.TextOps.decontaminate(
@@ -732,6 +763,43 @@ object PipelineQueries {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // the shared full-corpus LSH replay restricted to cross-side
+    // pairs via the SAME polyMix split; integer-exact permille from
+    // the replay's token sets
+    "q315_incremental_dedup" -> {
+      val flagSql = s"(${GraphQueries.polyMixSql(
+        GraphQueries.pmodSql("doc_id"))}) % 2"
+      s"""WITH ${SketchQueries.lshEdgeCteSql(0.6)},
+         |fl AS (SELECT doc_id, $flagSql AS fl FROM documents),
+         |pd AS (
+         |  SELECT CASE WHEN fa.fl = 1 THEN e.id_lo ELSE e.id_hi END
+         |           AS id_delta,
+         |         CASE WHEN fa.fl = 1 THEN e.id_hi ELSE e.id_lo END
+         |           AS id_base
+         |  FROM e JOIN fl fa ON fa.doc_id = e.id_lo
+         |         JOIN fl fb ON fb.doc_id = e.id_hi
+         |  WHERE fa.fl + fb.fl = 1),
+         |pj AS (
+         |  SELECT pd.id_delta, pd.id_base,
+         |         (1000 * CAST(len(list_intersect(da.toks, db.toks))
+         |            AS BIGINT))
+         |           // CAST(len(list_distinct(da.toks || db.toks))
+         |            AS BIGINT) AS jac_pm
+         |  FROM pd JOIN d da ON da.doc_id = pd.id_delta
+         |          JOIN d db ON db.doc_id = pd.id_base),
+         |nm AS (SELECT id_delta, CAST(COUNT(*) AS BIGINT) AS n_matches
+         |       FROM pj GROUP BY 1),
+         |rk AS (
+         |  SELECT id_delta, id_base, jac_pm,
+         |         ROW_NUMBER() OVER (PARTITION BY id_delta
+         |           ORDER BY jac_pm DESC, id_base ASC) AS rn
+         |  FROM pj)
+         |SELECT rk.id_delta, nm.n_matches, rk.id_base, rk.jac_pm
+         |FROM rk JOIN nm USING (id_delta)
+         |WHERE rn = 1
+         |ORDER BY id_delta ASC NULLS FIRST""".stripMargin
+    },
 
     "q90_decontam" ->
       s"""WITH $decontamCteSql
