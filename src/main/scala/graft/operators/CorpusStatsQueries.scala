@@ -166,6 +166,34 @@ object CorpusStatsQueries {
         .orderBy("cp")
     }),
 
+    // Distinctive terms per source by prior-smoothed log-odds — the
+    // "Fightin' Words" report (Monroe et al. 2008, public method): per
+    // (source, word), the log-odds delta of the word in this source vs
+    // the REST of the corpus under an informative Dirichlet prior
+    // α_w = 100·corpus-share, z-scaled by its estimated variance;
+    // top-5 per source. The curation answer to "what IS this source,
+    // lexically" — q307 says how far sources are apart, this names
+    // the words doing it. One grid + three bounded attach joins;
+    // ranking on the integer micro-z through the bounded-heap
+    // TopKPerGroup operator (no window, no float sort key [D3]).
+    "q319_log_odds" -> ((s, dir) => {
+      val stf = srcTokens(s, dir).groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+      val sn = stf.groupBy("source").agg(sum(col("c")).as("sn"))
+      val cf = stf.groupBy("tok").agg(sum(col("c")).as("cf"))
+      val tot = cf.agg(sum(col("cf")).as("cn"))
+      val scored = stf.join(broadcast(sn), Seq("source"))
+        .join(cf, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .withColumn("z_micro", expr(LogOddsFormula.zMicro))
+        .withColumn("delta6", expr(LogOddsFormula.delta6))
+      graft.plans.GraftOps.topKPerGroup(scored, Seq(col("source")),
+        Seq(col("z_micro").desc, col("tok").asc), 5, rankName = "rk")
+        .select(col("source"), col("tok"), col("c").as("n_in_source"),
+          col("z_micro"), col("delta6"))
+        .orderBy(col("source").asc, col("z_micro").desc, col("tok").asc)
+    }),
+
     // Burrows' Delta — the classic authorship-attribution distance
     // between source pairs (Burrows 2002, public method): z-score each
     // source's relative frequency of the corpus's top-50 marker words
@@ -575,6 +603,31 @@ object CorpusStatsQueries {
   /** q307's marker-word pool size. */
   private val BdWords = 50
 
+  /** q319's log-odds z over the grid counts (c in-source, cf corpus,
+    * sn source total, cn corpus total) with the informative Dirichlet
+    * prior α_w = A0·cf/cn (Monroe et al. 2008 "Fightin' Words", public
+    * method) — shared texts, one IEEE tree each. The integer
+    * micro-scaled z is the SORT key ([D3]: rank on an integer derived
+    * identically on both engines, never on a raw double); guards NULL
+    * the degenerate all-one-word denominators. */
+  private[operators] object LogOddsFormula {
+    private val A0 = "100.0"
+    private val ai = s"($A0 * CAST(cf AS DOUBLE) / CAST(cn AS DOUBLE))"
+    private val t1n = s"(CAST(c AS DOUBLE) + $ai)"
+    private val t1d = s"(CAST(sn AS DOUBLE) + $A0 - CAST(c AS DOUBLE) " +
+      s"- $ai)"
+    private val t2n = s"(CAST(cf - c AS DOUBLE) + $ai)"
+    private val t2d = s"(CAST(cn - sn AS DOUBLE) + $A0 " +
+      s"- CAST(cf - c AS DOUBLE) - $ai)"
+    private val delta = s"(ln($t1n / $t1d) - ln($t2n / $t2d))"
+    private val z =
+      s"($delta / sqrt(1.0 / $t1n + 1.0 / $t2n))"
+    private val guard = s"$t1d > 0 AND $t2d > 0"
+    val zMicro: String =
+      s"CASE WHEN $guard THEN CAST(round($z * 1000000.0) AS BIGINT) END"
+    val delta6: String = s"CASE WHEN $guard THEN round($delta, 6) END"
+  }
+
   /** q307's per-(source, word) z-score over the exact decimal moments
     * (f8 the 8dp relative frequency, sf/sff its decimal sum / sum of
     * 16dp squares across sources, k the source count) — shared text,
@@ -727,6 +780,36 @@ object CorpusStatsQueries {
          |GROUP BY 1
          |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     // identical grid + moment aggs + the SAME ratio formula texts
+    // the identical grid + attach joins and the SAME prior/z texts;
+    // QUALIFY mirrors the bounded-heap top-5
+    "q319_log_odds" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY source, tok),
+         |sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS sn
+         |       FROM st GROUP BY 1),
+         |cf AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cf
+         |       FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS cn FROM cf),
+         |sc AS (
+         |  SELECT st.source, st.tok, st.c, sn.sn, cf.cf, tot.cn
+         |  FROM st JOIN sn USING (source) JOIN cf USING (tok)
+         |  CROSS JOIN tot),
+         |z AS (
+         |  SELECT source, tok, CAST(c AS BIGINT) AS n_in_source,
+         |         ${LogOddsFormula.zMicro} AS z_micro,
+         |         ${LogOddsFormula.delta6} AS delta6
+         |  FROM sc)
+         |SELECT source, tok, n_in_source, z_micro, delta6 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY z_micro DESC NULLS LAST, tok ASC NULLS FIRST)
+         |    AS rk
+         |  FROM z) q
+         |WHERE rk <= 5
+         |ORDER BY source ASC NULLS FIRST, z_micro DESC NULLS LAST,
+         |         tok ASC NULLS FIRST""".stripMargin,
+
     // identical marker pool, 8dp frequency grid, decimal moments, and
     // the SAME z / mean-|Δz| trees
     "q307_burrows_delta" ->

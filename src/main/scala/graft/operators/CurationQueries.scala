@@ -454,6 +454,28 @@ object CurationQueries {
           expr(WilsonFormula.lo6).as("wilson_lo6"))
         .orderBy("lang")),
 
+    // Differentially-private release counts — per-source document
+    // counts with Laplace(1/ε) noise, ε = 1: the privacy-preserving
+    // telemetry shape (publish corpus composition without exact
+    // counts). The "randomness" is the SEEDED inverse-CDF draw from
+    // the polyMix hash of the source name — a pure function of the
+    // data [D1], so the released noisy counts are themselves
+    // hash-gated rows (the q226/q297 seeded-sampling convention
+    // applied to noise); u ∈ (0,1) exactly via (2h+1)/(2M).
+    "q318_dp_counts" -> ((s, dir) => {
+      val hm = GraphQueries.HashM
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("h", GraphQueries.polyMix(
+          expr(TextFunctions.charHash("source"))))
+        .withColumn("u",
+          (col("h") * 2 + 1).cast("double") / lit(2.0 * hm))
+        .select(col("source"), col("n_docs"),
+          expr(DpFormula.noise6).as("noise6"),
+          expr(DpFormula.noisy6).as("noisy6"))
+        .orderBy("source")
+    }),
+
     "q237_quality_score_rollup" -> ((s, dir) => {
       val feats = graft.api.TextOps
         .qualityFeatures(t(s, dir, "documents"), "text")
@@ -787,6 +809,38 @@ object CurationQueries {
        |FROM m""".stripMargin
   }
 
+  /** q318's Laplace(1) inverse-CDF over the seeded uniform `u` —
+    * shared texts, one IEEE tree each: X = −sgn(u−½)·ln(1−2|u−½|)
+    * (scale b = 1/ε = 1). u = ½ maps to exactly 0. */
+  private[operators] object DpFormula {
+    private val lap = "(CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END) " +
+      "* ln(1.0 - 2.0 * abs(u - 0.5))"
+    val noise6: String = s"round($lap, 6)"
+    val noisy6: String = s"round(CAST(n_docs AS DOUBLE) + ($lap), 6)"
+  }
+
+  /** The q318 replay: identical charHash→polyMix seed chain, the same
+    * (2h+1)/(2M) uniform, and the SAME Laplace texts. */
+  private def dpCountsOracleSql: String = {
+    val hm = GraphQueries.HashM
+    s"""WITH ps AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |hx AS (
+       |  SELECT source, n_docs,
+       |         ${GraphQueries.polyMixSql(Sql.charHash("source"))} AS h
+       |  FROM ps),
+       |ux AS (
+       |  SELECT source, n_docs,
+       |         CAST(2 * h + 1 AS DOUBLE) / (2.0 * $hm) AS u
+       |  FROM hx)
+       |SELECT source, n_docs,
+       |       ${DpFormula.noise6} AS noise6,
+       |       ${DpFormula.noisy6} AS noisy6
+       |FROM ux
+       |ORDER BY source ASC NULLS FIRST""".stripMargin
+  }
+
   /** q316's Wilson-score interval over the exact (k, n) gate counts —
     * shared texts, one IEEE tree each; z = 1.96 as a literal. The
     * lower bound is the standard
@@ -1047,6 +1101,7 @@ object CurationQueries {
     "q299_gate_kappa" -> kappaOracleSql,
     "q305_info_gain" -> infoGainOracleSql,
     "q316_wilson_gate" -> wilsonOracleSql,
+    "q318_dp_counts" -> dpCountsOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,
     "q249_quality_auc" -> aucOracleSql,
     "q251_feature_corr" -> featureCorrOracleSql,

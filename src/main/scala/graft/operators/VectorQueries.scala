@@ -290,6 +290,48 @@ object VectorQueries {
     // decimal sums for both moments ([D2] — x and x·x quantize to 6dp
     // before summing), min/max exact picks emitted as double (the
     // float→double widening is value-preserving).
+    // Embedding-space drift monitor — the vector-side sibling of
+    // q283's vocabulary drift: the corpus splits into two seeded
+    // halves (polyMix parity of vec_id, a pure function of the data
+    // [D1]), each half's centroid comes from exact decimal per-dim
+    // sums (q63 staging), and the report is centroid cosine, L2 shift,
+    // and norm ratio — the numbers an embedding-pipeline dashboard
+    // alerts on when a re-embed or corpus shift moves the space. Two
+    // hash aggs + a 64-row dim join; per-dim products 12dp-quantized
+    // and decimal-summed [D2]; final trees shared-string (DriftFormula).
+    "q320_embedding_drift" -> ((s, dir) => {
+      val hm = graft.operators.GraphQueries.HashM
+      val flat = t(s, dir, "embeddings").select(
+        pmod(graft.operators.GraphQueries.polyMix(
+          pmod(col("vec_id"), lit(hm))), lit(2L)).as("h"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      val dims = flat.groupBy("h", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(Dets.Dec)).as("sx"))
+        .select(col("h"), col("pos"), col("n"),
+          (col("sx").cast("double") / col("n")).as("c"))
+      val a = dims.filter(col("h") === 0)
+        .select(col("pos"), col("c").as("ca"), col("n").as("na"))
+      val b = dims.filter(col("h") === 1)
+        .select(col("pos"), col("c").as("cb"), col("n").as("nb"))
+      a.join(b, Seq("pos"))
+        .select(col("na"), col("nb"),
+          round(col("ca") * col("cb"), 12).cast("decimal(38,12)")
+            .as("dot"),
+          round(col("ca") * col("ca"), 12).cast("decimal(38,12)")
+            .as("aa"),
+          round(col("cb") * col("cb"), 12).cast("decimal(38,12)")
+            .as("bb"),
+          round((col("ca") - col("cb")) * (col("ca") - col("cb")), 12)
+            .cast("decimal(38,12)").as("dd"))
+        .agg(max(col("na")).as("n0"), max(col("nb")).as("n1"),
+          sum(col("dot")).as("sdot"), sum(col("aa")).as("saa"),
+          sum(col("bb")).as("sbb"), sum(col("dd")).as("sdd"))
+        .select(col("n0"), col("n1"),
+          expr(DriftFormula.cos6).as("cos6"),
+          expr(DriftFormula.l26).as("l2_6"),
+          expr(DriftFormula.nr6).as("normratio6"))
+    }),
+
     "q206_embed_dim_stats" -> ((s, dir) => {
       val flat = t(s, dir, "embeddings")
         .select(posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -749,7 +791,60 @@ object VectorQueries {
        |  WHERE ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) >= 0.35
        |)""".stripMargin
 
+  /** q320's drift summaries over the exact decimal cross-moment sums
+    * (sdot, saa, sbb, sdd) — shared texts, one IEEE tree each; NULL
+    * when a half is empty (degenerate split). */
+  private[operators] object DriftFormula {
+    val cos6: String = "CASE WHEN CAST(saa AS DOUBLE) > 0 " +
+      "AND CAST(sbb AS DOUBLE) > 0 THEN " +
+      "round(CAST(sdot AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) " +
+      "* sqrt(CAST(sbb AS DOUBLE))), 6) END"
+    val l26: String = "round(sqrt(CAST(sdd AS DOUBLE)), 6)"
+    val nr6: String = "CASE WHEN CAST(sbb AS DOUBLE) > 0 THEN " +
+      "round(sqrt(CAST(saa AS DOUBLE)) / sqrt(CAST(sbb AS DOUBLE)), 6) " +
+      "END"
+  }
+
   val oracle: Map[String, String] = Map(
+
+    // identical parity split, q63 centroid staging, 12dp cross-moment
+    // terms, and the SAME summary trees
+    "q320_embedding_drift" -> {
+      val flagSql = s"(${graft.operators.GraphQueries.polyMixSql(
+        graft.operators.GraphQueries.pmodSql("vec_id"))}) % 2"
+      s"""WITH fl AS (
+         |  SELECT $flagSql AS h, embedding FROM embeddings),
+         |flat AS (
+         |  SELECT h, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM fl),
+         |dims AS (
+         |  SELECT h, pos, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+         |           / CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM flat GROUP BY 1, 2),
+         |ab AS (
+         |  SELECT a.n AS na, b.n AS nb,
+         |         CAST(ROUND(a.c * b.c, 12) AS DECIMAL(38,12)) AS dot,
+         |         CAST(ROUND(a.c * a.c, 12) AS DECIMAL(38,12)) AS aa,
+         |         CAST(ROUND(b.c * b.c, 12) AS DECIMAL(38,12)) AS bb,
+         |         CAST(ROUND((a.c - b.c) * (a.c - b.c), 12)
+         |           AS DECIMAL(38,12)) AS dd
+         |  FROM dims a JOIN dims b ON b.pos = a.pos
+         |  WHERE a.h = 0 AND b.h = 1),
+         |m AS (
+         |  SELECT CAST(MAX(na) AS BIGINT) AS n0,
+         |         CAST(MAX(nb) AS BIGINT) AS n1,
+         |         CAST(SUM(dot) AS DECIMAL(38,12)) AS sdot,
+         |         CAST(SUM(aa) AS DECIMAL(38,12)) AS saa,
+         |         CAST(SUM(bb) AS DECIMAL(38,12)) AS sbb,
+         |         CAST(SUM(dd) AS DECIMAL(38,12)) AS sdd
+         |  FROM ab)
+         |SELECT n0, n1, ${DriftFormula.cos6} AS cos6,
+         |       ${DriftFormula.l26} AS l2_6,
+         |       ${DriftFormula.nr6} AS normratio6
+         |FROM m""".stripMargin
+    },
     "q62_sim_topk" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
          |           FROM embeddings WHERE vec_id < 10)
