@@ -284,6 +284,45 @@ object SketchQueries {
     // theory predicts at (1/16)^(1/4) ≈ 0.5). At 100 TB only the LSH
     // side runs in production; this audit runs on a sampled slice,
     // which is exactly how a recall SLO for a sketch is monitored.
+    // MinHash ESTIMATOR error audit — q255 measures the banding's
+    // recall; this measures the sketch's accuracy: over the verified
+    // candidate pairs, the mean |estimated − exact| Jaccard and the
+    // signed bias, where the estimate is the classic agreeing-slots
+    // fraction (Broder). Both engines replay the identical 64-slot
+    // permutation family, so the ESTIMATES (not just the exact values)
+    // are hash-gated; per-pair terms 8dp-quantized + decimal-summed
+    // [D2]. At 100 TB this audit runs on a sampled slice — the
+    // standard sketch-accuracy SLO monitor next to the recall one.
+    "q321_minhash_error" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pairs = lshNearDupPairs(s, dir, 0.5)
+      val mh = t(s, dir, "documents")
+        .withColumn("tks", TextFunctions.tokenSet(col("text")))
+        .select(col("doc_id"),
+          expr(s"graft_minhash(array_sort(graft_token_hashes(tks))," +
+            s" $NumHashes)").as("mh"))
+      pairs
+        .join(mh.select(col("doc_id").as("id_lo"), col("mh").as("ma")),
+          Seq("id_lo"))
+        .join(mh.select(col("doc_id").as("id_hi"), col("mh").as("mb")),
+          Seq("id_hi"))
+        .withColumn("agree", expr("aggregate(zip_with(ma, mb, " +
+          "(a, b) -> CASE WHEN a = b THEN 1L ELSE 0L END), 0L, " +
+          "(acc, v) -> acc + v)"))
+        .withColumn("est",
+          col("agree").cast("double") / lit(NumHashes.toDouble))
+        .select(
+          round(abs(col("est") - col("jac")), 8).cast("decimal(38,8)")
+            .as("ae"),
+          round(col("est") - col("jac"), 8).cast("decimal(38,8)")
+            .as("de"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("ae")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mae6"),
+          round(sum(col("de")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("bias6"))
+    }),
+
     "q255_lsh_eval" -> ((s, dir) => {
       val ex = graft.api.TextOps.nearDupPairs(
         graft.api.TextOps.tokenHashTable(
@@ -373,6 +412,31 @@ object SketchQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // the shared LSH replay's mh slots joined per pair; the same
+    // agreeing-slots estimate; `+ 0` normalizes a −0.0 bias round
+    "q321_minhash_error" ->
+      s"""WITH ${lshEdgeCteSql(0.5)},
+         |ag AS (
+         |  SELECT e.id_lo, e.id_hi, e.jac,
+         |         CAST(SUM(CASE WHEN a.mhv = b.mhv THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS agree
+         |  FROM e JOIN mh a ON a.doc_id = e.id_lo
+         |         JOIN mh b ON b.doc_id = e.id_hi AND b.k = a.k
+         |  GROUP BY 1, 2, 3),
+         |tm AS (
+         |  SELECT CAST(ROUND(abs(CAST(agree AS DOUBLE)
+         |             / $NumHashes.0 - jac), 8) AS DECIMAL(38,8)) AS ae,
+         |         CAST(ROUND(CAST(agree AS DOUBLE)
+         |             / $NumHashes.0 - jac, 8) AS DECIMAL(38,8)) AS de
+         |  FROM ag)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       ROUND(CAST(SUM(ae) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE), 6) AS mae6,
+         |       ROUND(CAST(SUM(de) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE), 6) + 0 AS bias6
+         |FROM tm""".stripMargin,
+
     "q66_minhash_lsh" ->
       s"""WITH ${lshEdgeCteSql(0.5)}
          |SELECT id_lo, id_hi, ROUND(jac, 4) AS jac4 FROM e

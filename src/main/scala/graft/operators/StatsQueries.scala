@@ -54,6 +54,32 @@ object StatsQueries {
       s"CASE WHEN $vv > 0 THEN round($tt * $tt / $vv, 4) END"
   }
 
+  /** q322's CUPED trees over the pooled/per-arm exact moment sums
+    * (n, sx, sy, sxx, syy, sxy, na, nb, sxa, sxb, sya, syb) — shared
+    * texts, one IEEE tree each. θ NULL on a constant covariate; ρ²
+    * NULL when either variance degenerates; lifts in CENTS (the
+    * metric's native integer unit). */
+  private[operators] object CupedFormula {
+    private val nd = "CAST(n AS DOUBLE)"
+    private val cov = s"((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) " +
+      s"* CAST(sy AS DOUBLE) / $nd) / $nd)"
+    private val vx = s"((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) " +
+      s"* CAST(sx AS DOUBLE) / $nd) / $nd)"
+    private val vy = s"((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) " +
+      s"* CAST(sy AS DOUBLE) / $nd) / $nd)"
+    private val th = s"($cov / $vx)"
+    private val lraw = "(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) " +
+      "- CAST(sya AS DOUBLE) / CAST(na AS DOUBLE))"
+    private val dx = "(CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) " +
+      "- CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE))"
+    val theta6: String = s"CASE WHEN $vx > 0 THEN round($th, 6) END"
+    val liftRaw4: String = s"round($lraw, 4)"
+    val liftCuped4: String =
+      s"CASE WHEN $vx > 0 THEN round($lraw - $th * $dx, 4) END"
+    val rho2_6: String = s"CASE WHEN $vx > 0 AND $vy > 0 THEN " +
+      s"round($cov * $cov / ($vx * $vy), 6) END"
+  }
+
   /** q314's runs-test z over (n1, n2, n_runs) — shared text, one IEEE
     * tree, every product staged in DOUBLE (2·n1·n2·(2·n1·n2) overflows
     * int64 past ~35k kept days — centuries of calendar, but the
@@ -212,6 +238,47 @@ object StatsQueries {
         .select(lit(n).as("n_days"), lit(BootB).as("n_boot"),
           mean6(col("t0")).as("mean6"), mean6(col("lo")).as("lo6"),
           mean6(col("hi")).as("hi6"))
+    }),
+
+    // CUPED-adjusted A/B readout — variance reduction with a
+    // pre-period covariate (Deng et al. 2013, public method), the
+    // industry-standard upgrade to q276's plain lift: per customer,
+    // x = pre-1996 spend (covariate), y = 1996+ spend (metric), arms
+    // by the polyMix parity of the customer key [D1]; θ = cov/var(x)
+    // pooled, adjusted lift = lift_raw − θ·(x̄_b − x̄_a), and the
+    // variance-reduction factor is exactly ρ². EVERY moment is one
+    // exact integer/decimal sum in ONE map-side-combinable aggregate
+    // row; all derived doubles are shared-string IEEE trees
+    // (CupedFormula).
+    "q322_ab_cuped" -> ((s, dir) => {
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val pc = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          sum(when(year(col("o_orderdate")) < 1996,
+            round(col("o_totalprice") * 100).cast("long"))
+            .otherwise(0L)).as("x"),
+          sum(when(year(col("o_orderdate")) >= 1996,
+            round(col("o_totalprice") * 100).cast("long"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(GraphQueries.polyMix(
+          pmod(col("o_custkey"), lit(GraphQueries.HashM))), lit(2L)))
+      pc.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+          sum(d19(col("y")) * d19(col("y"))).as("syy"),
+          sum(d19(col("x")) * d19(col("y"))).as("sxy"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxa"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxb"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sya"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syb"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          expr(CupedFormula.theta6).as("theta6"),
+          expr(CupedFormula.liftRaw4).as("lift_raw4"),
+          expr(CupedFormula.liftCuped4).as("lift_cuped4"),
+          expr(CupedFormula.rho2_6).as("rho2_6"))
     }),
 
     // Cochran–Armitage trend test — does the fulfilled rate TREND
@@ -1069,6 +1136,52 @@ object StatsQueries {
          |       ROUND(CAST(hi AS DOUBLE) / CAST(nn.n AS DOUBLE) / 100, 6)
          |         AS hi6
          |FROM pick CROSS JOIN orig CROSS JOIN nn""".stripMargin
+    },
+
+    // identical per-customer collapse, polyMix arms, one moment row,
+    // and the SAME CUPED trees
+    "q322_ab_cuped" -> {
+      val armSql = s"(${GraphQueries.polyMixSql(
+        GraphQueries.pmodSql("o_custkey"))}) % 2"
+      s"""WITH pc AS (
+         |  SELECT o_custkey,
+         |         CAST(SUM(CASE WHEN year(o_orderdate) < 1996
+         |             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+         |             ELSE 0 END) AS BIGINT) AS x,
+         |         CAST(SUM(CASE WHEN year(o_orderdate) >= 1996
+         |             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+         |             ELSE 0 END) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1),
+         |pa AS (SELECT x, y, $armSql AS arm FROM pc),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx,
+         |         CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(CAST(x AS DECIMAL(19,0))
+         |           * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+         |         CAST(SUM(CAST(y AS DECIMAL(19,0))
+         |           * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+         |         CAST(SUM(CAST(x AS DECIMAL(19,0))
+         |           * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy,
+         |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS na,
+         |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS nb,
+         |         CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)
+         |           AS BIGINT) AS sxa,
+         |         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)
+         |           AS BIGINT) AS sxb,
+         |         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)
+         |           AS BIGINT) AS sya,
+         |         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)
+         |           AS BIGINT) AS syb
+         |  FROM pa)
+         |SELECT na AS n_a, nb AS n_b,
+         |       ${CupedFormula.theta6} AS theta6,
+         |       ${CupedFormula.liftRaw4} AS lift_raw4,
+         |       ${CupedFormula.liftCuped4} AS lift_cuped4,
+         |       ${CupedFormula.rho2_6} AS rho2_6
+         |FROM m""".stripMargin
     },
 
     // the identical bin collapse, exact integer moments, and the SAME
