@@ -52,6 +52,9 @@ object SharedMemos {
         operators.VectorQueries.pqIntArtifacts(s, dir)
       force(trace); force(cents); force(codes)
     }),
+    // item-CF serving neighbour lists (q253 holdout, q324 coverage)
+    "shared:cf_neighbors" ->
+      (s => force(operators.GraphQueries.cfNeighbors(s, dir))),
     // oriented-census triangle rows (q165 count, q308 per-vertex)
     "shared:tri_census" ->
       (s => force(operators.GraphQueries.triRows(s, dir))),

@@ -119,6 +119,18 @@ object GraphQueries {
   private def orientedCensus(und: DataFrame): (DataFrame, DataFrame) =
     graft.api.GraphOps.triangleCensus(und, "x", "y")
 
+  /** The item-CF serving layout (per-item top-CfNbrK weighted-Jaccard
+    * neighbour lists over the support-floored backbone), memoized per
+    * (session, dir) — q253 scores holdouts through it, q324 audits its
+    * catalog coverage; the Σdeg² scoring pass runs once (bench primes
+    * it under shared:cf_neighbors). */
+  private[graft] def cfNeighbors(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"cfnbr:$dir:$CfNbrK") {
+      graft.api.GraphOps.itemNeighbors(
+        CoPurchase.pairW(s, dir).filter(col("w") >= LinkPredMinSupport),
+        "x", "y", "w", CfNbrK)
+    }
+
   /** The co-purchase graph's oriented-census triangle ROWS, memoized
     * per (session, dir) — q165 counts them, q308 explodes the roles;
     * one wedge join serves both (bench primes it under
@@ -558,11 +570,31 @@ object GraphQueries {
     // per-item list; candidate generation is a |history|×k fan-out
     // equi-join; the rank is a per-customer window — every stage is
     // keyed, nothing is quadratic in customers or parts.
+    // Recommendation catalog coverage — the serving-health audit of
+    // the q234/q253 item-CF model: how much of the part catalog the
+    // per-item top-k neighbour lists can EVER surface (coverage
+    // permille) and how concentrated the exposure is (the most-
+    // recommended item's share of all slots — the popularity-bias
+    // readout). The model relation is already bounded (k per item);
+    // everything here is keyed aggs over it plus a part-table count.
+    // [D5] truncating permilles of exact integers.
+    "q324_rec_coverage" -> ((s, dir) => {
+      val nbr = cfNeighbors(s, dir)
+      val cat = graft.Tables.load(s, dir, "part")
+        .agg(count(lit(1)).as("n_catalog"))
+      val freq = nbr.groupBy("rec").agg(count(lit(1)).as("f"))
+      val st = nbr.agg(countDistinct(col("item")).as("n_items"))
+      val fr = freq.agg(count(lit(1)).as("n_recommended"),
+        max(col("f")).as("fmax"), sum(col("f")).as("ftot"))
+      st.crossJoin(broadcast(fr)).crossJoin(broadcast(cat))
+        .select(col("n_catalog"), col("n_items"), col("n_recommended"),
+          expr("(1000L * n_recommended) div n_catalog").as("coverage_pm"),
+          expr("(1000L * fmax) div ftot").as("top_share_pm"))
+    }),
+
     "q253_cf_holdout" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val nbr = graft.api.GraphOps.itemNeighbors(
-        CoPurchase.pairW(s, dir).filter(col("w") >= LinkPredMinSupport),
-        "x", "y", "w", CfNbrK)
+      val nbr = cfNeighbors(s, dir)
       val li = graft.Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
       val ro = graft.Tables.load(s, dir, "orders")
@@ -822,7 +854,61 @@ object GraphQueries {
        |           ORDER BY s DESC, label ASC) AS rn FROM s2)
        |       WHERE rn = 1)""".stripMargin
 
+  /** CTE chain ending in `nbr(item, rec, wjac_bp)` — the exact
+    * [[graft.api.GraphOps.itemNeighbors]] replay over the support-
+    * floored co-purchase backbone (integer 1e-4 scores, per-item
+    * top-CfNbrK). Shared by the q253 holdout oracle and q324's
+    * coverage oracle so both gate ONE serving-layout definition. */
+  private def cfNbrCteSql: String =
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |undw AS (
+       |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |                     AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |und AS (SELECT x, y, w FROM undw WHERE w >= $LinkPredMinSupport),
+       |ed AS (SELECT x AS u, y AS v, w FROM und
+       |       UNION ALL SELECT y, x, w FROM und),
+       |sdeg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM ed GROUP BY 1),
+       |pr AS (
+       |  SELECT e1.v AS px, e2.v AS py,
+       |         CAST(SUM(LEAST(e1.w, e2.w)) AS BIGINT) AS cmin
+       |  FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT pr.px, pr.py,
+       |         (2 * pr.cmin * 10000 + (sx.s + sy.s - pr.cmin))
+       |           // (2 * (sx.s + sy.s - pr.cmin)) AS wjac_bp
+       |  FROM pr JOIN sdeg sx ON sx.u = pr.px
+       |          JOIN sdeg sy ON sy.u = pr.py),
+       |nbr AS (
+       |  SELECT item, rec, wjac_bp FROM (
+       |    SELECT item, rec, wjac_bp, ROW_NUMBER() OVER (
+       |      PARTITION BY item
+       |      ORDER BY wjac_bp DESC, rec ASC) AS rn
+       |    FROM (SELECT px AS item, py AS rec, wjac_bp FROM sc
+       |          UNION ALL SELECT py, px, wjac_bp FROM sc) b) z
+       |  WHERE rn <= $CfNbrK)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+
+    // the shared serving-layout replay; [D5] truncating permilles
+    "q324_rec_coverage" ->
+      s"""WITH $cfNbrCteSql,
+         |freq AS (SELECT rec, CAST(COUNT(*) AS BIGINT) AS f
+         |         FROM nbr GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items
+         |       FROM nbr),
+         |fr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recommended,
+         |              CAST(MAX(f) AS BIGINT) AS fmax,
+         |              CAST(SUM(f) AS BIGINT) AS ftot
+         |       FROM freq),
+         |cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog FROM part)
+         |SELECT cat.n_catalog, st.n_items, fr.n_recommended,
+         |       (1000 * fr.n_recommended) // cat.n_catalog
+         |         AS coverage_pm,
+         |       (1000 * fr.fmax) // fr.ftot AS top_share_pm
+         |FROM st CROSS JOIN fr CROSS JOIN cat""".stripMargin,
     "q153_pagerank" -> {
       def iter(prev: String, k: Int): String =
         s"""c$k AS (
@@ -1285,35 +1371,7 @@ object GraphQueries {
     // scores, ROW_NUMBER per-item neighbour lists, last-order split,
     // NOT EXISTS exclusions, and [D5] truncating permille ratios
     "q253_cf_holdout" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |undw AS (
-         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS w
-         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-         |                     AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2),
-         |und AS (SELECT x, y, w FROM undw WHERE w >= $LinkPredMinSupport),
-         |ed AS (SELECT x AS u, y AS v, w FROM und
-         |       UNION ALL SELECT y, x, w FROM und),
-         |sdeg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM ed GROUP BY 1),
-         |pr AS (
-         |  SELECT e1.v AS px, e2.v AS py,
-         |         CAST(SUM(LEAST(e1.w, e2.w)) AS BIGINT) AS cmin
-         |  FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
-         |  GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT pr.px, pr.py,
-         |         (2 * pr.cmin * 10000 + (sx.s + sy.s - pr.cmin))
-         |           // (2 * (sx.s + sy.s - pr.cmin)) AS wjac_bp
-         |  FROM pr JOIN sdeg sx ON sx.u = pr.px
-         |          JOIN sdeg sy ON sy.u = pr.py),
-         |nbr AS (
-         |  SELECT item, rec, wjac_bp FROM (
-         |    SELECT item, rec, wjac_bp, ROW_NUMBER() OVER (
-         |      PARTITION BY item
-         |      ORDER BY wjac_bp DESC, rec ASC) AS rn
-         |    FROM (SELECT px AS item, py AS rec, wjac_bp FROM sc
-         |          UNION ALL SELECT py, px, wjac_bp FROM sc) b) z
-         |  WHERE rn <= $CfNbrK),
+      s"""WITH $cfNbrCteSql,
          |ro AS (
          |  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (
          |    PARTITION BY o_custkey

@@ -361,6 +361,31 @@ object PipelineQueries {
     // suite; every other document is scored by its distinct 8-gram
     // overlap with that suite. The eval gram set broadcasts (benchmarks
     // are MBs, corpora are TBs).
+    // Train/test split LEAKAGE audit — near-duplicate pairs that CROSS
+    // the q78 hash split: the generalization-integrity check run
+    // before trusting any held-out metric (a test doc whose near-dup
+    // sits in train inflates every eval; q90 decontaminates against an
+    // EXTERNAL benchmark, this audits the split itself). One keyed agg
+    // over the memoized same-lang near-dup pair table (the q61/q77
+    // relation) with the split labels attached by two equi-joins;
+    // pair-symmetric via least/greatest so each (split, split) cell
+    // counts once.
+    "q323_split_leakage" -> ((s, dir) => {
+      val sp = graft.api.PipelineOps
+        .trainSplit(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("split"))
+      TextQueries.nearDupPairs(s, dir, 0.6)
+        .join(sp.select(col("doc_id").as("id_lo"), col("split").as("sa")),
+          Seq("id_lo"))
+        .join(sp.select(col("doc_id").as("id_hi"), col("split").as("sb")),
+          Seq("id_hi"))
+        .groupBy(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    }),
+
     // Incremental dedup — the PRODUCTION dedup shape q66/q77 batch
     // over the whole corpus: yesterday's corpus (the seeded polyMix
     // even half) is sketched as the index, the new batch (odd half)
@@ -763,6 +788,26 @@ object PipelineQueries {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // the shared near-dup edge replay + the q78 split CTE; symmetric
+    // least/greatest cells
+    "q323_split_leakage" ->
+      s"""WITH ${TextQueries.nearDupEdgeSql},
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ${Sql.charHash("text")} % 10 < 8 THEN 'train'
+         |              WHEN ${Sql.charHash("text")} % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT LEAST(sa.split, sb.split) AS split_a,
+         |       GREATEST(sa.split, sb.split) AS split_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       LEAST(sa.split, sb.split) != GREATEST(sa.split, sb.split)
+         |         AS leaky
+         |FROM e JOIN sp sa ON sa.doc_id = e.id_lo
+         |       JOIN sp sb ON sb.doc_id = e.id_hi
+         |GROUP BY 1, 2, 4
+         |ORDER BY split_a ASC NULLS FIRST, split_b ASC NULLS FIRST""".stripMargin,
 
     // the shared full-corpus LSH replay restricted to cross-side
     // pairs via the SAME polyMix split; integer-exact permille from

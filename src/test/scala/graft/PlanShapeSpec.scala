@@ -146,6 +146,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q301_drawdown", "q302_ljung_box", "q304_heaps_law",
       "q306_logrank", "q307_burrows_delta", "q309_ndcg",
       "q313_theil", "q314_runs_test", "q319_log_odds",
+      "q324_rec_coverage",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
