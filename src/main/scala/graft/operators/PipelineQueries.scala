@@ -361,6 +361,34 @@ object PipelineQueries {
     // suite; every other document is scored by its distinct 8-gram
     // overlap with that suite. The eval gram set broadcasts (benchmarks
     // are MBs, corpora are TBs).
+    // Near-dup cluster SOURCE purity — are q77's duplicate clusters
+    // source-local or cross-source? (lang purity is 1000 by
+    // construction — the pair relation blocks on lang; SOURCE is the
+    // attribute clusters genuinely span.) The governance row behind
+    // "which sources copy from each other": per multi-doc cluster the
+    // majority-source share in exact permille [D5], reported as the
+    // cluster census (count, docs, fully-pure clusters, mean purity).
+    // Keyed aggs over the resolved component relation only.
+    "q325_cluster_purity" -> ((s, dir) => {
+      val cl = graft.api.DedupOps.clusterResolve(
+        t(s, dir, "documents"), "doc_id",
+        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+      val sizes = cl
+        .join(t(s, dir, "documents").select("doc_id", "source"),
+          Seq("doc_id"))
+        .groupBy("cluster_id", "source").agg(count(lit(1)).as("nl"))
+      sizes.groupBy("cluster_id")
+        .agg(sum(col("nl")).as("sz"), max(col("nl")).as("nmaj"))
+        .filter(col("sz") >= 2)
+        .select(col("sz"), col("nmaj"),
+          expr("(1000L * nmaj) div sz").as("purity_pm"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          sum(when(col("purity_pm") === 1000L, 1L).otherwise(0L))
+            .as("n_pure"),
+          round(sum(col("purity_pm")).cast("double")
+            / count(lit(1)).cast("double"), 4).as("mean_purity_pm4"))
+    }),
+
     // Train/test split LEAKAGE audit — near-duplicate pairs that CROSS
     // the q78 hash split: the generalization-integrity check run
     // before trusting any held-out metric (a test doc whose near-dup
@@ -610,6 +638,39 @@ object PipelineQueries {
        |  FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // the q77 recursive-components replay + the source census
+    "q325_cluster_purity" ->
+      s"""WITH RECURSIVE ${TextQueries.nearDupEdgeSql},
+         |ed AS (SELECT id_lo AS src, id_hi AS dst FROM e
+         |       UNION SELECT id_hi, id_lo FROM e),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node
+         |),
+         |cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sz AS (
+         |  SELECT cl.cluster_id, d2.source, CAST(COUNT(*) AS BIGINT)
+         |           AS nl
+         |  FROM cl JOIN documents d2 ON d2.doc_id = cl.doc_id
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT cluster_id, CAST(SUM(nl) AS BIGINT) AS sz,
+         |         CAST(MAX(nl) AS BIGINT) AS nmaj
+         |  FROM sz GROUP BY 1),
+         |pp AS (
+         |  SELECT sz, nmaj, (1000 * nmaj) // sz AS purity_pm
+         |  FROM per WHERE sz >= 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(sz) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN purity_pm = 1000 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_pure,
+         |       ROUND(CAST(SUM(purity_pm) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE), 4) AS mean_purity_pm4
+         |FROM pp""".stripMargin,
+
     "q77_dedup_cluster" ->
       s"""WITH RECURSIVE ${TextQueries.nearDupEdgeSql},
          |ed AS (SELECT id_lo AS src, id_hi AS dst FROM e

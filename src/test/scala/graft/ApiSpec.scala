@@ -224,6 +224,33 @@ class ApiSpec extends SparkSpec {
     assert(blkSh == blk)
   }
 
+  test("minhashLshAgainst: exactly the cross-side subset of the full " +
+    "pair relation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "an entirely different sentence about databases"),
+      (5L, "an entirely different sentence about databases too")
+    ).toDF("key", "body")
+    val base = docs.filter($"key" % 2 === 0)
+    val delta = docs.filter($"key" % 2 === 1)
+    val full = DedupOps.minhashLshPairs(docs, "key", "body", 0.5,
+      numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = DedupOps.minhashLshAgainst(base, delta, "key", "body", 0.5,
+      numHashes = 16, bands = 8)
+      .collect()
+      .map(r => (math.min(r.getLong(1), r.getLong(0)),
+        math.max(r.getLong(1), r.getLong(0)))).toSet
+    // same hash family + band geometry + verify ⇒ the incremental run
+    // is EXACTLY the full relation cut to (even, odd) pairs
+    assert(inc == full.filter { case (a, b) => (a + b) % 2 == 1 })
+    // and it must produce a cross-side dup the full run knows about
+    assert(inc.nonEmpty)
+  }
+
   test("LSH pipelines give identical pairs with shuffled lookup joins") {
     // the co-partitioned (100 TB) attach path must be result-identical
     // to the broadcast path, and must plan NO broadcast of the lookups
