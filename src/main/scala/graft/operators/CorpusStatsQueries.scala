@@ -108,6 +108,30 @@ object CorpusStatsQueries {
         .orderBy("source")
     }),
 
+    // Unseen-vocabulary mass per source — Good–Turing coverage
+    // (1 − V1/N: the probability mass of types NOT yet seen) and the
+    // Chao1 richness estimate of the TRUE vocabulary size (V +
+    // V1²/2V2; bias-corrected V + V1(V1−1)/2 when no doubletons):
+    // q304 fits how vocabulary grows, this says how much is still
+    // missing — the pair a corpus planner reads together. Same
+    // (source, token) grid as q303; singleton/doubleton counts are
+    // exact integers; both estimates shared-string IEEE trees
+    // (UnseenFormula).
+    "q326_unseen_mass" -> ((s, dir) => {
+      srcTokens(s, dir).groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("v2"))
+        .select(col("source"), col("n_tok"), col("n_types"),
+          col("v1"), col("v2"),
+          expr(UnseenFormula.coverage6).as("coverage6"),
+          expr(UnseenFormula.chao1_2).as("chao1_2"))
+        .orderBy("source")
+    }),
+
     // Heaps' law fit — vocabulary growth V(N) ≈ K·N^β measured at 10
     // document-prefix checkpoints (docs ordered by doc_id), the
     // corpus-scaling diagnostic that says how much NEW vocabulary
@@ -641,6 +665,20 @@ object CorpusStatsQueries {
       s"round((f8 - $mu) / sqrt($vr), 6) ELSE 0.0 END"
   }
 
+  /** q326's unseen-mass estimators over the exact (n_tok, n_types,
+    * v1, v2) moments — shared texts, one IEEE tree each. Good–Turing
+    * coverage = 1 − V1/N (Good 1953); Chao1 = V + V1²/(2·V2), falling
+    * back to the bias-corrected V + V1(V1−1)/2 when V2 = 0 (Chao
+    * 1984) — both public textbook estimators. */
+  private[operators] object UnseenFormula {
+    val coverage6: String = "round(1.0 - CAST(v1 AS DOUBLE) " +
+      "/ CAST(n_tok AS DOUBLE), 6)"
+    val chao1_2: String = "round(CAST(n_types AS DOUBLE) + " +
+      "CASE WHEN v2 > 0 THEN CAST(v1 AS DOUBLE) * CAST(v1 AS DOUBLE) " +
+      "/ (2.0 * CAST(v2 AS DOUBLE)) " +
+      "ELSE CAST(v1 AS DOUBLE) * CAST(v1 - 1 AS DOUBLE) / 2.0 END, 2)"
+  }
+
   /** q303's lexical-richness ratios over the exact per-source moments
     * (n_tok, n_types, hapax, s2 = Σc²) — shared texts, one IEEE tree
     * each. K's 10⁴ scale is the classic presentation; NULL on a
@@ -847,6 +885,27 @@ object CorpusStatsQueries {
          |FROM z a JOIN z b ON b.tok = a.tok AND a.source < b.source
          |GROUP BY 1, 2
          |ORDER BY sa ASC NULLS FIRST, sb ASC NULLS FIRST""".stripMargin,
+
+    // the identical grid + singleton/doubleton moments + SAME texts
+    "q326_unseen_mass" ->
+      s"""WITH st AS (
+         |  SELECT source, tok, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY source, tok),
+         |m AS (
+         |  SELECT source,
+         |         CAST(SUM(c) AS BIGINT) AS n_tok,
+         |         CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS v1,
+         |         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS v2
+         |  FROM st GROUP BY source)
+         |SELECT source, n_tok, n_types, v1, v2,
+         |       ${UnseenFormula.coverage6} AS coverage6,
+         |       ${UnseenFormula.chao1_2} AS chao1_2
+         |FROM m
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     // identical (source, token) grid + moments + SAME ratio texts;
     // HUGEINT stages Σc² like q293's Σc(c−1)

@@ -361,6 +361,29 @@ object PipelineQueries {
     // suite; every other document is scored by its distinct 8-gram
     // overlap with that suite. The eval gram set broadcasts (benchmarks
     // are MBs, corpora are TBs).
+    // Dedup token savings — how many TOKENS the q77 dedup pass
+    // actually removes (the number a training-budget owner asks for —
+    // doc counts undersell dedup when duplicates skew long): total
+    // docs/tokens, dropped docs/tokens (cluster non-survivors), and
+    // the savings permille [D5]. One keyed agg over the memoized
+    // component relation joined to per-doc token counts.
+    "q327_dup_savings" -> ((s, dir) => {
+      val cl = graft.api.DedupOps.clusterResolve(
+        t(s, dir, "documents"), "doc_id",
+        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+      val ntok = t(s, dir, "documents").select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+      cl.join(ntok, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(when(col("keep") === 0, col("ntok")).otherwise(0L))
+            .as("tokens_dropped"))
+        .select(col("n_docs"), col("n_dropped"), col("n_tokens"),
+          col("tokens_dropped"),
+          expr("(1000L * tokens_dropped) div n_tokens").as("savings_pm"))
+    }),
+
     // Near-dup cluster SOURCE purity — are q77's duplicate clusters
     // source-local or cross-source? (lang purity is 1000 by
     // construction — the pair relation blocks on lang; SOURCE is the
@@ -638,6 +661,35 @@ object PipelineQueries {
        |  FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // the q77 recursive-components replay + per-doc token counts
+    "q327_dup_savings" ->
+      s"""WITH RECURSIVE ${TextQueries.nearDupEdgeSql},
+         |ed AS (SELECT id_lo AS src, id_hi AS dst FROM e
+         |       UNION SELECT id_hi, id_lo FROM e),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM d
+         |  UNION
+         |  SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node
+         |),
+         |cl AS (SELECT node AS doc_id,
+         |              CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END
+         |                AS keep
+         |       FROM reach GROUP BY node),
+         |nt AS (SELECT doc_id,
+         |              CAST(len(${Sql.tokens("text")}) AS BIGINT) AS ntok
+         |       FROM documents),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN keep = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_dropped,
+         |         CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CASE WHEN keep = 0 THEN ntok ELSE 0 END)
+         |           AS BIGINT) AS tokens_dropped
+         |  FROM cl JOIN nt USING (doc_id))
+         |SELECT n_docs, n_dropped, n_tokens, tokens_dropped,
+         |       (1000 * tokens_dropped) // n_tokens AS savings_pm
+         |FROM m""".stripMargin,
 
     // the q77 recursive-components replay + the source census
     "q325_cluster_purity" ->
