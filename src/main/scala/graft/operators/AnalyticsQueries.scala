@@ -941,8 +941,54 @@ object AnalyticsQueries {
         .groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path").asc)
         .limit(15)
+    }),
+
+    // Atkinson inequality index (ε = 1) — the welfare-economics
+    // companion of q148's Gini and q313's Theil: A = 1 − geomean/mean
+    // of per-customer spend, by nation (ε = 1 weights transfers at
+    // the bottom of the distribution; Atkinson 1970, public
+    // textbook). Unlike Gini's rank machinery this is ONE moment
+    // pass: per-customer cents exact integers, per-row ln
+    // 6dp-quantized and decimal-summed [D2], the index a
+    // shared-string IEEE tree (AtkFormula) over the exact moments,
+    // the mean [D5] integer-staged half-up. Two keyed aggs + one
+    // broadcast dim join — map-side combinable at 100 TB.
+    "q329_atkinson" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val nat = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+          Seq("c_nationkey"))
+      // cents > 0 guards the ln: zero-spend customers cannot appear
+      // (an order row implies positive totalprice) but a 100 TB feed
+      // with refund rows could produce one — excluded, documented in
+      // the oracle identically
+      spend.filter(col("cents") > 0)
+        .join(nat, Seq("o_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("cents")).as("s_cents"),
+          sum(round(log(col("cents").cast("double")), 6).cast(Dec))
+            .as("s_ln"))
+        .select(col("n_name").as("nation"), col("n_cust"),
+          expr("(2 * s_cents + n_cust) div (2 * n_cust)")
+            .as("mean_cents"),
+          expr(AtkFormula.atk6).as("atkinson6"))
+        .orderBy("nation")
     })
   )
+
+  /** q329's Atkinson(ε=1) over the exact per-nation moments (n_cust,
+    * s_cents = Σ spend, s_ln = Σ 6dp-quantized ln spend) — shared
+    * text, one IEEE tree. */
+  private[operators] object AtkFormula {
+    private val n = "CAST(n_cust AS DOUBLE)"
+    val atk6: String = s"round(1.0 - exp(CAST(s_ln AS DOUBLE) / $n) " +
+      s"/ (CAST(s_cents AS DOUBLE) / $n), 6)"
+  }
 
   /** The q259 replay: identical journey truncation and transition
     * extraction (window + agg), identical ppm matrix, the scenario
@@ -1688,6 +1734,31 @@ object AnalyticsQueries {
         |  FROM sess GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n_sessions
         |FROM paths GROUP BY 1
-        |ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin
+        |ORDER BY n_sessions DESC, path ASC LIMIT 15""".stripMargin,
+
+    // the moment replay: same cents, same 6dp ln quantization, the
+    // SAME AtkFormula string, [D5] integer-staged mean
+    "q329_atkinson" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey,
+         |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |per AS (
+         |  SELECT n_name,
+         |         COUNT(*) AS n_cust,
+         |         SUM(cents) AS s_cents,
+         |         SUM(CAST(round(ln(CAST(cents AS DOUBLE)), 6)
+         |           AS DECIMAL(38,6))) AS s_ln
+         |  FROM spend
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |  WHERE cents > 0
+         |  GROUP BY 1)
+         |SELECT n_name AS nation, CAST(n_cust AS BIGINT) AS n_cust,
+         |       CAST((2 * s_cents + n_cust) // (2 * n_cust) AS BIGINT)
+         |         AS mean_cents,
+         |       ${AtkFormula.atk6} AS atkinson6
+         |FROM per
+         |ORDER BY nation ASC NULLS FIRST""".stripMargin
   )
 }

@@ -155,6 +155,38 @@ object StatsQueries {
       "least(nr - 1, nc - 1))), 6)"
   }
 
+  /** q328's Kruskal–Wallis H over the exact rank moments (nn = N,
+    * sq = Σⱼ s2ⱼ²/nⱼ with s2ⱼ = 2·rank-sum, tie3 = Σ t³−t) — shared
+    * text, one IEEE tree. With R_j = s2j/2 the classic
+    * 12/(N(N+1))·ΣR²/n becomes 3·sq/(N(N+1)); the tie-corrected form
+    * divides by 1 − tie3/(N³−N) and is NULL when every value ties
+    * (corr = 0). */
+  private[operators] object KwFormula {
+    private val n = "CAST(nn AS DOUBLE)"
+    private val hRaw =
+      s"(3.0 * CAST(sq AS DOUBLE) / ($n * ($n + 1.0)) - 3.0 * ($n + 1.0))"
+    private val corr =
+      s"(1.0 - CAST(tie3 AS DOUBLE) / ($n * $n * $n - $n))"
+    val h4: String = s"round($hRaw, 4)"
+    val hc4: String =
+      s"CASE WHEN $corr > 0 THEN round($hRaw / $corr, 4) END"
+  }
+
+  /** q331's Brown–Forsythe F over the exact deviation moments (k
+    * groups, nn = N, ss = Σz, bb = Σⱼ sⱼ²/nⱼ, qq = Σz²) — shared
+    * text, one IEEE tree. SSB = bb − ss²/N, SSW = qq − bb; F is NULL
+    * when the within-group spread degenerates (all deviations equal)
+    * or k = 1. */
+  private[operators] object BfFormula {
+    private val n = "CAST(nn AS DOUBLE)"
+    private val kk = "CAST(k AS DOUBLE)"
+    private val ssb = "(CAST(bb AS DOUBLE) - CAST(ss AS DOUBLE) " +
+      s"* CAST(ss AS DOUBLE) / $n)"
+    private val ssw = "(CAST(qq AS DOUBLE) - CAST(bb AS DOUBLE))"
+    val f4: String = s"CASE WHEN $ssw > 0 AND $kk > 1 THEN " +
+      s"round(($ssb / ($kk - 1.0)) / ($ssw / ($n - $kk)), 4) END"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cramér's V — the [0,1]-normalized effect size over the q162 chi2
@@ -1073,6 +1105,90 @@ object StatsQueries {
           round(decSum(when(kept, col("l_extendedprice"))).cast("double")
             / count(when(kept, 1)), 4).as("trim_mean"))
         .orderBy("l_returnflag")
+    }),
+
+    // Kruskal–Wallis H — the k-group extension of q186's rank test
+    // (Mann–Whitney is the k = 2 special case): does order value
+    // differ across the five order priorities? Ranks come from the
+    // VALUE HISTOGRAM (integer-cents grid), never a row sort: one
+    // (value, group) hash agg collapses the corpus,
+    // GlobalRank.cumSum turns per-value totals into average ranks in
+    // q186's exact 2·avg-rank integer form (r2 = 2(cum−t)+t+1 — no
+    // .5 doubles), and each group's rank sum is an exact decimal
+    // Σ c·r2. H and its tie correction are shared-string IEEE trees
+    // (KwFormula) over the exact moments; the per-group s2²/n double
+    // terms are 6dp-quantized and decimal-summed [D2]; the per-group
+    // mean rank is [D5] integer-staged half-up. Two keyed aggs + a
+    // 5-row final fold — map-side combinable at 100 TB.
+    "q328_kruskal_wallis" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val v = t(s, dir, "orders").select(
+        col("o_orderpriority").as("g"),
+        round(col("o_totalprice") * 100).cast("long").as("x"))
+      val cells = v.groupBy("g", "x").agg(count(lit(1)).as("c"))
+      val hx = cells.groupBy("x").agg(sum(col("c")).as("t"))
+        .withColumn("gg", lit(1))
+      val r = graft.functions.GlobalRank.cumSum(hx, "gg", "x", "t")
+        .withColumn("r2", lit(2) * (col("cum") - col("t")) + col("t") + 1)
+      val per = cells.join(r.select(col("x"), col("r2")), Seq("x"))
+        .groupBy("g").agg(sum(col("c")).as("nj"),
+          sum(d38(col("c")) * col("r2")).as("s2j"))
+      val ties = hx.agg(sum(d38(col("t")) * col("t") * col("t")
+        - col("t")).as("tie3"))
+      val glob = per.agg(sum(col("nj")).as("nn"),
+          sum(round(col("s2j").cast("double") * col("s2j").cast("double")
+            / col("nj").cast("double"), 6).cast(Dec)).as("sq"))
+        .crossJoin(broadcast(ties))
+        .select(col("nn"), expr(KwFormula.h4).as("h4"),
+          expr(KwFormula.hc4).as("hc4"))
+      per.crossJoin(broadcast(glob))
+        .select(col("g").as("priority"), col("nj").as("n_orders"),
+          (expr("(2 * s2j * 10000 + 2 * nj) div (4 * nj)").cast("double")
+            / 10000.0).as("mean_rank4"),
+          col("nn").as("n_total"), col("h4"), col("hc4"))
+        .orderBy("priority")
+    }),
+
+    // Brown–Forsythe — Levene's variance-equality test made robust
+    // with group MEDIANS (the recommended form): do the three return
+    // flags have equal price spread, not just equal level (q186/q328
+    // test location; this tests scale)? Stage 1 reuses q44's
+    // histogram median (exact cents grid + GlobalRank.cumSum, no
+    // per-group sort); stage 2 scores |x − medᵍ| exactly in integer
+    // cents via a 3-row broadcast join; stage 3 is one-way ANOVA on
+    // the deviations from per-group exact moments (n, Σz, Σz²
+    // decimal-staged), the per-group s²/n double terms 6dp-quantized
+    // and decimal-summed [D2], F one shared-string IEEE tree
+    // (BfFormula), the per-group mean deviation [D5] integer-staged.
+    // Two scans (median, then deviations) — the irreducible two-pass
+    // cost of a median-centered statistic at 100 TB.
+    "q331_brown_forsythe" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("x"))
+      val hist = li.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      val med = graft.functions.GlobalRank.cumSum(hist, "g", "x", "cnt")
+        .groupBy("g")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("x")))
+          .as("med"))
+      val z = li.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("x") - col("med")).as("z"))
+      val per = z.groupBy("g").agg(count(lit(1)).as("nj"),
+        sum(col("z")).as("sj"), sum(d38(col("z")) * col("z")).as("qj"))
+      val glob = per.agg(count(lit(1)).as("k"), sum(col("nj")).as("nn"),
+        sum(col("sj")).as("ss"),
+        sum(round(col("sj").cast("double") * col("sj").cast("double")
+          / col("nj").cast("double"), 6).cast(Dec)).as("bb"),
+        sum(col("qj").cast(Dec)).as("qq"))
+      val stat = glob.select(col("k"), expr(BfFormula.f4).as("f4"))
+      per.join(broadcast(med), Seq("g"))
+        .crossJoin(broadcast(stat))
+        .select(col("g").as("flag"), col("nj").as("n_lines"),
+          col("med").as("med_cents"),
+          (expr("(2 * cast(sj as decimal(38,0)) * 10000 + nj) " +
+            "div (2 * nj)").cast("double") / 10000.0).as("mean_absdev4"),
+          col("k").as("n_groups"), col("f4"))
+        .orderBy("flag")
     })
   )
 
@@ -1878,6 +1994,81 @@ object StatsQueries {
         |    4) AS trim_mean
         |FROM lineitem JOIN b ON l_returnflag = f
         |GROUP BY l_returnflag, p05, p95
-        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    // the rank replay: same cents grid, window cumsum for the 2·avg-
+    // rank integers, HUGEINT staging for the exact rank sums, the
+    // SAME KwFormula strings, [D5] integer-staged mean rank
+    "q328_kruskal_wallis" ->
+      s"""WITH v AS (
+         |  SELECT o_orderpriority AS g,
+         |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders),
+         |cells AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY 1, 2),
+         |hx AS (SELECT x, SUM(c) AS t FROM cells GROUP BY 1),
+         |r AS (
+         |  SELECT x, 2 * (SUM(t) OVER (ORDER BY x) - t) + t + 1 AS r2
+         |  FROM hx),
+         |per AS (
+         |  SELECT g, SUM(c) AS nj, SUM(CAST(c AS HUGEINT) * r2) AS s2j
+         |  FROM cells JOIN r USING (x) GROUP BY g),
+         |ties AS (
+         |  SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3 FROM hx),
+         |gm AS (
+         |  SELECT SUM(nj) AS nn,
+         |         SUM(CAST(round(CAST(s2j AS DOUBLE) * CAST(s2j AS DOUBLE)
+         |           / CAST(nj AS DOUBLE), 6) AS DECIMAL(38,6))) AS sq
+         |  FROM per),
+         |stat AS (
+         |  SELECT CAST(nn AS BIGINT) AS n_total,
+         |         ${KwFormula.h4} AS h4, ${KwFormula.hc4} AS hc4
+         |  FROM gm, ties)
+         |SELECT g AS priority, CAST(nj AS BIGINT) AS n_orders,
+         |       CAST((2 * s2j * 10000 + 2 * nj) // (4 * nj) AS DOUBLE)
+         |         / 10000.0 AS mean_rank4,
+         |       n_total, h4, hc4
+         |FROM per, stat
+         |ORDER BY priority ASC NULLS FIRST""".stripMargin,
+
+    // the deviation replay: q44-style histogram median per group,
+    // exact integer |x − med|, HUGEINT moment staging, the SAME
+    // BfFormula string, [D5] integer-staged mean deviation
+    "q331_brown_forsythe" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS g,
+         |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+         |  FROM lineitem),
+         |hist AS (SELECT g, x, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT g, x,
+         |         SUM(cnt) OVER (PARTITION BY g ORDER BY x) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY g) AS n
+         |  FROM hist),
+         |med AS (
+         |  SELECT g, MIN(CASE WHEN cum >= (n + 1) // 2 THEN x END) AS med
+         |  FROM cum GROUP BY g),
+         |z AS (
+         |  SELECT li.g AS g, ABS(x - med) AS z
+         |  FROM li JOIN med ON li.g = med.g),
+         |per AS (
+         |  SELECT g, COUNT(*) AS nj, SUM(z) AS sj,
+         |         SUM(CAST(z AS HUGEINT) * z) AS qj
+         |  FROM z GROUP BY g),
+         |gm AS (
+         |  SELECT COUNT(*) AS k, SUM(nj) AS nn, SUM(sj) AS ss,
+         |         SUM(CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+         |           / CAST(nj AS DOUBLE), 6) AS DECIMAL(38,6))) AS bb,
+         |         SUM(CAST(qj AS DECIMAL(38,6))) AS qq
+         |  FROM per),
+         |stat AS (
+         |  SELECT CAST(k AS BIGINT) AS n_groups, ${BfFormula.f4} AS f4
+         |  FROM gm)
+         |SELECT per.g AS flag, CAST(nj AS BIGINT) AS n_lines,
+         |       med AS med_cents,
+         |       CAST((2 * CAST(sj AS HUGEINT) * 10000 + nj) // (2 * nj)
+         |         AS DOUBLE) / 10000.0 AS mean_absdev4,
+         |       n_groups, f4
+         |FROM per JOIN med ON per.g = med.g, stat
+         |ORDER BY flag ASC NULLS FIRST""".stripMargin
   )
 }

@@ -401,8 +401,48 @@ object TextQueries {
           sum(length(col("red"))).cast("long").as("sum_len"),
           sum(expr("graft_charhash(red)")).as("hsum"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Readability census per source — Flesch reading ease and
+    // Flesch–Kincaid grade (public-textbook formulas) from exact
+    // integer counts: words (house whitespace tokens), syllables (the
+    // classic vowel-group heuristic: runs of [aeiouy], floored at one
+    // per word — the q72 quality family's missing LENGTH-COMPLEXITY
+    // axis). The synthetic corpus carries no sentence punctuation, so
+    // the pinned sentence convention is one sentence per document
+    // (documented here and in SURVEY §2; swap a [.!?]+ run count in
+    // when a punctuated corpus lands). One explode + two hash aggs
+    // joined on the 4-row source dimension; the formulas are
+    // shared-string IEEE trees (ReadFormula) over exact counts [D3].
+    "q330_readability" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val words = toks.groupBy("source").agg(
+        count(lit(1)).as("n_words"),
+        sum(greatest(lit(1), size(regexp_extract_all(col("w"),
+          lit("[aeiouy]+"), lit(0))))).as("n_syll"))
+      val docs = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      docs.join(words, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_syll"),
+          expr(ReadFormula.fre4).as("fre4"),
+          expr(ReadFormula.fkg4).as("fkg4"))
+        .orderBy("source")
     })
   )
+
+  /** q330's Flesch / Flesch–Kincaid trees over the exact counts
+    * (n_docs = sentences by the pinned convention, n_words, n_syll)
+    * — shared text, one IEEE tree each. */
+  private[operators] object ReadFormula {
+    private val wps = "(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    private val spw = "(CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    val fre4: String =
+      s"round(206.835 - 1.015 * $wps - 84.6 * $spw, 4)"
+    val fkg4: String =
+      s"round(0.39 * $wps + 11.8 * $spw - 15.59, 4)"
+  }
 
   private val sqlToks = Sql.tokens("text")
   private val sqlTokSet = Sql.tokenSet("text")
@@ -428,6 +468,26 @@ object TextQueries {
     "q60_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, text
         |FROM documents GROUP BY text ORDER BY keep_id ASC NULLS FIRST""".stripMargin,
+
+    // the syllable replay: same tokens, same vowel-run heuristic, the
+    // SAME ReadFormula strings
+    "q330_readability" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest($sqlToks) AS w FROM documents),
+         |words AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(GREATEST(1,
+         |           len(regexp_extract_all(w, '[aeiouy]+'))))
+         |           AS BIGINT) AS n_syll
+         |  FROM toks GROUP BY 1),
+         |docs AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_words,
+         |       n_syll,
+         |       ${ReadFormula.fre4} AS fre4,
+         |       ${ReadFormula.fkg4} AS fkg4
+         |FROM docs JOIN words USING (source)
+         |ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "q61_dedup_near" ->
       s"""WITH $nearDupEdgeSql

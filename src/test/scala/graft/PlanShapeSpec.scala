@@ -146,7 +146,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q301_drawdown", "q302_ljung_box", "q304_heaps_law",
       "q306_logrank", "q307_burrows_delta", "q309_ndcg",
       "q313_theil", "q314_runs_test", "q319_log_odds",
-      "q324_rec_coverage",
+      "q324_rec_coverage", "q328_kruskal_wallis", "q331_brown_forsythe",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -194,7 +194,10 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //    cumSum/prefixMax): q143 skyline (retailprice), q161 ABC
     //    (revenue cents), q173 KS (price cents), q174 decile lift
     //    (score cents), q186 Mann-Whitney (quantity), q289 Theil–Sen
-    //    (pairwise slopes of the calendar-bounded daily series);
+    //    (pairwise slopes of the calendar-bounded daily series),
+    //    q328 Kruskal-Wallis (totalprice cents — the q186 shape: the
+    //    constant group column folds away, so cumSum's bucket-total
+    //    window shows an empty spec over the 256-row bucket table);
     //  - fixed-dimension post-agg totals: q89 share-of-total over the
     //    (returnflag, type-bucket) group rows;
     //  - fixed-replicate histograms: q297's 200-row bootstrap-total
@@ -203,7 +206,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
-      "q297_bootstrap_ci", "q301_drawdown", "q89_svc_partshare")
+      "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
+      "q89_svc_partshare")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
