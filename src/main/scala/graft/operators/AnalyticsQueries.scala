@@ -978,6 +978,77 @@ object AnalyticsQueries {
             .as("mean_cents"),
           expr(AtkFormula.atk6).as("atkinson6"))
         .orderBy("nation")
+    }),
+
+    // Transition-entropy profile of the event process — the
+    // information-theoretic closure of the q108/q259 Markov pair: per
+    // source state, the Shannon entropy of its next-event
+    // distribution (how PREDICTABLE is what follows a `view`?), and
+    // the chain's entropy rate Σ π(a)·H(a) under the empirical
+    // occupancy π — the single number that says how much signal a
+    // next-event model can possibly extract. One lag window per user
+    // (q108's transition build), one (prev, next) hash agg, per-cell
+    // −p·ln p terms 6dp-quantized + decimal-summed [D2]; −0.0 from
+    // single-destination states dies in the decimal cast; the rate
+    // weights the UNROUNDED per-state decimal sums by exact counts.
+    "q339_transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val cnt = tr.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val per = cnt
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy("prev_type")))
+        .groupBy("prev_type")
+        .agg(max(col("n")).as("n_out"), count(lit(1)).as("n_dest"),
+          sum(round(-(col("c").cast("double") / col("n").cast("double"))
+            * log(col("c").cast("double") / col("n").cast("double")), 6)
+            .cast(Dec)).as("hd"))
+      val glob = per.agg(sum(col("n_out")).as("nn"),
+          sum(col("hd") * col("n_out")).as("hw"))
+        .select(round(col("hw").cast("double")
+          / col("nn").cast("double"), 6).as("rate6"))
+      per.crossJoin(broadcast(glob))
+        .select(col("prev_type"), col("n_out"), col("n_dest"),
+          round(col("hd").cast("double"), 6).as("h6"), col("rate6"))
+        .orderBy("prev_type")
+    }),
+
+    // Lorenz curve points — the CURVE behind q148's Gini scalar and
+    // q329's Atkinson (a dashboard plots this; the scalars only rank
+    // it): customers in ascending spend order, cut into deciles, each
+    // with its spend share and the cumulative share up to it (the
+    // "bottom 50% hold X‰" table). The rank is the distributed
+    // GlobalRank (never a single-task sort); the 10-row decile relation
+    // is post-agg dimension-bounded, so its running sum is a documented
+    // bounded global window (q89 class); shares are [D5] truncating
+    // permilles of exact integer cents.
+    "q346_lorenz" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val (rk, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        spend, Seq(col("cents").asc, col("o_custkey").asc))
+      val per = rk
+        .withColumn("decile",
+          expr(s"(rn - 1) * 10 div ${n}L + 1").cast("int"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
+      val tot = per.agg(sum(col("cents")).as("tot"))
+      per
+        .withColumn("cum", sum(col("cents")).over(Window
+          .orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_cust"), col("cents"),
+          expr("1000 * cents div tot").as("share_pm"),
+          expr("1000 * cum div tot").as("cum_share_pm"))
+        .orderBy("decile")
     })
   )
 
@@ -1759,6 +1830,68 @@ object AnalyticsQueries {
          |         AS mean_cents,
          |       ${AtkFormula.atk6} AS atkinson6
          |FROM per
-         |ORDER BY nation ASC NULLS FIRST""".stripMargin
+         |ORDER BY nation ASC NULLS FIRST""".stripMargin,
+
+    // the entropy replay: same lag transitions, same per-cell
+    // −p·ln p 6dp quantization, same count-weighted rate
+    "q339_transition_entropy" ->
+      """WITH tr AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+        |           AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS c
+        |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT prev_type, event_type, c,
+        |         SUM(c) OVER (PARTITION BY prev_type) AS n
+        |  FROM cnt),
+        |per AS (
+        |  SELECT prev_type, CAST(MAX(n) AS BIGINT) AS n_out,
+        |         COUNT(*) AS n_dest,
+        |         SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |           AS DECIMAL(38,6))) AS hd
+        |  FROM cells GROUP BY 1),
+        |g AS (
+        |  SELECT ROUND(CAST(SUM(hd * n_out) AS DOUBLE)
+        |    / CAST(SUM(n_out) AS DOUBLE), 6) AS rate6 FROM per)
+        |SELECT prev_type, n_out, CAST(n_dest AS BIGINT) AS n_dest,
+        |       ROUND(CAST(hd AS DOUBLE), 6) AS h6, rate6
+        |FROM per, g
+        |ORDER BY prev_type ASC NULLS FIRST""".stripMargin,
+
+    // the curve replay: same ascending rank, decile cut, running sum,
+    // truncating permilles
+    "q346_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT cents,
+        |         ROW_NUMBER() OVER (ORDER BY cents ASC,
+        |           o_custkey ASC) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM spend),
+        |per AS (
+        |  SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+        |         COUNT(*) AS n_cust,
+        |         CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM rk GROUP BY 1),
+        |cc AS (
+        |  SELECT decile, n_cust, cents,
+        |         SUM(cents) OVER (ORDER BY decile ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         SUM(cents) OVER () AS tot
+        |  FROM per)
+        |SELECT decile, CAST(n_cust AS BIGINT) AS n_cust, cents,
+        |       CAST(1000 * cents // tot AS BIGINT) AS share_pm,
+        |       CAST(1000 * cum // tot AS BIGINT) AS cum_share_pm
+        |FROM cc
+        |ORDER BY decile ASC NULLS FIRST""".stripMargin
   )
 }

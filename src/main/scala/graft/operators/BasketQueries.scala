@@ -86,8 +86,45 @@ object BasketQueries {
           round(col("both_cnt").cast("double") / col("cx"), 6).as("conf6"))
         .orderBy(col("both_cnt").desc, col("p_antecedent").asc)
         .limit(25)
+    }),
+
+    // Frequent 3-itemsets — the Apriori level-3 step (Agrawal &
+    // Srikant 1994, public method) the pair family (q167/q171) stops
+    // short of: part triples co-purchased in ≥ 2 orders. The
+    // anti-monotone prune does the scale work: a frequent triple's
+    // (p1, p2) prefix pair must itself be frequent, so the candidate
+    // build semi-joins the per-order pairs against the memoized
+    // frequent-pair table BEFORE extending with a third item — the
+    // fan-out is orders × surviving prefixes, not the raw Σ|order|³.
+    // (The oracle replays the unpruned triple count; anti-monotonicity
+    // makes the prune invisible in the ≥ MinSup3 result.) Per-order
+    // triple generation is bounded by basket size (≤ 7 lines), the
+    // triple agg is map-side combinable — the genuine Apriori shape
+    // at 100 TB.
+    "q334_itemsets3" -> ((s, dir) => {
+      val li = baskets(s, dir)
+      val f2 = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= MinSup3).select(col("x"), col("y"))
+      val po = li
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("x"))
+        .join(li.select(col("l_orderkey").as("o"),
+          col("l_partkey").as("y")), Seq("o"))
+        .filter(col("x") < col("y"))
+        .join(f2, Seq("x", "y"), "leftsemi")
+      po.join(li.select(col("l_orderkey").as("o"),
+          col("l_partkey").as("z")), Seq("o"))
+        .filter(col("z") > col("y"))
+        .groupBy("x", "y", "z").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinSup3)
+        .select(col("x").as("p1"), col("y").as("p2"), col("z").as("p3"),
+          col("support"))
+        .orderBy(col("support").desc, col("p1").asc, col("p2").asc,
+          col("p3").asc)
     })
   )
+
+  /** q334's minimum triple support (and the level-2 prune cut). */
+  private val MinSup3 = 2L
 
   val oracle: Map[String, String] = Map(
     "q167_basket_lift" ->
@@ -127,6 +164,22 @@ object BasketQueries {
         |  FROM pair JOIN item ON item.l_partkey = pair.x)
         |SELECT x AS p_antecedent, y AS p_consequent, both_cnt, conf6
         |FROM conf WHERE rk = 1
-        |ORDER BY both_cnt DESC, p_antecedent ASC LIMIT 25""".stripMargin
+        |ORDER BY both_cnt DESC, p_antecedent ASC LIMIT 25""".stripMargin,
+
+    // the unpruned triple replay — anti-monotonicity makes the Spark
+    // side's frequent-prefix semi-join invisible above the support cut
+    "q334_itemsets3" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |         c.l_partkey AS p3, COUNT(*) AS support
+        |  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+        |                     AND b.l_partkey > a.l_partkey
+        |            JOIN li c ON c.l_orderkey = a.l_orderkey
+        |                     AND c.l_partkey > b.l_partkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT p1, p2, p3, CAST(support AS BIGINT) AS support
+        |FROM tr WHERE support >= 2
+        |ORDER BY support DESC, p1 ASC, p2 ASC, p3 ASC""".stripMargin
   )
 }

@@ -511,7 +511,41 @@ object CorpusStatsQueries {
       new graft.api.EtlService(s).searchDocuments(
         t(s, dir, "documents"), t(s, dir, "embeddings"),
         TfidfQueries.Bm25Terms, probeId = 0L, depth = RrfDepth,
-        k = RrfOut, rrfK = RrfK))
+        k = RrfOut, rrfK = RrfK)),
+
+    // Split-balance audit — is the q78 hash split EXCHANGEABLE at the
+    // token level? Jensen–Shannon divergence between the train side
+    // (buckets 0–7) and the held-out side (8–9) of the unigram
+    // distribution, with doc/token totals: q323 audits near-dup
+    // LEAKAGE across the split, this audits distributional SKEW (a
+    // content-correlated hash would show here first). Reuses q288's
+    // JsdFormula term verbatim; the vocabulary collapses to per-token
+    // conditional (train, heldout) counts in ONE hash agg — no vocab
+    // cross-join; terms 6dp-quantized + decimal-summed [D2]. One
+    // corpus scan.
+    "q348_split_balance" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val dd = t(s, dir, "documents")
+        .withColumn("tr",
+          (call_function("graft_charhash", col("text")) % 10 < 8)
+            .cast("long"))
+      val toks = dd.select(col("tr"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val cells = toks.groupBy("tok")
+        .agg(sum(col("tr")).as("ca"), sum(lit(1L) - col("tr")).as("cb"))
+      val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("n_types"))
+      val docs = dd.agg(sum(col("tr")).as("n_train_docs"),
+        sum(lit(1L) - col("tr")).as("n_heldout_docs"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("term", expr(JsdFormula.term6).cast(Dec))
+        .groupBy("na", "nb", "n_types")
+        .agg(round(sum(col("term")).cast("double"), 4).as("jsd4"))
+        .crossJoin(broadcast(docs))
+        .select(col("n_train_docs"), col("n_heldout_docs"),
+          col("na").as("n_train_toks"), col("nb").as("n_heldout_toks"),
+          col("n_types"), col("jsd4"))
+    })
   )
 
   /** The q236 training loop: `rounds` BPE merges over a (w, wcnt) word
@@ -796,6 +830,37 @@ object CorpusStatsQueries {
        |LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // the balance replay: same charHash split rule (q78's), same
+    // conditional cells, the SAME JsdFormula term
+    "q348_split_balance" ->
+      s"""WITH dd AS (
+         |  SELECT CASE WHEN ${Sql.charHash("text")} % 10 < 8
+         |         THEN 1 ELSE 0 END AS tr, text
+         |  FROM documents),
+         |toks AS (SELECT tr, unnest(${Sql.tokens("text")}) AS tok FROM dd),
+         |cells AS (
+         |  SELECT tok, CAST(SUM(tr) AS BIGINT) AS ca,
+         |         CAST(SUM(1 - tr) AS BIGINT) AS cb
+         |  FROM toks GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         |         CAST(SUM(cb) AS BIGINT) AS nb,
+         |         COUNT(*) AS n_types
+         |  FROM cells),
+         |docs AS (
+         |  SELECT CAST(SUM(tr) AS BIGINT) AS n_train_docs,
+         |         CAST(SUM(1 - tr) AS BIGINT) AS n_heldout_docs
+         |  FROM dd),
+         |j AS (
+         |  SELECT na, nb, n_types,
+         |         ROUND(CAST(SUM(CAST(${JsdFormula.term6}
+         |           AS DECIMAL(38,6))) AS DOUBLE), 4) AS jsd4
+         |  FROM cells, tot GROUP BY 1, 2, 3)
+         |SELECT n_train_docs, n_heldout_docs, na AS n_train_toks,
+         |       nb AS n_heldout_toks, CAST(n_types AS BIGINT) AS n_types,
+         |       jsd4
+         |FROM j, docs""".stripMargin,
     "q236_bpe_merges" -> bpeOracleSql,
     "q262_bpe_apply" -> bpeApplyOracleSql,
 

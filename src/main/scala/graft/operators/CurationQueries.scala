@@ -629,8 +629,79 @@ object CurationQueries {
             col("budget").cast("double") * col("sq").cast("double"),
             col("tot") * col("n_tokens").cast("double")), 4).as("epochs4"))
         .orderBy("source")
+    }),
+
+    // Brier score + Murphy decomposition of the gate's rank-calibrated
+    // forecast — the PROPER-SCORING companion of q241's calibration
+    // table and q249's AUC (Brier 1950, Murphy 1973 — public
+    // textbook): the forecast for a document is its score's
+    // descending-rank percentile p = (N − rn + 1)/N (the monotone,
+    // parameter-free probability the margin implies), the outcome the
+    // q104 rule keep; Brier = Σ(p − y)²/N with the decile-binned
+    // reliability/resolution/uncertainty split. Everything reduces to
+    // exact integer moments — the squared residual numerators stage
+    // through decimal(38,0) ((pnum − y·N)² tops int64 past ~2e6 docs)
+    // — the per-bin double terms are 6dp-quantized + decimal-summed
+    // [D2], and the closing formulas are shared-string IEEE trees
+    // (BrierFormula). Rides the memoized q235 training; one
+    // distributed rank pass + two keyed aggs over 10 bin rows.
+    "q333_brier_gate" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val last = percTrace(s, dir)
+        .filter(col("step") === PercIters).collect().head
+      val w = last.getAs[Long]("w_bias") +:
+        PercFeatures.map(c => last.getAs[Long](s"w_$c"))
+      val scored = graft.api.MlOps.linearScore(feats, PercFeatures, w)
+        .select(col("doc_id"), col("keep"), col("score"))
+      val (ranked, n) = graft.functions.GlobalRank.rowNumberWithTotal(
+        scored, Seq(col("score").desc, col("doc_id").asc))
+      val per = ranked
+        .withColumn("decile",
+          expr(s"(rn - 1) * 10 div ${n}L + 1").cast("int"))
+        .withColumn("pnum", lit(n) - col("rn") + 1)
+        .withColumn("y", col("keep").cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("nk"), sum(col("pnum")).as("sp"),
+          sum(col("y")).as("sy"),
+          sum(d38(col("pnum") - col("y") * lit(n))
+            * (col("pnum") - col("y") * lit(n))).as("se2"))
+      val g1 = per.agg(sum(col("sy")).as("syy"),
+        sum(col("se2").cast(Dec)).as("se2t"))
+      val terms = per.crossJoin(broadcast(g1))
+        .withColumn("nn", lit(n))
+        .withColumn("ra", d38(col("sp")) - d38(col("sy")) * lit(n))
+        .withColumn("rb",
+          d38(col("sy")) * lit(n) - d38(col("nk")) * col("syy"))
+        .select(col("nn"), col("syy"), col("se2t"),
+          round(col("ra").cast("double") * col("ra").cast("double")
+            / col("nk").cast("double"), 6).cast(Dec).as("relt"),
+          round(col("rb").cast("double") * col("rb").cast("double")
+            / col("nk").cast("double"), 6).cast(Dec).as("rest"))
+      terms.groupBy("nn", "syy", "se2t")
+        .agg(sum(col("relt")).as("relsum"), sum(col("rest")).as("ressum"))
+        .select(col("nn").as("n_docs"), col("syy").as("n_keep"),
+          expr(BrierFormula.brier6).as("brier6"),
+          expr(BrierFormula.rel6).as("rel6"),
+          expr(BrierFormula.res6).as("res6"),
+          expr(BrierFormula.unc6).as("unc6"))
     })
   )
+
+  /** q333's Brier/Murphy trees over the exact moments (nn = N, syy =
+    * Σy, se2t = Σ(pnum − yN)², relsum/ressum = the decile-binned
+    * 6dp-quantized squared-gap sums) — shared text, one IEEE tree
+    * each. All four are /N³ or /N² scalings of exact sums. */
+  private[operators] object BrierFormula {
+    private val n = "CAST(nn AS DOUBLE)"
+    private val n3 = s"($n * $n * $n)"
+    val brier6: String = s"round(CAST(se2t AS DOUBLE) / $n3, 6)"
+    val rel6: String = s"round(CAST(relsum AS DOUBLE) / $n3, 6)"
+    val res6: String = s"round(CAST(ressum AS DOUBLE) / $n3, 6)"
+    val unc6: String = s"round(CAST(syy AS DOUBLE) " +
+      s"* ($n - CAST(syy AS DOUBLE)) / ($n * $n), 6)"
+  }
 
   private val sqlToks = Sql.tokens("text")
 
@@ -962,6 +1033,54 @@ object CurationQueries {
 
   /** The q241 replay: the same chain to the final weight row, then a
     * global ROW_NUMBER ranking and integer decile arithmetic. */
+  /** The q333 replay: the shared perceptron chain to the final weight
+    * row, the same global rank → percentile forecast, the same exact
+    * integer residual/gap moments (HUGEINT staging), and the SAME
+    * BrierFormula trees. */
+  private def brierOracleSql: String = {
+    val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
+      .mkString(" + ")
+    s"""WITH $percCtesSql,
+       |sc AS (
+       |  SELECT ft.doc_id, CASE WHEN ft.y = 1 THEN 1 ELSE 0 END AS y,
+       |         ($margin) AS score
+       |  FROM ft CROSS JOIN w$PercIters w),
+       |rk AS (
+       |  SELECT doc_id, y, score,
+       |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
+       |         COUNT(*) OVER () AS n
+       |  FROM sc),
+       |per AS (
+       |  SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+       |         MAX(n) AS n, COUNT(*) AS nk,
+       |         SUM(n - rn + 1) AS sp, SUM(y) AS sy,
+       |         SUM(CAST(n - rn + 1 - y * n AS HUGEINT)
+       |           * (n - rn + 1 - y * n)) AS se2
+       |  FROM rk GROUP BY 1),
+       |g1 AS (
+       |  SELECT MAX(n) AS nn, SUM(sy) AS syy,
+       |         SUM(CAST(se2 AS DECIMAL(38,6))) AS se2t
+       |  FROM per),
+       |terms AS (
+       |  SELECT nn, syy, se2t, nk,
+       |         CAST(sp AS HUGEINT) - CAST(sy AS HUGEINT) * nn AS ra,
+       |         CAST(sy AS HUGEINT) * nn - CAST(nk AS HUGEINT) * syy AS rb
+       |  FROM per CROSS JOIN g1),
+       |agg AS (
+       |  SELECT nn, syy, se2t,
+       |         SUM(CAST(round(CAST(ra AS DOUBLE) * CAST(ra AS DOUBLE)
+       |           / CAST(nk AS DOUBLE), 6) AS DECIMAL(38,6))) AS relsum,
+       |         SUM(CAST(round(CAST(rb AS DOUBLE) * CAST(rb AS DOUBLE)
+       |           / CAST(nk AS DOUBLE), 6) AS DECIMAL(38,6))) AS ressum
+       |  FROM terms GROUP BY 1, 2, 3)
+       |SELECT CAST(nn AS BIGINT) AS n_docs, CAST(syy AS BIGINT) AS n_keep,
+       |       ${BrierFormula.brier6} AS brier6,
+       |       ${BrierFormula.rel6} AS rel6,
+       |       ${BrierFormula.res6} AS res6,
+       |       ${BrierFormula.unc6} AS unc6
+       |FROM agg""".stripMargin
+  }
+
   private def calibrationOracleSql: String = {
     val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
       .mkString(" + ")
@@ -1105,6 +1224,7 @@ object CurationQueries {
     "q241_quality_calibration" -> calibrationOracleSql,
     "q249_quality_auc" -> aucOracleSql,
     "q251_feature_corr" -> featureCorrOracleSql,
+    "q333_brier_gate" -> brierOracleSql,
     // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
     // empty for n <= 1 so bigram-less docs drop with no guard.
     "q103_bigram_surprisal" ->

@@ -776,8 +776,81 @@ object GraphQueries {
           col("a").as("score"))
       hubs.unionByName(auths)
         .orderBy(col("kind").asc, col("score").desc, col("id").asc)
+    }),
+
+    // Edge-support census — the k-truss ladder of the co-purchase
+    // graph (an edge's support = triangles containing it; a k-truss
+    // keeps support ≥ k−2 — Cohen 2008, public method): how much of
+    // the graph survives each cohesion cut, the histogram read before
+    // picking a truss threshold. Rides the memoized oriented triangle
+    // census (shared:tri_census — each triangle is ONE row, produced
+    // once per session); the three edges of each triangle explode to
+    // canonical (min,max) pairs, one keyed count gives support, and a
+    // left join back to the undirected edge list keeps the
+    // support-0 edges the census never touches. Nothing quadratic
+    // beyond the wedge census q165 already pays.
+    "q332_edge_support" -> ((s, dir) => {
+      val und = CoPurchase.und(s, dir)
+      val sup = triRows(s, dir)
+        .select(explode(array(
+          struct(least(col("src"), col("w1")).as("x"),
+            greatest(col("src"), col("w1")).as("y")),
+          struct(least(col("src"), col("w2")).as("x"),
+            greatest(col("src"), col("w2")).as("y")),
+          struct(least(col("w1"), col("w2")).as("x"),
+            greatest(col("w1"), col("w2")).as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("sup"))
+      und.join(sup, Seq("x", "y"), "left")
+        .select(coalesce(col("sup"), lit(0L)).as("support"))
+        .groupBy("support").agg(count(lit(1)).as("n_edges"))
+        .orderBy("support")
+    }),
+
+    // Rich-club coefficient ladder (Zhou & Mondragón 2004, public
+    // method) — do the high-degree parts preferentially co-purchase
+    // with EACH OTHER? φ(k) = 2·E_k / (N_k(N_k−1)) over the subgraph
+    // of nodes with degree > k, at k ∈ {2,4,8,16}: the hub-cohesion
+    // census next to q176's degree distribution and q292's
+    // assortativity (assortativity is the correlation; this is the
+    // density ladder). Degrees annotate the memoized edge list via
+    // two equi-joins; all eight ladder counts come from TWO
+    // conditional-sum rows (one over nodes, one over edges) stacked
+    // to the 4-row ladder — no per-k rescans; φ a shared-string tree
+    // (RichFormula), NULL below two qualifying nodes.
+    "q340_rich_club" -> ((s, dir) => {
+      val und = CoPurchase.und(s, dir)
+      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val e = und
+        .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
+        .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
+      val nAggs = RichKs.map(k =>
+        sum(when(col("d") > k, 1L).otherwise(0L)).as(s"n$k"))
+      val eAggs = RichKs.map(k =>
+        sum(when(col("dx") > k && col("dy") > k, 1L).otherwise(0L))
+          .as(s"e$k"))
+      val na = deg.agg(nAggs.head, nAggs.tail: _*)
+      val ea = e.agg(eAggs.head, eAggs.tail: _*)
+      na.crossJoin(broadcast(ea))
+        .selectExpr(s"stack(${RichKs.size}, " +
+          RichKs.map(k => s"$k, n$k, e$k").mkString(", ") +
+          ") as (k, n_rich, e_rich)")
+        .select(col("k"), col("n_rich"), col("e_rich"),
+          expr(RichFormula.phi6).as("phi6"))
+        .orderBy("k")
     })
   )
+
+  /** q340's degree cuts. */
+  private val RichKs = Seq(2, 4, 8, 16)
+
+  /** q340's rich-club density over the exact subgraph counts — shared
+    * text, one IEEE tree; NULL when fewer than two nodes qualify. */
+  private[operators] object RichFormula {
+    val phi6: String = "CASE WHEN n_rich > 1 THEN " +
+      "round(2.0 * CAST(e_rich AS DOUBLE) " +
+      "/ (CAST(n_rich AS DOUBLE) * (n_rich - 1)), 6) END"
+  }
 
   /** q248 L1 fixed-point scale: scores are micro-units summing to ~1e6
     * per side after each renormalization. */
@@ -1549,6 +1622,66 @@ object GraphQueries {
          |SELECT kind, id, score FROM (
          |  SELECT * FROM hubs UNION ALL SELECT * FROM auths) u
          |ORDER BY kind ASC NULLS FIRST, score DESC NULLS LAST,
-         |         id ASC NULLS FIRST""".stripMargin
+         |         id ASC NULLS FIRST""".stripMargin,
+
+    // the truss replay: q165's id-oriented three-way join produces
+    // each triangle once with all three canonical edges in hand;
+    // unnest, count per edge, left-join the edge list for support-0
+    "q332_edge_support" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |tr AS (
+        |  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+        |         c.x AS x3, c.y AS y3
+        |  FROM e a JOIN e b ON b.x = a.y
+        |           JOIN e c ON c.x = a.x AND c.y = b.y),
+        |te AS (
+        |  SELECT x1 AS x, y1 AS y FROM tr
+        |  UNION ALL SELECT x2, y2 FROM tr
+        |  UNION ALL SELECT x3, y3 FROM tr),
+        |sup AS (SELECT x, y, COUNT(*) AS sup FROM te GROUP BY 1, 2)
+        |SELECT CAST(COALESCE(sup, 0) AS BIGINT) AS support,
+        |       COUNT(*) AS n_edges
+        |FROM e LEFT JOIN sup USING (x, y)
+        |GROUP BY 1
+        |ORDER BY support ASC NULLS FIRST""".stripMargin,
+
+    // the ladder replay: same conditional-sum rows, UNION-ALL unpivot,
+    // the SAME RichFormula tree
+    "q340_rich_club" -> {
+      val ns = RichKs.map(k =>
+        s"SUM(CASE WHEN d > $k THEN 1 ELSE 0 END) AS n$k").mkString(", ")
+      val es = RichKs.map(k =>
+        s"SUM(CASE WHEN dx > $k AND dy > $k THEN 1 ELSE 0 END) AS e$k")
+        .mkString(", ")
+      val rows = RichKs.map(k =>
+        s"SELECT CAST($k AS INT) AS k, n$k AS n_rich, e$k AS e_rich " +
+          "FROM na, ea").mkString("\n        |  UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |eu AS (
+         |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey),
+         |deg AS (
+         |  SELECT v, COUNT(*) AS d FROM (
+         |    SELECT x AS v FROM eu UNION ALL SELECT y AS v FROM eu)
+         |  GROUP BY v),
+         |ed AS (
+         |  SELECT eu.x, eu.y, gx.d AS dx, gy.d AS dy
+         |  FROM eu JOIN deg gx ON gx.v = eu.x
+         |          JOIN deg gy ON gy.v = eu.y),
+         |na AS (SELECT $ns FROM deg),
+         |ea AS (SELECT $es FROM ed),
+         |ladder AS (
+         |  $rows)
+         |SELECT k, CAST(n_rich AS BIGINT) AS n_rich,
+         |       CAST(e_rich AS BIGINT) AS e_rich,
+         |       ${RichFormula.phi6} AS phi6
+         |FROM ladder
+         |ORDER BY k ASC NULLS FIRST""".stripMargin
+    }
   )
 }

@@ -286,6 +286,35 @@ object PipelineQueries {
         .select("doc_id", "lang", "n_tok", "bin")
         .orderBy("doc_id")),
 
+    // Packing-efficiency audit of the q79 assignment — the fill-rate
+    // report a sequence-packing owner reads before trusting a budget
+    // (slack tokens are wasted compute; overshoot is the documented
+    // ≤-one-document boundary convention, measured here instead of
+    // assumed): per lang, bin count, token totals, the extreme bin
+    // fills, slack vs overshoot token mass, and the overall fill
+    // permille ([D5] truncating over exact integers). Two keyed aggs
+    // over the q79 relation — nothing beyond what the packing itself
+    // already scans.
+    "q349_pack_efficiency" -> ((s, dir) => {
+      val bins = graft.api.PipelineOps.packTokens(
+          t(s, dir, "documents"), "lang", "doc_id", "text", PackBudget)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+      bins.groupBy("lang").agg(
+          count(lit(1)).as("n_bins"),
+          sum(col("nd")).as("n_docs"),
+          sum(col("nt")).as("n_tok"),
+          max(col("nt")).as("max_bin_tok"),
+          min(col("nt")).as("min_bin_tok"),
+          sum(greatest(lit(0L), lit(PackBudget) - col("nt")))
+            .as("slack_tok"),
+          sum(greatest(lit(0L), col("nt") - lit(PackBudget)))
+            .as("over_tok"))
+        .withColumn("fill_pm",
+          expr(s"1000 * n_tok div (n_bins * $PackBudget)"))
+        .orderBy("lang")
+    }),
+
     // Stratified deterministic sample: K docs per lang, ordered by a
     // multiplicative-spread hash of the key (pseudo-random but exactly
     // reproducible), doc_id tie-break.
@@ -797,6 +826,41 @@ object PipelineQueries {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |            AS BIGINT) // $PackBudget AS bin
          |FROM q ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // the efficiency replay: the q79 bin assignment + the same two
+    // rollups, truncating fill permille
+    "q349_pack_efficiency" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, n_tok,
+         |         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+         |           ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) // $PackBudget AS bin
+         |  FROM q),
+         |bins AS (
+         |  SELECT lang, bin, COUNT(*) AS nd,
+         |         CAST(SUM(n_tok) AS BIGINT) AS nt
+         |  FROM p GROUP BY 1, 2),
+         |per AS (
+         |  SELECT lang, COUNT(*) AS n_bins,
+         |         CAST(SUM(nd) AS BIGINT) AS n_docs,
+         |         CAST(SUM(nt) AS BIGINT) AS n_tok,
+         |         MAX(nt) AS max_bin_tok, MIN(nt) AS min_bin_tok,
+         |         CAST(SUM(GREATEST(0, $PackBudget - nt)) AS BIGINT)
+         |           AS slack_tok,
+         |         CAST(SUM(GREATEST(0, nt - $PackBudget)) AS BIGINT)
+         |           AS over_tok
+         |  FROM bins GROUP BY 1)
+         |SELECT lang, CAST(n_bins AS BIGINT) AS n_bins, n_docs, n_tok,
+         |       max_bin_tok, min_bin_tok, slack_tok, over_tok,
+         |       CAST(1000 * n_tok // (n_bins * $PackBudget) AS BIGINT)
+         |         AS fill_pm
+         |FROM per
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin,
 
     "q80_sample_stratified" ->
       s"""SELECT lang, doc_id,

@@ -330,8 +330,64 @@ object ServiceQueries {
           .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("nation").asc)
+    }),
+
+    // Price-index report between two pinned years (1996 base → 2000
+    // current) over the parts traded in BOTH — Laspeyres (base-
+    // quantity weights), Paasche (current weights), and Fisher's
+    // ideal geometric mean (all public textbook index-number theory):
+    // the deflator a revenue dashboard needs before comparing years.
+    // Per (part, year) quantity and revenue collapse exactly (integer
+    // quantities, integer cents); the two cross-weighted sums whose
+    // unit prices are rationals (p₁q₀ = v₁q₀/q₁, p₀q₁ = v₀q₁/q₀)
+    // stage as 6dp-quantized doubles decimal-summed [D2], while
+    // Σp₀q₀ = Σv₀ and Σp₁q₁ = Σv₁ stay exact integers; the three
+    // indexes are shared-string IEEE trees (PriceIndexFormula). One
+    // scan + one self-equi-join on the part dimension.
+    "q345_price_index" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .filter(col("yr") === PiBaseYear || col("yr") === PiCurYear)
+        .groupBy("l_partkey", "yr")
+        .agg(sum(col("q")).as("q"), sum(col("v")).as("v"))
+      val b = li.filter(col("yr") === PiBaseYear)
+        .select(col("l_partkey"), col("q").as("q0"), col("v").as("v0"))
+      val c = li.filter(col("yr") === PiCurYear)
+        .select(col("l_partkey"), col("q").as("q1"), col("v").as("v1"))
+      b.join(c, Seq("l_partkey"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("v0")).as("s_v0"), sum(col("v1")).as("s_v1"),
+          sum(round(col("v1").cast("double") * col("q0").cast("double")
+            / col("q1").cast("double"), 6).cast(Dets.Dec)).as("s_lnum"),
+          sum(round(col("v0").cast("double") * col("q1").cast("double")
+            / col("q0").cast("double"), 6).cast(Dets.Dec)).as("s_pden"))
+        .select(col("n_parts"),
+          expr(PriceIndexFormula.las4).as("laspeyres4"),
+          expr(PriceIndexFormula.paa4).as("paasche4"),
+          expr(PriceIndexFormula.fis4).as("fisher4"))
     })
   )
+
+  /** q345's pinned comparison years. */
+  private val PiBaseYear = 1996
+  private val PiCurYear = 2000
+
+  /** q345's index trees over the exact/quantized sums (s_v0 = Σp₀q₀,
+    * s_v1 = Σp₁q₁ exact cents; s_lnum = Σp₁q₀, s_pden = Σp₀q₁
+    * 6dp-quantized) — shared text, one IEEE tree each; NULL when a
+    * denominator degenerates. */
+  private[operators] object PriceIndexFormula {
+    private val las = "(CAST(s_lnum AS DOUBLE) / CAST(s_v0 AS DOUBLE))"
+    private val paa = "(CAST(s_v1 AS DOUBLE) / CAST(s_pden AS DOUBLE))"
+    val las4: String =
+      s"CASE WHEN s_v0 > 0 THEN round($las, 4) END"
+    val paa4: String =
+      s"CASE WHEN s_pden > 0 THEN round($paa, 4) END"
+    val fis4: String = s"CASE WHEN s_v0 > 0 AND s_pden > 0 THEN " +
+      s"round(sqrt($las * $paa), 4) END"
+  }
 
   private val SearchTerms = Seq("data", "stream", "merge")
   private val SearchProbe = 7L
@@ -650,6 +706,36 @@ object ServiceQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
         |GROUP BY n_name
-        |ORDER BY revenue DESC NULLS LAST, nation ASC NULLS FIRST""".stripMargin
+        |ORDER BY revenue DESC NULLS LAST, nation ASC NULLS FIRST""".stripMargin,
+
+    // the index replay: same per-(part, year) collapse, exact direct
+    // sums, 6dp-quantized cross-weighted terms, SAME index trees
+    "q345_price_index" ->
+      s"""WITH py AS (
+         |  SELECT l_partkey, year(l_shipdate) AS yr,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+         |           AS BIGINT) AS v
+         |  FROM lineitem
+         |  WHERE year(l_shipdate) IN ($PiBaseYear, $PiCurYear)
+         |  GROUP BY 1, 2),
+         |b AS (SELECT l_partkey, q AS q0, v AS v0 FROM py
+         |      WHERE yr = $PiBaseYear),
+         |c AS (SELECT l_partkey, q AS q1, v AS v1 FROM py
+         |      WHERE yr = $PiCurYear),
+         |m AS (
+         |  SELECT COUNT(*) AS n_parts,
+         |         CAST(SUM(v0) AS BIGINT) AS s_v0,
+         |         CAST(SUM(v1) AS BIGINT) AS s_v1,
+         |         SUM(CAST(round(CAST(v1 AS DOUBLE) * CAST(q0 AS DOUBLE)
+         |           / CAST(q1 AS DOUBLE), 6) AS DECIMAL(38,6))) AS s_lnum,
+         |         SUM(CAST(round(CAST(v0 AS DOUBLE) * CAST(q1 AS DOUBLE)
+         |           / CAST(q0 AS DOUBLE), 6) AS DECIMAL(38,6))) AS s_pden
+         |  FROM b JOIN c USING (l_partkey))
+         |SELECT CAST(n_parts AS BIGINT) AS n_parts,
+         |       ${PriceIndexFormula.las4} AS laspeyres4,
+         |       ${PriceIndexFormula.paa4} AS paasche4,
+         |       ${PriceIndexFormula.fis4} AS fisher4
+         |FROM m""".stripMargin
   )
 }

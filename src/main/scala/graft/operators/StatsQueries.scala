@@ -187,7 +187,58 @@ object StatsQueries {
       s"round(($ssb / ($kk - 1.0)) / ($ssw / ($n - $kk)), 4) END"
   }
 
+  /** q344's regression slope over the exact moment names (nn, sx, sy,
+    * sxx, sxy) — shared text, one IEEE tree; NULL on zero variance.
+    * Serves both the per-stratum and the pooled rows (the pooled row
+    * is the same five sums summed once more). */
+  private[operators] object SlopeFormula {
+    private val n = "CAST(nn AS DOUBLE)"
+    private val num = s"($n * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    private val den = s"($n * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val slope4: String = s"CASE WHEN $den > 0 THEN round($num / $den, 4) END"
+  }
+
+  /** q335's Poisson-dispersion trees over the exact daily-count
+    * moments (n_days, s1 = Σc, s2 = Σc²) — shared text, one IEEE tree
+    * each. disp = sample-variance/mean (1 under a Poisson process);
+    * chi = Σ(x−x̄)²/x̄ = disp·(n−1), the classic dispersion statistic
+    * against χ²(n−1). NULL when the log is empty or a single day. */
+  private[operators] object DispFormula {
+    private val n = "CAST(n_days AS DOUBLE)"
+    private val s1 = "CAST(s1 AS DOUBLE)"
+    private val s2 = "CAST(s2 AS DOUBLE)"
+    private val ss = s"($s2 - $s1 * $s1 / $n)"
+    val disp4: String = s"CASE WHEN n_days > 1 AND s1 > 0 THEN " +
+      s"round(($ss / ($n - 1.0)) / ($s1 / $n), 4) END"
+    val chi4: String = s"CASE WHEN n_days > 1 AND s1 > 0 THEN " +
+      s"round($ss / ($s1 / $n), 4) END"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Poisson overdispersion test on the daily event arrival counts —
+    // Fisher's dispersion index (public textbook): var/mean of the
+    // per-day totals is 1 under a memoryless arrival process; the
+    // burst-vs-Poisson readout q125 (per-user burstiness) and q154
+    // (anomaly days) both implicitly assume. ONE hash agg to the
+    // daily histogram and one moment row (Σc, Σc² exact,
+    // decimal-staged) — map-side combinable at any log size; mean
+    // [D5] integer-staged; disp/chi shared-string trees (DispFormula).
+    "q335_overdispersion" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
+          sum(d38(col("c")) * col("c")).as("s2"))
+        .select(col("n_days"), col("s1").as("n_events"),
+          (expr("(2 * s1 * 10000 + n_days) div (2 * n_days)")
+            .cast("double") / 10000.0).as("mean4"),
+          expr(DispFormula.disp4).as("disp4"),
+          expr(DispFormula.chi4).as("chi4"))
+    }),
 
     // Cramér's V — the [0,1]-normalized effect size over the q162 chi2
     // machinery, on a second contingency domain: order priority ×
@@ -969,36 +1020,45 @@ object StatsQueries {
     // sum ([D2]); the arm moments ride ONE map-side-combinable
     // aggregate; every derived double comes from AbFormula strings
     // shared verbatim with the oracle ([D3] — no hand-mirrored copy).
-    "q276_ab_lift" -> ((s, dir) => {
-      val pu = t(s, dir, "events")
-        .filter(col("user_id").isNotNull)
-        .groupBy("user_id")
-        .agg(round(sum(when(col("event_type") === "purchase",
-            round(col("value"), 6).cast(Dec)).otherwise(lit(0).cast(Dec)))
-          .cast("double"), 6).as("x"))
-        .withColumn("arm", pmod(GraphQueries.polyMix(
-          pmod(col("user_id"), lit(GraphQueries.HashM))), lit(2)))
-      val stats = pu.agg(
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("double")
-          .as("na"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("double")
-          .as("nb"),
-        sum(when(col("arm") === 0, col("x").cast(Dec))
-          .otherwise(lit(0).cast(Dec))).cast("double").as("sa"),
-        sum(when(col("arm") === 1, col("x").cast(Dec))
-          .otherwise(lit(0).cast(Dec))).cast("double").as("sb"),
-        sum(when(col("arm") === 0, (col("x") * col("x")).cast(Dec))
-          .otherwise(lit(0).cast(Dec))).cast("double").as("sxa"),
-        sum(when(col("arm") === 1, (col("x") * col("x")).cast(Dec))
-          .otherwise(lit(0).cast(Dec))).cast("double").as("sxb"))
-      stats.select(
+    "q276_ab_lift" -> ((s, dir) =>
+      abMoments(s, dir).select(
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
         expr(AbFormula("mean_a4")).as("mean_a4"),
         expr(AbFormula("mean_b4")).as("mean_b4"),
         expr(AbFormula("lift4")).as("lift4"),
         expr(AbFormula("t4")).as("t4"),
-        expr(AbFormula("srm_chi4")).as("srm_chi4"))
-    }),
+        expr(AbFormula("srm_chi4")).as("srm_chi4"))),
+
+    // Standardized effect sizes for the same A/B readout — the
+    // magnitude companion of q276's significance (a big experiment
+    // makes a trivial lift "significant"; d says whether it MATTERS):
+    // Cohen's d on the pooled sd, Hedges' g small-sample correction,
+    // and the log variance ratio ln(s_b/s_a) (all public textbook).
+    // Reads the SAME memo-shaped moment row as q276 (abMoments — one
+    // definition, two keys) and derives everything in shared-string
+    // IEEE trees (EffectFormula), NULL-guarded on degenerate arms.
+    "q343_effect_size" -> ((s, dir) =>
+      abMoments(s, dir).select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        expr(EffectFormula.d4).as("d4"),
+        expr(EffectFormula.g4).as("g4"),
+        expr(EffectFormula.lnvr4).as("lnvr4"))),
+
+    // Minimum detectable effect at the experiment's CURRENT size —
+    // the power-analysis readout (two-sided α = 0.05, power 0.8;
+    // public textbook closed form MDE = (z_{α/2} + z_β)·SE) that
+    // tells an experiment owner whether q276's "not significant" is
+    // evidence of no effect or just an underpowered readout. Same
+    // shared moment row (abMoments — third consumer); z constants
+    // pre-summed to one shortest-roundtrip double literal (the q336
+    // decimal-literal lesson); SE/MDE shared-string IEEE trees
+    // (PowerFormula), NULL-guarded on degenerate arms.
+    "q351_mde_power" -> ((s, dir) =>
+      abMoments(s, dir).select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        expr(PowerFormula.se4).as("se4"),
+        expr(PowerFormula.mde4).as("mde4"),
+        expr(PowerFormula.mdeRel4).as("mde_rel4"))),
 
     // Mann–Whitney U (rank-sum) test on quantities, returned vs kept,
     // with the exact tie-corrected normal approximation. Reuses q170's
@@ -1107,6 +1167,37 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Simpson's-paradox screen — does the price~quantity slope FLIP
+    // sign between the pooled corpus and the per-return-flag strata?
+    // (the aggregation-bias audit run before trusting any pooled
+    // correlation; public textbook). One exact moment pass (integer
+    // quantities × integer cents, the q254 decimal staging) yields
+    // per-stratum AND pooled regression slopes from the same five
+    // sums; the slope is one shared-string IEEE tree (SlopeFormula)
+    // and the flip flag derives from the ROUNDED slopes, so both
+    // engines compare identical values.
+    "q344_simpson_flip" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val v = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val per = v.groupBy("g").agg(count(lit(1)).as("nn"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d38(col("x")) * col("x")).as("sxx"),
+        sum(d38(col("x")) * col("y")).as("sxy"))
+      val pooled = per.agg(sum(col("nn")).as("nn"),
+          sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+          sum(col("sxx")).as("sxx"), sum(col("sxy")).as("sxy"))
+        .select(expr(SlopeFormula.slope4).as("pooled_slope4"))
+      per.select(col("g").as("flag"), col("nn").as("n_lines"),
+          expr(SlopeFormula.slope4).as("slope4"))
+        .crossJoin(broadcast(pooled))
+        .withColumn("flip",
+          when(col("slope4") * col("pooled_slope4") < 0, 1L)
+            .otherwise(0L))
+        .orderBy("flag")
+    }),
+
     // Kruskal–Wallis H — the k-group extension of q186's rank test
     // (Mann–Whitney is the k = 2 special case): does order value
     // differ across the five order priorities? Ranks come from the
@@ -1192,6 +1283,73 @@ object StatsQueries {
     })
   )
 
+  /** The q276/q343 shared per-arm moment row: per-user purchase value
+    * (6dp-rounded decimal sum → double, the q276 collapse), polyMix
+    * parity arms [D1], and the six exact-decimal-staged moments
+    * emitted as doubles — ONE definition, two keys gate it. */
+  private def abMoments(s: SparkSession, dir: String): DataFrame = {
+    val pu = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(round(sum(when(col("event_type") === "purchase",
+          round(col("value"), 6).cast(Dec)).otherwise(lit(0).cast(Dec)))
+        .cast("double"), 6).as("x"))
+      .withColumn("arm", pmod(GraphQueries.polyMix(
+        pmod(col("user_id"), lit(GraphQueries.HashM))), lit(2)))
+    pu.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("double")
+        .as("na"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("double")
+        .as("nb"),
+      sum(when(col("arm") === 0, col("x").cast(Dec))
+        .otherwise(lit(0).cast(Dec))).cast("double").as("sa"),
+      sum(when(col("arm") === 1, col("x").cast(Dec))
+        .otherwise(lit(0).cast(Dec))).cast("double").as("sb"),
+      sum(when(col("arm") === 0, (col("x") * col("x")).cast(Dec))
+        .otherwise(lit(0).cast(Dec))).cast("double").as("sxa"),
+      sum(when(col("arm") === 1, (col("x") * col("x")).cast(Dec))
+        .otherwise(lit(0).cast(Dec))).cast("double").as("sxb"))
+  }
+
+  /** q343's effect-size trees over the q276 moment names — shared
+    * text, one IEEE tree each. Sample sums of squares; d uses the
+    * pooled sd, g the Hedges small-sample factor 1 − 3/(4N − 9);
+    * the variance ratio is NULL on a degenerate arm. */
+  private[operators] object EffectFormula {
+    private val ma = "(sa / na)"
+    private val mb = "(sb / nb)"
+    private val ssa = "(sxa - sa * sa / na)"
+    private val ssb = "(sxb - sb * sb / nb)"
+    private val sp = s"sqrt(($ssa + $ssb) / (na + nb - 2.0))"
+    private val dRaw = s"(($mb - $ma) / $sp)"
+    val d4: String = s"CASE WHEN $ssa + $ssb > 0 AND na + nb > 2 " +
+      s"THEN round($dRaw, 4) END"
+    val g4: String = s"CASE WHEN $ssa + $ssb > 0 AND na + nb > 2 " +
+      s"THEN round($dRaw * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 4) END"
+    val lnvr4: String = s"CASE WHEN $ssa > 0 AND $ssb > 0 " +
+      s"AND na > 1 AND nb > 1 THEN " +
+      s"round(0.5 * ln(($ssb / (nb - 1.0)) / ($ssa / (na - 1.0))), 4) END"
+  }
+
+  /** q351's power trees over the q276 moment names — shared text, one
+    * IEEE tree each. SE uses per-arm sample variances; the z sum
+    * (z_{0.025} + z_{0.2} = 1.9599… + 0.8416…) is pre-evaluated to
+    * one shortest-roundtrip double literal so both engines parse the
+    * identical constant (Spark reads inline decimal literals as
+    * DECIMAL — the q336 lesson). */
+  private[operators] object PowerFormula {
+    private val ZSum = "2.8015852181129683E0"
+    private val ssa = "(sxa - sa * sa / na)"
+    private val ssb = "(sxb - sb * sb / nb)"
+    private val se =
+      s"sqrt($ssa / (na - 1.0) / na + $ssb / (nb - 1.0) / nb)"
+    private val guard = "na > 1 AND nb > 1"
+    val se4: String = s"CASE WHEN $guard THEN round($se, 4) END"
+    val mde4: String = s"CASE WHEN $guard THEN round($ZSum * $se, 4) END"
+    val mdeRel4: String = s"CASE WHEN $guard AND sa > 0 THEN " +
+      s"round($ZSum * $se / (sa / na), 4) END"
+  }
+
   /** q276's derived-metric formulas over the double moment names
     * (na, nb, sa, sb, sxa, sxb) — the q254 shared-text convention: the
     * SAME strings run through Spark `expr()` and the DuckDB oracle, so
@@ -1213,6 +1371,35 @@ object StatsQueries {
       "srm_chi4" -> (s"ROUND(((na - $e) * (na - $e) " +
         s"+ (nb - $e) * (nb - $e)) / $e, 4)"))
   }
+
+  /** The q276/q343 oracle-side moment CTE chain (`pu` → `st`) —
+    * mirrors [[abMoments]] term for term; one definition, two keys. */
+  private def abMomentsCteSql: String =
+    s"""pu AS (
+       |  SELECT user_id,
+       |         (${GraphQueries.polyMixSql(
+            GraphQueries.pmodSql("user_id"))}) % 2 AS arm,
+       |         ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+       |                THEN CAST(ROUND(value, 6) AS DECIMAL(38,6))
+       |                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE), 6)
+       |           AS x
+       |  FROM events WHERE user_id IS NOT NULL
+       |  GROUP BY 1, 2),
+       |st AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      AS na,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      AS nb,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(38,6))
+       |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sa,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(38,6))
+       |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sb,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x * x AS DECIMAL(38,6))
+       |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sxa,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x * x AS DECIMAL(38,6))
+       |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sxb
+       |  FROM pu)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the identical seeded polyMix draw chain, equi-join resolution,
@@ -1557,37 +1744,33 @@ object StatsQueries {
     // identical per-user decimal revenue staging, the same polyMix
     // arm, the same one-row moment aggregate, the SAME formula text
     "q276_ab_lift" ->
-      s"""WITH pu AS (
-         |  SELECT user_id,
-         |         (${GraphQueries.polyMixSql(
-              GraphQueries.pmodSql("user_id"))}) % 2 AS arm,
-         |         ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
-         |                THEN CAST(ROUND(value, 6) AS DECIMAL(38,6))
-         |                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE), 6)
-         |           AS x
-         |  FROM events WHERE user_id IS NOT NULL
-         |  GROUP BY 1, 2),
-         |st AS (
-         |  SELECT
-         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-         |      AS na,
-         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |      AS nb,
-         |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(38,6))
-         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sa,
-         |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(38,6))
-         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sb,
-         |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(x * x AS DECIMAL(38,6))
-         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sxa,
-         |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(x * x AS DECIMAL(38,6))
-         |             ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS sxb
-         |  FROM pu)
+      s"""WITH $abMomentsCteSql
          |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
          |       ${AbFormula("mean_a4")} AS mean_a4,
          |       ${AbFormula("mean_b4")} AS mean_b4,
          |       ${AbFormula("lift4")} AS lift4,
          |       ${AbFormula("t4")} AS t4,
          |       ${AbFormula("srm_chi4")} AS srm_chi4
+         |FROM st""".stripMargin,
+
+    // the effect-size replay: the SHARED moment CTE (one definition,
+    // two keys) + the SAME EffectFormula trees
+    "q343_effect_size" ->
+      s"""WITH $abMomentsCteSql
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |       ${EffectFormula.d4} AS d4,
+         |       ${EffectFormula.g4} AS g4,
+         |       ${EffectFormula.lnvr4} AS lnvr4
+         |FROM st""".stripMargin,
+
+    // the power replay: the SHARED moment CTE (third consumer) + the
+    // SAME PowerFormula trees
+    "q351_mde_power" ->
+      s"""WITH $abMomentsCteSql
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |       ${PowerFormula.se4} AS se4,
+         |       ${PowerFormula.mde4} AS mde4,
+         |       ${PowerFormula.mdeRel4} AS mde_rel4
          |FROM st""".stripMargin,
 
     // the sampled-quantile replay: identical polyMix row predicate,
@@ -2069,6 +2252,50 @@ object StatsQueries {
          |         AS DOUBLE) / 10000.0 AS mean_absdev4,
          |       n_groups, f4
          |FROM per JOIN med ON per.g = med.g, stat
-         |ORDER BY flag ASC NULLS FIRST""".stripMargin
+         |ORDER BY flag ASC NULLS FIRST""".stripMargin,
+
+    // the paradox replay: same moment pass, HUGEINT staging, the SAME
+    // SlopeFormula on both the strata and the pooled row, flip from
+    // the rounded slopes
+    "q344_simpson_flip" ->
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS g,
+         |         CAST(l_quantity AS BIGINT) AS x,
+         |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+         |  FROM lineitem),
+         |per AS (
+         |  SELECT g, COUNT(*) AS nn, SUM(x) AS sx, SUM(y) AS sy,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |         SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM v GROUP BY 1),
+         |pl AS (
+         |  SELECT SUM(nn) AS nn, SUM(sx) AS sx, SUM(sy) AS sy,
+         |         SUM(sxx) AS sxx, SUM(sxy) AS sxy
+         |  FROM per),
+         |ps AS (SELECT ${SlopeFormula.slope4} AS pooled_slope4 FROM pl)
+         |SELECT g AS flag, CAST(nn AS BIGINT) AS n_lines,
+         |       ${SlopeFormula.slope4} AS slope4, pooled_slope4,
+         |       CAST(CASE WHEN ${SlopeFormula.slope4} * pooled_slope4 < 0
+         |            THEN 1 ELSE 0 END AS BIGINT) AS flip
+         |FROM per, ps
+         |ORDER BY flag ASC NULLS FIRST""".stripMargin,
+
+    // the dispersion replay: same daily histogram, HUGEINT moment
+    // staging, the SAME DispFormula trees, [D5] integer-staged mean
+    "q335_overdispersion" ->
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
+         |  FROM events GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         CAST(SUM(c) AS BIGINT) AS s1,
+         |         SUM(CAST(c AS HUGEINT) * c) AS s2
+         |  FROM daily)
+         |SELECT n_days, s1 AS n_events,
+         |       CAST((2 * s1 * 10000 + n_days) // (2 * n_days) AS DOUBLE)
+         |         / 10000.0 AS mean4,
+         |       ${DispFormula.disp4} AS disp4,
+         |       ${DispFormula.chi4} AS chi4
+         |FROM m""".stripMargin
   )
 }

@@ -116,6 +116,30 @@ object TextQueries {
         .select(col("id_lo"), col("id_hi"), round(col("jac"), 4).as("jac4"))
         .orderBy("id_lo", "id_hi")),
 
+    // Dedup-threshold frontier — the tuning table behind the q61/q77
+    // cutoff choice: at Jaccard ≥ 0.7 / 0.8 / 0.9, how many pairs
+    // survive and how many documents become droppable (the id_hi
+    // side of at least one pair — the star-dedup upper bound on
+    // removals; the exact cluster count at the chosen cutoff is
+    // q77's job). One conditional-sum pass over the memoized pair
+    // relation — the sweep costs nothing beyond the pairs q61
+    // already built; comparisons are on the 4dp-rounded similarity
+    // both engines compute identically.
+    "q350_dedup_frontier" -> ((s, dir) => {
+      val e = nearDupPairs(s, dir, 0.6)
+        .select(col("id_hi"), round(col("jac"), 4).as("j4"))
+      val aggs = FrontierTs.flatMap { case (n, thr) => Seq(
+        sum(when(col("j4") >= thr, 1L).otherwise(0L)).as(s"p$n"),
+        count_distinct(when(col("j4") >= thr, col("id_hi")))
+          .as(s"d$n")) }
+      e.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${FrontierTs.size}, " +
+          FrontierTs.map { case (n, _) => s"$n, p$n, d$n" }
+            .mkString(", ") +
+          ") as (threshold_pm, n_pairs, n_droppable)")
+        .orderBy("threshold_pm")
+    }),
+
     // Containment catches what Jaccard misses: a short doc quoted whole
     // inside a long one has high |A∩B|/|A| but low Jaccard. No size-ratio
     // prune applies (the smaller side can always be fully contained), so
@@ -444,6 +468,9 @@ object TextQueries {
       s"round(0.39 * $wps + 11.8 * $spw - 15.59, 4)"
   }
 
+  /** q350's similarity cutoffs: (permille label, threshold). */
+  private val FrontierTs = Seq(("700", 0.7), ("800", 0.8), ("900", 0.9))
+
   private val sqlToks = Sql.tokens("text")
   private val sqlTokSet = Sql.tokenSet("text")
 
@@ -493,6 +520,30 @@ object TextQueries {
       s"""WITH $nearDupEdgeSql
          |SELECT id_lo, id_hi, ROUND(jac, 4) AS jac4 FROM e
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    // the frontier replay: the shared pair CTE + the same rounded-
+    // similarity conditional sums, UNION-ALL unpivot
+    "q350_dedup_frontier" -> {
+      val aggs = FrontierTs.map { case (n, thr) =>
+        s"SUM(CASE WHEN j4 >= $thr THEN 1 ELSE 0 END) AS p$n,\n" +
+          s"         |         COUNT(DISTINCT CASE WHEN j4 >= $thr " +
+          s"THEN id_hi END) AS d$n" }.mkString(",\n         |         ")
+      val rows = FrontierTs.map { case (n, _) =>
+        s"SELECT CAST($n AS INT) AS threshold_pm, p$n AS n_pairs, " +
+          s"d$n AS n_droppable FROM a" }
+        .mkString("\n         |  UNION ALL ")
+      s"""WITH $nearDupEdgeSql,
+         |j AS (SELECT id_hi, ROUND(jac, 4) AS j4 FROM e),
+         |a AS (
+         |  SELECT $aggs
+         |  FROM j),
+         |curve AS (
+         |  $rows)
+         |SELECT threshold_pm, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       CAST(n_droppable AS BIGINT) AS n_droppable
+         |FROM curve
+         |ORDER BY threshold_pm ASC NULLS FIRST""".stripMargin
+    },
 
     "q82_containment" -> containmentOracleSql,
 

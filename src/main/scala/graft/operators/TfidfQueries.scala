@@ -151,8 +151,68 @@ object TfidfQueries {
             .otherwise(lit(0.0)).cast(graft.Dets.Dec)).as("sg"))
         .select(col("n_probes"), col("hits_at_10"),
           round(col("sg").cast("double")
-            / col("n_probes").cast("double"), 6).as("ndcg6")))
+            / col("n_probes").cast("double"), 6).as("ndcg6"))),
+
+    // Success@k curve — the CUTOFF SWEEP the single-k metrics hide
+    // (q266 charges 1/rank, q309 fixes k = 10; an index tuner reads
+    // the whole success curve to pick the serving cutoff): at k ∈
+    // {1,3,5,10,20}, how many probes rank their own document inside
+    // the cutoff. One agg row of conditional sums over the memoized
+    // rank chain, unpivoted to the 5-row curve; success_pm the [D5]
+    // truncating permille. No join, no second rank pass.
+    "q337_success_curve" -> ((s, dir) => {
+      val aggs = count(lit(1)).as("n_probes") +:
+        SuccessKs.map(k => sum(when(col("rank_self") <= k, 1L)
+          .otherwise(0L)).as(s"h$k"))
+      knownItemRanks(s, dir).agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          s"stack(${SuccessKs.size}, " +
+            SuccessKs.map(k => s"$k, h$k").mkString(", ") +
+            ") as (k, hits)",
+          "n_probes")
+        .select(col("k"), col("n_probes"), col("hits"),
+          expr("1000 * hits div n_probes").as("success_pm"))
+        .orderBy("k")
+    }),
+
+    // Postings-list skew census — the index-ops health table behind
+    // every retrieval key here (q94/q95/q139/q204): vocabulary size,
+    // total postings, the df distribution's p50/p90/p99/max, and the
+    // share of postings held by the 10 most common terms — the
+    // numbers that decide stopword cuts, impact-ordered early
+    // termination, and whether a hot posting list needs splitting.
+    // The df relation collapses to its VALUE HISTOGRAM before the
+    // global cumulative (GlobalRank.cumSum — never a term sort);
+    // percentiles are q44-style rank picks; the top-10 mass is a
+    // bounded-heap cut; the share a [D5] truncating permille.
+    "q342_postings_skew" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      val dfr = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val hist = dfr.groupBy("df").agg(count(lit(1)).as("cnt"))
+        .withColumn("gg", lit(1))
+      val r = graft.functions.GlobalRank.cumSum(hist, "gg", "df", "cnt")
+      val pick = r.agg(
+        sum(col("cnt")).as("n_terms"),
+        sum(col("df") * col("cnt")).as("n_postings"),
+        min(when(col("cum") * 2 >= col("n"), col("df"))).as("df_p50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("df")))
+          .as("df_p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("df")))
+          .as("df_p99"),
+        max(col("df")).as("df_max"))
+      val top = dfr.orderBy(col("df").desc, col("w").asc).limit(10)
+        .agg(sum(col("df")).as("top10"))
+      pick.crossJoin(broadcast(top))
+        .select(col("n_terms"), col("n_postings"), col("df_p50"),
+          col("df_p90"), col("df_p99"), col("df_max"),
+          expr("1000 * top10 div n_postings").as("top10_pm"))
+    })
   )
+
+  /** q337's cutoff sweep. */
+  private val SuccessKs = Seq(1, 3, 5, 10, 20)
 
   /** q309's rank cutoff. */
   private val NdcgK = 10
@@ -343,7 +403,58 @@ object TfidfQueries {
          |             / LN(CAST(rank_self + 1 AS DOUBLE)), 6)
          |           ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
          |         / CAST(COUNT(*) AS DOUBLE), 6) AS ndcg6
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    // the same rank chain; one conditional-sum row unpivoted to the
+    // 5-row curve, [D5] truncating permille
+    "q337_success_curve" -> {
+      val hs = SuccessKs.map(k =>
+        s"SUM(CASE WHEN rank_self <= $k THEN 1 ELSE 0 END) AS h$k")
+        .mkString(",\n         |         ")
+      val rows = SuccessKs.map(k =>
+        s"SELECT CAST($k AS INT) AS k, n_probes, h$k AS hits FROM a")
+        .mkString("\n         |  UNION ALL ")
+      s"""$knownItemRankCteSql,
+         |a AS (
+         |  SELECT COUNT(*) AS n_probes,
+         |         $hs
+         |  FROM r),
+         |curve AS (
+         |  $rows)
+         |SELECT k, CAST(n_probes AS BIGINT) AS n_probes,
+         |       CAST(hits AS BIGINT) AS hits,
+         |       CAST(1000 * hits // n_probes AS BIGINT) AS success_pm
+         |FROM curve
+         |ORDER BY k ASC NULLS FIRST""".stripMargin
+    },
+
+    // the skew replay: same df histogram, window cumulative, rank
+    // picks, bounded top-10 cut, truncating permille
+    "q342_postings_skew" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+         |tf AS (SELECT doc_id, w FROM toks GROUP BY 1, 2),
+         |dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |hist AS (SELECT df, COUNT(*) AS cnt FROM dfr GROUP BY 1),
+         |r AS (
+         |  SELECT df, cnt, SUM(cnt) OVER (ORDER BY df) AS cum,
+         |         SUM(cnt) OVER () AS n
+         |  FROM hist),
+         |pick AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_terms,
+         |         CAST(SUM(df * cnt) AS BIGINT) AS n_postings,
+         |         MIN(CASE WHEN cum * 2 >= n THEN df END) AS df_p50,
+         |         MIN(CASE WHEN cum * 10 >= n * 9 THEN df END) AS df_p90,
+         |         MIN(CASE WHEN cum * 100 >= n * 99 THEN df END)
+         |           AS df_p99,
+         |         MAX(df) AS df_max
+         |  FROM r),
+         |top AS (
+         |  SELECT CAST(SUM(df) AS BIGINT) AS top10 FROM (
+         |    SELECT df FROM dfr ORDER BY df DESC, w ASC LIMIT 10) z)
+         |SELECT n_terms, n_postings, df_p50, df_p90, df_p99, df_max,
+         |       CAST(1000 * top10 // n_postings AS BIGINT) AS top10_pm
+         |FROM pick, top""".stripMargin
   )
 
   /** The shared CTE chain of the q266/q309 oracles, ending in

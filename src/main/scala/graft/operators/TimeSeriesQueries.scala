@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Dets, Tables}
 import graft.functions.GlobalRank
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series operators over the daily order/event series — smoothing,
@@ -616,8 +617,183 @@ object TimeSeriesQueries {
         .select(col("t").as("dd"), col("n_win"), col("sy").as("win_cents"),
           expr("num div den").as("slope_cents"))
         .orderBy("dd")
+    }),
+
+    // MACD momentum indicator (Appel, public method) — the
+    // convergence/divergence readout that completes the TA family
+    // (q158 EWMA, q159 Bollinger, q310 RSI, q301 drawdown): fast
+    // (8-day halving) minus slow (12-day 3/4-decay) truncated
+    // exponential means of daily revenue, a 9-day halving signal line
+    // over the MACD itself, histogram = MACD − signal. The q158
+    // contribution discipline keeps every exponential EXACT: each
+    // day's integer cents feed the next HF/HS calendar days at
+    // integer weights (2^k halving; 3^k·4^(11−k) for the 3/4 decay —
+    // geometric numerators over fixed literal denominators), missing
+    // days contribute nothing, only full windows score. The signal
+    // stage repeats the trick over the 6dp-quantized MACD
+    // (decimal-exact weighted sums [D2]); every emitted double is one
+    // fixed division. Three keyed contribution aggs — map-side
+    // combinable, no per-day recursion anywhere.
+    "q338_macd" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val fast = daily
+        .select(col("day_us"), col("cents"),
+          explode(sequence(lit(0), lit(7))).as("k"))
+        .select((col("day_us") + col("k") * DayUs).as("day_us"),
+          (col("cents") * expr("shiftleft(cast(1 as bigint), 7 - k)"))
+            .as("w"))
+        .groupBy("day_us")
+        .agg(count(lit(1)).as("nf"), sum(col("w")).as("fnum"))
+      val slowW = s"element_at(array(${MacdSlowW.mkString("L,")}L), " +
+        "cast(k + 1 as int))"
+      val slow = daily
+        .select(col("day_us"), col("cents"),
+          explode(sequence(lit(0), lit(11))).as("k"))
+        .select((col("day_us") + col("k") * DayUs).as("day_us"),
+          (col("cents") * expr(slowW)).as("w"))
+        .groupBy("day_us")
+        .agg(count(lit(1)).as("ns"), sum(col("w")).as("snum"))
+      val m = daily.join(fast, Seq("day_us")).join(slow, Seq("day_us"))
+        .filter(col("nf") === 8 && col("ns") === 12)
+        .withColumn("macd6", round(col("fnum").cast("double") / 255.0
+          - col("snum").cast("double") / lit(MacdSlowDen.toDouble), 6))
+      val sig = m
+        .select(col("day_us"), col("macd6"),
+          explode(sequence(lit(0), lit(8))).as("k"))
+        .select((col("day_us") + col("k") * DayUs).as("day_us"),
+          (col("macd6").cast(Dec)
+            * expr("shiftleft(cast(1 as bigint), 8 - k)")).as("w"))
+        .groupBy("day_us")
+        .agg(count(lit(1)).as("n9"), sum(col("w")).as("gnum"))
+      m.join(sig, Seq("day_us")).filter(col("n9") === 9)
+        .withColumn("sig6",
+          round(col("gnum").cast("double") / 511.0, 6))
+        .select(tsOut(timestamp_micros(col("day_us"))).as("day"),
+          col("cents"), col("macd6"), col("sig6"),
+          round(col("macd6") - col("sig6"), 6).as("hist6"))
+        .orderBy("day")
+    }),
+
+    // Optimal single breakpoint — binary segmentation's first step
+    // (Scott & Knott / CART split, public textbook): the calendar day
+    // that splits the daily-revenue series into two segments with the
+    // smallest summed within-segment SSE, with the variance-drop
+    // share it buys. q203's CUSUM asks "did the level shift"; this
+    // answers WHERE, exactly. Prefix moments (n, Σx, Σx² decimal-
+    // staged) come from ONE bounded global window over the
+    // calendar-day series (documented class), every candidate day is
+    // scored by one shared-string IEEE tree (BreakFormula) on exact
+    // moments, and the argmin is the (rounded sse, day) total order —
+    // no per-candidate rescan, no quadratic anywhere.
+    "q347_breakpoint" -> ((s, dir) => {
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val w = Window.orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = daily
+        .withColumn("cn", count(lit(1)).over(w))
+        .withColumn("cs", sum(col("cents")).over(w))
+        .withColumn("cq", sum(d19(col("cents")) * d19(col("cents")))
+          .over(w))
+      val tot = daily.agg(count(lit(1)).as("tn"),
+        sum(col("cents")).as("ts"),
+        sum(d19(col("cents")) * d19(col("cents"))).as("tq"))
+      pre.crossJoin(broadcast(tot))
+        .filter(col("cn") < col("tn"))
+        .withColumn("sse_split4", expr(BreakFormula.sse4))
+        .orderBy(col("sse_split4").asc, col("day_us").asc)
+        .limit(1)
+        .select(tsOut(timestamp_micros(col("day_us"))).as("break_day"),
+          col("cn").as("n_left"), (col("tn") - col("cn")).as("n_right"),
+          expr("(2 * cs + cn) div (2 * cn)").as("mean_left_cents"),
+          expr("(2 * (ts - cs) + (tn - cn)) div (2 * (tn - cn))")
+            .as("mean_right_cents"),
+          col("sse_split4"),
+          expr(BreakFormula.sseTot4).as("sse_total4"),
+          round(lit(1.0) - col("sse_split4") / expr(BreakFormula.sseTot4),
+            4).as("drop4"))
+    }),
+
+    // Gumbel extreme-value fit on weekly revenue maxima — the
+    // tail-risk readout past q159's 2σ bands and q154's robust
+    // z-scores (both ask "is today unusual"; this asks "how big does
+    // the worst week in a year get"): block maxima of daily order
+    // revenue per epoch-week, method-of-moments Gumbel parameters
+    // (β = s·√6/π, μ = x̄ − γβ; Gumbel 1958, public textbook) and the
+    // 52-block return level μ − β·ln(−ln(1 − 1/52)). Daily cents are
+    // exact integers, weekly maxima exact, the moment row
+    // decimal-staged; every derived double is one shared-string IEEE
+    // tree (GumbelFormula). Two hash aggs + a one-row fold — the
+    // irreducible block-maxima cost at any history length.
+    "q336_gumbel_maxima" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val blocks = daily
+        .groupBy(expr(s"day_us div ${7 * DayUs}L").as("wk"))
+        .agg(max(col("cents")).as("mx"))
+      blocks.agg(count(lit(1)).as("n_blocks"), max(col("mx")).as("max_mx"),
+          sum(col("mx")).as("s1"), sum(d38(col("mx")) * col("mx")).as("s2"))
+        .select(col("n_blocks"), col("max_mx").as("max_cents"),
+          expr(GumbelFormula.mu2).as("mu2"),
+          expr(GumbelFormula.beta2).as("beta2"),
+          expr(GumbelFormula.rl52_2).as("rl52_2"))
     })
   )
+
+  /** q347's split-cost trees over the exact prefix/total moments
+    * (cn/cs/cq cumulative count/sum/sum-of-squares at the candidate,
+    * tn/ts/tq the totals) — shared text, one IEEE tree each. The
+    * filter guarantees tn − cn ≥ 1 so no zero divisor exists. */
+  private[operators] object BreakFormula {
+    val sse4: String =
+      "round((CAST(cq AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)" +
+        " / CAST(cn AS DOUBLE)) + (CAST(tq - cq AS DOUBLE)" +
+        " - CAST(ts - cs AS DOUBLE) * CAST(ts - cs AS DOUBLE)" +
+        " / CAST(tn - cn AS DOUBLE)), 4)"
+    val sseTot4: String =
+      "round(CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)" +
+        " / CAST(tn AS DOUBLE), 4)"
+  }
+
+  /** q338's slow-leg weights: (3/4)^k decay over 12 days as exact
+    * integer numerators 3^k·4^(11−k); the denominator is their
+    * geometric sum 4^12 − 3^12. */
+  private val MacdSlowW: Seq[Long] =
+    (0 until 12).map(k => math.pow(3, k).toLong * math.pow(4, 11 - k).toLong)
+  private val MacdSlowDen: Long = MacdSlowW.sum
+
+  /** q336's Gumbel method-of-moments trees over the exact block-maxima
+    * moments (n_blocks, s1 = Σmx, s2 = Σmx²) — shared text, one IEEE
+    * tree each. γ is the Euler–Mascheroni constant; β and the return
+    * level are NULL on fewer than two blocks (sample sd undefined). */
+  private[operators] object GumbelFormula {
+    private val n = "CAST(n_blocks AS DOUBLE)"
+    private val mean = s"(CAST(s1 AS DOUBLE) / $n)"
+    private val sd = s"sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
+      s"* CAST(s1 AS DOUBLE) / $n) / ($n - 1.0))"
+    private val beta = s"($sd * sqrt(6.0) / pi())"
+    private val mu = s"($mean - 0.5772156649015329 * $beta)"
+    val mu2: String = s"CASE WHEN n_blocks > 1 THEN round($mu, 2) END"
+    val beta2: String = s"CASE WHEN n_blocks > 1 THEN round($beta, 2) END"
+    // ln(−ln(1 − 1/52)) pre-evaluated to its shortest-roundtrip double
+    // literal: Spark parses `1.0` as DECIMAL (DuckDB as DOUBLE), so
+    // the inline expression diverges at ~1e-5 — a constant literal
+    // parses bit-identically on both engines
+    val rl52_2: String = s"CASE WHEN n_blocks > 1 THEN " +
+      s"round($mu - $beta * (-3.9415503865226063E0), 2) END"
+  }
 
   val oracle: Map[String, String] = Map(
 
@@ -1018,6 +1194,121 @@ object TimeSeriesQueries {
          |       CAST(CASE WHEN num < 0 THEN -((-num) // den)
          |            ELSE num // den END AS BIGINT) AS slope_cents
          |FROM v WHERE den > 0
-         |ORDER BY dd ASC NULLS FIRST""".stripMargin
+         |ORDER BY dd ASC NULLS FIRST""".stripMargin,
+
+    // the breakpoint replay: same prefix-moment window, SAME
+    // BreakFormula trees, same (rounded sse, day) argmin order
+    "q347_breakpoint" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+         |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+         |         CAST(SUM(cents) AS BIGINT) AS ts,
+         |         SUM(CAST(cents AS HUGEINT) * cents) AS tq
+         |  FROM daily),
+         |pre AS (
+         |  SELECT day_us, cents,
+         |         COUNT(*) OVER wkw AS cn,
+         |         SUM(cents) OVER wkw AS cs,
+         |         SUM(CAST(cents AS HUGEINT) * cents) OVER wkw AS cq
+         |  FROM daily
+         |  WINDOW wkw AS (ORDER BY day_us ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sc AS (
+         |  SELECT day_us, cn, cs, tn, ts,
+         |         ${BreakFormula.sse4} AS sse_split4,
+         |         ${BreakFormula.sseTot4} AS sse_total4
+         |  FROM pre, tot WHERE cn < tn)
+         |SELECT make_timestamp(day_us) AS break_day,
+         |       CAST(cn AS BIGINT) AS n_left,
+         |       CAST(tn - cn AS BIGINT) AS n_right,
+         |       CAST((2 * cs + cn) // (2 * cn) AS BIGINT)
+         |         AS mean_left_cents,
+         |       CAST((2 * (ts - cs) + (tn - cn)) // (2 * (tn - cn))
+         |         AS BIGINT) AS mean_right_cents,
+         |       sse_split4, sse_total4,
+         |       ROUND(1.0 - sse_split4 / sse_total4, 4) AS drop4
+         |FROM sc
+         |ORDER BY sse_split4 ASC, day_us ASC LIMIT 1""".stripMargin,
+
+    // the exponential replay: q158's range self-join form (identical
+    // arithmetic to the Spark side's contribution explode — integer
+    // weights on exact cents, lag looked up from the day gap), the
+    // slow weights as a VALUES lookup, the signal leg a second
+    // self-join over the 6dp-quantized MACD decimals
+    "q338_macd" -> {
+      val sw = MacdSlowW.zipWithIndex
+        .map { case (w, k) => s"($k, $w)" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+         |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |sw(k, w) AS (VALUES $sw),
+         |fast AS (
+         |  SELECT a.day_us, COUNT(*) AS nf,
+         |         CAST(SUM(b.cents * (CAST(1 AS BIGINT) <<
+         |           CAST(7 - ((a.day_us - b.day_us) // ${DayUs}) AS INT)))
+         |           AS BIGINT) AS fnum
+         |  FROM d a JOIN d b
+         |    ON b.day_us BETWEEN a.day_us - 7 * ${DayUs} AND a.day_us
+         |  GROUP BY 1),
+         |slow AS (
+         |  SELECT a.day_us, COUNT(*) AS ns,
+         |         CAST(SUM(b.cents * sw.w) AS BIGINT) AS snum
+         |  FROM d a JOIN d b
+         |    ON b.day_us BETWEEN a.day_us - 11 * ${DayUs} AND a.day_us
+         |  JOIN sw ON sw.k = (a.day_us - b.day_us) // ${DayUs}
+         |  GROUP BY 1),
+         |m AS (
+         |  SELECT d.day_us, d.cents,
+         |         ROUND(CAST(fnum AS DOUBLE) / 255.0
+         |           - CAST(snum AS DOUBLE) / ${MacdSlowDen}.0, 6) AS macd6
+         |  FROM d JOIN fast USING (day_us) JOIN slow USING (day_us)
+         |  WHERE nf = 8 AND ns = 12),
+         |sig AS (
+         |  SELECT a.day_us, COUNT(*) AS n9,
+         |         SUM(CAST(b.macd6 AS DECIMAL(38,6))
+         |           * (CAST(1 AS BIGINT) <<
+         |              CAST(8 - ((a.day_us - b.day_us) // ${DayUs})
+         |                AS INT))) AS gnum
+         |  FROM m a JOIN m b
+         |    ON b.day_us BETWEEN a.day_us - 8 * ${DayUs} AND a.day_us
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT m.day_us, m.cents, m.macd6,
+         |         ROUND(CAST(gnum AS DOUBLE) / 511.0, 6) AS sig6
+         |  FROM m JOIN sig USING (day_us)
+         |  WHERE n9 = 9)
+         |SELECT make_timestamp(day_us) AS day, cents, macd6, sig6,
+         |       ROUND(macd6 - sig6, 6) AS hist6
+         |FROM f ORDER BY day ASC NULLS FIRST""".stripMargin
+    },
+
+    // the block-maxima replay: same epoch-week blocks (epoch_us //
+    // 7 days), HUGEINT moment staging, the SAME GumbelFormula trees
+    "q336_gumbel_maxima" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(date_trunc('day', o_orderdate))
+         |           // ${7 * DayUs} AS wk,
+         |         epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+         |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |blocks AS (SELECT wk, MAX(cents) AS mx FROM daily GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |         MAX(mx) AS max_mx,
+         |         CAST(SUM(mx) AS BIGINT) AS s1,
+         |         SUM(CAST(mx AS HUGEINT) * mx) AS s2
+         |  FROM blocks)
+         |SELECT n_blocks, max_mx AS max_cents,
+         |       ${GumbelFormula.mu2} AS mu2,
+         |       ${GumbelFormula.beta2} AS beta2,
+         |       ${GumbelFormula.rl52_2} AS rl52_2
+         |FROM m""".stripMargin
   )
 }

@@ -619,7 +619,41 @@ object VectorQueries {
             expr(s"coalesce(n_overlap, 0L) * 1000L div $PqPrTopK")
               .as("recall_permille"))
           .orderBy("probe_id")
-      })
+      }),
+
+    // PQ codebook health — the operational census an ANN owner reads
+    // before trusting a trained quantizer (recall evals q284/q285 say
+    // how SEARCH behaves; this says whether the CODEBOOK itself is
+    // sound): per subspace, codes in use vs dead (a dead code wastes
+    // a codebook slot and signals an unconverged or skewed training),
+    // the assignment-entropy (uniform = all slots pulling their
+    // weight), the top code's share, and the residual inertia. Pure
+    // derivation over the memoized q267 trace's FINAL round — zero
+    // new training, one window + one keyed agg over m·ksub rows;
+    // entropy terms 6dp-quantized + decimal-summed [D2] (q339's
+    // text), top share the [D5] truncating permille.
+    "q341_pq_code_health" -> ((s, dir) => {
+      val fin = pqIntArtifacts(s, dir)._1
+        .filter(col("round") === PqTrIters)
+        .withColumn("n",
+          sum(col("n_vecs")).over(Window.partitionBy("j")))
+      fin.groupBy("j").agg(
+          count(lit(1)).as("n_used"),
+          max(col("n")).as("n_assigned"),
+          max(col("n_vecs")).as("max_code"),
+          sum(col("inertia")).as("inertia"),
+          sum(round(-(col("n_vecs").cast("double") / col("n")
+            .cast("double"))
+            * log(col("n_vecs").cast("double") / col("n").cast("double")),
+            6).cast(Dets.Dec)).as("hd"))
+        .select(col("j"), col("n_used"),
+          (lit(PqTrK.toLong) - col("n_used")).as("n_dead"),
+          col("n_assigned"),
+          expr("1000 * max_code div n_assigned").as("top_share_pm"),
+          round(col("hd").cast("double"), 6).as("h6"),
+          col("inertia"))
+        .orderBy("j")
+    })
   )
 
   /** q247 geometry: 4 clusters, 3 unrolled Lloyd rounds, milli-unit
@@ -1431,7 +1465,34 @@ object VectorQueries {
          |FROM (SELECT vec_id AS probe_id FROM e
          |      WHERE vec_id < $PqPrProbes) p
          |LEFT JOIN ov ON ov.probe_id = p.probe_id
-         |ORDER BY p.probe_id ASC NULLS FIRST""".stripMargin
+         |ORDER BY p.probe_id ASC NULLS FIRST""".stripMargin,
+
+    // the health replay: the shared q267 training CTE's final-round
+    // census, same entropy quantization, same truncating share
+    "q341_pq_code_health" ->
+      s"""WITH ${pqTraceCteSql()},
+         |cells AS (
+         |  SELECT j, code, n_vecs, inertia,
+         |         SUM(n_vecs) OVER (PARTITION BY j) AS n
+         |  FROM t$PqTrIters),
+         |per AS (
+         |  SELECT j, COUNT(*) AS n_used,
+         |         CAST(MAX(n) AS BIGINT) AS n_assigned,
+         |         CAST(MAX(n_vecs) AS BIGINT) AS max_code,
+         |         CAST(SUM(inertia) AS BIGINT) AS inertia,
+         |         SUM(CAST(ROUND(-(CAST(n_vecs AS DOUBLE)
+         |           / CAST(n AS DOUBLE))
+         |           * ln(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |           AS DECIMAL(38,6))) AS hd
+         |  FROM cells GROUP BY 1)
+         |SELECT j, CAST(n_used AS BIGINT) AS n_used,
+         |       CAST($PqTrK - n_used AS BIGINT) AS n_dead,
+         |       n_assigned,
+         |       CAST(1000 * max_code // n_assigned AS BIGINT)
+         |         AS top_share_pm,
+         |       ROUND(CAST(hd AS DOUBLE), 6) AS h6, inertia
+         |FROM per
+         |ORDER BY j ASC NULLS FIRST""".stripMargin
   )
 
   /** q267/q268/q284/q285's shared oracle prefix: quantize → slice into

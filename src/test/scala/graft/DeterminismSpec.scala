@@ -40,7 +40,11 @@ class DeterminismSpec extends SparkSpec {
   }
 
   test("every query returns rows at sf0.001 (except known-empty)") {
-    val mayBeEmpty = Set("q15_join_anti", "q39_except", "q69_embed_neardup")
+    // q338: at sf0.001 the daily revenue series is too sparse for any
+    // 12-consecutive-calendar-day window to be full, so the MACD
+    // full-window cut legitimately yields zero rows (2268 at sf0.01).
+    val mayBeEmpty = Set("q15_join_anti", "q39_except", "q69_embed_neardup",
+      "q338_macd")
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !mayBeEmpty(name) && fn(spark, Sf).isEmpty => name
     }

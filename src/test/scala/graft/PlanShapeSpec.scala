@@ -147,6 +147,10 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q306_logrank", "q307_burrows_delta", "q309_ndcg",
       "q313_theil", "q314_runs_test", "q319_log_odds",
       "q324_rec_coverage", "q328_kruskal_wallis", "q331_brown_forsythe",
+      "q333_brier_gate", "q337_success_curve",
+      "q339_transition_entropy", "q340_rich_club",
+      "q342_postings_skew", "q344_simpson_flip", "q346_lorenz",
+      "q347_breakpoint", "q348_split_balance",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -188,18 +192,21 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //  - calendar-day series (rows ≤ days in the data's time range):
     //    q142 daily user growth, q160 gap fill, q203 CUSUM, q294
     //    Hampel (7-day rolling-median frames on the daily table),
-    //    q301 drawdown (running peak + islands over the daily table);
+    //    q301 drawdown (running peak + islands over the daily table),
+    //    q347 breakpoint (prefix moments over the daily table);
     //  - value-domain histograms (rows ≤ distinct values of a bounded
     //    numeric domain, collapsed by a hash agg BEFORE the global
     //    cumSum/prefixMax): q143 skyline (retailprice), q161 ABC
     //    (revenue cents), q173 KS (price cents), q174 decile lift
     //    (score cents), q186 Mann-Whitney (quantity), q289 Theil–Sen
     //    (pairwise slopes of the calendar-bounded daily series),
-    //    q328 Kruskal-Wallis (totalprice cents — the q186 shape: the
-    //    constant group column folds away, so cumSum's bucket-total
-    //    window shows an empty spec over the 256-row bucket table);
+    //    q328 Kruskal-Wallis (totalprice cents) and q342 postings skew
+    //    (df values) — the q186 shape: the constant group column folds
+    //    away, so cumSum's bucket-total window shows an empty spec
+    //    over the 256-row bucket table;
     //  - fixed-dimension post-agg totals: q89 share-of-total over the
-    //    (returnflag, type-bucket) group rows;
+    //    (returnflag, type-bucket) group rows, q346 Lorenz (running
+    //    sum over the 10 post-agg decile rows);
     //  - fixed-replicate histograms: q297's 200-row bootstrap-total
     //    histogram (bounded by the replicate constant, not the data).
     val allowed = Set(
@@ -207,6 +214,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
       "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
+      "q342_postings_skew", "q346_lorenz", "q347_breakpoint",
       "q89_svc_partshare")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
