@@ -1049,6 +1049,37 @@ object AnalyticsQueries {
           expr("1000 * cents div tot").as("share_pm"),
           expr("1000 * cum div tot").as("cum_share_pm"))
         .orderBy("decile")
+    }),
+
+    // Price-elasticity screen per part type — the cross-sectional
+    // log-log demand slope (elasticity = d ln q / d ln p; public
+    // micro-econ textbook): across a type's parts, does higher unit
+    // price co-move with lower purchased quantity, and how steeply?
+    // Per part the exact integer collapse (Σqty, Σcents) yields ONE
+    // 6dp-quantized (ln unit-price, ln quantity) point [D2]; the
+    // per-type OLS slope reuses q344's SlopeFormula VERBATIM over the
+    // decimal-staged moments — one scan, one part-dim broadcast join,
+    // two keyed aggs.
+    "q353_elasticity" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_type"))),
+          Seq("l_partkey"))
+        .select(col("p_type"),
+          round(log(col("v").cast("double") / col("q").cast("double")),
+            6).as("x"),
+          round(log(col("q").cast("double")), 6).as("y"))
+      pp.groupBy("p_type").agg(count(lit(1)).as("nn"),
+          sum(col("x").cast(Dec)).as("sx"),
+          sum(col("y").cast(Dec)).as("sy"),
+          sum(round(col("x") * col("x"), 6).cast(Dec)).as("sxx"),
+          sum(round(col("x") * col("y"), 6).cast(Dec)).as("sxy"))
+        .select(col("p_type"), col("nn").as("n_parts"),
+          expr(StatsQueries.SlopeFormula.slope4).as("elasticity4"))
+        .orderBy("p_type")
     })
   )
 
@@ -1892,6 +1923,33 @@ object AnalyticsQueries {
         |       CAST(1000 * cents // tot AS BIGINT) AS share_pm,
         |       CAST(1000 * cum // tot AS BIGINT) AS cum_share_pm
         |FROM cc
-        |ORDER BY decile ASC NULLS FIRST""".stripMargin
+        |ORDER BY decile ASC NULLS FIRST""".stripMargin,
+
+    // the elasticity replay: same exact per-part collapse, same 6dp
+    // log quantization, the SAME SlopeFormula (q344's)
+    "q353_elasticity" ->
+      s"""WITH pk AS (
+         |  SELECT l_partkey,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+         |           AS BIGINT) AS v
+         |  FROM lineitem GROUP BY 1),
+         |pp AS (
+         |  SELECT p_type,
+         |         round(ln(CAST(v AS DOUBLE) / CAST(q AS DOUBLE)), 6)
+         |           AS x,
+         |         round(ln(CAST(q AS DOUBLE)), 6) AS y
+         |  FROM pk JOIN part ON p_partkey = l_partkey),
+         |per AS (
+         |  SELECT p_type, COUNT(*) AS nn,
+         |         SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+         |         SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+         |         SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS sxx,
+         |         SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS sxy
+         |  FROM pp GROUP BY 1)
+         |SELECT p_type, CAST(nn AS BIGINT) AS n_parts,
+         |       ${StatsQueries.SlopeFormula.slope4} AS elasticity4
+         |FROM per
+         |ORDER BY p_type ASC NULLS FIRST""".stripMargin
   )
 }

@@ -120,8 +120,58 @@ object BasketQueries {
           col("support"))
         .orderBy(col("support").desc, col("p1").asc, col("p2").asc,
           col("p3").asc)
+    }),
+
+    // 3-itemset lift — q334's triples SCORED against independence
+    // (lift₃ = P(xyz)/(P(x)P(y)P(z)) = sup·N²/(c₁c₂c₃), the q167
+    // measure lifted one level): a frequent triple of individually
+    // popular items is noise; a frequent triple of rare ones is
+    // signal. The triple relation is q334's (same build, same prune);
+    // the three item counts attach by equi-joins bounded by the part
+    // dimension; lift is one shared-string IEEE tree (Lift3Formula)
+    // over exact integers (sup·N² staged decimal — overflows int64
+    // past ~3e9 orders).
+    "q352_itemset_lift" -> ((s, dir) => {
+      val li = baskets(s, dir)
+      val nOrders = li.agg(count_distinct(col("l_orderkey"))
+        .as("n_orders"))
+      val item = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val f2 = CoPurchase.pairW(s, dir)
+        .filter(col("w") >= MinSup3).select(col("x"), col("y"))
+      val po = li
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("x"))
+        .join(li.select(col("l_orderkey").as("o"),
+          col("l_partkey").as("y")), Seq("o"))
+        .filter(col("x") < col("y"))
+        .join(f2, Seq("x", "y"), "leftsemi")
+      po.join(li.select(col("l_orderkey").as("o"),
+          col("l_partkey").as("z")), Seq("o"))
+        .filter(col("z") > col("y"))
+        .groupBy("x", "y", "z").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= MinSup3)
+        .join(item.select(col("l_partkey").as("x"), col("cnt").as("c1")),
+          Seq("x"))
+        .join(item.select(col("l_partkey").as("y"), col("cnt").as("c2")),
+          Seq("y"))
+        .join(item.select(col("l_partkey").as("z"), col("cnt").as("c3")),
+          Seq("z"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("x").as("p1"), col("y").as("p2"), col("z").as("p3"),
+          col("support"), expr(Lift3Formula.lift4).as("lift4"))
+        .orderBy(col("lift4").desc, col("p1").asc, col("p2").asc,
+          col("p3").asc)
     })
   )
+
+  /** q352's triple lift over the exact counts (support, c1/c2/c3 item
+    * order-counts, n_orders) — shared text, one IEEE tree; the
+    * sup·N² numerator stages through decimal(38,0). */
+  private[operators] object Lift3Formula {
+    val lift4: String = "round(CAST(CAST(support AS DECIMAL(38,0)) " +
+      "* n_orders * n_orders AS DOUBLE) " +
+      "/ (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE) * CAST(c3 AS DOUBLE))" +
+      ", 4)"
+  }
 
   /** q334's minimum triple support (and the level-2 prune cut). */
   private val MinSup3 = 2L
@@ -180,6 +230,35 @@ object BasketQueries {
         |  GROUP BY 1, 2, 3)
         |SELECT p1, p2, p3, CAST(support AS BIGINT) AS support
         |FROM tr WHERE support >= 2
-        |ORDER BY support DESC, p1 ASC, p2 ASC, p3 ASC""".stripMargin
+        |ORDER BY support DESC, p1 ASC, p2 ASC, p3 ASC""".stripMargin,
+
+    // the lift replay: q334's unpruned triples + item counts + the
+    // SAME Lift3Formula tree (HUGEINT staging mirrors the decimal)
+    "q352_itemset_lift" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+         |item AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+         |tr AS (
+         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         |         c.l_partkey AS p3, COUNT(*) AS support
+         |  FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+         |                     AND b.l_partkey > a.l_partkey
+         |            JOIN li c ON c.l_orderkey = a.l_orderkey
+         |                     AND c.l_partkey > b.l_partkey
+         |  GROUP BY 1, 2, 3
+         |  HAVING COUNT(*) >= 2),
+         |sc0 AS (
+         |  SELECT p1, p2, p3, support, n_orders,
+         |         i1.cnt AS c1, i2.cnt AS c2, i3.cnt AS c3
+         |  FROM tr, n
+         |  JOIN item i1 ON i1.l_partkey = tr.p1
+         |  JOIN item i2 ON i2.l_partkey = tr.p2
+         |  JOIN item i3 ON i3.l_partkey = tr.p3),
+         |sc AS (
+         |  SELECT p1, p2, p3, CAST(support AS BIGINT) AS support,
+         |         ${Lift3Formula.lift4} AS lift4
+         |  FROM sc0)
+         |SELECT p1, p2, p3, support, lift4 FROM sc
+         |ORDER BY lift4 DESC, p1 ASC, p2 ASC, p3 ASC""".stripMargin
   )
 }

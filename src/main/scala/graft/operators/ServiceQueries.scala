@@ -367,8 +367,55 @@ object ServiceQueries {
           expr(PriceIndexFormula.las4).as("laspeyres4"),
           expr(PriceIndexFormula.paa4).as("paasche4"),
           expr(PriceIndexFormula.fis4).as("fisher4"))
+    }),
+
+    // Safety-stock / reorder-point report per part type — the
+    // z-service-level closed form (public inventory theory): daily
+    // demand mean and sd from exact integer quantities, safety stock
+    // z₀.₉₅·σ and the one-day-lead reorder point μ + z·σ — the
+    // inventory dashboard next to q345's deflator and q161's ABC
+    // classes. One fact scan + one part-dim broadcast join + two
+    // keyed aggs (daily histogram, then exact moments); mean [D5]
+    // integer-staged; sd/safety/reorder shared-string trees
+    // (StockFormula) with the z constant a shortest-roundtrip double
+    // literal.
+    "q354_safety_stock" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_type"))),
+          Seq("l_partkey"))
+        .groupBy(col("p_type"),
+          date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      daily.groupBy("p_type").agg(count(lit(1)).as("n_days"),
+          sum(col("q")).as("s1"), sum(d38(col("q")) * col("q")).as("s2"))
+        .select(col("p_type"), col("n_days"), col("s1").as("total_qty"),
+          (expr("(2 * s1 * 10000 + n_days) div (2 * n_days)")
+            .cast("double") / 10000.0).as("mean4"),
+          expr(StockFormula.sd4).as("sd4"),
+          expr(StockFormula.safety4).as("safety4"),
+          expr(StockFormula.rop4).as("rop4"))
+        .orderBy("p_type")
     })
   )
+
+  /** q354's inventory trees over the exact daily-demand moments
+    * (n_days, s1 = Σq, s2 = Σq²) — shared text, one IEEE tree each;
+    * z₀.₉₅ pre-evaluated to a shortest-roundtrip double literal. NULL
+    * below two observed days (sample sd undefined). */
+  private[operators] object StockFormula {
+    private val Z95 = "1.6448536269514722E0"
+    private val n = "CAST(n_days AS DOUBLE)"
+    private val mean = s"(CAST(s1 AS DOUBLE) / $n)"
+    private val sd = s"sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) " +
+      s"* CAST(s1 AS DOUBLE) / $n) / ($n - 1.0))"
+    val sd4: String = s"CASE WHEN n_days > 1 THEN round($sd, 4) END"
+    val safety4: String =
+      s"CASE WHEN n_days > 1 THEN round($Z95 * $sd, 4) END"
+    val rop4: String =
+      s"CASE WHEN n_days > 1 THEN round($mean + $Z95 * $sd, 4) END"
+  }
 
   /** q345's pinned comparison years. */
   private val PiBaseYear = 1996
@@ -736,6 +783,28 @@ object ServiceQueries {
          |       ${PriceIndexFormula.las4} AS laspeyres4,
          |       ${PriceIndexFormula.paa4} AS paasche4,
          |       ${PriceIndexFormula.fis4} AS fisher4
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // the inventory replay: same daily histogram, HUGEINT moments,
+    // SAME StockFormula trees, [D5] integer-staged mean
+    "q354_safety_stock" ->
+      s"""WITH daily AS (
+         |  SELECT p_type, date_trunc('day', l_shipdate) AS day,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         CAST(SUM(q) AS BIGINT) AS s1,
+         |         SUM(CAST(q AS HUGEINT) * q) AS s2
+         |  FROM daily GROUP BY 1)
+         |SELECT p_type, n_days, s1 AS total_qty,
+         |       CAST((2 * s1 * 10000 + n_days) // (2 * n_days) AS DOUBLE)
+         |         / 10000.0 AS mean4,
+         |       ${StockFormula.sd4} AS sd4,
+         |       ${StockFormula.safety4} AS safety4,
+         |       ${StockFormula.rop4} AS rop4
+         |FROM per
+         |ORDER BY p_type ASC NULLS FIRST""".stripMargin
   )
 }
