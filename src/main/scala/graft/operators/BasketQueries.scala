@@ -160,7 +160,18 @@ object BasketQueries {
           col("support"), expr(Lift3Formula.lift4).as("lift4"))
         .orderBy(col("lift4").desc, col("p1").asc, col("p2").asc,
           col("p3").asc)
-    })
+    }),
+
+    // Basket-size census — the distribution every basket computation
+    // here fans out over (the pair build is Σ|order|², the triple
+    // build Σ|order|³: THIS histogram is the denominator of those
+    // cost estimates, and the skew check before trusting them): lines
+    // per distinct-part basket → order count. Two hash aggs.
+    "q358_basket_size" -> ((s, dir) =>
+      baskets(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+        .groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_items"))
   )
 
   /** q352's triple lift over the exact counts (support, c1/c2/c3 item
@@ -259,6 +270,13 @@ object BasketQueries {
          |         ${Lift3Formula.lift4} AS lift4
          |  FROM sc0)
          |SELECT p1, p2, p3, support, lift4 FROM sc
-         |ORDER BY lift4 DESC, p1 ASC, p2 ASC, p3 ASC""".stripMargin
+         |ORDER BY lift4 DESC, p1 ASC, p2 ASC, p3 ASC""".stripMargin,
+
+    "q358_basket_size" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |b AS (SELECT l_orderkey, COUNT(*) AS n_items FROM li GROUP BY 1)
+        |SELECT n_items, COUNT(*) AS n_orders
+        |FROM b GROUP BY 1
+        |ORDER BY n_items ASC NULLS FIRST""".stripMargin
   )
 }

@@ -1167,6 +1167,40 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Weekday-effect ANOVA — is the day-of-week pattern in daily
+    // revenue SIGNIFICANT, not just visible (q168 shows the seasonal
+    // means; q211 the dow×hour heatmap; this tests them)? One-way
+    // ANOVA F of daily cents across the seven epoch-weekday groups,
+    // reusing q331's BfFormula VERBATIM (it is generic one-way ANOVA
+    // over per-group exact moments). The weekday is epoch-day mod 7 —
+    // integer and engine-identical (Spark's dayofweek is 1-based
+    // Sunday, DuckDB's 0-based: the portable form sidesteps the
+    // convention split). Per-group mean [D5] integer-staged.
+    "q357_weekday_anova" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("z"))
+        .select(expr("(day_us div 86400000000L) % 7").as("dow"),
+          col("z"))
+      val per = daily.groupBy("dow").agg(count(lit(1)).as("nj"),
+        sum(col("z")).as("sj"), sum(d38(col("z")) * col("z")).as("qj"))
+      val glob = per.agg(count(lit(1)).as("k"), sum(col("nj")).as("nn"),
+        sum(col("sj")).as("ss"),
+        sum(round(col("sj").cast("double") * col("sj").cast("double")
+          / col("nj").cast("double"), 6).cast(Dec)).as("bb"),
+        sum(col("qj").cast(Dec)).as("qq"))
+      val stat = glob.select(col("k"), expr(BfFormula.f4).as("f4"))
+      per.crossJoin(broadcast(stat))
+        .select(col("dow"), col("nj").as("n_days"),
+          (expr("(2 * sj * 10000 + nj) div (2 * nj)").cast("double")
+            / 10000.0).as("mean_cents4"),
+          col("k").as("n_groups"), col("f4"))
+        .orderBy("dow")
+    }),
+
     // Simpson's-paradox screen — does the price~quantity slope FLIP
     // sign between the pooled corpus and the per-return-flag strata?
     // (the aggregation-bias audit run before trusting any pooled
@@ -2253,6 +2287,35 @@ object StatsQueries {
          |       n_groups, f4
          |FROM per JOIN med ON per.g = med.g, stat
          |ORDER BY flag ASC NULLS FIRST""".stripMargin,
+
+    // the weekday replay: same epoch-day mod 7 grouping, HUGEINT
+    // moments, the SAME BfFormula, [D5] integer-staged means
+    "q357_weekday_anova" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+         |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS z
+         |  FROM orders GROUP BY 1),
+         |v AS (SELECT (day_us // 86400000000) % 7 AS dow, z FROM daily),
+         |per AS (
+         |  SELECT dow, COUNT(*) AS nj, SUM(z) AS sj,
+         |         SUM(CAST(z AS HUGEINT) * z) AS qj
+         |  FROM v GROUP BY 1),
+         |gm AS (
+         |  SELECT COUNT(*) AS k, SUM(nj) AS nn, SUM(sj) AS ss,
+         |         SUM(CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+         |           / CAST(nj AS DOUBLE), 6) AS DECIMAL(38,6))) AS bb,
+         |         SUM(CAST(qj AS DECIMAL(38,6))) AS qq
+         |  FROM per),
+         |stat AS (
+         |  SELECT CAST(k AS BIGINT) AS n_groups, ${BfFormula.f4} AS f4
+         |  FROM gm)
+         |SELECT CAST(dow AS BIGINT) AS dow, CAST(nj AS BIGINT) AS n_days,
+         |       CAST((2 * CAST(sj AS HUGEINT) * 10000 + nj) // (2 * nj)
+         |         AS DOUBLE) / 10000.0 AS mean_cents4,
+         |       n_groups, f4
+         |FROM per, stat
+         |ORDER BY dow ASC NULLS FIRST""".stripMargin,
 
     // the paradox replay: same moment pass, HUGEINT staging, the SAME
     // SlopeFormula on both the strata and the pooled row, flip from

@@ -151,6 +151,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q339_transition_entropy", "q340_rich_club",
       "q342_postings_skew", "q344_simpson_flip", "q346_lorenz",
       "q347_breakpoint", "q348_split_balance", "q352_itemset_lift",
+      "q357_weekday_anova",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
