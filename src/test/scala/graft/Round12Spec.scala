@@ -196,4 +196,64 @@ class Round12Spec extends SparkSpec {
     assert(hs.forall(_ >= 0.0))
     assert(d(te.head, "rate6") <= hs.max + 1e-9)
   }
+
+  test("q352 scores exactly q334's triples with positive lifts") {
+    val lifted = rows("q352_itemset_lift")
+    val base = rows("q334_itemsets3")
+    assert(lifted.length == base.length)
+    assert(lifted.map(r => (l(r, "p1"), l(r, "p2"), l(r, "p3"),
+      l(r, "support"))).toSet ==
+      base.map(r => (l(r, "p1"), l(r, "p2"), l(r, "p3"),
+        l(r, "support"))).toSet)
+    lifted.foreach(r => assert(d(r, "lift4") > 0.0))
+  }
+
+  test("q353 elasticity covers every part with sales") {
+    val sold = Tables.load(spark, Sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows("q353_elasticity").map(r => l(r, "n_parts")).sum == sold)
+  }
+
+  test("q354 reorder point sits z-sigmas above the mean") {
+    rows("q354_safety_stock").foreach { r =>
+      assert(d(r, "sd4") >= 0.0)
+      assert(d(r, "safety4") >= 0.0)
+      assert(math.abs(d(r, "rop4") - d(r, "mean4") - d(r, "safety4"))
+        <= 2e-4)
+    }
+  }
+
+  test("q355 census covers the whole corpus and q356's ladder is the " +
+    "ceil monotone: halving the stride at most doubles the frames") {
+    val nDocs = Tables.load(spark, Sf, "documents").count()
+    assert(rows("q355_media_census").map(r => l(r, "n_media")).sum
+      == nDocs)
+    val fb = rows("q356_frame_budget")
+      .map(r => (l(r, "stride_ms"), l(r, "total_frames"))).sortBy(_._1)
+    val Array(f250, f500, f1000) = fb.map(_._2)
+    assert(f250 >= f500 && f500 >= f1000)
+    assert(f250 <= 2 * f500 && f500 <= 2 * f1000)
+  }
+
+  test("q357 partitions every sales day over exactly seven weekday " +
+    "groups with a non-negative F") {
+    val rs = rows("q357_weekday_anova")
+    assert(rs.length == 7)
+    assert(rs.forall(r => l(r, "n_groups") == 7L))
+    assert(rs.forall(r => d(r, "f4") >= 0.0))
+    val days = Tables.load(spark, Sf, "orders")
+      .select(org.apache.spark.sql.functions.date_trunc("day",
+        org.apache.spark.sql.functions.col("o_orderdate")))
+      .distinct().count()
+    assert(rs.map(r => l(r, "n_days")).sum == days)
+  }
+
+  test("q358 basket-size mass equals the distinct (order, part) " +
+    "incidence") {
+    val mass = rows("q358_basket_size")
+      .map(r => l(r, "n_items") * l(r, "n_orders")).sum
+    val incidence = Tables.load(spark, Sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().count()
+    assert(mass == incidence)
+  }
 }
