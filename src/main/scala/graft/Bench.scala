@@ -37,6 +37,20 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
+    // Official-sweep start gate (r12 finding: two rounds shipped the
+    // driver artifact from a box at loadavg_pre >= 3). If the 1-min
+    // run queue is already > 1.5 at entry, sleep-retry in 30 s steps
+    // for up to 5 min before starting the measured sweep; if the box
+    // never quiets, proceed — the requery self-defense below still
+    // corrects residual contention. GRAFT_BENCH_NO_WAIT=1 skips the
+    // gate (spec smoke runs must not sleep on a busy CI box).
+    var loadWaitS = 0
+    if (!sys.env.contains("GRAFT_BENCH_NO_WAIT")) {
+      while (loadWaitS < 300 &&
+             loadavg().headOption.exists(l => !l.isNaN && l > 1.5)) {
+        Thread.sleep(30000); loadWaitS += 30
+      }
+    }
     val loadPre = loadavg()
     val calibPre = calibMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,9 +106,6 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def shortKey(k: String): String =
       if (k.startsWith("shared:")) k else k.takeWhile(_ != '_')
-    val qs = results.filter(_._2 >= 0).sortBy(-_._2).take(InlineWorstN)
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // escape the interpolated path — a quote or backslash in the env
     // var would otherwise break the one JSON line the driver parses
@@ -145,9 +156,18 @@ object Bench {
       else {
         graft.operators.TextQueries.clearCaches(spark)
         val reShared = primeShared()
-        val wanted = (hotVsHistory ++
-          results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1))
-          .distinct.filter(_.startsWith("q")).take(15)
+        // Selection (r12 judge finding): the union must be capped
+        // WORST-FIRST, not in sweep (name-sorted) order — otherwise,
+        // when >= 15 keys are history-hot, .take(15) keeps the 15
+        // alphabetically-first hot keys and the sweep's actual worst
+        // lines are never re-measured (BENCH_r12 shipped exactly that).
+        // Worst-10 q-keys are in by construction: they sort to the top.
+        val timeOf = results.toMap
+        val worstQ = results
+          .filter { case (k, v) => v >= 0 && k.startsWith("q") }
+          .sortBy(-_._2).take(10).map(_._1)
+        val wanted = (hotVsHistory.filter(_.startsWith("q")) ++ worstQ)
+          .distinct.sortBy(k => -timeOf.getOrElse(k, 0.0)).take(15)
         reShared ++ wanted.map { name =>
           val t0 = System.nanoTime()
           val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -170,7 +190,21 @@ object Bench {
           s""""calib_ms_re":${fl(calibRe)},""" +
           s""""value_requeried":${f3(totalRe)},"""
       }
-    val tele = s""""loadavg_pre":[${loadPre.map(fl).mkString(",")}],""" +
+    // Inline worst-N values (r12 item 2): where a line was requeried,
+    // the inline slice carries the REQUERIED value, so the headline
+    // artifact agrees with idle truth without reader-side adjudication;
+    // the raw contended values stay in the detail file and the
+    // `requeried` map keeps the corrected ones side by side.
+    val reMapInline = requeried.toMap
+    val effective = results.map { case (k, v) =>
+      val rv = reMapInline.getOrElse(k, v)
+      k -> (if (rv >= 0) rv else v)
+    }
+    val qs = effective.filter(_._2 >= 0).sortBy(-_._2).take(InlineWorstN)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val tele = s""""loadavg_wait_s":$loadWaitS,""" +
+      s""""loadavg_pre":[${loadPre.map(fl).mkString(",")}],""" +
       s""""loadavg_post":[${loadPost.map(fl).mkString(",")}],""" +
       s""""calib_ms_pre":${fl(calibPre)},"calib_ms_post":${fl(calibPost)}""" +
       s""",$reJson""".stripSuffix(",")

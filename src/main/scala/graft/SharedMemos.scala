@@ -52,6 +52,14 @@ object SharedMemos {
         operators.VectorQueries.pqIntArtifacts(s, dir)
       force(trace); force(cents); force(codes)
     }),
+    // q285/q359 integer-PQ training at the production (16,16,4)
+    // geometry — the tree's most expensive training memo, shared by
+    // the recall gate and the code-health readout since r13
+    "shared:pqprodint_train" -> (s => {
+      val (trace, cents, codes) =
+        operators.VectorQueries.pqProdIntArtifacts(s, dir)
+      force(trace); force(cents); force(codes)
+    }),
     // item-CF serving neighbour lists (q253 holdout, q324 coverage)
     "shared:cf_neighbors" ->
       (s => force(operators.GraphQueries.cfNeighbors(s, dir))),

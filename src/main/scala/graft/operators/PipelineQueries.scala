@@ -53,7 +53,7 @@ object PipelineQueries {
         TextFunctions.tokens(col("text")).as("__tk"))
     }
 
-  private val PackBudget = 2048L
+  private[graft] val PackBudget = 2048L
   private val SampleK = 20
 
   /** q277's per-source token budget — ~40% of a source's fixture

@@ -640,11 +640,16 @@ object TimeSeriesQueries {
           .as("day_us"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long"))
           .as("cents"))
+      // cents*weight staged through decimal(38,0) ([D2], the q328/q331
+      // convention): slow-leg weights reach 4^11 ≈ 4.2e6, so the long
+      // product would wrap int64 near daily cents ~2e12 (large SF)
+      // while the DuckDB oracle promotes — decimal keeps both exact.
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val fast = daily
         .select(col("day_us"), col("cents"),
           explode(sequence(lit(0), lit(7))).as("k"))
         .select((col("day_us") + col("k") * DayUs).as("day_us"),
-          (col("cents") * expr("shiftleft(cast(1 as bigint), 7 - k)"))
+          (d38(col("cents")) * expr("shiftleft(cast(1 as bigint), 7 - k)"))
             .as("w"))
         .groupBy("day_us")
         .agg(count(lit(1)).as("nf"), sum(col("w")).as("fnum"))
@@ -654,7 +659,7 @@ object TimeSeriesQueries {
         .select(col("day_us"), col("cents"),
           explode(sequence(lit(0), lit(11))).as("k"))
         .select((col("day_us") + col("k") * DayUs).as("day_us"),
-          (col("cents") * expr(slowW)).as("w"))
+          (d38(col("cents")) * expr(slowW)).as("w"))
         .groupBy("day_us")
         .agg(count(lit(1)).as("ns"), sum(col("w")).as("snum"))
       val m = daily.join(fast, Seq("day_us")).join(slow, Seq("day_us"))
@@ -1250,15 +1255,15 @@ object TimeSeriesQueries {
          |sw(k, w) AS (VALUES $sw),
          |fast AS (
          |  SELECT a.day_us, COUNT(*) AS nf,
-         |         CAST(SUM(b.cents * (CAST(1 AS BIGINT) <<
+         |         SUM(CAST(b.cents AS HUGEINT) * (CAST(1 AS BIGINT) <<
          |           CAST(7 - ((a.day_us - b.day_us) // ${DayUs}) AS INT)))
-         |           AS BIGINT) AS fnum
+         |           AS fnum
          |  FROM d a JOIN d b
          |    ON b.day_us BETWEEN a.day_us - 7 * ${DayUs} AND a.day_us
          |  GROUP BY 1),
          |slow AS (
          |  SELECT a.day_us, COUNT(*) AS ns,
-         |         CAST(SUM(b.cents * sw.w) AS BIGINT) AS snum
+         |         SUM(CAST(b.cents AS HUGEINT) * sw.w) AS snum
          |  FROM d a JOIN d b
          |    ON b.day_us BETWEEN a.day_us - 11 * ${DayUs} AND a.day_us
          |  JOIN sw ON sw.k = (a.day_us - b.day_us) // ${DayUs}

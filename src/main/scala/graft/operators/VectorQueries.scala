@@ -632,29 +632,47 @@ object VectorQueries {
     // new training, one window + one keyed agg over m·ksub rows;
     // entropy terms 6dp-quantized + decimal-summed [D2] (q339's
     // text), top share the [D5] truncating permille.
-    "q341_pq_code_health" -> ((s, dir) => {
-      val fin = pqIntArtifacts(s, dir)._1
-        .filter(col("round") === PqTrIters)
-        .withColumn("n",
-          sum(col("n_vecs")).over(Window.partitionBy("j")))
-      fin.groupBy("j").agg(
-          count(lit(1)).as("n_used"),
-          max(col("n")).as("n_assigned"),
-          max(col("n_vecs")).as("max_code"),
-          sum(col("inertia")).as("inertia"),
-          sum(round(-(col("n_vecs").cast("double") / col("n")
-            .cast("double"))
-            * log(col("n_vecs").cast("double") / col("n").cast("double")),
-            6).cast(Dets.Dec)).as("hd"))
-        .select(col("j"), col("n_used"),
-          (lit(PqTrK.toLong) - col("n_used")).as("n_dead"),
-          col("n_assigned"),
-          expr("1000 * max_code div n_assigned").as("top_share_pm"),
-          round(col("hd").cast("double"), 6).as("h6"),
-          col("inertia"))
-        .orderBy("j")
-    })
+    "q341_pq_code_health" -> ((s, dir) =>
+      codeHealth(pqIntArtifacts(s, dir)._1, PqTrK, PqTrIters)),
+
+    // The same codebook-health readout at q132's PRODUCTION geometry,
+    // derived from q285's (16,16,4) integer training trace (r12
+    // verdict item 6: the tree's most expensive training memo gets a
+    // second consumer, so its build is charged to a `shared:` bench
+    // line like every other family build instead of riding q285
+    // alone). Zero new training — one window + one keyed agg over the
+    // m·ksub final-round trace rows, same [D2]/[D5] staging as q341.
+    "q359_pq_code_health_prod" -> ((s, dir) =>
+      codeHealth(pqProdIntArtifacts(s, dir)._1, PqPrK, PqPrIters))
   )
+
+  /** q341/q359's shared derivation over a PQ training trace's FINAL
+    * round: per subspace, codes in use vs dead, assignment entropy
+    * (6dp-quantized + decimal-summed [D2]), top code's share ([D5]
+    * truncating permille), residual inertia. */
+  private def codeHealth(trace: DataFrame, k: Int, iters: Int)
+  : DataFrame = {
+    val fin = trace
+      .filter(col("round") === iters)
+      .withColumn("n",
+        sum(col("n_vecs")).over(Window.partitionBy("j")))
+    fin.groupBy("j").agg(
+        count(lit(1)).as("n_used"),
+        max(col("n")).as("n_assigned"),
+        max(col("n_vecs")).as("max_code"),
+        sum(col("inertia")).as("inertia"),
+        sum(round(-(col("n_vecs").cast("double") / col("n")
+          .cast("double"))
+          * log(col("n_vecs").cast("double") / col("n").cast("double")),
+          6).cast(Dets.Dec)).as("hd"))
+      .select(col("j"), col("n_used"),
+        (lit(k.toLong) - col("n_used")).as("n_dead"),
+        col("n_assigned"),
+        expr("1000 * max_code div n_assigned").as("top_share_pm"),
+        round(col("hd").cast("double"), 6).as("h6"),
+        col("inertia"))
+      .orderBy("j")
+  }
 
   /** q247 geometry: 4 clusters, 3 unrolled Lloyd rounds, milli-unit
     * quantization (the kmeansTrace default). */
@@ -1470,30 +1488,41 @@ object VectorQueries {
     // the health replay: the shared q267 training CTE's final-round
     // census, same entropy quantization, same truncating share
     "q341_pq_code_health" ->
-      s"""WITH ${pqTraceCteSql()},
-         |cells AS (
-         |  SELECT j, code, n_vecs, inertia,
-         |         SUM(n_vecs) OVER (PARTITION BY j) AS n
-         |  FROM t$PqTrIters),
-         |per AS (
-         |  SELECT j, COUNT(*) AS n_used,
-         |         CAST(MAX(n) AS BIGINT) AS n_assigned,
-         |         CAST(MAX(n_vecs) AS BIGINT) AS max_code,
-         |         CAST(SUM(inertia) AS BIGINT) AS inertia,
-         |         SUM(CAST(ROUND(-(CAST(n_vecs AS DOUBLE)
-         |           / CAST(n AS DOUBLE))
-         |           * ln(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-         |           AS DECIMAL(38,6))) AS hd
-         |  FROM cells GROUP BY 1)
-         |SELECT j, CAST(n_used AS BIGINT) AS n_used,
-         |       CAST($PqTrK - n_used AS BIGINT) AS n_dead,
-         |       n_assigned,
-         |       CAST(1000 * max_code // n_assigned AS BIGINT)
-         |         AS top_share_pm,
-         |       ROUND(CAST(hd AS DOUBLE), 6) AS h6, inertia
-         |FROM per
-         |ORDER BY j ASC NULLS FIRST""".stripMargin
+      codeHealthSql(PqTrM, PqTrK, PqTrIters),
+
+    // same generator at the production geometry — the q285 convention
+    // (one parameterized CTE generator per family) so the two
+    // code-health gates cannot drift apart
+    "q359_pq_code_health_prod" ->
+      codeHealthSql(PqPrM, PqPrK, PqPrIters)
   )
+
+  /** q341/q359's shared oracle: the parameterized training replay
+    * ([[pqTraceCteSql]]) followed by the final-round health readout. */
+  private def codeHealthSql(m: Int, k: Int, iters: Int): String =
+    s"""WITH ${pqTraceCteSql(m, k, iters)},
+       |cells AS (
+       |  SELECT j, code, n_vecs, inertia,
+       |         SUM(n_vecs) OVER (PARTITION BY j) AS n
+       |  FROM t$iters),
+       |per AS (
+       |  SELECT j, COUNT(*) AS n_used,
+       |         CAST(MAX(n) AS BIGINT) AS n_assigned,
+       |         CAST(MAX(n_vecs) AS BIGINT) AS max_code,
+       |         CAST(SUM(inertia) AS BIGINT) AS inertia,
+       |         SUM(CAST(ROUND(-(CAST(n_vecs AS DOUBLE)
+       |           / CAST(n AS DOUBLE))
+       |           * ln(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       |           AS DECIMAL(38,6))) AS hd
+       |  FROM cells GROUP BY 1)
+       |SELECT j, CAST(n_used AS BIGINT) AS n_used,
+       |       CAST($k - n_used AS BIGINT) AS n_dead,
+       |       n_assigned,
+       |       CAST(1000 * max_code // n_assigned AS BIGINT)
+       |         AS top_share_pm,
+       |       ROUND(CAST(hd AS DOUBLE), 6) AS h6, inertia
+       |FROM per
+       |ORDER BY j ASC NULLS FIRST""".stripMargin
 
   /** q267/q268/q284/q285's shared oracle prefix: quantize → slice into
     * `m` subvectors → seed draw → `iters` unrolled Lloyd rounds, every

@@ -98,6 +98,64 @@ object DocStreams {
       .drop("__sig")
   }
 
+  /** Streaming delta-against-base near-dup matcher — the online form
+    * of the q315 increment ([[graft.api.DedupOps.minhashLshAgainst]]):
+    * the base corpus is sketched ONCE as a static banded index (id,
+    * band key, sorted token-hash signature, full band-key array);
+    * each ARRIVING document sketches itself with the SAME hash family
+    * and band geometry, explodes its band keys, and stream-static
+    * equi-joins the index — O(arrival × collisions) work per doc,
+    * no state store, no watermark, append-mode safe. A colliding
+    * (delta, base) pair is emitted EXACTLY once via the stateless
+    * lowest-colliding-band rule: both sides carry their full band-key
+    * arrays, so "no earlier band also collides" is a per-row codegen
+    * predicate — the batch kernel's `.distinct()` without a shuffle
+    * or state. The exact verify is identical to the batch kernel
+    * (sorted-intersection, integer-exact inter/uni exposed), so the
+    * streamed rows are exactly the batch pair relation restricted to
+    * arrived documents; agreement is spec-asserted (StreamingSpec).
+    * Emits (id_delta, id_base, inter, uni, jac). */
+  def deltaDupMatches(deltaDocs: DataFrame, base: DataFrame,
+    idCol: String, textCol: String, minJac: Double,
+    numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    GraftFunctions.register(base.sparkSession)
+    def sketch(df: DataFrame, s: String): DataFrame = df
+      .withColumn("__toks", TextFunctions.tokenSet(col(textCol)))
+      .withColumn(s"hs$s",
+        array_sort(call_function("graft_token_hashes", col("__toks"))))
+      .withColumn("__mh",
+        call_function("graft_minhash", col(s"hs$s"), lit(numHashes)))
+      .withColumn(s"bks$s",
+        call_function("graft_band_keys", col("__mh"), lit(bands), lit(rows)))
+    val idx = graft.Caches.persistTracked(
+      sketch(base, "_b").select(col(idCol).as("id_base"),
+        col("hs_b"), col("bks_b"),
+        posexplode(col("bks_b")).as(Seq("band", "key"))))
+    val cand = sketch(deltaDocs, "_a")
+      .select(col(idCol).as("id_delta"), col("hs_a"), col("bks_a"),
+        posexplode(col("bks_a")).as(Seq("band", "key")))
+      .join(idx, Seq("band", "key"))
+    // unrolled lowest-band predicate (no HOF: stays in codegen, same
+    // reasoning as the batch bandCollisionPairs CASE)
+    val firstBand = (0 until bands).map { i =>
+      (0 until i).map(j =>
+          element_at(col("bks_a"), j + 1) =!= element_at(col("bks_b"), j + 1))
+        .foldLeft(col("band") === i)(_ && _)
+    }.reduce(_ || _)
+    cand.filter(firstBand)
+      .withColumn("inter",
+        call_function("graft_sorted_intersect",
+          col("hs_a"), col("hs_b")).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .withColumn("jac", graft.Dets.safeDiv(
+        col("inter").cast("double"), col("uni").cast("double")))
+      .filter(col("jac") >= minJac)
+      .select("id_delta", "id_base", "inter", "uni", "jac")
+  }
+
   /** Online exact-duplicate filter: drops an arriving document whose
     * exact content was already seen within the watermark horizon,
     * keeping the first arrival — the streaming sibling of the batch

@@ -9,6 +9,19 @@ class GoldenSpec extends SparkSpec {
 
   private val goldenPath = Paths.get("src/test/resources/golden_sf0001.txt")
 
+  /** MD5 of the empty string — the hash a key gets when its sf0.001
+    * result has zero rows, so its golden line only pins emptiness. */
+  private val EmptySentinel = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** Keys whose sf0.001 result is INTENTIONALLY empty (documented per
+    * key); their arithmetic coverage rests on the sf0.01 oracle sweep.
+    * Two-sided below: a key here must hash empty, and any key hashing
+    * empty must be listed — so an accidental empty result (e.g. a
+    * filter bug draining a query) fails instead of freezing silently.
+    *  - q338_macd: needs 12 consecutive order days for a full slow
+    *    window; sf0.001's orders table has no such run. */
+  private val IntentionallyEmpty = Set("q338_macd")
+
   private def currentHashes: Seq[String] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val rows = fn(spark, Sf).collect().map(_.toString).mkString("\n")
@@ -32,6 +45,11 @@ class GoldenSpec extends SparkSpec {
       }
       assert(diffs.isEmpty, s"golden drift:\n${diffs.mkString("\n")}")
       assert(storedMap.size == current.size, "query set changed; regenerate")
+      val emptyNow = current.map(_.split(" "))
+        .collect { case Array(n, EmptySentinel) => n }.toSet
+      assert(emptyNow == IntentionallyEmpty,
+        s"empty-result keys drifted: got $emptyNow, " +
+          s"documented $IntentionallyEmpty")
     }
   }
 }

@@ -109,8 +109,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("no query plans a CartesianProduct; every BNLJ is a documented " +
-    "broadcast-tiny attach") {
+  test("one pass over every declared plan: no CartesianProduct, every " +
+    "BNLJ and every global window is a documented site") {
+    // Folded from two separate all-plans passes (r12 verdict item 4):
+    // instantiating all ~350 physical plans dominates suite time, so
+    // both scale-red properties — cartesian/BNLJ and unpartitioned
+    // WindowExec — are collected from ONE plan materialization per key.
+    // Both allowlists keep their original semantics (the window list
+    // stays two-sided).
     // PlanAudit promoted to an asserted gate (one pass over every
     // declared plan): a CartesianProduct is an unconditional scale
     // red; a BroadcastNestedLoopJoin is acceptable ONLY at the named
@@ -158,25 +164,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q46_quantile_hist", "q62_sim_topk", "q69_embed_neardup",
       "q70_ann_ivf", "q75_tfidf", "q94_bm25", "q96_quantize",
       "q97_knn_label", "q98_surprisal")
-    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val p = fn(spark, Sf).queryExecution.executedPlan.toString
-        (name, p.contains("CartesianProduct"),
-          p.contains("BroadcastNestedLoopJoin"))
-    }
-    val cartesian = flagged.collect { case (n, true, _) => n }
-    assert(cartesian.isEmpty,
-      s"cartesian product (unbounded at scale) in: $cartesian")
-    val undocumented = flagged.collect { case (n, _, true) => n }
-      .filterNot(bnljAllowed)
-    assert(undocumented.isEmpty,
-      s"UNDOCUMENTED BroadcastNestedLoopJoin (scale red flag until its " +
-        s"build side is verified bounded and listed) in: $undocumented")
-  }
-
-  test("every unpartitioned WindowExec site is a documented dimension-" +
-    "bounded post-agg window") {
-    // The BNLJ-allowlist move applied to the other scale-red class
+    // The window-allowlist rationale (originally its own test; the
+    // BNLJ-allowlist move applied to the other scale-red class
     // (r11 verdict item 2): a window with an EMPTY partition spec
     // funnels its whole input through one task, which is a scale
     // killer on an unbounded relation — but is the intended plan on a
@@ -210,22 +199,34 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //    sum over the 10 post-agg decile rows);
     //  - fixed-replicate histograms: q297's 200-row bootstrap-total
     //    histogram (bounded by the replicate constant, not the data).
-    val allowed = Set(
+    val winAllowed = Set(
       "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
       "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
       "q342_postings_skew", "q346_lorenz", "q347_breakpoint",
       "q89_svc_partshare")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val shapes = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
-        val global = collectWithSubqueries(plan) {
+        val p = plan.toString
+        val globalWin = collectWithSubqueries(plan) {
           case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
-        }
-        if (global.nonEmpty) Some(name) else None
-    }.toSet
+        }.nonEmpty
+        (name, p.contains("CartesianProduct"),
+          p.contains("BroadcastNestedLoopJoin"), globalWin)
+    }
+    val cartesian = shapes.collect { case (n, true, _, _) => n }
+    assert(cartesian.isEmpty,
+      s"cartesian product (unbounded at scale) in: $cartesian")
+    val undocumented = shapes.collect { case (n, _, true, _) => n }
+      .filterNot(bnljAllowed)
+    assert(undocumented.isEmpty,
+      s"UNDOCUMENTED BroadcastNestedLoopJoin (scale red flag until its " +
+        s"build side is verified bounded and listed) in: $undocumented")
+    val offenders = shapes.collect { case (n, _, _, true) => n }.toSet
+    val allowed = winAllowed
     assert((offenders -- allowed).isEmpty,
       s"UNDOCUMENTED global window (single-task at scale until its " +
         s"input is verified dimension-bounded and listed) in: " +
@@ -281,6 +282,27 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"declared but missing from SURVEY: ${declared -- mentioned}")
     assert((mentioned -- declared).isEmpty,
       s"SURVEY mentions undeclared queries: ${mentioned -- declared}")
+  }
+
+  test("docs/KEYS.md (the generated key index) lists exactly the " +
+    "declared keys") {
+    // r12 verdict item 7: the index is the O(1) key->family->impl->
+    // SURVEY-row resolver; regenerate with scripts/gen_key_index.py
+    // after adding or removing a key. Set equality both ways, plus no
+    // key may have lost its SURVEY row.
+    val idx = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("docs/KEYS.md"))
+    val listed = "\\| `(q[0-9]{2,}_[a-z0-9_]+)` \\|".r
+      .findAllMatchIn(idx).map(_.group(1)).toSet
+    val declared = SparkEntry.queries.keySet
+    assert((declared -- listed).isEmpty,
+      s"declared but missing from docs/KEYS.md (regenerate: python3 " +
+        s"scripts/gen_key_index.py): ${declared -- listed}")
+    assert((listed -- declared).isEmpty,
+      s"docs/KEYS.md lists undeclared keys (regenerate): " +
+        s"${listed -- declared}")
+    assert(!idx.contains("MISSING"),
+      "docs/KEYS.md has keys with no SURVEY row")
   }
 
   test("docs/API.md covers every graft.api entry point and cites only declared queries") {

@@ -104,8 +104,10 @@ class Round12Spec extends SparkSpec {
     val assigned = rs.map(r => l(r, "n_assigned")).distinct
     assert(assigned.size == 1, s"unequal per-subspace masses: $assigned")
     rs.foreach { r =>
-      assert(l(r, "n_used") + l(r, "n_dead") == 8L)
-      assert(l(r, "top_share_pm") >= 1000L / 8L)
+      assert(l(r, "n_used") + l(r, "n_dead") ==
+        operators.VectorQueries.PqTrK.toLong)
+      assert(l(r, "top_share_pm") >=
+        1000L / operators.VectorQueries.PqTrK)
       assert(d(r, "h6") >= 0.0)
     }
   }
@@ -170,7 +172,8 @@ class Round12Spec extends SparkSpec {
     "+ overshoot, per lang") {
     rows("q349_pack_efficiency").foreach { r =>
       val lhs = l(r, "n_tok")
-      val rhs = l(r, "n_bins") * 2048L - l(r, "slack_tok") +
+      val rhs = l(r, "n_bins") * operators.PipelineQueries.PackBudget -
+        l(r, "slack_tok") +
         l(r, "over_tok")
       assert(lhs == rhs, s"token conservation broken: $lhs vs $rhs")
     }

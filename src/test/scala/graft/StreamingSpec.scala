@@ -517,6 +517,58 @@ class StreamingSpec extends SparkSpec {
     assert(model == kept)
   }
 
+  test("streamed delta-against-base near-dup matches agree with the " +
+    "q315 batch kernel") {
+    // the r12 verdict item-5 agreement gate: DocStreams.deltaDupMatches
+    // (stream) vs DedupOps.minhashLshAgainst (q315's batch kernel) on a
+    // CONSTRUCTED corpus — a 30-doc base, a 10-doc delta streamed as
+    // two micro-batches where the even delta docs are one-token-dropped
+    // near-copies of base docs (Jaccard 11/12 >= 0.6) and the odd ones
+    // draw from a disjoint vocabulary (Jaccard 0). Same hash family +
+    // band geometry on both sides, so the full (id_delta, id_base,
+    // inter, uni) relations must be set-equal, and non-trivially so.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_deltadup_").toString
+    def text(seed: Int): String =
+      (0 until 12).map(i => s"tok${seed}_$i").mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, text(i)))
+      .toDF("doc_id", "text")
+    val delta = (0 until 10).map { i =>
+      val t =
+        if (i % 2 == 0) text(i).split(" ").dropRight(1).mkString(" ")
+        else (0 until 12).map(j => s"fresh${i}_$j").mkString(" ")
+      (100L + i, t)
+    }
+    delta.grouped(5).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/chunk_$i")
+      val f = Files.list(Paths.get(s"$dir/chunk_$i")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      Files.move(Paths.get(f), Paths.get(s"$dir/part_$i.parquet"))
+      Files.setLastModifiedTime(Paths.get(s"$dir/part_$i.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(3000000L + i * 60000L))
+    }
+    val schema = delta.toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = graft.streaming.DocStreams
+      .deltaDupMatches(stream, base, "doc_id", "text", 0.6)
+      .writeStream.format("memory").queryName("t_deltadup")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_delta"), r.getAs[Long]("id_base"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))
+    val streamed = spark.table("t_deltadup").collect().map(key).toSet
+    val batch = graft.api.DedupOps.minhashLshAgainst(
+        base, delta.toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    // non-trivial: every even delta doc matched its source base doc
+    val expected = (0 until 10 by 2).map(i => (100L + i, i.toLong)).toSet
+    assert(streamed.map(t => (t._1, t._2)) == expected)
+  }
+
   test("streaming semantic-dup filter passes NULL embeddings through") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_semdup_").toString
