@@ -603,6 +603,89 @@ object CurationQueries {
       pairs.reduce(_ unionByName _).orderBy("fa", "fb")
     }),
 
+    // Cronbach's alpha (Cronbach 1951, public textbook) over the
+    // quality rubric's three permille ratio items (f_wlen, f_ttr,
+    // f_stop) — the internal-consistency scalar a rubric owner gates
+    // on before trusting a composite quality score: q251 reports the
+    // pairwise correlations, alpha says whether the items jointly
+    // measure ONE latent trait (α = k/(k−1)·(1 − Σvar_i/var_total)
+    // over the item and total-score variances). ONE exact integer
+    // moment row (Σx, Σx² per item, Σrow, Σrow² for the total,
+    // decimal-staged) — the 1/n factors cancel, so alpha and the
+    // population variances are each a single shared-string IEEE tree
+    // (CronbachFormula) over those sums; a constant total score
+    // reports NULL, not a crashed stage.
+    "q361_cronbach_alpha" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val f = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("f_wlen").as("x1"), col("f_ttr").as("x2"),
+          col("f_stop").as("x3"))
+        .withColumn("xt", col("x1") + col("x2") + col("x3"))
+      f.agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+          sum(col("x3")).as("s3"),
+          sum(d38(col("x1")) * col("x1")).as("q1"),
+          sum(d38(col("x2")) * col("x2")).as("q2"),
+          sum(d38(col("x3")) * col("x3")).as("q3"),
+          sum(col("xt")).as("st"),
+          sum(d38(col("xt")) * col("xt")).as("qt"))
+        .select(col("n").as("n_docs"),
+          expr(CronbachFormula.v6("1")).as("var_wlen6"),
+          expr(CronbachFormula.v6("2")).as("var_ttr6"),
+          expr(CronbachFormula.v6("3")).as("var_stop6"),
+          expr(CronbachFormula.vt6).as("var_tot6"),
+          expr(CronbachFormula.alpha4).as("alpha4"))
+    }),
+
+    // Average precision of the trained quality classifier, per
+    // language — the PR-side companion of q249's ROC AUC (AUC is
+    // prevalence-blind; AP is the number that moves when keeps are
+    // rare, which is exactly the curation regime), reported next to
+    // the prevalence baseline a random ranker would score. Step-
+    // interpolated at score-threshold granularity over the SAME score
+    // histogram as q249 (no per-doc sort): AP = Σ_s (c1_s/n_pos) ·
+    // P(≥s) with both cumulatives from the distributed cumSum (two
+    // passes over the bounded histogram); per-threshold terms
+    // 8dp-quantized + decimal-summed [D2], divisions all-double (no
+    // int64 product can overflow). A language with zero keeps has no
+    // defined AP and drops (mirrored WHERE on both engines).
+    "q365_avg_precision" -> ((s, dir) => {
+      val feats = graft.api.TextOps
+        .qualityFeatures(t(s, dir, "documents"), "text")
+      val last = percTrace(s, dir)
+        .filter(col("step") === PercIters).collect().head
+      val w = last.getAs[Long]("w_bias") +:
+        PercFeatures.map(c => last.getAs[Long](s"w_$c"))
+      val h = graft.api.MlOps.linearScore(feats, PercFeatures, w)
+        .groupBy("lang", "score")
+        .agg(sum(col("keep").cast("long")).as("c1"),
+          sum(lit(1L) - col("keep").cast("long")).as("c0"))
+      val cp = graft.functions.GlobalRank.cumSum(h, "lang", "score", "c1")
+        .select(col("lang"), col("score"), col("cum").as("cum1"),
+          col("n").as("n_pos"))
+      val ca = graft.functions.GlobalRank.cumSum(
+          h.withColumn("call", col("c1") + col("c0")),
+          "lang", "score", "call")
+        .select(col("lang"), col("score"), col("c1"), col("c0"),
+          col("call"), col("cum").as("cuma"), col("n").as("n_all"))
+      ca.join(cp, Seq("lang", "score"))
+        .filter(col("n_pos") > 0)
+        .withColumn("t8", round(
+          col("c1").cast("double")
+            * (col("n_pos") - (col("cum1") - col("c1"))).cast("double")
+            / ((col("n_all") - (col("cuma") - col("call"))).cast("double")
+              * col("n_pos").cast("double")), 8).cast("decimal(38,8)"))
+        .groupBy("lang")
+        .agg(max(col("n_pos")).as("n_pos"),
+          (max(col("n_all")) - max(col("n_pos"))).as("n_neg"),
+          round(sum(col("t8")).cast("double"), 6).as("ap6"))
+        .select(col("lang"), col("n_pos"), col("n_neg"), col("ap6"),
+          round(col("n_pos").cast("double")
+            / (col("n_pos") + col("n_neg")).cast("double"), 6).as("prev6"))
+        .orderBy("lang")
+    }),
+
     // Temperature-scaled (τ = 0.5) data-mixture plan: per-source
     // sampling weight w_i = sqrt(c_i) / Σ sqrt(c_j) over token counts,
     // and the epochs of source i a budget of Σ c_j tokens implies
@@ -1134,10 +1217,71 @@ object CurationQueries {
        |FROM a ORDER BY lang ASC NULLS FIRST""".stripMargin
   }
 
+  /** The q365 replay: the q249 scored-histogram chain, both cumulatives
+    * as window sums, the same all-double 8dp step terms decimal-summed,
+    * and the mirrored n_pos > 0 drop. */
+  private def avgPrecisionOracleSql: String = {
+    val margin = PercWs.zip(PercXs).map { case (w, x) => s"w.$w * ft.$x" }
+      .mkString(" + ")
+    s"""WITH $percCtesSql,
+       |sc AS (
+       |  SELECT ft.lang, CASE WHEN ft.y = 1 THEN 1 ELSE 0 END AS keep,
+       |         ($margin) AS score
+       |  FROM ft CROSS JOIN w$PercIters w),
+       |h AS (
+       |  SELECT lang, score, CAST(SUM(keep) AS BIGINT) AS c1,
+       |         CAST(SUM(1 - keep) AS BIGINT) AS c0
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT lang, score, c1, c0,
+       |         SUM(c1) OVER (PARTITION BY lang ORDER BY score ASC)
+       |           AS cum1,
+       |         SUM(c1 + c0) OVER (PARTITION BY lang ORDER BY score ASC)
+       |           AS cuma,
+       |         SUM(c1) OVER (PARTITION BY lang) AS n_pos,
+       |         SUM(c1 + c0) OVER (PARTITION BY lang) AS n_all
+       |  FROM h),
+       |terms AS (
+       |  SELECT lang, n_pos, n_all,
+       |         CAST(ROUND(CAST(c1 AS DOUBLE)
+       |           * CAST(n_pos - (cum1 - c1) AS DOUBLE)
+       |           / (CAST(n_all - (cuma - (c1 + c0)) AS DOUBLE)
+       |              * CAST(n_pos AS DOUBLE)), 8) AS DECIMAL(38,8)) AS t8
+       |  FROM r WHERE n_pos > 0),
+       |a AS (
+       |  SELECT lang, CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+       |         CAST(MAX(n_all) - MAX(n_pos) AS BIGINT) AS n_neg,
+       |         ROUND(CAST(SUM(t8) AS DOUBLE), 6) AS ap6
+       |  FROM terms GROUP BY 1)
+       |SELECT lang, n_pos, n_neg, ap6,
+       |       ROUND(CAST(n_pos AS DOUBLE)
+       |             / CAST(n_pos + n_neg AS DOUBLE), 6) AS prev6
+       |FROM a ORDER BY lang ASC NULLS FIRST""".stripMargin
+  }
+
   /** The q251 replay: the q104 rule CTE's raw counts re-derived into
     * the four integer features, one HUGEINT moment-matrix aggregate,
     * and the six pair rows unioned out of it — the q186 staging
     * convention (exact int128 inner terms, one double formula, 6dp). */
+  /** q361's population-variance and alpha trees over the exact moment
+    * sums (n, s1..s3, q1..q3 item Σx/Σx², st/qt total-score Σ/Σx²) —
+    * shared text, one IEEE tree each. The k/(k−1) factor is the 3-item
+    * literal 1.5; NULL on a constant total score. */
+  private[operators] object CronbachFormula {
+    private val nD = "CAST(n AS DOUBLE)"
+    private def vnum(i: String) =
+      s"($nD * CAST(q$i AS DOUBLE) " +
+        s"- CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE))"
+    private val vtnum =
+      s"($nD * CAST(qt AS DOUBLE) " +
+        s"- CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+    def v6(i: String): String = s"round(${vnum(i)} / ($nD * $nD), 6)"
+    val vt6: String = s"round($vtnum / ($nD * $nD), 6)"
+    val alpha4: String =
+      s"CASE WHEN $vtnum != 0 THEN round(1.5 * (1.0 - " +
+        s"(${vnum("1")} + ${vnum("2")} + ${vnum("3")}) / $vtnum), 4) END"
+  }
+
   private def featureCorrOracleSql: String = {
     val fs = PercFeatures
     val fexpr = Map(
@@ -1223,7 +1367,36 @@ object CurationQueries {
     "q318_dp_counts" -> dpCountsOracleSql,
     "q241_quality_calibration" -> calibrationOracleSql,
     "q249_quality_auc" -> aucOracleSql,
+    "q365_avg_precision" -> avgPrecisionOracleSql,
     "q251_feature_corr" -> featureCorrOracleSql,
+    // the same rule-stat CTE, permille items, HUGEINT moment row, and
+    // the SAME CronbachFormula trees
+    "q361_cronbach_alpha" ->
+      s"""WITH $qualityRuleCteSql,
+         |ftx AS (
+         |  SELECT qm.sum_len * 1000 // qm.n_tok AS x1,
+         |         qm.n_types * 1000 // qm.n_tok AS x2,
+         |         qm.n_stop * 1000 // qm.n_tok AS x3
+         |  FROM qm WHERE qm.n_tok >= 1),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(x1) AS BIGINT) AS s1,
+         |         CAST(SUM(x2) AS BIGINT) AS s2,
+         |         CAST(SUM(x3) AS BIGINT) AS s3,
+         |         SUM(CAST(x1 AS HUGEINT) * x1) AS q1,
+         |         SUM(CAST(x2 AS HUGEINT) * x2) AS q2,
+         |         SUM(CAST(x3 AS HUGEINT) * x3) AS q3,
+         |         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS st,
+         |         SUM(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3))
+         |           AS qt
+         |  FROM ftx)
+         |SELECT n AS n_docs,
+         |       ${CronbachFormula.v6("1")} AS var_wlen6,
+         |       ${CronbachFormula.v6("2")} AS var_ttr6,
+         |       ${CronbachFormula.v6("3")} AS var_stop6,
+         |       ${CronbachFormula.vt6} AS var_tot6,
+         |       ${CronbachFormula.alpha4} AS alpha4
+         |FROM m""".stripMargin,
     "q333_brier_gate" -> brierOracleSql,
     // Zipped unnest pairs adjacent tokens; DuckDB's range(1, n) is
     // empty for n <= 1 so bigram-less docs drop with no guard.

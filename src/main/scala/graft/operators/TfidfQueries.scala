@@ -23,6 +23,10 @@ object TfidfQueries {
     Tables.loadSpread(s, dir, n)
 
   private[operators] val Bm25Terms = Seq("hash", "join", "scan")
+  /** q362's Dirichlet-QLM μ (Zhai & Lafferty's recommended ~2000);
+    * declared up here with the term bag — the oracle map below
+    * interpolates it at object init, so it must precede the map. */
+  private[operators] val QlmMu: Double = 2000.0
   private[operators] val Bm25K = 50
   private[operators] val K1 = 1.2
   private[operators] val B = 0.75
@@ -108,6 +112,53 @@ object TfidfQueries {
         t(s, dir, "documents"), "doc_id", "text", Bm25Terms, Bm25K, K1, B)
         .select(col("id").as("doc_id"), col("score4"), col("rank"))
         .orderBy("rank")),
+
+    // Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    // 2001/2004, public method) for the pinned q94 term bag — the
+    // LANGUAGE-MODEL ranking next to BM25's tf-idf one (the two
+    // standard lexical baselines; their rank disagreement is exactly
+    // the length-normalization story). Matched-form scoring:
+    // score(d) = Σ_q ln(1 + tf·|C|/(μ·cf_q)) + |q|·ln(μ/(dl+μ)) —
+    // only matched terms contribute to the sum, so nothing explodes;
+    // tf by native array arithmetic (the q94 no-explode trick),
+    // collection stats one broadcast row, per-term logs 6dp-quantized
+    // + decimal-summed [D2], bounded-heap top-k on the exact decimal
+    // [D3]. A zero-collection-frequency term contributes nothing
+    // (guarded — a pinned vocabulary can miss a shard at 100 TB).
+    "q362_dirichlet_qlm" -> ((s, dir) => {
+      val terms = Bm25Terms
+      val base = t(s, dir, "documents").select(col("doc_id").as("id"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("long"))
+      val withTf = terms.indices.foldLeft(base) { (d, i) =>
+        d.withColumn(s"tf_$i", (size(col("tk")) -
+          size(array_remove(col("tk"), lit(terms(i))))).cast("long"))
+      }.drop("tk")
+      val stats = withTf.agg(sum(col("dl")).as("c_len"),
+        terms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i")): _*)
+      val scored = withTf
+        .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+        .crossJoin(broadcast(stats))
+      val termScores = terms.indices.map { i =>
+        round(when(col(s"cf_$i") > 0,
+          log(lit(1.0) + col(s"tf_$i").cast("double")
+            * col("c_len").cast("double")
+            / (lit(QlmMu) * col(s"cf_$i").cast("double"))))
+          .otherwise(lit(0.0)), 6).cast(graft.Dets.Dec)
+      }
+      val lenTerm = round(lit(terms.size.toDouble)
+        * log(lit(QlmMu) / (col("dl").cast("double") + lit(QlmMu))), 6)
+        .cast(graft.Dets.Dec)
+      val dec = scored.withColumn("score_dec",
+        (termScores :+ lenTerm).reduce(_ + _))
+      graft.plans.GraftOps.topKPerGroup(dec, Seq(lit(1)),
+        Seq(col("score_dec").desc, col("id").asc), Bm25K,
+        rankName = "rank")
+        .select(col("id").as("doc_id"),
+          round(col("score_dec").cast("double"), 4).as("score4"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("rank")
+    }),
 
     "q204_phrase_search" -> ((s, dir) => phraseSearch(s, dir)),
 
@@ -368,6 +419,15 @@ object TfidfQueries {
          |WHERE rank <= $Bm25K
          |ORDER BY rank ASC NULLS FIRST""".stripMargin,
 
+    // same tf columns + collection-stat row, the SAME matched-form
+    // Dirichlet trees (per-term 6dp decimal terms + the length term),
+    // rank by the exact decimal with id tie-break
+    "q362_dirichlet_qlm" ->
+      s"""WITH ${qlmRankCteSql()}
+         |SELECT id AS doc_id, score4, rank FROM qr
+         |WHERE rank <= $Bm25K
+         |ORDER BY rank ASC NULLS FIRST""".stripMargin,
+
     "q204_phrase_search" ->
       s"""WITH tk AS (
          |  SELECT doc_id, $sqlToks AS toks FROM documents),
@@ -513,6 +573,46 @@ object TfidfQueries {
     * gate one definition. `excludeId` mirrors searchDocuments' probe-doc
     * exclusion — it filters BEFORE the corpus stats, exactly like the
     * Spark side's pre-bm25 filter. */
+  /** q362's oracle: the q94 tf/doc-length CTEs with COLLECTION
+    * frequencies instead of document frequencies, the same matched-form
+    * per-term trees 6dp-quantized + decimal-summed, ranked on the
+    * exact decimal — ends in `qr(id, score4, rank)`. */
+  private def qlmRankCteSql(terms: Seq[String] = Bm25Terms,
+    mu: Double = QlmMu): String = {
+    def tf(i: Int) =
+      s"CAST(len(tk) - len(list_filter(tk, x -> x != '${terms(i)}')) AS BIGINT)"
+    def si(i: Int) =
+      s"ROUND(CASE WHEN cf_$i > 0 THEN LN(1.0 + CAST(tf_$i AS DOUBLE) " +
+        s"* CAST(c_len AS DOUBLE) / ($mu * CAST(cf_$i AS DOUBLE))) " +
+        s"ELSE 0.0 END, 6)"
+    val lenT = s"ROUND(${terms.size}.0 * LN($mu " +
+      s"/ (CAST(dl AS DOUBLE) + $mu)), 6)"
+    val ix = terms.indices
+    s"""d AS (
+       |  SELECT doc_id AS id, $sqlToks AS tk FROM documents
+       |), t AS (
+       |  SELECT id, CAST(len(tk) AS BIGINT) AS dl,
+       |         ${ix.map(i => s"${tf(i)} AS tf_$i").mkString(", ")}
+       |  FROM d
+       |), st AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS c_len,
+       |         ${ix.map(i => s"CAST(SUM(tf_$i) AS BIGINT) AS cf_$i")
+            .mkString(", ")}
+       |  FROM t
+       |), sc AS (
+       |  SELECT id,
+       |         ${(ix.map(i => s"CAST(${si(i)} AS DECIMAL(38,6))") :+
+            s"CAST($lenT AS DECIMAL(38,6))").mkString(" + ")} AS score_dec
+       |  FROM t CROSS JOIN st
+       |  WHERE ${ix.map(i => s"tf_$i > 0").mkString(" OR ")}
+       |), qr AS (
+       |  SELECT id, ROUND(CAST(score_dec AS DOUBLE), 4) AS score4,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC NULLS LAST,
+       |                                 id ASC NULLS FIRST) AS INT) AS rank
+       |  FROM sc
+       |)""".stripMargin
+  }
+
   private[operators] def bm25RankCteSql(
     terms: Seq[String] = Bm25Terms, k1: Double = K1, b: Double = B,
     excludeId: Option[Long] = None)

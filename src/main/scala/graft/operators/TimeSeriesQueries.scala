@@ -754,6 +754,151 @@ object TimeSeriesQueries {
           expr(GumbelFormula.mu2).as("mu2"),
           expr(GumbelFormula.beta2).as("beta2"),
           expr(GumbelFormula.rl52_2).as("rl52_2"))
+    }),
+
+    // Mann–Kendall trend test (Mann 1945 / Kendall, public textbook)
+    // on the full daily-revenue series — the DISTRIBUTION-FREE "is
+    // there a monotone trend at all" gate in front of the q163 OLS and
+    // q289 Theil–Sen slope ESTIMATES: S = Σ_{i<j} sgn(c_j − c_i) over
+    // day-ordered pairs, the tie-corrected variance, tau-a, and the
+    // ±1 continuity-corrected z. The corpus collapses to the
+    // calendar-bounded daily table FIRST, so the pair pass is the
+    // q289 bounded half-grid broadcast (documented BNLJ — pair count
+    // is a property of the CALENDAR, not the corpus); ties come from
+    // the 1D cents histogram; every count is exact (decimal-staged —
+    // n(n−1)(2n+5) wants headroom at century calendars), z/tau one
+    // shared-string IEEE tree each (MkFormula).
+    "q360_mann_kendall" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val a = daily.select(col("day").as("da"), col("cents").as("ca"))
+      val b = daily.select(col("day").as("db"), col("cents").as("cb"))
+      val sS = a.join(broadcast(b), col("db") > col("da"))
+        .agg(sum(when(col("cb") > col("ca"), 1L)
+          .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s_stat"))
+      val tie = daily.groupBy("cents").agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(d38(col("t")) * (col("t") - 1)
+            * (lit(2) * col("t") + 5)),
+          lit(0).cast("decimal(38,0)")).as("tie"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+      sS.crossJoin(broadcast(tie)).crossJoin(broadcast(nn))
+        .withColumn("var18",
+          (d38(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5)
+            - col("tie")).cast("long"))
+        .select(col("n").as("n_days"), col("s_stat"),
+          col("var18").as("var_num18"),
+          expr(MkFormula.tau6).as("tau6"),
+          expr(MkFormula.z4).as("z4"))
+    }),
+
+    // Pettitt change-point test (Pettitt 1979, public method) — the
+    // NONPARAMETRIC "where did the level shift" next to q203's CUSUM
+    // (which needs a variance scale) and q347's SSE breakpoint (which
+    // is mean/L2): U_t = Σ_{i≤t} Σ_{j>t} sgn(c_j − c_i), K = max|U_t|,
+    // with the classic min(1, 2·exp(−6K²/(n³+n²))) significance
+    // approximation. Each day-ordered pair (i, j, s) contributes +s at
+    // rank i and −s at rank j (a difference array), so the whole U
+    // curve is ONE prefix sum over the calendar-bounded daily series —
+    // the pair pass is the q289 half-grid broadcast (documented BNLJ),
+    // the prefix the documented q347 calendar-bounded window class;
+    // integer-exact until the final p. Argmax picks by (|U| desc,
+    // rank asc) through TakeOrdered — no global sort.
+    "q363_pettitt" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val (pool, n) = GlobalRank.rowNumberWithTotal(
+        daily, Seq(col("day").asc))
+      val r = pool.select(col("rn"), col("day"), col("cents"))
+      val a = r.select(col("rn").as("ri"), col("cents").as("ca"))
+      val b = r.select(col("rn").as("rj"), col("cents").as("cb"))
+      val pairs = a.join(broadcast(b), col("rj") > col("ri"))
+        .select(col("ri"), col("rj"),
+          when(col("cb") > col("ca"), 1L)
+            .when(col("cb") < col("ca"), -1L).otherwise(0L).as("sg"))
+      val diff = pairs.select(col("ri").as("rn"), col("sg"))
+        .unionAll(pairs.select(col("rj").as("rn"), (-col("sg")).as("sg")))
+        .groupBy("rn").agg(sum(col("sg")).as("d"))
+      val w = Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      diff.withColumn("u", sum(col("d")).over(w))
+        .filter(col("rn") < n)
+        .join(r, Seq("rn"))
+        .withColumn("k", abs(col("u")))
+        .withColumn("nn", lit(n))
+        .orderBy(col("k").desc, col("rn").asc)
+        .limit(1)
+        .select(col("nn").as("n_days"), col("day").as("t_star_day"),
+          col("u").as("u_at_t"), col("k").as("k_stat"),
+          expr(PettittFormula.p4).as("p4"))
+    }),
+
+    // Hurst exponent by rescaled-range analysis (Hurst 1951 /
+    // Mandelbrot & Wallis, public textbook) on the daily-revenue
+    // series — the long-memory readout the TA family still lacked
+    // (q152/q302 measure FIXED-lag correlation; H says whether shocks
+    // persist at ALL horizons: H≈0.5 random walk, >0.5 trending,
+    // <0.5 mean-reverting). Complete blocks of m ∈ {16,32,64,128}
+    // days; within a block the rescaled range R/S stays INTEGER-exact
+    // until one sqrt: cumulative deviations scaled by m (Zs_k =
+    // m·prefix_k − k·S_b), R·m = max Zs − min Zs, S²·m² = m·Q_b − S_b²
+    // — so R/S = (maxZs − minZs)/√(m·Q_b − S_b²). Per-block ln(R/S)
+    // 6dp-quantized + decimal-summed [D2]; the ladder's H is the
+    // closed-form OLS slope over ln-size, which for the 2× ladder
+    // collapses to (3(y₁₂₈−y₁₆) + (y₆₄−y₃₂))/(10·ln 2) — one shared
+    // IEEE tree (HurstFormula), no double summation anywhere. All
+    // windows are PARTITIONED by block (bounded by m); constant
+    // blocks (S = 0) drop, degenerate ladders report NULL.
+    "q368_hurst" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val (pool, _) = GlobalRank.rowNumberWithTotal(
+        daily, Seq(col("day").asc))
+      val r = pool.select(col("rn"), col("cents"))
+      val perSize = HurstSizes.map { m =>
+        val bl = r.withColumn("b", expr(s"(rn - 1) div ${m}L"))
+        val tot = bl.groupBy("b").agg(count(lit(1)).as("cnt"),
+            sum(col("cents")).as("sb"),
+            sum(d38(col("cents")) * col("cents")).as("qb"))
+          .filter(col("cnt") === m)
+        val w = Window.partitionBy("b").orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val z = bl.withColumn("pre", sum(col("cents")).over(w))
+          .join(tot, Seq("b"))
+          .withColumn("zs", d38(col("pre")) * m
+            - d38(col("rn") - col("b") * m) * col("sb"))
+          .groupBy("b", "sb", "qb")
+          .agg(max(col("zs")).as("zmax"), min(col("zs")).as("zmin"))
+          .withColumn("den", d38(lit(m)) * col("qb")
+            - d38(col("sb")) * col("sb"))
+          .filter(col("den") > 0)
+          .withColumn("lnrs", round(log(
+            (col("zmax") - col("zmin")).cast("double")
+              / sqrt(col("den").cast("double"))), 6).cast(Dets.Dec))
+        z.agg(count(lit(1)).as("n_blocks"),
+            sum(col("lnrs")).as("s_lnrs"))
+          .select(lit(m.toLong).as("block_len"), col("n_blocks"),
+            when(col("n_blocks") > 0,
+              round(col("s_lnrs").cast("double") / col("n_blocks"), 6))
+              .as("mean_lnrs6"))
+      }.reduce(_ unionByName _)
+      val pv = perSize.agg(HurstSizes.map(m =>
+        max(when(col("block_len") === m, col("mean_lnrs6")))
+          .as(s"y$m")).head,
+        HurstSizes.map(m =>
+          max(when(col("block_len") === m, col("mean_lnrs6")))
+            .as(s"y$m")).tail: _*)
+      perSize.crossJoin(broadcast(pv))
+        .select(col("block_len"), col("n_blocks"), col("mean_lnrs6"),
+          expr(HurstFormula.h4).as("hurst4"))
+        .orderBy("block_len")
     })
   )
 
@@ -770,6 +915,47 @@ object TimeSeriesQueries {
     val sseTot4: String =
       "round(CAST(tq AS DOUBLE) - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)" +
         " / CAST(tn AS DOUBLE), 4)"
+  }
+
+  /** q360's tau/z trees over the exact pair sum `s_stat`, the
+    * tie-corrected variance NUMERATOR `var18` (×18 — the /18 stays
+    * inside the sqrt so no intermediate rounds), and the day count
+    * `n` — shared text, one IEEE tree each. z is NULL when the
+    * variance degenerates (constant series). */
+  private[operators] object MkFormula {
+    private val nD = "CAST(n AS DOUBLE)"
+    val tau6: String =
+      s"round(CAST(s_stat AS DOUBLE) / ($nD * ($nD - 1.0) / 2.0), 6)"
+    val z4: String =
+      "CASE WHEN var18 > 0 THEN round((CASE WHEN s_stat > 0 " +
+        "THEN CAST(s_stat AS DOUBLE) - 1.0 WHEN s_stat < 0 " +
+        "THEN CAST(s_stat AS DOUBLE) + 1.0 ELSE 0.0 END) " +
+        "/ sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) END"
+  }
+
+  /** q363's significance approximation over the exact max statistic
+    * `k` and day count `nn` — capped at 1 (the asymptotic form
+    * exceeds 1 for small K). Shared text, one IEEE tree. */
+  private[operators] object PettittFormula {
+    private val nD = "CAST(nn AS DOUBLE)"
+    val p4: String =
+      s"round(least(1.0, 2.0 * exp(-6.0 * CAST(k AS DOUBLE) " +
+        s"* CAST(k AS DOUBLE) / ($nD * $nD * $nD + $nD * $nD))), 4)"
+  }
+
+  /** q368's block-length ladder (powers of two so the OLS slope over
+    * ln-size collapses to the fixed-weight HurstFormula contrast).
+    * Declared before the oracle map's interpolation sites. */
+  private[operators] val HurstSizes = Seq(16, 32, 64, 128)
+
+  /** q368's Hurst slope over the four per-size mean ln(R/S) columns
+    * y16..y128: for ln-sizes ln2·{4,5,6,7} the centered OLS weights
+    * are ln2·{−1.5,−0.5,0.5,1.5} over denominator 5·ln2², so H =
+    * (3(y128−y16) + (y64−y32))/(10·ln 2) — one shared IEEE tree;
+    * NULL when any rung of the ladder had no complete block. */
+  private[operators] object HurstFormula {
+    val h4: String =
+      "round((3.0 * (y128 - y16) + (y64 - y32)) / (10.0 * ln(2.0)), 4)"
   }
 
   /** q338's slow-leg weights: (3/4)^k decay over 12 days as exact
@@ -1314,6 +1500,132 @@ object TimeSeriesQueries {
          |       ${GumbelFormula.mu2} AS mu2,
          |       ${GumbelFormula.beta2} AS beta2,
          |       ${GumbelFormula.rl52_2} AS rl52_2
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // identical daily collapse, half-grid sign pass, tie histogram,
+    // HUGEINT variance staging, and the SAME MkFormula trees
+    "q360_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |ss AS (
+         |  SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+         |                       WHEN b.cents < a.cents THEN -1
+         |                       ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM daily a JOIN daily b ON b.day > a.day),
+         |tie AS (
+         |  SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)
+         |           * (2 * t + 5)), 0) AS tie
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+         |        FROM daily GROUP BY cents) z),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         |m AS (
+         |  SELECT s_stat, n,
+         |         CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie
+         |           AS BIGINT) AS var18
+         |  FROM ss CROSS JOIN tie CROSS JOIN nn)
+         |SELECT CAST(n AS BIGINT) AS n_days, s_stat,
+         |       var18 AS var_num18,
+         |       ${MkFormula.tau6} AS tau6,
+         |       ${MkFormula.z4} AS z4
+         |FROM m""".stripMargin,
+
+    // identical daily collapse + ranking, the same difference-array
+    // pair fold, window prefix, (|U| desc, rank asc) pick, and the
+    // SAME capped PettittFormula tree
+    "q363_pettitt" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT day, cents,
+         |         ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+         |  FROM daily),
+         |p AS (
+         |  SELECT a.rn AS ri, b.rn AS rj,
+         |         CAST(CASE WHEN b.cents > a.cents THEN 1
+         |                   WHEN b.cents < a.cents THEN -1
+         |                   ELSE 0 END AS BIGINT) AS sg
+         |  FROM r a JOIN r b ON b.rn > a.rn),
+         |d AS (
+         |  SELECT rn, CAST(SUM(sg) AS BIGINT) AS d
+         |  FROM (SELECT ri AS rn, sg FROM p
+         |        UNION ALL SELECT rj AS rn, -sg FROM p) z
+         |  GROUP BY 1),
+         |u AS (
+         |  SELECT rn, CAST(SUM(d) OVER (ORDER BY rn ASC) AS BIGINT) AS u
+         |  FROM d),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+         |top AS (
+         |  SELECT nn.n AS nn, r.day, u.u, abs(u.u) AS k
+         |  FROM u JOIN r USING (rn) CROSS JOIN nn
+         |  WHERE u.rn < nn.n
+         |  ORDER BY abs(u.u) DESC, u.rn ASC LIMIT 1)
+         |SELECT nn AS n_days, day AS t_star_day, u AS u_at_t,
+         |       CAST(k AS BIGINT) AS k_stat,
+         |       ${PettittFormula.p4} AS p4
+         |FROM top""".stripMargin,
+
+    // identical daily collapse + ranking, per-size block CTEs with the
+    // same scaled-deviation integers (HUGEINT), 6dp decimal ln(R/S)
+    // sums, and the SAME HurstFormula contrast
+    "q368_hurst" -> {
+      val perM = HurstSizes.map { m =>
+        s"""b$m AS (
+           |  SELECT rn, cents, (rn - 1) // $m AS b FROM r),
+           |t$m AS (
+           |  SELECT b, COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS sb,
+           |         SUM(CAST(cents AS HUGEINT) * cents) AS qb
+           |  FROM b$m GROUP BY 1 HAVING COUNT(*) = $m),
+           |z$m AS (
+           |  SELECT x.b, t.sb, t.qb,
+           |         MAX(CAST($m AS HUGEINT) * x.pre
+           |             - (x.rn - x.b * $m) * t.sb) AS zmax,
+           |         MIN(CAST($m AS HUGEINT) * x.pre
+           |             - (x.rn - x.b * $m) * t.sb) AS zmin
+           |  FROM (SELECT b, rn,
+           |               SUM(cents) OVER (PARTITION BY b
+           |                 ORDER BY rn ASC) AS pre
+           |        FROM b$m) x
+           |  JOIN t$m t USING (b) GROUP BY 1, 2, 3),
+           |l$m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |         SUM(CAST(ROUND(LN(CAST(zmax - zmin AS DOUBLE)
+           |           / SQRT(CAST($m * qb - CAST(sb AS HUGEINT) * sb
+           |             AS DOUBLE))), 6) AS DECIMAL(38,6))) AS s_lnrs
+           |  FROM z$m
+           |  WHERE $m * qb - CAST(sb AS HUGEINT) * sb > 0),
+           |row$m AS (
+           |  SELECT CAST($m AS BIGINT) AS block_len, n_blocks,
+           |         CASE WHEN n_blocks > 0 THEN
+           |           ROUND(CAST(s_lnrs AS DOUBLE) / n_blocks, 6)
+           |         END AS mean_lnrs6
+           |  FROM l$m)""".stripMargin
+      }.mkString(",\n")
+      val union = HurstSizes
+        .map(m => s"SELECT * FROM row$m").mkString("\nUNION ALL\n")
+      val ys = HurstSizes.map(m =>
+        s"MAX(CASE WHEN block_len = $m THEN mean_lnrs6 END) AS y$m")
+        .mkString(",\n         ")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT cents,
+         |         ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+         |  FROM daily),
+         |$perM,
+         |allrows AS ($union),
+         |pv AS (
+         |  SELECT $ys
+         |  FROM allrows)
+         |SELECT a.block_len, a.n_blocks, a.mean_lnrs6,
+         |       ${HurstFormula.h4} AS hurst4
+         |FROM allrows a CROSS JOIN pv
+         |ORDER BY block_len ASC NULLS FIRST""".stripMargin
+    }
   )
 }

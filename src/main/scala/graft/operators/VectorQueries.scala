@@ -632,6 +632,52 @@ object VectorQueries {
     // new training, one window + one keyed agg over m·ksub rows;
     // entropy terms 6dp-quantized + decimal-summed [D2] (q339's
     // text), top share the [D5] truncating permille.
+    // Matryoshka truncation-recall ladder (Kusupati et al. 2022 MRL,
+    // public method) — the "how many dims can we drop" audit run
+    // before truncating stored embeddings (MRL serving keeps a PREFIX
+    // of each vector; this measures what that costs on THIS corpus):
+    // for prefix widths {8, 16, 32, 64}, the exact integer-L2 top-3
+    // over the truncated milli-quantized vectors vs the full-64 exact
+    // top-3, overlap summed over the 10 probes ([D5] truncating
+    // permille); width 64 is the identity sanity row (1000‰ by
+    // construction, so a broken harness is visible in the table
+    // itself). ONE broadcast-probe pair pass computes all four prefix
+    // distances (slice() + the same zip_with fold — no re-scan per
+    // width; the pair frame persists once), then four bounded-heap
+    // top-k + semi-join overlaps. The pair scan is the documented
+    // q284 ground-truth-anchor BNLJ class.
+    "q366_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.select(col("vec_id").cast("long").as("id"),
+          expr("transform(embedding, x -> " +
+            "cast(floor(cast(x as double) * 1000L) as bigint))").as("e"))
+        .filter(col("e").isNotNull)
+      val probes = q.filter(col("id") < MrlProbes)
+        .select(col("id").as("probe_id"), col("e").as("pe"))
+      val dCols = MrlDims.map { w =>
+        expr(s"aggregate(zip_with(slice(pe, 1, $w), slice(e, 1, $w), " +
+          "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
+          .as(s"d_$w")
+      }
+      val pairs = graft.Caches.persistTracked(
+        broadcast(probes).join(q, col("id") =!= col("probe_id"))
+          .select(col("probe_id") +: col("id") +: dCols: _*))
+      def topk(w: Int) = graft.plans.GraftOps.topKPerGroup(pairs,
+        Seq(col("probe_id")), Seq(col(s"d_$w").asc, col("id").asc), MrlK)
+        .select(col("probe_id"), col("id"))
+      val full = topk(MrlDims.last)
+      val np = probes.agg(count(lit(1)).as("n_probes"))
+      MrlDims.map { w =>
+        topk(w).join(full, Seq("probe_id", "id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .crossJoin(broadcast(np))
+          .select(lit(w).as("dims"), col("n_probes"),
+            (col("n_probes") * MrlK).as("n_true"), col("n_overlap"),
+            expr(s"1000L * n_overlap div (n_probes * $MrlK)")
+              .as("recall_pm"))
+      }.reduce(_ unionByName _).orderBy("dims")
+    }),
+
     "q341_pq_code_health" -> ((s, dir) =>
       codeHealth(pqIntArtifacts(s, dir)._1, PqTrK, PqTrIters)),
 
@@ -785,6 +831,13 @@ object VectorQueries {
     * the oracle unrolls one CTE block per Lloyd round, and the
     * machinery under test (per-subspace training, encoding, ADC)
     * is identical at any geometry. */
+  /** q366's MRL audit geometry: prefix widths, probe count, top-k.
+    * Declared BEFORE the oracle map's interpolation sites (the q362
+    * init-order lesson); widths must ascend and end at the full 64. */
+  private[graft] val MrlDims = Seq(8, 16, 32, 64)
+  private[graft] val MrlProbes = 10
+  private[graft] val MrlK = 3
+
   private[graft] val PqTrM = 4
   private[graft] val PqTrK = 8
   private[graft] val PqTrIters = 3
@@ -1489,6 +1542,56 @@ object VectorQueries {
     // census, same entropy quantization, same truncating share
     "q341_pq_code_health" ->
       codeHealthSql(PqTrM, PqTrK, PqTrIters),
+
+    // the same milli-quantization, one pair CTE carrying all four
+    // prefix distances (list-prefix folds), per-width ROW_NUMBER
+    // mirrors of the bounded heap, semi-join overlaps vs the full
+    // width, the same truncating permille
+    "q366_matryoshka_recall" -> {
+      val dcols = MrlDims.map { w =>
+        s"CAST(list_sum(list_transform(range(1, ${w + 1}), " +
+          s"i -> (p.e[i] - o.e[i]) * (p.e[i] - o.e[i]))) " +
+          s"AS BIGINT) AS d_$w"
+      }.mkString(",\n         ")
+      val wf = MrlDims.last
+      val perW = MrlDims.map { w =>
+        s"""rk$w AS (
+           |  SELECT probe_id, id FROM (
+           |    SELECT probe_id, id, ROW_NUMBER() OVER (
+           |      PARTITION BY probe_id
+           |      ORDER BY d_$w ASC, id ASC) AS rn FROM pd) z
+           |  WHERE rn <= $MrlK)""".stripMargin
+      }.mkString(",\n")
+      val rows = MrlDims.map { w =>
+        s"""SELECT CAST($w AS INT) AS dims, np.n_probes,
+           |       np.n_probes * $MrlK AS n_true, ov$w.n_overlap,
+           |       CAST(1000 * ov$w.n_overlap // (np.n_probes * $MrlK)
+           |         AS BIGINT) AS recall_pm
+           |FROM ov$w CROSS JOIN np""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val ovs = MrlDims.map { w =>
+        s"""ov$w AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+           |  FROM rk$w a JOIN rk$wf f
+           |    ON f.probe_id = a.probe_id AND f.id = a.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         |         list_transform(embedding, x ->
+         |           CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |pd AS (
+         |  SELECT p.vec_id AS probe_id, o.vec_id AS id,
+         |         $dcols
+         |  FROM e p JOIN e o ON p.vec_id < $MrlProbes
+         |                   AND o.vec_id != p.vec_id),
+         |$perW,
+         |$ovs,
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes
+         |       FROM e WHERE vec_id < $MrlProbes)
+         |$rows
+         |ORDER BY dims ASC NULLS FIRST""".stripMargin
+    },
 
     // same generator at the production geometry — the q285 convention
     // (one parameterized CTE generator per family) so the two

@@ -157,7 +157,9 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q339_transition_entropy", "q340_rich_club",
       "q342_postings_skew", "q344_simpson_flip", "q346_lorenz",
       "q347_breakpoint", "q348_split_balance", "q352_itemset_lift",
-      "q357_weekday_anova",
+      "q357_weekday_anova", "q360_mann_kendall", "q362_dirichlet_qlm",
+      "q363_pettitt", "q365_avg_precision", "q366_matryoshka_recall",
+      "q368_hurst",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -205,7 +207,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
       "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
       "q342_postings_skew", "q346_lorenz", "q347_breakpoint",
-      "q89_svc_partshare")
+      "q363_pettitt", "q89_svc_partshare")
     val shapes = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
