@@ -103,6 +103,35 @@ object MultimodalQueries {
         .orderBy("orient")
     }),
 
+    // Exact media dedup by content digest — q60's exact-dedup applied
+    // to the BINARY leg (the multimodal pipeline's first storage win:
+    // identical payloads are the common case in crawled media, and the
+    // digest groupBy never shuffles a payload byte — the same
+    // shuffle-the-hash-not-the-content rule as the text exchange):
+    // payloads collapse by (md5 hex, byte length), and the report is
+    // the storage owner's savings row — media count, distinct
+    // payloads, redundant copies, the largest clique, and the exact
+    // redundant byte mass reclaimable by dedup. One digest projection
+    // + two keyed aggs; md5 hex renders identically in both engines.
+    "q367_media_dedup" -> ((s, dir) => {
+      val media = Tables.load(s, dir, "documents")
+        .select(encode(coalesce(col("text"), lit("")), "UTF-8")
+          .as("payload"))
+        .select(md5(col("payload")).as("h"),
+          length(col("payload")).cast("long").as("nb"))
+      media.groupBy("h", "nb").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_media"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") - 1).as("n_redundant"),
+          max(col("c")).as("max_clique"),
+          sum(col("c") * col("nb")).as("total_bytes"),
+          sum((col("c") - 1) * col("nb")).as("redundant_bytes"))
+        .select(col("n_media"), col("n_distinct"), col("n_redundant"),
+          col("max_clique"), col("total_bytes"), col("redundant_bytes"),
+          expr("1000L * redundant_bytes div greatest(1L, total_bytes)")
+            .as("savings_pm"))
+    }),
+
     // Frame-budget ladder — the preprocessing-cost planner for the
     // video leg: total frames sampled at 250/500/1000 ms strides
     // (frame count IS the GPU-decode bill; the ladder shows what a
@@ -153,6 +182,27 @@ object MultimodalQueries {
          |       ELSE (dur + $FrameEveryMs - 1) // $FrameEveryMs END
          |    AS INTEGER) AS n_frames
          |FROM m ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+
+    // the digest replay: DuckDB's md5(VARCHAR) hashes the string's
+    // UTF-8 bytes — the same bytes Spark's md5(encode(text,'UTF-8'))
+    // sees — and hex renders identically; same collapse + savings
+    "q367_media_dedup" ->
+      """WITH m AS (
+        |  SELECT md5(COALESCE(text, '')) AS h,
+        |         CAST(octet_length(encode(COALESCE(text, '')))
+        |           AS BIGINT) AS nb
+        |  FROM documents),
+        |g AS (SELECT h, nb, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM m GROUP BY 1, 2)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_media,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       CAST(SUM(c - 1) AS BIGINT) AS n_redundant,
+        |       CAST(MAX(c) AS BIGINT) AS max_clique,
+        |       CAST(SUM(c * nb) AS BIGINT) AS total_bytes,
+        |       CAST(SUM((c - 1) * nb) AS BIGINT) AS redundant_bytes,
+        |       CAST(1000 * SUM((c - 1) * nb)
+        |            // greatest(1, SUM(c * nb)) AS BIGINT) AS savings_pm
+        |FROM g""".stripMargin,
 
     // the census replay: same integer decode arithmetic, same
     // orientation class, [D5] integer-staged mean payload

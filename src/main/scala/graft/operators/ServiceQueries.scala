@@ -369,6 +369,79 @@ object ServiceQueries {
           expr(PriceIndexFormula.fis4).as("fisher4"))
     }),
 
+    // Törnqvist price index (Törnqvist 1936, public index-number
+    // theory) over the same matched (part, base-year, current-year)
+    // panel as q345 — the superlative index the q345 family still
+    // lacked (Fisher is the geometric mean of Laspeyres/Paasche;
+    // Törnqvist weights each part's log price relative by its AVERAGE
+    // expenditure share, the other standard superlative — the two
+    // agreeing is the index-number health check): ln P_T = Σ_i
+    // ½(v0/V0 + v1/V1)·ln(v1·q0/(v0·q1)). Per-part exact integer
+    // (q, v) collapses first; matched-panel totals attach via ONE
+    // broadcast row; per-part terms 8dp-quantized + decimal-summed
+    // [D2]; the index is one exp at the end. Same scan + dim-join
+    // shape as q345.
+    "q364_tornqvist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .filter(col("yr") === PiBaseYear || col("yr") === PiCurYear)
+        .groupBy("l_partkey", "yr")
+        .agg(sum(col("q")).as("q"), sum(col("v")).as("v"))
+      val b = li.filter(col("yr") === PiBaseYear)
+        .select(col("l_partkey"), col("q").as("q0"), col("v").as("v0"))
+      val c = li.filter(col("yr") === PiCurYear)
+        .select(col("l_partkey"), col("q").as("q1"), col("v").as("v1"))
+      val m = b.join(c, Seq("l_partkey"))
+      val tot = m.agg(sum(col("v0")).as("tv0"), sum(col("v1")).as("tv1"))
+      m.crossJoin(broadcast(tot))
+        .withColumn("t8", round(
+          (col("v0").cast("double") / col("tv0").cast("double")
+            + col("v1").cast("double") / col("tv1").cast("double"))
+            * log(col("v1").cast("double") * col("q0").cast("double")
+              / (col("v0").cast("double") * col("q1").cast("double")))
+            / 2.0, 8).cast("decimal(38,8)"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("t8")).as("s_t"))
+        .select(col("n_parts"),
+          round(col("s_t").cast("double"), 6).as("ln_t6"),
+          round(exp(col("s_t").cast("double")), 4).as("tornqvist4"))
+    }),
+
+    // Incremental aggregate maintenance — the nightly-ETL shape the
+    // reference's COPY-then-transform flow implies at 100 TB: the
+    // monthly revenue rollup maintained as BASE partial + DELTA
+    // partial merged by outer-join sum (scan only the increment, never
+    // the history), hash-gated against the oracle's single-pass direct
+    // aggregation — the merge-of-partials ≡ direct-recompute identity
+    // is exactly what makes the incremental plan trustworthy. The
+    // base/delta split is the seeded polyMix parity of the order key
+    // [D1] (the q315 convention), so the verdict is a pure function of
+    // the data.
+    "q369_agg_maintenance" -> ((s, dir) => {
+      val hm = GraphQueries.HashM
+      val o = t(s, dir, "orders")
+        .withColumn("flag", pmod(GraphQueries.polyMix(
+          pmod(col("o_orderkey"), lit(hm))), lit(2L)))
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+        .withColumn("cents",
+          round(col("o_totalprice") * 100).cast("long"))
+      def partial(f: Long, n: String, c: String) =
+        o.filter(col("flag") === f).groupBy("month")
+          .agg(count(lit(1)).as(n), sum(col("cents")).as(c))
+      partial(0L, "n_base", "c_base")
+        .join(partial(1L, "n_delta", "c_delta"), Seq("month"),
+          "full_outer")
+        .select(Dets.tsOut(col("month")).as("month"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          (coalesce(col("n_base"), lit(0L))
+            + coalesce(col("n_delta"), lit(0L))).as("n_orders"),
+          (coalesce(col("c_base"), lit(0L))
+            + coalesce(col("c_delta"), lit(0L))).as("revenue_cents"))
+        .orderBy("month")
+    }),
+
     // Safety-stock / reorder-point report per part type — the
     // z-service-level closed form (public inventory theory): daily
     // demand mean and sd from exact integer quantities, safety stock
@@ -784,6 +857,62 @@ object ServiceQueries {
          |       ${PriceIndexFormula.paa4} AS paasche4,
          |       ${PriceIndexFormula.fis4} AS fisher4
          |FROM m""".stripMargin,
+
+    // the same matched panel + one-row totals, the SAME half-share
+    // log-relative trees 8dp-quantized + decimal-summed
+    "q364_tornqvist" ->
+      s"""WITH py AS (
+         |  SELECT l_partkey, year(l_shipdate) AS yr,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+         |           AS BIGINT) AS v
+         |  FROM lineitem
+         |  WHERE year(l_shipdate) IN ($PiBaseYear, $PiCurYear)
+         |  GROUP BY 1, 2),
+         |b AS (SELECT l_partkey, q AS q0, v AS v0 FROM py
+         |      WHERE yr = $PiBaseYear),
+         |c AS (SELECT l_partkey, q AS q1, v AS v1 FROM py
+         |      WHERE yr = $PiCurYear),
+         |mm AS (SELECT * FROM b JOIN c USING (l_partkey)),
+         |tot AS (
+         |  SELECT CAST(SUM(v0) AS BIGINT) AS tv0,
+         |         CAST(SUM(v1) AS BIGINT) AS tv1
+         |  FROM mm),
+         |ag AS (
+         |  SELECT COUNT(*) AS n_parts,
+         |         SUM(CAST(round(
+         |           (CAST(v0 AS DOUBLE) / CAST(tv0 AS DOUBLE)
+         |            + CAST(v1 AS DOUBLE) / CAST(tv1 AS DOUBLE))
+         |           * LN(CAST(v1 AS DOUBLE) * CAST(q0 AS DOUBLE)
+         |             / (CAST(v0 AS DOUBLE) * CAST(q1 AS DOUBLE)))
+         |           / 2.0, 8) AS DECIMAL(38,8))) AS s_t
+         |  FROM mm CROSS JOIN tot)
+         |SELECT CAST(n_parts AS BIGINT) AS n_parts,
+         |       ROUND(CAST(s_t AS DOUBLE), 6) AS ln_t6,
+         |       ROUND(EXP(CAST(s_t AS DOUBLE)), 4) AS tornqvist4
+         |FROM ag""".stripMargin,
+
+    // the maintenance identity: the oracle recomputes the rollup in
+    // ONE direct pass with parity-split conditional sums — hash
+    // equality against the Spark merge-of-partials plan IS the
+    // base+delta ≡ full-recompute proof
+    "q369_agg_maintenance" ->
+      s"""WITH o AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+         |           AS month,
+         |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         |         (${GraphQueries.polyMixSql(
+              GraphQueries.pmodSql("o_orderkey"))}) % 2 AS flag
+         |  FROM orders)
+         |SELECT month,
+         |       CAST(SUM(CASE WHEN flag = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_base,
+         |       CAST(SUM(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_delta,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         |FROM o GROUP BY 1
+         |ORDER BY month ASC NULLS FIRST""".stripMargin,
 
     // the inventory replay: same daily histogram, HUGEINT moments,
     // SAME StockFormula trees, [D5] integer-staged mean

@@ -158,7 +158,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q342_postings_skew", "q344_simpson_flip", "q346_lorenz",
       "q347_breakpoint", "q348_split_balance", "q352_itemset_lift",
       "q357_weekday_anova", "q360_mann_kendall", "q362_dirichlet_qlm",
-      "q363_pettitt", "q365_avg_precision", "q366_matryoshka_recall",
+      "q363_pettitt", "q364_tornqvist", "q365_avg_precision",
+      "q366_matryoshka_recall",
       "q368_hurst",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
