@@ -55,6 +55,11 @@ object AnalyticsQueries {
   /** q264 pre/post cut date. */
   private val DidCut = "1997-01-01"
 
+  /** q371's unrolled power-iteration depth — enough for a handful of
+    * well-connected states to mix to 8dp (probed at sf0.001/0.01);
+    * the oracle unrolls the same count, so the two cannot drift. */
+  private val MkvRounds = 12
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -197,6 +202,68 @@ object AnalyticsQueries {
       graft.plans.GraftOps.topKPerGroup(cnt, Seq(col("prev_type")),
           Seq(col("cnt").desc, col("event_type").asc), 3)
         .orderBy("prev_type", "rn")
+    }),
+
+    // Stationary distribution of the q108 event-transition chain by
+    // unrolled power iteration (public textbook Markov-chain method) —
+    // the "where do sessions END UP" readout next to q108's raw
+    // transition counts and q339's entropies: p(i,j) = c_ij/c_i over
+    // targets restricted to the prev-state space (so mass never leaks
+    // to absorbing labels), π₀ uniform, π_{r+1}(j) = Σ_i π_r(i)·p(i,j)
+    // for MkvRounds unrolled rounds — the q153/q267 bounded-iteration
+    // convention; the state space is the bounded event-type
+    // vocabulary, so every round is a tiny join + agg. Per-round
+    // products 8dp-quantized + decimal-summed [D2] so both engines
+    // replay bit-for-bit. Emitted per state next to the EMPIRICAL
+    // occupancy with the |gap| and the chain's total-variation
+    // distance attached (mixing ⇔ tv ≈ 0).
+    "q371_markov_steady" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cnt = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val states = cnt.select(col("prev_type").as("st")).distinct()
+      val cnt2 = cnt.join(
+        states.withColumnRenamed("st", "event_type"), Seq("event_type"))
+      val rs = cnt2.groupBy("prev_type").agg(sum(col("c")).as("ct"))
+      val p = cnt2.join(rs, Seq("prev_type"))
+        .select(col("prev_type").as("i"), col("event_type").as("j"),
+          round(col("c").cast("double") / col("ct").cast("double"), 8)
+            .as("p8"))
+      val kk = states.agg(count(lit(1)).as("k"))
+      var pi = states.crossJoin(broadcast(kk))
+        .select(col("st"),
+          round(lit(1.0) / col("k").cast("double"), 8).as("pi"))
+      for (_ <- 1 to MkvRounds) {
+        pi = p.join(pi.select(col("st").as("i"), col("pi").as("pv")),
+            Seq("i"))
+          .groupBy("j")
+          .agg(sum(round(col("pv") * col("p8"), 8)
+            .cast("decimal(38,8)")).as("sp"))
+          .select(col("j").as("st"),
+            round(col("sp").cast("double"), 8).as("pi"))
+      }
+      val tot = rs.agg(sum(col("ct")).as("tot"))
+      val emp = rs.crossJoin(broadcast(tot))
+        .select(col("prev_type").as("st"),
+          round(col("ct").cast("double") / col("tot").cast("double"), 8)
+            .as("emp8"))
+      val rows = states.join(pi, Seq("st"), "left")
+        .select(col("st"), coalesce(col("pi"), lit(0.0)).as("pi8"))
+        .join(emp, Seq("st"))
+        .withColumn("gap8", round(abs(col("pi8") - col("emp8")), 8))
+      val tv = rows.agg(round(
+        sum(col("gap8").cast("decimal(38,8)")).cast("double") / 2.0, 6)
+        .as("tv6"))
+      rows.crossJoin(broadcast(tv))
+        .select(col("st").as("state"), col("pi8").as("pi_steady8"),
+          col("emp8"), col("gap8"), col("tv6"))
+        .orderBy("state")
     }),
 
     // Per-user inter-event burstiness: gaps between consecutive events
@@ -1233,7 +1300,63 @@ object AnalyticsQueries {
        |ORDER BY channel ASC NULLS FIRST""".stripMargin
   }
 
+  /** q371's oracle: the q108 lag chain, the restricted probability
+    * grid, MkvRounds unrolled power-iteration CTEs with the same
+    * 8dp-quantized decimal-summed products, and the occupancy/tv
+    * attach. */
+  private def markovSteadyOracleSql: String = {
+    val rounds = (1 to MkvRounds).map { r =>
+      s"""pi$r AS (
+         |  SELECT p.j AS st,
+         |         ROUND(CAST(SUM(CAST(ROUND(pi.pi * p.p8, 8)
+         |           AS DECIMAL(38,8))) AS DOUBLE), 8) AS pi
+         |  FROM p JOIN pi${r - 1} pi ON pi.st = p.i
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts ASC, event_id ASC) AS prev_type,
+       |         event_type
+       |  FROM events),
+       |c AS (
+       |  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |states AS (SELECT DISTINCT prev_type AS st FROM c),
+       |c2 AS (SELECT c.* FROM c JOIN states ON c.event_type = states.st),
+       |rs AS (SELECT prev_type, CAST(SUM(c) AS BIGINT) AS ct
+       |       FROM c2 GROUP BY 1),
+       |p AS (
+       |  SELECT c2.prev_type AS i, c2.event_type AS j,
+       |         ROUND(CAST(c2.c AS DOUBLE) / CAST(rs.ct AS DOUBLE), 8)
+       |           AS p8
+       |  FROM c2 JOIN rs USING (prev_type)),
+       |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+       |pi0 AS (
+       |  SELECT st, ROUND(1.0 / CAST(k AS DOUBLE), 8) AS pi
+       |  FROM states CROSS JOIN k),
+       |$rounds,
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot FROM rs),
+       |emp AS (
+       |  SELECT prev_type AS st,
+       |         ROUND(CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE), 8)
+       |           AS emp8
+       |  FROM rs CROSS JOIN tot),
+       |rows_ AS (
+       |  SELECT s.st, COALESCE(pi.pi, 0.0) AS pi8, emp.emp8,
+       |         ROUND(ABS(COALESCE(pi.pi, 0.0) - emp.emp8), 8) AS gap8
+       |  FROM states s LEFT JOIN pi$MkvRounds pi ON pi.st = s.st
+       |  JOIN emp ON emp.st = s.st),
+       |tv AS (
+       |  SELECT ROUND(CAST(SUM(CAST(gap8 AS DECIMAL(38,8))) AS DOUBLE)
+       |           / 2.0, 6) AS tv6
+       |  FROM rows_)
+       |SELECT st AS state, pi8 AS pi_steady8, emp8, gap8, tv6
+       |FROM rows_ CROSS JOIN tv
+       |ORDER BY state ASC NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q371_markov_steady" -> markovSteadyOracleSql,
     "q259_markov_attribution" -> markovOracleSql,
     "q260_shapley_attribution" -> shapleyOracleSql,
 

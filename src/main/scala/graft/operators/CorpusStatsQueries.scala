@@ -218,6 +218,46 @@ object CorpusStatsQueries {
         .orderBy(col("source").asc, col("z_micro").desc, col("tok").asc)
     }),
 
+    // Dunning log-likelihood keyness (Dunning 1993, public method) of
+    // the focus source vs the REST of the corpus — the G² significance
+    // ranking corpus linguistics uses next to q319's "Fightin' Words"
+    // effect-size view (log-odds says HOW distinctive a word is; G²
+    // says how much EVIDENCE the corpus has for it — a rare word can
+    // out-score on odds yet carry no evidence): per token the 2×2
+    // table (a = focus count, b = rest count, column totals), G² =
+    // 2·[a·ln(a/E_a) + b·ln(b/E_b)], x·ln(x/E) → 0 at x = 0. One
+    // (side, token) grid + a one-row totals broadcast; G² ranks as an
+    // INTEGER micro value through the bounded-heap TopKPerGroup
+    // ([D3], the q319 convention); the over/under direction is the
+    // decimal-staged cross-product sign (no a/ta float compare).
+    "q370_keyness_g2" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val tf = srcTokens(s, dir)
+        .withColumn("g",
+          when(col("source") === KeynessFocus, 0).otherwise(1))
+        .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+      val a = tf.filter(col("g") === 0)
+        .select(col("tok"), col("c").as("a"))
+      val b = tf.filter(col("g") === 1)
+        .select(col("tok"), col("c").as("b"))
+      val grid = a.join(b, Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+      val tot = grid.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      val scored = grid.crossJoin(broadcast(tot))
+        .withColumn("g2_micro", expr(KeynessFormula.micro))
+        .withColumn("overused",
+          (d38(col("a")) * col("tb") > d38(col("b")) * col("ta"))
+            .cast("int"))
+      graft.plans.GraftOps.topKPerGroup(scored, Seq(lit(1)),
+        Seq(col("g2_micro").desc, col("tok").asc), KeynessK,
+        rankName = "rk")
+        .select(col("tok"), col("a").as("n_focus"), col("b").as("n_rest"),
+          round(col("g2_micro").cast("double") / 1e6, 6).as("g2_6"),
+          col("overused"))
+        .orderBy(col("g2_6").desc, col("tok").asc)
+    }),
+
     // Burrows' Delta — the classic authorship-attribution distance
     // between source pairs (Burrows 2002, public method): z-score each
     // source's relative frequency of the corpus's top-50 marker words
@@ -668,6 +708,27 @@ object CorpusStatsQueries {
     * micro-scaled z is the SORT key ([D3]: rank on an integer derived
     * identically on both engines, never on a raw double); guards NULL
     * the degenerate all-one-word denominators. */
+  /** q370's focus source and top-k cut. Declared before the oracle
+    * map's interpolation sites (the q362 init-order lesson). */
+  private val KeynessFocus = "src0"
+  private val KeynessK = 15
+
+  /** q370's G² as an integer MICRO value (×1e6, the z_micro ranking
+    * convention): 2·[a·ln(a(T)/ (ta(a+b))) + b·ln(b(T)/(tb(a+b)))]
+    * over the exact 2×2 counts, each zero-count arm exactly 0 —
+    * shared text, one IEEE tree. */
+  private[operators] object KeynessFormula {
+    private def arm(x: String, tx: String) =
+      s"CASE WHEN $x > 0 THEN CAST($x AS DOUBLE) " +
+        s"* ln(CAST($x AS DOUBLE) " +
+        s"* (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) " +
+        s"/ (CAST($tx AS DOUBLE) " +
+        s"* (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))) ELSE 0.0 END"
+    val micro: String =
+      s"CAST(round(2000000.0 * (${arm("a", "ta")} + ${arm("b", "tb")})) " +
+        "AS BIGINT)"
+  }
+
   private[operators] object LogOddsFormula {
     private val A0 = "100.0"
     private val ai = s"($A0 * CAST(cf AS DOUBLE) / CAST(cn AS DOUBLE))"
@@ -912,6 +973,41 @@ object CorpusStatsQueries {
          |WHERE rk <= 5
          |ORDER BY source ASC NULLS FIRST, z_micro DESC NULLS LAST,
          |         tok ASC NULLS FIRST""".stripMargin,
+
+    // the same two-side grid + one-row totals, the SAME micro-G² tree,
+    // HUGEINT cross-product direction, ROW_NUMBER heap mirror
+    "q370_keyness_g2" ->
+      s"""WITH st AS (
+         |  SELECT CASE WHEN source = '$KeynessFocus' THEN 0 ELSE 1 END
+         |           AS g, tok, COUNT(*) AS c
+         |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) x
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT tok,
+         |         CAST(COALESCE(SUM(CASE WHEN g = 0 THEN c END), 0)
+         |           AS BIGINT) AS a,
+         |         CAST(COALESCE(SUM(CASE WHEN g = 1 THEN c END), 0)
+         |           AS BIGINT) AS b
+         |  FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+         |               CAST(SUM(b) AS BIGINT) AS tb FROM grid),
+         |sc AS (
+         |  SELECT tok, a, b,
+         |         ${KeynessFormula.micro} AS g2_micro,
+         |         CAST(CASE WHEN CAST(a AS HUGEINT) * tb
+         |                      > CAST(b AS HUGEINT) * ta
+         |              THEN 1 ELSE 0 END AS INTEGER) AS overused
+         |  FROM grid CROSS JOIN tot)
+         |SELECT tok, a AS n_focus, b AS n_rest,
+         |       ROUND(CAST(g2_micro AS DOUBLE) / 1e6, 6) AS g2_6,
+         |       overused
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    ORDER BY g2_micro DESC NULLS LAST, tok ASC NULLS FIRST)
+         |    AS rk
+         |  FROM sc) q
+         |WHERE rk <= $KeynessK
+         |ORDER BY g2_6 DESC NULLS LAST, tok ASC NULLS FIRST""".stripMargin,
 
     // identical marker pool, 8dp frequency grid, decimal moments, and
     // the SAME z / mean-|Δz| trees

@@ -98,6 +98,30 @@ object StatsQueries {
     * text, one IEEE tree: r_h = Σ(x_t−x̄)(x_{t−h}−x̄) / Σ(x_t−x̄)²
     * expanded over (n, sx, sxx) global and (cnt, sa, sb, sxy) per-lag
     * sums, with x̄ = sx/n. NULL on a flat series (den = 0). */
+  /** q372's trees: the tie-corrected Mann–Whitney z over the exact
+    * per-source aggregates (u2, ns, nr, n, tie3), and the two-sided
+    * normal p from the Abramowitz–Stegun 7.1.26 erfc polynomial
+    * (|ε| < 1.5e-7) — pure arithmetic + exp, so the p-value replays
+    * bit-for-bit on engines without an erfc builtin. The erfc input
+    * is the ALREADY-4dp-ROUNDED z, so ulp noise upstream cannot
+    * straddle the final 8dp rounding. */
+  private[operators] object BhFormula {
+    private val varU = "(CAST(ns AS DOUBLE) * CAST(nr AS DOUBLE) / 12.0 " +
+      "* ((CAST(n AS DOUBLE) + 1.0) - CAST(tie3 AS DOUBLE) " +
+      "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))"
+    val z4: String = s"CASE WHEN $varU > 0 THEN " +
+      s"round((CAST(u2 AS DOUBLE) / 2.0 - CAST(ns AS DOUBLE) " +
+      s"* CAST(nr AS DOUBLE) / 2.0) / sqrt($varU), 4) END"
+    private def erfcAS(x: String): String = {
+      val tt = s"(1.0 / (1.0 + 0.3275911 * ($x)))"
+      s"($tt * (0.254829592 + $tt * (-0.284496736 + $tt * (1.421413741 " +
+        s"+ $tt * (-1.453152027 + $tt * 1.061405429)))) " +
+        s"* exp(-($x) * ($x)))"
+    }
+    val p8: String =
+      s"round(${erfcAS("abs(z4) / 1.4142135623730951")}, 8)"
+  }
+
   private[operators] object LbFormula {
     private val xm = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
     private val num = s"(CAST(sxy AS DOUBLE) - $xm * " +
@@ -1091,6 +1115,65 @@ object StatsQueries {
           / sqrt(varU), 4).as("z4"))
     }),
 
+    // Per-source length-anomaly screen with Benjamini–Hochberg FDR
+    // control (Mann–Whitney per source vs rest + BH 1995 step-up,
+    // both public textbook) — the MULTIPLE-TESTING operator the stats
+    // tier still lacked: q186 runs ONE rank test; a curation owner
+    // screens EVERY source slice and needs the family-wise false-
+    // discovery rate controlled, not per-test p's. Per source s:
+    // midrank-sum U over the n_chars value histogram (the q186
+    // midrank2 trick — 2·cum(<v)+t+1 over the GLOBAL histogram, so
+    // one cumSum serves every source), tie-corrected normal z, the
+    // two-sided p via the Abramowitz–Stegun 7.1.26 erfc polynomial
+    // (|ε| < 1.5e-7 — pure arithmetic + exp, so both engines replay
+    // it bit-for-bit; Spark/DuckDB ship no erfc builtin). BH runs on
+    // the BOUNDED per-source row set: ranks and the step-up q-value
+    // envelope via tiny self-joins (sources are a fixed dimension —
+    // documented broadcast-bounded), reject at α = 0.05.
+    "q372_bh_fdr" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+      val hs = docs.groupBy("source", "x").agg(count(lit(1)).as("cs"))
+      val hAll = hs.groupBy("x").agg(sum(col("cs")).as("t"))
+        .withColumn("gg", lit(1))
+      val cumA = graft.functions.GlobalRank.cumSum(hAll, "gg", "x", "t")
+        .withColumn("mr2", lit(2) * (col("cum") - col("t")) + col("t") + 1)
+        .select(col("x"), col("mr2"))
+      val glob = hAll.agg(sum(col("t")).as("n"),
+        sum(d38(col("t")) * col("t") * col("t") - col("t")).as("tie3"))
+      val per = hs.join(cumA, Seq("x"))
+        .groupBy("source")
+        .agg(sum(col("cs")).as("ns"),
+          sum(d38(col("cs")) * col("mr2")).as("r2"))
+        .crossJoin(broadcast(glob))
+        .withColumn("u2", (col("r2")
+          - d38(col("ns")) * (col("ns") + 1)).cast("long"))
+        .withColumn("nr", col("n") - col("ns"))
+        .withColumn("z4", expr(BhFormula.z4))
+        .withColumn("p8", expr(BhFormula.p8))
+      val mM = per.agg(count(lit(1)).as("m"))
+      val pa = per.select(col("source"), col("ns"), col("z4"), col("p8"))
+      val pb = pa.select(col("source").as("sb"), col("p8").as("pb"))
+      val ranked = pa.join(broadcast(pb),
+          col("pb") < col("p8") ||
+            (col("pb") === col("p8") && col("sb") < col("source")),
+          "left")
+        .groupBy("source", "ns", "z4", "p8")
+        .agg((count(col("sb")) + 1).as("bh_rank"))
+        .crossJoin(broadcast(mM))
+      val rb = ranked.select(col("bh_rank").as("rb"), col("p8").as("pj"))
+      ranked.join(broadcast(rb), col("rb") >= col("bh_rank"))
+        .groupBy("source", "ns", "z4", "p8", "bh_rank", "m")
+        .agg(min(round(least(lit(1.0),
+          col("pj") * col("m").cast("double") / col("rb").cast("double")),
+          8)).as("qval8"))
+        .select(col("source"), col("ns").as("n_docs"), col("z4"),
+          col("p8"), col("bh_rank"), col("qval8"),
+          (col("qval8") <= 0.05).cast("int").as("reject"))
+        .orderBy("source")
+    }),
+
     // Ordinary least squares, closed form — the REGRESSION corner of
     // the ML tier (q235 classification, q247 clustering, q250
     // generative): per return flag, fit extendedprice ~ quantity +
@@ -1436,6 +1519,54 @@ object StatsQueries {
        |  FROM pu)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same global-histogram midrank chain, HUGEINT staging, SAME
+    // z/erfc trees, and the bounded self-join rank + step-up envelope
+    "q372_bh_fdr" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+         |hs AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cs
+         |       FROM d GROUP BY 1, 2),
+         |ha AS (SELECT x, CAST(SUM(cs) AS BIGINT) AS t
+         |       FROM hs GROUP BY 1),
+         |cum AS (SELECT x, t,
+         |               CAST(SUM(t) OVER (ORDER BY x ASC) AS BIGINT)
+         |                 AS cum
+         |        FROM ha),
+         |mr AS (SELECT x, 2 * (cum - t) + t + 1 AS mr2 FROM cum),
+         |gl AS (
+         |  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         |         SUM(CAST(t AS HUGEINT) * t * t - t) AS tie3
+         |  FROM ha),
+         |per AS (
+         |  SELECT hs.source, CAST(SUM(cs) AS BIGINT) AS ns,
+         |         SUM(CAST(cs AS HUGEINT) * mr.mr2) AS r2
+         |  FROM hs JOIN mr USING (x) GROUP BY 1),
+         |sc AS (
+         |  SELECT source, ns,
+         |         CAST(r2 - CAST(ns AS HUGEINT) * (ns + 1) AS BIGINT)
+         |           AS u2,
+         |         n - ns AS nr, n, tie3
+         |  FROM per CROSS JOIN gl),
+         |zz AS (SELECT source, ns, ${BhFormula.z4} AS z4 FROM sc),
+         |pp AS (SELECT source, ns, z4, ${BhFormula.p8} AS p8 FROM zz),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+         |rk AS (
+         |  SELECT a.source, a.ns, a.z4, a.p8,
+         |         CAST(1 + COUNT(b.source) AS BIGINT) AS bh_rank
+         |  FROM pp a LEFT JOIN pp b
+         |    ON b.p8 < a.p8 OR (b.p8 = a.p8 AND b.source < a.source)
+         |  GROUP BY 1, 2, 3, 4),
+         |qv AS (
+         |  SELECT a.source, a.ns, a.z4, a.p8, a.bh_rank, mm.m,
+         |         MIN(ROUND(LEAST(1.0, b.p8 * CAST(mm.m AS DOUBLE)
+         |           / CAST(b.bh_rank AS DOUBLE)), 8)) AS qval8
+         |  FROM rk a CROSS JOIN mm
+         |  JOIN rk b ON b.bh_rank >= a.bh_rank
+         |  GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT source, ns AS n_docs, z4, p8, bh_rank, qval8,
+         |       CAST(CASE WHEN qval8 <= 0.05 THEN 1 ELSE 0 END
+         |         AS INTEGER) AS reject
+         |FROM qv ORDER BY source ASC NULLS FIRST""".stripMargin,
     // the identical seeded polyMix draw chain, equi-join resolution,
     // exact integer replicate totals, and rank-picked bounds
     "q297_bootstrap_ci" -> {

@@ -160,7 +160,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q357_weekday_anova", "q360_mann_kendall", "q362_dirichlet_qlm",
       "q363_pettitt", "q364_tornqvist", "q365_avg_precision",
       "q366_matryoshka_recall",
-      "q368_hurst",
+      "q368_hurst", "q370_keyness_g2", "q371_markov_steady",
+      "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
@@ -208,7 +209,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
       "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
       "q342_postings_skew", "q346_lorenz", "q347_breakpoint",
-      "q363_pettitt", "q89_svc_partshare")
+      "q363_pettitt", "q372_bh_fdr", "q89_svc_partshare")
     val shapes = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
