@@ -18,7 +18,68 @@ object JoinQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** q373's grid geometry: 30° cells in integer micro-degrees —
+    * coarse enough that a 3×3 ring holds candidates even at the
+    * fixtures' supplier counts; the cell size is the only tuning knob
+    * at real density. Declared before the oracle map interpolates. */
+  private val GeoCellU = 30000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Grid-blocked nearest-supplier spatial join — the SPATIAL family's
+    // scale shape (public geohash/grid-blocking method): synthetic but
+    // deterministic coordinates (seeded polyMix of the keys, exact
+    // integer MICRO-DEGREES [D1] — the fixtures ship no geo columns,
+    // so the op carries its own, like the COPY/multimodal gates), 30°
+    // grid cells, each customer equi-joins suppliers in its 3×3
+    // neighbor ring (longitude wraps, latitude clamps by absence) and
+    // keeps the nearest by EXACT integer squared equirectangular
+    // distance through the bounded-heap top-1 ([D3] — no float sort
+    // key, no haversine needed for ranking). THIS is the spatial scale
+    // path: candidates via cell equi-join (shuffle/broadcast on the
+    // cell key), never a cross join — at 100 TB both sides
+    // hash-partition by cell and the ring explode is a constant ×9.
+    // Customers whose ring is empty at fixture density keep a row with
+    // found = 0 (NULL supplier), not a dropped row.
+    "q373_geo_grid_knn" -> ((s, dir) => {
+      val hm = GraphQueries.HashM
+      def latu(k: org.apache.spark.sql.Column) =
+        pmod(GraphQueries.polyMix(pmod(k, lit(hm))),
+          lit(180000000L)) - 90000000L
+      def lonu(k: org.apache.spark.sql.Column) =
+        pmod(GraphQueries.polyMix(pmod(k * 2 + 1, lit(hm))),
+          lit(360000000L)) - 180000000L
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+          latu(col("c_custkey")).as("clat"),
+          lonu(col("c_custkey")).as("clon"))
+        .withColumn("cy", expr(s"(clat + 90000000L) div $GeoCellU"))
+        .withColumn("cx", expr(s"(clon + 180000000L) div $GeoCellU"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"),
+          latu(col("s_suppkey")).as("slat"),
+          lonu(col("s_suppkey")).as("slon"))
+        .withColumn("sy", expr(s"(slat + 90000000L) div $GeoCellU"))
+        .withColumn("sx", expr(s"(slon + 180000000L) div $GeoCellU"))
+      val ring = cust
+        .select(col("c_custkey"), col("clat"), col("clon"),
+          col("cx"), col("cy"),
+          explode(sequence(lit(0), lit(8))).as("o"))
+        .withColumn("cxn", pmod(col("cx") + (col("o") % 3) - 1, lit(12L)))
+        .withColumn("cyn", col("cy") + expr("o div 3") - 1)
+      val cand = ring.join(broadcast(supp),
+          col("cxn") === col("sx") && col("cyn") === col("sy"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          ((col("clat") - col("slat")) * (col("clat") - col("slat"))
+            + (col("clon") - col("slon")) * (col("clon") - col("slon")))
+            .as("d2"))
+      val best = graft.plans.GraftOps.topKPerGroup(cand,
+        Seq(col("c_custkey")), Seq(col("d2").asc, col("s_suppkey").asc), 1)
+        .select(col("c_custkey"), col("s_suppkey"), col("d2"))
+      cust.select("c_custkey").join(best, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          col("s_suppkey").isNotNull.cast("int").as("found"),
+          col("s_suppkey").as("nearest_supp"), col("d2"))
+        .orderBy("c_custkey")
+    }),
+
     "q10_join_bcast_dims" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")),
@@ -256,6 +317,54 @@ object JoinQueries {
   private val EditBandWidth = 4
 
   val oracle: Map[String, String] = Map(
+    // the same seeded micro-degree coordinates, 30° cells, ×9 ring
+    // (lon wrap via the pmod form), exact integer d², ROW_NUMBER top-1
+    "q373_geo_grid_knn" -> {
+      import GraphQueries.{pmodSql, polyMixSql}
+      def latu(k: String) =
+        s"((${polyMixSql(pmodSql(k))}) % 180000000) - 90000000"
+      def lonu(k: String) =
+        s"((${polyMixSql(pmodSql(s"($k) * 2 + 1"))}) % 360000000) " +
+          "- 180000000"
+      s"""WITH cust AS (
+         |  SELECT c_custkey, ${latu("c_custkey")} AS clat,
+         |         ${lonu("c_custkey")} AS clon
+         |  FROM customer),
+         |cc AS (
+         |  SELECT c_custkey, clat, clon,
+         |         (clat + 90000000) // $GeoCellU AS cy,
+         |         (clon + 180000000) // $GeoCellU AS cx
+         |  FROM cust),
+         |supp AS (
+         |  SELECT s_suppkey, ${latu("s_suppkey")} AS slat,
+         |         ${lonu("s_suppkey")} AS slon
+         |  FROM supplier),
+         |ss AS (
+         |  SELECT s_suppkey, slat, slon,
+         |         (slat + 90000000) // $GeoCellU AS sy,
+         |         (slon + 180000000) // $GeoCellU AS sx
+         |  FROM supp),
+         |ring AS (
+         |  SELECT cc.*, ((cx + (o % 3) - 1) % 12 + 12) % 12 AS cxn,
+         |         cy + (o // 3) - 1 AS cyn
+         |  FROM cc CROSS JOIN (SELECT unnest(range(0, 9)) AS o) os),
+         |cand AS (
+         |  SELECT r.c_custkey, s.s_suppkey,
+         |         (r.clat - s.slat) * (r.clat - s.slat)
+         |           + (r.clon - s.slon) * (r.clon - s.slon) AS d2
+         |  FROM ring r JOIN ss s ON r.cxn = s.sx AND r.cyn = s.sy),
+         |best AS (
+         |  SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS d2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+         |      ORDER BY d2 ASC, s_suppkey ASC) AS rn FROM cand) z
+         |  WHERE rn = 1)
+         |SELECT cc.c_custkey,
+         |       CAST(CASE WHEN best.s_suppkey IS NULL THEN 0 ELSE 1 END
+         |         AS INTEGER) AS found,
+         |       best.s_suppkey AS nearest_supp, best.d2
+         |FROM cc LEFT JOIN best USING (c_custkey)
+         |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
+    },
     "q141_name_editdist" ->
       """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist

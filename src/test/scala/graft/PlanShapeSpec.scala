@@ -104,6 +104,15 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "zipf rank must use the bounded-heap operator, not a window sort")
   }
 
+  test("q373 spatial candidates ride a cell-key hash join; nearest " +
+    "picks via the bounded heap") {
+    val p = planOf("q373_geo_grid_knn")
+    assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      "the ring join must stay an equi-join on the cell key\n" + p.take(2000))
+  }
+
   test("q114 global top-20 compiles to TakeOrderedAndProject") {
     val p = planOf("q114_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
