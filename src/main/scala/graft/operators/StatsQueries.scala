@@ -39,6 +39,10 @@ object StatsQueries {
     * autocorrelation structure). */
   private val LbMaxLag = 7L
 
+  /** q375's order-statistic count (top-k for the Hill sum; the k+1-th
+    * is the threshold). Declared before the oracle map interpolates. */
+  private val HillK = 100
+
   /** q312's Cochran–Armitage χ² over the exact bin moments (nn, ss,
     * sw1 = Σwn, sw2 = Σw²n, sws = Σws) — shared text, one IEEE tree;
     * the squared sum stages through DOUBLE ((Σwn)² overflows int64
@@ -1174,6 +1178,36 @@ object StatsQueries {
         .orderBy("source")
     }),
 
+    // Hill tail-index estimator (Hill 1975, public method) on order
+    // values — the heavy-tail exponent behind capacity planning and
+    // the q113 Zipf slope's transactional cousin (Zipf fits word
+    // ranks; Hill asks how fat the REVENUE tail is: α ≈ 1 Pareto-80/20,
+    // larger = thinner): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the
+    // top-k order statistics. The k+1 order statistics come through
+    // the bounded-heap top-k ((cents desc, key asc) total order [D1]
+    // — k+1 rows cross the exchange, never a sort); per-term logs
+    // 8dp-quantized + decimal-summed [D2]; a flat top (all equal)
+    // reports NULL, not Inf.
+    "q375_hill_tail" -> ((s, dir) => {
+      val v = t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val top = graft.plans.GraftOps.topKPerGroup(v, Seq(lit(1)),
+        Seq(col("cents").desc, col("o_orderkey").asc), HillK + 1,
+        rankName = "rk")
+      val thr = top.filter(col("rk") === HillK + 1)
+        .select(col("cents").as("xmin"))
+      top.filter(col("rk") <= HillK)
+        .crossJoin(broadcast(thr))
+        .agg(count(lit(1)).as("k"), max(col("xmin")).as("xmin_cents"),
+          sum(round(log(col("cents").cast("double")
+            / col("xmin").cast("double")), 8).cast("decimal(38,8)"))
+            .as("slog"))
+        .select(col("k"), col("xmin_cents"),
+          when(col("slog") > 0,
+            round(col("k").cast("double") / col("slog").cast("double"),
+              4)).as("hill_alpha4"))
+    }),
+
     // Ordinary least squares, closed form — the REGRESSION corner of
     // the ML tier (q235 classification, q247 clustering, q250
     // generative): per return flag, fit extendedprice ~ quantity +
@@ -1519,6 +1553,32 @@ object StatsQueries {
        |  FROM pu)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same (cents desc, key asc) order statistics via ROW_NUMBER,
+    // 8dp decimal log terms, flat-top NULL guard
+    "q375_hill_tail" ->
+      s"""WITH v AS (
+         |  SELECT o_orderkey,
+         |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |top AS (
+         |  SELECT cents, rk FROM (
+         |    SELECT cents, ROW_NUMBER() OVER (
+         |      ORDER BY cents DESC, o_orderkey ASC) AS rk FROM v) z
+         |  WHERE rk <= ${HillK + 1}),
+         |thr AS (SELECT cents AS xmin FROM top WHERE rk = ${HillK + 1}),
+         |ag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |         CAST(MAX(xmin) AS BIGINT) AS xmin_cents,
+         |         SUM(CAST(ROUND(LN(CAST(cents AS DOUBLE)
+         |           / CAST(xmin AS DOUBLE)), 8) AS DECIMAL(38,8)))
+         |           AS slog
+         |  FROM top CROSS JOIN thr WHERE rk <= $HillK)
+         |SELECT k, xmin_cents,
+         |       CASE WHEN slog > 0 THEN
+         |         ROUND(CAST(k AS DOUBLE) / CAST(slog AS DOUBLE), 4)
+         |       END AS hill_alpha4
+         |FROM ag""".stripMargin,
+
     // the same global-histogram midrank chain, HUGEINT staging, SAME
     // z/erfc trees, and the bounded self-join rank + step-up envelope
     "q372_bh_fdr" ->

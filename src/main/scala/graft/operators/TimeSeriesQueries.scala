@@ -899,6 +899,59 @@ object TimeSeriesQueries {
         .select(col("block_len"), col("n_blocks"), col("mean_lnrs6"),
           expr(HurstFormula.h4).as("hurst4"))
         .orderBy("block_len")
+    }),
+
+    // Classical decomposition seasonal-strength readout (public
+    // textbook; the STL-lite form of Cleveland's decomposition):
+    // detrend daily revenue by a centered 7-day moving average
+    // (complete windows only), average the detrended series per
+    // epoch-weekday (the portable dd % 7 — the q357 convention) to get
+    // the SEASONAL component, remainder = detrended − seasonal, and
+    // strength = max(0, 1 − var(remainder)/var(detrended)) — q168
+    // reports the DOW index levels; this says how much of the
+    // around-trend variance the weekly cycle actually EXPLAINS. Trend
+    // sums are exact integers via the q337 fan-explode (equi-join, no
+    // window); detrended/seasonal/remainder are 6dp-quantized, their
+    // squares 6dp-quantized + decimal-summed [D2]; variances and
+    // strength are shared-string IEEE trees (SeasonFormula). Emits the
+    // 7 per-dow rows with the variance shares attached.
+    "q374_seasonal_strength" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+        .select(expr("day_us div 86400000000L").as("dd"), col("cents"))
+      val fan = daily
+        .select(col("dd"), col("cents"),
+          explode(sequence(col("dd") - 3, col("dd") + 3)).as("tc"))
+        .groupBy("tc")
+        .agg(count(lit(1)).as("n_win"), sum(col("cents")).as("t7"))
+        .filter(col("n_win") === 7)
+      val cen = daily
+        .join(fan.select(col("tc").as("dd"), col("t7")), Seq("dd"))
+        .withColumn("d6", round(col("cents").cast("double")
+          - col("t7").cast("double") / 7.0, 6))
+        .withColumn("dow", expr("dd % 7"))
+      val sdow = cen.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("d6").cast(Dets.Dec)).as("sd"))
+        .withColumn("s6",
+          round(col("sd").cast("double") / col("n_days"), 6))
+      val r = cen
+        .join(broadcast(sdow.select(col("dow"), col("s6"))), Seq("dow"))
+        .withColumn("r6", round(col("d6") - col("s6"), 6))
+      val vr = r.agg(count(lit(1)).as("n"),
+          sum(col("d6").cast(Dets.Dec)).as("sx"),
+          sum(round(col("d6") * col("d6"), 6).cast(Dets.Dec)).as("sxx"),
+          sum(col("r6").cast(Dets.Dec)).as("sr"),
+          sum(round(col("r6") * col("r6"), 6).cast(Dets.Dec)).as("srr"))
+        .select(expr(SeasonFormula.varD6).as("var_d6"),
+          expr(SeasonFormula.varR6).as("var_r6"),
+          expr(SeasonFormula.strength4).as("strength4"))
+      sdow.select(col("dow"), col("n_days"), col("s6").as("s_dow6"))
+        .crossJoin(broadcast(vr))
+        .orderBy("dow")
     })
   )
 
@@ -956,6 +1009,22 @@ object TimeSeriesQueries {
   private[operators] object HurstFormula {
     val h4: String =
       "round((3.0 * (y128 - y16) + (y64 - y32)) / (10.0 * ln(2.0)), 4)"
+  }
+
+  /** q374's population-variance and strength trees over the exact
+    * decimal moment sums (n, sx/sxx detrended, sr/srr remainder) —
+    * shared text, one IEEE tree each; strength is clamped at 0 and
+    * NULL on a variance-free detrended series. */
+  private[operators] object SeasonFormula {
+    private val nD = "CAST(n AS DOUBLE)"
+    private def v(s1: String, s2: String) =
+      s"(($nD * CAST($s2 AS DOUBLE) " +
+        s"- CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE)) / ($nD * $nD))"
+    val varD6: String = s"round(${v("sx", "sxx")}, 6)"
+    val varR6: String = s"round(${v("sr", "srr")}, 6)"
+    val strength4: String =
+      s"CASE WHEN ${v("sx", "sxx")} > 0 THEN round(greatest(0.0, " +
+        s"1.0 - ${v("sr", "srr")} / ${v("sx", "sxx")}), 4) END"
   }
 
   /** q338's slow-leg weights: (3/4)^k decay over 12 days as exact
@@ -1626,6 +1695,51 @@ object TimeSeriesQueries {
          |       ${HurstFormula.h4} AS hurst4
          |FROM allrows a CROSS JOIN pv
          |ORDER BY block_len ASC NULLS FIRST""".stripMargin
-    }
+    },
+
+    // identical daily fan (complete 7-day windows), dd % 7 weekday,
+    // 6dp quantization at every stage, the SAME SeasonFormula trees
+    "q374_seasonal_strength" ->
+      s"""WITH daily AS (
+         |  SELECT epoch_us(date_trunc('day', o_orderdate))
+         |           // 86400000000 AS dd,
+         |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |fan AS (
+         |  SELECT tc, COUNT(*) AS n_win,
+         |         CAST(SUM(cents) AS BIGINT) AS t7
+         |  FROM (SELECT dd, cents, unnest(range(dd - 3, dd + 4)) AS tc
+         |        FROM daily) x
+         |  GROUP BY 1 HAVING COUNT(*) = 7),
+         |cen AS (
+         |  SELECT d.dd, d.dd % 7 AS dow,
+         |         ROUND(CAST(d.cents AS DOUBLE)
+         |           - CAST(f.t7 AS DOUBLE) / 7.0, 6) AS d6
+         |  FROM daily d JOIN fan f ON f.tc = d.dd),
+         |sdow AS (
+         |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |         ROUND(CAST(SUM(CAST(d6 AS DECIMAL(38,6))) AS DOUBLE)
+         |           / COUNT(*), 6) AS s6
+         |  FROM cen GROUP BY 1),
+         |r AS (
+         |  SELECT c.d6, ROUND(c.d6 - s.s6, 6) AS r6
+         |  FROM cen c JOIN sdow s USING (dow)),
+         |vr AS (
+         |  SELECT COUNT(*) AS n,
+         |         SUM(CAST(d6 AS DECIMAL(38,6))) AS sx,
+         |         SUM(CAST(ROUND(d6 * d6, 6) AS DECIMAL(38,6))) AS sxx,
+         |         SUM(CAST(r6 AS DECIMAL(38,6))) AS sr,
+         |         SUM(CAST(ROUND(r6 * r6, 6) AS DECIMAL(38,6))) AS srr
+         |  FROM r),
+         |st AS (
+         |  SELECT ${SeasonFormula.varD6} AS var_d6,
+         |         ${SeasonFormula.varR6} AS var_r6,
+         |         ${SeasonFormula.strength4} AS strength4
+         |  FROM vr)
+         |SELECT s.dow, s.n_days, s.s6 AS s_dow6,
+         |       st.var_d6, st.var_r6, st.strength4
+         |FROM sdow s CROSS JOIN st
+         |ORDER BY dow ASC NULLS FIRST""".stripMargin
   )
 }

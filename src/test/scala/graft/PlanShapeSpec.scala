@@ -170,6 +170,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q363_pettitt", "q364_tornqvist", "q365_avg_precision",
       "q366_matryoshka_recall",
       "q368_hurst", "q370_keyness_g2", "q371_markov_steady",
+      "q374_seasonal_strength", "q375_hill_tail",
       "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
