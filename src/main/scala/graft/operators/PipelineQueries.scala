@@ -475,6 +475,33 @@ object PipelineQueries {
     // At 100 TB the increment pays O(delta × collisions), never
     // O(corpus²) candidate surface; the split being a pure hash of the
     // data keeps the whole verdict relation hash-gated [D1].
+    // Duplication–length bias audit — the fairness check behind every
+    // near-dup DROP policy: if duplication concentrates in short (or
+    // long) documents, dedup silently reshapes the LENGTH distribution
+    // of the surviving corpus. Per pair-degree bucket (0 / 1 / 2 / 3+
+    // near-dup partners at the q61 threshold), document count and the
+    // [D5] integer-staged mean character length. Rides the
+    // session-shared verified pair table (shared:text_pairs06 — zero
+    // new pair work); one degree agg + one broadcast-size left join.
+    "q378_dup_length_bias" -> ((s, dir) => {
+      val pairs = TextQueries.nearDupPairs(s, dir, 0.6)
+      val deg = pairs.select(col("id_lo").as("doc_id"))
+        .unionAll(pairs.select(col("id_hi").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .join(deg, Seq("doc_id"), "left")
+        .withColumn("bucket",
+          when(col("deg").isNull, "0").when(col("deg") === 1, "1")
+            .when(col("deg") === 2, "2").otherwise("3+"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("s_chars"))
+        .select(col("bucket"), col("n_docs"),
+          expr("(2 * s_chars + n_docs) div (2 * n_docs)")
+            .as("mean_chars"))
+        .orderBy("bucket")
+    }),
+
     "q315_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val hm = GraphQueries.HashM
@@ -690,6 +717,29 @@ object PipelineQueries {
        |  FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the shared quadratic pair replay + the same degree buckets and
+    // [D5] mean staging
+    "q378_dup_length_bias" ->
+      s"""WITH ${TextQueries.nearDupEdgeSql},
+         |deg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM (SELECT id_lo AS doc_id FROM e
+         |        UNION ALL SELECT id_hi AS doc_id FROM e) z
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT CASE WHEN deg IS NULL THEN '0'
+         |              WHEN deg = 1 THEN '1'
+         |              WHEN deg = 2 THEN '2' ELSE '3+' END AS bucket,
+         |         n_chars
+         |  FROM documents LEFT JOIN deg USING (doc_id)),
+         |a AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s_chars
+         |  FROM b GROUP BY 1)
+         |SELECT bucket, n_docs,
+         |       CAST((2 * s_chars + n_docs) // (2 * n_docs) AS BIGINT)
+         |         AS mean_chars
+         |FROM a ORDER BY bucket ASC NULLS FIRST""".stripMargin,
 
     // the q77 recursive-components replay + per-doc token counts
     "q327_dup_savings" ->

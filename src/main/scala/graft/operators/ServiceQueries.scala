@@ -442,6 +442,35 @@ object ServiceQueries {
         .orderBy("month")
     }),
 
+    // Join-key skew audit — the pre-join diagnostic an engineer runs
+    // BEFORE deciding to salt (SURVEY §2's skew note made a measured
+    // report): per-part fact-row counts collapsed to a count-of-counts
+    // histogram, then exact p50/p99/max by RANK from the distributed
+    // cumSum (q44's machinery — no global sort), the [D5]
+    // integer-staged mean, and the max/mean skew factor that says
+    // whether the straggler task exists. One keyed agg + one bounded
+    // histogram pass at any fact size.
+    "q376_join_skew_audit" -> ((s, dir) => {
+      val perKey = t(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(count(lit(1)).as("c"))
+      val h = perKey.groupBy("c").agg(count(lit(1)).as("cnt"))
+        .withColumn("gg", lit(1))
+      val cum = graft.functions.GlobalRank.cumSum(h, "gg", "c", "cnt")
+      cum.agg(max(col("n")).as("n_keys"),
+          sum(col("c") * col("cnt")).as("n_rows"),
+          min(when(col("cum") * 2 >= col("n"), col("c"))).as("p50_rows"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("c")))
+            .as("p99_rows"),
+          max(col("c")).as("max_rows"))
+        .select(col("n_keys"), col("n_rows"),
+          (expr("(2 * n_rows * 10000 + n_keys) div (2 * n_keys)")
+            .cast("double") / 10000.0).as("mean_rows4"),
+          col("p50_rows"), col("p99_rows"), col("max_rows"),
+          round(col("max_rows").cast("double")
+            * col("n_keys").cast("double")
+            / col("n_rows").cast("double"), 4).as("skew4"))
+    }),
+
     // Safety-stock / reorder-point report per part type — the
     // z-service-level closed form (public inventory theory): daily
     // demand mean and sd from exact integer quantities, safety stock
@@ -891,6 +920,35 @@ object ServiceQueries {
          |       ROUND(CAST(s_t AS DOUBLE), 6) AS ln_t6,
          |       ROUND(EXP(CAST(s_t AS DOUBLE)), 4) AS tornqvist4
          |FROM ag""".stripMargin,
+
+    // the same count-of-counts histogram, window cumulative, rank
+    // picks, [D5] mean staging, and skew ratio
+    "q376_join_skew_audit" ->
+      """WITH pk AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM pk GROUP BY 1),
+        |cum AS (
+        |  SELECT c, cnt,
+        |         CAST(SUM(cnt) OVER (ORDER BY c ASC) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |  FROM h),
+        |a AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+        |         CAST(SUM(c * cnt) AS BIGINT) AS n_rows,
+        |         MIN(CASE WHEN cum * 2 >= n THEN c END) AS p50_rows,
+        |         MIN(CASE WHEN cum * 100 >= n * 99 THEN c END)
+        |           AS p99_rows,
+        |         MAX(c) AS max_rows
+        |  FROM cum)
+        |SELECT n_keys, n_rows,
+        |       CAST((2 * n_rows * 10000 + n_keys) // (2 * n_keys)
+        |         AS DOUBLE) / 10000.0 AS mean_rows4,
+        |       p50_rows, p99_rows, max_rows,
+        |       ROUND(CAST(max_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |         / CAST(n_rows AS DOUBLE), 4) AS skew4
+        |FROM a""".stripMargin,
 
     // the maintenance identity: the oracle recomputes the rollup in
     // ONE direct pass with parity-split conditional sums — hash

@@ -125,6 +125,34 @@ object SketchQueries {
     // values aren't — which is what makes it oracle-able. At 100 TB the
     // token count N would ride along in the sketch pass; here it's one
     // extra scan for clarity.
+    // Bloom-filter capacity planner — the sizing table a q252-style
+    // block-bloom deployment reads before building (public Bloom 1970
+    // closed forms): for target false-positive rates {1%, 0.1%,
+    // 0.01%}, the measured EXACT distinct join-key count n drives
+    // m = ⌈n·(−ln p/ln²2)⌉ bits and k = round(−ln p/ln 2) hashes
+    // (k is rate-only; m scales with the data). The per-rate
+    // constants interpolate as the SAME shortest-roundtrip double
+    // literals into both engines, so ceil/round land identically; one
+    // exact distinct + a 3-row stack.
+    "q377_bloom_planner" -> ((s, dir) => {
+      val nk = t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_keys"))
+      val row = nk.select(col("n_keys") +: BloomCfg.flatMap {
+        case (ppm, c, k) => Seq(
+          expr(s"cast(ceil(cast(n_keys as double) * $c) as bigint)")
+            .as(s"m_$ppm"),
+          lit(k).as(s"k_$ppm"))
+      }: _*)
+      row.selectExpr("n_keys",
+          s"stack(${BloomCfg.size}, " + BloomCfg.map { case (ppm, _, _) =>
+            s"cast($ppm as int), m_$ppm, k_$ppm" }.mkString(", ") +
+            ") as (fpp_ppm, m_bits, k_hashes)")
+        .select(col("fpp_ppm"), col("n_keys"), col("m_bits"),
+          col("k_hashes"),
+          round(col("m_bits").cast("double") / 8388608.0, 4).as("mib4"))
+        .orderBy(col("fpp_ppm").desc)
+    }),
+
     "q93_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val toks = t(s, dir, "documents")
@@ -411,7 +439,35 @@ object SketchQueries {
        |)""".stripMargin
   }
 
+  /** q377's per-rate constants (fpp ppm, −ln p/ln²2, round(−ln p/ln 2))
+    * — computed once here so BOTH engines see the same shortest-
+    * roundtrip double literal. Declared before the oracle map. */
+  private val BloomCfg: Seq[(Int, Double, Long)] =
+    Seq(10000, 1000, 100).map { ppm =>
+      val p = ppm / 1e6
+      (ppm, -math.log(p) / (math.log(2) * math.log(2)),
+        math.round(-math.log(p) / math.log(2)))
+    }
+
   val oracle: Map[String, String] = Map(
+    // the same exact distinct, literal constants, ceil/round forms
+    "q377_bloom_planner" -> {
+      val rows = BloomCfg.map { case (ppm, c, k) =>
+        s"""SELECT CAST($ppm AS INT) AS fpp_ppm, n_keys,
+           |       CAST(ceil(CAST(n_keys AS DOUBLE) * $c) AS BIGINT)
+           |         AS m_bits,
+           |       CAST($k AS BIGINT) AS k_hashes
+           |FROM nk""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH nk AS (
+         |  SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_keys
+         |  FROM lineitem),
+         |u AS (
+         |$rows)
+         |SELECT fpp_ppm, n_keys, m_bits, k_hashes,
+         |       ROUND(CAST(m_bits AS DOUBLE) / 8388608.0, 4) AS mib4
+         |FROM u ORDER BY fpp_ppm DESC NULLS LAST""".stripMargin
+    },
 
     // the shared LSH replay's mh slots joined per pair; the same
     // agreeing-slots estimate; `+ 0` normalizes a −0.0 bias round

@@ -171,6 +171,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q366_matryoshka_recall",
       "q368_hurst", "q370_keyness_g2", "q371_markov_steady",
       "q374_seasonal_strength", "q375_hill_tail",
+      "q376_join_skew_audit",
       "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
@@ -219,7 +220,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q203_cusum_shift", "q289_theil_sen", "q294_hampel",
       "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
       "q342_postings_skew", "q346_lorenz", "q347_breakpoint",
-      "q363_pettitt", "q372_bh_fdr", "q89_svc_partshare")
+      "q363_pettitt", "q372_bh_fdr", "q376_join_skew_audit",
+      "q89_svc_partshare")
     val shapes = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.executedPlan
