@@ -64,12 +64,16 @@ object JoinQueries {
           explode(sequence(lit(0), lit(8))).as("o"))
         .withColumn("cxn", pmod(col("cx") + (col("o") % 3) - 1, lit(12L)))
         .withColumn("cyn", col("cy") + expr("o div 3") - 1)
+      // wrapped longitude delta: a candidate reached through the ±180°
+      // seam must be scored by the short way around, or the wrap join
+      // would find it and the metric would then reject it
+      val dlon = least(abs(col("clon") - col("slon")),
+        lit(360000000L) - abs(col("clon") - col("slon")))
       val cand = ring.join(broadcast(supp),
           col("cxn") === col("sx") && col("cyn") === col("sy"))
         .select(col("c_custkey"), col("s_suppkey"),
           ((col("clat") - col("slat")) * (col("clat") - col("slat"))
-            + (col("clon") - col("slon")) * (col("clon") - col("slon")))
-            .as("d2"))
+            + dlon * dlon).as("d2"))
       val best = graft.plans.GraftOps.topKPerGroup(cand,
         Seq(col("c_custkey")), Seq(col("d2").asc, col("s_suppkey").asc), 1)
         .select(col("c_custkey"), col("s_suppkey"), col("d2"))
@@ -351,7 +355,10 @@ object JoinQueries {
          |cand AS (
          |  SELECT r.c_custkey, s.s_suppkey,
          |         (r.clat - s.slat) * (r.clat - s.slat)
-         |           + (r.clon - s.slon) * (r.clon - s.slon) AS d2
+         |           + least(abs(r.clon - s.slon),
+         |                   360000000 - abs(r.clon - s.slon))
+         |             * least(abs(r.clon - s.slon),
+         |                     360000000 - abs(r.clon - s.slon)) AS d2
          |  FROM ring r JOIN ss s ON r.cxn = s.sx AND r.cyn = s.sy),
          |best AS (
          |  SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS d2 FROM (

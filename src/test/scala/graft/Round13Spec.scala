@@ -176,6 +176,73 @@ class Round13Spec extends SparkSpec {
     assert(d(r, "alpha4") <= 1.0 + 1e-9)
   }
 
+  test("q373 spatial join: one row per customer, matches stay inside " +
+    "the ring's metric reach") {
+    val rs = rows("q373_geo_grid_knn")
+    assert(rs.length == Tables.load(spark, Sf, "customer").count())
+    rs.foreach { r =>
+      val f = i(r, "found")
+      assert(f == 0 || f == 1)
+      if (f == 1) {
+        val d2 = l(r, "d2")
+        // nearest candidate sits in the 3x3 ring of 30-degree cells:
+        // each wrapped axis delta is under two cell widths
+        assert(d2 >= 0 && d2 < 2L * 60000000L * 60000000L)
+      } else assert(r.isNullAt(r.fieldIndex("nearest_supp")))
+    }
+  }
+
+  test("q374 seasonal strength is a [0,1] variance share over the " +
+    "interior days") {
+    val rs = rows("q374_seasonal_strength")
+    // sf0.001's daily series is gappy: only weekdays owning at least
+    // one complete centered window appear (all 7 at sf >= 0.01)
+    assert(rs.nonEmpty && rs.length <= 7)
+    val st = rs.map(r => d(r, "strength4")).distinct
+    assert(st.length == 1 && st.head >= 0.0 && st.head <= 1.0)
+    rs.foreach(r => assert(d(r, "var_d6") >= 0.0 && d(r, "var_r6") >= 0.0))
+    val nDays = l(rows("q360_mann_kendall").head, "n_days")
+    assert(rs.map(r => l(r, "n_days")).sum <= nDays - 6)
+  }
+
+  test("q375 Hill estimator reads exactly k order statistics above a " +
+    "positive threshold") {
+    val r = rows("q375_hill_tail").head
+    assert(l(r, "k") == 100L)
+    assert(l(r, "xmin_cents") > 0L)
+    assert(d(r, "hill_alpha4") > 0.0)
+  }
+
+  test("q376 skew audit: percentiles are ordered, totals match the " +
+    "fact table, skew >= 1") {
+    val r = rows("q376_join_skew_audit").head
+    assert(l(r, "n_rows") == Tables.load(spark, Sf, "lineitem").count())
+    assert(l(r, "p50_rows") <= l(r, "p99_rows"))
+    assert(l(r, "p99_rows") <= l(r, "max_rows"))
+    assert(d(r, "skew4") >= 1.0 - 1e-9)
+  }
+
+  test("q377 Bloom planner: tighter fpp costs monotonically more bits " +
+    "and hashes") {
+    val rs = rows("q377_bloom_planner").sortBy(r => -i(r, "fpp_ppm"))
+    assert(rs.map(r => i(r, "fpp_ppm")).toSeq == Seq(10000, 1000, 100))
+    val ms = rs.map(r => l(r, "m_bits"))
+    val ks = rs.map(r => l(r, "k_hashes"))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a < b })
+    assert(ks.toSeq == Seq(7L, 10L, 13L))
+    rs.foreach(r => assert(math.abs(d(r, "mib4")
+      - l(r, "m_bits").toDouble / 8388608.0) < 1e-3))
+  }
+
+  test("q378 length-bias buckets partition the corpus") {
+    val rs = rows("q378_dup_length_bias")
+    assert(rs.map(r => l(r, "n_docs")).sum ==
+      Tables.load(spark, Sf, "documents").count())
+    val buckets = rs.map(_.getAs[String]("bucket")).toSet
+    assert(buckets.subsetOf(Set("0", "1", "2", "3+")))
+    rs.foreach(r => assert(l(r, "mean_chars") > 0L))
+  }
+
   test("q370 keyness scores are nonnegative evidence with exact " +
     "focus+rest counts") {
     val rs = rows("q370_keyness_g2")
