@@ -27,6 +27,8 @@ object TfidfQueries {
     * declared up here with the term bag — the oracle map below
     * interpolates it at object init, so it must precede the map. */
   private[operators] val QlmMu: Double = 2000.0
+  /** q379's top-k cut (by collection frequency). */
+  private[operators] val BurstK = 15
   private[operators] val Bm25K = 50
   private[operators] val K1 = 1.2
   private[operators] val B = 0.75
@@ -158,6 +160,33 @@ object TfidfQueries {
           round(col("score_dec").cast("double"), 4).as("score4"),
           col("rank").cast("int").as("rank"))
         .orderBy("rank")
+    }),
+
+    // Term burstiness vs the Poisson baseline (Church & Gale 1995,
+    // public method) — the "does this word CLUMP into few documents"
+    // readout behind stopword cuts and topicality weighting (q342
+    // profiles the df distribution; this scores each term against
+    // what a non-bursty corpus WOULD show): for the top-15 terms by
+    // collection frequency, observed df vs the Poisson-expected
+    // E[df] = D·(1 − e^(−cf/D)), and burstiness = expected/observed
+    // (> 1 ⇔ the term clumps). One (term) hash agg + a one-row doc
+    // count broadcast; exp/ratio are one shared-string IEEE tree
+    // each (BurstFormula); ranking by exact integer cf through the
+    // bounded heap [D3].
+    "q379_term_burstiness" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      val dd = t(s, dir, "documents").agg(count(lit(1)).as("d"))
+      val top = graft.plans.GraftOps.topKPerGroup(
+        tf.crossJoin(broadcast(dd)), Seq(lit(1)),
+        Seq(col("cf").desc, col("term").asc), BurstK, rankName = "rk")
+      top.select(col("term"), col("cf"), col("df"),
+          expr(BurstFormula.edf4).as("exp_df4"),
+          expr(BurstFormula.burst4).as("burst4"))
+        .orderBy(col("cf").desc, col("term").asc)
     }),
 
     "q204_phrase_search" -> ((s, dir) => phraseSearch(s, dir)),
@@ -419,6 +448,28 @@ object TfidfQueries {
          |WHERE rank <= $Bm25K
          |ORDER BY rank ASC NULLS FIRST""".stripMargin,
 
+    // the same (cf, df) grid + doc-count attach, SAME Poisson trees,
+    // ROW_NUMBER heap mirror on the exact integer cf
+    "q379_term_burstiness" ->
+      s"""WITH tf AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf,
+         |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS term
+         |        FROM documents) x
+         |  GROUP BY 1),
+         |dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+         |top AS (
+         |  SELECT term, cf, df, d FROM (
+         |    SELECT tf.*, dd.d, ROW_NUMBER() OVER (
+         |      ORDER BY cf DESC NULLS LAST, term ASC NULLS FIRST) AS rk
+         |    FROM tf CROSS JOIN dd) z
+         |  WHERE rk <= $BurstK)
+         |SELECT term, cf, df,
+         |       ${BurstFormula.edf4} AS exp_df4,
+         |       ${BurstFormula.burst4} AS burst4
+         |FROM top
+         |ORDER BY cf DESC NULLS LAST, term ASC NULLS FIRST""".stripMargin,
+
     // same tf columns + collection-stat row, the SAME matched-form
     // Dirichlet trees (per-term 6dp decimal terms + the length term),
     // rank by the exact decimal with id tie-break
@@ -573,6 +624,19 @@ object TfidfQueries {
     * gate one definition. `excludeId` mirrors searchDocuments' probe-doc
     * exclusion — it filters BEFORE the corpus stats, exactly like the
     * Spark side's pre-bm25 filter. */
+  /** q379's trees: Poisson-expected document frequency
+    * E[df] = D·(1 − e^(−cf/D)) and the expected/observed burstiness
+    * ratio — shared text, one IEEE tree each (df ≥ 1 for any term
+    * that exists, so the ratio is division-safe). Objects are lazily
+    * initialized, so THIS may sit below the oracle map; the plain
+    * BurstK val may not (q362 lesson) and lives with the constants. */
+  private[operators] object BurstFormula {
+    private val edf = "(CAST(d AS DOUBLE) * (1.0 - exp(" +
+      "-CAST(cf AS DOUBLE) / CAST(d AS DOUBLE))))"
+    val edf4: String = s"round($edf, 4)"
+    val burst4: String = s"round($edf / CAST(df AS DOUBLE), 4)"
+  }
+
   /** q362's oracle: the q94 tf/doc-length CTEs with COLLECTION
     * frequencies instead of document frequencies, the same matched-form
     * per-term trees 6dp-quantized + decimal-summed, ranked on the

@@ -171,7 +171,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q366_matryoshka_recall",
       "q368_hurst", "q370_keyness_g2", "q371_markov_steady",
       "q374_seasonal_strength", "q375_hill_tail",
-      "q376_join_skew_audit",
+      "q376_join_skew_audit", "q379_term_burstiness",
       "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
