@@ -2,9 +2,23 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-/** §5.6 golden outputs: frozen per-query MD5s of the sf0.001 results
-  * catch regressions without needing the DuckDB oracle. Regenerate
-  * deliberately with GRAFT_REGEN_GOLDEN=1 after intended changes. */
+/** §5.6 golden outputs + §5.4 determinism harness, FOLDED onto one
+  * full-tree execution (the r13 suite-time fold, same reasoning as
+  * PlanShapeSpec's all-plans pass): executing all ~370 declared
+  * queries at sf0.001 costs minutes, so the ONE collected result set
+  * feeds all three full-tree gates —
+  *  (a) frozen per-query MD5s (regenerate deliberately with
+  *      GRAFT_REGEN_GOLDEN=1 after intended changes),
+  *  (b) partition-count invariance (the same rows must come back from
+  *      a 1-shuffle-partition session — the local stand-in for "same
+  *      answer on 8 threads and on 1000 executors"; catches
+  *      partition-order-dependent float sums, unordered limits,
+  *      collect_list without array_sort),
+  *  (c) the emptiness screen (a query that silently drains is a bug
+  *      even when its hash freezes).
+  * The 1-partition re-execution in (b) is the irreducible second run;
+  * everything else reads the shared collect.
+  */
 class GoldenSpec extends SparkSpec {
 
   private val goldenPath = Paths.get("src/test/resources/golden_sf0001.txt")
@@ -22,16 +36,27 @@ class GoldenSpec extends SparkSpec {
     *    window; sf0.001's orders table has no such run. */
   private val IntentionallyEmpty = Set("q338_macd")
 
-  private def currentHashes: Seq[String] =
+  /** Queries legitimately empty at sf0.001 for data-shape reasons
+    * (anti-joins with full coverage, thresholds no fixture row meets)
+    * — exempt from the emptiness screen but NOT golden-frozen as
+    * intentional: if they gain rows the golden catches the change. */
+  private val MayBeEmpty = Set("q15_join_anti", "q39_except",
+    "q69_embed_neardup") ++ IntentionallyEmpty
+
+  /** The ONE full-tree execution: key → rendered rows (insertion
+    * order = name-sorted). */
+  private lazy val baseRows: Seq[(String, Seq[String])] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val rows = fn(spark, Sf).collect().map(_.toString).mkString("\n")
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      s"$name $md5"
+      name -> fn(spark, Sf).collect().map(_.toString).toSeq
     }
 
+  private def md5(rows: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   test("sf0.001 results match frozen checksums") {
-    val current = currentHashes
+    val current = baseRows.map { case (n, rows) => s"$n ${md5(rows)}" }
     if (sys.env.contains("GRAFT_REGEN_GOLDEN") || !Files.exists(goldenPath)) {
       Files.createDirectories(goldenPath.getParent)
       Files.writeString(goldenPath, current.mkString("\n") + "\n")
@@ -51,5 +76,23 @@ class GoldenSpec extends SparkSpec {
         s"empty-result keys drifted: got $emptyNow, " +
           s"documented $IntentionallyEmpty")
     }
+  }
+
+  test("all queries are invariant to shuffle partition count") {
+    val narrow = spark.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", "1")
+    val failures = baseRows.flatMap { case (name, base) =>
+      val single = SparkEntry.queries(name)(narrow, Sf)
+        .collect().map(_.toString).toSeq
+      if (base != single) Some(name) else None
+    }
+    assert(failures.isEmpty, s"nondeterministic queries: $failures")
+  }
+
+  test("every query returns rows at sf0.001 (except known-empty)") {
+    val empty = baseRows.collect {
+      case (name, rows) if !MayBeEmpty(name) && rows.isEmpty => name
+    }
+    assert(empty.isEmpty, s"unexpectedly empty: $empty")
   }
 }
