@@ -43,6 +43,10 @@ object StatsQueries {
     * is the threshold). Declared before the oracle map interpolates. */
   private val HillK = 100
 
+  /** q380's focus source (q370/q372's convention). */
+  private val WassFocus = "src0"
+
+
   /** q312's Cochran–Armitage χ² over the exact bin moments (nn, ss,
     * sw1 = Σwn, sw2 = Σw²n, sws = Σws) — shared text, one IEEE tree;
     * the squared sum stages through DOUBLE ((Σwn)² overflows int64
@@ -1119,6 +1123,45 @@ object StatsQueries {
           / sqrt(varU), 4).as("z4"))
     }),
 
+    // 1-Wasserstein (earth-mover) distance between the focus source's
+    // and the rest's document-length distributions (public optimal-
+    // transport textbook; 1-D closed form = ∫|F_A − F_B| dv) — the
+    // MAGNITUDE companion of q173's KS max-gap and q372's rank test:
+    // KS says the curves differ somewhere, W₁ says how many
+    // characters of mass must MOVE to reconcile them. Merged value
+    // histogram + one cumulative per side (the q365 two-cumSum
+    // shape); each inter-value segment contributes
+    // |cumA·nB − cumB·nA|·gap exactly (decimal-staged integers), ONE
+    // division at the end [D2]. The segment gap needs lead(v) — a
+    // window over the BOUNDED value-domain histogram (documented
+    // q186 class).
+    "q380_wasserstein" -> ((s, dir) => {
+      val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val docs = t(s, dir, "documents")
+        .select((col("source") === WassFocus).as("isf"),
+          col("n_chars").cast("long").as("x"))
+      val h = docs.groupBy("x")
+        .agg(sum(when(col("isf"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isf"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("gg", lit(1))
+      val cA = graft.functions.GlobalRank.cumSum(h, "gg", "x", "ca")
+        .select(col("x"), col("cum").as("cuma"), col("n").as("na"))
+      val cB = graft.functions.GlobalRank.cumSum(h, "gg", "x", "cb")
+        .select(col("x"), col("cum").as("cumb"), col("n").as("nb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+      val seg = cA.join(cB, Seq("x"))
+        .withColumn("gap", lead(col("x"), 1).over(w) - col("x"))
+        .filter(col("gap").isNotNull)
+        .withColumn("t", abs(d38(col("cuma")) * col("nb")
+          - d38(col("cumb")) * col("na")) * col("gap"))
+      seg.groupBy("na", "nb")
+        .agg(sum(col("t")).as("st"))
+        .select(col("na").as("n_focus"), col("nb").as("n_rest"),
+          round(col("st").cast("double")
+            / (col("na").cast("double") * col("nb").cast("double")), 6)
+            .as("w1_chars6"))
+    }),
+
     // Per-source length-anomaly screen with Benjamini–Hochberg FDR
     // control (Mann–Whitney per source vs rest + BH 1995 step-up,
     // both public textbook) — the MULTIPLE-TESTING operator the stats
@@ -1578,6 +1621,39 @@ object StatsQueries {
          |         ROUND(CAST(k AS DOUBLE) / CAST(slog AS DOUBLE), 4)
          |       END AS hill_alpha4
          |FROM ag""".stripMargin,
+
+    // the same merged histogram, per-side window cumulatives, lead()
+    // segment gaps, HUGEINT cross-mass terms, one final division
+    "q380_wasserstein" ->
+      s"""WITH d AS (
+         |  SELECT (source = '$WassFocus') AS isf,
+         |         CAST(n_chars AS BIGINT) AS x
+         |  FROM documents),
+         |h AS (
+         |  SELECT x,
+         |         CAST(SUM(CASE WHEN isf THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS ca,
+         |         CAST(SUM(CASE WHEN isf THEN 0 ELSE 1 END) AS BIGINT)
+         |           AS cb
+         |  FROM d GROUP BY 1),
+         |c AS (
+         |  SELECT x,
+         |         CAST(SUM(ca) OVER (ORDER BY x ASC) AS BIGINT) AS cuma,
+         |         CAST(SUM(cb) OVER (ORDER BY x ASC) AS BIGINT) AS cumb,
+         |         CAST(SUM(ca) OVER () AS BIGINT) AS na,
+         |         CAST(SUM(cb) OVER () AS BIGINT) AS nb,
+         |         lead(x) OVER (ORDER BY x ASC) - x AS gap
+         |  FROM h),
+         |seg AS (
+         |  SELECT na, nb,
+         |         SUM(abs(CAST(cuma AS HUGEINT) * nb
+         |           - CAST(cumb AS HUGEINT) * na) * gap) AS st
+         |  FROM c WHERE gap IS NOT NULL GROUP BY 1, 2)
+         |SELECT na AS n_focus, nb AS n_rest,
+         |       ROUND(CAST(st AS DOUBLE)
+         |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+         |         AS w1_chars6
+         |FROM seg""".stripMargin,
 
     // the same global-histogram midrank chain, HUGEINT staging, SAME
     // z/erfc trees, and the bounded self-join rank + step-up envelope

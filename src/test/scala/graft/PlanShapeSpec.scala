@@ -172,6 +172,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q368_hurst", "q370_keyness_g2", "q371_markov_steady",
       "q374_seasonal_strength", "q375_hill_tail",
       "q376_join_skew_audit", "q379_term_burstiness",
+      "q380_wasserstein",
       "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
@@ -221,6 +222,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
       "q342_postings_skew", "q346_lorenz", "q347_breakpoint",
       "q363_pettitt", "q372_bh_fdr", "q376_join_skew_audit",
+      "q380_wasserstein",
       "q89_svc_partshare")
     val shapes = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

@@ -243,6 +243,16 @@ class Round13Spec extends SparkSpec {
     rs.foreach(r => assert(l(r, "mean_chars") > 0L))
   }
 
+  test("q380 W1 is a nonnegative mass move over the full corpus, " +
+    "bounded by the length range") {
+    val r = rows("q380_wasserstein").head
+    val docs = Tables.load(spark, Sf, "documents")
+    assert(l(r, "n_focus") + l(r, "n_rest") == docs.count())
+    val range = docs.selectExpr("max(n_chars) - min(n_chars) r")
+      .collect().head.getAs[Number]("r").longValue()
+    assert(d(r, "w1_chars6") >= 0.0 && d(r, "w1_chars6") <= range)
+  }
+
   test("q370 keyness scores are nonnegative evidence with exact " +
     "focus+rest counts") {
     val rs = rows("q370_keyness_g2")
