@@ -320,6 +320,59 @@ object AnalyticsQueries {
         .orderBy("day")
     }),
 
+    // Weekly growth accounting (the public product-analytics
+    // decomposition: active(t) = new + retained + resurrected, with
+    // churned(t) = active(t−1) − retained(t)) — the WHY behind q142's
+    // cumulative curve and q177's WAU level: the same headline WAU can
+    // hide healthy acquisition or a leaky bucket, and this splits it.
+    // Per (user, epoch-week) active flags collapse first; each user's
+    // week classifies by ONE lag window partitioned by user (parallel
+    // in users, no global sort) against the user's first week;
+    // churn rows come from the SAME lag by charging week w+1 when the
+    // next active week isn't adjacent (gap ⇒ churned exactly once,
+    // when the user went dark). Quick ratio = (new + resurrected) /
+    // churned, NULL on a churn-free week (safeDiv). Weeks are epoch
+    // integers (day_us div 7 days — engine-portable, q336 convention).
+    "q382_growth_accounting" -> ((s, dir) => {
+      val wk = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts)) div 604800000000L")
+            .as("w"))
+        .distinct()
+      val uw = Window.partitionBy("user_id").orderBy("w")
+      val lbl = wk
+        .withColumn("pw", lag(col("w"), 1).over(uw))
+        .withColumn("fw", min(col("w")).over(
+          Window.partitionBy("user_id")))
+        .withColumn("cls",
+          when(col("w") === col("fw"), "new")
+            .when(col("pw") === col("w") - 1, "retained")
+            .otherwise("resurrected"))
+      val act = lbl.groupBy("w").agg(
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+      // a user active in week w but not w+1 churns IN week w+1
+      val churn = lbl
+        .withColumn("nw", lead(col("w"), 1).over(uw))
+        .filter(col("nw").isNull || col("nw") =!= col("w") + 1)
+        .groupBy((col("w") + 1).as("w"))
+        .agg(count(lit(1)).as("n_churned"))
+      act.join(churn, Seq("w"), "left")
+        .select(col("w").as("week"),
+          (col("n_new") + col("n_retained") + col("n_resurrected"))
+            .as("n_active"),
+          col("n_new"), col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+          round(Dets.safeDiv(
+            (col("n_new") + col("n_resurrected")).cast("double"),
+            coalesce(col("n_churned"), lit(0L)).cast("double")), 4)
+            .as("quick_ratio4"))
+        .orderBy("week")
+    }),
+
     // Last-touch revenue attribution: each purchase credits its value
     // to the most recent PRECEDING non-purchase event of the same user
     // ('none' when the purchase opens the stream). One keyed window
@@ -1357,6 +1410,46 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "q371_markov_steady" -> markovSteadyOracleSql,
+
+    // the same distinct (user, epoch-week) flags, per-user lag/lead
+    // classification, gap-charged churn, act-driven left join
+    "q382_growth_accounting" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_us(date_trunc('day', ts)) // 604800000000 AS w
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, w,
+        |         LAG(w) OVER (PARTITION BY user_id ORDER BY w ASC)
+        |           AS pw,
+        |         LEAD(w) OVER (PARTITION BY user_id ORDER BY w ASC)
+        |           AS nw,
+        |         MIN(w) OVER (PARTITION BY user_id) AS fw
+        |  FROM wk),
+        |act AS (
+        |  SELECT w,
+        |         CAST(SUM(CASE WHEN w = fw THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_new,
+        |         CAST(SUM(CASE WHEN w != fw AND pw = w - 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_retained,
+        |         CAST(SUM(CASE WHEN w != fw AND (pw IS NULL
+        |                       OR pw != w - 1) THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_resurrected
+        |  FROM l GROUP BY 1),
+        |churn AS (
+        |  SELECT w + 1 AS w, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM l WHERE nw IS NULL OR nw != w + 1 GROUP BY 1)
+        |SELECT act.w AS week,
+        |       n_new + n_retained + n_resurrected AS n_active,
+        |       n_new, n_retained, n_resurrected,
+        |       COALESCE(churn.n_churned, 0) AS n_churned,
+        |       ROUND(CASE WHEN COALESCE(churn.n_churned, 0) != 0 THEN
+        |         CAST(n_new + n_resurrected AS DOUBLE)
+        |           / CAST(COALESCE(churn.n_churned, 0) AS DOUBLE)
+        |       END, 4) AS quick_ratio4
+        |FROM act LEFT JOIN churn USING (w)
+        |ORDER BY week ASC NULLS FIRST""".stripMargin,
     "q259_markov_attribution" -> markovOracleSql,
     "q260_shapley_attribution" -> shapleyOracleSql,
 

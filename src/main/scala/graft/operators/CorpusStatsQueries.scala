@@ -346,6 +346,35 @@ object CorpusStatsQueries {
     // (order-independent), and the double expression shapes mirror the
     // oracle exactly: p·ln((stf·cn)/(ctf·sn)). Shuffles touch only the
     // (source, token) and token vocabularies; totals attach broadcast.
+    // Per-source language-mix entropy + effective language count —
+    // the DIVERSITY row of a dataset card (public Shannon/Hill-number
+    // textbook): H = −Σ p ln p over each source's language shares and
+    // eff = e^H, the "how many languages is this source REALLY"
+    // number a mixture planner reads next to q107's weights (q120
+    // grades the language CLASSIFIER; this profiles the labels
+    // themselves). One (source, lang) grid + a per-source total
+    // attach; per-cell −p·ln p terms 6dp-quantized + decimal-summed
+    // [D2] (single-language sources die to an exact 0 in the decimal
+    // cast, the q339 convention); eff one exp at the end.
+    "q381_lang_mix_entropy" -> ((s, dir) => {
+      val g = t(s, dir, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+      val tot = g.groupBy("source").agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_langs"))
+      g.join(tot, Seq("source"))
+        .withColumn("term", round(-(col("c").cast("double")
+            / col("n").cast("double"))
+          * log(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast(Dec))
+        .groupBy("source")
+        .agg(max(col("n")).as("n_docs"), max(col("n_langs")).as("n_langs"),
+          sum(col("term")).as("hd"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          round(col("hd").cast("double"), 6).as("h6"),
+          round(exp(col("hd").cast("double")), 4).as("eff_langs4"))
+        .orderBy("source")
+    }),
+
     "q112_kl_source" -> ((s, dir) => {
       val stf = srcTokens(s, dir).groupBy("source", "tok")
         .agg(count(lit(1)).as("stf"))
@@ -1185,6 +1214,29 @@ object CorpusStatsQueries {
          |         AS DECIMAL(38,6))) AS DOUBLE), 4) AS jsd4
          |FROM j GROUP BY sa, sb
          |ORDER BY sa ASC NULLS FIRST, sb ASC NULLS FIRST""".stripMargin,
+
+    // the same (source, lang) grid, 6dp decimal entropy terms, one exp
+    "q381_lang_mix_entropy" ->
+      """WITH g AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(COUNT(*) AS BIGINT) AS n_langs
+        |  FROM g GROUP BY 1),
+        |a AS (
+        |  SELECT g.source, MAX(tot.n) AS n_docs,
+        |         MAX(tot.n_langs) AS n_langs,
+        |         SUM(CAST(ROUND(-(CAST(g.c AS DOUBLE)
+        |           / CAST(tot.n AS DOUBLE))
+        |           * ln(CAST(g.c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 6)
+        |           AS DECIMAL(38,6))) AS hd
+        |  FROM g JOIN tot USING (source) GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_langs AS BIGINT) AS n_langs,
+        |       ROUND(CAST(hd AS DOUBLE), 6) AS h6,
+        |       ROUND(EXP(CAST(hd AS DOUBLE)), 4) AS eff_langs4
+        |FROM a ORDER BY source ASC NULLS FIRST""".stripMargin,
 
     "q112_kl_source" ->
       s"""WITH st AS (
