@@ -2,6 +2,7 @@
 """Time DuckDB executing every oracle SQL against a scale-factor dir.
 
 Usage: python3 scripts/bench_oracle.py <sfDir> <verifyOutDir> [timeoutSec]
+       python3 scripts/bench_oracle.py <sfDir> <verifyOutDir> <timeoutSec> --retry-skipped
 
 Prints one JSON line mirroring graft.Bench's format, for Spark-vs-DuckDB
 single-node throughput comparison on identical semantics, and writes the
@@ -16,6 +17,20 @@ time, NOT dropped — `value` is the covered subtotal, `n_covered` /
 `n_skipped` make the coverage explicit. The quadratic/recursive oracle
 replays (pairwise-join reconstructions of O(n) Spark kernels) are the
 expected members of the skip list at sf0.1.
+
+Watchdog correctness (r13 advice): the timer callback checks a per-query
+`done` flag under a lock before interrupting, so an interrupt can never
+land after the query completed and poison the NEXT query; and timeouts
+are classified by catching duckdb.InterruptException explicitly rather
+than by elapsed-time heuristic, so a genuine error near the timeout
+boundary is recorded as an error, not a timeout.
+
+--retry-skipped (r13 verdict item 3): reruns ONLY the queries in the
+existing DUCKDB_BENCH.json `skipped` map at the (larger) timeout given,
+merges the measured times back in, records the per-query timeout used
+in `timeout_sec_by_query`, and rewrites the artifact — turning the
+lower-bound entries into measured values so the full-tree Spark/DuckDB
+ratio is computable without inequality signs.
 """
 import json
 import sys
@@ -28,35 +43,79 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
+def run_one(con, sql, timeout):
+    """Execute sql under an interrupt watchdog.
+
+    Returns (elapsed_sec, kind, detail) with kind in
+    {"ok", "timeout", "error"}."""
+    state = {"done": False}
+    lock = threading.Lock()
+
+    def fire():
+        with lock:
+            if not state["done"]:
+                con.interrupt()
+
+    timer = threading.Timer(timeout, fire)
+    timer.start()
+    t0 = time.time()
+    try:
+        con.execute(sql).fetchall()
+        return round(time.time() - t0, 3), "ok", None
+    except duckdb.InterruptException:
+        return round(time.time() - t0, 3), "timeout", None
+    except Exception as e:
+        return round(time.time() - t0, 3), "error", f"{e}"[:200]
+    finally:
+        with lock:
+            state["done"] = True
+        timer.cancel()
+
+
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 60.0
+    retry = "--retry-skipped" in sys.argv
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    times = {}
-    skipped = {}
-    for name in sorted(oracle):
-        timer = threading.Timer(timeout, con.interrupt)
-        timer.start()
-        t0 = time.time()
-        try:
-            con.execute(oracle[name]).fetchall()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:
-            el = round(time.time() - t0, 3)
-            reason = "timeout" if el >= timeout - 0.5 else f"error: {e}"[:200]
+    con = connect(sf_dir)
+
+    if retry:
+        obj = json.load(open("DUCKDB_BENCH.json"))
+        times = obj["queries"]
+        skipped = obj["skipped"]
+        by_q = obj.get("timeout_sec_by_query", {})
+        targets = sorted(k for k in skipped if k in oracle)
+    else:
+        times, skipped, by_q = {}, {}, {}
+        targets = sorted(oracle)
+
+    for name in targets:
+        el, kind, detail = run_one(con, oracle[name], timeout)
+        if kind == "ok":
+            times[name] = el
+            skipped.pop(name, None)
+        else:
+            reason = "timeout" if kind == "timeout" else f"error: {detail}"
             skipped[name] = {"reason": reason, "elapsed_sec": el}
-        finally:
-            timer.cancel()
+        if timeout != 60.0:
+            by_q[name] = timeout
         sys.stderr.write(f"{name}: {times.get(name, skipped.get(name))}\n")
         sys.stderr.flush()
+
     total = sum(times.values())
     obj = {"metric": "total_covered", "value": round(total, 3),
            "unit": "sec", "n_covered": len(times), "n_skipped": len(skipped),
-           "timeout_sec": timeout, "queries": times, "skipped": skipped,
+           "timeout_sec": timeout if not retry else 60.0,
+           "timeout_sec_by_query": by_q,
+           "queries": times, "skipped": skipped,
            "sf": sf_dir, "engine": f"duckdb-{duckdb.__version__}"}
     with open("DUCKDB_BENCH.json", "w") as f:
         json.dump(obj, f, indent=1)

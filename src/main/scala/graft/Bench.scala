@@ -162,12 +162,18 @@ object Bench {
         // alphabetically-first hot keys and the sweep's actual worst
         // lines are never re-measured (BENCH_r12 shipped exactly that).
         // Worst-10 q-keys are in by construction: they sort to the top.
+        // Coverage (r13 verdict item 2): the requery must cover the
+        // FULL inline worst-25 slice, so the headline artifact's
+        // inline lines are all requery-substituted idle values —
+        // shared: lines are wholesale re-primed above, and the
+        // worst-InlineWorstN q-keys are in `worstQ` by construction;
+        // history-hot keys beyond that ride until the cap.
         val timeOf = results.toMap
         val worstQ = results
           .filter { case (k, v) => v >= 0 && k.startsWith("q") }
-          .sortBy(-_._2).take(10).map(_._1)
-        val wanted = (hotVsHistory.filter(_.startsWith("q")) ++ worstQ)
-          .distinct.sortBy(k => -timeOf.getOrElse(k, 0.0)).take(15)
+          .sortBy(-_._2).take(InlineWorstN).map(_._1)
+        val wanted = (worstQ ++ hotVsHistory.filter(_.startsWith("q")))
+          .distinct.sortBy(k => -timeOf.getOrElse(k, 0.0)).take(35)
         reShared ++ wanted.map { name =>
           val t0 = System.nanoTime()
           val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -182,24 +188,22 @@ object Bench {
         val m = requeried.map { case (k, v) =>
           "\"" + shortKey(k) + "\":" + f3(v)
         }.mkString("{", ",", "}")
-        val reMap = requeried.toMap
-        val totalRe = results.map { case (k, v) =>
-          reMap.getOrElse(k, v)
-        }.filter(_ >= 0).sum
         s""""requeried":$m,"requery_trigger":"$trigger",""" +
-          s""""calib_ms_re":${fl(calibRe)},""" +
-          s""""value_requeried":${f3(totalRe)},"""
+          s""""calib_ms_re":${fl(calibRe)},"""
       }
-    // Inline worst-N values (r12 item 2): where a line was requeried,
-    // the inline slice carries the REQUERIED value, so the headline
-    // artifact agrees with idle truth without reader-side adjudication;
-    // the raw contended values stay in the detail file and the
-    // `requeried` map keeps the corrected ones side by side.
+    // Requery substitution (r12 item 2, widened per the r13 verdict):
+    // where a line was requeried, both the inline worst-N slice AND
+    // the headline `value` carry the REQUERIED number, so the driver
+    // artifact agrees with idle truth without reader-side
+    // adjudication; the raw contended sweep stays machine-readable as
+    // `value_raw` + the detail file's per-line map, and the
+    // `requeried` map keeps both side by side.
     val reMapInline = requeried.toMap
     val effective = results.map { case (k, v) =>
       val rv = reMapInline.getOrElse(k, v)
       k -> (if (rv >= 0) rv else v)
     }
+    val totalEff = effective.map(_._2).filter(_ >= 0).sum
     val qs = effective.filter(_._2 >= 0).sortBy(-_._2).take(InlineWorstN)
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -220,7 +224,8 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
         s"""{"sf":"$sfEsc","n_queries":${perKey.size},""" +
           s""""n_shared":${shared.size},"queries":$fullQs,"unit":"sec",""" +
-          s"""$tele,"metric":"total","value":${f3(total)}}""" + "\n")
+          s"""$tele,"metric":"total","value_raw":${f3(total)},""" +
+          s""""value":${f3(totalEff)}}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
@@ -235,7 +240,7 @@ object Bench {
       graft.operators.TextQueries.clearCaches(spark)
       spark.stop()
     } finally {
-      println(s"""{"sf":"$sfEsc","n_queries":${perKey.size},"n_shared":${shared.size},"queries_inline":"worst$InlineWorstN","detail_file":"$detailPath","queries":$qs,"unit":"sec",$tele,"metric":"total","value":${f3(total)}}""")
+      println(s"""{"sf":"$sfEsc","n_queries":${perKey.size},"n_shared":${shared.size},"queries_inline":"worst$InlineWorstN","detail_file":"$detailPath","queries":$qs,"unit":"sec",$tele,"metric":"total","value_raw":${f3(total)},"value":${f3(totalEff)}}""")
       System.out.flush()
     }
   }

@@ -333,6 +333,11 @@ object AnalyticsQueries {
     // when the user went dark). Quick ratio = (new + resurrected) /
     // churned, NULL on a churn-free week (safeDiv). Weeks are epoch
     // integers (day_us div 7 days — engine-portable, q336 convention).
+    // act FULL-OUTER churn (classes coalesced to 0) so a calendar week
+    // with churn but zero actives — everyone went dark at once, or the
+    // week after the final active week — still reports its churn row
+    // and the identity churned(t) = active(t-1) - retained(t) holds on
+    // every emitted week (r13 advice).
     "q382_growth_accounting" -> ((s, dir) => {
       val wk = t(s, dir, "events")
         .select(col("user_id"),
@@ -360,14 +365,18 @@ object AnalyticsQueries {
         .filter(col("nw").isNull || col("nw") =!= col("w") + 1)
         .groupBy((col("w") + 1).as("w"))
         .agg(count(lit(1)).as("n_churned"))
-      act.join(churn, Seq("w"), "left")
+      act.join(churn, Seq("w"), "full")
         .select(col("w").as("week"),
-          (col("n_new") + col("n_retained") + col("n_resurrected"))
-            .as("n_active"),
-          col("n_new"), col("n_retained"), col("n_resurrected"),
+          (coalesce(col("n_new"), lit(0L))
+            + coalesce(col("n_retained"), lit(0L))
+            + coalesce(col("n_resurrected"), lit(0L))).as("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"),
           round(Dets.safeDiv(
-            (col("n_new") + col("n_resurrected")).cast("double"),
+            (coalesce(col("n_new"), lit(0L))
+              + coalesce(col("n_resurrected"), lit(0L))).cast("double"),
             coalesce(col("n_churned"), lit(0L)).cast("double")), 4)
             .as("quick_ratio4"))
         .orderBy("week")
@@ -1440,15 +1449,19 @@ object AnalyticsQueries {
         |churn AS (
         |  SELECT w + 1 AS w, CAST(COUNT(*) AS BIGINT) AS n_churned
         |  FROM l WHERE nw IS NULL OR nw != w + 1 GROUP BY 1)
-        |SELECT act.w AS week,
-        |       n_new + n_retained + n_resurrected AS n_active,
-        |       n_new, n_retained, n_resurrected,
+        |SELECT w AS week,
+        |       COALESCE(n_new, 0) + COALESCE(n_retained, 0)
+        |         + COALESCE(n_resurrected, 0) AS n_active,
+        |       COALESCE(n_new, 0) AS n_new,
+        |       COALESCE(n_retained, 0) AS n_retained,
+        |       COALESCE(n_resurrected, 0) AS n_resurrected,
         |       COALESCE(churn.n_churned, 0) AS n_churned,
         |       ROUND(CASE WHEN COALESCE(churn.n_churned, 0) != 0 THEN
-        |         CAST(n_new + n_resurrected AS DOUBLE)
+        |         CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0)
+        |              AS DOUBLE)
         |           / CAST(COALESCE(churn.n_churned, 0) AS DOUBLE)
         |       END, 4) AS quick_ratio4
-        |FROM act LEFT JOIN churn USING (w)
+        |FROM act FULL OUTER JOIN churn USING (w)
         |ORDER BY week ASC NULLS FIRST""".stripMargin,
     "q259_markov_attribution" -> markovOracleSql,
     "q260_shapley_attribution" -> shapleyOracleSql,

@@ -39,7 +39,13 @@ object JoinQueries {
     // cell key), never a cross join — at 100 TB both sides
     // hash-partition by cell and the ring explode is a constant ×9.
     // Customers whose ring is empty at fixture density keep a row with
-    // found = 0 (NULL supplier), not a dropped row.
+    // found = 0 (NULL supplier), not a dropped row. Correctness caveat
+    // of grid-blocked kNN (r13 advice): when the ring is NON-empty the
+    // reported nearest_supp is nearest-WITHIN-RING — a customer whose
+    // true global nearest sits outside the 3×3 ring reports the closer
+    // in-ring supplier instead (standard grid-blocking approximation;
+    // shrinking GeoCellU raises precision, growing it raises recall of
+    // the empty-ring case).
     "q373_geo_grid_knn" -> ((s, dir) => {
       val hm = GraphQueries.HashM
       def latu(k: org.apache.spark.sql.Column) =

@@ -58,6 +58,16 @@ class GoldenSpec extends SparkSpec {
   test("sf0.001 results match frozen checksums") {
     val current = baseRows.map { case (n, rows) => s"$n ${md5(rows)}" }
     if (sys.env.contains("GRAFT_REGEN_GOLDEN") || !Files.exists(goldenPath)) {
+      // The two-sided emptiness screen runs in the REGEN branch too
+      // (r13 advice): otherwise a regeneration can freeze an
+      // accidentally-empty query's sentinel hash and the drift only
+      // surfaces on the next non-regen run. Checked BEFORE the write
+      // so a bad tree never replaces the good golden file.
+      val emptyAtRegen = current.map(_.split(" "))
+        .collect { case Array(n, EmptySentinel) => n }.toSet
+      assert(emptyAtRegen == IntentionallyEmpty,
+        s"refusing to regen golden with drifted empty-result keys: " +
+          s"got $emptyAtRegen, documented $IntentionallyEmpty")
       Files.createDirectories(goldenPath.getParent)
       Files.writeString(goldenPath, current.mkString("\n") + "\n")
       info(s"golden file written: $goldenPath (${current.size} queries)")
