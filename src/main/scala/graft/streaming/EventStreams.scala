@@ -398,6 +398,48 @@ object EventStreams {
         new java.io.File(d, "_SUCCESS").exists())
       .map(_.getName.stripPrefix("gen_").toLong).sorted
 
+  /** Streamed sibling of q369's incremental aggregate maintenance
+    * (r13 verdict item 5): the monthly revenue rollup maintained from
+    * ORDER micro-batches. Each arriving batch contributes a
+    * month-keyed partial carrying the q369 base/delta split (the
+    * seeded polyMix parity of the order key, [D1]) as four re-summable
+    * columns; [[aggSnapshot]] folds prev ∪ partial with one keyed sum,
+    * so after the last micro-batch the snapshot equals the one-shot
+    * partials over the whole log exactly — counts and integer-cent
+    * sums are associative. [[revenueMaintenanceReport]] renders the
+    * snapshot in q369's exact output schema, and StreamingSpec pins
+    * the streamed form bit-for-bit against the batch key. Scale: each
+    * micro-batch pays one keyed shuffle of month-sized partials, never
+    * a history rescan — the nightly-ETL shape q369's batch identity
+    * justifies, now demonstrated on the stream. */
+  def revenueMaintenanceStream(orders: DataFrame, snapshotRoot: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    aggSnapshot(orders, snapshotRoot, Seq("month")) { batch =>
+      val hm = graft.operators.GraphQueries.HashM
+      batch
+        .withColumn("flag", pmod(graft.operators.GraphQueries.polyMix(
+          pmod(col("o_orderkey"), lit(hm))), lit(2L)))
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+        .withColumn("cents",
+          round(col("o_totalprice") * 100).cast("long"))
+        .groupBy("month")
+        .agg(
+          sum(when(col("flag") === 0L, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("flag") === 0L, col("cents")).otherwise(0L))
+            .as("c_base"),
+          sum(when(col("flag") === 1L, 1L).otherwise(0L)).as("n_delta"),
+          sum(when(col("flag") === 1L, col("cents")).otherwise(0L))
+            .as("c_delta"))
+    }
+
+  /** q369's output schema over a [[revenueMaintenanceStream]] snapshot. */
+  def revenueMaintenanceReport(snapshot: DataFrame): DataFrame =
+    snapshot.select(Dets.tsOut(col("month")).as("month"),
+      col("n_base"), col("n_delta"),
+      (col("n_base") + col("n_delta")).as("n_orders"),
+      (col("c_base") + col("c_delta")).as("revenue_cents"))
+      .orderBy("month")
+
   /** Read the current snapshot generation (empty None if no batch ran). */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
     snapshotRoot: String): Option[DataFrame] = {

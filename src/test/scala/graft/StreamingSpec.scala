@@ -409,6 +409,31 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streamed revenue maintenance snapshot equals the q369 batch rollup") {
+    // r13 verdict item 5: q369 proves merge-of-partials ≡ direct
+    // recompute in BATCH; this pins the STREAMED form — per-micro-batch
+    // month partials folded by aggSnapshot — bit-for-bit against the
+    // batch key's output on the same orders fixture, streamed as
+    // multiple micro-batch files so the prev ∪ partial merge genuinely
+    // executes (not just the first-batch passthrough).
+    import graft.streaming.EventStreams
+    val dir = chunkTableDir("orders", Seq("o_orderkey"))
+    val snap = Files.createTempDirectory("graft_rev_snap_").toString
+    val schema = Tables.load(spark, Sf, "orders").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/part_*.parquet")
+    val q = EventStreams.revenueMaintenanceStream(stream, snap)
+    q.processAllAvailable()
+    q.stop()
+    val got = EventStreams.revenueMaintenanceReport(
+        EventStreams.readSnapshot(spark, snap).get)
+      .collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("q369_agg_maintenance")(spark, Sf)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want,
+      s"streamed=${got.take(3)} batch=${want.take(3)}")
+  }
+
   test("streamed Count-Min snapshot reproduces the q244 batch estimates") {
     import graft.streaming.{DocStreams, EventStreams}
     val dir = chunkTableDir("documents", Seq("doc_id"))
