@@ -729,6 +729,49 @@ object AnalyticsQueries {
           4).as("autocorr4"))
     }),
 
+    // Cross-correlation function view→purchase at lags −7..+7 — the
+    // LEAD/LAG generalization of q152's single-point autocorrelation
+    // (public textbook CCF): does view volume predict purchase volume
+    // some days later (positive lags), or trail it? Each lag's
+    // (x_t, y_{t+lag}) pairing is the SAME shifted equi-join as q152,
+    // fanned out by a constant ×15 lag explode over the calendar-
+    // bounded daily table (broadcast-sized at any corpus scale), and
+    // each lag's correlation comes from the identical exact-moment
+    // formulation. Missing days break pairs on both engines alike.
+    "q389_ccf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val d19 = (c: Column) => c.cast("decimal(19,0)")
+      val a = daily.select(col("day_us"), col("x"))
+        .withColumn("lag", explode(sequence(lit(-7), lit(7))))
+      val b = daily.select(col("day_us").as("day_b"), col("y"))
+      val st = a.join(b,
+          col("day_b") === col("day_us") + col("lag") * 86400000000L)
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+          sum(d19(col("y")) * d19(col("y"))).as("syy"),
+          sum(d19(col("x")) * d19(col("y"))).as("sxy"))
+      st.select(col("lag"), col("n").as("n_pairs"),
+        round(safeDiv(
+          col("sxy").cast("double")
+            - safeDiv(col("sx").cast("double") * col("sy").cast("double"),
+              col("n")),
+          sqrt((col("sxx").cast("double")
+              - safeDiv(col("sx").cast("double") * col("sx").cast("double"),
+                col("n")))
+            * (col("syy").cast("double")
+              - safeDiv(col("sy").cast("double") * col("sy").cast("double"),
+                col("n"))))),
+          4).as("ccf4"))
+        .orderBy("lag")
+    }),
+
     // Daily-volume anomaly screen: z-score of each day's event count
     // against the whole series (population moments from exact integer
     // sums — the q101 shape on the time axis). The day table is
@@ -1766,6 +1809,39 @@ object AnalyticsQueries {
         |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4)
         |         AS autocorr4
         |FROM st""".stripMargin,
+
+    // the same shifted equi-join per lag over the identical daily
+    // table, HUGEINT moment staging, the q152 correlation tree
+    "q389_ccf" ->
+      """WITH d AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |         CAST(SUM(CASE WHEN event_type = 'view'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(range AS INTEGER) AS lag FROM range(-7, 8)),
+        |p AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM d a CROSS JOIN l
+        |  JOIN d b ON b.day_us = a.day_us + l.lag * 86400000000),
+        |st AS (
+        |  SELECT lag, COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(SUM(y) AS BIGINT) AS sy,
+        |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |         SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |         SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+        |       ROUND((CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |         / SQRT((CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |              * (CAST(syy AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+        |         4) AS ccf4
+        |FROM st ORDER BY lag ASC NULLS FIRST""".stripMargin,
 
     "q154_anomaly_days" ->
       """WITH d AS (

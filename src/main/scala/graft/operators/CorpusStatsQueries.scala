@@ -59,6 +59,42 @@ object CorpusStatsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-document CHARACTER entropy rolled up per lang — the
+    // byte-level quality signal (Shannon entropy in bits over the
+    // doc's character distribution) that catches mojibake, repeated-
+    // char spam, and charset collapse before any tokenizer runs: the
+    // char-granularity sibling of q48's token entropy and one more
+    // quality-scoring dimension for the curation tier. Each doc's
+    // −Σ p·log₂p stages every (char, doc) term as a ppb-quantized
+    // integer (p = c/n an exact rational, one IEEE log2 both engines,
+    // round, THEN the sum — order-free [D2]); the per-lang mean is
+    // the truncating-div integer stage [D5]. Scale: one char-explode
+    // (linear in bytes — the cost any byte-level filter pays), two
+    // hash aggs, a lang-bounded rollup.
+    "q383_char_entropy" -> ((s, dir) => {
+      val ch = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n"),
+          explode(split(col("text"), "")).as("c"))
+        .filter(length(col("c")) > 0)
+      val perDoc = ch.groupBy("doc_id", "lang", "n", "c")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", col("cnt").cast("double") / col("n"))
+        .groupBy("doc_id", "lang")
+        .agg((-sum(round(col("p") * log2(col("p")) * 1e9).cast("long")))
+          .as("hppb"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("hppb")).as("sh"),
+          min(col("hppb")).as("mn"), max(col("hppb")).as("mx"))
+        .select(col("lang"), col("n_docs"),
+          round(expr("sh div n_docs").cast("double") / 1e9, 6)
+            .as("mean_h6"),
+          round(col("mn").cast("double") / 1e9, 6).as("min_h6"),
+          round(col("mx").cast("double") / 1e9, 6).as("max_h6"))
+        .orderBy("lang")
+    }),
+
     // Per-source token diversity indices — the corpus-health triple a
     // curation dashboard reads next to q48's entropy: unbiased Simpson
     // (1 − Σn_i(n_i−1)/(N(N−1)), the collision probability of two
@@ -920,6 +956,31 @@ object CorpusStatsQueries {
        |LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // the same per-(doc, char) ppb-quantized entropy terms (one IEEE
+    // log2, round, then order-free integer sums) and truncating-div
+    // lang mean
+    "q383_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS n,
+        |         unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |pc AS (
+        |  SELECT doc_id, lang, n, c, COUNT(*) AS cnt
+        |  FROM ch WHERE len(c) > 0 GROUP BY 1, 2, 3, 4),
+        |pd AS (
+        |  SELECT doc_id, lang,
+        |         -CAST(SUM(CAST(ROUND(
+        |             (CAST(cnt AS DOUBLE) / n)
+        |             * log2(CAST(cnt AS DOUBLE) / n) * 1e9)
+        |           AS BIGINT)) AS BIGINT) AS hppb
+        |  FROM pc GROUP BY 1, 2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       ROUND(CAST(CAST(SUM(hppb) AS BIGINT) // COUNT(*)
+        |                  AS DOUBLE) / 1e9, 6) AS mean_h6,
+        |       ROUND(CAST(MIN(hppb) AS DOUBLE) / 1e9, 6) AS min_h6,
+        |       ROUND(CAST(MAX(hppb) AS DOUBLE) / 1e9, 6) AS max_h6
+        |FROM pd GROUP BY 1 ORDER BY lang ASC NULLS FIRST""".stripMargin,
 
     // the balance replay: same charHash split rule (q78's), same
     // conditional cells, the SAME JsdFormula term

@@ -63,6 +63,51 @@ object ServiceQueries {
       s.sql(SqlTemplate)
     }),
 
+    // Right-to-be-forgotten deletion-propagation audit — the ETL
+    // service op behind a deletion-request batch: given the request
+    // roster (modeled as the deterministic key slice custkey % 97 = 0,
+    // and user_id % 97 = 0 on the event log's separate keyspace),
+    // report per table how many rows and distinct subjects a purge
+    // would touch and the exact revenue cents leaving the books — the
+    // manifest a compliance run signs off BEFORE any destructive
+    // delete. Scale shape: the roster is request-sized, broadcast
+    // into the fact joins (orders, then lineitem through the order
+    // keys); each table contributes ONE agg row; no fact-side shuffle
+    // beyond the broadcast probes.
+    "q388_deletion_audit" -> ((s, dir) => {
+      val roster = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(97L)) === 0L)
+        .select(col("c_custkey"))
+      val co = t(s, dir, "orders").join(broadcast(roster),
+        col("o_custkey") === col("c_custkey"))
+      def row(tbl: String, d: DataFrame): DataFrame =
+        d.select(lit(tbl).as("tbl"), col("n_del_keys"),
+          col("n_rows"), coalesce(col("purge_cents"), lit(0L))
+            .as("purge_cents"))
+      val cust = roster.agg(count(lit(1)).as("n_del_keys"),
+        count(lit(1)).as("n_rows"),
+        sum(lit(0L)).as("purge_cents"))
+      val ords = co.agg(countDistinct(col("o_custkey")).as("n_del_keys"),
+        count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("purge_cents"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(co.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(countDistinct(col("o_custkey")).as("n_del_keys"),
+          count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("purge_cents"))
+      val ev = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(97L)) === 0L)
+        .agg(countDistinct(col("user_id")).as("n_del_keys"),
+          count(lit(1)).as("n_rows"),
+          sum(round(col("value") * 100).cast("long")).as("purge_cents"))
+      row("customer", cust).unionByName(row("events", ev))
+        .unionByName(row("lineitem", li)).unionByName(row("orders", ords))
+        .orderBy("tbl")
+    }),
+
     // Date-range revenue endpoint, narrowed to one market segment: the
     // range binds on the orders scan (PushedFilters), the segment dim
     // broadcasts, and the month rollup uses the exact decimal sum.
@@ -546,6 +591,43 @@ object ServiceQueries {
 
   val oracle: Map[String, String] = Map(
     "q243_sql_template" -> SqlTemplate,
+
+    // the same key-slice rosters, the same broadcast-shaped joins and
+    // per-table one-row aggregates, exact-cent purge sums
+    "q388_deletion_audit" ->
+      """WITH roster AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |co AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |  FROM orders o JOIN roster r ON o.o_custkey = r.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'customer' AS tbl,
+        |         CAST(COUNT(*) AS BIGINT) AS n_del_keys,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         CAST(0 AS BIGINT) AS purge_cents
+        |  FROM roster
+        |  UNION ALL
+        |  SELECT 'events',
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)),
+        |                       0) AS BIGINT)
+        |  FROM events WHERE user_id % 97 = 0
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         CAST(COUNT(DISTINCT co.o_custkey) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+        |                                AS BIGINT)), 0) AS BIGINT)
+        |  FROM lineitem l JOIN co ON l.l_orderkey = co.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100)
+        |                                AS BIGINT)), 0) AS BIGINT)
+        |  FROM co)
+        |ORDER BY tbl ASC NULLS FIRST""".stripMargin,
 
     "q84_svc_revenue" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

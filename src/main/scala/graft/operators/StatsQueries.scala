@@ -46,6 +46,43 @@ object StatsQueries {
   /** q380's focus source (q370/q372's convention). */
   private val WassFocus = "src0"
 
+  /** q385's SPRT design (Wald 1945, public textbook): H0 p=0.10 vs
+    * H1 p=0.15 purchase rate, α = β = 0.05. Per-event log-likelihood
+    * increments and the decision boundary are pre-quantized to exact
+    * integer ppm so the walk is an integer cumSum [D5]:
+    *  ln(0.15/0.10)·1e6 = ln(1.5)·1e6  → 405465
+    *  ln(0.85/0.90)·1e6               → −57158
+    *  ln((1−β)/α)·1e6 = ln(19)·1e6    → 2944439 (symmetric lower −A). */
+  private val SprtIncP = 405465L
+  private val SprtIncN = -57158L
+  private val SprtA = 2944439L
+
+  /** q384's Jarque–Bera trees over the one exact-decimal moment row
+    * (nn, s1..s4 of integer DOLLARS — scale cancels in the
+    * standardized moments): skewness m3/m2^1.5, excess kurtosis
+    * m4/m2²−3, JB = n/6·(S² + K²/4), and the χ²(2) survival
+    * p = exp(−JB/2) (closed form — no lookup table). One shared
+    * string per output, identical IEEE tree in both engines [D3]. */
+  private[operators] object JbFormula {
+    private val mu = "(CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    private val r2 = "(CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    private val r3 = "(CAST(s3 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    private val r4 = "(CAST(s4 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    private val m2 = s"($r2 - $mu * $mu)"
+    private val m3 = s"($r3 - 3.0 * $mu * $r2 + 2.0 * $mu * $mu * $mu)"
+    private val m4 = s"($r4 - 4.0 * $mu * $r3 + 6.0 * $mu * $mu * $r2" +
+      s" - 3.0 * $mu * $mu * $mu * $mu)"
+    private val sk = s"(CASE WHEN $m2 > 0 THEN $m3 / power($m2, 1.5) END)"
+    private val ku =
+      s"(CASE WHEN $m2 > 0 THEN $m4 / ($m2 * $m2) - 3.0 END)"
+    val skew4 = s"round($sk, 4)"
+    val kurt4 = s"round($ku, 4)"
+    private val jb =
+      s"(CAST(nn AS DOUBLE) / 6.0 * ($sk * $sk + $ku * $ku / 4.0))"
+    val jb4 = s"round($jb, 4)"
+    val p6 = s"round(exp(-($jb) / 2.0), 6)"
+  }
+
 
   /** q312's Cochran–Armitage χ² over the exact bin moments (nn, ss,
     * sw1 = Σwn, sw2 = Σw²n, sws = Σws) — shared text, one IEEE tree;
@@ -1162,6 +1199,82 @@ object StatsQueries {
             .as("w1_chars6"))
     }),
 
+    // Jarque–Bera normality test per order priority (Jarque & Bera
+    // 1980, public textbook) — the distribution-shape gate next to
+    // q43's raw moments and q336's extreme-value fit: is totalprice
+    // within a priority band even roughly normal, read as skewness,
+    // excess kurtosis, JB and its closed-form χ²(2) p. Values stage
+    // as integer DOLLARS (scale cancels in standardized moments);
+    // Σx..Σx⁴ are EXACT decimal sums (per-row products staged through
+    // DECIMAL(18,0) pairs so both engines type them identically),
+    // collapsed by ONE map-side-combinable aggregate; every double
+    // derives from the shared JbFormula trees [D3]. Scale: one
+    // hash agg over the fact table, no shuffle beyond the 5-row
+    // priority dimension.
+    "q384_jarque_bera" -> ((s, dir) => {
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      // integer dollars via the exact-cents stage then truncating div
+      // (round(x) on a raw double can split across engines at the .5
+      // representation edge; round(x·100) on 2dp prices cannot)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100")
+            .as("d"))
+        .withColumn("d2", col("d") * col("d"))
+      o.groupBy("priority")
+        .agg(count(lit(1)).as("nn"),
+          sum(col("d")).as("s1"),
+          sum(d19(col("d2"))).as("s2"),
+          sum(d19(col("d2")) * d19(col("d"))).as("s3"),
+          sum(d19(col("d2")) * d19(col("d2"))).as("s4"))
+        .select(col("priority"), col("nn").as("n_orders"),
+          expr(JbFormula.skew4).as("skew4"),
+          expr(JbFormula.kurt4).as("kurt4"),
+          expr(JbFormula.jb4).as("jb4"),
+          expr(JbFormula.p6).as("p6"))
+        .orderBy("priority")
+    }),
+
+    // Wald's sequential probability ratio test over the event stream
+    // (Wald 1945, public textbook) — the SEQUENTIAL companion of
+    // q276's fixed-horizon readout: walk the per-event purchase
+    // log-likelihood ratio in arrival order and report where the walk
+    // first exits the (−A, A) corridor, i.e. how early the experiment
+    // could have stopped. Increments are the pre-quantized integer
+    // ppm constants (SprtIncP/N — pure functions of the H0/H1 design,
+    // embedded as literals in both engines), so the whole walk is ONE
+    // integer cumSum over the event order: GlobalRank's value-bucketed
+    // machinery, no global-sort window ([D5]; event_id is the
+    // insertion total order). The crossing row attaches by one
+    // broadcast-bounded min-struct aggregate; 'continue' when the
+    // corridor never breaks.
+    "q385_sprt" -> ((s, dir) => {
+      val inc = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_type") === "purchase", lit(SprtIncP))
+            .otherwise(lit(SprtIncN)).as("inc"))
+        .withColumn("gg", lit(1))
+      val cum = graft.functions.GlobalRank.cumSum(
+        inc.groupBy("gg", "event_id")
+          .agg(sum(col("inc")).as("w")), "gg", "event_id", "w")
+      val totals = cum.groupBy("gg")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("w") === SprtIncP, 1L).otherwise(0L))
+            .as("n_purchase"),
+          sum(col("w")).as("llr_final_ppm"))
+      val crossing = cum.filter(abs(col("cum")) >= SprtA)
+        .groupBy("gg")
+        .agg(min(struct(col("event_id"), col("cum"))).as("c"))
+        .select(col("gg").as("gg2"), col("c.event_id").as("cross_id"),
+          col("c.cum").as("cross_llr_ppm"))
+      totals.join(crossing, col("gg") === col("gg2"), "left")
+        .select(col("n_events"), col("n_purchase"),
+          col("llr_final_ppm"), col("cross_id"), col("cross_llr_ppm"),
+          when(col("cross_llr_ppm").isNull, "continue")
+            .when(col("cross_llr_ppm") > 0, "accept_h1")
+            .otherwise("accept_h0").as("decision"))
+    }),
+
     // Per-source length-anomaly screen with Benjamini–Hochberg FDR
     // control (Mann–Whitney per source vs rest + BH 1995 step-up,
     // both public textbook) — the MULTIPLE-TESTING operator the stats
@@ -1654,6 +1767,60 @@ object StatsQueries {
          |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
          |         AS w1_chars6
          |FROM seg""".stripMargin,
+
+    // identical integer-dollar staging (exact cents then truncating
+    // div), HUGEINT moment products mirroring Spark's decimal(19)
+    // pairs (both exact integers), the SAME JbFormula trees
+    "q384_jarque_bera" ->
+      s"""WITH v AS (
+         |  SELECT o_orderpriority AS priority,
+         |         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS d
+         |  FROM orders),
+         |m AS (
+         |  SELECT priority, COUNT(*) AS nn,
+         |         CAST(SUM(d) AS BIGINT) AS s1,
+         |         SUM(CAST(d AS HUGEINT) * d) AS s2,
+         |         SUM(CAST(d AS HUGEINT) * d * d) AS s3,
+         |         SUM(CAST(d AS HUGEINT) * d * d * d) AS s4
+         |  FROM v GROUP BY 1)
+         |SELECT priority, CAST(nn AS BIGINT) AS n_orders,
+         |       ${JbFormula.skew4} AS skew4,
+         |       ${JbFormula.kurt4} AS kurt4,
+         |       ${JbFormula.jb4} AS jb4,
+         |       ${JbFormula.p6} AS p6
+         |FROM m ORDER BY priority ASC NULLS FIRST""".stripMargin,
+
+    // the same integer-ppm increments as literals, the walk as one
+    // window cumsum (DuckDB's global window replays Spark's bucketed
+    // cumSum exactly — both are the inclusive prefix sum over the
+    // event_id total order), first crossing by ORDER/LIMIT 1
+    "q385_sprt" ->
+      s"""WITH inc AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_type = 'purchase' THEN ${SprtIncP}
+         |              ELSE ${SprtIncN} END AS w
+         |  FROM events),
+         |c AS (
+         |  SELECT event_id,
+         |         CAST(SUM(w) OVER (ORDER BY event_id ASC) AS BIGINT)
+         |           AS cum
+         |  FROM inc),
+         |tot AS (
+         |  SELECT COUNT(*) AS n_events,
+         |         CAST(SUM(CASE WHEN w = ${SprtIncP} THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_purchase,
+         |         CAST(SUM(w) AS BIGINT) AS llr_final_ppm
+         |  FROM inc),
+         |x AS (
+         |  SELECT event_id AS cross_id, cum AS cross_llr_ppm
+         |  FROM c WHERE abs(cum) >= ${SprtA}
+         |  ORDER BY event_id ASC LIMIT 1)
+         |SELECT CAST(n_events AS BIGINT) AS n_events, n_purchase,
+         |       llr_final_ppm, cross_id, cross_llr_ppm,
+         |       CASE WHEN cross_llr_ppm IS NULL THEN 'continue'
+         |            WHEN cross_llr_ppm > 0 THEN 'accept_h1'
+         |            ELSE 'accept_h0' END AS decision
+         |FROM tot LEFT JOIN x ON TRUE""".stripMargin,
 
     // the same global-histogram midrank chain, HUGEINT staging, SAME
     // z/erfc trees, and the bounded self-join rank + step-up envelope

@@ -195,6 +195,86 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "pred_lang")),
 
+    // Matthews correlation of the q71 language-ID gate, one-vs-rest
+    // per lang (Matthews 1975, public textbook) — the IMBALANCE-ROBUST
+    // scalar next to q120's raw confusion matrix: accuracy flatters a
+    // classifier that just predicts the majority lang, MCC does not.
+    // Third consumer of the shared langPred memo; the bounded ×|langs|
+    // one-vs-rest fan-out rides a broadcast dimension cross (the q373
+    // ring convention), confusion cells are one conditional agg, and
+    // the coefficient is a shared-string IEEE tree over the four
+    // counts (MccFormula [D3]), NULL on a degenerate margin.
+    "q386_mcc_langid" -> ((s, dir) => {
+      val j = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(langPred(s, dir), col("doc_id") === col("id"))
+        .select(col("lang"), col("pred_lang"))
+      val dim = j.select(col("lang").as("cls")).distinct()
+      j.crossJoin(broadcast(dim))
+        .groupBy("cls")
+        .agg(
+          sum(when(col("lang") === col("cls")
+            && col("pred_lang") === col("cls"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("lang") =!= col("cls")
+            && col("pred_lang") === col("cls"), 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("lang") === col("cls")
+            && col("pred_lang") =!= col("cls"), 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(col("lang") =!= col("cls")
+            && col("pred_lang") =!= col("cls"), 1L).otherwise(0L))
+            .as("tn"))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr(MccFormula.mcc4).as("mcc4"))
+        .orderBy("cls")
+    }),
+
+    // Winnowing fingerprint audit (Schleimer, Wilkerson & Aiken 2003 —
+    // the public MOSS local-fingerprinting algorithm) — the
+    // guaranteed-coverage upgrade of q74's single rolling hash: every
+    // window of WinW consecutive token-3-gram hashes contributes its
+    // MINIMUM, so any shared run of ≥ WinW+2 tokens between two docs
+    // shares a fingerprint BY CONSTRUCTION (q74's whole-doc hash only
+    // catches exact duplicates). Per-doc selection is pure array math
+    // on the codegen gram kernel (no explode until the bounded
+    // fingerprint sets), rolled up per lang with the integer-staged
+    // density and the count of fingerprints seen in ≥ 2 docs — the
+    // cheap plagiarism/boilerplate signal. Scale: one narrow map per
+    // doc + one fingerprint-keyed agg, the q66-class shape.
+    "q387_winnowing" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          call_function("graft_ngram_hashes",
+            call_function("graft_token_hashes",
+              TextFunctions.tokens(col("text"))), lit(WinK)).as("grams"))
+        .withColumn("nw",
+          greatest(lit(0), size(col("grams")) - (WinW - 1)))
+        .withColumn("fps", when(col("nw") <= 0,
+            expr("CAST(array() AS array<bigint>)"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), col("nw")),
+            i => array_min(slice(col("grams"), i, lit(WinW)))))))
+      val per = d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).cast("long").as("n_windows"),
+          sum(size(col("fps"))).cast("long").as("n_fps"))
+      val fd = d.select(col("lang"), col("doc_id"),
+        explode(col("fps")).as("fp"))
+      val gc = fd.groupBy("fp").agg(count(lit(1)).as("nd"))
+      val sh = fd.join(gc, Seq("fp")).filter(col("nd") >= 2)
+        .groupBy("lang")
+        .agg(countDistinct(col("fp")).as("n_shared_fp"))
+      per.join(sh, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_windows"),
+          col("n_fps"),
+          when(col("n_windows") > 0,
+            round(expr("(n_fps * 10000) div n_windows").cast("double")
+              / 1e4, 4)).as("density4"),
+          coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"))
+        .orderBy("lang")
+    }),
+
     // TRAINED language classifier — multinomial Naive Bayes with
     // Laplace smoothing, the learned upgrade of q71's shared-token
     // heuristic and the lang-ID sibling of the q235 quality
@@ -459,6 +539,20 @@ object TextQueries {
   /** q330's Flesch / Flesch–Kincaid trees over the exact counts
     * (n_docs = sentences by the pinned convention, n_words, n_syll)
     * — shared text, one IEEE tree each. */
+  /** q386's Matthews correlation tree over the four confusion counts
+    * (tp, fp, fn, tn) — the denominator factors under separate sqrts
+    * so the products can never overflow a double's exact-integer
+    * range, and a zero margin yields NULL, not a division error. */
+  private[operators] object MccFormula {
+    private val num = "(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) " +
+      "- CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+    private val den = "(sqrt(CAST(tp + fp AS DOUBLE)) " +
+      "* sqrt(CAST(tp + fn AS DOUBLE)) " +
+      "* sqrt(CAST(tn + fp AS DOUBLE)) " +
+      "* sqrt(CAST(tn + fn AS DOUBLE)))"
+    val mcc4: String = s"round(CASE WHEN $den > 0 THEN $num / $den END, 4)"
+  }
+
   private[operators] object ReadFormula {
     private val wps = "(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     private val spw = "(CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
@@ -470,6 +564,13 @@ object TextQueries {
 
   /** q350's similarity cutoffs: (permille label, threshold). */
   private val FrontierTs = Seq(("700", 0.7), ("800", 0.8), ("900", 0.9))
+
+  /** q387's winnowing geometry: token-3-gram hashes, window of 4 —
+    * guarantee threshold t = WinW + WinK − 1 = 6 tokens (any shared
+    * run of ≥ t tokens shares a fingerprint). Declared before the
+    * oracle map interpolates. */
+  private val WinK = 3
+  private val WinW = 4
 
   private val sqlToks = Sql.tokens("text")
   private val sqlTokSet = Sql.tokenSet("text")
@@ -577,6 +678,65 @@ object TextQueries {
          |GROUP BY d.lang, p.pred_lang
          |ORDER BY lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST"""
         .stripMargin,
+
+    // the same gram kernel replay (Sql.ngramHashes over token hashes),
+    // the same window-min selection, integer-staged density
+    "q387_winnowing" -> {
+      val grams = Sql.ngramHashes(Sql.tokenHashes(sqlToks), WinK)
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $grams AS grams FROM documents),
+         |w AS (
+         |  SELECT doc_id, lang,
+         |         greatest(len(grams) - ${WinW - 1}, 0) AS nw,
+         |         CASE WHEN len(grams) >= $WinW THEN
+         |           list_distinct(list_transform(
+         |             range(1, len(grams) - ${WinW - 1} + 1),
+         |             i -> list_aggregate(grams[i : i + ${WinW - 1}],
+         |                                 'min')))
+         |         ELSE CAST([] AS BIGINT[]) END AS fps
+         |  FROM d),
+         |per AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |         CAST(SUM(nw) AS BIGINT) AS n_windows,
+         |         CAST(SUM(len(fps)) AS BIGINT) AS n_fps
+         |  FROM w GROUP BY 1),
+         |fd AS (SELECT lang, doc_id, unnest(fps) AS fp FROM w),
+         |gc AS (SELECT fp, COUNT(*) AS nd FROM fd GROUP BY 1),
+         |sh AS (
+         |  SELECT lang, CAST(COUNT(DISTINCT fd.fp) AS BIGINT)
+         |           AS n_shared_fp
+         |  FROM fd JOIN gc ON fd.fp = gc.fp
+         |  WHERE gc.nd >= 2 GROUP BY 1)
+         |SELECT per.lang, n_docs, n_windows, n_fps,
+         |       CASE WHEN n_windows > 0 THEN
+         |         ROUND(CAST((n_fps * 10000) // n_windows AS DOUBLE)
+         |               / 1e4, 4) END AS density4,
+         |       COALESCE(n_shared_fp, 0) AS n_shared_fp
+         |FROM per LEFT JOIN sh ON per.lang = sh.lang
+         |ORDER BY per.lang ASC NULLS FIRST""".stripMargin
+    },
+
+    // the same classifier CTE (third oracle consumer), the same
+    // one-vs-rest conditional cells, the SAME MccFormula tree
+    "q386_mcc_langid" ->
+      s"""WITH $langIdCteSql,
+         |j AS (
+         |  SELECT d.lang, p.pred_lang
+         |  FROM pred p JOIN documents d ON p.doc_id = d.doc_id),
+         |dim AS (SELECT DISTINCT lang AS cls FROM j),
+         |m AS (
+         |  SELECT cls,
+         |         CAST(SUM(CASE WHEN lang = cls AND pred_lang = cls
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(SUM(CASE WHEN lang != cls AND pred_lang = cls
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(SUM(CASE WHEN lang = cls AND pred_lang != cls
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(SUM(CASE WHEN lang != cls AND pred_lang != cls
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j CROSS JOIN dim GROUP BY 1)
+         |SELECT cls, tp, fp, fn, tn, ${MccFormula.mcc4} AS mcc4
+         |FROM m ORDER BY cls ASC NULLS FIRST""".stripMargin,
 
     // the NB replay: identical train/test buckets, identical token
     // count model, the same 6dp-quantized decimal score staging and

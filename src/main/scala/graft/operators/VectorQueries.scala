@@ -41,6 +41,14 @@ object VectorQueries {
   private[graft] val LshPlanesPerBand = 4
   private[graft] val LshBands = 16
 
+  /** q390's Johnson–Lindenstrauss geometry: 64 → JlDim random Gaussian
+    * projections (its own seed, distinct from the LSH planes), pair
+    * sample = (i, i + JlGap) id stride. Declared before the oracle map
+    * interpolates. */
+  private[graft] val JlDim = 16
+  private[graft] val JlSeed = 43L
+  private[graft] val JlGap = 101L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -182,6 +190,41 @@ object VectorQueries {
         LshPlanesPerBand, LshBands)
         .select(col("id_lo"), col("id_hi"), col("cos").as("cos4"))
         .orderBy("id_lo", "id_hi")),
+
+    // Johnson–Lindenstrauss projection distortion audit (JL 1984,
+    // public lemma; seeded Gaussian projection à la q102's planes) —
+    // the measured answer to "can the ANN tier run at JlDim instead of
+    // 64": project every vector once (JlDim codegen dot products, one
+    // narrow map), pair up a deterministic id-stride sample, and
+    // report how far the projected cosine drifts from the full-dim
+    // truth. Gap terms quantize to 4dp then exact integer staging for
+    // the mean [D5]; the projection replays in the oracle from the
+    // SAME plane literals. Scale: linear project + a self-join on a
+    // shifted key — never a pair blowup.
+    "q390_jl_distortion" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val planes = graft.api.VectorOps.gaussianPlanes(JlDim, 64, JlSeed)
+      val proj = array((0 until JlDim).map(j =>
+        call_function("graft_dot", col("embedding"),
+          typedLit(planes(j)))): _*)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), proj.as("y"))
+      val a = e.select(col("vec_id").as("ida"),
+        col("embedding").as("va"), col("y").as("ya"))
+      val b = e.select(col("vec_id").as("idb"),
+        col("embedding").as("vb"), col("y").as("yb"))
+      val g = a.join(b, col("idb") === col("ida") + JlGap)
+        .withColumn("c64", round(expr(TextFunctions.cosine("va", "vb")), 4))
+        .withColumn("c16", round(expr(TextFunctions.cosine("ya", "yb")), 4))
+        .withColumn("gap4", round(abs(col("c16") - col("c64")), 4))
+      g.agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("gap4") * 10000).cast("long")).as("sg"),
+          max(col("gap4")).as("max_gap4"))
+        .select(col("n_pairs"),
+          round(expr("sg div n_pairs").cast("double") / 1e4, 4)
+            .as("mean_gap4"),
+          col("max_gap4"))
+    }),
 
     // SemDeDup-style semantic dedup keep-list: q102's LSH pair graph
     // resolved to connected components (the q77 star-contraction
@@ -1104,6 +1147,46 @@ object VectorQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4) >= 0.35
          |ORDER BY id_lo ASC NULLS FIRST, id_hi ASC NULLS FIRST""".stripMargin,
+
+    // the same plane literals (JL seed), the same left-fold dot and
+    // cosine trees, the identical 4dp-then-integer gap staging
+    "q390_jl_distortion" -> {
+      val jlPlanes = graft.api.VectorOps.gaussianPlanes(JlDim, 64, JlSeed)
+        .zipWithIndex
+        .map { case (p, i) =>
+          s"($i, [${p.map(_.toDouble.toString).mkString(", ")}])"
+        }.mkString(",\n")
+      s"""WITH planes(pid, p) AS (VALUES
+         |$jlPlanes
+         |), proj AS (
+         |  SELECT e.vec_id, pl.pid,
+         |         list_sum(list_transform(range(1, 65),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]))
+         |           AS dot
+         |  FROM embeddings e CROSS JOIN planes pl),
+         |y AS (
+         |  SELECT vec_id, list(dot ORDER BY pid ASC) AS y
+         |  FROM proj GROUP BY vec_id),
+         |g AS (
+         |  SELECT ROUND(${Sql.cosine("a.embedding", "b.embedding")}, 4)
+         |           AS c64,
+         |         ROUND(${Sql.cosine("ya.y", "yb.y")}, 4) AS c16
+         |  FROM embeddings a
+         |  JOIN embeddings b ON b.vec_id = a.vec_id + $JlGap
+         |  JOIN y ya ON ya.vec_id = a.vec_id
+         |  JOIN y yb ON yb.vec_id = b.vec_id),
+         |m AS (
+         |  SELECT COUNT(*) AS n_pairs,
+         |         CAST(SUM(CAST(ROUND(ROUND(abs(c16 - c64), 4) * 10000)
+         |                       AS BIGINT)) AS BIGINT) AS sg,
+         |         MAX(ROUND(abs(c16 - c64), 4)) AS max_gap4
+         |  FROM g)
+         |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+         |       ROUND(CAST(sg // n_pairs AS DOUBLE) / 1e4, 4)
+         |         AS mean_gap4,
+         |       max_gap4
+         |FROM m""".stripMargin
+    },
 
     // Band keys replayed from the embedded planes: bit i of band b's key
     // is the sign of dot(v, plane[b*8+i]); candidates are DISTINCT

@@ -173,6 +173,13 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q374_seasonal_strength", "q375_hill_tail",
       "q376_join_skew_audit", "q379_term_burstiness",
       "q380_wasserstein",
+      // q385: the one-row totals LEFT JOIN the 0/1-row crossing
+      // (lit(true) key — both sides bounded aggregates); the walk
+      // itself is the bucketed cumSum, not a BNLJ
+      "q385_sprt",
+      // q386: crossJoin(broadcast(dim)) — the one-vs-rest fan-out over
+      // the ≤|langs|-row class dimension (q373 ring convention)
+      "q386_mcc_langid",
       "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
@@ -214,7 +221,11 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     //    (returnflag, type-bucket) group rows, q346 Lorenz (running
     //    sum over the 10 post-agg decile rows);
     //  - fixed-replicate histograms: q297's 200-row bootstrap-total
-    //    histogram (bounded by the replicate constant, not the data).
+    //    histogram (bounded by the replicate constant, not the data);
+    //  - q385 SPRT: the LLR walk rides cumSum over event_id — the
+    //    per-row windows partition by (group, bucket); the one
+    //    empty-spec window is the 256-row bucket-offset table
+    //    (bounded by the bucket constant, not the data).
     val winAllowed = Set(
       "q142_user_growth", "q143_skyline", "q160_gap_fill", "q161_abc",
       "q173_ks_test", "q174_decile_lift", "q186_mannwhitney",
@@ -222,7 +233,7 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q297_bootstrap_ci", "q301_drawdown", "q328_kruskal_wallis",
       "q342_postings_skew", "q346_lorenz", "q347_breakpoint",
       "q363_pettitt", "q372_bh_fdr", "q376_join_skew_audit",
-      "q380_wasserstein",
+      "q380_wasserstein", "q385_sprt",
       "q89_svc_partshare")
     val shapes = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
