@@ -39,6 +39,39 @@ object BasketQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Directed association rules by CONVICTION + leverage (Brin et al.
+    // 1997, public method) — the implication-strength companions of
+    // q167's symmetric lift: conviction = (1−supp(y))/(1−conf(x→y))
+    // reads "how much more often x appears without y than if they were
+    // independent" (∞ ⇔ exceptionless rule → emitted NULL, sorted
+    // first), leverage = supp(xy) − supp(x)·supp(y) is the absolute
+    // co-occurrence excess. Rides the memoized pair table (one more
+    // shared:copurchase_pairw consumer) with the min-support filter
+    // BEFORE the item joins; every ratio is a shared ConvFormula tree
+    // [D3]; top-20 by (conviction4 DESC NULLS FIRST, x, y) [D1].
+    "q392_conviction" -> ((s, dir) => {
+      val li = baskets(s, dir)
+      val nOrders = li.agg(
+        count_distinct(col("l_orderkey")).as("n_orders"))
+      val item = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      CoPurchase.directedW(s, dir)
+        .select(col("u").as("x"), col("v").as("y"),
+          col("w").as("both_cnt"))
+        .filter(col("both_cnt") >= 3)
+        .join(item.select(col("l_partkey").as("x"), col("cnt").as("cx")),
+          Seq("x"))
+        .join(item.select(col("l_partkey").as("y"), col("cnt").as("cy")),
+          Seq("y"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("x"), col("y"), col("both_cnt"),
+          expr(ConvFormula.conf6).as("conf6"),
+          expr(ConvFormula.conviction4).as("conviction4"),
+          expr(ConvFormula.leverage6).as("leverage6"))
+        .orderBy(col("conviction4").desc_nulls_first, col("x").asc,
+          col("y").asc)
+        .limit(20)
+    }),
+
     // Association rules by lift: unordered part pairs co-purchased in
     // ≥ 3 orders, scored support = P(x,y) and lift = P(x,y)/(P(x)P(y)),
     // top-20 by lift. The min-support filter runs BEFORE the item-count
@@ -187,7 +220,53 @@ object BasketQueries {
   /** q334's minimum triple support (and the level-2 prune cut). */
   private val MinSup3 = 2L
 
+  /** q392's rule-strength trees over (both_cnt, cx, cy, n_orders) —
+    * shared text; an exceptionless rule (conf = 1) yields NULL
+    * conviction on both engines. */
+  private[operators] object ConvFormula {
+    val conf6: String =
+      "round(CAST(both_cnt AS DOUBLE) / cx, 6)"
+    val conviction4: String = "round(CASE WHEN both_cnt = cx THEN NULL " +
+      "ELSE (1.0 - CAST(cy AS DOUBLE) / n_orders) " +
+      "/ (1.0 - CAST(both_cnt AS DOUBLE) / cx) END, 4)"
+    val leverage6: String =
+      "round(CAST(both_cnt AS DOUBLE) / n_orders " +
+        "- (CAST(cx AS DOUBLE) / n_orders) " +
+        "* (CAST(cy AS DOUBLE) / n_orders), 6)"
+  }
+
   val oracle: Map[String, String] = Map(
+
+    // the same distinct-basket pair replay (both orientations), the
+    // same min-support-first shape, the SAME ConvFormula trees
+    "q392_conviction" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+         |item AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY 1),
+         |pair0 AS (
+         |  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS both_cnt
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |                     AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |pair AS (
+         |  SELECT x, y, both_cnt FROM pair0
+         |  UNION ALL SELECT y, x, both_cnt FROM pair0),
+         |base AS (
+         |  SELECT pair.x, pair.y, both_cnt, ix.cnt AS cx, iy.cnt AS cy,
+         |         n.n_orders
+         |  FROM pair, n
+         |  JOIN item ix ON ix.l_partkey = pair.x
+         |  JOIN item iy ON iy.l_partkey = pair.y
+         |  WHERE both_cnt >= 3),
+         |sc AS (
+         |  SELECT x, y, both_cnt,
+         |         ${ConvFormula.conf6} AS conf6,
+         |         ${ConvFormula.conviction4} AS conviction4,
+         |         ${ConvFormula.leverage6} AS leverage6
+         |  FROM base)
+         |SELECT x, y, both_cnt, conf6, conviction4, leverage6 FROM sc
+         |ORDER BY conviction4 DESC NULLS FIRST, x ASC, y ASC
+         |LIMIT 20""".stripMargin,
     "q167_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),

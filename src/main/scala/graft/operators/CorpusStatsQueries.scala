@@ -51,6 +51,12 @@ object CorpusStatsQueries {
   private val RrfDepth = 50
   private val RrfOut = 20
 
+  /** q393's MSTTR segment length (tokens per full segment); docs with
+    * fewer tokens than one full segment are excluded — the defining
+    * property of MSTTR vs plain TTR. Declared before the oracle map
+    * interpolates. */
+  private val SegLen = 25
+
   /** q236 merge rounds, mirrored in the oracle's unrolled CTEs. A real
     * tokenizer training run loops the SAME per-round plan ~30k times;
     * three unrolled rounds gate the loop body exactly (the q153/q231
@@ -92,6 +98,43 @@ object CorpusStatsQueries {
             .as("mean_h6"),
           round(col("mn").cast("double") / 1e9, 6).as("min_h6"),
           round(col("mx").cast("double") / 1e9, 6).as("max_h6"))
+        .orderBy("lang")
+    }),
+
+    // Mean segmental type-token ratio per lang (MSTTR, Johnson 1944 —
+    // the public length-robust lexical-diversity measure): plain TTR
+    // collapses as docs grow (types saturate), so comparing langs or
+    // sources by raw TTR confounds diversity with length; MSTTR
+    // averages TTR over fixed 25-token segments instead. Per-doc
+    // segment sums are pure array math (transform over the bounded
+    // segment index — no explode), both ratios stage as exact integer
+    // ppm with truncating div [D5]; emitted next to the plain TTR so
+    // the length bias is visible in one row. Docs under one full
+    // segment are excluded (the MSTTR contract).
+    "q393_msttr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        .withColumn("ntok", size(col("tk")).cast("long"))
+        .withColumn("nseg", expr(s"ntok div $SegLen"))
+        .filter(col("nseg") >= 1)
+        .withColumn("sd", aggregate(
+          transform(sequence(lit(0L), col("nseg") - 1),
+            i => size(array_distinct(
+              slice(col("tk"), (i * SegLen + 1).cast("int"),
+                lit(SegLen)))).cast("long")),
+          lit(0L), (a, x) => a + x))
+        .withColumn("mp", expr(s"(sd * 1000000) div (nseg * $SegLen)"))
+        .withColumn("tp", expr(
+          "(CAST(size(array_distinct(tk)) AS BIGINT) * 1000000) div ntok"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("mp")).as("smp"), sum(col("tp")).as("stp"))
+        .select(col("lang"), col("n_docs"),
+          round(expr("(smp div n_docs)").cast("double") / 1e6, 6)
+            .as("msttr6"),
+          round(expr("(stp div n_docs)").cast("double") / 1e6, 6)
+            .as("ttr6"))
         .orderBy("lang")
     }),
 
@@ -956,6 +999,36 @@ object CorpusStatsQueries {
        |LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
+
+    // the same tokenizer, 1-based list slices mirroring Spark's slice,
+    // identical ppm integer staging and truncating-div lang means
+    "q393_msttr" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, ${Sql.tokens("text")} AS tk
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS ntok,
+         |         CAST(len(tk) // $SegLen AS BIGINT) AS nseg, tk
+         |  FROM d WHERE len(tk) // $SegLen >= 1),
+         |seg AS (
+         |  SELECT lang, nseg, ntok,
+         |         CAST(list_sum(list_transform(range(0, nseg),
+         |           i -> len(list_distinct(
+         |             tk[CAST(i * $SegLen + 1 AS BIGINT) :
+         |                CAST(i * $SegLen + $SegLen AS BIGINT)]))))
+         |           AS BIGINT) AS sd,
+         |         CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+         |  FROM w),
+         |p AS (
+         |  SELECT lang, (sd * 1000000) // (nseg * $SegLen) AS mp,
+         |         (nd * 1000000) // ntok AS tp
+         |  FROM seg)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       ROUND(CAST(CAST(SUM(mp) AS BIGINT) // COUNT(*)
+         |                  AS DOUBLE) / 1e6, 6) AS msttr6,
+         |       ROUND(CAST(CAST(SUM(tp) AS BIGINT) // COUNT(*)
+         |                  AS DOUBLE) / 1e6, 6) AS ttr6
+         |FROM p GROUP BY 1 ORDER BY lang ASC NULLS FIRST""".stripMargin,
 
     // the same per-(doc, char) ppb-quantized entropy terms (one IEEE
     // log2, round, then order-free integer sums) and truncating-div

@@ -57,6 +57,22 @@ object StatsQueries {
   private val SprtIncN = -57158L
   private val SprtA = 2944439L
 
+  /** q391's ANOVA effect-size trees over (k, nn, s1, s2, sb) — all
+    * exact decimal stages cast once to double; ω² NULL-guards the
+    * degenerate one-group / zero-variance cases. */
+  private[operators] object EtaFormula {
+    private val cm = "(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) " +
+      "/ CAST(nn AS DOUBLE))"
+    private val sst = s"(CAST(s2 AS DOUBLE) - $cm)"
+    private val ssb = s"(CAST(sb AS DOUBLE) - $cm)"
+    private val ssw = s"($sst - $ssb)"
+    private val msw = s"($ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))"
+    val eta26: String =
+      s"round(CASE WHEN $sst > 0 THEN $ssb / $sst END, 6)"
+    val omega26: String = s"round(CASE WHEN $sst > 0 AND nn > k THEN " +
+      s"($ssb - (CAST(k AS DOUBLE) - 1.0) * $msw) / ($sst + $msw) END, 6)"
+  }
+
   /** q384's Jarque–Bera trees over the one exact-decimal moment row
     * (nn, s1..s4 of integer DOLLARS — scale cancels in the
     * standardized moments): skewness m3/m2^1.5, excess kurtosis
@@ -1199,6 +1215,37 @@ object StatsQueries {
             .as("w1_chars6"))
     }),
 
+    // Correlation ratio η² + ω² of market segment on order value
+    // (Fisher's ANOVA decomposition, public textbook) — the
+    // MULTI-GROUP effect size next to q357's weekday F (significance)
+    // and q343's two-arm d: how much of the order-value variance does
+    // the segment dimension actually EXPLAIN. SS terms derive from
+    // per-segment exact decimal sums (n_g, Σx, Σx²) in integer cents;
+    // the one order-sensitive piece — Σ_g s1_g²/n_g — quantizes each
+    // group's term to 6dp then decimal-sums [D2], so the result is
+    // partition-invariant. Scale: one fact-side agg to the 5-segment
+    // grid, everything after is dimension-sized.
+    "q391_eta_squared" -> ((s, dir) => {
+      val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val v = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("x"))
+      val per = v.groupBy("seg")
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("s1g"),
+          sum(d19(col("x")) * d19(col("x"))).as("s2g"))
+        .withColumn("term", round(col("s1g").cast("double")
+          * col("s1g").cast("double") / col("ng"), 6)
+          .cast("decimal(38,6)"))
+      per.agg(count(lit(1)).as("k"), sum(col("ng")).as("nn"),
+          sum(col("s1g")).as("s1"), sum(col("s2g")).as("s2"),
+          sum(col("term")).as("sb"))
+        .select(col("k"), col("nn").as("n_orders"),
+          expr(EtaFormula.eta26).as("eta2_6"),
+          expr(EtaFormula.omega26).as("omega2_6"))
+    }),
+
     // Jarque–Bera normality test per order priority (Jarque & Bera
     // 1980, public textbook) — the distribution-shape gate next to
     // q43's raw moments and q336's extreme-value fit: is totalprice
@@ -1767,6 +1814,32 @@ object StatsQueries {
          |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
          |         AS w1_chars6
          |FROM seg""".stripMargin,
+
+    // identical segment cells and exact-cent moment sums, the 6dp
+    // per-group term quantization, and the SAME EtaFormula trees
+    "q391_eta_squared" ->
+      s"""WITH v AS (
+         |  SELECT c.c_mktsegment AS seg,
+         |         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         |per AS (
+         |  SELECT seg, COUNT(*) AS ng,
+         |         CAST(SUM(x) AS BIGINT) AS s1g,
+         |         SUM(CAST(x AS HUGEINT) * x) AS s2g
+         |  FROM v GROUP BY 1),
+         |m AS (
+         |  SELECT COUNT(*) AS k,
+         |         CAST(SUM(ng) AS BIGINT) AS nn,
+         |         CAST(SUM(s1g) AS BIGINT) AS s1,
+         |         SUM(s2g) AS s2,
+         |         SUM(CAST(ROUND(CAST(s1g AS DOUBLE)
+         |                        * CAST(s1g AS DOUBLE) / ng, 6)
+         |             AS DECIMAL(38,6))) AS sb
+         |  FROM per)
+         |SELECT CAST(k AS BIGINT) AS k, nn AS n_orders,
+         |       ${EtaFormula.eta26} AS eta2_6,
+         |       ${EtaFormula.omega26} AS omega2_6
+         |FROM m""".stripMargin,
 
     // identical integer-dollar staging (exact cents then truncating
     // div), HUGEINT moment products mirroring Spark's decimal(19)

@@ -180,6 +180,8 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // q386: crossJoin(broadcast(dim)) — the one-vs-rest fan-out over
       // the ≤|langs|-row class dimension (q373 ring convention)
       "q386_mcc_langid",
+      // q392: the q167-idiom one-row n_orders totals attach
+      "q392_conviction",
       "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",

@@ -114,6 +114,36 @@ class Round14Spec extends SparkSpec {
     assert(r.getAs[Double]("max_gap4") < 1.0)
   }
 
+  test("q391 eta-squared: both effect sizes bounded and omega <= eta") {
+    val r = rows("q391_eta_squared").head
+    val eta = r.getAs[Double]("eta2_6")
+    val om = r.getAs[Double]("omega2_6")
+    assert(eta >= 0 && eta <= 1)
+    assert(om <= eta, "omega-squared is the shrunken estimator")
+    assert(r.getAs[Long]("k") == 5L, "five market segments")
+  }
+
+  test("q392 conviction: NULL exactly on exceptionless rules, confidence bounded") {
+    val rs = rows("q392_conviction")
+    assert(rs.length == 20)
+    rs.foreach { r =>
+      val conf = r.getAs[Double]("conf6")
+      assert(conf > 0 && conf <= 1)
+      val convNull = r.isNullAt(r.fieldIndex("conviction4"))
+      assert(convNull == (conf == 1.0),
+        "conviction NULL iff the rule is exceptionless")
+      if (!convNull) assert(r.getAs[Double]("conviction4") > 0)
+    }
+  }
+
+  test("q393 MSTTR: both diversity ratios are valid proportions") {
+    rows("q393_msttr").foreach { r =>
+      val (m, t) = (r.getAs[Double]("msttr6"), r.getAs[Double]("ttr6"))
+      assert(m > 0 && m <= 1 && t > 0 && t <= 1)
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
+
   test("q382 growth accounting: the churn identity holds on every emitted week (r13 advice fix)") {
     val weeks = rows("q382_growth_accounting")
       .map(r => r.getAs[Long]("week") ->
