@@ -60,6 +60,26 @@ object AnalyticsQueries {
     * the oracle unrolls the same count, so the two cannot drift. */
   private val MkvRounds = 12
 
+  /** q396's fit depth: retention offsets 1..4 epoch-weeks — the whole
+    * span the 30-day events fixture can populate. Declared before the
+    * oracle map interpolates. */
+  private val HlMaxOffset = 4
+
+  /** q396's ln-linear OLS trees over the all-integer moments
+    * (n, sx, sy, sxx, sxy with y pre-scaled by 1e8): slope in
+    * ln-units/week, half-life = −ln2/slope, NULL on a non-decaying
+    * or degenerate fit. */
+  private[operators] object HlFormula {
+    private val num =
+      "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    private val den =
+      "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    private val sl = s"(CASE WHEN $den > 0 THEN $num / $den / 1e8 END)"
+    val slope6: String = s"round($sl, 6)"
+    val hl4: String = s"round(CASE WHEN $sl < 0 THEN " +
+      s"-0.6931471805599453 / ($sl) END, 4)"
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -727,6 +747,42 @@ object AnalyticsQueries {
               - safeDiv(col("sy").cast("double") * col("sy").cast("double"),
                 col("n"))))),
           4).as("autocorr4"))
+    }),
+
+    // Retention half-life (public growth-analytics method: exponential
+    // decay fit on the retention curve) — the ONE-NUMBER summary of
+    // q54's retention triangle and q382's weekly classes: fraction of
+    // users active o epoch-weeks after their first week, ln-linear
+    // OLS over the offsets, half-life = −ln2/slope. The curve is two
+    // keyed aggs (per-user first week broadcast back); the fit runs on
+    // ≤ HlMaxOffset points with ALL-INTEGER moment staging (retention
+    // as exact ppm, ln quantized to 1e−8 [D2]) and the shared
+    // HlFormula trees — NULL half-life on a non-decaying fit.
+    "q396_retention_half_life" -> ((s, dir) => {
+      val wk = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(date_trunc('day', ts)) div 604800000000L")
+            .as("w"))
+        .distinct()
+      val fw = wk.groupBy("user_id").agg(min(col("w")).as("fw"))
+      val nUsers = fw.agg(count(lit(1)).as("nu"))
+      val pts = wk.join(fw, Seq("user_id"))
+        .withColumn("o", col("w") - col("fw"))
+        .filter(col("o").between(1, HlMaxOffset))
+        .groupBy("o").agg(count(lit(1)).as("na"))
+        .crossJoin(broadcast(nUsers))
+        .withColumn("rppm", expr("(na * 1000000) div nu"))
+        .filter(col("rppm") > 0)
+        .withColumn("yn8",
+          round(log(col("rppm").cast("double") / 1e6) * 1e8)
+            .cast("long"))
+      pts.agg(count(lit(1)).as("n"), sum(col("o")).as("sx"),
+          sum(col("yn8")).as("sy"),
+          sum(col("o") * col("o")).as("sxx"),
+          sum(col("o") * col("yn8")).as("sxy"))
+        .select(col("n").as("n_offsets"),
+          expr(HlFormula.slope6).as("slope6"),
+          expr(HlFormula.hl4).as("half_life_weeks4"))
     }),
 
     // Cross-correlation function view→purchase at lags −7..+7 — the
@@ -1809,6 +1865,36 @@ object AnalyticsQueries {
         |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4)
         |         AS autocorr4
         |FROM st""".stripMargin,
+
+    // the same epoch-week flags, ppm retention, 1e-8 ln quantization,
+    // integer OLS moments, and the SAME HlFormula trees
+    "q396_retention_half_life" ->
+      s"""WITH wk AS (
+         |  SELECT DISTINCT user_id,
+         |         epoch_us(date_trunc('day', ts)) // 604800000000 AS w
+         |  FROM events),
+         |fw AS (SELECT user_id, MIN(w) AS fw FROM wk GROUP BY 1),
+         |nu AS (SELECT COUNT(*) AS nu FROM fw),
+         |pts AS (
+         |  SELECT o, CAST(ROUND(ln(CAST(rppm AS DOUBLE) / 1e6) * 1e8)
+         |                 AS BIGINT) AS yn8
+         |  FROM (
+         |    SELECT wk.w - fw.fw AS o,
+         |           (COUNT(*) * 1000000) // MAX(nu.nu) AS rppm
+         |    FROM wk JOIN fw USING (user_id) CROSS JOIN nu
+         |    WHERE wk.w - fw.fw BETWEEN 1 AND $HlMaxOffset
+         |    GROUP BY 1) z
+         |  WHERE rppm > 0),
+         |m AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(o) AS BIGINT) AS sx,
+         |         CAST(SUM(yn8) AS BIGINT) AS sy,
+         |         CAST(SUM(o * o) AS BIGINT) AS sxx,
+         |         CAST(SUM(o * yn8) AS BIGINT) AS sxy
+         |  FROM pts)
+         |SELECT CAST(n AS BIGINT) AS n_offsets,
+         |       ${HlFormula.slope6} AS slope6,
+         |       ${HlFormula.hl4} AS half_life_weeks4
+         |FROM m""".stripMargin,
 
     // the same shifted equi-join per lag over the identical daily
     // table, HUGEINT moment staging, the q152 correlation tree

@@ -57,6 +57,22 @@ object StatsQueries {
   private val SprtIncN = -57158L
   private val SprtA = 2944439L
 
+  /** q394's Friedman trees over (b, k, ssr2 = Σ(2R_j)²): χ²_F =
+    * 3·ssr2/(b·k·(k+1)) − 3·b·(k+1), and — because k = 5 langs is
+    * pinned by the fixture so df = k−1 = 4 is even — the χ²(4)
+    * survival has the closed form e^(−x/2)·(1 + x/2). NULL on zero
+    * complete blocks. */
+  private[operators] object FriedmanFormula {
+    private val x = "(3.0 * CAST(ssr2 AS DOUBLE) " +
+      "/ (CAST(b AS DOUBLE) * CAST(k AS DOUBLE) " +
+      "* (CAST(k AS DOUBLE) + 1.0)) " +
+      "- 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))"
+    val chi24: String =
+      s"round(CASE WHEN b > 0 AND k > 1 THEN $x END, 4)"
+    val p6: String = s"round(CASE WHEN b > 0 AND k > 1 THEN " +
+      s"exp(-($x) / 2.0) * (1.0 + ($x) / 2.0) END, 6)"
+  }
+
   /** q391's ANOVA effect-size trees over (k, nn, s1, s2, sb) — all
     * exact decimal stages cast once to double; ω² NULL-guards the
     * degenerate one-group / zero-variance cases. */
@@ -1215,6 +1231,44 @@ object StatsQueries {
             .as("w1_chars6"))
     }),
 
+    // Friedman rank test (1937, public textbook) — the BLOCKED
+    // companion of q328's Kruskal–Wallis: does mean document length
+    // differ across langs once per-SOURCE level differences are
+    // blocked out? Blocks = sources carrying all five langs (the
+    // complete-block contract, filtered explicitly), treatment value =
+    // the [D5] milli-char mean per cell. Within-block midranks come
+    // from the exact 2·midrank integers (2·nLess + nTies + 1) via a
+    // bounded ×k self-join per block (k = 5 langs — dimension-sized,
+    // never data-sized); χ²_F = 3·Σ(2R_j)²/(b·k·(k+1)) − 3·b·(k+1)
+    // stays integer-exact until one shared double tree, and the
+    // χ²(k−1 = 4) survival has the closed form e^(−x/2)·(1 + x/2).
+    "q394_friedman" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sc"))
+        .withColumn("mc", expr("(sc * 1000) div cnt"))
+      val complete = cells.groupBy("source")
+        .agg(count(lit(1)).as("nl")).filter(col("nl") === 5)
+        .select("source")
+      val cc = cells.join(complete, Seq("source"))
+        .select(col("source"), col("lang"), col("mc"))
+      val other = cc.select(col("source"), col("lang").as("l2"),
+        col("mc").as("mc2"))
+      val r2 = cc.join(other, Seq("source"))
+        .groupBy("source", "lang")
+        .agg((sum(when(col("mc2") < col("mc"), 2L).otherwise(0L))
+          + sum(when(col("mc2") === col("mc"), 1L).otherwise(0L)) + 1)
+          .as("r2"))
+      val perLang = r2.groupBy("lang").agg(sum(col("r2")).as("sr2"))
+      val b = complete.agg(count(lit(1)).as("b"))
+      perLang.agg(count(lit(1)).as("k"),
+          sum(col("sr2") * col("sr2")).as("ssr2"))
+        .crossJoin(broadcast(b))
+        .select(col("b"), col("k"),
+          expr(FriedmanFormula.chi24).as("chi2_4"),
+          expr(FriedmanFormula.p6).as("p6"))
+    }),
+
     // Correlation ratio η² + ω² of market segment on order value
     // (Fisher's ANOVA decomposition, public textbook) — the
     // MULTI-GROUP effect size next to q357's weekday F (significance)
@@ -1814,6 +1868,36 @@ object StatsQueries {
          |         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
          |         AS w1_chars6
          |FROM seg""".stripMargin,
+
+    // the same complete-block filter, milli-char cell means, exact
+    // 2-midrank integers from the bounded self-join, SAME trees
+    "q394_friedman" ->
+      s"""WITH cells AS (
+         |  SELECT source, lang, COUNT(*) AS cnt,
+         |         CAST(SUM(n_chars) AS BIGINT) AS sc
+         |  FROM documents GROUP BY 1, 2),
+         |c2 AS (SELECT source, lang, (sc * 1000) // cnt AS mc
+         |       FROM cells),
+         |complete AS (
+         |  SELECT source FROM c2 GROUP BY 1 HAVING COUNT(*) = 5),
+         |cc AS (SELECT c2.* FROM c2 JOIN complete USING (source)),
+         |r2 AS (
+         |  SELECT a.source, a.lang,
+         |         CAST(SUM(CASE WHEN b.mc < a.mc THEN 2 ELSE 0 END)
+         |              + SUM(CASE WHEN b.mc = a.mc THEN 1 ELSE 0 END)
+         |              + 1 AS BIGINT) AS r2
+         |  FROM cc a JOIN cc b ON a.source = b.source
+         |  GROUP BY 1, 2),
+         |pl AS (SELECT lang, CAST(SUM(r2) AS BIGINT) AS sr2
+         |       FROM r2 GROUP BY 1),
+         |m AS (
+         |  SELECT COUNT(*) AS k, CAST(SUM(sr2 * sr2) AS BIGINT) AS ssr2
+         |  FROM pl),
+         |bb AS (SELECT COUNT(*) AS b FROM complete)
+         |SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+         |       ${FriedmanFormula.chi24} AS chi2_4,
+         |       ${FriedmanFormula.p6} AS p6
+         |FROM m CROSS JOIN bb""".stripMargin,
 
     // identical segment cells and exact-cent moment sums, the 6dp
     // per-group term quantization, and the SAME EtaFormula trees

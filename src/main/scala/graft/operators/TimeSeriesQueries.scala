@@ -97,6 +97,38 @@ object TimeSeriesQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // MASE of the seasonal-naive forecast on daily revenue (Hyndman &
+    // Koehler 2006, the public scale-free forecast-accuracy metric) —
+    // the missing EVALUATION row next to q257's backtest: score the
+    // week-ago forecast d̂_t = d_{t−7} against the one-day naive
+    // scaling MAE(|d_t − d_{t−1}|); MASE < 1 ⇔ weekly seasonality
+    // beats persistence. Both error sets are shifted equi-joins of
+    // the calendar-bounded daily cents table (the q152 class — no
+    // window); absolute errors are exact integer cents, means are
+    // truncating div [D5], ONE final double ratio. Gaps in the
+    // calendar break pairs identically on both engines.
+    "q395_mase" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(date_trunc("day", col("o_orderdate")))
+          .as("day_us"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("c"))
+      def shifted(lagDays: Long, err: String, n: String) =
+        daily.select(col("day_us"), col("c").as("ct"))
+          .join(daily.select(
+            (col("day_us") + lit(lagDays * 86400000000L)).as("day_us"),
+            col("c").as("cp")), Seq("day_us"))
+          .agg(count(lit(1)).as(n),
+            sum(abs(col("ct") - col("cp"))).as(err))
+      shifted(1L, "se1", "n1").crossJoin(
+          broadcast(shifted(7L, "se7", "n7")))
+        .select(col("n1").as("n_naive"), col("n7").as("n_seasonal"),
+          expr("se1 div n1").as("mae_naive_cents"),
+          expr("se7 div n7").as("mae_seasonal_cents"),
+          round((col("se7").cast("double") / col("n7"))
+            / (col("se1").cast("double") / col("n1")), 4).as("mase4"))
+    }),
+
     // Volume drawdown — the deepest and longest excursion of daily
     // revenue below its running peak: the series-health readout a
     // capacity planner reads next to q154's z-scores (z flags single
@@ -1056,6 +1088,30 @@ object TimeSeriesQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // the same daily cents table, the same ±1/±7 day shifted joins,
+    // integer error sums, truncating-div means, one final ratio
+    "q395_mase" ->
+      """WITH d AS (
+        |  SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |e1 AS (
+        |  SELECT COUNT(*) AS n1, CAST(SUM(abs(a.c - b.c)) AS BIGINT)
+        |           AS se1
+        |  FROM d a JOIN d b ON a.day_us = b.day_us + 86400000000),
+        |e7 AS (
+        |  SELECT COUNT(*) AS n7, CAST(SUM(abs(a.c - b.c)) AS BIGINT)
+        |           AS se7
+        |  FROM d a JOIN d b ON a.day_us = b.day_us + 604800000000)
+        |SELECT CAST(n1 AS BIGINT) AS n_naive,
+        |       CAST(n7 AS BIGINT) AS n_seasonal,
+        |       se1 // n1 AS mae_naive_cents,
+        |       se7 // n7 AS mae_seasonal_cents,
+        |       ROUND((CAST(se7 AS DOUBLE) / n7)
+        |             / (CAST(se1 AS DOUBLE) / n1), 4) AS mase4
+        |FROM e1 CROSS JOIN e7""".stripMargin,
 
     // identical rank spine, adjacent-delta join, 14-frame fan-out
     // (BETWEEN mirror of the explode), exact integer gain/loss sums

@@ -182,6 +182,10 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q386_mcc_langid",
       // q392: the q167-idiom one-row n_orders totals attach
       "q392_conviction",
+      // q394/q395/q396: one-row totals attaches — block count (b),
+      // the second error-set row, the user-count row; all bounded
+      // single-row aggregate broadcasts
+      "q394_friedman", "q395_mase", "q396_retention_half_life",
       "q372_bh_fdr",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",

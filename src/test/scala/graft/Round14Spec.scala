@@ -144,6 +144,37 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("q394 Friedman: five-treatment design, nonnegative statistic, valid p") {
+    val r = rows("q394_friedman").head
+    assert(r.getAs[Long]("k") == 5L)
+    assert(r.getAs[Long]("b") >= 1 && r.getAs[Long]("b") <= 20)
+    assert(r.getAs[Double]("chi2_4") >= 0.0)
+    val p = r.getAs[Double]("p6")
+    assert(p > 0 && p <= 1)
+  }
+
+  test("q395 MASE: the ratio recomputes from the emitted error means") {
+    val r = rows("q395_mase").head
+    val (n1, n7) = (r.getAs[Long]("n_naive"), r.getAs[Long]("n_seasonal"))
+    assert(n1 > 0 && n7 > 0)
+    val m1 = r.getAs[Long]("mae_naive_cents")
+    val m7 = r.getAs[Long]("mae_seasonal_cents")
+    assert(m1 > 0 && m7 > 0)
+    // truncating-div means → recomputation within 1 cent of each mean
+    val mase = r.getAs[Double]("mase4")
+    assert(math.abs(mase - m7.toDouble / m1) < 0.01,
+      s"mase $mase vs ${m7.toDouble / m1}")
+  }
+
+  test("q396 half-life: emitted only for a decaying fit, and positive") {
+    val r = rows("q396_retention_half_life").head
+    val slopeNull = r.isNullAt(r.fieldIndex("slope6"))
+    val hlNull = r.isNullAt(r.fieldIndex("half_life_weeks4"))
+    if (!slopeNull && r.getAs[Double]("slope6") < 0) {
+      assert(!hlNull && r.getAs[Double]("half_life_weeks4") > 0)
+    } else assert(hlNull, "non-decaying fit must not report a half-life")
+  }
+
   test("q382 growth accounting: the churn identity holds on every emitted week (r13 advice fix)") {
     val weeks = rows("q382_growth_accounting")
       .map(r => r.getAs[Long]("week") ->
