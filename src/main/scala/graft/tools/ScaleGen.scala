@@ -60,6 +60,10 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val sf = args(0).toDouble
     val out = args(1)
+    // optional vocab-size override (growth-study density experiments:
+    // containment/prefix candidate counts scale with per-token df,
+    // so the vocabulary size IS the density knob for that family)
+    if (args.length > 2) vocabOverride = Some(args(2).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.builder()
       .master(s"local[$cpus]")
@@ -81,7 +85,8 @@ object ScaleGen {
   /** Number of near-dup cluster members per documents cluster. */
   private val DocClusterSize = 3
   /** Scale-corpus vocabulary size (see class doc for why ≫ 31). */
-  private val VocabSize = 1000
+  private var vocabOverride: Option[Int] = None
+  private def VocabSize: Int = vocabOverride.getOrElse(1000)
 
   def tables(spark: SparkSession, sf: Double): Seq[(String, DataFrame)] = {
     import spark.implicits._
@@ -218,7 +223,10 @@ object ScaleGen {
       val altTok = h(col("doc_id"), j, lit("alt")) % VocabSize
       val tok = when(h(col("doc_id"), j, lit("mut")) % 10 === 0, altTok)
         .otherwise(baseTok)
-      concat(lit("w"), lpad(tok.cast("string"), 4, "0"))
+      // pad width follows the vocab size — Spark's lpad TRUNCATES
+      // overlong input, which would alias tokens above 10^width
+      concat(lit("w"), lpad(tok.cast("string"),
+        math.max(4, (VocabSize - 1).toString.length), "0"))
     }
     val documents = spark.range(nDoc)
       .select(col("id").as("doc_id"),
