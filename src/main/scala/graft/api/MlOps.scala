@@ -141,30 +141,45 @@ object MlOps {
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Long](1).toArray).toMap
     var cents: Seq[Array[Long]] = seedIds.map(seedVec(_)).toSeq
+    // single nested-literal kernel (the PqOps.pqIntTrain r14 form): the
+    // k×dim centroid table is ONE typedLit plan node and the argmin is
+    // a transform/array_min over it — same integer math and lower-id
+    // tie-break as the per-cluster literal-array chain it replaces,
+    // with O(1) plan size in k (the chain's analysis + codegen cost
+    // grew with k and dominated small-data trace runs).
     def assigned = {
-      val dists = array(cents.zipWithIndex.map { case (c, j) =>
-        val cl = s"array(${c.mkString("L,")}L)"
-        struct(expr(s"aggregate(zip_with(__e, $cl, " +
-          "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
-          .as("dist"), lit(j.toLong).as("cl"))
-      }: _*)
-      e.withColumn("__a", array_min(dists))
+      val cLit = typedLit(cents.map(_.toSeq))
+      e.withColumn("__cbs", cLit)
+        .withColumn("__a", array_min(expr(
+          s"transform(sequence(0, ${cents.size - 1}), c -> named_struct(" +
+            "'dist', aggregate(zip_with(__e, __cbs[c], " +
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b), " +
+            "'cl', CAST(c AS BIGINT)))")))
         .select(col("__id"), col("__e"),
           col("__a.cl").as("cl"), col("__a.dist").as("dist"))
     }
-    val rounds = Seq.newBuilder[DataFrame]
+    // ONE distributed job per round (the PqOps.pqIntTrain r14 shape):
+    // the (cl, pos)-keyed stats agg carries the centroid-update sums
+    // AND the round's trace numbers (n_vecs / inertia = the pos-0
+    // slice), and the k·iters trace rows assemble driver-side — the
+    // earlier loop evaluated each round's assignment twice (sums
+    // collect + trace-union member) and re-analyzed the iters-member
+    // union of assignment plans at every trace action.
+    val traceRows = Seq.newBuilder[Row]
     var r = 1
     while (r <= iters) {
       val a = assigned
-      rounds += a.groupBy("cl")
-        .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
-        .select(lit(r.toLong).as("round"), col("cl"),
-          col("n_vecs"), col("inertia"))
+      val stats = a.select(col("cl"), col("dist"), posexplode(col("__e")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(sum("col").as("s"), count(lit(1)).as("n"),
+          sum("dist").as("sd"))
+        .collect()
+      traceRows ++= stats.iterator
+        .filter(_.getInt(1) == 0)
+        .map(row => Row(r.toLong, row.getLong(0),
+          row.getLong(3), row.getLong(4)))
       if (r < iters) {
-        val sums = a.select(col("cl"), posexplode(col("__e")))
-          .groupBy(col("cl"), col("pos"))
-          .agg(sum("col").as("s"), count(lit(1)).as("n"))
-          .collect()
+        val sums = stats
           .map(row => (row.getLong(0), row.getInt(1)) ->
             (row.getLong(2), row.getLong(3))).toMap
         cents = cents.indices.map { j =>
@@ -179,7 +194,16 @@ object MlOps {
       }
       r += 1
     }
-    rounds.result().reduce(_ unionByName _).orderBy("round", "cl")
+    val traceSchema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("cl", LongType, nullable = false),
+      StructField("n_vecs", LongType, nullable = false),
+      StructField("inertia", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        traceRows.result().sortBy(row =>
+          (row.getLong(0), row.getLong(1))), 1), traceSchema)
+      .orderBy("round", "cl")
   }
 
   /** Score rows with a trained weight vector (bias first, then one

@@ -714,42 +714,57 @@ object PqOps {
       sv.filter(col("id").isin(seedIds.map(Long.box): _*)).collect()
         .map(r => (r.getInt(1), seedRank(r.getLong(0))) ->
           r.getSeq[Long](2).toArray).toMap
-    // one codegen'd kernel: per subspace an array of (dist, code)
-    // structs over centroid literals, argmin via array_min (dist asc,
-    // code asc — the tie-break is the struct ordering)
+    // one codegen'd kernel: the full m×ksub codebook rides a SINGLE
+    // nested array literal (one plan node), the row's subspace selects
+    // its ksub centroids and a transform/array_min computes the argmin
+    // (dist asc, code asc — the tie-break is the struct field order).
+    // The earlier form built a per-(j, code) literal-array when-chain —
+    // m·ksub separate aggregate/zip_with subtrees — whose analysis +
+    // codegen dominated training wall-clock at the production geometry
+    // (measured r14: shared:pqprodint_train 42 s at sf0.1 with 4.3 MiB
+    // task binaries; 256 kernels of this shape). Same integer math,
+    // same tie-break, O(1) plan size in (m, ksub).
     def assigned: DataFrame = {
-      val perJ = (0 until m).map { j =>
-        val arr = array((0 until ksub).map { c =>
-          val cl = s"array(${cents((j, c)).mkString("L,")}L)"
-          struct(expr(s"aggregate(zip_with(sv, $cl, " +
-            "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)")
-            .as("dist"), lit(c).as("code"))
-        }: _*)
-        (j, arr)
-      }
-      val chosen = perJ.tail.foldLeft(
-        when(col("j") === perJ.head._1, perJ.head._2)) {
-        case (acc, (j, arr)) => acc.when(col("j") === j, arr)
-      }
-      sv.withColumn("__a", array_min(chosen))
+      val cLit = typedLit((0 until m).map(j =>
+        (0 until ksub).map(c => cents((j, c)).toSeq)))
+      sv.withColumn("__cbs", element_at(cLit, col("j") + 1))
+        .withColumn("__a", array_min(expr(
+          s"transform(sequence(0, ${ksub - 1}), c -> named_struct(" +
+            "'dist', aggregate(zip_with(sv, __cbs[c], " +
+            "(x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b), " +
+            "'code', CAST(c AS INT)))")))
         .select(col("id"), col("j"), col("sv"),
           col("__a.code").as("code"), col("__a.dist").as("dist"))
     }
-    val rounds = Seq.newBuilder[DataFrame]
+    // ONE distributed job per round: the (j, code, pos)-keyed stats agg
+    // yields the centroid-update sums AND the round's trace numbers
+    // (n_vecs / inertia = the pos-0 slice — dist repeats per exploded
+    // position, so summing it where pos = 0 is the plain per-(j, code)
+    // sum). The earlier loop evaluated each round's assignment TWICE
+    // (sums collect + the trace's union member) and the final one a
+    // third time for codes, and the iters-member union of assignment
+    // plans was re-analyzed whole at every trace action; the trace rows
+    // are m·ksub·iters bounded, so they assemble driver-side like the
+    // final centroids (measured r14 with the kernel fix compounding:
+    // shared:pqprodint_train 42 s → 3.3 s at sf0.1).
+    val traceRows = Seq.newBuilder[Row]
     var lastAssign: DataFrame = null
     var r = 1
     while (r <= iters) {
       val a = assigned
       lastAssign = a
-      rounds += a.groupBy("j", "code")
-        .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
-        .select(lit(r.toLong).as("round"), col("j"), col("code"),
-          col("n_vecs"), col("inertia"))
+      val stats = a.select(col("j"), col("code"), col("dist"),
+          posexplode(col("sv")))
+        .groupBy("j", "code", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"),
+          sum("dist").as("sd"))
+        .collect()
+      traceRows ++= stats.iterator
+        .filter(_.getInt(2) == 0)
+        .map(row => Row(r.toLong, row.getInt(0), row.getInt(1),
+          row.getLong(4), row.getLong(5)))
       if (r < iters) {
-        val sums = a.select(col("j"), col("code"), posexplode(col("sv")))
-          .groupBy("j", "code", "pos")
-          .agg(sum("col").as("s"), count(lit(1)).as("n"))
-          .collect()
+        val sums = stats
           .map(row => (row.getInt(0), row.getInt(1), row.getInt(2)) ->
             (row.getLong(3), row.getLong(4))).toMap
         cents = cents.map { case ((j, c), old) =>
@@ -766,6 +781,16 @@ object PqOps {
       }
       r += 1
     }
+    val traceSchema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("n_vecs", LongType, nullable = false),
+      StructField("inertia", LongType, nullable = false)))
+    val traceDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        traceRows.result().sortBy(row =>
+          (row.getLong(0), row.getInt(1), row.getInt(2))), 1), traceSchema)
     val centSchema = StructType(Seq(
       StructField("j", IntegerType, nullable = false),
       StructField("code", IntegerType, nullable = false),
@@ -775,7 +800,7 @@ object PqOps {
       spark.sparkContext.parallelize(
         cents.toSeq.sortBy(_._1)
           .map { case ((j, c), v) => Row(j, c, v.toSeq) }, 1), centSchema)
-    (rounds.result().reduce(_ unionByName _).orderBy("round", "j", "code"),
+    (traceDf.orderBy("round", "j", "code"),
       centDf,
       lastAssign.select(col("id"), col("j"), col("code")))
   }
