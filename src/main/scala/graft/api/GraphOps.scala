@@ -69,20 +69,26 @@ object GraphOps {
           (col("dx") === col("dy") && col("x") < col("y")), col("y"))
           .otherwise(col("x")).as("dst"))
       .localCheckpoint(true)
-    // wedges at the apex: pairs of out-edges ordered by (deg, id) of
-    // the endpoints — each triangle shows up exactly once
-    val dd = deg.select(col("v").as("dst"), col("d").as("ddst"))
-    // both wedge legs read this relation — materialize it once
-    // instead of replaying the degree join per leg
-    val eo = ed.join(dd, Seq("dst")).localCheckpoint(true)
-    val w1 = eo.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
-    val w2 = eo.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
-    val wedges = w1.join(w2, Seq("src"))
-      .filter(col("d1") < col("d2") ||
-        (col("d1") === col("d2") && col("w1") < col("w2")))
-    val closing = ed.select(col("src").as("w1"), col("dst").as("w2"))
-    val tri = wedges.join(closing, Seq("w1", "w2"))
-      .select(col("src"), col("w1"), col("w2"))
+    // compact-forward (Latapy 2008, public method): a triangle a→b,
+    // a→c, b→c (orientation order a < b < c) is found on its FIRST
+    // edge (a, b) as c ∈ N⁺(a) ∩ N⁺(b) — b→c exists iff (deg, id) of
+    // b < c, so each triangle lands exactly once and (src, w1, w2) =
+    // (a, b, c) matches the wedge census ordering bit for bit. This
+    // replaces the earlier wedge enumeration (Σ out-deg² rows through
+    // a join — measured 41 M wedge rows against 1.2 M edges for 1.9 M
+    // triangles at sf0.1) with one out-adjacency build (m rows, one
+    // shuffle) and a per-edge sorted-array intersection (Σ (d⁺(a) +
+    // d⁺(b)) work, ≤ O(√m) per row by the orientation bound), so the
+    // heavy relation is never joined row-per-wedge. Measured r14:
+    // shared:tri_census 28 s → see OPTIMIZATION_r14.md.
+    val adj = ed.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    val tri = ed
+      .join(adj.select(col("src"), col("nb").as("__na")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nb").as("__nb")),
+        Seq("dst"))
+      .select(col("src"), col("dst").as("w1"),
+        explode(array_intersect(col("__na"), col("__nb"))).as("w2"))
     (deg, tri)
   }
 
