@@ -708,13 +708,27 @@ object GraphQueries {
       val apexIl = invlog.filter(
         pmod(polyMix(pmod(col("u"), lit(HashM))),
           lit(ApexSampleMod)) < lit(ApexSampleKeep))
-      val e1 = ed.join(apexIl, Seq("u"))
-        .select(col("u"), col("v").as("px"), col("il"))
-      val e2 = ed.join(apexIl.select("u"), Seq("u"))
-        .select(col("u"), col("v").as("py"))
       val invP = ApexSampleMod / ApexSampleKeep // exact integer scale
-      val scored = e1.join(e2, Seq("u"))
-        .filter(col("px") < col("py"))
+      // wedge fan-out as per-apex array pair generation: one join
+      // attaches the sampled apex set to its edges, one groupBy folds
+      // them to a sorted neighbor array, and the x < y wedge pairs
+      // explode from a codegen transform — the earlier three-join form
+      // (e1 = ed ⋈ apex, e2 = ed ⋈ apex, e1 ⋈ e2 on u) shuffled the
+      // full directed edge table twice and the 4.7 M wedge rows once
+      // more (measured r14: the fan alone was 5.5 s at sf0.1). Skew
+      // bound unchanged: a hub apex's wedges landed in one join
+      // partition before and build from one array row now; identical
+      // (px, py, il) multiset, so counts and the exact decimal sums
+      // are unchanged.
+      val nbr = ed.join(apexIl, Seq("u"))
+        .groupBy(col("u"), col("il"))
+        .agg(sort_array(collect_list(col("v"))).as("nb"))
+      val scored = nbr
+        .select(col("il"), explode(expr(
+          "flatten(transform(nb, (x, i) -> " +
+            "transform(slice(nb, i + 2, size(nb) - i - 1), " +
+            "y -> struct(x AS px, y AS py))))")).as("p"))
+        .select(col("p.px").as("px"), col("p.py").as("py"), col("il"))
         .groupBy("px", "py")
         .agg(count(lit(1)).as("cn_sampled"),
           sum(col("il").cast(Dec)).as("aa_s"))
