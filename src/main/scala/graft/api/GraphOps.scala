@@ -182,12 +182,15 @@ object GraphOps {
       // sparse union of the contribution set and the seed row: the
       // seed may be absent from round 1's contributions (no self
       // loops), and absent vertices must stay absent, not become 0s
+      // r14: no per-iteration localCheckpoint — the mass lineage is
+      // linear (each r feeds the next exactly once), so the final
+      // action evaluates every round once; the eager checkpoints were
+      // iters extra materialization jobs (the q153 rationale)
       r = contrib.join(s.withColumn("st", lit(1)), Seq("v"), "full")
         .select(col("v"),
           (when(col("st") === 1, lit(restartMicro)).otherwise(lit(0L))
             + expr(s"(2L * $dNum * coalesce(sc6, 0L) + $dDen)" +
               s" div (2L * $dDen)")).as("pr6"))
-        .localCheckpoint(true)
       it += 1
     }
     r.select(col("v"), (col("pr6").cast("double") / Micro).as("pr"))

@@ -155,9 +155,15 @@ object GraphQueries {
       val ed = edges.join(deg, Seq("u")).localCheckpoint(true)
       val nodes = ed.select(col("u").as("v")).distinct()
       val nn = nodes.agg(count(lit(1)).as("nn"))
+      // r14: no per-iteration localCheckpoint — the rank lineage is
+      // LINEAR (each r feeds the next exactly once), so one final
+      // action evaluates every round exactly once anyway, and the
+      // repeated subtrees (nodes' distinct, nn) collapse under
+      // ReuseExchange; the eager checkpoints were Iters extra
+      // materialization jobs per run. ed stays checkpointed — it is
+      // read every round.
       var r = nodes.crossJoin(broadcast(nn))
         .select(col("v"), round(lit(1d) / col("nn"), 6).as("pr"))
-        .localCheckpoint(true)
       var it = 0
       while (it < Iters) {
         val contrib = ed
@@ -171,7 +177,6 @@ object GraphQueries {
           .select(col("v"),
             round(lit(1d - Damping) / col("nn")
               + lit(Damping) * coalesce(col("sc"), lit(0d)), 6).as("pr"))
-          .localCheckpoint(true)
         it += 1
       }
       r.select(col("v").as("p_partkey"), col("pr").as("pr6"))
@@ -764,19 +769,23 @@ object GraphQueries {
       val nP = e.select("p").distinct().count()
       val a0 = e.select("p").distinct()
         .withColumn("a", lit(HitsScale / nP))
+      // r14: no per-step localCheckpoint — the two-round unroll is
+      // linear (h2's two consumers share the same agg exchange via
+      // ReuseExchange), so the final action evaluates each half-round
+      // once; the eager checkpoints were four extra materialization
+      // jobs (the q153 rationale). e stays checkpointed — every
+      // half-round reads it.
       def hubStep(a: DataFrame): DataFrame = {
         val hr = e.join(a, Seq("p")).groupBy("c")
           .agg(sum(col("w") * col("a")).as("hr"))
         hr.crossJoin(broadcast(hr.agg(sum("hr").as("t"))))
           .select(col("c"), expr(s"(hr * ${HitsScale}L) div t").as("h"))
-          .localCheckpoint(true)
       }
       def authStep(h: DataFrame): DataFrame = {
         val ar = e.join(h, Seq("c")).groupBy("p")
           .agg(sum(col("w") * col("h")).as("ar"))
         ar.crossJoin(broadcast(ar.agg(sum("ar").as("t"))))
           .select(col("p"), expr(s"(ar * ${HitsScale}L) div t").as("a"))
-          .localCheckpoint(true)
       }
       val h1 = hubStep(a0)
       val a1 = authStep(h1)
