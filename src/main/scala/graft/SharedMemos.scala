@@ -66,6 +66,15 @@ object SharedMemos {
     // oriented-census triangle rows (q165 count, q308 per-vertex)
     "shared:tri_census" ->
       (s => force(operators.GraphQueries.triRows(s, dir))),
+    // unweighted co-purchase degree table (q165/q292/q308/q340 +
+    // landmarkBfs hub pick) — r14: one build instead of five 2·m
+    // shuffles
+    "shared:graph_degrees" ->
+      (s => force(operators.CoPurchase.undDegrees(s, dir))),
+    // 2-round LPA community labels (q230/q280/q291) — r14: one
+    // iteration run instead of three
+    "shared:lpa_labels" ->
+      (s => force(operators.GraphQueries.lpaLabels(s, dir))),
     // BPE training run: merge trace + final symbols (q236/q262/q317)
     "shared:bpe_train" -> (s => {
       val (tr, sy) = operators.CorpusStatsQueries.bpeArtifacts(s, dir)
@@ -83,6 +92,11 @@ object SharedMemos {
     // exact near-dup pair table at 0.6 (q61/q77/q100/q116/q278 chain)
     "shared:text_pairs06" ->
       (s => force(operators.TextQueries.nearDupPairs(s, dir, 0.6))),
+    // resolved 0.6-pair components (q77/q116/q278/q325/q327) — r14:
+    // one star-contraction instead of five; label sorts AFTER
+    // text_pairs06 so the pair build cost stays on its own line
+    "shared:text_pairs06_cc" ->
+      (s => force(operators.PipelineQueries.clusters06(s, dir))),
     // MinHash-LSH pair table, unblocked 0.5 (q66, q255)
     "shared:lsh_pairs05" ->
       (s => force(operators.SketchQueries.lshNearDupPairs(s, dir, 0.5))),

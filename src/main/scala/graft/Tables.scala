@@ -57,10 +57,32 @@ object Tables {
     * case) this returns the input untouched, so pipelines can apply it
     * unconditionally.
     */
-  def spread(df: DataFrame, key: String): DataFrame = {
+  def spread(df: DataFrame, key: String): DataFrame =
+    spreadCached(df, key, None)
+
+  /** Per-(session, probe key) cache of the spread decision: the
+    * `df.rdd.getNumPartitions` probe instantiates the scan's physical
+    * RDD — file listing + a codegen compile — and its result is then
+    * DISCARDED (only the returned logical plan survives), so paying it
+    * on every load of the same fixture table burned ~100 ms × every
+    * documents/embeddings query in a sweep (r14 finding). The split
+    * count of a fixture path only changes when the file set changes,
+    * which within one session the other caches already assume. */
+  private val spreadDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      java.lang.Boolean]()
+
+  private def spreadCached(df: DataFrame, key: String,
+    cacheKey: Option[String]): DataFrame = {
     if (sys.env.contains("GRAFT_NO_SPREAD")) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= want) df
+    val enough = cacheKey match {
+      case Some(ck) => spreadDecisions.computeIfAbsent(
+        (df.sparkSession, ck),
+        _ => Boolean.box(df.rdd.getNumPartitions >= want)).booleanValue()
+      case None => df.rdd.getNumPartitions >= want
+    }
+    if (enough) df
     else df.repartition(want, org.apache.spark.sql.functions.col(key))
   }
 
@@ -72,7 +94,9 @@ object Tables {
     * tables load unchanged. */
   def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = load(spark, sfDir, name)
-    spreadKeys.get(name).map(spread(df, _)).getOrElse(df)
+    spreadKeys.get(name)
+      .map(spreadCached(df, _, Some(s"$sfDir/$name.parquet")))
+      .getOrElse(df)
   }
 
   /** Register every table as a temp view so `spark.sql("SELECT ...")`

@@ -47,6 +47,15 @@ object CoPurchase {
   def und(s: SparkSession, dir: String): DataFrame =
     pairW(s, dir).select("x", "y")
 
+  /** Memoized unweighted degree table (v, d) over [[und]] — five
+    * consumers (q165, q292, q308, q340, landmarkBfs) each re-shuffled
+    * the doubled edge list for the same counts before r14; one build
+    * per (session, dir), primed under shared:graph_degrees. */
+  def undDegrees(s: SparkSession, dir: String): DataFrame =
+    Caches.memo(s, s"copurchase:unddeg:$dir") {
+      graft.api.GraphOps.degrees(und(s, dir), "x", "y")
+    }
+
   /** Directed weighted edges (u, v, w), u != v — both orientations of
     * every undirected pair (counts are symmetric). */
   def directedW(s: SparkSession, dir: String): DataFrame = {

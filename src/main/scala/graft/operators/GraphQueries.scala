@@ -119,6 +119,17 @@ object GraphQueries {
   private def orientedCensus(und: DataFrame): (DataFrame, DataFrame) =
     graft.api.GraphOps.triangleCensus(und, "x", "y")
 
+  /** The q230/q280/q291 community labels (2-round weighted LPA over
+    * the support-floored backbone), memoized per (session, dir) —
+    * three consumers re-ran the iteration before r14; primed under
+    * shared:lpa_labels. */
+  private[graft] def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"graph.lpa:$dir:$LpaIters") {
+      graft.api.GraphOps.labelPropagation(
+        CoPurchase.pairW(s, dir).filter(col("w") >= LinkPredMinSupport),
+        "x", "y", "w", LpaIters)
+    }
+
   /** The item-CF serving layout (per-item top-CfNbrK weighted-Jaccard
     * neighbour lists over the support-floored backbone), memoized per
     * (session, dir) — q253 scores holdouts through it, q324 audits its
@@ -224,7 +235,7 @@ object GraphQueries {
     // numbers must agree exactly.
     "q165_triangles" -> ((s, dir) => {
       val und = CoPurchase.und(s, dir)
-      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val deg = CoPurchase.undDegrees(s, dir)
       val tri = triRows(s, dir).agg(count(lit(1)).as("n_triangles"))
       val totals = und.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
@@ -245,8 +256,7 @@ object GraphQueries {
     // INTEGER triangle count ([D3] — lcc is reported, never sorted
     // on), part-key ties.
     "q308_local_clustering" -> ((s, dir) => {
-      val und = CoPurchase.und(s, dir)
-      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val deg = CoPurchase.undDegrees(s, dir)
       val perv = triRows(s, dir)
         .select(explode(array(col("src"), col("w1"), col("w2"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("tri"))
@@ -377,8 +387,7 @@ object GraphQueries {
     "q291_conductance" -> ((s, dir) => {
       val undw = CoPurchase.pairW(s, dir)
         .filter(col("w") >= LinkPredMinSupport)
-      val labels = graft.api.GraphOps
-        .labelPropagation(undw, "x", "y", "w", LpaIters)
+      val labels = lpaLabels(s, dir)
       val lx = labels.select(col("v").as("x"), col("label").as("lx"))
       val ly = labels.select(col("v").as("y"), col("label").as("ly"))
       val crossE = undw.join(lx, "x").join(ly, "y")
@@ -414,7 +423,11 @@ object GraphQueries {
       val und = CoPurchase.und(s, dir)
       val ed = und.select(col("x").as("u"), col("y").as("v"))
         .unionByName(und.select(col("y").as("u"), col("x").as("v")))
-      val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
+      // directed degree (count per u over both orientations) IS the
+      // undirected degree — ride the shared memo instead of one more
+      // 2·m shuffle (r14)
+      val deg = CoPurchase.undDegrees(s, dir)
+        .select(col("v").as("u"), col("d"))
       ed.join(deg.select(col("u"), col("d").as("du")), "u")
         .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
         .agg(count(lit(1)).as("m"),
@@ -426,10 +439,7 @@ object GraphQueries {
     }),
 
     "q230_label_prop" -> ((s, dir) => {
-      val undw = CoPurchase.pairW(s, dir)
-        .filter(col("w") >= LinkPredMinSupport)
-      val labels = graft.api.GraphOps
-        .labelPropagation(undw, "x", "y", "w", LpaIters)
+      val labels = lpaLabels(s, dir)
       labels.groupBy("label").agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("label").asc)
         .limit(20)
@@ -450,8 +460,7 @@ object GraphQueries {
     "q280_modularity" -> ((s, dir) => {
       val undw = CoPurchase.pairW(s, dir)
         .filter(col("w") >= LinkPredMinSupport)
-      val labels = graft.api.GraphOps
-        .labelPropagation(undw, "x", "y", "w", LpaIters)
+      val labels = lpaLabels(s, dir)
       val lx = labels.select(col("v").as("x"), col("label").as("lx"))
       val ly = labels.select(col("v").as("y"), col("label").as("ly"))
       val wtot = undw.agg(sum("w").as("tw"))
@@ -843,7 +852,7 @@ object GraphQueries {
     // (RichFormula), NULL below two qualifying nodes.
     "q340_rich_club" -> ((s, dir) => {
       val und = CoPurchase.und(s, dir)
-      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val deg = CoPurchase.undDegrees(s, dir)
       val e = und
         .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))
         .join(deg.select(col("v").as("y"), col("d").as("dy")), Seq("y"))
@@ -894,7 +903,7 @@ object GraphQueries {
   private[graft] def landmarkBfs(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"graph.lmbfs:$dir") {
       val und = CoPurchase.und(s, dir)
-      val deg = graft.api.GraphOps.degrees(und, "x", "y")
+      val deg = CoPurchase.undDegrees(s, dir)
       val hub = deg.orderBy(col("d").desc, col("v").asc).limit(1)
         .select(col("v").as("src"))
       val seeds = und.agg(min(col("x")).as("src"))

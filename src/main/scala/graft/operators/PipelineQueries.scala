@@ -197,15 +197,25 @@ object PipelineQueries {
       .select(col("id"), coalesce(col("lab"), col("id")).as("lab"))
   }
 
+  /** The resolved q77 component relation (doc_id, cluster_id, keep)
+    * over the 0.6 near-dup pairs, memoized per (session, dir) — five
+    * consumers (q77, q116, q278, q325, q327) each re-ran the
+    * star-contraction before r14; primed under
+    * shared:text_pairs06_cc (AFTER the pair table's own line in label
+    * order, so the pair build cost stays on its line). */
+  private[graft] def clusters06(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"pipeline.cc06:$dir") {
+      graft.api.DedupOps.clusterResolve(
+        t(s, dir, "documents"), "doc_id",
+        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Connected components over the q61 near-dup pairs: cluster_id is the
     // min doc_id reachable through the near-dup relation; keep = 1 on the
     // cluster representative. Singletons keep themselves.
     "q77_dedup_cluster" -> ((s, dir) =>
-      graft.api.DedupOps.clusterResolve(
-        t(s, dir, "documents"), "doc_id",
-        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
-        .orderBy("doc_id")),
+      clusters06(s, dir).orderBy("doc_id")),
 
     // Token-budget mixture — q92 mixes by DOCUMENT counts; a real
     // pretraining mix allocates TOKENS per domain: each source keeps
@@ -226,9 +236,7 @@ object PipelineQueries {
     // giant components redistribute the dedup savings completely).
     // Composes q77's clusters; two tiny aggs after the CC labels.
     "q278_dedup_cluster_sizes" -> ((s, dir) =>
-      graft.api.DedupOps.clusterResolve(
-          t(s, dir, "documents"), "doc_id",
-          TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+      clusters06(s, dir)
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"),
@@ -397,9 +405,7 @@ object PipelineQueries {
     // the savings permille [D5]. One keyed agg over the memoized
     // component relation joined to per-doc token counts.
     "q327_dup_savings" -> ((s, dir) => {
-      val cl = graft.api.DedupOps.clusterResolve(
-        t(s, dir, "documents"), "doc_id",
-        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+      val cl = clusters06(s, dir)
       val ntok = t(s, dir, "documents").select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
       cl.join(ntok, Seq("doc_id"))
@@ -422,9 +428,7 @@ object PipelineQueries {
     // cluster census (count, docs, fully-pure clusters, mean purity).
     // Keyed aggs over the resolved component relation only.
     "q325_cluster_purity" -> ((s, dir) => {
-      val cl = graft.api.DedupOps.clusterResolve(
-        t(s, dir, "documents"), "doc_id",
-        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))
+      val cl = clusters06(s, dir)
       val sizes = cl
         .join(t(s, dir, "documents").select("doc_id", "source"),
           Seq("doc_id"))
@@ -512,13 +516,17 @@ object PipelineQueries {
       val pairs = graft.api.DedupOps.minhashLshAgainst(
           base, delta, "doc_id", "text", 0.6)
         .withColumn("jac_pm", expr("(1000L * inter) div uni"))
-      val nm = pairs.groupBy("id_delta")
-        .agg(count(lit(1)).as("n_matches"))
+      // r14: n_matches as a count-over-partition window in the SAME
+      // exchange as the rank — the earlier groupBy + join-back
+      // evaluated the candidate+verify pair join twice and paid one
+      // more shuffle; match groups are delta-keyed and bounded, so the
+      // window partition is never a hot key
       val w = Window.partitionBy("id_delta")
         .orderBy(col("jac_pm").desc, col("id_base").asc)
       pairs.withColumn("rn", row_number().over(w))
+        .withColumn("n_matches",
+          count(lit(1)).over(Window.partitionBy("id_delta")))
         .filter(col("rn") === 1)
-        .join(nm, Seq("id_delta"))
         .select(col("id_delta"), col("n_matches"), col("id_base"),
           col("jac_pm"))
         .orderBy("id_delta")
@@ -608,8 +616,7 @@ object PipelineQueries {
     // operator's own API; the composition adds only doc_id equi-joins,
     // so the scale shape is the union of the stages' shapes.
     "q116_curation_run" -> ((s, dir) =>
-      curationRun(s, dir,
-        TextQueries.nearDupPairs(s, dir, 0.6).select("id_lo", "id_hi"))),
+      curationRun(s, dir, clusters06(s, dir))),
 
     // q116 on the 100 TB edge source (the q110 pattern, text modality):
     // the near-dup stage consumes q66's MinHash-LSH edge set at
@@ -618,9 +625,10 @@ object PipelineQueries {
     // exchanges, broadcast eval grams. Oracle replays the LSH candidate
     // generation exactly.
     "q118_curation_lsh" -> ((s, dir) =>
-      curationRun(s, dir,
+      curationRun(s, dir, graft.api.DedupOps.clusterResolve(
+        t(s, dir, "documents"), "doc_id",
         SketchQueries.lshNearDupPairs(s, dir, 0.6, Some("lang"))
-          .select("id_lo", "id_hi")))
+          .select("id_lo", "id_hi"))))
   )
 
   /** q100/q119's composition, parameterized on the near-dup edge
@@ -650,8 +658,11 @@ object PipelineQueries {
     * gated operator's own API; the composition adds only doc_id
     * equi-joins, so the scale shape is the union of the stages'
     * shapes. */
+  /** `nearCl` is the RESOLVED component relation (doc_id, keep) of
+    * the run's near-dup edge source — q116 passes the shared
+    * clusters06 memo, q118 resolves its lang-LSH edges inline. */
   private def curationRun(s: SparkSession, dir: String,
-    edges: DataFrame): DataFrame = {
+    nearCl: DataFrame): DataFrame = {
     val docs = t(s, dir, "documents")
     // The quality and decontamination stages both start from the token
     // array; they read the session-cached tokenized projection, so the
@@ -664,7 +675,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("keep").as("f_quality"))
     val exactKeep = graft.api.DedupOps.exactGroups(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"), lit(1).as("f_exact"))
-    val nearKeep = graft.api.DedupOps.clusterResolve(docs, "doc_id", edges)
+    val nearKeep = nearCl
       .select(col("doc_id"), col("keep").as("f_near"))
     val clean = graft.api.TextOps.decontaminateFromTokens(
         dt.filter(col("source") =!= "src0"), "doc_id", "__tk",

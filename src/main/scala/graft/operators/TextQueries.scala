@@ -292,12 +292,16 @@ object TextQueries {
     // engines compute exactly, so the argmax — and the matrix — is
     // engine- and partition-invariant.
     "q250_nb_langid" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // persistTracked: five subtrees read this projection (train
+      // counts, priors, train size, test explode, test scoring) — each
+      // re-ran the parquet scan + tokenize before r14; one tokenize
+      // pass now feeds all of them
+      val d = graft.Caches.persistTracked(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextFunctions.tokens(col("text")).as("toks"),
           expr(s"(${TextFunctions.charHash("text")}) % 10").as("bucket"))
         .withColumn("n_tok", size(col("toks")).cast("long"))
-        .filter(col("n_tok") >= 1)
+        .filter(col("n_tok") >= 1))
       val train = d.filter(col("bucket") < 8)
       val test = d.filter(col("bucket") >= 8)
       val cnt = graft.Caches.persistTracked(
@@ -351,13 +355,16 @@ object TextQueries {
     // charHash % 10 div 2 — deterministic, reproducible splits).
     "q270_nb_crossval" -> ((s, dir) => {
       val kf = 5
-      val d = t(s, dir, "documents")
+      // persistTracked: six subtrees read this projection (the token
+      // explode plus the four fold/prior counts and the scoring side) —
+      // each re-ran the parquet scan + tokenize before r14
+      val d = graft.Caches.persistTracked(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextFunctions.tokens(col("text")).as("toks"),
           expr(s"((${TextFunctions.charHash("text")}) % 10) div 2")
             .as("fold"))
         .withColumn("n_tok", size(col("toks")).cast("long"))
-        .filter(col("n_tok") >= 1)
+        .filter(col("n_tok") >= 1))
       val occ = graft.Caches.persistTracked(
         d.select(col("doc_id"), col("lang"), col("fold"),
           explode(col("toks")).as("tok")))
