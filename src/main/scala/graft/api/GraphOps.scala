@@ -53,10 +53,13 @@ object GraphOps {
     * once, degree-oriented) plus the degree table: the per-vertex
     * consumers (q308's local clustering coefficient) explode the three
     * roles instead of re-running the wedge join per role. */
-  def triangleRows(und: DataFrame, xCol: String, yCol: String)
-  : (DataFrame, DataFrame) = {
+  def triangleRows(und: DataFrame, xCol: String, yCol: String,
+    degOpt: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
-    val deg = degrees(u, "x", "y").localCheckpoint(true)
+    // callers holding a memoized (v, d) degree table pass it in (r14:
+    // GraphQueries.triRows shares shared:graph_degrees) — otherwise
+    // one is built and pinned here
+    val deg = degOpt.getOrElse(degrees(u, "x", "y").localCheckpoint(true))
     // orient x→y iff (deg, id) of x < (deg, id) of y
     val ed = u
       .join(deg.select(col("v").as("x"), col("d").as("dx")), Seq("x"))

@@ -148,7 +148,8 @@ object GraphQueries {
     * shared:tri_census). */
   private[graft] def triRows(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"trirows:$dir") {
-      graft.api.GraphOps.triangleRows(CoPurchase.und(s, dir), "x", "y")._2
+      graft.api.GraphOps.triangleRows(CoPurchase.und(s, dir), "x", "y",
+        Some(CoPurchase.undDegrees(s, dir)))._2
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -211,12 +211,15 @@ object IvfIndex {
     var it = 0
     while (it < iters) {
       // Lloyd trains on the sample; only the final assignment below
-      // pays a full-corpus scan
+      // pays a full-corpus scan. r14: no per-iteration eager
+      // localCheckpoint — the centroid lineage is linear (each cents
+      // feeds the next exactly once, k rows through a broadcast), so
+      // the final action evaluates each round once; the checkpoints
+      // were iters extra materialization jobs (the q153 rationale).
       cents = assign(cents, base)
         .groupBy("cell")
         .agg(centroid(col("v").cast("array<float>")).as("cent"))
         .withColumn("cn2", expr("graft_dot(cent, cent)"))
-        .localCheckpoint(true)
       it += 1
     }
     assign(cents, full).select(col("id"), col("cell"))
