@@ -107,16 +107,16 @@ object PqOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     var it = 0
     while (it < iters) {
-      // r14: no per-iteration eager localCheckpoint — the codebook
-      // lineage is linear (each cb feeds the next exactly once, m·ksub
-      // rows through a broadcast), so the consumer's action evaluates
-      // each round once; the checkpoints were iters extra
-      // materialization jobs (the q153 rationale). `base` stays
-      // checkpointed — every round reads it twice.
+      // The per-iteration localCheckpoint is LOAD-BEARING (unlike the
+      // shuffle-chained q153 loop, r14 measured): each round's
+      // codebook feeds a BROADCAST exchange, and an unmaterialized
+      // broadcast subtree re-executes every prior round per broadcast
+      // build — quadratic in iters.
       cb = assign(base, cb)
         .join(base, Seq("id", "j"))
         .groupBy("j", "code")
         .agg(centroid(col("sv").cast("array<float>")).as("cent"))
+        .localCheckpoint(true)
       it += 1
     }
     cb

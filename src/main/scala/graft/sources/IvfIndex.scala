@@ -211,15 +211,16 @@ object IvfIndex {
     var it = 0
     while (it < iters) {
       // Lloyd trains on the sample; only the final assignment below
-      // pays a full-corpus scan. r14: no per-iteration eager
-      // localCheckpoint — the centroid lineage is linear (each cents
-      // feeds the next exactly once, k rows through a broadcast), so
-      // the final action evaluates each round once; the checkpoints
-      // were iters extra materialization jobs (the q153 rationale).
+      // pays a full-corpus scan. The per-iteration localCheckpoint is
+      // LOAD-BEARING here (unlike the shuffle-chained q153 loop, r14
+      // measured): each round's centroids feed a BROADCAST exchange,
+      // and an unmaterialized broadcast subtree re-executes every
+      // prior round per broadcast build — quadratic in iters.
       cents = assign(cents, base)
         .groupBy("cell")
         .agg(centroid(col("v").cast("array<float>")).as("cent"))
         .withColumn("cn2", expr("graft_dot(cent, cent)"))
+        .localCheckpoint(true)
       it += 1
     }
     assign(cents, full).select(col("id"), col("cell"))
