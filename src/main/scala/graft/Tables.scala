@@ -151,6 +151,18 @@ object Tables {
     })
   }
 
+  /** Per-(session, path, mtime) cache of the loaded frame: each
+    * `spark.read.parquet` call builds a fresh InMemoryFileIndex
+    * (directory listing + footer handling, ~13 ms measured) and a
+    * sweep issues ~1000 loads of the same ten fixture paths — pure
+    * driver fixed cost. The logical plan is immutable, so sharing one
+    * frame across consumers is safe; the mtime key invalidates on
+    * in-JVM fixture regeneration (the eventsTsNanos convention). The
+    * legacy-NANOS events branch is deliberately NOT cached — its
+    * child-session conf mirror must run per load (TablesSpec contract). */
+  private val loadedFrames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Every pipeline entry point loads through here — registering the
     // graft_* expressions once per call keeps them available to any query
@@ -170,7 +182,11 @@ object Tables {
       nanosSession(spark).read.schema(eventsNanosSchema).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
-      spark.read.schema(schemas(name)).parquet(path)
+      // bound the map by LIVE sessions (the nanosSessions hygiene rule)
+      loadedFrames.keySet.removeIf(_._1.sparkContext.isStopped)
+      val key = (spark, path + "@" + new java.io.File(path).lastModified())
+      loadedFrames.computeIfAbsent(key,
+        _ => spark.read.schema(schemas(name)).parquet(path))
     }
   }
 
