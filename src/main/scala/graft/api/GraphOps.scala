@@ -112,22 +112,14 @@ object GraphOps {
     val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
     val ed = u.select(col("x").as("u"), col("y").as("v"))
       .unionAll(u.select(col("y").as("u"), col("x").as("v")))
-    // per-apex array fan (r14): one groupBy folds each apex's
-    // neighbors into a sorted array — its size IS the degree, so the
-    // separate degree agg and the e1/e2 edge-table joins disappear —
-    // and the x < y wedge pairs explode from a codegen transform.
-    // Apexes below degree 2 generate no pairs by construction, which
-    // is exactly what the old d >= 2 invlog filter kept; identical
-    // (px, py, il) multiset, so counts and exact decimal sums match.
-    val nbr = ed.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nb"))
-    val scored = nbr
-      .select(round(lit(1d) / log(size(col("nb")).cast("double")), 6)
-          .as("il"),
-        explode(expr("flatten(transform(nb, (x, i) -> " +
-          "transform(slice(nb, i + 2, size(nb) - i - 1), " +
-          "y -> struct(x AS px, y AS py))))")).as("p"))
-      .select(col("p.px").as("px"), col("p.py").as("py"), col("il"))
+    val deg = ed.groupBy("u").agg(count(lit(1)).as("d"))
+    val invlog = deg.filter(col("d") >= 2).select(col("u"),
+      round(lit(1d) / log(col("d").cast("double")), 6).as("il"))
+    val e1 = ed.join(invlog, Seq("u"))
+      .select(col("u"), col("v").as("px"), col("il"))
+    val e2 = ed.select(col("u"), col("v").as("py"))
+    val scored = e1.join(e2, Seq("u"))
+      .filter(col("px") < col("py"))
       .groupBy("px", "py")
       .agg(count(lit(1)).as("cn"),
         sum(col("il").cast(Dets.Dec)).cast("double").as("aa6"))
@@ -258,21 +250,11 @@ object GraphOps {
         col(wCol).as("w"))
       .unionAll(und.select(col(yCol).as("u"), col(xCol).as("v"),
         col(wCol).as("w")))
-    // per-apex array fan (r14, the adamicAdar shape): ONE groupBy
-    // yields both the weighted degree and the sorted (v, w) neighbor
-    // array, and the x < y wedge pairs explode from a codegen
-    // transform — the old e1/e2 edge-table self-join and its separate
-    // sdeg agg are gone. Identical (px, py, m) multiset.
-    val nbr = ed.groupBy(col("u"))
-      .agg(sum(col("w")).as("s"),
-        sort_array(collect_list(struct(col("v"), col("w")))).as("nb"))
-    val sdeg = nbr.select(col("u"), col("s"))
-    val sc = nbr
-      .select(explode(expr("flatten(transform(nb, (a, i) -> " +
-        "transform(slice(nb, i + 2, size(nb) - i - 1), " +
-        "b -> struct(a.v AS px, b.v AS py, least(a.w, b.w) AS m))))"))
-        .as("p"))
-      .select(col("p.px").as("px"), col("p.py").as("py"), col("p.m").as("m"))
+    val sdeg = ed.groupBy("u").agg(sum(col("w")).as("s"))
+    val e1 = ed.select(col("u"), col("v").as("px"), col("w").as("wx"))
+    val e2 = ed.select(col("u"), col("v").as("py"), col("w").as("wy"))
+    val sc = e1.join(e2, Seq("u")).filter(col("px") < col("py"))
+      .select(col("px"), col("py"), least(col("wx"), col("wy")).as("m"))
       .groupBy("px", "py")
       .agg(sum(col("m")).as("cmin"))
       .join(sdeg.select(col("u").as("px"), col("s").as("sx")), Seq("px"))

@@ -167,15 +167,18 @@ object GraphQueries {
       val ed = edges.join(deg, Seq("u")).localCheckpoint(true)
       val nodes = ed.select(col("u").as("v")).distinct()
       val nn = nodes.agg(count(lit(1)).as("nn"))
-      // r14: no per-iteration localCheckpoint — the rank lineage is
-      // LINEAR (each r feeds the next exactly once), so one final
-      // action evaluates every round exactly once anyway, and the
-      // repeated subtrees (nodes' distinct, nn) collapse under
-      // ReuseExchange; the eager checkpoints were Iters extra
-      // materialization jobs per run. ed stays checkpointed — it is
-      // read every round.
+      // Per-iteration localCheckpoint KEPT (r14): dropping it measured
+      // faster on the sf0.1 driver fixture (9.3 → 6.4 s isolated) but
+      // showed no robust win at ScaleGen sf0.5 under interleaved
+      // minima (29.5 vs 29.2 s — the box noise band is 4×, see
+      // OPTIMIZATION_r14.md), and the materialized per-round size
+      // keeps the ed ⋈ r join's AQE planning anchored at scale — so
+      // the conservative r13-proven form stands. The drop IS kept in
+      // q231/q248, whose per-round tables are frontier-/score-sized
+      // and measured better on both fixtures.
       var r = nodes.crossJoin(broadcast(nn))
         .select(col("v"), round(lit(1d) / col("nn"), 6).as("pr"))
+        .localCheckpoint(true)
       var it = 0
       while (it < Iters) {
         val contrib = ed
@@ -189,6 +192,7 @@ object GraphQueries {
           .select(col("v"),
             round(lit(1d - Damping) / col("nn")
               + lit(Damping) * coalesce(col("sc"), lit(0d)), 6).as("pr"))
+          .localCheckpoint(true)
         it += 1
       }
       r.select(col("v").as("p_partkey"), col("pr").as("pr6"))
@@ -723,27 +727,13 @@ object GraphQueries {
       val apexIl = invlog.filter(
         pmod(polyMix(pmod(col("u"), lit(HashM))),
           lit(ApexSampleMod)) < lit(ApexSampleKeep))
+      val e1 = ed.join(apexIl, Seq("u"))
+        .select(col("u"), col("v").as("px"), col("il"))
+      val e2 = ed.join(apexIl.select("u"), Seq("u"))
+        .select(col("u"), col("v").as("py"))
       val invP = ApexSampleMod / ApexSampleKeep // exact integer scale
-      // wedge fan-out as per-apex array pair generation: one join
-      // attaches the sampled apex set to its edges, one groupBy folds
-      // them to a sorted neighbor array, and the x < y wedge pairs
-      // explode from a codegen transform — the earlier three-join form
-      // (e1 = ed ⋈ apex, e2 = ed ⋈ apex, e1 ⋈ e2 on u) shuffled the
-      // full directed edge table twice and the 4.7 M wedge rows once
-      // more (measured r14: the fan alone was 5.5 s at sf0.1). Skew
-      // bound unchanged: a hub apex's wedges landed in one join
-      // partition before and build from one array row now; identical
-      // (px, py, il) multiset, so counts and the exact decimal sums
-      // are unchanged.
-      val nbr = ed.join(apexIl, Seq("u"))
-        .groupBy(col("u"), col("il"))
-        .agg(sort_array(collect_list(col("v"))).as("nb"))
-      val scored = nbr
-        .select(col("il"), explode(expr(
-          "flatten(transform(nb, (x, i) -> " +
-            "transform(slice(nb, i + 2, size(nb) - i - 1), " +
-            "y -> struct(x AS px, y AS py))))")).as("p"))
-        .select(col("p.px").as("px"), col("p.py").as("py"), col("il"))
+      val scored = e1.join(e2, Seq("u"))
+        .filter(col("px") < col("py"))
         .groupBy("px", "py")
         .agg(count(lit(1)).as("cn_sampled"),
           sum(col("il").cast(Dec)).as("aa_s"))

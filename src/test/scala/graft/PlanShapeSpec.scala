@@ -187,13 +187,15 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // single-row aggregate broadcasts
       "q394_friedman", "q395_mase", "q396_retention_half_life",
       "q372_bh_fdr",
-      // q153/q248 (r14): the one-row node-count / L1-total
-      // crossJoin(broadcast(...)) attaches inside the rank iterations
-      // were always there but hidden behind the per-iteration eager
-      // localCheckpoints; dropping those checkpoints (linear lineage —
-      // see OPTIMIZATION_r14.md) exposes them to this audit. Build
-      // sides are single-row aggregates, the bounded-attach idiom.
-      "q153_pagerank", "q248_hits",
+      // q248 (r14): the one-row L1-total crossJoin(broadcast(...))
+      // attaches inside the HITS half-rounds were always there but
+      // hidden behind the per-step eager localCheckpoints; dropping
+      // those checkpoints (see OPTIMIZATION_r14.md) exposes them to
+      // this audit. Build sides are single-row aggregates, the
+      // bounded-attach idiom. (q153 keeps its per-iteration
+      // checkpoints — measured load-bearing at scale — so its attach
+      // stays hidden and it is NOT listed.)
+      "q248_hits",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
