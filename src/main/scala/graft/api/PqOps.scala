@@ -73,6 +73,52 @@ object PqOps {
       Seq(col("d").asc, col("code").asc), 1, rankName = "__r")
       .select("id", "j", "code")
 
+  /** graft_dot mirrored on the driver for double arrays: the same
+    * left-fold Σ a[i]·b[i] over min(|a|,|b|) elements — used to
+    * precompute codebook self-dots for [[assignLit]] bit-identically
+    * to the in-plan `graft_dot(cent, cent)`. */
+  private def dotDD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** [[assign]] with the codebook as a COLLECTED driver-side model
+    * (the int-kernel convention, [[pqIntTrain]]'s `assigned`): the
+    * m-per-subspace (code, cent) lists ride three nested literals and
+    * the argmin is a codegen'd transform/array_min — a pure map, no
+    * broadcast exchange, no bounded-heap shuffle, no join back for
+    * `sv`. Distances are the same l2sq tree, term for term:
+    * round((graft_dot(sv,sv) − 2·graft_dot(sv,cent)) + cent·cent, 6)
+    * with the self-dot precomputed by [[dotDD]] (same left fold); the
+    * (d asc, code asc) tie-break is the struct field order, with a
+    * NULL d (null sv slice) sorting first like the heap's
+    * NULLS-FIRST ascending order. The codebook is the bounded model
+    * table (m·ksub·(dim/m) doubles), driver-resident by design — the
+    * same budget [[pqIntTrain]] and the ADC distance tables already
+    * spend. Returns (id, j, sv, code). */
+  private def assignLit(sv: DataFrame, m: Int,
+    cb: Array[(Int, Int, Array[Double])]): DataFrame = {
+    val byJ = (0 until m).map(j => cb.filter(_._1 == j).sortBy(_._2))
+    require(byJ.forall(_.nonEmpty),
+      s"assignLit needs >= 1 surviving code per subspace, got " +
+        byJ.map(_.length).mkString(","))
+    val cents = typedLit(byJ.map(_.map(_._3.toSeq).toSeq))
+    val codes = typedLit(byJ.map(_.map(_._2).toSeq))
+    val cn2s = typedLit(byJ.map(_.map(e => dotDD(e._3, e._3)).toSeq))
+    sv.withColumn("__cc", element_at(cents, col("j") + 1))
+      .withColumn("__cd", element_at(codes, col("j") + 1))
+      .withColumn("__c2", element_at(cn2s, col("j") + 1))
+      .withColumn("__a", array_min(expr(
+        "transform(sequence(0, size(__cd) - 1), i -> named_struct(" +
+          "'d', round((graft_dot(sv, sv) - 2.0D * graft_dot(sv, __cc[i]))" +
+          " + __c2[i], 6), " +
+          "'code', __cd[i]))")))
+      .select(col("id"), col("j"), col("sv"), col("__a.code").as("code"))
+  }
+
   /** Train the m per-subspace codebooks: (j, code, cent array<double>).
     * Each subspace seeds from its own `ksub` DISTINCT subvector
     * patterns — the patterns whose smallest carrying id hash-scatters
@@ -95,38 +141,58 @@ object PqOps {
     // per-subspace seeds: collapse to distinct (j, sv) patterns keyed
     // by their smallest carrying id, then one bounded heap per subspace
     // picks the ksub patterns whose key id hash-scatters first
-    var cb = graft.plans.GraftOps.topKPerGroup(
+    val seedCb = graft.plans.GraftOps.topKPerGroup(
       base.groupBy(col("j"), col("sv")).agg(min(col("id")).as("__kid"))
         .withColumn("__h", idHash(col("__kid"))),
       Seq(col("j")), Seq(col("__h").asc, col("__kid").asc), ksub,
       rankName = "__rk")
       .select(col("j"), (col("__rk") - 1).cast("int").as("code"),
         expr("transform(sv, x -> CAST(x AS DOUBLE))").as("cent"))
-      .localCheckpoint(true)
+    if (iters == 0) return seedCb
+    // r15: the per-round codebook is the bounded MODEL table
+    // (m·ksub·(dim/m) doubles) — it lives on the driver between rounds,
+    // exactly like [[pqIntTrain]]'s integer kernel. Each round is then
+    // ONE distributed job — the [[assignLit]] map feeding the exact
+    // decimal-mean centroid aggregation, collected for the next
+    // round's literals — instead of the broadcast build + bounded-heap
+    // shuffle + (id, j) join-back + eager checkpoint the DataFrame
+    // round paid (r13/r14 shape; shared:ivfpq_train / pq_prod_train
+    // job counts measured down). Same distances (l2sq's tree, the
+    // self-dot precomputed by the same left fold), same tie-break,
+    // same centroid arithmetic — collected rows re-sort by (j, code)
+    // so literal layout never depends on partition order [D1]; a code
+    // emptied by a round disappears exactly as the groupBy dropped it.
+    var cbLocal: Array[(Int, Int, Array[Double])] = seedCb.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val centroid = udaf(new CentroidAggregator(sub),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    var cbDf: DataFrame = null
     var it = 0
     while (it < iters) {
-      // The per-iteration localCheckpoint is LOAD-BEARING (unlike the
-      // shuffle-chained q153 loop, r14 measured): each round's
-      // codebook feeds a BROADCAST exchange, and an unmaterialized
-      // broadcast subtree re-executes every prior round per broadcast
-      // build — quadratic in iters.
-      cb = assign(base, cb)
-        .join(base, Seq("id", "j"))
+      cbDf = assignLit(base, m, cbLocal)
         .groupBy("j", "code")
         .agg(centroid(col("sv").cast("array<float>")).as("cent"))
-        .localCheckpoint(true)
+      if (it < iters - 1)
+        cbLocal = cbDf.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       it += 1
     }
-    cb
+    cbDf
   }
 
   /** Encode the corpus: (id, j, code) — m rows per vector, the
-    * compressed representation ADC searches against. */
+    * compressed representation ADC searches against. The codebook is
+    * the bounded model table: it collects to the driver once and the
+    * encode is the [[assignLit]] pure map — at any corpus size the
+    * encode stage has NO shuffle and no broadcast build (the former
+    * bounded-heap form shuffled ≤ k·partitions rows and paid a
+    * broadcast + heap exchange per encode). */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
     dim: Int, m: Int, cb: DataFrame): DataFrame =
-    assign(subvectors(emb, idCol, vecCol, dim, m), cb)
+    assignLit(subvectors(emb, idCol, vecCol, dim, m), m,
+      cb.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray)))
+      .select("id", "j", "code")
 
   /** ADC top-k: per probe, rank ids by the sum of table-looked-up
     * sub-distances (asc, id tie-break). `probes` needs (probe_id, pe).
@@ -557,6 +623,26 @@ object PqOps {
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(cells, Seq("id"))
       .join(broadcast(cents), Seq("cell"))
+      .select(col("id"), col("cell"),
+        expr("zip_with(v, cent, (x, y) -> CAST(x AS DOUBLE) - y)").as("res"))
+
+  /** [[cellCentroids]] over an assignment that already CARRIES the
+    * vector ((id, v, cell) — IvfIndex.kmeansAssigned): the same
+    * decimal-mean aggregation with the corpus⋈cells id-join dropped
+    * (guide §2.4 — the join re-attached a column the assignment map
+    * had in hand). */
+  def cellCentroidsAssigned(assigned: DataFrame, dim: Int): DataFrame = {
+    GraftFunctions.register(assigned.sparkSession)
+    val centroid = udaf(new CentroidAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    assigned.groupBy("cell")
+      .agg(centroid(col("v").cast("array<float>")).as("cent"))
+  }
+
+  /** [[residuals]] over a vector-carrying assignment — one broadcast
+    * of the |cells| centroids into a pure map, no corpus shuffle. */
+  def residualsAssigned(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), Seq("cell"))
       .select(col("id"), col("cell"),
         expr("zip_with(v, cent, (x, y) -> CAST(x AS DOUBLE) - y)").as("res"))
 

@@ -769,21 +769,29 @@ object GraphQueries {
       val nP = e.select("p").distinct().count()
       val a0 = e.select("p").distinct()
         .withColumn("a", lit(HitsScale / nP))
-      // r14: no per-step localCheckpoint — the two-round unroll is
-      // linear (h2's two consumers share the same agg exchange via
-      // ReuseExchange), so the final action evaluates each half-round
-      // once; the eager checkpoints were four extra materialization
-      // jobs (the q153 rationale). e stays checkpointed — every
-      // half-round reads it.
+      // r15: each half-round's aggregate is persistTracked (lazy
+      // cache), not eager-localCheckpointed (r13) and not left bare
+      // (r14). The bare form regressed on the driver's own bench
+      // (3.78 → 5.15 s): each `hr` is read TWICE per step (stream side
+      // + total agg), so the unrolled plan doubled per half-round to
+      // 4,234 lines / 312 Exchanges and its analysis + scheduling cost
+      // more than the four materialization jobs the checkpoints had
+      // paid. The persist caps the plan the same way the checkpoints
+      // did — every consumer below reads one InMemoryRelation — but
+      // fills lazily inside the single final action, so the four extra
+      // eager jobs never run. e stays checkpointed — every half-round
+      // reads it.
       def hubStep(a: DataFrame): DataFrame = {
-        val hr = e.join(a, Seq("p")).groupBy("c")
-          .agg(sum(col("w") * col("a")).as("hr"))
+        val hr = graft.Caches.persistTracked(
+          e.join(a, Seq("p")).groupBy("c")
+            .agg(sum(col("w") * col("a")).as("hr")))
         hr.crossJoin(broadcast(hr.agg(sum("hr").as("t"))))
           .select(col("c"), expr(s"(hr * ${HitsScale}L) div t").as("h"))
       }
       def authStep(h: DataFrame): DataFrame = {
-        val ar = e.join(h, Seq("c")).groupBy("p")
-          .agg(sum(col("w") * col("h")).as("ar"))
+        val ar = graft.Caches.persistTracked(
+          e.join(h, Seq("c")).groupBy("p")
+            .agg(sum(col("w") * col("h")).as("ar")))
         ar.crossJoin(broadcast(ar.agg(sum("ar").as("t"))))
           .select(col("p"), expr(s"(ar * ${HitsScale}L) div t").as("a"))
       }

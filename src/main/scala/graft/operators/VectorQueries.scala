@@ -815,15 +815,20 @@ object VectorQueries {
   : (DataFrame, DataFrame, DataFrame) = {
     val emb = t(s, dir, "embeddings")
     val mk = s"ivfpq:$dir:64:$IvfPqCells:4:$PqM:$PqKsub:$PqIters"
-    val cells = graft.Caches.memo(s, s"$mk:cells") {
-      graft.sources.IvfIndex.kmeansCells(
+    // r15: the memoized assignment CARRIES the vector (id, v, cell) —
+    // centroids aggregate it directly and residuals are a
+    // broadcast-map, where the (id, cell)-only form re-joined the
+    // corpus by id twice (guide §2.4); rows and values are identical
+    // (the join was 1:1 on id).
+    val cells = graft.Caches.memo(s, s"$mk:cellsfull") {
+      graft.sources.IvfIndex.kmeansAssigned(
         emb, "vec_id", "embedding", IvfPqCells, 4, 64)
     }
     val cents = graft.Caches.memo(s, s"$mk:cents") {
-      graft.api.PqOps.cellCentroids(emb, "vec_id", "embedding", 64, cells)
+      graft.api.PqOps.cellCentroidsAssigned(cells, 64)
     }
     val res = graft.Caches.memo(s, s"$mk:res") {
-      graft.api.PqOps.residuals(emb, "vec_id", "embedding", cells, cents)
+      graft.api.PqOps.residualsAssigned(cells, cents)
     }
     val cb = graft.Caches.memo(s, s"$mk:cb") {
       graft.api.PqOps.pqCodebooks(res, "id", "res", 64, PqM, PqKsub,

@@ -136,7 +136,20 @@ object IvfIndex {
     * everything; the sample is a pure id-hash predicate, so the same
     * ids train on any engine or cluster size. */
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
-    k: Int, iters: Int, dim: Int, trainOneIn: Int = 1): DataFrame = {
+    k: Int, iters: Int, dim: Int, trainOneIn: Int = 1): DataFrame =
+    kmeansAssigned(emb, idCol, vecCol, k, iters, dim, trainOneIn)
+      .select(col("id"), col("cell"))
+
+  /** [[kmeansCells]] WITH the vector carried through: (id, v, cell).
+    * The final assignment is a pure map over the corpus (the centroid
+    * literals ride the plan), so keeping `v` on the row is free — and
+    * downstream artifact builds (cell centroids, residuals) that would
+    * otherwise re-join the corpus to the (id, cell) table by id can
+    * aggregate or map DIRECTLY, dropping two corpus-sized exchanges
+    * per build (guide §2.4). */
+  private[graft] def kmeansAssigned(emb: DataFrame, idCol: String,
+    vecCol: String, k: Int, iters: Int, dim: Int, trainOneIn: Int = 1)
+  : DataFrame = {
     require(k > 0 && iters >= 0 && dim > 0, "need k > 0, iters >= 0, dim > 0")
     require(trainOneIn >= 1, "trainOneIn must be >= 1")
     GraftFunctions.register(emb.sparkSession)
@@ -155,74 +168,213 @@ object IvfIndex {
         pmod(pmod(col("id"), lit(mod)) * spread, lit(mod)) % trainOneIn === 0)
         .localCheckpoint(true)
     val full = if (trainOneIn == 1) base else fullLazy
-    require(!base.isEmpty,
-      "kmeansCells needs a non-empty (sampled) embedding table")
     // superseded localCheckpoints (base, per-iteration cents) are
     // reclaimed by the ContextCleaner once unreferenced — no manual
     // unpersist needed, but do not hold references to returned frames
     // longer than necessary on a large training corpus
+    //
+    // Farthest-first seeding is inherently sequential (seed i+1 depends
+    // on seed i), so the cluster form pays one full-scan sort-head JOB
+    // per seed — k-1 scheduler round-trips that dominate the training
+    // time on a small (sampled) base. When the base fits a bounded
+    // driver buffer, ONE collect replaces them and the k-1 picks run
+    // driver-side with the SAME arithmetic, bit for bit: graft_dot's
+    // left-fold double accumulation, safeDiv's NULL on zero denominator
+    // treated as cosine +1 (the zero-norm rule below), Double.compare
+    // ordering with id tie-break — mirrored in [[seedDriver]] and gated
+    // by DeterminismSpec/RecallAuditSpec. A base past the bound (the
+    // 100 TB path samples via trainOneIn precisely so it never is)
+    // falls back to the per-seed jobs unchanged.
+    val sess0 = emb.sparkSession
+    val collected: Array[(Long, Array[Float])] = {
+      import sess0.implicits._
+      base.select(col("id"), col("v")).limit(SeedCollectMaxRows + 1)
+        .as[(Long, Array[Float])].collect()
+    }
+    require(collected.nonEmpty,
+      "kmeansCells needs a non-empty (sampled) embedding table")
     def seedCos(s: Array[Float]): Column = {
       val sn2 = s.foldLeft(0d)((a, x) => a + x.toDouble * x)
       graft.Dets.safeDiv(call_function("graft_dot", col("v"), typedLit(s)),
         sqrt(col("n2")) * math.sqrt(sn2))
     }
-    val firstRow = base
-      .withColumn("__h", pmod(pmod(col("id"), lit(mod)) * spread, lit(mod)))
-      .orderBy(col("__h").asc, col("id").asc).select("id", "v")
-      .head()
-    val seedIds = scala.collection.mutable.Set(firstRow.getLong(0))
-    val seedBuf =
-      scala.collection.mutable.ArrayBuffer(firstRow.getSeq[Float](1).toArray)
-    var exhausted = false
-    while (seedBuf.size < k && !exhausted) {
-      // a zero-norm vector has NULL cosine to every seed; without the
-      // coalesce it would sort NULLS FIRST and be re-picked as EVERY
-      // remaining seed, collapsing the quantizer to one usable cell.
-      // Treating NULL as +1 (nearest possible) makes zero vectors the
-      // least attractive seed instead.
-      val nearest = coalesce(
-        seedBuf.toSeq.map(seedCos).reduce(greatest(_, _)), lit(1d))
-      val next = base.withColumn("__near", nearest)
-        .orderBy(col("__near").asc, col("id").asc).select("id", "v")
+    val seedIds = scala.collection.mutable.Set.empty[Long]
+    val seedBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    if (collected.length <= SeedCollectMaxRows) {
+      seedDriver(collected, k, seedIds, seedBuf)
+    } else {
+      val firstRow = base
+        .withColumn("__h", pmod(pmod(col("id"), lit(mod)) * spread, lit(mod)))
+        .orderBy(col("__h").asc, col("id").asc).select("id", "v")
         .head()
-      // fewer distinct useful rows than k: stop early with fewer cells
-      // rather than silently duplicating seeds
-      if (seedIds.add(next.getLong(0)))
-        seedBuf += next.getSeq[Float](1).toArray
-      else exhausted = true
+      seedIds += firstRow.getLong(0)
+      seedBuf += firstRow.getSeq[Float](1).toArray
+      var exhausted = false
+      while (seedBuf.size < k && !exhausted) {
+        // a zero-norm vector has NULL cosine to every seed; without the
+        // coalesce it would sort NULLS FIRST and be re-picked as EVERY
+        // remaining seed, collapsing the quantizer to one usable cell.
+        // Treating NULL as +1 (nearest possible) makes zero vectors the
+        // least attractive seed instead.
+        val nearest = coalesce(
+          seedBuf.toSeq.map(seedCos).reduce(greatest(_, _)), lit(1d))
+        val next = base.withColumn("__near", nearest)
+          .orderBy(col("__near").asc, col("id").asc).select("id", "v")
+          .head()
+        // fewer distinct useful rows than k: stop early with fewer cells
+        // rather than silently duplicating seeds
+        if (seedIds.add(next.getLong(0)))
+          seedBuf += next.getSeq[Float](1).toArray
+        else exhausted = true
+      }
     }
-    val sess = emb.sparkSession
-    var cents = sess.createDataFrame(
-      seedBuf.toSeq.zipWithIndex.map { case (v, i) =>
+    // r15: the k cell centroids are the bounded MODEL table (k·dim
+    // doubles) — they live on the driver between rounds, the
+    // PqOps.pqIntTrain kernel convention applied to the float path.
+    // Each Lloyd round is then ONE distributed job — the literal-array
+    // argmax map feeding the exact decimal-mean centroid aggregation,
+    // collected for the next round's literals — instead of the
+    // broadcast build + bounded-heap shuffle + eager checkpoint the
+    // DataFrame round paid. Same cosine tree (safeDiv NULL on a zero
+    // denominator sorts LAST like the heap's DESC NULLS LAST), same
+    // 4dp + cell tie-break, same centroid arithmetic; collected rows
+    // re-sort by cell so literal layout never depends on partition
+    // order [D1]; an emptied cell disappears exactly as the groupBy
+    // dropped it (k shrinks, never crashes).
+    var cells: IndexedSeq[(Int, Array[Double])] =
+      seedBuf.toIndexedSeq.zipWithIndex.map { case (v, i) =>
         (i, v.map(_.toDouble))
-      }).toDF("cell", "cent")
-      .withColumn("cn2", expr("graft_dot(cent, cent)"))
-      .localCheckpoint(true)
+      }
     val centroid = udaf(new CentroidAggregator(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
-    def assign(c: DataFrame, over: DataFrame): DataFrame =
-      graft.plans.GraftOps.topKPerGroup(
-        over.crossJoin(broadcast(c))
-          .withColumn("__cos", cosW("v", "cent", "n2", "cn2"))
-          .select(col("id"), col("v"), col("cell"), col("__cos")),
-        Seq(col("id")),
-        // 4dp + cell tie-break: bit-identical ranking on any engine
-        Seq(round(col("__cos"), 4).desc, col("cell").asc), 1, rankName = "__r")
+    def assignLit(over: DataFrame): DataFrame = {
+      val cents = typedLit(cells.map(_._2.toSeq))
+      val cellIds = typedLit(cells.map(_._1))
+      val cn2s = typedLit(cells.map(c => dotDD(c._2, c._2)))
+      over.withColumn("__cc", cents)
+        .withColumn("__cd", cellIds)
+        .withColumn("__c2", cn2s)
+        .withColumn("__a", array_min(expr(
+          // min over (cos4-is-null, -cos4, cell) == the old heap's
+          // (cos4 DESC NULLS LAST, cell ASC) top-1: negation under
+          // java.lang.Double.compare is order-reversing (also for
+          // ±0.0), the isn field pushes NULL cosines last, and the
+          // all-NULL case falls to the cell tie-break exactly like
+          // the heap did
+          "transform(sequence(0, size(__cd) - 1), i -> named_struct(" +
+            "'isn', CASE WHEN (sqrt(n2) * sqrt(__c2[i])) != 0D" +
+            " THEN 0 ELSE 1 END, " +
+            "'nc', coalesce(-round(" +
+            "CASE WHEN (sqrt(n2) * sqrt(__c2[i])) != 0D" +
+            " THEN graft_dot(v, __cc[i]) / (sqrt(n2) * sqrt(__c2[i]))" +
+            " END, 4), 0D), " +
+            "'cell', __cd[i]))")))
+        .select(col("id"), col("v"), col("__a.cell").as("cell"))
+    }
     var it = 0
     while (it < iters) {
       // Lloyd trains on the sample; only the final assignment below
-      // pays a full-corpus scan. The per-iteration localCheckpoint is
-      // LOAD-BEARING here (unlike the shuffle-chained q153 loop, r14
-      // measured): each round's centroids feed a BROADCAST exchange,
-      // and an unmaterialized broadcast subtree re-executes every
-      // prior round per broadcast build — quadratic in iters.
-      cents = assign(cents, base)
+      // pays a full-corpus scan.
+      cells = assignLit(base)
         .groupBy("cell")
         .agg(centroid(col("v").cast("array<float>")).as("cent"))
-        .withColumn("cn2", expr("graft_dot(cent, cent)"))
-        .localCheckpoint(true)
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toIndexedSeq
       it += 1
     }
-    assign(cents, full).select(col("id"), col("cell"))
+    assignLit(full).select(col("id"), col("v"), col("cell"))
+  }
+
+  /** graft_dot mirrored on the driver for double arrays — the same
+    * left-fold Σ a[i]·b[i], so precomputed centroid self-dots match
+    * the in-plan `graft_dot(cent, cent)` bit for bit. */
+  private def dotDD(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Cap on the one-collect seeding path: 64Ki rows × (64 floats + id)
+    * ≈ 20 MB of driver tuples — bounded like the seed vectors
+    * themselves. Bases past this (only reachable when a huge corpus is
+    * trained UNsampled) keep the per-seed cluster jobs. */
+  private val SeedCollectMaxRows = 65536
+
+  /** Driver-side farthest-first seeding over the collected (id, v)
+    * base — the exact per-seed job arithmetic, mirrored operation for
+    * operation so the picked seeds are bit-identical:
+    *
+    *  - first seed: min (pmod(pmod(id, M)·spread, M), id) — Spark long
+    *    arithmetic wraps like Java's, so the product is the same wrap;
+    *  - dot products: graft_dot's left-fold Σ (double)a[i]·(double)b[i]
+    *    over min(|a|,|b|) elements;
+    *  - per-seed cosine: dot / (sqrt(n2)·sqrt(sn2)), NULL when the
+    *    denominator is 0 (safeDiv) — a row with no non-NULL cosine
+    *    reads as +1 (the zero-norm rule);
+    *  - nearest = greatest over seeds, next = min (nearest, id), both
+    *    on java.lang.Double.compare ordering (Spark's DoubleType
+    *    ordering; keeps -0.0 < 0.0 exactly like the cluster sort);
+    *  - duplicate pick stops the loop early (exhausted), like the
+    *    seedIds.add guard on the job path. */
+  private def seedDriver(rows: Array[(Long, Array[Float])], k: Int,
+    seedIds: scala.collection.mutable.Set[Long],
+    seedBuf: scala.collection.mutable.ArrayBuffer[Array[Float]]): Unit = {
+    val mod = graft.functions.TextFunctions.HashMod
+    val spread = 2654435761L
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def hashOf(id: Long): Long = {
+      val m1 = ((id % mod) + mod) % mod
+      val p = m1 * spread // wraps exactly like Spark's long multiply
+      ((p % mod) + mod) % mod
+    }
+    val n2s = rows.map(r => dotFF(r._2, r._2))
+    var fi = 0
+    var i = 1
+    while (i < rows.length) {
+      val c = java.lang.Long.compare(hashOf(rows(i)._1), hashOf(rows(fi)._1))
+      if (c < 0 || (c == 0 && rows(i)._1 < rows(fi)._1)) fi = i
+      i += 1
+    }
+    seedIds += rows(fi)._1
+    seedBuf += rows(fi)._2
+    var exhausted = false
+    while (seedBuf.size < k && !exhausted) {
+      val seedN2 = seedBuf.map(s => s.foldLeft(0d)((a, x) => a + x.toDouble * x))
+      var bi = -1
+      var bNear = 0d
+      var r = 0
+      while (r < rows.length) {
+        var near = 0d
+        var any = false
+        var j = 0
+        while (j < seedBuf.length) {
+          val den = math.sqrt(n2s(r)) * math.sqrt(seedN2(j))
+          if (den != 0) {
+            val c = dotFF(rows(r)._2, seedBuf(j)) / den
+            if (!any || java.lang.Double.compare(c, near) > 0) {
+              near = c; any = true
+            }
+          }
+          j += 1
+        }
+        val nearF = if (any) near else 1.0
+        val cmp = if (bi < 0) -1 else java.lang.Double.compare(nearF, bNear)
+        if (cmp < 0 || (cmp == 0 && rows(r)._1 < rows(bi)._1)) {
+          bi = r; bNear = nearF
+        }
+        r += 1
+      }
+      if (seedIds.add(rows(bi)._1)) seedBuf += rows(bi)._2
+      else exhausted = true
+    }
   }
 }
