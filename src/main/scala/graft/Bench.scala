@@ -175,6 +175,14 @@ object Bench {
         val wanted = (worstQ ++ hotVsHistory.filter(_.startsWith("q")))
           .distinct.sortBy(k => -timeOf.getOrElse(k, 0.0)).take(35)
         reShared ++ wanted.map { name =>
+          // Warm-cache hole (r14 verdict item 2): a requeried key with
+          // builder-internal persists could otherwise run partially
+          // warm off an EARLIER requeried key's tracked frames
+          // (CacheManager matches by logical plan). Dropping tracked
+          // persists (never the shared memos) before each key makes
+          // every requeried line memo-warm + tracked-cold — exactly a
+          // key's first-run state in the main sweep.
+          graft.Caches.clearTracked(spark)
           val t0 = System.nanoTime()
           val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
             catch { case _: Throwable => false }

@@ -83,6 +83,11 @@ object SharedMemos {
     // three-landmark multi-source BFS levels (q232, q290)
     "shared:landmark_bfs" ->
       (s => force(operators.GraphQueries.landmarkBfs(s, dir))),
+    // per-(doc, term) frequency table — the retrieval family's shared
+    // tokenize pass (q75/q95/q139/q266/q309/q337/q342/q379) — r15: one
+    // explode+agg instead of seven
+    "shared:tfidf_doctf" ->
+      (s => force(operators.TfidfQueries.docTf(s, dir))),
     // per-doc sorted token-hash table (q61/q77/q82/q90/q100/q109/...)
     "shared:text_hashed" ->
       (s => force(operators.TextQueries.hashedDocs(s, dir))),

@@ -70,16 +70,26 @@ object Tables {
     * which within one session the other caches already assume. */
   private val spreadDecisions =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      java.lang.Boolean]()
+      (Long, java.lang.Boolean)]()
 
   private def spreadCached(df: DataFrame, key: String,
     cacheKey: Option[String]): DataFrame = {
     if (sys.env.contains("GRAFT_NO_SPREAD")) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     val enough = cacheKey match {
-      case Some(ck) => spreadDecisions.computeIfAbsent(
-        (df.sparkSession, ck),
-        _ => Boolean.box(df.rdd.getNumPartitions >= want)).booleanValue()
+      case Some(ck) =>
+        // same hygiene as loadedFrames (r14 ADVICE): stopped sessions
+        // are swept, and the decision carries the fixture mtime so a
+        // regenerated fixture with a different split count re-probes
+        // instead of keeping the stale spread choice — superseded
+        // mtimes are replaced in place, so the map stays bounded by
+        // (live sessions × fixture paths)
+        spreadDecisions.keySet.removeIf(_._1.sparkContext.isStopped)
+        val mt = fixtureMtime(ck)
+        spreadDecisions.compute((df.sparkSession, ck), (_, prev) =>
+          if (prev != null && prev._1 == mt) prev
+          else (mt, Boolean.box(df.rdd.getNumPartitions >= want))
+        )._2.booleanValue()
       case None => df.rdd.getNumPartitions >= want
     }
     if (enough) df
@@ -136,8 +146,22 @@ object Tables {
     * path in [[load]] scopes it to an isolated child session instead
     * (see [[nanosSession]]) because the conf must still be set when
     * the returned frame EXECUTES, not just at plan time. */
+  /** Fixture-state fingerprint for the driver-side caches: the max
+    * lastModified across the path AND its direct children. A bare
+    * directory mtime misses an in-place file rewrite (the directory
+    * inode only changes on add/remove — r14 ADVICE), so a regenerated
+    * fixture would silently serve the stale cached frame; taking the
+    * max over the data files catches both cases. One flat listFiles —
+    * fixture tables are single files or flat part-file directories. */
+  private def fixtureMtime(path: String): Long = {
+    val f = new java.io.File(path)
+    val kids = f.listFiles()
+    if (kids == null) f.lastModified()
+    else kids.foldLeft(f.lastModified())((m, k) => math.max(m, k.lastModified()))
+  }
+
   private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
-    val key = path + "@" + new java.io.File(path).lastModified()
+    val key = path + "@" + fixtureMtime(path)
     eventsTsNanos.computeIfAbsent(key, { _ =>
       val confKey = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(confKey)
@@ -161,7 +185,8 @@ object Tables {
     * legacy-NANOS events branch is deliberately NOT cached — its
     * child-session conf mirror must run per load (TablesSpec contract). */
   private val loadedFrames =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Long, DataFrame)]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Every pipeline entry point loads through here — registering the
@@ -182,11 +207,15 @@ object Tables {
       nanosSession(spark).read.schema(eventsNanosSchema).parquet(path)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
-      // bound the map by LIVE sessions (the nanosSessions hygiene rule)
+      // bound the map by LIVE sessions (the nanosSessions hygiene rule);
+      // the mtime rides the VALUE (not the key) so a regenerated
+      // fixture replaces its superseded entry in place instead of
+      // accumulating one entry per regeneration (r14 ADVICE)
       loadedFrames.keySet.removeIf(_._1.sparkContext.isStopped)
-      val key = (spark, path + "@" + new java.io.File(path).lastModified())
-      loadedFrames.computeIfAbsent(key,
-        _ => spark.read.schema(schemas(name)).parquet(path))
+      val mt = fixtureMtime(path)
+      loadedFrames.compute((spark, path), (_, prev) =>
+        if (prev != null && prev._1 == mt) prev
+        else (mt, spark.read.schema(schemas(name)).parquet(path)))._2
     }
   }
 

@@ -132,6 +132,10 @@ object MlOps {
       .filter(col("__e").isNotNull)
       .localCheckpoint(true)
     val dim = e.select(size(col("__e"))).head().getInt(0)
+    // the trace's n_vecs/inertia come from the pos==0 slice of the
+    // posexplode'd stats, so a size-0 vector would silently vanish from
+    // the counts (r14 ADVICE) — name the precondition instead
+    require(dim >= 1, s"kmeansTrace needs vectors of dim >= 1, got $dim")
     val seedIds = e.select(col("__id"),
         graft.operators.GraphQueries.polyMix(pmod(col("__id"), lit(hashM)))
           .as("__h"))

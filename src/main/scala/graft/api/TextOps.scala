@@ -344,10 +344,18 @@ object TextOps {
     // tokenize+explode+agg chain runs once
     val tf = graft.Caches.persistTracked(
       tok.groupBy("__id", "tok").agg(count(lit(1)).as("cnt")))
+    tfidfTopTermsOfTf(tf, docs.agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** [[tfidfTopTerms]] over a PREBUILT term-frequency table
+    * (__id, tok, cnt) and a one-row (n_docs) corpus count — the same
+    * df-count/join/argmax recipe with the tokenize pass factored out,
+    * so a host that already shares a (doc, term) table (the
+    * shared:tfidf_doctf memo) doesn't re-tokenize. */
+  def tfidfTopTermsOfTf(tf: DataFrame, nDocs: DataFrame): DataFrame = {
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     graft.plans.GraftOps.topKPerGroup(
-      tf.join(df, "tok").crossJoin(broadcast(n))
+      tf.join(df, "tok").crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           round(col("cnt") * log(col("n_docs").cast("double") / col("df")), 4))
         .select("__id", "tok", "tfidf"),

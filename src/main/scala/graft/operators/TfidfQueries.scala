@@ -22,6 +22,25 @@ object TfidfQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.loadSpread(s, dir, n)
 
+  /** The retrieval family's one shared primitive: the per-(doc, term)
+    * frequency table (doc_id, w, tf) from ONE tokenize + explode +
+    * map-side-partial aggregation pass, memoized per (session, dir)
+    * and primed under its own bench line (shared:tfidf_doctf — guide
+    * §2.4 share-keyed work). Before r15 seven keys each re-ran the
+    * corpus tokenize: q75's tf, q95/q139's tokenSet explode (the
+    * distinct (doc, w) pairs ARE this table's keys), q379's
+    * (cf = Σ tf, df = row count) grid, q342's df histogram and the
+    * q266/q309/q337 known-item chain's tf/dl. Derivations are exact:
+    * count-over-instances == sum(tf), countDistinct(doc) == row count
+    * per term, dl == Σ tf per doc — same values, same int64. */
+  private[graft] def docTf(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"tfidf.doctf:$dir") {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    }
+
   private[operators] val Bm25Terms = Seq("hash", "join", "scan")
   /** q362's Dirichlet-QLM μ (Zhai & Lafferty's recommended ~2000);
     * declared up here with the term bag — the oracle map below
@@ -45,7 +64,10 @@ object TfidfQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_tfidf" -> ((s, dir) =>
-      graft.api.TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
+      graft.api.TextOps.tfidfTopTermsOfTf(
+        docTf(s, dir).select(col("doc_id").as("__id"),
+          col("w").as("tok"), col("tf").as("cnt")),
+        t(s, dir, "documents").agg(count(lit(1)).as("n_docs")))
         .select(col("id").as("doc_id"), col("top_term"),
           col("tfidf").as("tfidf4"))
         .orderBy("doc_id")),
@@ -72,9 +94,9 @@ object TfidfQueries {
     // (the q27 pattern: integers render identically in both engines) so
     // the driver's value hash sees a scalar, not an array.
     "q95_inverted_index" -> ((s, dir) => {
-      val posting = t(s, dir, "documents")
-        .select(explode(TextFunctions.tokenSet(col("text"))).as("term"),
-          col("doc_id"))
+      // the memoized (doc, term) table's keys ARE the tokenSet pairs
+      val posting = docTf(s, dir)
+        .select(col("w").as("term"), col("doc_id"))
       posting.groupBy("term")
         .agg(count(lit(1)).as("df"),
           sort_array(collect_list(col("doc_id"))).as("postings"))
@@ -94,9 +116,7 @@ object TfidfQueries {
     // term-bucketed posting lake q95 describes.
     "q139_bool_search" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val hits = docs
-        .select(col("doc_id"),
-          explode(TextFunctions.tokenSet(col("text"))).as("w"))
+      val hits = docTf(s, dir)
         .filter(col("w").isin(BoolTerms: _*))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
         .filter(col("n_hit") === BoolTerms.size)
@@ -174,11 +194,10 @@ object TfidfQueries {
     // each (BurstFormula); ranking by exact integer cf through the
     // bounded heap [D3].
     "q379_term_burstiness" -> ((s, dir) => {
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("term")
-        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      // cf = Σ tf (instance count), df = rows per term (distinct docs)
+      val tf = docTf(s, dir)
+        .groupBy(col("w").as("term"))
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
       val dd = t(s, dir, "documents").agg(count(lit(1)).as("d"))
       val top = graft.plans.GraftOps.topKPerGroup(
         tf.crossJoin(broadcast(dd)), Seq(lit(1)),
@@ -266,9 +285,7 @@ object TfidfQueries {
     // percentiles are q44-style rank picks; the top-10 mass is a
     // bounded-heap cut; the share a [D5] truncating permille.
     "q342_postings_skew" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("w"))
-      val dfr = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfr = docTf(s, dir)
         .groupBy("w").agg(count(lit(1)).as("df"))
       val hist = dfr.groupBy("df").agg(count(lit(1)).as("cnt"))
         .withColumn("gg", lit(1))
@@ -304,11 +321,10 @@ object TfidfQueries {
     * Memoized per (session, dir) — both consumers read one build. */
   private def knownItemRanks(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(s, s"kir:$dir:$MrrProbes:$MrrQTerms") {
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("w"))
-      val tf = graft.Caches.persistTracked(
-        toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // tf is the memoized shared table; dl = Σ tf per doc (the token
+      // instance count) — same values the explode recount produced
+      val tf = docTf(s, dir)
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("sum_dl"))
       val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
