@@ -177,15 +177,18 @@ object GraphOps {
       // sparse union of the contribution set and the seed row: the
       // seed may be absent from round 1's contributions (no self
       // loops), and absent vertices must stay absent, not become 0s
-      // r14: no per-iteration localCheckpoint — the mass lineage is
-      // linear (each r feeds the next exactly once), so the final
-      // action evaluates every round once; the eager checkpoints were
-      // iters extra materialization jobs (the q153 rationale)
-      r = contrib.join(s.withColumn("st", lit(1)), Seq("v"), "full")
-        .select(col("v"),
-          (when(col("st") === 1, lit(restartMicro)).otherwise(lit(0L))
-            + expr(s"(2L * $dNum * coalesce(sc6, 0L) + $dDen)" +
-              s" div (2L * $dDen)")).as("pr6"))
+      // r15: per-round persistTracked (lazy cache) — the r14 bare form
+      // (no cap at all) measured SLOWER on the driver bench
+      // (3.05 → 3.77 s): the unrolled multi-round plan's analysis and
+      // AQE re-planning outgrew the jobs it saved. The persist caps
+      // the plan at one InMemoryRelation per round without the r13
+      // eager checkpoint jobs (the q248 pattern).
+      r = graft.Caches.persistTracked(
+        contrib.join(s.withColumn("st", lit(1)), Seq("v"), "full")
+          .select(col("v"),
+            (when(col("st") === 1, lit(restartMicro)).otherwise(lit(0L))
+              + expr(s"(2L * $dNum * coalesce(sc6, 0L) + $dDen)" +
+                s" div (2L * $dDen)")).as("pr6")))
       it += 1
     }
     r.select(col("v"), (col("pr6").cast("double") / Micro).as("pr"))
@@ -291,9 +294,14 @@ object GraphOps {
     val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
     val ed = u.select(col("x").as("u"), col("y").as("v"))
       .unionAll(u.select(col("y").as("u"), col("x").as("v")))
-    var dist = seeds.select(col(seedCol).as("src"))
-      .withColumn("v", col("src")).withColumn("lvl", lit(0))
-      .localCheckpoint(true)
+    // r15: per-level persistTracked, not eager localCheckpoint — the
+    // level's distance set is still materialized exactly once (it is
+    // read three times by the next level: frontier, seen-join, union),
+    // but the fill happens inside the consumer's action, so the
+    // maxLvl extra eager jobs are gone (the q248 pattern).
+    var dist = graft.Caches.persistTracked(
+      seeds.select(col(seedCol).as("src"))
+        .withColumn("v", col("src")).withColumn("lvl", lit(0)))
     var lvl = 0
     while (lvl < maxLvl) {
       val frontier = dist.filter(col("lvl") === lvl)
@@ -304,7 +312,7 @@ object GraphOps {
           Seq("src", "v"), "left")
         .filter(col("seen").isNull)
         .select(col("src"), col("v"), lit(lvl + 1).as("lvl"))
-      dist = dist.unionByName(next).localCheckpoint(true)
+      dist = graft.Caches.persistTracked(dist.unionByName(next))
       lvl += 1
     }
     dist
@@ -372,9 +380,13 @@ object GraphOps {
       .unionAll(und.select(col(yCol).as("u"), col(xCol).as("v"),
         col(wCol).as("w")))
       .localCheckpoint(true)
-    var labels = ed.select(col("u").as("v")).distinct()
-      .withColumn("label", col("v"))
-      .localCheckpoint(true)
+    // r15: per-round persistTracked, not eager localCheckpoint — each
+    // round's assignment still materializes once (one InMemoryRelation
+    // per round), filled inside the consumer's action; the iters extra
+    // eager jobs are gone (the q248 pattern).
+    var labels = graft.Caches.persistTracked(
+      ed.select(col("u").as("v")).distinct()
+        .withColumn("label", col("v")))
     var it = 0
     while (it < iters) {
       val s = ed
@@ -383,9 +395,9 @@ object GraphOps {
         .agg(sum(col("w")).as("s"))
       val rn = row_number().over(
         Window.partitionBy("u").orderBy(col("s").desc, col("label").asc))
-      labels = s.withColumn("rn", rn).filter(col("rn") === 1)
-        .select(col("u").as("v"), col("label"))
-        .localCheckpoint(true)
+      labels = graft.Caches.persistTracked(
+        s.withColumn("rn", rn).filter(col("rn") === 1)
+          .select(col("u").as("v"), col("label")))
       it += 1
     }
     labels

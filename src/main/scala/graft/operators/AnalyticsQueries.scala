@@ -487,10 +487,18 @@ object AnalyticsQueries {
         .map(sc => (sc, "START", 1000000L)).toDF("sc", "state", "mass")
       var round = 0
       while (round < MkRounds) {
-        v = v.join(m, v("sc") === m("sc") && v("state") === m("i"))
-          .groupBy(m("sc").as("sc"), col("j").as("state"))
-          .agg(expr("sum(mass * p) div 1000000L").as("mass"))
-          .localCheckpoint(true)
+        // r15: per-round persistTracked (the q248 pattern) — one
+        // InMemoryRelation per round, no eager job for a ~|scenarios×
+        // states|-row mass vector. The per-round aliases of m are
+        // REQUIRED with the lazy persist: v's lineage now contains m's
+        // attribute ids (localCheckpoint used to cut them away), so
+        // re-joining the raw m would be an ambiguous self-join.
+        val mr = m.select(col("sc").as("m_sc"), col("i").as("m_i"),
+          col("j").as("m_j"), col("p").as("m_p"))
+        v = graft.Caches.persistTracked(
+          v.join(mr, v("sc") === col("m_sc") && v("state") === col("m_i"))
+            .groupBy(col("m_sc").as("sc"), col("m_j").as("state"))
+            .agg(expr("sum(mass * m_p) div 1000000L").as("mass")))
         round += 1
       }
       val conv = v.filter(col("state") === "CONV")

@@ -739,21 +739,36 @@ object CorpusStatsQueries {
     rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("w").orderBy("pos")
-    var sdf = words.select(col("w"), col("wcnt"),
+    var sdf = graft.Caches.persistTracked(
+      words.select(col("w"), col("wcnt"),
         posexplode(expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
           .as(Seq("p0", "sym")))
       .select(col("w"), col("wcnt"),
-        (col("p0") + 1).cast("long").as("pos"), col("sym"))
-      .localCheckpoint(true)
+        (col("p0") + 1).cast("long").as("pos"), col("sym")))
     val trace = Seq.newBuilder[(Long, String, String, Long, Long)]
     var r = 1
     var dry = false
     while (r <= rounds && !dry) {
-      val nxt = sdf.select(col("w"), (col("pos") - 1).as("pos"),
-        col("sym").as("sym2"))
-      val adj = sdf.join(nxt, Seq("w", "pos"))
-      val best = adj.groupBy("sym", "sym2")
+      // r15: the round is ONE window chain over (w ORDER BY pos)
+      // instead of the former adjacency self-join on (w, pos) plus the
+      // match/consumed/next-symbol join fan (≈6 exchanges → 1). The
+      // adjacent pair is lead(sym); positions are consecutive
+      // (recompacted by row_number each round), so the old pos−rank
+      // run arithmetic becomes lag/running-count bookkeeping in the
+      // same window pass. Semantics preserved exactly:
+      //  - pair counts: lead pairs where lead is non-null == the
+      //    (w, pos)⋈(w, pos+1) inner join rows, same Σ wcnt;
+      //  - left-to-right non-overlap: k = rank-among-matches minus the
+      //    rank at the run's first member (+1) == the old row_number
+      //    within (w, pos − rank); runs are maximal blocks of
+      //    CONSECUTIVE match starts, and pos − rank was strictly
+      //    increasing across runs, so run identity matches;
+      //  - a kept match concatenates its lead symbol; the following
+      //    position (lag(kept)) is consumed; positions recompact.
+      val withNext = sdf.withColumn("sym2", lead(col("sym"), 1).over(wOrd))
+      val best = withNext.filter(col("sym2").isNotNull)
+        .groupBy("sym", "sym2")
         .agg(sum(col("wcnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym").asc, col("sym2").asc)
         .limit(1).collect().headOption
@@ -762,33 +777,29 @@ object CorpusStatsQueries {
         case Some(b) =>
           val (s1, s2, cnt) =
             (b.getString(0), b.getString(1), b.getLong(2))
-          val matches = adj
-            .filter(col("sym") === lit(s1) && col("sym2") === lit(s2))
-            .select("w", "pos")
-          // left-to-right non-overlap: within a run of consecutive
-          // match starts (only possible for self-pairs), keep the
-          // 1st, 3rd, ... — run id = pos − rank, parity = rank in run
-          val mg = matches
-            .withColumn("rn", row_number().over(wOrd))
-            .withColumn("k", row_number().over(
-              Window.partitionBy(col("w"), col("pos") - col("rn"))
-                .orderBy("pos")))
-            .filter(col("k") % 2 === 1)
-            .select(col("w"), col("pos"), lit(1).as("m"))
-          val cons = mg.select(col("w"), (col("pos") + 1).as("pos"),
-            lit(1).as("c"))
-          val nx2 = sdf.select(col("w"), (col("pos") - 1).as("pos"),
-            col("sym").as("symn"))
-          sdf = sdf
-            .join(mg, Seq("w", "pos"), "left")
-            .join(cons, Seq("w", "pos"), "left")
-            .filter(col("c").isNull)
-            .join(nx2, Seq("w", "pos"), "left")
+          val isM = col("sym") === lit(s1) && col("sym2") === lit(s2)
+          val ann = withNext
+            .withColumn("im", isM)
+            .withColumn("mrn", sum(when(col("im"), 1L).otherwise(0L))
+              .over(wOrd.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+            .withColumn("runFirst",
+              col("im") && !coalesce(lag(col("im"), 1).over(wOrd),
+                lit(false)))
+            .withColumn("mrn0", last(when(col("runFirst"), col("mrn")),
+              ignoreNulls = true)
+              .over(wOrd.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+            .withColumn("keep",
+              col("im") && (col("mrn") - col("mrn0")) % 2 === 0)
+            .withColumn("consumed",
+              coalesce(lag(col("keep"), 1).over(wOrd), lit(false)))
+          sdf = graft.Caches.persistTracked(ann
+            .filter(!col("consumed"))
             .select(col("w"), col("wcnt"), col("pos"),
-              when(col("m") === 1, concat(col("sym"), col("symn")))
+              when(col("keep"), concat(col("sym"), col("sym2")))
                 .otherwise(col("sym")).as("sym"))
-            .withColumn("pos", row_number().over(wOrd).cast("long"))
-            .localCheckpoint(true)
+            .withColumn("pos", row_number().over(wOrd).cast("long")))
           val nAfter = sdf.agg(sum(col("wcnt")).as("n"))
             .collect().head.getLong(0)
           trace += ((r.toLong, s1, s2, cnt, nAfter))

@@ -165,20 +165,22 @@ object GraphQueries {
       val edges = CoPurchase.directedW(s, dir)
       val deg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
       val ed = edges.join(deg, Seq("u")).localCheckpoint(true)
-      val nodes = ed.select(col("u").as("v")).distinct()
+      // nodes is read by r0 plus every round's left join — persist so
+      // the distinct exchange over ed runs once, not once per round
+      val nodes = graft.Caches.persistTracked(
+        ed.select(col("u").as("v")).distinct())
       val nn = nodes.agg(count(lit(1)).as("nn"))
-      // Per-iteration localCheckpoint KEPT (r14): dropping it measured
-      // faster on the sf0.1 driver fixture (9.3 → 6.4 s isolated) but
-      // showed no robust win at ScaleGen sf0.5 under interleaved
-      // minima (29.5 vs 29.2 s — the box noise band is 4×, see
-      // OPTIMIZATION_r14.md), and the materialized per-round size
-      // keeps the ed ⋈ r join's AQE planning anchored at scale — so
-      // the conservative r13-proven form stands. The drop IS kept in
-      // q231/q248, whose per-round tables are frontier-/score-sized
-      // and measured better on both fixtures.
-      var r = nodes.crossJoin(broadcast(nn))
-        .select(col("v"), round(lit(1d) / col("nn"), 6).as("pr"))
-        .localCheckpoint(true)
+      // r15: per-round ranks are persistTracked (lazy cache), not
+      // eagerly localCheckpointed (r13/r14) — each round still
+      // materializes exactly once (every consumer reads one
+      // InMemoryRelation, which also keeps the ed ⋈ r AQE planning
+      // anchored to real per-round stats), but the fill happens inside
+      // the single final action, so the Iters+1 extra eager jobs are
+      // gone (the q248 pattern). The r14 full-drop experiment (no cap
+      // at all) was rejected for the exposed-plan growth; the persist
+      // keeps the cap without the jobs.
+      var r = graft.Caches.persistTracked(nodes.crossJoin(broadcast(nn))
+        .select(col("v"), round(lit(1d) / col("nn"), 6).as("pr")))
       var it = 0
       while (it < Iters) {
         val contrib = ed
@@ -187,12 +189,11 @@ object GraphQueries {
             round(col("pru") * col("w") / col("wdeg"), 6).as("c"))
           .groupBy("v")
           .agg(sum(col("c").cast(Dec)).cast("double").as("sc"))
-        r = nodes.join(contrib, Seq("v"), "left")
+        r = graft.Caches.persistTracked(nodes.join(contrib, Seq("v"), "left")
           .crossJoin(broadcast(nn))
           .select(col("v"),
             round(lit(1d - Damping) / col("nn")
-              + lit(Damping) * coalesce(col("sc"), lit(0d)), 6).as("pr"))
-          .localCheckpoint(true)
+              + lit(Damping) * coalesce(col("sc"), lit(0d)), 6).as("pr")))
         it += 1
       }
       r.select(col("v").as("p_partkey"), col("pr").as("pr6"))
@@ -214,7 +215,10 @@ object GraphQueries {
       val edges = CoPurchase.directedW(s, dir).select("u", "v")
       val seed = edges.agg(min(col("u")).as("v"))
         .select(col("v"), lit(0).as("lvl"))
-      var dist = seed.localCheckpoint(true)
+      // r15: per-level persistTracked (the q248 pattern) — each level
+      // still materializes once for its three readers, without the
+      // per-level eager jobs
+      var dist = graft.Caches.persistTracked(seed)
       var lvl = 0
       while (lvl < 3) {
         val frontier = dist.filter(col("lvl") === lvl)
@@ -224,7 +228,7 @@ object GraphQueries {
           .join(dist.select(col("v"), lit(1).as("seen")), Seq("v"), "left")
           .filter(col("seen").isNull)
           .select(col("v"), lit(lvl + 1).as("lvl"))
-        dist = dist.unionByName(next).localCheckpoint(true)
+        dist = graft.Caches.persistTracked(dist.unionByName(next))
         lvl += 1
       }
       dist.groupBy("lvl").agg(count(lit(1)).as("n_parts")).orderBy("lvl")

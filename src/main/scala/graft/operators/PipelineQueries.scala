@@ -114,41 +114,45 @@ object PipelineQueries {
     }
     // canonical lo<hi edges; near-dup producers already emit unique
     // ordered pairs, so no distinct here — the first contraction dedups
-    var e = tick("init")(pairs
+    // r15: per-round persistTracked, not eager localCheckpoint. The
+    // loop's control flow still pays one action per round (the edge
+    // count below), and that count materializes the round's e (and,
+    // through its lineage, the round's m) exactly once — but `rep`,
+    // which nothing reads until after the loop, now stays LAZY: its
+    // final evaluation is one pass composing the cached per-round
+    // hooks instead of an eager rep-sized materialization job per
+    // round (the q248 pattern plus a strict job-count win).
+    var e = tick("init")(graft.Caches.persistTracked(pairs
       .select(least(col("id_lo"), col("id_hi")).as("lo"),
         greatest(col("id_lo"), col("id_hi")).as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .localCheckpoint(true))
+      .filter(col("lo") =!= col("hi"))))
     // rep: pair-participating vertex -> current contracted representative
     var rep: DataFrame = null
     var nEdges = e.count()
     var iter = 0
     while (nEdges > localCutover && iter < 50) {
       // hook: m(x) = min(x, min neighbour of x) over the live edge set
-      val m = tick(s"round $iter hook")(e
+      val m = tick(s"round $iter hook")(graft.Caches.persistTracked(e
         .select(col("lo").as("x"), col("hi").as("y"))
         .union(e.select(col("hi").as("x"), col("lo").as("y")))
         .groupBy("x").agg(min("y").as("my"))
-        .select(col("x"), least(col("x"), col("my")).as("m"))
-        .localCheckpoint(true))
+        .select(col("x"), least(col("x"), col("my")).as("m"))))
       // compose the hook into the global representative map; vertices
       // whose representative went edge-less keep their label (left join)
-      rep = tick(s"round $iter rep")(
-        (if (rep == null) m.select(col("x").as("id"), col("m").as("lab"))
+      rep = tick(s"round $iter rep")(graft.Caches.persistTracked(
+        if (rep == null) m.select(col("x").as("id"), col("m").as("lab"))
         else rep.join(m, rep("lab") === m("x"), "left")
-          .select(rep("id"), coalesce(col("m"), rep("lab")).as("lab")))
-          .localCheckpoint(true))
+          .select(rep("id"), coalesce(col("m"), rep("lab")).as("lab"))))
       // contract: rewrite both endpoints through m, drop self-loops,
       // merge parallel edges — the only full edge pass of the round
       val mlo = m.select(col("x").as("lo"), col("m").as("ml"))
       val mhi = m.select(col("x").as("hi"), col("m").as("mh"))
-      e = tick(s"round $iter contract")(e
+      e = tick(s"round $iter contract")(graft.Caches.persistTracked(e
         .join(mlo, "lo").join(mhi, "hi")
         .select(least(col("ml"), col("mh")).as("lo"),
           greatest(col("ml"), col("mh")).as("hi"))
         .filter(col("lo") =!= col("hi"))
-        .distinct()
-        .localCheckpoint(true))
+        .distinct()))
       nEdges = e.count()
       iter += 1
     }
