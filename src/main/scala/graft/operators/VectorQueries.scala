@@ -456,11 +456,23 @@ object VectorQueries {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .select(col("vec_id"), col("d"),
           floor(col("x").cast("double") * S).cast("long").as("xi"))
-      val gram = flat.select(col("vec_id"), col("d").as("i"), col("xi"))
-        .join(flat.select(col("vec_id"), col("d").as("j"),
-          col("xi").as("xj")), Seq("vec_id"))
-        .groupBy("i", "j")
-        .agg(sum(d38(col("xi") * col("xj"))).as("sxy"))
+      // r15: the Gram cells come from a per-row OUTER PRODUCT (dim² is
+      // a constant 4096, bounded by the vector width, never the data),
+      // so the former flat⋈flat self-join on vec_id — two corpus-sized
+      // exchanges + an 8.2 M-row merge join before the aggregation —
+      // is a pure map feeding the same map-side-combined 4096-cell agg
+      // (guide §2.4). Identical integer products (|xi| ≤ 2^20, the
+      // product fits a long exactly), identical decimal sums.
+      val gram = t(s, dir, "embeddings")
+        .select(explode(expr(
+          "flatten(transform(embedding, (xa, ia) -> " +
+            "transform(embedding, (xb, ib) -> named_struct(" +
+            s"'i', ia, 'j', ib, " +
+            s"'p', CAST(FLOOR(CAST(xa AS DOUBLE) * ${S}D) AS BIGINT) " +
+            s"* CAST(FLOOR(CAST(xb AS DOUBLE) * ${S}D) AS BIGINT)))))"))
+          .as("c"))
+        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(sum(d38(col("c.p"))).as("sxy"))
       val mrg = flat.groupBy(col("d").as("k"))
         .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
       val cov = gram

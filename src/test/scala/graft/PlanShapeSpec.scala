@@ -192,10 +192,14 @@ class PlanShapeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       // hidden behind the per-step eager localCheckpoints; dropping
       // those checkpoints (see OPTIMIZATION_r14.md) exposes them to
       // this audit. Build sides are single-row aggregates, the
-      // bounded-attach idiom. (q153 keeps its per-iteration
-      // checkpoints — measured load-bearing at scale — so its attach
-      // stays hidden and it is NOT listed.)
+      // bounded-attach idiom.
       "q248_hits",
+      // q153 (r15): the same exposure — the per-iteration eager
+      // checkpoints became lazy persists (OPTIMIZATION_r15.md), so the
+      // pre-existing one-row node-count crossJoin(broadcast(nn))
+      // attach inside each PageRank round now shows. Build side is a
+      // single-row count aggregate, the bounded-attach idiom.
+      "q153_pagerank",
       "q255_lsh_eval", "q259_markov_attribution",
       "q260_shapley_attribution", "q261_zorder_prune",
       "q265_kaplan_meier", "q266_known_item_mrr", "q44_median_disc",
