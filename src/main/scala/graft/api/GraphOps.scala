@@ -294,14 +294,18 @@ object GraphOps {
     val u = und.select(col(xCol).as("x"), col(yCol).as("y"))
     val ed = u.select(col("x").as("u"), col("y").as("v"))
       .unionAll(u.select(col("y").as("u"), col("x").as("v")))
-    // r15: per-level persistTracked, not eager localCheckpoint — the
-    // level's distance set is still materialized exactly once (it is
-    // read three times by the next level: frontier, seen-join, union),
-    // but the fill happens inside the consumer's action, so the
-    // maxLvl extra eager jobs are gone (the q248 pattern).
-    var dist = graft.Caches.persistTracked(
-      seeds.select(col(seedCol).as("src"))
-        .withColumn("v", col("src")).withColumn("lvl", lit(0)))
+    // Per-level EAGER localCheckpoint is load-bearing here (r15
+    // measured, ScaleBench sf0.5 interleaved minima): the next level
+    // reads `dist` from CONCURRENT join subtrees (frontier side and
+    // seen side of one SortMergeJoin), and with a lazy persist both
+    // sides race the cache fill and recompute the level from lineage —
+    // recursively, so the whole traversal re-executes per level
+    // (q164 5.0 → 10.9 s, q232 5.8 → 12.3 s under the lazy form).
+    // The q248/q153 persist pattern only works when the readers are
+    // SEQUENTIAL (broadcast build before stream); BFS's are not.
+    var dist = seeds.select(col(seedCol).as("src"))
+      .withColumn("v", col("src")).withColumn("lvl", lit(0))
+      .localCheckpoint(true)
     var lvl = 0
     while (lvl < maxLvl) {
       val frontier = dist.filter(col("lvl") === lvl)
@@ -312,7 +316,7 @@ object GraphOps {
           Seq("src", "v"), "left")
         .filter(col("seen").isNull)
         .select(col("src"), col("v"), lit(lvl + 1).as("lvl"))
-      dist = graft.Caches.persistTracked(dist.unionByName(next))
+      dist = dist.unionByName(next).localCheckpoint(true)
       lvl += 1
     }
     dist

@@ -215,10 +215,11 @@ object GraphQueries {
       val edges = CoPurchase.directedW(s, dir).select("u", "v")
       val seed = edges.agg(min(col("u")).as("v"))
         .select(col("v"), lit(0).as("lvl"))
-      // r15: per-level persistTracked (the q248 pattern) — each level
-      // still materializes once for its three readers, without the
-      // per-level eager jobs
-      var dist = graft.Caches.persistTracked(seed)
+      // Per-level EAGER localCheckpoint KEPT (r15 measured at sf0.5:
+      // the lazy-persist form regressed 2.2× — the seen-join's two
+      // sides read `dist` concurrently and race the cache fill,
+      // recomputing the traversal recursively; see multiSourceBfs)
+      var dist = seed.localCheckpoint(true)
       var lvl = 0
       while (lvl < 3) {
         val frontier = dist.filter(col("lvl") === lvl)
@@ -228,7 +229,7 @@ object GraphQueries {
           .join(dist.select(col("v"), lit(1).as("seen")), Seq("v"), "left")
           .filter(col("seen").isNull)
           .select(col("v"), lit(lvl + 1).as("lvl"))
-        dist = graft.Caches.persistTracked(dist.unionByName(next))
+        dist = dist.unionByName(next).localCheckpoint(true)
         lvl += 1
       }
       dist.groupBy("lvl").agg(count(lit(1)).as("n_parts")).orderBy("lvl")

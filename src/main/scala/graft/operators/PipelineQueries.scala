@@ -132,11 +132,16 @@ object PipelineQueries {
     var iter = 0
     while (nEdges > localCutover && iter < 50) {
       // hook: m(x) = min(x, min neighbour of x) over the live edge set
-      val m = tick(s"round $iter hook")(graft.Caches.persistTracked(e
+      // — EAGERLY checkpointed: the contraction reads it from two
+      // concurrent join sides (mlo/mhi), which under a lazy persist
+      // race the cache fill (the BFS finding); the hook is
+      // vertex-sized, so the eager job is the cheap side of that trade
+      val m = tick(s"round $iter hook")(e
         .select(col("lo").as("x"), col("hi").as("y"))
         .union(e.select(col("hi").as("x"), col("lo").as("y")))
         .groupBy("x").agg(min("y").as("my"))
-        .select(col("x"), least(col("x"), col("my")).as("m"))))
+        .select(col("x"), least(col("x"), col("my")).as("m"))
+        .localCheckpoint(true))
       // compose the hook into the global representative map; vertices
       // whose representative went edge-less keep their label (left join)
       rep = tick(s"round $iter rep")(graft.Caches.persistTracked(
