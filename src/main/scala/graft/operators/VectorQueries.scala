@@ -460,19 +460,23 @@ object VectorQueries {
       // a constant 4096, bounded by the vector width, never the data),
       // so the former flat⋈flat self-join on vec_id — two corpus-sized
       // exchanges + an 8.2 M-row merge join before the aggregation —
-      // is a pure map feeding the same map-side-combined 4096-cell agg
-      // (guide §2.4). Identical integer products (|xi| ≤ 2^20, the
+      // is two chained codegen posexplodes feeding the same
+      // map-side-combined 4096-cell agg (guide §2.4): zero exchanges
+      // before the partial aggregation. (NOT a transform/flatten
+      // lambda: higher-order functions evaluate interpreted, and 8.2 M
+      // per-element virtual calls measured SLOWER than the join it
+      // replaces.) Identical integer products (|xi| ≤ 2^20, the
       // product fits a long exactly), identical decimal sums.
       val gram = t(s, dir, "embeddings")
-        .select(explode(expr(
-          "flatten(transform(embedding, (xa, ia) -> " +
-            "transform(embedding, (xb, ib) -> named_struct(" +
-            s"'i', ia, 'j', ib, " +
-            s"'p', CAST(FLOOR(CAST(xa AS DOUBLE) * ${S}D) AS BIGINT) " +
-            s"* CAST(FLOOR(CAST(xb AS DOUBLE) * ${S}D) AS BIGINT)))))"))
-          .as("c"))
-        .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-        .agg(sum(d38(col("c.p"))).as("sxy"))
+        .select(col("embedding"), posexplode(col("embedding"))
+          .as(Seq("i", "xa")))
+        .select(col("i"), col("xa"), posexplode(col("embedding"))
+          .as(Seq("j", "xb")))
+        .groupBy("i", "j")
+        .agg(sum(d38(
+          floor(col("xa").cast("double") * S).cast("long")
+            * floor(col("xb").cast("double") * S).cast("long")))
+          .as("sxy"))
       val mrg = flat.groupBy(col("d").as("k"))
         .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
       val cov = gram
